@@ -1,0 +1,431 @@
+"""Core event-table engine: load, cuts, derived features, global filter.
+
+Re-expresses the reference's ``Analyzer`` (detanalysis/analyzer.py) on
+Spark. The reference keeps two Vaex views — ``_df_full`` (master) and
+``_df`` (after a "global filter") — plus named boolean cut columns and
+lazy virtual columns (analyzer.py:47-49, 263-265, 474). Here the master
+is one immutable DataFrame; cuts and features are *registered
+expressions* (Catalyst ``Column`` trees), and the working view is
+``master.filter(global_filter)`` — lazy, zero-copy, and fully visible to
+the optimizer (predicate pushdown into the Parquet scan).
+
+Scale notes (100 TB):
+- Cuts stay lazy predicates by default. Materializing every cut as a
+  boolean column on a 100 TB table (the reference's approach,
+  analyzer.py:263-265) would rewrite the dataset; instead
+  ``materialize_cuts`` writes a narrow sidecar table
+  ``(__event_index__, <cut flags>)`` that joins back on the stable row
+  id — a classic cut-table pattern.
+- Row identity ``__event_index__`` is assigned once at ingest and
+  persisted (SURVEY §7.4-2); never derived at query time.
+- NumPy-mask cuts (P2) become joins on ``__event_index__`` against a
+  small flag DataFrame — no driver-side full-column materialization.
+
+Reference parity citations are given per method (file:line into
+/root/reference/detanalysis/analyzer.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+EVENT_INDEX = "__event_index__"
+
+_FILTER_MODES = ("replace", "and", "or", "xor", "subtract")
+
+
+@dataclass
+class CutInfo:
+    """Metadata carried with every registered cut (analyzer.py:304-326)."""
+
+    name: str
+    expression: str | None  # SQL text when known (None for opaque Columns/masks)
+    column: Column = field(repr=False, default=None)
+    metadata: dict = field(default_factory=dict)
+
+
+@dataclass
+class FeatureInfo:
+    """Metadata for a derived (virtual) feature (analyzer.py:456-480)."""
+
+    name: str
+    expression: str | None
+    column: Column = field(repr=False, default=None)
+    metadata: dict = field(default_factory=dict)
+
+
+def ensure_event_index(df: DataFrame, order_by: Sequence[str] | None = None) -> DataFrame:
+    """Assign the permanent row id at ingest (analyzer.py:563-565).
+
+    The reference does ``np.arange(len(df))``. Distributed equivalent: a
+    deterministic global ``row_number`` over a total ordering. This is a
+    one-time ingest cost (single global sort) — after which the id is
+    persisted to Parquet and never recomputed. For query-time use on data
+    that already has the column, this is a no-op.
+    """
+    if EVENT_INDEX in df.columns:
+        return df
+    if order_by:
+        w = Window.orderBy(*[F.col(c) for c in order_by])
+        return df.withColumn(EVENT_INDEX, F.row_number().over(w).cast("long") - 1)
+    # no natural key: zipWithIndex-style via monotonic id + rank, still
+    # deterministic within a single materialized write
+    w = Window.orderBy(F.monotonically_increasing_id())
+    return df.withColumn(EVENT_INDEX, F.row_number().over(w).cast("long") - 1)
+
+
+class Analyzer:
+    """PySpark-native equivalent of detanalysis ``Analyzer``.
+
+    Parameters
+    ----------
+    df : the master event DataFrame (``_df_full`` analog).
+    spark : owning session (kept for SQL parsing and small-frame builds).
+    """
+
+    def __init__(self, df: DataFrame, spark: SparkSession | None = None):
+        self._spark = spark or df.sparkSession
+        self._df_full = df
+        self._cuts: dict[str, CutInfo] = {}
+        self._features: dict[str, FeatureInfo] = {}
+        self._global_filter: Column | None = None
+        self._global_filter_desc: list[str] = []
+
+    # ------------------------------------------------------------------
+    # loading (S1-S5)
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_parquet(cls, spark: SparkSession, *paths: str,
+                     series: Iterable[Any] | None = None,
+                     order_by: Sequence[str] | None = None) -> "Analyzer":
+        """Multi-file scan (S1): ``vx.open_many`` → ``spark.read.parquet``.
+
+        ``series`` filters by the ``series_number`` column — the Spark
+        analog of the reference's filename-substring series selection
+        (analyzer.py:1061-1100): with the table partitioned by
+        ``series_number`` this prunes entire partitions at plan time.
+        """
+        df = spark.read.parquet(*paths)
+        if series is not None:
+            vals = list(series)
+            if "series_number" in df.columns:
+                df = df.filter(F.col("series_number").isin(vals))
+        df = ensure_event_index(df, order_by=order_by)
+        return cls(df, spark)
+
+    def add_files(self, *paths: str, replace: bool = False) -> "Analyzer":
+        """Incremental append (S4, analyzer.py:539-548): widen the scan.
+
+        Registered cuts/features survive (they are expressions, not data).
+        """
+        new = self._spark.read.parquet(*paths)
+        new = ensure_event_index(new)
+        self._df_full = new if replace else self._df_full.unionByName(new, allowMissingColumns=True)
+        return self
+
+    def clean(self) -> "Analyzer":
+        """Reload/reset (S5, analyzer.py:526-537): drop cuts, features, filter."""
+        self._cuts.clear()
+        self._features.clear()
+        self.drop_global_filter()
+        return self
+
+    # ------------------------------------------------------------------
+    # views
+    # ------------------------------------------------------------------
+    @property
+    def df_full(self) -> DataFrame:
+        """Master view with registered features attached lazily.
+
+        Features are added via ``withColumns`` — Catalyst prunes any the
+        downstream plan doesn't touch, so an unused registered feature
+        costs nothing (same laziness as Vaex virtual columns,
+        analyzer.py:474).
+        """
+        df = self._df_full
+        if self._features:
+            df = df.withColumns({n: f.column for n, f in self._features.items()})
+        return df
+
+    @property
+    def df(self) -> DataFrame:
+        """Working view = master filtered by the global filter
+        (analyzer.py:267-286 ``_refresh_df_view``). Lazy — no copy."""
+        base = self.df_full
+        if self._global_filter is not None:
+            base = base.filter(self._global_filter)
+        return base
+
+    # ------------------------------------------------------------------
+    # predicate resolution (P1/P2)
+    # ------------------------------------------------------------------
+    def resolve_cut(self, cut: Any) -> Column | None:
+        """Polymorphic predicate resolution (P1, analyzer.py:204-234).
+
+        Accepts: None → identity; a registered cut name; a boolean column
+        name present in the schema; a SQL expression string; a Column; a
+        DataFrame of row ids (mask analog, see ``cut_from_event_ids``).
+        """
+        if cut is None:
+            return None
+        if isinstance(cut, Column):
+            return cut
+        if isinstance(cut, str):
+            if cut in self._cuts:
+                return self._cuts[cut].column
+            if cut in self._features:
+                return self._features[cut].column.cast("boolean")
+            if cut in self._df_full.columns:
+                return F.col(cut).cast("boolean")
+            return F.expr(cut)  # SQL string — Spark parses natively
+        if isinstance(cut, DataFrame):
+            return self._ids_to_predicate(cut)
+        raise TypeError(f"unsupported cut specifier: {type(cut)!r}")
+
+    def _ids_to_predicate(self, ids: DataFrame) -> Column:
+        """Mask → predicate. Small id sets broadcast as an IN-list; the
+        general path is a semi-join handled in ``_subset_df``."""
+        vals = [r[0] for r in ids.select(EVENT_INDEX).limit(100_001).collect()]
+        if len(vals) > 100_000:
+            raise ValueError(
+                "row-id cut too large for an IN-list; use cut_from_event_ids() "
+                "which registers a semi-join cut instead")
+        return F.col(EVENT_INDEX).isin(vals)
+
+    def _subset_df(self, df: DataFrame, cut: Any) -> DataFrame:
+        """Filtered frame under a polymorphic cut (analyzer.py:204-234)."""
+        if cut is None:
+            return df
+        if isinstance(cut, DataFrame):
+            # J1 semi-join on row identity (analyzer.py:236-244)
+            return df.join(cut.select(EVENT_INDEX), EVENT_INDEX, "left_semi")
+        return df.filter(self.resolve_cut(cut))
+
+    # ------------------------------------------------------------------
+    # cut registration (analyzer.py:304-326)
+    # ------------------------------------------------------------------
+    def register_cut(self, expression: Any, name: str,
+                     metadata: Mapping | None = None,
+                     overwrite: bool = False) -> CutInfo:
+        if name in self._cuts and not overwrite:
+            raise ValueError(f"cut {name!r} already registered (pass overwrite=True)")
+        col = self.resolve_cut(expression)
+        if col is None:
+            raise ValueError("cannot register a None cut")
+        text = expression if isinstance(expression, str) else None
+        info = CutInfo(name=name, expression=text, column=col.cast("boolean"),
+                       metadata=dict(metadata or {}))
+        self._cuts[name] = info
+        return info
+
+    def register_cut_box(self, features: Sequence[str], limits: Sequence[Sequence[float]],
+                         name: str, metadata: Mapping | None = None,
+                         overwrite: bool = False) -> CutInfo:
+        """Rectangular cut (P4, analyzer.py:328-357): AND of betweens."""
+        if len(features) != len(limits):
+            raise ValueError("features and limits must have equal length")
+        col = F.lit(True)
+        parts = []
+        for feat, (lo, hi) in zip(features, limits):
+            fcol = (self._features[feat].column if feat in self._features
+                    else F.expr(feat))
+            col = col & fcol.between(F.lit(lo), F.lit(hi))
+            parts.append(f"{feat} BETWEEN {lo} AND {hi}")
+        info = CutInfo(name=name, expression=" AND ".join(parts),
+                       column=col, metadata=dict(metadata or {}))
+        if name in self._cuts and not overwrite:
+            raise ValueError(f"cut {name!r} already registered")
+        self._cuts[name] = info
+        return info
+
+    def cut_from_event_ids(self, ids: DataFrame | Sequence[int], name: str,
+                           metadata: Mapping | None = None) -> CutInfo:
+        """Mask-style cut from row identities (P2/P3, analyzer.py:236-265).
+
+        The reference converts a selection on a view into a full-table
+        boolean mask via ``np.isin``. Distributed: keep the id set as a
+        DataFrame and register a predicate that Spark turns into a
+        broadcast semi-join (small sets become an IN-list, pushed to the
+        scan).
+        """
+        if not isinstance(ids, DataFrame):
+            id_list = [int(x) for x in ids]
+            col = F.col(EVENT_INDEX).isin(id_list)
+            info = CutInfo(name=name, expression=None, column=col,
+                           metadata={**(metadata or {}), "n_ids": len(id_list)})
+            self._cuts[name] = info
+            return info
+        col = self._ids_to_predicate(ids.select(EVENT_INDEX))
+        info = CutInfo(name=name, expression=None, column=col,
+                       metadata=dict(metadata or {}))
+        self._cuts[name] = info
+        return info
+
+    def combine_cuts(self, cuts: Sequence[Any], name: str, mode: str = "and",
+                     metadata: Mapping | None = None) -> CutInfo:
+        """Boolean cut algebra (E2, analyzer.py:379-417).
+
+        modes: and, or, xor, subtract (= AND NOT, left fold).
+        """
+        if mode not in ("and", "or", "xor", "subtract"):
+            raise ValueError(f"bad mode {mode!r}")
+        cols = [self.resolve_cut(c) for c in cuts]
+        acc = cols[0]
+        for c in cols[1:]:
+            if mode == "and":
+                acc = acc & c
+            elif mode == "or":
+                acc = acc | c
+            elif mode == "xor":
+                acc = acc.cast("boolean") != c.cast("boolean")
+            else:  # subtract
+                acc = acc & ~c
+        info = CutInfo(name=name, expression=None, column=acc.cast("boolean"),
+                       metadata={**(metadata or {}), "mode": mode,
+                                 "inputs": [str(c) for c in cuts]})
+        self._cuts[name] = info
+        return info
+
+    def get_cuts(self) -> dict[str, CutInfo]:
+        return dict(self._cuts)
+
+    # ------------------------------------------------------------------
+    # derived features (analyzer.py:456-480)
+    # ------------------------------------------------------------------
+    def register_feature(self, expression: str | Column, name: str,
+                         metadata: Mapping | None = None,
+                         overwrite: bool = False) -> FeatureInfo:
+        if name in self._features and not overwrite:
+            raise ValueError(f"feature {name!r} already registered")
+        col = F.expr(expression) if isinstance(expression, str) else expression
+        info = FeatureInfo(name=name, expression=expression if isinstance(expression, str) else None,
+                           column=col, metadata=dict(metadata or {}))
+        self._features[name] = info
+        return info
+
+    def get_features(self) -> dict[str, FeatureInfo]:
+        return dict(self._features)
+
+    # ------------------------------------------------------------------
+    # global filter (P5, analyzer.py:419-454)
+    # ------------------------------------------------------------------
+    def apply_global_filter(self, cut: Any, mode: str = "replace") -> None:
+        if mode not in _FILTER_MODES:
+            raise ValueError(f"mode must be one of {_FILTER_MODES}")
+        new = self.resolve_cut(cut)
+        cur = self._global_filter
+        if cur is None or mode == "replace":
+            self._global_filter = new
+            self._global_filter_desc = [str(cut)]
+        elif mode == "and":
+            self._global_filter = cur & new
+            self._global_filter_desc.append(f"AND {cut}")
+        elif mode == "or":
+            self._global_filter = cur | new
+            self._global_filter_desc.append(f"OR {cut}")
+        elif mode == "xor":
+            self._global_filter = cur.cast("boolean") != new.cast("boolean")
+            self._global_filter_desc.append(f"XOR {cut}")
+        elif mode == "subtract":
+            self._global_filter = cur & ~new
+            self._global_filter_desc.append(f"AND NOT {cut}")
+
+    def drop_global_filter(self) -> None:
+        self._global_filter = None
+        self._global_filter_desc = []
+
+    @property
+    def global_filter_description(self) -> str:
+        return " ".join(self._global_filter_desc)
+
+    # ------------------------------------------------------------------
+    # evaluation & introspection
+    # ------------------------------------------------------------------
+    def select_expr(self, *expressions: str, cut: Any = None) -> DataFrame:
+        """Lazy projection of expressions under an optional cut (P8)."""
+        return self._subset_df(self.df, cut).selectExpr(*expressions)
+
+    def get_values(self, expression: str, cut: Any = None):
+        """Eager expression evaluation (analyzer.py:292-298) — the one
+        intentional driver-transfer boundary; returns a numpy array via
+        Arrow."""
+        pdf = (self._subset_df(self.df, cut)
+               .select(F.expr(expression).alias("v")).toPandas())
+        return pdf["v"].to_numpy()
+
+    def count(self, cut: Any = None) -> int:
+        """A1: row count under the working view + optional cut."""
+        return self._subset_df(self.df, cut).count()
+
+    def describe(self, columns: Sequence[str] | None = None) -> "Any":
+        """Column stats (analyzer.py:116-133): one distributed agg pass
+        computing count/mean/std/min/max for every numeric column —
+        single job, map-side combined, no per-column scans."""
+        df = self.df
+        num_types = ("double", "float", "bigint", "int", "smallint", "tinyint", "long")
+        cols = [c for c, t in df.dtypes
+                if (columns is None or c in columns) and t in num_types]
+        aggs = []
+        for c in cols:
+            aggs += [F.count(c).alias(f"{c}__count"), F.avg(c).alias(f"{c}__mean"),
+                     F.stddev_samp(c).alias(f"{c}__std"), F.min(c).alias(f"{c}__min"),
+                     F.max(c).alias(f"{c}__max")]
+        row = df.agg(*aggs).collect()[0].asDict()
+        import pandas as pd
+        out = {c: {s: row[f"{c}__{s}"] for s in ("count", "mean", "std", "min", "max")}
+               for c in cols}
+        return pd.DataFrame(out)
+
+    def get_event_list(self, cut: Any = None, nb_events_limit: int = 5000,
+                       nb_random_samples: int | None = None, seed: int = 42) -> list[dict]:
+        """Projection of id columns (P9, analyzer.py:949-1004), legacy-name
+        aware, with optional exact-n random sample (O3)."""
+        df = self._subset_df(self.df, cut)
+        colmap = {"series_number": ["series_number", "seriesnumber"],
+                  "event_number": ["event_number", "eventnumber"],
+                  "group_name": ["group_name"], "trigger_index": ["trigger_index"]}
+        sel = []
+        for canon, variants in colmap.items():
+            for v in variants:
+                if v in df.columns:
+                    sel.append(F.col(v).alias(canon))
+                    break
+        df = df.select(*sel)
+        if nb_random_samples:
+            df = df.orderBy(F.rand(seed)).limit(nb_random_samples)
+        else:
+            df = df.limit(nb_events_limit)
+        return [r.asDict() for r in df.collect()]
+
+    # ------------------------------------------------------------------
+    # materialization (S11)
+    # ------------------------------------------------------------------
+    def materialize_cuts(self, path: str, cuts: Sequence[str] | None = None,
+                         mode: str = "overwrite") -> None:
+        """Persist cuts as a sidecar flag table keyed by row id.
+
+        At 100 TB you never rewrite the fact table to add a boolean; you
+        write ``(__event_index__, flag...)`` and semi-join it back. The
+        sidecar inherits the master's partitioning so the join is
+        co-partitioned.
+        """
+        names = list(cuts or self._cuts)
+        flags = [self._cuts[n].column.alias(n) for n in names]
+        keep = [EVENT_INDEX] + (["series_number"] if "series_number" in self._df_full.columns else [])
+        out = self.df_full.select(*keep, *flags)
+        writer = out.write.mode(mode)
+        if "series_number" in keep:
+            writer = writer.partitionBy("series_number")
+        writer.parquet(path)
+
+    def passage_fraction(self, cut: Any, base_cut: Any = None) -> float:
+        """A8: fraction of (base-cut) rows passing ``cut`` — one agg of
+        avg(flag) rather than two counts (semiautocuts.py:1846-1896)."""
+        df = self._subset_df(self.df, base_cut)
+        col = self.resolve_cut(cut)
+        row = df.agg(F.avg(col.cast("double")).alias("frac")).collect()[0]
+        return float(row["frac"]) if row["frac"] is not None else float("nan")

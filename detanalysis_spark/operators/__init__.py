@@ -1,0 +1,13 @@
+from .histogram import hist1d, hist2d, hist1d_df, bucket_expr
+from .stats import (basic_stats, percentiles, robust_sigma, robust_sigma_expr,
+                    passage_fraction_table)
+from .binning import (equal_width_edges, equal_frequency_edges, ofamp_edges,
+                      assign_bin, ntile_bin)
+
+__all__ = [
+    "hist1d", "hist2d", "hist1d_df", "bucket_expr",
+    "basic_stats", "percentiles", "robust_sigma", "robust_sigma_expr",
+    "passage_fraction_table",
+    "equal_width_edges", "equal_frequency_edges", "ofamp_edges",
+    "assign_bin", "ntile_bin",
+]

@@ -1,0 +1,105 @@
+"""Statistical aggregation operators (A2-A5, A8-A9).
+
+Reference math:
+- exact percentile — ``np.percentile`` (linear interpolation), used for
+  thresholds and medians (semiautocuts.py:565-585, 590-627). Spark's
+  ``percentile`` aggregate implements the same linear-interpolation
+  definition, so results match to float precision.
+- approx percentile — Vaex ``percentile_approx`` (semiautocuts.py:253)
+  → Spark ``percentile_approx`` (t-digest-style sketch; mergeable, one
+  pass, bounded memory — the 100 TB path).
+- robust sigma — mean of |p(50-34.135)-median| and |median-p(50+34.135)|
+  (semiautocuts.py:589-627): the half-width of the 68.27% central
+  interval, computed from a single 3-quantile aggregate.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# the reference's central-interval percentiles (semiautocuts.py:600-607)
+SIGMA_LO_PCT = 50.0 - 34.135
+SIGMA_HI_PCT = 50.0 + 34.135
+
+
+def _col(e: str | Column) -> Column:
+    return F.expr(e) if isinstance(e, str) else e
+
+
+def percentiles(df: DataFrame, expression: str | Column, qs: Sequence[float],
+                exact: bool = True, accuracy: int = 10000) -> list[float]:
+    """Exact (A3) or approximate (A4) percentiles, qs in [0, 100].
+
+    Exact mode matches ``np.percentile``; approx mode is the scale path
+    (mergeable sketch, bounded memory per partition).
+    """
+    col = _col(expression)
+    fracs = [q / 100.0 for q in qs]
+    if exact:
+        agg = F.percentile(col, F.lit(fracs))
+    else:
+        agg = F.percentile_approx(col, F.lit(fracs), F.lit(accuracy))
+    row = df.agg(agg.alias("p")).collect()[0]
+    return [float(v) for v in row["p"]]
+
+
+def robust_sigma(df: DataFrame, expression: str | Column, exact: bool = True) -> tuple[float, float]:
+    """(median, robust σ) per semiautocuts.py:589-627 — one aggregate."""
+    p_lo, med, p_hi = percentiles(
+        df, expression, [SIGMA_LO_PCT, 50.0, SIGMA_HI_PCT], exact=exact)
+    sigma = (abs(p_lo - med) + abs(med - p_hi)) / 2.0
+    return med, sigma
+
+
+def robust_sigma_expr(col: Column) -> Column:
+    """Robust-sigma as a composable aggregate expression (for grouped
+    per-bin thresholds in semiautocut): returns a struct(median, sigma)."""
+    p = F.percentile(col, F.lit([SIGMA_LO_PCT / 100.0, 0.5, SIGMA_HI_PCT / 100.0]))
+    med = p.getItem(1)
+    sig = (F.abs(p.getItem(0) - med) + F.abs(med - p.getItem(2))) / F.lit(2.0)
+    return F.struct(med.alias("median"), sig.alias("sigma"))
+
+
+def basic_stats(df: DataFrame, expression: str | Column) -> dict[str, float]:
+    """A2: count/mean/std/min/max in one distributed pass."""
+    col = _col(expression)
+    row = df.agg(
+        F.count(col).alias("count"), F.avg(col).alias("mean"),
+        F.stddev_samp(col).alias("std"), F.min(col).alias("min"),
+        F.max(col).alias("max")).collect()[0]
+    return {k: (float(row[k]) if row[k] is not None else float("nan"))
+            for k in ("count", "mean", "std", "min", "max")}
+
+
+def passage_fraction_table(df: DataFrame, cut_cols: Sequence[Column],
+                           names: Sequence[str]):
+    """A9 (semiautocuts.py:2471-2531): N×N matrix where cell (i, j) is
+    the pass fraction of cut_i among rows passing cuts_0..j.
+
+    The reference loops over pairs with eager masks; here ALL N*(N+1)
+    cells are computed in a single aggregate pass — one job, map-side
+    combined, O(N²) columns of a few bytes each.
+    """
+    import numpy as np
+
+    n = len(cut_cols)
+    aggs = [F.count(F.lit(1)).alias("__total__")]
+    for j in range(n):
+        prefix = cut_cols[0].cast("boolean")
+        for k in range(1, j + 1):
+            prefix = prefix & cut_cols[k].cast("boolean")
+        aggs.append(F.sum(prefix.cast("long")).alias(f"__den_{j}__"))
+        for i in range(n):
+            both = prefix & cut_cols[i].cast("boolean")
+            aggs.append(F.sum(both.cast("long")).alias(f"__num_{i}_{j}__"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    mat = np.full((n, n), np.nan)
+    for j in range(n):
+        den = row[f"__den_{j}__"] or 0
+        for i in range(n):
+            if den:
+                mat[i, j] = (row[f"__num_{i}_{j}__"] or 0) / den
+    return mat, list(names)

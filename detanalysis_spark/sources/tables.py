@@ -1,0 +1,67 @@
+"""Parquet source adapter (S1-S3).
+
+One wrinkle vs a plain ``spark.read.parquet``: the synthetic tables
+store nanosecond-precision timestamps (parquet TIMESTAMP(NANOS)), which
+Spark's vectorized reader rejects. We flip the documented
+``spark.sql.legacy.parquet.nanosAsLong`` conf (reads them as long
+nanos) and convert to microsecond timestamps with *integer* arithmetic
+(``div 1000`` — float division would lose precision on 19-digit epoch
+nanos), matching DuckDB's truncate-to-micros behavior so oracle
+comparisons agree.
+
+Column detection is driver-side via the parquet footer (pyarrow), so
+the executors still use the native vectorized scan — pushdown and
+column pruning intact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+_NANO_COLS_CACHE: dict[str, list[str]] = {}
+
+
+def _nano_timestamp_cols(path: str) -> list[str]:
+    if path in _NANO_COLS_CACHE:
+        return _NANO_COLS_CACHE[path]
+    cols: list[str] = []
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+        schema = ds.dataset(path, format="parquet").schema
+        for field in schema:
+            if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
+                cols.append(field.name)
+    except Exception:
+        pass
+    _NANO_COLS_CACHE[path] = cols
+    return cols
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table with timestamp normalization."""
+    path = f"{sf_dir}/{name}.parquet"
+    nano_cols = _nano_timestamp_cols(path)
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        # integer div: 1704067798778549829 ns -> 1704067798778549 us
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str,
+             names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TABLES) -> None:
+    """Register all tables as temp views for the SQL surface."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,113 @@
+"""Histogram / stats / binning operators vs NumPy oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from detanalysis_spark.operators import (
+    hist1d, hist2d, basic_stats, percentiles, robust_sigma,
+    equal_width_edges, equal_frequency_edges, ofamp_edges, assign_bin,
+    passage_fraction_table,
+)
+from tests.conftest import load
+
+
+@pytest.fixture(scope="module")
+def li(spark, sf_dir):
+    return load(spark, sf_dir, "lineitem")
+
+
+@pytest.fixture(scope="module")
+def vals(li):
+    return li.select("l_extendedprice").toPandas()["l_extendedprice"].to_numpy()
+
+
+def test_hist1d_matches_numpy(li, vals):
+    counts, edges = hist1d(li, "l_extendedprice", shape=64)
+    want, wedges = np.histogram(vals, bins=64, range=(vals.min(), vals.max()))
+    np.testing.assert_allclose(edges, wedges, rtol=1e-9)
+    np.testing.assert_array_equal(counts, want)
+
+
+def test_hist1d_explicit_limits(li, vals):
+    counts, edges = hist1d(li, "l_extendedprice", shape=10, limits=(0.0, 1000.0))
+    want, _ = np.histogram(vals[(vals >= 0) & (vals <= 1000)], bins=10, range=(0.0, 1000.0))
+    np.testing.assert_array_equal(counts, want)
+
+
+def test_hist2d_matches_numpy(li):
+    pdf = li.select("l_quantity", "l_discount").toPandas()
+    grid, xe, ye = hist2d(li, "l_quantity", "l_discount", shape=(16, 8))
+    want, _, _ = np.histogram2d(pdf["l_quantity"], pdf["l_discount"], bins=(16, 8),
+                                range=((pdf["l_quantity"].min(), pdf["l_quantity"].max()),
+                                       (pdf["l_discount"].min(), pdf["l_discount"].max())))
+    np.testing.assert_array_equal(grid, want.astype(np.int64))
+
+
+def test_exact_percentiles_match_numpy(li, vals):
+    qs = [1.0, 15.865, 50.0, 84.135, 99.0]
+    got = percentiles(li, "l_extendedprice", qs, exact=True)
+    want = np.percentile(vals, qs)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_robust_sigma_matches_reference_math(li, vals):
+    med, sig = robust_sigma(li, "l_extendedprice")
+    lo, m, hi = np.percentile(vals, [50 - 34.135, 50, 50 + 34.135])
+    want = (abs(lo - m) + abs(m - hi)) / 2
+    assert abs(med - m) < 1e-9 * max(1, abs(m))
+    assert abs(sig - want) < 1e-9 * max(1, abs(want))
+
+
+def test_basic_stats(li, vals):
+    s = basic_stats(li, "l_extendedprice")
+    assert s["count"] == len(vals)
+    np.testing.assert_allclose(s["mean"], vals.mean(), rtol=1e-12)
+    np.testing.assert_allclose(s["std"], vals.std(ddof=1), rtol=1e-9)
+
+
+def test_equal_width_edges(li, vals):
+    edges = equal_width_edges(li, "l_extendedprice", 10)
+    want = np.linspace(vals.min(), vals.max(), 11)
+    np.testing.assert_allclose(edges, want, rtol=1e-12)
+
+
+def test_equal_frequency_edges_exact(li, vals):
+    edges = equal_frequency_edges(li, "l_extendedprice", 4, exact=True)
+    want = np.percentile(vals, [0, 25, 50, 75, 100])
+    np.testing.assert_allclose(edges, want, rtol=1e-9)
+
+
+def test_ofamp_edges_structure(li):
+    # shift so data spans negative->positive like an OF amplitude
+    shifted = li.withColumn("amp", F.col("l_discount") - 0.05)
+    edges = ofamp_edges(shifted, "amp", 5)
+    assert edges[1] == 0.0
+    assert len(edges) == 6
+    assert edges[0] < 0.0 < edges[-1]
+
+
+def test_assign_bin_vs_digitize(li, vals):
+    edges = [0.0, 500.0, 1500.0, 3000.0, 100000.0]
+    got = (li.select(assign_bin(F.col("l_extendedprice"), edges).alias("b"))
+             .groupBy("b").count().toPandas().set_index("b")["count"].to_dict())
+    dig = np.digitize(vals, edges) - 1
+    dig = dig[(vals >= edges[0]) & (vals <= edges[-1])]
+    # np.digitize: right edge of last bin exclusive; assign_bin includes it
+    for i in range(4):
+        want = int((dig == i).sum()) + (int((vals == edges[-1]).sum()) if i == 3 else 0)
+        assert got.get(i, 0) == want, i
+
+
+def test_passage_fraction_table(li):
+    pdf = li.select("l_quantity", "l_discount", "l_tax").toPandas()
+    cuts = [F.col("l_quantity") > 25, F.col("l_discount") > 0.05, F.col("l_tax") > 0.04]
+    masks = [pdf["l_quantity"] > 25, pdf["l_discount"] > 0.05, pdf["l_tax"] > 0.04]
+    mat, names = passage_fraction_table(li, cuts, ["a", "b", "c"])
+    for j in range(3):
+        den = masks[0]
+        for k in range(1, j + 1):
+            den = den & masks[k]
+        for i in range(3):
+            want = (den & masks[i]).sum() / den.sum()
+            np.testing.assert_allclose(mat[i, j], want, rtol=1e-12)
