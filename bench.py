@@ -1,0 +1,60 @@
+"""Benchmark harness: runs the declared query suite at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (``collect``) — every suite query
+returns a small aggregate, so collect measures the full distributed
+plan without driver-transfer noise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from detanalysis_spark.session import get_spark
+    from detanalysis_spark import suite
+
+    spark = get_spark("bench")
+    # warm up the JVM + parquet footers once so per-query numbers measure
+    # the plans, not session startup
+    suite.QUERIES["flagship_event_cut_stats"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in suite.QUERIES.items():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).collect()
+            dt = time.time() - t0
+        except Exception as e:  # noqa: BLE001
+            print(f"# bench error in {name}: {e}", file=sys.stderr)
+            dt = float("nan")
+        timings[name] = round(dt, 4)
+        total += dt if dt == dt else 0.0
+
+    print(json.dumps({
+        "metric": "suite_wall_clock",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -75,7 +75,9 @@ def flagship_event_cut_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
        CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0, 2)
+         AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -83,12 +85,14 @@ GROUP BY l_returnflag, l_linestatus
 """)
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # disc_price summed as exact 4-decimal fixed point: integer addition is
+    # associative, so Spark partial-agg order can't flip the last bit.
+    disc_units = cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.sum(cents(F.col("l_quantity"))).alias("sum_qty_cents"),
                  F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
-                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-                  .alias("sum_disc_price"),
+                 F.round(F.sum(disc_units) / 10000.0, 2).alias("sum_disc_price"),
                  F.count(F.lit(1)).alias("count_order")))
 
 
