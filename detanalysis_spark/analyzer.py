@@ -61,21 +61,43 @@ class FeatureInfo:
 def ensure_event_index(df: DataFrame, order_by: Sequence[str] | None = None) -> DataFrame:
     """Assign the permanent row id at ingest (analyzer.py:563-565).
 
-    The reference does ``np.arange(len(df))``. Distributed equivalent: a
-    deterministic global ``row_number`` over a total ordering. This is a
-    one-time ingest cost (single global sort) — after which the id is
-    persisted to Parquet and never recomputed. For query-time use on data
-    that already has the column, this is a no-op.
+    The reference does ``np.arange(len(df))``. Distributed equivalent
+    without a global sort: zipWithIndex-style two-pass — (1) one tiny
+    aggregate collects per-partition row counts, (2) the dense id is
+    ``partition_offset + within-partition counter``, applied via a
+    broadcast join on the partition id. No ``Exchange SinglePartition``
+    anywhere in the plan, so this holds at 100 TB (the per-partition
+    stats frame has one row per task).
+
+    ``order_by``: when given, rows are range-repartitioned and sorted
+    within partitions on those columns first; range-partition ids
+    ascend with the key ranges, so the dense id respects the global
+    ordering. Pass a unique tiebreaker column (e.g. a file offset) for
+    run-to-run determinism on duplicate keys.
+
+    This is a one-time ingest cost — the id is persisted to Parquet and
+    never recomputed at query time. No-op if the column exists.
     """
     if EVENT_INDEX in df.columns:
         return df
     if order_by:
-        w = Window.orderBy(*[F.col(c) for c in order_by])
-        return df.withColumn(EVENT_INDEX, F.row_number().over(w).cast("long") - 1)
-    # no natural key: zipWithIndex-style via monotonic id + rank, still
-    # deterministic within a single materialized write
-    w = Window.orderBy(F.monotonically_increasing_id())
-    return df.withColumn(EVENT_INDEX, F.row_number().over(w).cast("long") - 1)
+        cols = [F.col(c) for c in order_by]
+        df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    tagged = df.withColumn("__pid__", F.spark_partition_id()) \
+               .withColumn("__mid__", F.monotonically_increasing_id())
+    stats = (tagged.groupBy("__pid__")
+             .agg(F.count(F.lit(1)).alias("n"), F.min("__mid__").alias("m0"))
+             .orderBy("__pid__").collect())
+    rows, acc = [], 0
+    for r in stats:
+        rows.append((r["__pid__"], acc, r["m0"]))
+        acc += r["n"]
+    off = df.sparkSession.createDataFrame(
+        rows, schema="__pid__ int, __off__ long, __m0__ long")
+    return (tagged.join(F.broadcast(off), "__pid__")
+            .withColumn(EVENT_INDEX,
+                        (F.col("__off__") + F.col("__mid__") - F.col("__m0__")).cast("long"))
+            .drop("__pid__", "__mid__", "__off__", "__m0__"))
 
 
 class Analyzer:
@@ -94,6 +116,7 @@ class Analyzer:
         self._features: dict[str, FeatureInfo] = {}
         self._global_filter: Column | None = None
         self._global_filter_desc: list[str] = []
+        self._ids_seq = iter(range(1_000_000_000))
 
     # ------------------------------------------------------------------
     # loading (S1-S5)
@@ -120,11 +143,20 @@ class Analyzer:
     def add_files(self, *paths: str, replace: bool = False) -> "Analyzer":
         """Incremental append (S4, analyzer.py:539-548): widen the scan.
 
+        The reference re-numbers the concatenated frame
+        (analyzer.py:563-565); here appended rows get ids offset past
+        ``max(existing)+1`` — existing ids are untouched, so registered
+        id-based cuts stay valid (one tiny agg job per append).
         Registered cuts/features survive (they are expressions, not data).
         """
-        new = self._spark.read.parquet(*paths)
-        new = ensure_event_index(new)
-        self._df_full = new if replace else self._df_full.unionByName(new, allowMissingColumns=True)
+        new = ensure_event_index(self._spark.read.parquet(*paths))
+        if replace:
+            self._df_full = new
+            return self
+        offset = self._df_full.agg(F.max(EVENT_INDEX)).collect()[0][0]
+        offset = (offset if offset is not None else -1) + 1
+        new = new.withColumn(EVENT_INDEX, (F.col(EVENT_INDEX) + F.lit(offset)).cast("long"))
+        self._df_full = self._df_full.unionByName(new, allowMissingColumns=True)
         return self
 
     def clean(self) -> "Analyzer":
@@ -186,15 +218,21 @@ class Analyzer:
             return self._ids_to_predicate(cut)
         raise TypeError(f"unsupported cut specifier: {type(cut)!r}")
 
-    def _ids_to_predicate(self, ids: DataFrame) -> Column:
-        """Mask → predicate. Small id sets broadcast as an IN-list; the
-        general path is a semi-join handled in ``_subset_df``."""
-        vals = [r[0] for r in ids.select(EVENT_INDEX).limit(100_001).collect()]
-        if len(vals) > 100_000:
-            raise ValueError(
-                "row-id cut too large for an IN-list; use cut_from_event_ids() "
-                "which registers a semi-join cut instead")
-        return F.col(EVENT_INDEX).isin(vals)
+    def _ids_to_predicate(self, ids: DataFrame, name: str = "anon") -> Column:
+        """Mask → predicate, any cardinality, zero driver transfer.
+
+        The id frame is registered as a temp view and the predicate is an
+        ``IN (SELECT ...)`` subquery — Catalyst rewrites it to a left-semi
+        (or existence) join, AQE broadcasts the small side. Unlike an
+        IN-list there is no size cap and no ``collect()`` in the hot path,
+        and the resulting Column composes through cut algebra, global
+        filters, and projections (tested: Spark plans existence joins for
+        boolean-context subqueries).
+        """
+        safe = "".join(ch if ch.isalnum() else "_" for ch in name)
+        view = f"__cut_ids_{safe}_{next(self._ids_seq)}__"
+        ids.select(EVENT_INDEX).createOrReplaceTempView(view)
+        return F.expr(f"{EVENT_INDEX} IN (SELECT {EVENT_INDEX} FROM {view})")
 
     def _subset_df(self, df: DataFrame, cut: Any) -> DataFrame:
         """Filtered frame under a polymorphic cut (analyzer.py:204-234)."""
@@ -247,10 +285,10 @@ class Analyzer:
         """Mask-style cut from row identities (P2/P3, analyzer.py:236-265).
 
         The reference converts a selection on a view into a full-table
-        boolean mask via ``np.isin``. Distributed: keep the id set as a
-        DataFrame and register a predicate that Spark turns into a
-        broadcast semi-join (small sets become an IN-list, pushed to the
-        scan).
+        boolean mask via ``np.isin``. Distributed: small literal id
+        lists inline as an IN-list (pushed into the Parquet scan); any
+        DataFrame of ids — no size cap — becomes an IN-subquery that
+        Catalyst plans as a semi/existence join.
         """
         if not isinstance(ids, DataFrame):
             id_list = [int(x) for x in ids]
@@ -259,20 +297,25 @@ class Analyzer:
                            metadata={**(metadata or {}), "n_ids": len(id_list)})
             self._cuts[name] = info
             return info
-        col = self._ids_to_predicate(ids.select(EVENT_INDEX))
+        col = self._ids_to_predicate(ids, name)
         info = CutInfo(name=name, expression=None, column=col,
                        metadata=dict(metadata or {}))
         self._cuts[name] = info
         return info
 
     def combine_cuts(self, cuts: Sequence[Any], name: str, mode: str = "and",
-                     metadata: Mapping | None = None) -> CutInfo:
+                     metadata: Mapping | None = None,
+                     overwrite: bool = False) -> CutInfo:
         """Boolean cut algebra (E2, analyzer.py:379-417).
 
         modes: and, or, xor, subtract (= AND NOT, left fold).
         """
         if mode not in ("and", "or", "xor", "subtract"):
             raise ValueError(f"bad mode {mode!r}")
+        if not cuts:
+            raise ValueError("combine_cuts requires at least one input cut")
+        if name in self._cuts and not overwrite:
+            raise ValueError(f"cut {name!r} already registered (pass overwrite=True)")
         cols = [self.resolve_cut(c) for c in cuts]
         acc = cols[0]
         for c in cols[1:]:

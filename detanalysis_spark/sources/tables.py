@@ -46,8 +46,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table with timestamp normalization."""
     path = f"{sf_dir}/{name}.parquet"
     nano_cols = _nano_timestamp_cols(path)
-    if nano_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # nanosAsLong is set once at session build (session.py _DEFAULTS) —
+    # never mutated here (racy under concurrent use)
     df = spark.read.parquet(path)
     for c in nano_cols:
         # integer div: 1704067798778549829 ns -> 1704067798778549 us

@@ -227,8 +227,10 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter("o_orderstatus = 'F'")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
+    # customer scales with sf (1.5M rows/sf) — let AQE pick its join
+    # strategy; only nation (25 rows, constant) is force-broadcast
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
             .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
             .groupBy("n_name")
             .agg(F.round(F.sum(cents(F.col("l_extendedprice"))) / 100.0, 2)
