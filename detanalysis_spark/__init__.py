@@ -8,10 +8,12 @@ operators (dedup, similarity search, text analysis, multimodal).
 
 from .session import get_spark
 from .analyzer import Analyzer, CutInfo, FeatureInfo, ensure_event_index, EVENT_INDEX
+from .semiautocut import Semiautocut, MasterSemiautocuts
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "get_spark", "Analyzer", "CutInfo", "FeatureInfo",
-    "ensure_event_index", "EVENT_INDEX", "__version__",
+    "ensure_event_index", "EVENT_INDEX", "Semiautocut",
+    "MasterSemiautocuts", "__version__",
 ]

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from .analyzer import Analyzer, EVENT_INDEX
 from .operators import hist1d_df, bucket_expr, assign_bin
 from .operators.stats import SIGMA_LO_PCT, SIGMA_HI_PCT
+from .semiautocut import Semiautocut, MasterSemiautocuts, _SIG_LO, _SIG_HI
 from .sources import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -509,3 +510,188 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
             .agg(F.min("doc_id").alias("keep_id"),
                  F.count(F.lit(1)).alias("n_copies")))
+
+
+# ======================================================================
+# Semiautocut engine (SURVEY §2.5 W1-W5, A3-A5, A10; M3)
+# ======================================================================
+
+# ----------------------------------------------------------------------
+# simple sigma cut, thresholds conditioned on a previous cut but applied
+# to ALL rows (semiautocuts.py:497-498 semantics)
+# ----------------------------------------------------------------------
+@query("semiauto_sigma_cut", oracle=f"""
+WITH cond AS (SELECT value FROM events WHERE event_type <> 'error'),
+s AS (SELECT quantile_cont(value, 0.5) AS med,
+             abs(((quantile_cont(value, {_SIG_LO!r}) - quantile_cont(value, 0.5))
+                + (quantile_cont(value, 0.5) - quantile_cont(value, {_SIG_HI!r}))) / 2) AS sig
+      FROM cond)
+SELECT e.event_type, count(*) AS n
+FROM events e, s
+WHERE e.value > s.med - 2.0 * s.sig AND e.value < s.med + 2.0 * s.sig
+GROUP BY e.event_type
+""")
+def semiauto_sigma_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ana = Analyzer(load_table(spark, sf_dir, "events"))
+    ana.register_cut("event_type <> 'error'", "cut_pre")
+    sac = Semiautocut(ana, "value", "", {"sigma": 2.0}, cut_rq_name_override=True)
+    sac.do_cut(include_previous_cuts=["cut_pre"])
+    return (ana._subset_df(ana.df, sac.cut_name)
+            .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
+
+
+# ----------------------------------------------------------------------
+# time-binned percent cut with a per-bin exception override (W4)
+# ----------------------------------------------------------------------
+@query("semiauto_time_binned_cut", oracle="""
+WITH e AS (SELECT CAST(epoch(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS t, value, event_type
+           FROM events),
+mm AS (SELECT min(t) AS lo, max(t) AS hi FROM e),
+st AS (SELECT lo, hi, (hi - lo) / 4 AS step FROM mm),
+bins AS (SELECT i AS bin, lo + step * i AS blo, lo + step * (i + 1) AS bhi
+         FROM st, range(4) r(i)),
+thr AS (SELECT b.bin, b.blo, b.bhi,
+               CASE WHEN b.bin = 1 THEN 300.0
+                    ELSE quantile_cont(e.value, 0.85) END AS up
+        FROM bins b JOIN e ON e.t > b.blo AND e.t < b.bhi
+        GROUP BY b.bin, b.blo, b.bhi)
+SELECT e.event_type, count(*) AS n
+FROM e JOIN thr ON e.t > thr.blo AND e.t < thr.bhi AND e.value < thr.up
+GROUP BY e.event_type
+""")
+def semiauto_time_binned_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ana = Analyzer(load_table(spark, sf_dir, "events"))
+    ana.register_feature(F.col("ts").cast("double"), "event_time")
+    sac = Semiautocut(ana, "value", "", {"percent_upper": 0.85}, time_bins=4,
+                      exceptions_dict={1: {"val_upper": 300.0}},
+                      cut_rq_name_override=True)
+    sac.do_cut()
+    return (ana._subset_df(ana.df, sac.cut_name)
+            .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
+
+
+# ----------------------------------------------------------------------
+# ofamp-binned percent cut: min/0.0/even-spaced edges, last bin to data
+# max (W3/W4, semiautocuts.py:272-292, 855-871)
+# ----------------------------------------------------------------------
+@query("semiauto_ofamp_binned_cut", oracle="""
+WITH base AS (SELECT value, value - 250.0 AS amp, event_type FROM events),
+mm AS (SELECT min(amp) AS mn, max(amp) AS mx FROM base),
+ed AS (SELECT mn, mx, mx / 3 AS s FROM mm),
+bins AS (
+  SELECT 0 AS bin, mn AS lo, 0.0 AS hi FROM ed
+  UNION ALL SELECT 1, 0.0, s * 1 FROM ed
+  UNION ALL SELECT 2, s * 1, s * 2 FROM ed
+  UNION ALL SELECT 3, s * 2, s * 3 FROM ed
+  UNION ALL SELECT 4, s * 3, mx FROM ed),
+thr AS (SELECT b.bin, b.lo, b.hi, quantile_cont(base.value, 0.7) AS up
+        FROM bins b JOIN base ON base.amp > b.lo AND base.amp < b.hi
+        GROUP BY b.bin, b.lo, b.hi)
+SELECT base.event_type, count(*) AS n
+FROM base JOIN thr
+  ON base.amp > thr.lo AND base.amp < thr.hi AND base.value < thr.up
+GROUP BY base.event_type
+""")
+def semiauto_ofamp_binned_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ana = Analyzer(load_table(spark, sf_dir, "events"))
+    ana.register_feature(F.col("value") - 250.0, "amp_centered")
+    sac = Semiautocut(ana, "value", "", {"percent_upper": 0.7}, ofamp_bins=5,
+                      ofamp_rq="amp_centered", cut_rq_name_override=True)
+    sac.do_cut()
+    return (ana._subset_df(ana.df, sac.cut_name)
+            .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
+
+
+# ----------------------------------------------------------------------
+# time-binned COUNT cut: bins with too many in-range events are dropped
+# wholesale; rows outside every bin survive (A10/W5, semiautocuts.py:738-811)
+# ----------------------------------------------------------------------
+_COUNT_CUT_EDGES = [1704067200.0, 1704499200.0, 1704931200.0,
+                    1705363200.0, 1705795200.0, 1706227200.0]
+_COUNT_CUT_SQL_BINS = ", ".join(
+    f"({i}, {_COUNT_CUT_EDGES[i]!r}, {_COUNT_CUT_EDGES[i+1]!r})"
+    for i in range(len(_COUNT_CUT_EDGES) - 1))
+
+@query("semiauto_count_cut", oracle=f"""
+WITH e AS (SELECT CAST(epoch(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS t, value, event_type
+           FROM events),
+bins(bin, lo, hi) AS (VALUES {_COUNT_CUT_SQL_BINS},
+   ({len(_COUNT_CUT_EDGES) - 1}, {_COUNT_CUT_EDGES[-1]!r}, (SELECT max(t) FROM e))),
+cnt AS (SELECT b.bin, b.lo, b.hi,
+        (SELECT count(*) FROM e
+         WHERE e.t > b.lo AND e.t < b.hi
+           AND e.value > 100.0 AND e.value < 400.0) AS n
+        FROM bins b),
+bad AS (SELECT lo, hi FROM cnt WHERE n > 1000)
+SELECT event_type, count(*) AS n
+FROM e
+WHERE NOT EXISTS (SELECT 1 FROM bad WHERE e.t > bad.lo AND e.t < bad.hi)
+GROUP BY event_type
+""")
+def semiauto_count_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ana = Analyzer(load_table(spark, sf_dir, "events"))
+    ana.register_feature(F.col("ts").cast("double"), "event_time")
+    sac = Semiautocut(ana, "value", "", {"time_arr_num": [1000, 100.0, 400.0]},
+                      time_bins=_COUNT_CUT_EDGES, cut_rq_name_override=True)
+    sac.do_cut()
+    return (ana._subset_df(ana.df, sac.cut_name)
+            .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
+
+
+# ----------------------------------------------------------------------
+# time-interval cut: OR of strict betweens (T-type, semiautocuts.py:461-489
+# documented intent)
+# ----------------------------------------------------------------------
+@query("semiauto_interval_cut", oracle="""
+WITH e AS (SELECT CAST(epoch(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS t, event_type
+           FROM events)
+SELECT event_type, count(*) AS n
+FROM e
+WHERE (t > 1704240000.0 AND t < 1704844800.0)
+   OR (t > 1705449600.0 AND t < 1706054400.0)
+GROUP BY event_type
+""")
+def semiauto_interval_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ana = Analyzer(load_table(spark, sf_dir, "events"))
+    ana.register_feature(F.col("ts").cast("double"), "event_time")
+    sac = Semiautocut(ana, "event_time", "",
+                      {"time_arr": [[1704240000.0, 1704844800.0],
+                                    [1705449600.0, 1706054400.0]]})
+    sac.do_cut()
+    return (ana._subset_df(ana.df, sac.cut_name)
+            .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
+
+
+# ----------------------------------------------------------------------
+# MasterSemiautocuts recipe: load value-cut dicts, AND-fold, saturation
+# OR (E3, semiautocuts.py:2066-2159)
+# ----------------------------------------------------------------------
+@query("semiauto_master_combine", oracle="""
+SELECT l_returnflag, count(*) AS n
+FROM lineitem
+WHERE ((l_quantity > 5.0 AND l_quantity < 45.0) AND l_discount < 0.08)
+   OR l_extendedprice > 90000.0
+GROUP BY l_returnflag
+""")
+def semiauto_master_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ana = Analyzer(load_table(spark, sf_dir, "lineitem"))
+    master = {
+        "creation": [],
+        "cuts": [
+            {"cut_name": "cut_qty", "cut_rq": "l_quantity",
+             "time_bins": None, "time_bins_arr": None,
+             "ofamp_bins": None, "ofamp_bins_arr": None,
+             "ofamp_rq": "l_extendedprice", "chi2_rq": "l_tax",
+             "values_lower": [5.0], "values_upper": [45.0]},
+            {"cut_name": "cut_disc", "cut_rq": "l_discount",
+             "time_bins": None, "time_bins_arr": None,
+             "ofamp_bins": None, "ofamp_bins_arr": None,
+             "ofamp_rq": "l_extendedprice", "chi2_rq": "l_tax",
+             "values_lower": [-1e8], "values_upper": [0.08]},
+        ],
+        "combo": {"cut_name": "cut_all_li", "sat_pass_threshold": 90000.0},
+    }
+    msc = MasterSemiautocuts(ana, [], "", ofamp_rq="l_extendedprice")
+    msc.create_load_combine_cuts(master, time_col="l_shipdate")
+    return (ana._subset_df(ana.df, "cut_all_li")
+            .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")))
