@@ -695,3 +695,76 @@ def semiauto_master_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     msc.create_load_combine_cuts(master, time_col="l_shipdate")
     return (ana._subset_df(ana.df, "cut_all_li")
             .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")))
+
+
+# ======================================================================
+# Trace-layer array kernels (F-arr/U4/A17; detanalysis_spark/traces.py)
+# The embeddings table's array<float> column stands in for waveforms at
+# oracle scale — the kernels are written against array<double> traces.
+# ======================================================================
+from . import traces as _T  # noqa: E402
+
+
+def _emb_double(emb_df: DataFrame) -> DataFrame:
+    return emb_df.withColumn(
+        "vec", F.transform(F.col("embedding"), lambda x: x.cast("double")))
+
+
+# ----------------------------------------------------------------------
+# baseline subtraction (photon_calibration.py:990): per-array mean after
+# subtracting the "pretrigger" (first-8-element) mean — pure built-in
+# transform/aggregate, whole-stage codegen
+# ----------------------------------------------------------------------
+@query("array_baseline_centered_mean", oracle="""
+SELECT label, count(*) AS n,
+       round(avg(
+         list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')
+           / len(embedding)
+         - list_aggregate(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), 'sum')
+           / 8.0
+       ), 6) AS avg_centered_mean
+FROM embeddings GROUP BY label
+""")
+def array_baseline_centered_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
+    centered = _T.baseline_subtract(F.col("vec"), 8)
+    cmean = (F.aggregate(centered, F.lit(0.0), lambda a, x: a + x)
+             / F.size(F.col("vec")))
+    return (emb.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg(cmean), 6).alias("avg_centered_mean")))
+
+
+# ----------------------------------------------------------------------
+# energy integral sum(trace)/fs (A17, photon_calibration.py:2063-2073)
+# ----------------------------------------------------------------------
+@query("array_energy_by_label", oracle="""
+SELECT label, count(*) AS n,
+       round(avg(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                'sum') / 1000.0), 6) AS avg_energy,
+       round(max(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                'sum') / 1000.0), 6) AS max_energy
+FROM embeddings GROUP BY label
+""")
+def array_energy_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
+    energy = _T.trace_energy(F.col("vec"), 1000.0)
+    return (emb.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg(energy), 6).alias("avg_energy"),
+                 F.round(F.max(energy), 6).alias("max_energy")))
+
+
+# ----------------------------------------------------------------------
+# pandas_udf low-pass kernel (F-arr) — numerics covered by pytest vs a
+# numpy oracle (tests/test_traces.py); rows-only check here exercises
+# the Arrow batch path end-to-end on real parquet input
+# ----------------------------------------------------------------------
+@query("lowpass_kernel_embeddings")
+def lowpass_kernel_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
+    lp = _T.lowpass_filter_udf(1000.0, 100.0)(F.col("vec"))
+    return emb.select(
+        "vec_id",
+        F.round(F.element_at(lp, 1), 6).alias("y0"),
+        F.round(_T.trace_energy(lp, 1000.0), 6).alias("lp_energy"))
