@@ -1,0 +1,21 @@
+"""Large-scale training-data-pipeline operators (beyond the reference).
+
+Dedup (exact + near-dup), similarity search over embeddings, text
+analysis, and multimodal-column plumbing — first-class engine
+components designed for the 100 TB regime (bucketed candidate
+generation, no all-pairs, no driver-side loops).
+"""
+
+from .similarity import cosine_similarity, cosine_topk, RandomHyperplaneLSH
+from .dedup import (dedup_exact, minhash_signatures, lsh_candidate_pairs,
+                    near_dup_clusters, simhash, ngram_jaccard)
+from .text import (token_count, bpe_ish_token_count, quality_scores,
+                   language_id, doc_fingerprint)
+
+__all__ = [
+    "cosine_similarity", "cosine_topk", "RandomHyperplaneLSH",
+    "dedup_exact", "minhash_signatures", "lsh_candidate_pairs",
+    "near_dup_clusters", "simhash", "ngram_jaccard",
+    "token_count", "bpe_ish_token_count", "quality_scores",
+    "language_id", "doc_fingerprint",
+]

@@ -1,0 +1,296 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Designed for the 100 TB regime:
+
+- **Exact dedup** is one shuffle keyed by content hash (a window over
+  the hash partition, not a groupBy + join-back — half the shuffles).
+- **Near-dup candidate generation is banded LSH**: shingle → MinHash
+  signature → per-band bucket hash → self-equi-join on (band, bucket).
+  The join is shuffle-keyed by bucket, so cost tracks the number of
+  *colliding* pairs, never the n² all-pairs space.
+- **Verification** (exact n-gram Jaccard) runs only on candidates.
+- Everything up to the final verify join is native Spark SQL
+  (``transform``/``aggregate``/``xxhash64`` — whole-stage codegen);
+  there are no Python UDFs in the hot path.
+
+SimHash uses one vectorized pandas UDF for the per-bit majority vote
+(token hashing stays JVM-side); Hamming distance is native
+``bit_count(a ^ b)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+__all__ = [
+    "content_hash", "dedup_exact", "exact_dup_groups",
+    "word_shingles", "char_shingles", "minhash_signatures",
+    "lsh_band_buckets", "lsh_candidate_pairs", "ngram_jaccard",
+    "verify_candidates", "near_dup_pairs", "near_dup_clusters",
+    "simhash", "hamming_distance",
+]
+
+
+# ----------------------------------------------------------------------
+# exact dedup
+# ----------------------------------------------------------------------
+def content_hash(*cols: Column | str) -> Column:
+    """md5 of the concatenated columns (md5 exists in every SQL oracle)."""
+    parts = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.md5(F.concat_ws("\x1f", *[p.cast("string") for p in parts]))
+
+
+def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep one row per distinct ``cols`` content: the lowest ``id_col``.
+
+    One shuffle keyed by the content hash (well-distributed → no skew),
+    rank-1 within each hash group. No driver collect, no join-back.
+    """
+    w = Window.partitionBy(content_hash(*cols)).orderBy(F.col(id_col).asc())
+    return (df.withColumn("__dup_rank__", F.row_number().over(w))
+            .filter(F.col("__dup_rank__") == 1)
+            .drop("__dup_rank__"))
+
+
+def exact_dup_groups(df: DataFrame, cols: list[str],
+                     id_col: str) -> DataFrame:
+    """(content_hash, keep_id, n_copies) per distinct content group."""
+    return (df.groupBy(content_hash(*cols).alias("content_hash"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+# ----------------------------------------------------------------------
+# shingling (native — no Python)
+# ----------------------------------------------------------------------
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def _gram_positions(count: Column) -> Column:
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — guard
+    # short inputs explicitly
+    return F.when(count >= 1, F.sequence(F.lit(1), count)) \
+            .otherwise(F.array().cast("array<int>"))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column, JVM-side.
+
+    Texts shorter than n tokens yield an empty set (they can only
+    near-dup against other empty-set texts).
+    """
+    toks = _tokens(text)
+    grams = F.transform(
+        _gram_positions(F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-gram shingles (for short / CJK text)."""
+    grams = F.transform(
+        _gram_positions(F.length(text) - (n - 1)),
+        lambda i: text.substr(i, F.lit(n)))
+    return F.array_distinct(grams)
+
+
+# ----------------------------------------------------------------------
+# MinHash + banded LSH
+# ----------------------------------------------------------------------
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       num_hashes: int = 64, shingle_n: int = 3,
+                       out_col: str = "minhash", id_col: str = "doc_id",
+                       shingle_fn=word_shingles) -> DataFrame:
+    """(id, minhash array<long>) MinHash signatures, one row per doc.
+
+    Hash family i is ``xxhash64(shingle, i)`` — seeded, deterministic,
+    JVM-native. Shape: explode the shingle set once, hash each shingle
+    under every family, ``groupBy(id).agg(min...)`` — the min-reduce is
+    map-side combined, so the shuffle carries only one partial
+    signature per (doc, map task), not the shingle stream. (A per-row
+    ``array_min(transform(...))`` variant inlines the shingle expression
+    into all ``num_hashes`` aggregates — quadratic Catalyst/codegen
+    blowup — hence the explode shape.)
+
+    Docs whose shingle set is empty (shorter than the shingle width)
+    get an all-MAX_LONG sentinel signature: they bucket only with each
+    other and can never pass a Jaccard-threshold verify.
+    """
+    sh_rows = df.select(
+        F.col(id_col),
+        F.explode_outer(shingle_fn(F.col(text_col), shingle_n))
+         .alias("__shingle__"))
+    sentinel = F.lit((1 << 63) - 1).cast("long")
+    aggs = [
+        F.min(F.when(F.col("__shingle__").isNotNull(),
+                     F.xxhash64(F.col("__shingle__"), F.lit(i)))
+              .otherwise(sentinel)).alias(f"__h{i}__")
+        for i in range(num_hashes)]
+    sig = (sh_rows.groupBy(id_col).agg(*aggs)
+           .select(F.col(id_col),
+                   F.array(*[F.col(f"__h{i}__")
+                             for i in range(num_hashes)]).alias(out_col)))
+    return sig
+
+
+def lsh_band_buckets(df: DataFrame, id_col: str, sig_col: str = "minhash",
+                     bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """(id, band, bucket) rows: bucket = xxhash64 of the band's slice.
+
+    This is the LSH key space — two ids are candidates iff they share a
+    (band, bucket). Output is ``bands`` rows per input row.
+    """
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.slice(F.col(sig_col),
+                                     b * rows_per_band + 1, rows_per_band)))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(band_hashes).alias("band", "bucket"))
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
+                        sig_col: str = "minhash", bands: int = 16,
+                        rows_per_band: int = 4) -> DataFrame:
+    """Distinct candidate (id_a < id_b) pairs via the banded bucket join.
+
+    Self-equi-join keyed by (band, bucket): the shuffle moves each row
+    ``bands`` times, and the join output is only within-bucket pairs —
+    never the n² cross product.
+    """
+    bb = lsh_band_buckets(sig_df, id_col, sig_col, bands, rows_per_band)
+    a = bb.withColumnRenamed(id_col, "id_a")
+    b = bb.withColumnRenamed(id_col, "id_b")
+    return (a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+# ----------------------------------------------------------------------
+# exact n-gram Jaccard (verification)
+# ----------------------------------------------------------------------
+def ngram_jaccard(sh_a: Column, sh_b: Column) -> Column:
+    """|A ∩ B| / |A ∪ B| over two distinct-shingle arrays (native)."""
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def verify_candidates(docs: DataFrame, pairs: DataFrame, id_col: str,
+                      text_col: str = "text", shingle_n: int = 3,
+                      threshold: float = 0.5,
+                      shingle_fn=word_shingles) -> DataFrame:
+    """Exact Jaccard on candidate pairs only → (id_a, id_b, jaccard).
+
+    Two equi-joins on the id (shuffle by id); the expensive set ops run
+    once per *candidate*, not per pair of documents.
+    """
+    sh = docs.select(F.col(id_col),
+                     shingle_fn(F.col(text_col), shingle_n).alias("__sh__"))
+    scored = (pairs
+              .join(sh.withColumnRenamed(id_col, "id_a")
+                      .withColumnRenamed("__sh__", "sh_a"), "id_a")
+              .join(sh.withColumnRenamed(id_col, "id_b")
+                      .withColumnRenamed("__sh__", "sh_b"), "id_b")
+              .select("id_a", "id_b",
+                      ngram_jaccard(F.col("sh_a"), F.col("sh_b"))
+                      .alias("jaccard")))
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+def near_dup_pairs(docs: DataFrame, id_col: str, text_col: str = "text",
+                   threshold: float = 0.5, shingle_n: int = 3,
+                   num_hashes: int = 64, bands: int = 16,
+                   shingle_fn=word_shingles) -> DataFrame:
+    """End-to-end near-dup detection: MinHash → LSH buckets → verify.
+
+    (id_a, id_b, jaccard) for pairs with exact Jaccard ≥ threshold that
+    collide in ≥1 LSH band. With (bands=16, rows=4), a 0.9-Jaccard pair
+    is missed with probability (1-0.9⁴)¹⁶ ≈ 4e-8.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs.select(id_col, text_col), text_col,
+                              num_hashes, shingle_n, id_col=id_col,
+                              shingle_fn=shingle_fn)
+    cand = lsh_candidate_pairs(sigs, id_col, bands=bands,
+                               rows_per_band=rows_per_band)
+    return verify_candidates(docs, cand, id_col, text_col, shingle_n,
+                             threshold, shingle_fn)
+
+
+def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over (id_a, id_b) edges → (id, cluster_id).
+
+    Iterative min-label propagation: each round every vertex takes the
+    minimum label in its neighborhood (large-star style). Converges in
+    O(component diameter) rounds; each round is one shuffle keyed by
+    vertex id. ``localCheckpoint`` truncates lineage so plans stay flat.
+    Near-dup clusters are small and shallow in practice, so a handful of
+    rounds suffices; raises if max_iter is exhausted before convergence.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst"))))
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("cluster_id", F.col("id")))
+    for _ in range(max_iter):
+        nbr_min = (edges
+                   .join(labels.withColumnRenamed("id", "dst")
+                               .withColumnRenamed("cluster_id", "nbr_label"),
+                         "dst")
+                   .groupBy(F.col("src").alias("id"))
+                   .agg(F.min("nbr_label").alias("nbr_min")))
+        updated = (labels.join(nbr_min, "id", "left")
+                   .select("id", F.least(F.col("cluster_id"),
+                                         F.coalesce(F.col("nbr_min"),
+                                                    F.col("cluster_id")))
+                           .alias("cluster_id"))
+                   .localCheckpoint(eager=True))
+        changed = (updated.alias("u")
+                   .join(labels.alias("l"), "id")
+                   .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+                   .limit(1).count())
+        labels = updated
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"near_dup_clusters: no convergence in {max_iter} rounds")
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+def _simhash_vote_udf(bits: int):
+    pow2 = (1 << np.arange(bits, dtype=np.uint64))
+
+    @F.pandas_udf(LongType())
+    def _vote(hash_lists: pd.Series) -> pd.Series:
+        out = np.zeros(len(hash_lists), dtype=np.uint64)
+        for i, hl in enumerate(hash_lists):
+            if hl is None or len(hl) == 0:
+                continue
+            h = np.asarray(hl, dtype=np.int64).astype(np.uint64)
+            # (n_tokens, bits) sign votes: bit set iff majority of tokens
+            # have it set
+            votes = ((h[:, None] >> np.arange(bits, dtype=np.uint64)) & 1)
+            maj = votes.sum(axis=0) * 2 > len(h)
+            out[i] = (pow2 * maj).sum()
+        return pd.Series(out.astype(np.int64))
+
+    return _vote
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash fingerprint (long): per-token xxhash64 stays JVM-side;
+    only the per-bit majority vote runs in a vectorized pandas UDF."""
+    token_hashes = F.transform(_tokens(text), lambda t: F.xxhash64(t))
+    return _simhash_vote_udf(bits)(token_hashes)
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Native popcount of the XOR — whole-stage codegen."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,165 @@
+"""Similarity search over an embedding column (``array<float|double>``).
+
+Two paths, per the standard ANN playbook:
+
+- **Brute-force cosine top-k** — the correctness baseline. The probe
+  set is broadcast; cosine is a native ``zip_with``/``aggregate`` fold
+  (JVM-side, no Python); ranking is a window partitioned by probe.
+  Cost is one full corpus scan per probe batch — exact, and the right
+  tool when the probe set is small.
+- **Random-hyperplane LSH** — the scale path. Each vector gets L
+  b-bit signatures (sign of projections onto seeded random
+  hyperplanes); candidates are corpus rows sharing a (table, bucket)
+  with a probe, so the expensive exact cosine runs only inside
+  buckets. Candidate generation is an equi-join on (table, bucket) —
+  shuffle keyed by bucket, never all-pairs.
+
+Scale notes (100 TB): brute force shuffles |probes|×|corpus| score
+rows through the per-probe window — acceptable only for small probe
+sets; the LSH path's join output is ~|corpus|·L/2^b per probe bucket
+on average, tunable via (bits, tables). Signatures are computed once
+and can be persisted alongside the embeddings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Native cosine: zip_with product fold / norms — whole-stage codegen."""
+    a, b = _as_double(a), _as_double(b)
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                probe_id_col: str | None = None,
+                exclude_self: bool = True) -> DataFrame:
+    """Exact brute-force cosine top-k per probe.
+
+    Returns ``(probe_id, rank, neighbor_id, sim)`` with a deterministic
+    tie-break (similarity desc, neighbor id asc). Probes are broadcast:
+    the corpus is scanned once, scores stay partition-local until the
+    per-probe top-k window (shuffle keyed by probe id).
+    """
+    pid = probe_id_col or id_col
+    p = probes.select(F.col(pid).alias("probe_id"),
+                      _as_double(F.col(vec_col)).alias("probe_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("vec"))
+    pairs = c.join(F.broadcast(p))
+    if exclude_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("probe_id"))
+    sim = _dot(F.col("vec"), F.col("probe_vec")) / (
+        _norm(F.col("vec")) * _norm(F.col("probe_vec")))
+    scored = pairs.select("probe_id", "neighbor_id", sim.alias("sim"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "rank", "neighbor_id", "sim"))
+
+
+class RandomHyperplaneLSH:
+    """Seeded random-hyperplane (SimHash-style) LSH for cosine distance.
+
+    ``tables`` independent signatures of ``bits`` hyperplanes each.
+    A pandas UDF computes all signatures with one matmul per Arrow
+    batch — vectorized, no per-row Python.
+    """
+
+    def __init__(self, dim: int, bits: int = 16, tables: int = 4,
+                 seed: int = 42):
+        self.dim, self.bits, self.tables, self.seed = dim, bits, tables, seed
+        rng = np.random.default_rng(seed)
+        # (tables, bits, dim) — regenerated identically from the seed on
+        # every executor via closure capture (a few KB, broadcast-safe)
+        self._planes = rng.standard_normal((tables, bits, dim))
+
+    def signature_udf(self):
+        planes = self._planes
+        tables, bits, dim = self.tables, self.bits, self.dim
+        pow2 = (1 << np.arange(bits)).astype(np.int64)
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def _sig(vecs: pd.Series) -> pd.Series:
+            if vecs.empty:
+                return pd.Series([], dtype=object)
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+            out = np.empty((mat.shape[0], tables), dtype=np.int64)
+            for t in range(tables):
+                bits_mat = (mat @ planes[t].T) > 0          # (n, bits)
+                out[:, t] = bits_mat.astype(np.int64) @ pow2
+            return pd.Series(list(out))
+
+        return _sig
+
+    def with_buckets(self, df: DataFrame, vec_col: str = "embedding",
+                     out_col: str = "lsh_buckets") -> DataFrame:
+        """Attach the per-table bucket array (compute once, persistable)."""
+        return df.withColumn(out_col, self.signature_udf()(F.col(vec_col)))
+
+    def explode_buckets(self, df: DataFrame, id_col: str = "vec_id",
+                        bucket_col: str = "lsh_buckets") -> DataFrame:
+        """(id, table, bucket) rows — the join key space."""
+        return df.select(
+            F.col(id_col),
+            F.posexplode(F.col(bucket_col)).alias("table", "bucket"))
+
+    def candidates(self, corpus: DataFrame, probes: DataFrame,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   probe_id_col: str | None = None) -> DataFrame:
+        """Distinct (probe_id, neighbor_id) candidate pairs via bucket join."""
+        pid = probe_id_col or id_col
+        cb = self.explode_buckets(
+            self.with_buckets(corpus, vec_col), id_col=id_col
+        ).withColumnRenamed(id_col, "neighbor_id")
+        pb = self.explode_buckets(
+            self.with_buckets(probes.withColumnRenamed(pid, "probe_id"),
+                              vec_col),
+            id_col="probe_id")
+        return (cb.join(F.broadcast(pb), ["table", "bucket"])
+                .select("probe_id", "neighbor_id").distinct())
+
+    def topk(self, corpus: DataFrame, probes: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             probe_id_col: str | None = None,
+             exclude_self: bool = True) -> DataFrame:
+        """Approximate top-k: exact cosine, but only on bucket candidates."""
+        pid = probe_id_col or id_col
+        cand = self.candidates(corpus, probes, id_col=id_col,
+                               vec_col=vec_col, probe_id_col=pid)
+        if exclude_self:
+            cand = cand.filter(F.col("neighbor_id") != F.col("probe_id"))
+        c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          _as_double(F.col(vec_col)).alias("vec"))
+        p = probes.select(F.col(pid).alias("probe_id"),
+                          _as_double(F.col(vec_col)).alias("probe_vec"))
+        scored = (cand.join(c, "neighbor_id").join(F.broadcast(p), "probe_id")
+                  .select("probe_id", "neighbor_id",
+                          (_dot(F.col("vec"), F.col("probe_vec"))
+                           / (_norm(F.col("vec")) * _norm(F.col("probe_vec")))
+                           ).alias("sim")))
+        w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(),
+                                                   F.col("neighbor_id").asc())
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("probe_id", "rank", "neighbor_id", "sim"))

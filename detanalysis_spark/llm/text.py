@@ -1,0 +1,128 @@
+"""Text analysis operators: token counts, quality scoring, language ID,
+document fingerprinting.
+
+All hot-path logic is native Spark SQL (split/filter/aggregate/regexp —
+whole-stage codegen, no Python). Every regex used here is written in
+the portable subset that Java regex (Spark) and RE2 (DuckDB/oracle)
+interpret identically — explicit character classes, no lookaround, no
+POSIX class names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count", "bpe_ish_token_count", "quality_scores",
+    "language_id", "LANG_STOPWORDS", "doc_fingerprint",
+    "winnow_fingerprints",
+]
+
+# portable regexes (identical semantics in Java regex and RE2)
+_WS = r"\s+"
+BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+_PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}<>/@#$%^&*_+=~`|\\-]"
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), _WS)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)) \
+            .otherwise(F.size(_tokens(text)))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored token count: alphanumeric runs + individual symbols.
+
+    A cheap stand-in for a real subword tokenizer: every alphanumeric
+    chunk and every non-space symbol is one token, which tracks BPE
+    counts within ~±20% on natural text.
+    """
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def quality_scores(text: Column) -> dict[str, Column]:
+    """Heuristic document-quality signals as a dict of named Columns.
+
+    length / punctuation / digit / stopword ratios per the standard
+    quality-filter recipe (C4/Gopher-style rules). Callers select the
+    signals they need; everything is a native expression.
+    """
+    toks = _tokens(text)
+    n_chars = F.length(text)
+    n_toks = token_count(text)
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_toks = F.greatest(n_toks, F.lit(1)).cast("double")
+    n_of = lambda cls: (  # noqa: E731
+        n_chars - F.length(F.regexp_replace(text, cls, "")))
+    stop_hits = F.size(F.filter(
+        F.transform(toks, F.lower),
+        lambda t: t.isin(*sorted(LANG_STOPWORDS["en"]))))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_toks,
+        "mean_token_len": F.aggregate(F.transform(toks, F.length),
+                                      F.lit(0),
+                                      lambda a, x: a + x).cast("double")
+                          / safe_toks,
+        "punct_ratio": n_of(_PUNCT_CLASS) / safe_chars,
+        "digit_ratio": n_of(r"[0-9]") / safe_chars,
+        "upper_ratio": n_of(r"[A-Z]") / safe_chars,
+        "stopword_ratio": stop_hits / safe_toks,
+    }
+
+
+# deliberately tiny, deterministic profiles — language ID here is an
+# n-gram/stopword heuristic, not a model
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "pas"],
+    "es": ["el", "la", "los", "y", "es", "una", "que", "no"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es"]
+
+
+def language_id(text: Column) -> Column:
+    """Predicted language code by stopword-hit score; 'und' if no hits.
+
+    Ties break in fixed _LANG_ORDER so the result is deterministic and
+    an ANSI-SQL oracle can mirror the CASE chain exactly.
+    """
+    low = F.transform(_tokens(text), F.lower)
+
+    def hit_count(words: list[str]) -> Column:
+        wl = sorted(words)
+        return F.size(F.filter(low, lambda t: t.isin(*wl)))
+
+    scores = {lang: hit_count(ws) for lang, ws in LANG_STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    out = F.when(best <= 0, F.lit("und"))
+    for lang in _LANG_ORDER:
+        out = out.when(scores[lang] == best, F.lit(lang))
+    return out
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Whitespace/case-insensitive content fingerprint (md5 of the
+    normalized text) — the exact-dedup key for sloppily-copied docs."""
+    norm = F.lower(F.regexp_replace(F.trim(text), _WS, " "))
+    return F.md5(norm.cast("binary"))
+
+
+def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer et al., SIGMOD'03): rolling
+    k-gram hashes, min per w-window, distinct. Native end-to-end —
+    positional char k-grams → xxhash64 → windowed array_min."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
+        lambda i: text.substr(i, F.lit(k)))
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hashes) - (w - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(hashes, i, w)))
+    return F.array_distinct(mins)

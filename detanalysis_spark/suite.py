@@ -768,3 +768,367 @@ def lowpass_kernel_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.element_at(lp, 1), 6).alias("y0"),
         F.round(_T.trace_energy(lp, 1000.0), 6).alias("lp_energy"))
+
+
+# ======================================================================
+# LLM-data-pipeline pillar (dedup / similarity / text analysis) —
+# detanalysis_spark/llm/*.py
+# ======================================================================
+from .llm import dedup as _DD, text as _TX  # noqa: E402
+from .llm.similarity import cosine_topk as _cosine_topk  # noqa: E402
+from .llm.similarity import RandomHyperplaneLSH as _RHP  # noqa: E402
+
+
+# ----------------------------------------------------------------------
+# exact dedup via the engine operator: one shuffle keyed by content
+# hash, rank-1 per group (llm/dedup.py:dedup_exact)
+# ----------------------------------------------------------------------
+@query("dedup_exact_by_key", oracle="""
+WITH kept AS (
+  SELECT * FROM (
+    SELECT doc_id, lang, source, n_chars,
+           row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1)
+SELECT lang, count(*) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_keep_id
+FROM kept GROUP BY lang
+""")
+def dedup_exact_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = _DD.dedup_exact(docs, ["lang", "source"], "doc_id")
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("n_chars").alias("kept_chars"),
+                 F.min("doc_id").alias("min_keep_id")))
+
+
+# ----------------------------------------------------------------------
+# MinHash→LSH→verify near-dup pairs vs an all-pairs SQL oracle. The
+# Spark side never materializes all pairs: banded buckets make the
+# candidate set ~|true dups| (25 candidates vs 124,750 pairs at sf0.01)
+# ----------------------------------------------------------------------
+@query("near_dup_pairs_minhash", oracle=r"""
+WITH t AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks)-1)]) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+""")
+def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nd = _DD.near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+    return nd.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ----------------------------------------------------------------------
+# connected components over the near-dup graph (iterative min-label
+# propagation) vs a recursive-CTE transitive-closure oracle
+# ----------------------------------------------------------------------
+@query("near_dup_cluster_sizes", oracle=r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks)-1)]) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents)),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b, id_a FROM p),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+lbl AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id, count(*) AS n_members
+FROM lbl GROUP BY cluster_id
+""")
+def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _DD.near_dup_pairs(docs, "doc_id", "text",
+                               threshold=0.5).localCheckpoint(eager=True)
+    cl = _DD.near_dup_clusters(pairs)
+    return cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+# ----------------------------------------------------------------------
+# text quality signals (llm/text.py) — portable-regex parity with RE2
+# ----------------------------------------------------------------------
+@query("text_quality_by_source", oracle=r"""
+WITH q AS (
+  SELECT source,
+         string_split_regex(trim(text), '\s+') AS toks,
+         len(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bpe,
+         len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       round(avg(list_aggregate(list_transform(toks, t -> len(t)), 'sum')::DOUBLE
+                 / greatest(len(toks), 1)), 6) AS avg_token_len,
+       round(avg(len(list_filter(toks,
+           t -> list_contains(['a','and','in','is','of','that','the','to'],
+                              lower(t))))::DOUBLE
+                 / greatest(len(toks), 1)), 6) AS avg_stopword_ratio,
+       round(avg(digits::DOUBLE / greatest(n_chars, 1)), 6) AS avg_digit_ratio,
+       CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens
+FROM q GROUP BY source
+""")
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = _TX.quality_scores(F.col("text"))
+    return (docs
+            .select("source",
+                    q["mean_token_len"].alias("mtl"),
+                    q["stopword_ratio"].alias("swr"),
+                    q["digit_ratio"].alias("dgr"),
+                    _TX.bpe_ish_token_count(F.col("text")).alias("bpe"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("mtl"), 6).alias("avg_token_len"),
+                 F.round(F.avg("swr"), 6).alias("avg_stopword_ratio"),
+                 F.round(F.avg("dgr"), 6).alias("avg_digit_ratio"),
+                 F.sum(F.col("bpe").cast("long")).alias("total_bpe_tokens")))
+
+
+# ----------------------------------------------------------------------
+# language ID heuristic — stopword-profile argmax with a fixed
+# tie-break order, mirrored exactly in the CASE chain
+# ----------------------------------------------------------------------
+@query("language_id_counts", oracle=r"""
+WITH s AS (
+  SELECT lang AS true_lang,
+         len(list_filter(low, t -> list_contains(
+             ['a','and','in','is','of','that','the','to'], t))) AS s_en,
+         len(list_filter(low, t -> list_contains(
+             ['das','der','die','ein','ist','nicht','und','zu'], t))) AS s_de,
+         len(list_filter(low, t -> list_contains(
+             ['est','et','la','le','les','pas','que','une'], t))) AS s_fr,
+         len(list_filter(low, t -> list_contains(
+             ['el','es','la','los','no','que','una','y'], t))) AS s_es
+  FROM (SELECT lang, list_transform(string_split_regex(trim(text), '\s+'),
+                                    t -> lower(t)) AS low
+        FROM documents))
+SELECT true_lang,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS pred_lang,
+       count(*) AS n
+FROM s GROUP BY true_lang, pred_lang
+""")
+def language_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs
+            .select(F.col("lang").alias("true_lang"),
+                    _TX.language_id(F.col("text")).alias("pred_lang"))
+            .groupBy("true_lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+# ----------------------------------------------------------------------
+# normalized-content fingerprint (md5 of lower/ws-collapsed text)
+# ----------------------------------------------------------------------
+@query("doc_fingerprint_stats", oracle=r"""
+SELECT lang, count(*) AS n_docs,
+       count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+         AS n_distinct_fp
+FROM documents GROUP BY lang
+""")
+def doc_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs
+            .select("lang", _TX.doc_fingerprint(F.col("text")).alias("fp"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("fp").alias("n_distinct_fp")))
+
+
+# ----------------------------------------------------------------------
+# brute-force cosine top-k over embeddings — exact ANN baseline; probes
+# broadcast, one corpus scan, per-probe window. Oracle: DuckDB
+# list_cosine_similarity on DOUBLE[] (bit-identical fold order,
+# verified at sf0.01)
+# ----------------------------------------------------------------------
+@query("ann_cosine_topk", oracle="""
+WITH s AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                CAST(p.embedding AS DOUBLE[])) AS sim
+  FROM embeddings c,
+       (SELECT * FROM embeddings WHERE vec_id < 8) p
+  WHERE c.vec_id <> p.vec_id),
+r AS (SELECT probe_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM s)
+SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id,
+       round(sim, 6) AS sim
+FROM r WHERE rank <= 5
+""")
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = _cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return bf.select("probe_id", "rank", "neighbor_id",
+                     F.round("sim", 6).alias("sim"))
+
+
+# ----------------------------------------------------------------------
+# LSH-bucketed ANN (random hyperplanes): exact cosine only on bucket
+# candidates — the 100 TB path. Seeded/deterministic but not
+# SQL-expressible → rows-only check; recall vs brute force is pytest'd
+# ----------------------------------------------------------------------
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh = _RHP(dim=64, bits=12, tables=8)
+    ap = lsh.topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return ap.select("probe_id", "rank", "neighbor_id",
+                     F.round("sim", 6).alias("sim"))
+
+
+# ----------------------------------------------------------------------
+# SimHash + native hamming distance on the near-dup candidates
+# (pandas_udf bit-vote → rows-only; numerics pytest'd)
+# ----------------------------------------------------------------------
+@query("simhash_candidate_distances")
+def simhash_candidate_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _DD.minhash_signatures(docs.select("doc_id", "text"))
+    cand = _DD.lsh_candidate_pairs(sigs, "doc_id")
+    sh = docs.select("doc_id", _DD.simhash(F.col("text")).alias("sh"))
+    return (cand
+            .join(sh.withColumnRenamed("doc_id", "id_a")
+                    .withColumnRenamed("sh", "sh_a"), "id_a")
+            .join(sh.withColumnRenamed("doc_id", "id_b")
+                    .withColumnRenamed("sh", "sh_b"), "id_b")
+            .select("id_a", "id_b",
+                    _DD.hamming_distance(F.col("sh_a"), F.col("sh_b"))
+                    .alias("hamming")))
+
+
+# ======================================================================
+# Vibration/spectral engine (A12, A16, ST5; detanalysis_spark/vibration.py)
+# — sweep-shaped frame derived deterministically from `events`
+# (testdata has no sweep table; pytest covers FIXTURES §3 semantics)
+# ======================================================================
+from . import vibration as _V  # noqa: E402
+
+# T = 1000 ms → Δf = 1 Hz → the 1/√Δf normalization is exactly 1,
+# keeping the SQL oracle free of normalization constants
+_SWEEP_SQL_BASE = """
+  SELECT CAST(user_id % 5 AS DOUBLE) AS frequency_hz,
+         value / 100.0            AS ra, (value - 250.0) / 100.0 AS ia,
+         value / 200.0 + 1.0      AS rb, -value / 300.0          AS ib
+  FROM events
+"""
+
+
+def _sweep_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("user_id") % 5).cast("double").alias("frequency_hz"),
+        F.lit(1000.0).alias("trace_length_msec"),
+        (F.col("value") / 100.0).alias("amp_real_chA"),
+        ((F.col("value") - 250.0) / 100.0).alias("amp_imag_chA"),
+        (F.col("value") / 200.0 + 1.0).alias("amp_real_chB"),
+        (-F.col("value") / 300.0).alias("amp_imag_chB"))
+
+
+@query("vibration_sweep_moments", oracle=f"""
+WITH base AS ({_SWEEP_SQL_BASE})
+SELECT frequency_hz, count(*) AS n,
+       round(avg(ra), 6) AS m_re_a, round(avg(ia), 6) AS m_im_a,
+       round(avg(ra*ra + ia*ia), 6) AS s_aa,
+       round(avg(rb*rb + ib*ib), 6) AS s_bb,
+       round(avg(ra*rb + ia*ib), 6) AS s_ab_re,
+       round(avg(ia*rb - ra*ib), 6) AS s_ab_im,
+       round(avg((ra*ra + ia*ia) * (rb*rb + ib*ib)), 6) AS r_ab
+FROM base GROUP BY frequency_hz
+""")
+def vibration_sweep_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mom = _V.sweep_moments(_sweep_frame(spark, sf_dir), ["chA", "chB"],
+                           trace_length_msec=1000.0)
+    return mom.select(
+        "frequency_hz", "n",
+        F.round("m_re__chA", 6).alias("m_re_a"),
+        F.round("m_im__chA", 6).alias("m_im_a"),
+        F.round("S_re__chA__chA", 6).alias("s_aa"),
+        F.round("S_re__chB__chB", 6).alias("s_bb"),
+        F.round("S_re__chA__chB", 6).alias("s_ab_re"),
+        F.round("S_im__chA__chB", 6).alias("s_ab_im"),
+        F.round("R__chA__chB", 6).alias("r_ab"))
+
+
+@query("vibration_psd_by_channel", oracle=f"""
+WITH base AS ({_SWEEP_SQL_BASE}),
+mom AS (SELECT frequency_hz, count(*) AS n,
+               avg(ra*ra + ia*ia) AS s_aa, avg(rb*rb + ib*ib) AS s_bb,
+               avg((ra*ra + ia*ia) * (ra*ra + ia*ia)) AS r_aa,
+               avg((rb*rb + ib*ib) * (rb*rb + ib*ib)) AS r_bb
+        FROM base GROUP BY frequency_hz)
+SELECT frequency_hz, 'chA' AS channel, round(s_aa, 6) AS psd,
+       round(greatest(r_aa - s_aa*s_aa, 0) / (n - 1) / (4*s_aa), 6)
+         AS asd_variance
+FROM mom
+UNION ALL
+SELECT frequency_hz, 'chB', round(s_bb, 6),
+       round(greatest(r_bb - s_bb*s_bb, 0) / (n - 1) / (4*s_bb), 6)
+FROM mom
+""")
+def vibration_psd_by_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mom = _V.sweep_moments(_sweep_frame(spark, sf_dir), ["chA", "chB"],
+                           trace_length_msec=1000.0)
+    psd = _V.psd_from_moments(mom, ["chA", "chB"])
+    return psd.select("frequency_hz", "channel",
+                      F.round("psd", 6).alias("psd"),
+                      F.round("asd_variance", 6).alias("asd_variance"))
+
+
+@query("vibration_transfer_functions", oracle=f"""
+WITH base AS ({_SWEEP_SQL_BASE}),
+mom AS (SELECT frequency_hz, count(*) AS n,
+               avg(ra*ra + ia*ia) AS s_ii, avg(rb*rb + ib*ib) AS s_oo,
+               avg(rb*ra + ib*ia) AS c_re, avg(ib*ra - rb*ia) AS c_im,
+               avg((ra*ra + ia*ia) * (ra*ra + ia*ia)) AS r_ii,
+               avg((rb*rb + ib*ib) * (rb*rb + ib*ib)) AS r_oo,
+               avg((rb*rb + ib*ib) * (ra*ra + ia*ia)) AS r_oi
+        FROM base GROUP BY frequency_hz),
+v AS (SELECT *,
+             greatest(r_oo - s_oo*s_oo, 0) / (n - 1) AS var_o,
+             greatest(r_ii - s_ii*s_ii, 0) / (n - 1) AS var_i,
+             greatest(r_oi - (c_re*c_re + c_im*c_im), 0) / (n - 1) AS var_c
+      FROM mom)
+SELECT frequency_hz, 'rms-ratio' AS method,
+       round(sqrt(s_oo / s_ii), 6) AS tf_re, 0.0 AS tf_im,
+       round(sqrt(s_oo / s_ii)
+             * 0.5 * sqrt(var_o / (s_oo*s_oo) + var_i / (s_ii*s_ii)), 6)
+         AS tf_sigma
+FROM v
+UNION ALL
+SELECT frequency_hz, 'cross-correlation',
+       round(c_re / s_ii, 6), round(c_im / s_ii, 6),
+       round(sqrt(c_re*c_re + c_im*c_im) / s_ii
+             * sqrt(var_c / (c_re*c_re + c_im*c_im)
+                    + var_i / (s_ii*s_ii)), 6)
+FROM v
+""")
+def vibration_transfer_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mom = _V.sweep_moments(_sweep_frame(spark, sf_dir), ["chA", "chB"],
+                           trace_length_msec=1000.0)
+    tf = _V.transfer_functions(mom, [("chB", "chA")],
+                               methods=["rms-ratio", "cross-correlation"])
+    return tf.select("frequency_hz", "method",
+                     F.round("tf_re", 6).alias("tf_re"),
+                     F.round("tf_im", 6).alias("tf_im"),
+                     F.round("tf_sigma", 6).alias("tf_sigma"))

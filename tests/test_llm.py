@@ -1,0 +1,177 @@
+"""LLM-pipeline operators: dedup (exact/MinHash/SimHash), similarity
+search, text analysis. Numerics checked against numpy/pure-python
+oracles on planted frames."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from detanalysis_spark.llm import dedup as D
+from detanalysis_spark.llm import text as T
+from detanalysis_spark.llm.similarity import (RandomHyperplaneLSH,
+                                              cosine_topk)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (0, base, "a"),
+        (1, base, "a"),                       # exact dup of 0
+        (2, base + "extra tail words here", "b"),   # near dup of 0
+        (3, "completely different content about spark shuffles", "b"),
+        (4, "unrelated text on query optimizers and join order", "c"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "grp"])
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    kept = D.dedup_exact(docs, ["text"], "doc_id")
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert ids == [0, 2, 3, 4]  # doc 1 (dup of 0) dropped
+
+
+def test_exact_dup_groups(docs):
+    g = {r.keep_id: r.n_copies
+         for r in D.exact_dup_groups(docs, ["text"], "doc_id").collect()}
+    assert g[0] == 2 and g[2] == g[3] == g[4] == 1
+
+
+def test_word_shingles_match_python(spark):
+    text = "a b c d e"
+    got = (spark.range(1).select(
+        D.word_shingles(F.lit(text), 3).alias("sh")).first().sh)
+    assert sorted(got) == ["a b c", "b c d", "c d e"]
+    # short text → empty shingle set, not junk
+    short = (spark.range(1).select(
+        D.word_shingles(F.lit("a b"), 3).alias("sh")).first().sh)
+    assert short == []
+
+
+def test_minhash_identical_and_near(docs):
+    sigs = {r.doc_id: r.minhash
+            for r in D.minhash_signatures(docs, "text").collect()}
+    assert sigs[0] == sigs[1]                      # identical text
+    agree = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert agree >= 40                             # near dup: most mins shared
+    agree_far = sum(a == b for a, b in zip(sigs[0], sigs[3]))
+    assert agree_far <= 5
+
+
+def test_lsh_candidates_no_all_pairs(docs):
+    sigs = D.minhash_signatures(docs, "text")
+    cand = {(r.id_a, r.id_b)
+            for r in D.lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert (0, 1) in cand and (0, 2) in cand
+    assert len(cand) < 5 * 4 / 2                   # ≪ all pairs
+
+
+def test_near_dup_pairs_and_jaccard(docs):
+    nd = {(r.id_a, r.id_b): r.jaccard
+          for r in D.near_dup_pairs(docs, "doc_id", "text",
+                                    threshold=0.5).collect()}
+    assert nd[(0, 1)] == 1.0
+    assert 0.5 <= nd[(0, 2)] < 1.0
+    assert all(a < b for a, b in nd)
+
+
+def test_near_dup_clusters_transitive(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    cl = {r.id: r.cluster_id
+          for r in D.near_dup_clusters(pairs).collect()}
+    assert cl[1] == cl[2] == cl[3] == 1
+    assert cl[10] == cl[11] == 10
+
+
+def test_simhash_and_hamming(docs):
+    sh = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", D.simhash(F.col("text")).alias("sh")).collect()}
+    assert sh[0] == sh[1]
+    hd = (docs.sparkSession.createDataFrame(
+        [(sh[0], sh[2]), (sh[0], sh[3])], ["a", "b"])
+        .select(D.hamming_distance(F.col("a"), F.col("b")).alias("h"))
+        .collect())
+    near, far = hd[0].h, hd[1].h
+    assert near < far
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("one two  three",),
+         ("don't stop, it's 42%!",)], ["t"])
+    got = df.select(T.token_count(F.col("t")).alias("n"),
+                    T.bpe_ish_token_count(F.col("t")).alias("b")).collect()
+    assert [r.n for r in got] == [0, 0, 1, 3, 4]
+    # don ' t stop , it ' s 42 % !  → 11 BPE-ish pieces
+    assert got[4].b == 11
+
+
+def test_quality_scores(spark):
+    df = spark.createDataFrame([("The cat sat on 3 mats!",)], ["t"])
+    q = T.quality_scores(F.col("t"))
+    r = df.select(*[v.alias(k) for k, v in q.items()]).first()
+    assert r.n_tokens == 6
+    assert r.digit_ratio == pytest.approx(1 / 22)
+    assert r.upper_ratio == pytest.approx(1 / 22)
+    assert r.punct_ratio == pytest.approx(1 / 22)
+    assert r.stopword_ratio == pytest.approx(1 / 6)   # "the"
+    assert r.mean_token_len == pytest.approx((3 + 3 + 3 + 2 + 1 + 5) / 6)
+
+
+def test_language_id(spark):
+    rows = [("the cat is on the mat",), ("der hund ist nicht da",),
+            ("le chat est une idee",), ("el gato es una idea",),
+            ("zzz qqq xxx",)]
+    got = [r.l for r in spark.createDataFrame(rows, ["t"]).select(
+        T.language_id(F.col("t")).alias("l")).collect()]
+    assert got == ["en", "de", "fr", "es", "und"]
+
+
+def test_doc_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",), ("other",)], ["t"])
+    fps = [r.f for r in df.select(
+        T.doc_fingerprint(F.col("t")).alias("f")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_winnow_fingerprints_overlap(spark):
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "PREFIX " + a                               # shared suffix content
+    df = spark.createDataFrame([(0, a), (1, b), (2, "zzzz qqqq xxxx")],
+                               ["i", "t"])
+    fp = {r.i: set(r.f) for r in df.select(
+        "i", T.winnow_fingerprints(F.col("t")).alias("f")).collect()}
+    shared_ab = len(fp[0] & fp[1]) / len(fp[0])
+    assert shared_ab > 0.5
+    assert len(fp[0] & fp[2]) == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 16)).astype(np.float64)
+    vecs[1] = vecs[0] + 0.01 * rng.standard_normal(16)  # planted neighbor
+    return (spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"]), vecs)
+
+
+def test_cosine_topk_vs_numpy(vectors):
+    df, vecs = vectors
+    got = cosine_topk(df, df.filter("vec_id = 0"), k=3).collect()
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs[0]) / (norms * norms[0])
+    sims[0] = -np.inf                               # exclude self
+    want = np.argsort(-sims)[:3]
+    assert [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)] \
+        == list(want)
+    assert got[0].sim == pytest.approx(sims[want[0]], abs=1e-9)
+
+
+def test_lsh_topk_finds_planted_neighbor(vectors):
+    df, _ = vectors
+    lsh = RandomHyperplaneLSH(dim=16, bits=8, tables=6)
+    got = lsh.topk(df, df.filter("vec_id = 0"), k=3).collect()
+    assert any(r.neighbor_id == 1 and r.rank == 1 for r in got)
