@@ -1,0 +1,318 @@
+"""Photon calibration: spectrum fit, peak cuts, grouped trace
+averaging, per-bin FFT ensemble statistics, dPdI application.
+
+Reference semantics: detanalysis photon_calibration.py — Gaussian-comb
+spectrum models (:247-366), histogram + weighted least-squares fit
+(:369-612), photon-peak cuts (:614-745 concept), average pulses
+(:959-993), per-frequency-bin FFT ensemble stats (:1340-1400), energy
+integral (:2063-2073). Re-expressed Spark-first:
+
+- The **histogram is the distributed part** (one groupBy over billions
+  of events); the nonlinear fit runs driver-side on the ~200 collected
+  bins — that is the right split at any scale. No scipy in this
+  environment, so the bounded least-squares solver is a small pure-
+  numpy Levenberg–Marquardt with parameter clipping.
+- **Peak assignment is a native CASE expression** usable as an engine
+  cut (no Python in the event loop).
+- **Trace averaging / FFT stats** are `posexplode → groupBy(peak,
+  pos|bin)` aggregations — Spark's partial aggregation replaces the
+  reference's per-peak numpy loops, distributed over the trace
+  ensemble.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .traces import rfft_udf  # noqa: F401  (re-export convenience)
+
+__all__ = [
+    "model_spectrum", "default_guess", "default_bounds", "fit_spectrum",
+    "photon_peak_expr", "average_pulses", "fft_ensemble_stats",
+    "apply_dpdi", "least_squares_lm",
+]
+
+
+# ----------------------------------------------------------------------
+# spectrum models (driver-side numpy; photon_calibration.py:188-366)
+# ----------------------------------------------------------------------
+def _gaussian(x, height, mean, std):
+    return height * np.exp(-((x - mean) ** 2) / (2.0 * std ** 2))
+
+
+def model_spectrum(x: np.ndarray, params, poisson: bool = False,
+                   eqspacing: bool = True, npeaks: int = 5) -> np.ndarray:
+    """Gaussian-comb spectrum model (photon_calibration.py:297-366).
+
+    Parameter layouts (matching the reference):
+    - eqspacing & poisson:  [spacing, stds×n, num_photons, height0]
+      with peak heights height0·λ^i/i!·std0/stdᵢ
+    - eqspacing, free amp:  [spacing, stds×n, heights×n]
+    - free means:           [means×n, stds×n, heights×n]
+    """
+    x = np.asarray(x, dtype=np.float64)
+    out = np.zeros_like(x)
+    if eqspacing:
+        spacing = params[0]
+        stds = np.asarray(params[1:1 + npeaks], dtype=np.float64)
+        if poisson:
+            lam, h0 = params[1 + npeaks], params[2 + npeaks]
+            for i in range(npeaks):
+                h = h0 * lam ** i / math.factorial(i) * stds[0] / stds[i]
+                out += _gaussian(x, h, spacing * i, stds[i])
+        else:
+            heights = params[1 + npeaks:1 + 2 * npeaks]
+            for i in range(npeaks):
+                out += _gaussian(x, heights[i], spacing * i, stds[i])
+    else:
+        if poisson:
+            raise ValueError("poisson requires eqspacing")
+        means = params[:npeaks]
+        stds = params[npeaks:2 * npeaks]
+        heights = params[2 * npeaks:3 * npeaks]
+        for i in range(npeaks):
+            out += _gaussian(x, heights[i], means[i], stds[i])
+    return out
+
+
+def default_guess(spacing_guess: float, std_guess: float,
+                  height_guess: float, npeaks: int = 5,
+                  poisson: bool = False, eqspacing: bool = True) -> list:
+    """Reference-shaped initial guess (photon_calibration.py:414-437)."""
+    if eqspacing:
+        if poisson:
+            return [spacing_guess] + [std_guess] * npeaks + [1.0, height_guess]
+        return [spacing_guess] + [std_guess] * npeaks \
+            + [height_guess] * npeaks
+    return [spacing_guess * i for i in range(npeaks)] \
+        + [std_guess] * npeaks + [height_guess] * npeaks
+
+
+def default_bounds(guess: list, npeaks: int = 5, poisson: bool = False,
+                   eqspacing: bool = True) -> tuple[list, list]:
+    """±50% mean/std bounds, [0.25×, 2×] heights
+    (photon_calibration.py:438-482)."""
+    g = list(guess)
+    if eqspacing and poisson:
+        m, s, h = g[:1], g[1:1 + npeaks], g[-2:]
+        lo = [x * .5 for x in m] + [x * .5 for x in s] \
+            + [0.25 * h[0], 0.5 * h[1]]
+        hi = [x * 1.5 for x in m] + [x * 1.5 for x in s] \
+            + [2.0 * h[0], 1.5 * h[1]]
+    else:
+        nm = 1 if eqspacing else npeaks
+        m, s, h = g[:nm], g[nm:nm + npeaks], g[nm + npeaks:]
+        lo = [x * .5 for x in m] + [x * .5 for x in s] + [x * .25 for x in h]
+        hi = [x * 1.5 for x in m] + [x * 1.5 for x in s] + [x * 2. for x in h]
+    return lo, hi
+
+
+# ----------------------------------------------------------------------
+# bounded Levenberg–Marquardt (scipy-free stand-in for least_squares)
+# ----------------------------------------------------------------------
+def least_squares_lm(resid_fn, x0, bounds=None, max_iter: int = 200,
+                     tol: float = 1e-12):
+    """Minimize ‖resid(p)‖² with numeric Jacobian and box bounds
+    (projection). Returns (popt, pcov, pstds) with pcov = (JᵀJ)⁻¹ as in
+    the reference's post-fit covariance (photon_calibration.py:577-581).
+    """
+    p = np.asarray(x0, dtype=np.float64)
+    lo = np.full_like(p, -np.inf) if bounds is None else np.asarray(bounds[0])
+    hi = np.full_like(p, np.inf) if bounds is None else np.asarray(bounds[1])
+    p = np.clip(p, lo, hi)
+    lam = 1e-3
+    r = resid_fn(p)
+    cost = float(r @ r)
+
+    def jac(p, r0):
+        J = np.empty((r0.size, p.size))
+        for k in range(p.size):
+            # absolute floor keeps the difference representable when
+            # p[k] ≈ 0 (a pure relative step underflows the residual)
+            h = 1.5e-8 * abs(p[k]) + 1e-12
+            q = p.copy()
+            # difference backward when the forward step would leave the
+            # box (a clipped step of 0 would NaN the whole column)
+            q[k] = p[k] - h if p[k] + h > hi[k] else p[k] + h
+            J[:, k] = (resid_fn(q) - r0) / (q[k] - p[k])
+        return J
+
+    J = jac(p, r)
+    for _ in range(max_iter):
+        g = J.T @ r
+        H = J.T @ J
+        try:
+            step = np.linalg.solve(H + lam * np.diag(np.diag(H) + 1e-12),
+                                   -g)
+        except np.linalg.LinAlgError:
+            lam *= 10
+            continue
+        p_new = np.clip(p + step, lo, hi)
+        r_new = resid_fn(p_new)
+        cost_new = float(r_new @ r_new)
+        if cost_new < cost:
+            if cost - cost_new < tol * max(cost, 1e-30):
+                p, r, cost = p_new, r_new, cost_new
+                J = jac(p, r)
+                break
+            p, r, cost = p_new, r_new, cost_new
+            J = jac(p, r)
+            lam = max(lam / 3, 1e-12)
+        else:
+            lam *= 10
+            if lam > 1e12:
+                break
+    H = J.T @ J
+    try:
+        pcov = np.linalg.inv(H)
+    except np.linalg.LinAlgError:
+        pcov = np.full((p.size, p.size), np.nan)
+    return p, pcov, np.sqrt(np.clip(np.diag(pcov), 0, None))
+
+
+# ----------------------------------------------------------------------
+# distributed histogram → driver fit (photon_calibration.py:369-612)
+# ----------------------------------------------------------------------
+def fit_spectrum(df: DataFrame, amp_col: str, cut: Column | None = None,
+                 poisson: bool = False, eqspacing: bool = True,
+                 npeaks: int = 5, guess: list | None = None,
+                 bounds=None, bins: int = 200):
+    """Histogram the amplitude column distributed, then weighted
+    least-squares fit of the Gaussian comb on the collected bins.
+
+    np.histogram parity: equal-width edges over [min, max], rightmost
+    bin closed. Weights 1/√count, zero-count bins excluded — exactly
+    the reference's residual (:519-530).
+
+    Returns (popt, pcov, pstds, (bin_centers, counts)).
+    """
+    if cut is not None:
+        df = df.filter(cut)
+    a = F.col(amp_col).cast("double")
+    mm = df.agg(F.min(a).alias("lo"), F.max(a).alias("hi")).first()
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    width = (hi - lo) / bins or 1.0
+    idx = F.least(F.floor((a - lo) / width).cast("int"), F.lit(bins - 1))
+    hist = {r["b"]: r["n"] for r in
+            df.groupBy(idx.alias("b")).agg(
+                F.count(F.lit(1)).alias("n")).collect()}
+    counts = np.array([hist.get(b, 0) for b in range(bins)],
+                      dtype=np.float64)
+    centers = lo + (np.arange(bins) + 0.5) * width
+
+    if guess is None:
+        peak_b = int(np.argmax(counts[1:])) + 1
+        spacing_guess = max(centers[peak_b] - lo, width)
+        guess = default_guess(spacing_guess, 2 * width, float(counts.max()),
+                              npeaks, poisson, eqspacing)
+    if bounds is None:
+        bounds = default_bounds(guess, npeaks, poisson, eqspacing)
+
+    w = np.where(counts > 0, 1.0 / np.sqrt(np.where(counts > 0, counts, 1)),
+                 0.0)
+
+    def resid(p):
+        return (counts - model_spectrum(centers, p, poisson, eqspacing,
+                                        npeaks)) * w
+
+    popt, pcov, pstds = least_squares_lm(resid, guess, bounds)
+    return popt, pcov, pstds, (centers, counts)
+
+
+def photon_peak_expr(amp_col: Column | str, spacing: float,
+                     stds: list[float], n_sigma: float = 2.0) -> Column:
+    """Peak-assignment expression: peak k iff |amp − k·spacing| <
+    n_sigma·std_k, else NULL — the photon_cut_dict analog as one native
+    CASE chain, registrable as an engine cut."""
+    a = F.col(amp_col) if isinstance(amp_col, str) else amp_col
+    expr = None
+    for k, std in enumerate(stds):
+        cond = F.abs(a - k * spacing) < n_sigma * std
+        expr = F.when(cond, F.lit(k)) if expr is None else expr.when(
+            cond, F.lit(k))
+    return expr.otherwise(F.lit(None).cast("int"))
+
+
+# ----------------------------------------------------------------------
+# grouped trace averaging (A14, photon_calibration.py:959-993)
+# ----------------------------------------------------------------------
+def average_pulses(traces_df: DataFrame, peak_col: str = "peak",
+                   trace_col: str = "trace",
+                   baseline_samples: int | None = None) -> DataFrame:
+    """Per-peak mean pulse, baseline-subtracted: (peak, pos, value).
+
+    ``posexplode → groupBy(peak, pos).avg`` — one shuffle keyed by
+    (peak, pos); the baseline (mean of the averaged pulse's first
+    ``baseline_samples`` samples, reference trigger_index−100) is a
+    per-peak scalar broadcast back.
+    """
+    ex = traces_df.select(F.col(peak_col).alias("peak"),
+                          F.posexplode(F.col(trace_col)).alias("pos", "v"))
+    means = ex.groupBy("peak", "pos").agg(F.avg("v").alias("value"))
+    if baseline_samples is None:
+        return means
+    base = (means.filter(F.col("pos") < baseline_samples)
+            .groupBy("peak").agg(F.avg("value").alias("__base__")))
+    return (means.join(F.broadcast(base), "peak")
+            .select("peak", "pos",
+                    (F.col("value") - F.col("__base__")).alias("value")))
+
+
+# ----------------------------------------------------------------------
+# per-bin FFT ensemble stats (A15, photon_calibration.py:1340-1400)
+# ----------------------------------------------------------------------
+def fft_ensemble_stats(traces_df: DataFrame, fs: float,
+                       peak_col: str = "peak",
+                       trace_col: str = "trace") -> DataFrame:
+    """(peak, bin, mean_re, mean_im, std_re, std_im, psd, n) over the
+    trace ensemble per photon peak.
+
+    FFT normalization fft/√(n·fs) (:1363); complex std is
+    std(real)+j·std(imag) of the ensemble over √N (population std,
+    matching np.std ddof=0); PSD = √⟨|fft|²⟩ of the normalized FFT
+    (:1392). One vectorized pandas UDF, then native explode+groupBy.
+    """
+    fft = rfft_udf(fs, inv_sqrt_nfs=True)(F.col(trace_col))
+    spec = traces_df.select(F.col(peak_col).alias("peak"), fft.alias("a"))
+    ex = spec.select(
+        "peak",
+        F.posexplode(F.arrays_zip(F.col("a.re"), F.col("a.im")))
+         .alias("bin", "v"))
+    re, im = F.col("v.re"), F.col("v.im")
+    n = F.count(F.lit(1))
+    return (ex.groupBy("peak", "bin")
+            .agg(F.avg(re).alias("mean_re"), F.avg(im).alias("mean_im"),
+                 (F.stddev_pop(re) / F.sqrt(n)).alias("std_re"),
+                 (F.stddev_pop(im) / F.sqrt(n)).alias("std_im"),
+                 F.sqrt(F.avg(re * re + im * im)).alias("psd"),
+                 n.alias("n")))
+
+
+def apply_dpdi(stats_df: DataFrame, dpdi_df: DataFrame) -> DataFrame:
+    """Current→power via the dPdI model table (photon_calibration.py:
+    1316-1323, 1394-1400): broadcast join on the frequency bin, complex
+    multiply mean_p = mean_i·dpdi, errors per the reference formula
+    (σ_re = √((mean_re·err_re)² + (std_re·|dpdi|)²), imag analog).
+    """
+    d = dpdi_df.select(
+        F.col("freq_index").alias("bin"),
+        F.col("value_real").alias("d_re"), F.col("value_imag").alias("d_im"),
+        F.col("err_real").alias("e_re"), F.col("err_imag").alias("e_im"))
+    j = stats_df.join(F.broadcast(d), "bin")
+    mag = F.sqrt(F.col("d_re") * F.col("d_re")
+                 + F.col("d_im") * F.col("d_im"))
+    return j.select(
+        "peak", "bin",
+        (F.col("mean_re") * F.col("d_re")
+         - F.col("mean_im") * F.col("d_im")).alias("mean_p_re"),
+        (F.col("mean_re") * F.col("d_im")
+         + F.col("mean_im") * F.col("d_re")).alias("mean_p_im"),
+        F.sqrt((F.col("mean_re") * F.col("e_re")) ** 2
+               + (F.col("std_re") * mag) ** 2).alias("std_p_re"),
+        F.sqrt((F.col("mean_im") * F.col("e_im")) ** 2
+               + (F.col("std_im") * mag) ** 2).alias("std_p_im"))

@@ -1132,3 +1132,78 @@ def vibration_transfer_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round("tf_re", 6).alias("tf_re"),
                      F.round("tf_im", 6).alias("tf_im"),
                      F.round("tf_sigma", 6).alias("tf_sigma"))
+
+
+# ======================================================================
+# Photon calibration (A14, A15, U3; detanalysis_spark/photon.py) —
+# embeddings arrays stand in for traces, label for the photon peak
+# ======================================================================
+from . import photon as _P  # noqa: E402
+
+
+# ----------------------------------------------------------------------
+# native CASE peak assignment (photon_cut_dict analog)
+# ----------------------------------------------------------------------
+@query("photon_peak_counts", oracle="""
+SELECT CASE WHEN abs(value - 0.0)   < 2.0 * 40.0 THEN 0
+            WHEN abs(value - 250.0) < 2.0 * 50.0 THEN 1
+            WHEN abs(value - 500.0) < 2.0 * 60.0 THEN 2
+            END AS peak,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_amp
+FROM events GROUP BY peak
+""")
+def photon_peak_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    peak = _P.photon_peak_expr("value", 250.0, [40.0, 50.0, 60.0],
+                               n_sigma=2.0)
+    return (ev.groupBy(peak.alias("peak"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("value"), 6).alias("avg_amp")))
+
+
+# ----------------------------------------------------------------------
+# grouped trace averaging (A14): posexplode → groupBy(peak,pos).avg,
+# baseline = mean of the averaged pulse's first 8 samples
+# ----------------------------------------------------------------------
+@query("photon_average_pulses", oracle="""
+WITH m AS (
+  SELECT label AS peak, i AS pos,
+         avg(CAST(embedding[i + 1] AS DOUBLE)) AS raw
+  FROM embeddings, range(64) r(i)
+  GROUP BY label, i),
+b AS (SELECT peak, avg(raw) AS base FROM m WHERE pos < 8 GROUP BY peak)
+SELECT m.peak, CAST(m.pos AS INT) AS pos,
+       round(m.raw - b.base, 6) AS value
+FROM m JOIN b ON m.peak = b.peak
+""")
+def photon_average_pulses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
+    avg = _P.average_pulses(
+        emb.select(F.col("label").alias("peak"),
+                   F.col("vec").alias("trace")),
+        baseline_samples=8)
+    return avg.select("peak", "pos", F.round("value", 6).alias("value"))
+
+
+# ----------------------------------------------------------------------
+# per-bin FFT ensemble stats + dPdI application (A15) — pandas_udf FFT
+# → rows-only; numerics pytest'd vs numpy (tests/test_photon.py)
+# ----------------------------------------------------------------------
+@query("photon_fft_dpdi")
+def photon_fft_dpdi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
+    stats = _P.fft_ensemble_stats(
+        emb.select(F.col("label").alias("peak"),
+                   F.col("vec").alias("trace")), fs=1000.0)
+    dpdi = spark.range(33).select(
+        F.col("id").alias("freq_index"),
+        (1.0 + F.col("id") * 0.1).alias("value_real"),
+        (0.5 - F.col("id") * 0.01).alias("value_imag"),
+        F.lit(0.01).alias("err_real"), F.lit(0.02).alias("err_imag"))
+    out = _P.apply_dpdi(stats, dpdi)
+    return out.select("peak", "bin",
+                      F.round("mean_p_re", 6).alias("mean_p_re"),
+                      F.round("mean_p_im", 6).alias("mean_p_im"),
+                      F.round("std_p_re", 6).alias("std_p_re"),
+                      F.round("std_p_im", 6).alias("std_p_im"))

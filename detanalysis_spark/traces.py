@@ -144,14 +144,17 @@ def lowpass_filter_udf(fs: float, cutoff: float, order: int = 2):
     return _lowpass
 
 
-def rfft_udf(fs: float, onesided_psd_norm: bool = False):
+def rfft_udf(fs: float, onesided_psd_norm: bool = False,
+             inv_sqrt_nfs: bool = False):
     """Per-trace real FFT → struct of (re, im) arrays.
 
     Used by the calibration/vibration paths (photon_calibration.py:1363,
     vibration_analyzer.py:344-364). With ``onesided_psd_norm`` the
     amplitudes are scaled by ``sqrt(2/(N*fs))`` (one-sided PSD
     convention, vibration_analyzer.py:352-358) except DC/Nyquist which
-    scale by ``sqrt(1/(N*fs))``.
+    scale by ``sqrt(1/(N*fs))``. With ``inv_sqrt_nfs`` every bin is
+    scaled by the flat ``1/sqrt(N*fs)`` the photon-calibration path
+    uses (photon_calibration.py:1363).
     """
     fs = float(fs)
 
@@ -175,6 +178,8 @@ def rfft_udf(fs: float, onesided_psd_norm: bool = False):
             if n % 2 == 0:
                 scale[-1] = np.sqrt(1.0 / (n * fs))
             spec = spec * scale
+        elif inv_sqrt_nfs:
+            spec = spec / np.sqrt(mat.shape[1] * fs)
         return pd.DataFrame({"re": list(spec.real), "im": list(spec.imag)})
 
     return _rfft

@@ -1,0 +1,163 @@
+"""Photon calibration vs planted ground truth / numpy oracles.
+
+Synthetic calib_events per FIXTURES.md §6: amplitude from an equally
+spaced Gaussian comb with known spacing so fit_spectrum recovery is
+checkable; synthetic traces whose pulse scales with photon count."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from detanalysis_spark import photon as P
+
+SPACING = 4.0
+STDS = [0.30, 0.32, 0.35, 0.40, 0.45]
+NPEAKS = 5
+WEIGHTS = [0.35, 0.30, 0.18, 0.10, 0.07]
+N_EVENTS = 20000
+
+
+@pytest.fixture(scope="module")
+def calib(spark):
+    rng = np.random.default_rng(3)
+    peaks = rng.choice(NPEAKS, size=N_EVENTS, p=WEIGHTS)
+    amps = peaks * SPACING + rng.standard_normal(N_EVENTS) * \
+        np.array(STDS)[peaks]
+    pdf = pd.DataFrame({"event_id": np.arange(N_EVENTS),
+                        "true_peak": peaks, "amp": amps})
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_model_spectrum_layouts():
+    x = np.linspace(-1, 20, 500)
+    eq = P.model_spectrum(x, [SPACING] + STDS + [100] * NPEAKS,
+                          eqspacing=True, npeaks=NPEAKS)
+    free = P.model_spectrum(
+        x, [SPACING * i for i in range(NPEAKS)] + STDS + [100] * NPEAKS,
+        eqspacing=False, npeaks=NPEAKS)
+    np.testing.assert_allclose(eq, free, rtol=1e-12)
+    poi = P.model_spectrum(x, [SPACING] + STDS + [0.5, 100],
+                           poisson=True, npeaks=NPEAKS)
+    # poisson peak-k height = h0·λ^k/k!·std0/stdk
+    k = 1
+    xk = np.array([SPACING * k])
+    expect = 100 * 0.5 ** k / 1 * STDS[0] / STDS[k]
+    assert P.model_spectrum(xk, [SPACING] + STDS + [0.5, 100],
+                            poisson=True, npeaks=NPEAKS)[0] == \
+        pytest.approx(expect, rel=0.02)  # small neighbor-peak leakage
+    assert poi.max() > 0
+
+
+def test_lm_recovers_parabola_minimum():
+    def resid(p):
+        return np.array([p[0] - 3.0, 2 * (p[1] + 1.0)])
+    popt, pcov, pstds = P.least_squares_lm(resid, [0.0, 0.0],
+                                           bounds=([-10, -10], [10, 10]))
+    assert popt[0] == pytest.approx(3.0, abs=1e-6)
+    assert popt[1] == pytest.approx(-1.0, abs=1e-6)
+    assert np.all(np.isfinite(pstds))
+
+
+def test_fit_spectrum_recovers_spacing(calib):
+    df, _ = calib
+    # comb fits are locally identifiable: seed within ~5% of the known
+    # photon energy, as the reference does (photon_ev·0.4e-8 guess)
+    guess = P.default_guess(SPACING * 1.05, 0.4, 900.0, NPEAKS)
+    popt, pcov, pstds, (centers, counts) = P.fit_spectrum(
+        df, "amp", npeaks=NPEAKS, guess=guess, bins=200)
+    assert popt[0] == pytest.approx(SPACING, rel=0.02)
+    # histogram matches np.histogram on the same data
+    assert counts.sum() == N_EVENTS
+
+    # residual-norm parity vs a numpy reference fit of the same model
+    w = np.where(counts > 0, 1 / np.sqrt(np.maximum(counts, 1)), 0.0)
+
+    def resid(p):
+        return (counts - P.model_spectrum(centers, p, False, True,
+                                          NPEAKS)) * w
+    final = float((resid(popt) ** 2).sum())
+    initial = float((resid(np.asarray(guess)) ** 2).sum())
+    assert final < 0.25 * initial
+
+
+def test_histogram_np_parity(calib):
+    df, pdf = calib
+    _, _, _, (centers, counts) = P.fit_spectrum(
+        df, "amp", npeaks=NPEAKS,
+        guess=P.default_guess(SPACING, 0.4, 2000.0, NPEAKS), bins=50)
+    want, edges = np.histogram(pdf["amp"].to_numpy(), bins=50)
+    np.testing.assert_array_equal(counts, want)
+    np.testing.assert_allclose(centers, (edges[1:] + edges[:-1]) / 2,
+                               rtol=1e-9)
+
+
+def test_photon_peak_expr_assignment(calib):
+    df, pdf = calib
+    assigned = df.select(
+        "event_id", "true_peak",
+        P.photon_peak_expr("amp", SPACING, STDS, n_sigma=2.0).alias("peak"))
+    rows = assigned.filter(F.col("peak").isNotNull()).collect()
+    agree = np.mean([r.peak == r.true_peak for r in rows])
+    assert agree > 0.97          # 2σ window on well-separated peaks
+    # ~4.6% of a Gaussian lies outside ±2σ → some NULLs must exist
+    assert assigned.filter(F.col("peak").isNull()).count() > 0
+
+
+@pytest.fixture(scope="module")
+def pulse_traces(spark):
+    rng = np.random.default_rng(9)
+    n, fs = 64, 1000.0
+    t = np.arange(n)
+    rows = []
+    for eid in range(60):
+        peak = eid % 3
+        pulse = peak * np.exp(-((t - 20.0) ** 2) / 50.0)
+        tr = 5.0 + pulse + 0.01 * rng.standard_normal(n)
+        rows.append((eid, peak, [float(x) for x in tr]))
+    return spark.createDataFrame(rows, ["event_id", "peak", "trace"]), fs
+
+
+def test_average_pulses(pulse_traces):
+    df, _ = pulse_traces
+    avg = P.average_pulses(df, baseline_samples=10)
+    pdf = avg.toPandas().pivot(index="pos", columns="peak", values="value")
+    # baseline region ~0 after subtraction
+    assert abs(pdf.loc[:9, 0].mean()) < 0.01
+    # pulse height scales with peak number at the pulse center
+    assert pdf.loc[20, 2] == pytest.approx(2.0, abs=0.05)
+    assert pdf.loc[20, 1] == pytest.approx(1.0, abs=0.05)
+
+
+def test_fft_ensemble_stats_vs_numpy(pulse_traces):
+    df, fs = pulse_traces
+    got = P.fft_ensemble_stats(df, fs).filter("peak = 2").toPandas() \
+        .set_index("bin").sort_index()
+    traces = np.stack([np.asarray(r.trace) for r in
+                       df.filter("peak = 2").collect()])
+    spec = np.fft.rfft(traces, axis=1) / np.sqrt(traces.shape[1] * fs)
+    n = traces.shape[0]
+    np.testing.assert_allclose(got["mean_re"], spec.real.mean(axis=0),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(got["std_re"],
+                               spec.real.std(axis=0) / np.sqrt(n),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(got["psd"],
+                               np.sqrt((np.abs(spec) ** 2).mean(axis=0)),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_apply_dpdi(pulse_traces, spark):
+    df, fs = pulse_traces
+    stats = P.fft_ensemble_stats(df, fs)
+    nbins = 33
+    dpdi = spark.createDataFrame(
+        [(b, 2.0, 0.5, 0.01, 0.02) for b in range(nbins)],
+        ["freq_index", "value_real", "value_imag", "err_real", "err_imag"])
+    out = P.apply_dpdi(stats, dpdi).filter("peak = 1 AND bin = 3").first()
+    s = stats.filter("peak = 1 AND bin = 3").first()
+    assert out.mean_p_re == pytest.approx(
+        s.mean_re * 2.0 - s.mean_im * 0.5, rel=1e-9)
+    mag = np.hypot(2.0, 0.5)
+    assert out.std_p_re == pytest.approx(
+        np.sqrt((s.mean_re * 0.01) ** 2 + (s.std_re * mag) ** 2), rel=1e-9)
