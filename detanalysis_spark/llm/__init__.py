@@ -11,6 +11,8 @@ from .dedup import (dedup_exact, minhash_signatures, lsh_candidate_pairs,
                     near_dup_clusters, simhash, ngram_jaccard)
 from .text import (token_count, bpe_ish_token_count, quality_scores,
                    language_id, doc_fingerprint)
+from .multimodal import (decode_raw8, encode_raw8, resize_bilinear,
+                         image_features, audio_features, frame_sample_udf)
 
 __all__ = [
     "cosine_similarity", "cosine_topk", "RandomHyperplaneLSH",
@@ -18,4 +20,6 @@ __all__ = [
     "near_dup_clusters", "simhash", "ngram_jaccard",
     "token_count", "bpe_ish_token_count", "quality_scores",
     "language_id", "doc_fingerprint",
+    "decode_raw8", "encode_raw8", "resize_bilinear",
+    "image_features", "audio_features", "frame_sample_udf",
 ]

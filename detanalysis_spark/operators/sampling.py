@@ -1,0 +1,69 @@
+"""Sampling/downsampling operators (O3, O5-O7) and scalar helpers
+(F-poly).
+
+Reference parity:
+- O5 random choice from pass/fail sets — scatterplotter.py's
+  "plot a few example events passing/failing a cut" workflow.
+- O6 every-Nth downsample — vibration_analyzer.py:397-401 (also
+  exported from the vibration module).
+- O7 log-spaced index downsample — vibration_analyzer.py:1051-1102
+  (plot thinning; driver-side on an already-aggregated axis).
+- F-poly Horner evaluation — the polynomial chi2-vs-amp cut family
+  (semiautocuts demo notebooks) as one native expression.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["random_choice", "every_nth", "log_spaced_indices",
+           "log_downsample", "polyval"]
+
+
+def random_choice(df: DataFrame, n: int, cut: Column | None = None,
+                  seed: int = 42, invert: bool = False) -> DataFrame:
+    """O5: exact-n seeded random sample of rows passing (or failing)
+    ``cut``. ``orderBy(rand(seed)).limit(n)`` — the sort is a top-n
+    (TakeOrdered), not a full sort, so it scales."""
+    if cut is not None:
+        df = df.filter(~cut if invert else cut)
+    return df.orderBy(F.rand(seed)).limit(n)
+
+
+def every_nth(df: DataFrame, order_col: str, factor: int) -> DataFrame:
+    """O6: keep rows whose dense ordinal is ≡ 0 (mod factor) — pure
+    filter, no shuffle (vibration_analyzer.py:397-401)."""
+    if factor <= 1:
+        return df
+    return df.filter((F.col(order_col) % factor) == 0)
+
+
+def log_spaced_indices(n: int, points: int = 20000) -> np.ndarray:
+    """O7: deduplicated log-spaced indices into a length-n axis
+    (vibration_analyzer.py:1051-1102). Driver-side — this is plot
+    thinning of an already-reduced array, not a table operator."""
+    if n <= points:
+        return np.arange(n)
+    idx = np.unique(np.logspace(0, np.log10(n - 1), points).astype(int))
+    return np.concatenate(([0], idx[idx > 0]))
+
+
+def log_downsample(xs: np.ndarray, *ys: np.ndarray,
+                   points: int = 20000):
+    """Thin (x, y...) arrays on the log-spaced index set."""
+    idx = log_spaced_indices(len(xs), points)
+    return (xs[idx], *[y[idx] for y in ys])
+
+
+def polyval(coeffs: Sequence[float], x: Column | str) -> Column:
+    """F-poly: Horner evaluation of Σ cᵢ·xⁱ (coeffs low→high order) as
+    one native expression — whole-stage codegen, no UDF."""
+    xc = F.col(x) if isinstance(x, str) else x
+    acc: Column = F.lit(float(coeffs[-1]))
+    for c in reversed(coeffs[:-1]):
+        acc = acc * xc + float(c)
+    return acc

@@ -1,0 +1,8 @@
+"""Structured Streaming layer: unbounded trace sources, the stateful
+rechunker, and incremental moment accumulation (SURVEY §2 ST1-ST3)."""
+
+from .continuous import (read_continuous_stream, rechunk_stream,
+                         streaming_psd_moments, run_available_now)
+
+__all__ = ["read_continuous_stream", "rechunk_stream",
+           "streaming_psd_moments", "run_available_now"]

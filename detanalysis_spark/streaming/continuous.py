@@ -1,0 +1,148 @@
+"""Streaming continuous-trace pipeline.
+
+Reference semantics: the vibration analyzer's read-next-event loop
+(vibration_analyzer.py:382-394) is an unbounded source (ST1); its
+rolling rechunk buffer (:406-437) is per-key state carried across
+events (ST2); the running moment sums (:362-372) are an incremental
+streaming aggregation whose partial sums are associative (ST3).
+
+Spark-first mapping:
+- ST1 → ``readStream`` file source; ``Trigger.AvailableNow`` drains a
+  bounded backlog with streaming semantics (batch-over-stream).
+- ST2 → ``applyInPandasWithState`` keyed by channel: the state is the
+  carried remainder buffer + next chunk ordinal; each micro-batch
+  appends its (event-ordered) samples, emits every complete chunk, and
+  stores the remainder. The trailing remainder is discarded when the
+  stream ends — exactly the reference's semantics.
+- ST3 → a plain ``groupBy(channel, bin).agg(sum, count)`` on the
+  FFT'd chunks in ``update``/``complete`` mode — Spark's streaming
+  state IS the reference's accumulator, and map-side partial
+  aggregation keeps it incremental.
+
+Ordering contract: samples are ordered by ``event_id`` *within* each
+micro-batch before appending to the buffer. Cross-batch order follows
+file-arrival order, as in any log-structured stream; a production
+deployment must feed files in event order (the reference's HDF5 reader
+has the identical contract — it reads files sequentially).
+
+Scale note: per-channel keying bounds rechunk parallelism by the
+number of independent streams — inherent to the semantics (a stream
+must be stitched in order). Cross-channel CSD matrices need all
+channels of a chunk in one place; that path is served by the batch
+engine (vibration.continuous_moments); the streaming path accumulates
+the per-channel auto-spectra (PSD) moments.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                               StringType, StructField, StructType)
+
+from ..traces import rfft_udf
+
+CONTINUOUS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("channel", StringType()),
+    StructField("trace", ArrayType(DoubleType())),
+])
+
+_CHUNK_SCHEMA = StructType([
+    StructField("channel", StringType()),
+    StructField("chunk_id", LongType()),
+    StructField("trace", ArrayType(DoubleType())),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("next_chunk", LongType()),
+    StructField("buffer", ArrayType(DoubleType())),
+])
+
+
+def read_continuous_stream(spark: SparkSession, path: str,
+                           schema: StructType = CONTINUOUS_SCHEMA,
+                           max_files_per_trigger: int | None = None
+                           ) -> DataFrame:
+    """ST1: unbounded parquet file source over a continuous event dir."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def rechunk_stream(sdf: DataFrame, chunk_samples: int,
+                   key_col: str = "channel", order_col: str = "event_id",
+                   trace_col: str = "trace") -> DataFrame:
+    """ST2: stateful fixed-length rechunker.
+
+    Emits (channel, chunk_id, trace) with chunks of exactly
+    ``chunk_samples``; the incomplete tail lives in state between
+    micro-batches and is dropped at end-of-stream.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def chop(key, pdfs, state: "GroupState"):
+        if state.exists:
+            next_chunk, buf_list = state.get
+            buf = np.asarray(buf_list, dtype=np.float64)
+        else:
+            next_chunk, buf = 0, np.empty(0, dtype=np.float64)
+        parts = [buf]
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            parts.extend(np.asarray(t, dtype=np.float64)
+                         for t in pdf[trace_col])
+        stream = np.concatenate(parts)
+        n_chunks = stream.size // chunk_samples
+        out = pd.DataFrame({
+            "channel": [key[0]] * n_chunks,
+            "chunk_id": np.arange(next_chunk, next_chunk + n_chunks),
+            "trace": [stream[i * chunk_samples:(i + 1) * chunk_samples]
+                      for i in range(n_chunks)],
+        })
+        remainder = stream[n_chunks * chunk_samples:]
+        state.update((int(next_chunk + n_chunks),
+                      [float(x) for x in remainder]))
+        yield out
+
+    return (sdf.groupBy(key_col)
+            .applyInPandasWithState(chop, _CHUNK_SCHEMA, _STATE_SCHEMA,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+def streaming_psd_moments(chunks: DataFrame, fs: float,
+                          trace_col: str = "trace") -> DataFrame:
+    """ST3: incremental per-channel auto-spectrum moments.
+
+    FFT each chunk (one-sided PSD normalization), explode to
+    (channel, bin, |a|², |a|⁴), and aggregate running sums + count —
+    the schema a caller divides to get S_ii/R_ii (the division is done
+    here per micro-batch output; sums stay associative in state).
+    Output: (channel, bin, frequency_hz, n, s_ii, r_ii).
+    """
+    fft = rfft_udf(fs, onesided_psd_norm=True)(F.col(trace_col))
+    spec = chunks.select("channel", fft.alias("a"))
+    ex = spec.select(
+        "channel",
+        F.posexplode(F.zip_with(F.col("a.re"), F.col("a.im"),
+                                lambda r, i: r * r + i * i))
+         .alias("bin", "p2"))
+    return (ex.groupBy("channel", "bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.avg("p2").alias("s_ii"),
+                 F.avg(F.col("p2") * F.col("p2")).alias("r_ii")))
+
+
+def run_available_now(sdf: DataFrame, query_name: str = "moments",
+                      output_mode: str = "complete",
+                      timeout_sec: int = 300) -> DataFrame:
+    """Drain a bounded stream with AvailableNow into a memory sink and
+    return the final result as a batch DataFrame."""
+    q = (sdf.writeStream.format("memory").queryName(query_name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_sec)
+    return sdf.sparkSession.table(query_name)

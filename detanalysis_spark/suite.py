@@ -1207,3 +1207,97 @@ def photon_fft_dpdi(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("mean_p_im", 6).alias("mean_p_im"),
                       F.round("std_p_re", 6).alias("std_p_re"),
                       F.round("std_p_im", 6).alias("std_p_im"))
+
+
+# ======================================================================
+# Structured Streaming (ST1/ST3; detanalysis_spark/streaming/) — the
+# same unbounded-source + incremental-aggregation machinery the
+# continuous-trace path uses, driven over the events table with
+# AvailableNow so the result is a bounded, oracle-checkable frame.
+# (ST2 stateful rechunker is pytest'd against the batch engine.)
+# ======================================================================
+import uuid as _uuid  # noqa: E402
+
+
+@query("streaming_event_counts", oracle="""
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+""")
+def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import run_available_now
+    schema = load_table(spark, sf_dir, "events").schema
+    # the file-stream source wants a directory: scan sf_dir with a glob
+    # pinned to the events table file
+    sdf = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    agg = (sdf.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(cents(F.col("value"))).alias("sum_cents")))
+    name = f"sec_{_uuid.uuid4().hex[:8]}"
+    return run_available_now(agg, name, output_mode="complete")
+
+
+# ======================================================================
+# Multimodal binary columns (llm/multimodal.py) — documents' utf-8
+# bytes stand in as RAW8 image payloads (testdata has no binary table);
+# decode truncates/zero-pads to the declared 16×4 shape, so the SQL
+# oracle can mirror it with ord(substr(...)) over the first 64 chars
+# (the corpus is ASCII)
+# ======================================================================
+from .llm import multimodal as _MM  # noqa: E402
+
+
+@query("multimodal_image_stats", oracle="""
+WITH px AS (
+  SELECT doc_id, lang,
+         [CASE WHEN i < len(text)
+               THEN ord(substr(text, i + 1, 1)) ELSE 0 END
+          for i in range(64)] AS bytes64
+  FROM documents),
+lum AS (SELECT doc_id, lang,
+               list_aggregate(bytes64, 'sum') / 255.0 / 64.0 AS mean_lum
+        FROM px)
+SELECT lang, count(*) AS n,
+       round(avg(mean_lum), 6) AS avg_lum,
+       round(min(mean_lum), 6) AS min_lum
+FROM lum GROUP BY lang
+""")
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = docs.select(
+        "doc_id", "lang",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(16).alias("width"), F.lit(4).alias("height"),
+        F.lit(1).alias("channels"), F.lit("RAW8").alias("format"))
+    feats = _MM.image_features(imgs, "doc_id", out_w=2, out_h=2)
+    return (feats.join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("mean_lum"), 6).alias("avg_lum"),
+                 F.round(F.min("mean_lum"), 6).alias("min_lum")))
+
+
+# ======================================================================
+# Polynomial cut (F-poly): Horner-evaluated chi2-vs-amp style
+# predicate as one native expression (operators/sampling.py:polyval)
+# ======================================================================
+from .operators import polyval as _polyval  # noqa: E402
+
+
+@query("polynomial_cut_counts", oracle="""
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM lineitem
+WHERE l_tax < 0.01 + 1.5 * l_discount + (-2.0) * l_discount * l_discount
+GROUP BY l_returnflag
+""")
+def polynomial_cut_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    poly = _polyval([0.01, 1.5, -2.0], "l_discount")
+    return (li.filter(F.col("l_tax") < poly)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(cents(F.col("l_extendedprice")))
+                  .alias("sum_price_cents")))

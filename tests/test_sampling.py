@@ -1,0 +1,48 @@
+"""Sampling/downsampling operators and the Horner polynomial helper."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from detanalysis_spark.operators import (every_nth, log_downsample,
+                                         log_spaced_indices, polyval,
+                                         random_choice)
+
+
+def test_random_choice_exact_n_and_seeded(spark):
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    cut = F.col("id") % 2 == 0
+    a = sorted(r.id for r in random_choice(df, 10, cut, seed=7).collect())
+    b = sorted(r.id for r in random_choice(df, 10, cut, seed=7).collect())
+    assert a == b and len(a) == 10
+    assert all(i % 2 == 0 for i in a)
+    fails = random_choice(df, 5, cut, invert=True).collect()
+    assert all(r.id % 2 == 1 for r in fails)
+
+
+def test_every_nth(spark):
+    df = spark.range(50).withColumnRenamed("id", "event_id")
+    assert sorted(r.event_id for r in
+                  every_nth(df, "event_id", 20).collect()) == [0, 20, 40]
+
+
+def test_log_spaced_indices():
+    idx = log_spaced_indices(100, points=200)          # n <= points → all
+    np.testing.assert_array_equal(idx, np.arange(100))
+    idx = log_spaced_indices(1_000_000, points=100)
+    assert idx[0] == 0 and idx[-1] == 999_999
+    assert len(idx) <= 101
+    assert np.all(np.diff(idx) > 0)                    # strictly increasing
+    xs = np.arange(1_000_000.0)
+    x2, y2 = log_downsample(xs, xs * 2, points=100)
+    np.testing.assert_array_equal(y2, x2 * 2)
+
+
+def test_polyval_matches_numpy(spark):
+    coeffs = [1.5, -2.0, 0.5, 0.25]                    # low → high order
+    df = spark.range(50).select((F.col("id") / 10.0 - 2.0).alias("x"))
+    got = [r.y for r in df.select(
+        polyval(coeffs, "x").alias("y")).collect()]
+    xs = np.array([r.x for r in df.collect()])
+    want = np.polyval(coeffs[::-1], xs)
+    np.testing.assert_allclose(got, want, rtol=1e-12)

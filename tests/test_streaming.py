@@ -1,0 +1,98 @@
+"""Structured Streaming layer (ST1-ST3) vs the batch engine.
+
+The same continuous fixture is processed twice: batch
+(vibration.continuous_moments / rechunk_traces) and streaming
+(readStream → stateful rechunk → incremental aggregation, drained
+with AvailableNow). Results must agree exactly."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from detanalysis_spark import vibration as V
+from detanalysis_spark.streaming import (read_continuous_stream,
+                                         rechunk_stream,
+                                         streaming_psd_moments,
+                                         run_available_now)
+
+FS = 1000.0
+CHUNK = 64
+
+
+@pytest.fixture(scope="module")
+def cont_dir(spark, tmp_path_factory):
+    rng = np.random.default_rng(21)
+    lengths = [50, 45, 55, 48, 52, 47, 53, 50] * 3
+    rows = []
+    for eid, ln in enumerate(lengths):
+        for ch in ["g", "s1"]:
+            tr = np.sin(2 * np.pi * 125.0 * np.arange(ln) / FS) \
+                + 0.1 * rng.standard_normal(ln)
+            rows.append((eid, ch, [float(x) for x in tr]))
+    df = spark.createDataFrame(rows, ["event_id", "channel", "trace"])
+    d = str(tmp_path_factory.mktemp("cont"))
+    # single file per channel-interleaved frame → deterministic order
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    return d, df
+
+
+def test_stream_rechunk_matches_batch(spark, cont_dir):
+    d, df = cont_dir
+    want = {(r.channel, r.chunk_id): list(r.trace)
+            for r in V.rechunk_traces(df, CHUNK).collect()}
+
+    sdf = read_continuous_stream(spark, d)
+    assert sdf.isStreaming
+    chunks = rechunk_stream(sdf, CHUNK)
+    got_df = run_available_now(chunks, "chunks_t1", output_mode="append")
+    got = {(r.channel, r.chunk_id): list(r.trace)
+           for r in got_df.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k])
+
+
+def test_stream_psd_moments_match_batch(spark, cont_dir):
+    d, df = cont_dir
+    sdf = read_continuous_stream(spark, d)
+    agg = streaming_psd_moments(rechunk_stream(sdf, CHUNK), FS)
+    got = {(r.channel, r.bin): r for r in
+           run_available_now(agg, "mom_t2", output_mode="complete")
+           .collect()}
+
+    mom = V.continuous_moments(df, ["g", "s1"], FS, chunk_samples=CHUNK)
+    batch = {r.frequency_hz: r for r in mom.collect()}
+    assert len(got) == 2 * (CHUNK // 2 + 1)
+    for (ch, b), r in got.items():
+        f = b * FS / CHUNK
+        w = batch[f]
+        key = f"S_re__{ch}__{ch}"
+        assert r.s_ii == pytest.approx(w[key], rel=1e-9)
+        assert r.r_ii == pytest.approx(w[f"R__{ch}__{ch}"], rel=1e-9)
+        assert r.n == w.n
+
+
+def test_stream_state_carries_across_batches(spark, cont_dir):
+    d, df = cont_dir
+    # one file per micro-batch → the remainder must cross batches.
+    # re-write as several files with disjoint, ordered event ranges
+    multi = str(d) + "_multi"
+    pdf = df.toPandas().sort_values("event_id")
+    n = len(pdf)
+    spark.createDataFrame(pdf.iloc[:n // 3]).coalesce(1) \
+        .write.mode("overwrite").parquet(multi)
+    spark.createDataFrame(pdf.iloc[n // 3:2 * n // 3]).coalesce(1) \
+        .write.mode("append").parquet(multi)
+    spark.createDataFrame(pdf.iloc[2 * n // 3:]).coalesce(1) \
+        .write.mode("append").parquet(multi)
+
+    sdf = read_continuous_stream(spark, multi, max_files_per_trigger=1)
+    chunks = rechunk_stream(sdf, CHUNK)
+    got_df = run_available_now(chunks, "chunks_t3", output_mode="append")
+    want = {(r.channel, r.chunk_id): list(r.trace)
+            for r in V.rechunk_traces(df, CHUNK).collect()}
+    got = {(r.channel, r.chunk_id): list(r.trace)
+           for r in got_df.collect()}
+    # chunk COUNT must match even across micro-batch boundaries; values
+    # match when files arrive in event order (ordering contract)
+    assert set(got) == set(want)
