@@ -35,6 +35,8 @@ __all__ = [
     "model_spectrum", "default_guess", "default_bounds", "fit_spectrum",
     "photon_peak_expr", "average_pulses", "fft_ensemble_stats",
     "apply_dpdi", "least_squares_lm",
+    "template_twopole_t", "template_f", "collect_peak_spectrum",
+    "fit_template", "template_energy",
 ]
 
 
@@ -316,3 +318,84 @@ def apply_dpdi(stats_df: DataFrame, dpdi_df: DataFrame) -> DataFrame:
                + (F.col("std_re") * mag) ** 2).alias("std_p_re"),
         F.sqrt((F.col("mean_im") * F.col("e_im")) ** 2
                + (F.col("std_im") * mag) ** 2).alias("std_p_im"))
+
+
+# ----------------------------------------------------------------------
+# pulse-template fit (U3, photon_calibration.py:1440-1998)
+# ----------------------------------------------------------------------
+def template_twopole_t(t_arr: np.ndarray, amp: float, tau_f: float,
+                       tau_r: float, t0: float) -> np.ndarray:
+    """Canonical two-pole pulse A·(e^{−(t−t0)/τf} − e^{−(t−t0)/τr}) for
+    t ≥ t0 (the reference's twopole template family,
+    photon_calibration.py:1470-1495)."""
+    t = np.asarray(t_arr, dtype=np.float64) - t0
+    p = np.where(t >= 0,
+                 np.exp(-np.clip(t, 0, None) / tau_f)
+                 - np.exp(-np.clip(t, 0, None) / tau_r), 0.0)
+    out = amp * p
+    if np.isnan(out).any() or np.isinf(out).all():
+        return np.zeros_like(out)
+    return out
+
+
+def template_f(template_t: np.ndarray, fs: float) -> np.ndarray:
+    """Frequency-domain template: fft/√(n·fs)
+    (photon_calibration.py:1495)."""
+    return np.fft.fft(template_t) / np.sqrt(template_t.size * fs)
+
+
+def collect_peak_spectrum(stats_df: DataFrame, peak: int,
+                          re_col: str = "mean_p_re",
+                          im_col: str = "mean_p_im",
+                          sre_col: str = "std_p_re",
+                          sim_col: str = "std_p_im"):
+    """Collect one peak's (mean, std) complex spectrum from the
+    distributed ensemble-stat frame, ordered by bin. The frame is
+    n_freqs rows — the correct driver-side handoff size."""
+    rows = (stats_df.filter(F.col("peak") == peak)
+            .orderBy("bin").collect())
+    mean = np.array([r[re_col] for r in rows]) \
+        + 1j * np.array([r[im_col] for r in rows])
+    std = np.array([r[sre_col] for r in rows]) \
+        + 1j * np.array([r[sim_col] for r in rows])
+    return mean, std
+
+
+def fit_template(mean_p_f: np.ndarray, std_p_f: np.ndarray,
+                 freqs: np.ndarray, fs: float, t_arr: np.ndarray,
+                 t0: float, guess, bounds=None,
+                 f_fit_cutoff: float | None = None,
+                 model=template_twopole_t):
+    """Weighted complex least-squares of a pulse model against the
+    ensemble-mean spectrum (photon_calibration.py:1799-1830): residuals
+    are interleaved (re·w_re, im·w_im) with w = 1/std, NaN/inf weights
+    and the DC bin zeroed, bins above ``f_fit_cutoff`` excluded.
+
+    ``mean_p_f``/``std_p_f`` come from the distributed
+    fft_ensemble_stats → apply_dpdi pipeline via collect_peak_spectrum;
+    the fit itself is a driver-side n_freqs-point problem.
+    """
+    w_re = 1.0 / std_p_f.real
+    w_im = 1.0 / std_p_f.imag
+    for w in (w_re, w_im):
+        w[~np.isfinite(w)] = 0.0
+        w[0] = 0.0
+        if f_fit_cutoff is not None:
+            w[np.abs(freqs[:w.size]) > f_fit_cutoff] = 0.0
+
+    def resid(params):
+        m = template_f(model(t_arr, *params, t0), fs)[:mean_p_f.size]
+        diff = mean_p_f - m
+        out = np.empty(mean_p_f.size * 2)
+        out[0::2] = diff.real * w_re
+        out[1::2] = diff.imag * w_im
+        return out
+
+    return least_squares_lm(resid, guess, bounds)
+
+
+def template_energy(template_t: np.ndarray, fs: float) -> float:
+    """A17 driver-side: energy integral Σp(t)/fs of a fitted template
+    (photon_calibration.py:2063-2073). The distributed per-trace
+    variant is traces.trace_energy."""
+    return float(np.sum(template_t) / fs)

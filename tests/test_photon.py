@@ -161,3 +161,39 @@ def test_apply_dpdi(pulse_traces, spark):
     mag = np.hypot(2.0, 0.5)
     assert out.std_p_re == pytest.approx(
         np.sqrt((s.mean_re * 0.01) ** 2 + (s.std_re * mag) ** 2), rel=1e-9)
+
+
+# ----------------------------------------------------------------------
+# template fit: distributed ensemble stats → driver-side weighted
+# complex least squares (photon_calibration.py:1754-1998)
+# ----------------------------------------------------------------------
+def test_template_fit_recovers_pulse(spark):
+    rng = np.random.default_rng(33)
+    n, fs = 256, 10000.0
+    t = np.arange(n) / fs
+    amp_true, tau_f, tau_r, t0 = 2.0, 2e-3, 2e-4, 5e-3
+    template = P.template_twopole_t(t, amp_true, tau_f, tau_r, t0)
+    rows = [(i, 0, [float(x) for x in
+                    template + 0.02 * rng.standard_normal(n)])
+            for i in range(80)]
+    df = spark.createDataFrame(rows, ["event_id", "peak", "trace"])
+
+    stats = P.fft_ensemble_stats(df, fs)
+    mean_i, std_i = P.collect_peak_spectrum(
+        stats, 0, re_col="mean_re", im_col="mean_im",
+        sre_col="std_re", sim_col="std_im")
+    # rfft gives n//2+1 bins; fit against the matching prefix
+    freqs = np.fft.rfftfreq(n, 1 / fs)
+
+    guess = [1.0, 1.5e-3, 3e-4]
+    bounds = ([0.1, 1e-4, 1e-5], [10.0, 1e-2, 1e-3])
+    popt, pcov, pstds = P.fit_template(
+        mean_i, std_i, freqs, fs, t, t0, guess, bounds)
+    assert popt[0] == pytest.approx(amp_true, rel=0.05)
+    assert popt[1] == pytest.approx(tau_f, rel=0.05)
+    assert popt[2] == pytest.approx(tau_r, rel=0.10)
+
+    fit_t = P.template_twopole_t(t, *popt, t0)
+    e_fit = P.template_energy(fit_t, fs)
+    e_true = P.template_energy(template, fs)
+    assert e_fit == pytest.approx(e_true, rel=0.05)
