@@ -1,0 +1,71 @@
+"""File-list resolution (S3) and the filter-file side input (S10)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from detanalysis_spark import photon as P
+from detanalysis_spark.sources import extract_file_names, load_filterfile
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    names = ["even_I2_D1_T1.parquet", "odd_I2_D1_T2.parquet",
+             "cont_I2_D20260101_T000000.parquet",
+             "cont_I2_D20260102_T000000.parquet", "notes.txt"]
+    for n in names:
+        (tmp_path / n).write_text("x")
+    return tmp_path
+
+
+def test_extract_all_and_dedup(tree):
+    got = extract_file_names([str(tree), str(tree / "even_I2_D1_T1.parquet")])
+    assert len(got) == 4                      # .txt skipped, dup removed
+    assert got == sorted(got)
+
+
+def test_extract_even_odd(tree):
+    got = extract_file_names(str(tree), series="even")
+    assert [f.split("/")[-1] for f in got] == ["even_I2_D1_T1.parquet"]
+    got = extract_file_names(str(tree / "odd_I2_D1_T2.parquet"),
+                             series="odd")
+    assert len(got) == 1
+
+
+def test_extract_series_substring(tree):
+    got = extract_file_names(str(tree), series=["D20260101"])
+    assert [f.split("/")[-1] for f in got] \
+        == ["cont_I2_D20260101_T000000.parquet"]
+
+
+def test_extract_errors(tree):
+    with pytest.raises(ValueError, match="does not exist"):
+        extract_file_names(str(tree / "missing"))
+    with pytest.raises(ValueError, match="no data found"):
+        extract_file_names(str(tree), series="D9999")
+
+
+def test_load_filterfile_roundtrip(spark, tmp_path):
+    # FIXTURES §5 layout: (channel, tag, freq_index, value_real/imag)
+    rows = []
+    for b in range(8):
+        rows.append(("chanA", "dpdi_3poles_default", b, 2.0 + b, 0.5))
+        rows.append(("chanA", "dpdi_err_3poles_default", b, 0.01, 0.02))
+        rows.append(("chanB", "dpdi_3poles_default", b, 9.0, 9.0))
+    df = spark.createDataFrame(
+        rows, ["channel", "tag", "freq_index", "value_real", "value_imag"])
+    p = str(tmp_path / "filterfile.parquet")
+    df.write.parquet(p)
+
+    ff = load_filterfile(spark, p, "chanA")
+    got = {r.freq_index: r for r in ff.collect()}
+    assert len(got) == 8
+    assert got[3].value_real == 5.0 and got[3].err_imag == 0.02
+
+    # composes with apply_dpdi end-to-end
+    traces = spark.createDataFrame(
+        [(i, 0, [float(x) for x in np.sin(np.arange(14))])
+         for i in range(5)], ["event_id", "peak", "trace"])
+    stats = P.fft_ensemble_stats(traces, fs=100.0)
+    out = P.apply_dpdi(stats, ff)
+    assert out.count() == 8                   # 8 of the 14//2+1 bins keyed
