@@ -111,3 +111,18 @@ def test_passage_fraction_table(li):
         for i in range(3):
             want = (den & masks[i]).sum() / den.sum()
             np.testing.assert_allclose(mat[i, j], want, rtol=1e-12)
+
+
+def test_approx_percentiles_close_to_exact(li, vals):
+    # A4 scale path: percentile_approx sketch within its accuracy bound
+    qs = [10, 50, 90]
+    got = percentiles(li, "l_extendedprice", qs, exact=False,
+                      accuracy=10000)
+    want = np.percentile(vals, qs)
+    span = vals.max() - vals.min()
+    for g, w in zip(got, want):
+        assert abs(g - w) < 0.01 * span
+    med_a = robust_sigma(li, "l_extendedprice", exact=False)
+    med_e = robust_sigma(li, "l_extendedprice", exact=True)
+    assert med_a[0] == pytest.approx(med_e[0], rel=0.02)
+    assert med_a[1] == pytest.approx(med_e[1], rel=0.05)
