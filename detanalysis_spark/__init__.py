@@ -9,11 +9,21 @@ operators (dedup, similarity search, text analysis, multimodal).
 from .session import get_spark
 from .analyzer import Analyzer, CutInfo, FeatureInfo, ensure_event_index, EVENT_INDEX
 from .semiautocut import Semiautocut, MasterSemiautocuts
+from .registry import load_plugins
+from .vibration import (sweep_moments, continuous_moments,
+                        psd_from_moments, transfer_functions, MomentCache)
+from .photon import (fit_spectrum, photon_peak_expr, average_pulses,
+                     fft_ensemble_stats, apply_dpdi, fit_template)
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "get_spark", "Analyzer", "CutInfo", "FeatureInfo",
     "ensure_event_index", "EVENT_INDEX", "Semiautocut",
-    "MasterSemiautocuts", "__version__",
+    "MasterSemiautocuts", "load_plugins",
+    "sweep_moments", "continuous_moments", "psd_from_moments",
+    "transfer_functions", "MomentCache",
+    "fit_spectrum", "photon_peak_expr", "average_pulses",
+    "fft_ensemble_stats", "apply_dpdi", "fit_template",
+    "__version__",
 ]

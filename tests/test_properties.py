@@ -1,0 +1,87 @@
+"""Property-based invariants (hypothesis) for the cut algebra, binning,
+and dedup layers — shrinkable counterexamples over generated frames.
+
+Spark round-trips are expensive per example, so each property uses a
+small max_examples with deadline disabled (JVM warm-up skews timing)."""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from detanalysis_spark.analyzer import Analyzer
+from detanalysis_spark.operators import (assign_bin, equal_width_edges,
+                                         polyval)
+from detanalysis_spark.llm import dedup as D
+
+SETTINGS = dict(max_examples=12, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    rows = [(i, float(v)) for i, v in enumerate(
+        np.random.default_rng(0).normal(50, 20, 400))]
+    return spark.createDataFrame(rows, ["id", "x"])
+
+
+@given(lo=st.floats(-50, 60), hi=st.floats(61, 200))
+@settings(**SETTINGS)
+def test_cut_algebra_partition_invariant(base, lo, hi):
+    """cut + subtract(cut) partition the frame: |A| + |¬A| = |all|, and
+    and/or/xor obey |A∧B| + |A⊻B| = |A∨B|."""
+    ana = Analyzer(base)
+    ana.register_cut(f"x > {lo}", "a", overwrite=True)
+    ana.register_cut(f"x < {hi}", "b", overwrite=True)
+    n = base.count()
+    n_a = ana._subset_df(base, "a").count()
+    n_not_a = base.filter(~ana.resolve_cut("a")).count()
+    assert n_a + n_not_a == n
+    ana.combine_cuts(["a", "b"], "and_", mode="and", overwrite=True)
+    ana.combine_cuts(["a", "b"], "or_", mode="or", overwrite=True)
+    ana.combine_cuts(["a", "b"], "xor_", mode="xor", overwrite=True)
+    assert (ana._subset_df(base, "and_").count()
+            + ana._subset_df(base, "xor_").count()
+            == ana._subset_df(base, "or_").count())
+
+
+@given(n_bins=st.integers(2, 12))
+@settings(**SETTINGS)
+def test_equal_width_bins_cover_all_rows(base, n_bins):
+    """Every row falls in exactly one [lo, hi] equal-width bin."""
+    edges = equal_width_edges(base, "x", n_bins)
+    assert len(edges) == n_bins + 1
+    binned = base.withColumn("b", assign_bin(F.col("x"), edges))
+    assert binned.filter(F.col("b").isNull()).count() == 0
+    counts = dict(binned.groupBy("b").count().collect())
+    assert sum(counts.values()) == base.count()
+    assert set(counts) <= set(range(n_bins))
+
+
+@given(coeffs=st.lists(st.floats(-3, 3), min_size=1, max_size=5),
+       x=st.floats(-4, 4))
+@settings(**SETTINGS)
+def test_polyval_property(spark, coeffs, x):
+    got = spark.range(1).select(
+        polyval(coeffs, F.lit(float(x))).alias("y")).first().y
+    want = float(np.polyval(np.array(coeffs[::-1]), x))
+    assert got == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=30),
+    min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_dedup_exact_idempotent_and_minimal(spark, texts):
+    """dedup_exact keeps exactly one row per distinct text — the one
+    with the smallest id — and is idempotent."""
+    df = spark.createDataFrame(list(enumerate(texts)), ["id", "t"])
+    kept = D.dedup_exact(df, ["t"], "id")
+    rows = kept.collect()
+    assert len(rows) == len(set(texts))
+    by_text = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, i)
+    assert sorted(r.id for r in rows) == sorted(by_text.values())
+    assert D.dedup_exact(kept, ["t"], "id").count() == len(rows)
