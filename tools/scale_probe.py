@@ -1,0 +1,116 @@
+"""Scale probe: run the engine's heaviest paths at ~10× bench scale
+(sf0.1 inputs unioned with shifted keys) and report wall-clock vs the
+1× run. A scale-safe operator should grow ≲ linearly; anything
+superlinear here would be catastrophic at 100 TB.
+
+Usage: python tools/scale_probe.py [multiplier]   (default 10)
+Prints one JSON line: {"probe": {...}, "multiplier": N}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from detanalysis_spark.session import get_spark
+from detanalysis_spark.analyzer import Analyzer, ensure_event_index
+from detanalysis_spark.llm import dedup as D
+from detanalysis_spark.sources import load_table
+from detanalysis_spark import vibration as V
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def amplify(df: DataFrame, key_cols: list[str], k: int) -> DataFrame:
+    """k copies with shifted keys (same value distribution, distinct
+    identities) — a cheap stand-in for a larger scale factor."""
+    out = None
+    for i in range(k):
+        c = df
+        for col in key_cols:
+            c = c.withColumn(col, F.col(col) + F.lit(i * 1_000_000_000))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def timed(fn):
+    t0 = time.time()
+    n = fn()
+    return round(time.time() - t0, 2), n
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale-probe")
+    li1 = load_table(spark, SF_DIR, "lineitem")
+    ev1 = load_table(spark, SF_DIR, "events")
+    docs1 = load_table(spark, SF_DIR, "documents")
+    lik = amplify(li1, ["l_orderkey"], k)
+    evk = amplify(ev1.withColumn("ts", F.col("ts").cast("double")),
+                  ["event_id"], k)
+    docsk = amplify(docs1, ["doc_id"], k)
+    li1.count(), lik.count()                      # warm the scans
+
+    results = {}
+
+    def probe(name, f1, fk):
+        t1, n1 = timed(f1)
+        tk, nk = timed(fk)
+        results[name] = {"t1": t1, "tk": tk,
+                         "ratio": round(tk / max(t1, 1e-9), 1),
+                         "rows_1x": n1, "rows_kx": nk}
+
+    # groupBy agg (map-side combine): should scale ~linearly
+    def q1(df):
+        return lambda: (df.filter("l_quantity > 10")
+                        .groupBy("l_returnflag", "l_linestatus")
+                        .agg(F.sum("l_quantity"), F.count(F.lit(1)))
+                        .count())
+    probe("tpch_like_agg", q1(li1), q1(lik))
+
+    # ingest row-id assignment: two-pass, no global sort
+    def idx(df):
+        return lambda: ensure_event_index(
+            df.drop("__event_index__")).agg(
+            F.max("__event_index__")).collect()[0][0] + 1
+    probe("ensure_event_index", idx(ev1), idx(evk))
+
+    # semi-join mask cut through the Analyzer spine
+    def mask(df):
+        def run():
+            ana = Analyzer(ensure_event_index(df))
+            ids = ana.df.filter("value > 400").select("__event_index__")
+            ana.cut_from_event_ids(ids, "hot")
+            return ana._subset_df(ana.df, "hot").count()
+        return run
+    probe("semi_join_mask_cut", mask(ev1), mask(evk))
+
+    # MinHash near-dup pipeline (banded LSH — the candidate count, not
+    # n², must drive the cost)
+    def nd(df):
+        return lambda: D.near_dup_pairs(df, "doc_id", "text",
+                                        threshold=0.5).count()
+    probe("near_dup_pairs", nd(docs1), nd(docsk))
+
+    # sweep-moment aggregation over a derived frame
+    def mom(df):
+        d = df.select((F.col("event_id") % 40).cast("double")
+                      .alias("frequency_hz"),
+                      (F.col("value") / 100).alias("amp_real_a"),
+                      (F.col("value") / 200).alias("amp_imag_a"))
+        return lambda: V.sweep_moments(
+            d, ["a"], trace_length_msec=1000.0).count()
+    probe("sweep_moments", mom(ev1), mom(evk))
+
+    print(json.dumps({"probe": results, "multiplier": k}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
