@@ -163,3 +163,37 @@ class RandomHyperplaneLSH:
         return (scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
                 .select("probe_id", "rank", "neighbor_id", "sim"))
+
+
+def cosine_near_dup_pairs(df: DataFrame, threshold: float,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          lsh: "RandomHyperplaneLSH | None" = None
+                          ) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos ≥ t).
+
+    With ``lsh``, candidates come from shared (table, bucket) keys and
+    exact cosine runs only inside buckets — the 100 TB path (recall
+    depends on (bits, tables) vs the threshold; near-identical vectors
+    collide with probability ≈ 1). Without it, a broadcast self-join
+    scores all pairs — exact, for modest corpora and oracle baselines.
+    """
+    c = df.select(F.col(id_col).alias("id_a"),
+                  _as_double(F.col(vec_col)).alias("va"))
+    d = df.select(F.col(id_col).alias("id_b"),
+                  _as_double(F.col(vec_col)).alias("vb"))
+    if lsh is None:
+        pairs = c.join(F.broadcast(d), F.col("id_a") < F.col("id_b"))
+    else:
+        bb = lsh.explode_buckets(lsh.with_buckets(df, vec_col),
+                                 id_col=id_col)
+        cand = (bb.withColumnRenamed(id_col, "id_a")
+                .join(bb.withColumnRenamed(id_col, "id_b"),
+                      ["table", "bucket"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
+        pairs = cand.join(c, "id_a").join(d, "id_b")
+    sim = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb")))
+    return (pairs.select("id_a", "id_b", sim.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

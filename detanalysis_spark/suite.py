@@ -1301,3 +1301,30 @@ def polynomial_cut_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(cents(F.col("l_extendedprice")))
                   .alias("sum_price_cents")))
+
+
+# ----------------------------------------------------------------------
+# embedding-cosine near-dup pairs (exact path vs DuckDB all-pairs;
+# the LSH-bucketed scale path is pytest'd on planted duplicates)
+# ----------------------------------------------------------------------
+from .llm.similarity import cosine_near_dup_pairs as _cos_nd  # noqa: E402
+
+
+@query("embedding_near_dup_pairs", oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+         AS cosine
+FROM (SELECT * FROM embeddings WHERE vec_id % 10 = 0) a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+""")
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # probe side bounded to a deterministic 10% slice: the exact path
+    # scores |probe|x|corpus| pairs, so the exhibit keeps that product
+    # small; unrestricted corpora take the LSH-bucketed path
+    nd = _cos_nd(emb, 0.4)
+    return (nd.filter(F.col("id_a") % 10 == 0)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))

@@ -175,3 +175,24 @@ def test_lsh_topk_finds_planted_neighbor(vectors):
     lsh = RandomHyperplaneLSH(dim=16, bits=8, tables=6)
     got = lsh.topk(df, df.filter("vec_id = 0"), k=3).collect()
     assert any(r.neighbor_id == 1 and r.rank == 1 for r in got)
+
+
+def test_cosine_near_dup_exact_and_lsh(spark):
+    from detanalysis_spark.llm.similarity import (RandomHyperplaneLSH,
+                                                  cosine_near_dup_pairs)
+    rng = np.random.default_rng(19)
+    vecs = rng.standard_normal((60, 16))
+    vecs[10] = vecs[3] + 1e-3 * rng.standard_normal(16)   # planted dups
+    vecs[41] = vecs[7] + 1e-3 * rng.standard_normal(16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"])
+
+    exact = {(r.id_a, r.id_b)
+             for r in cosine_near_dup_pairs(df, 0.95).collect()}
+    assert exact == {(3, 10), (7, 41)}
+
+    lsh = RandomHyperplaneLSH(dim=16, bits=8, tables=8)
+    approx = {(r.id_a, r.id_b)
+              for r in cosine_near_dup_pairs(df, 0.95, lsh=lsh).collect()}
+    assert approx == exact           # near-identical vectors always collide

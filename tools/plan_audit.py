@@ -31,8 +31,9 @@ from detanalysis_spark import suite
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.1")
 
 # queries where a nested-loop broadcast join is the intended plan shape
-# (tiny probe side broadcast against the corpus)
-INTENTIONAL_NESTED_LOOP = {"ann_cosine_topk"}
+# (bounded probe side broadcast against the corpus; the unbounded path
+# is LSH-bucketed)
+INTENTIONAL_NESTED_LOOP = {"ann_cosine_topk", "embedding_near_dup_pairs"}
 # queries whose un-partitioned window is a documented correctness
 # exhibit, not the scale path (scale path: approx edges + assign_bin)
 DOCUMENTED_EXHIBITS = {"ntile_time_bins"}
