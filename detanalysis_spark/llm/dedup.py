@@ -83,11 +83,17 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
     Texts shorter than n tokens yield an empty set (they can only
     near-dup against other empty-set texts).
+
+    The token array is bound as a lambda variable (via a one-element
+    array transform) so the regex split evaluates once per row; a
+    lambda that referenced the split expression directly would
+    re-tokenize the text at every gram position — O(tokens²) per row.
     """
-    toks = _tokens(text)
-    grams = F.transform(
-        _gram_positions(F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    def per_row(tk: Column) -> Column:
+        return F.transform(
+            _gram_positions(F.size(tk) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+    grams = F.flatten(F.transform(F.array(_tokens(text)), per_row))
     return F.array_distinct(grams)
 
 
@@ -108,34 +114,33 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        shingle_fn=word_shingles) -> DataFrame:
     """(id, minhash array<long>) MinHash signatures, one row per doc.
 
-    Hash family i is ``xxhash64(shingle, i)`` — seeded, deterministic,
-    JVM-native. Shape: explode the shingle set once, hash each shingle
-    under every family, ``groupBy(id).agg(min...)`` — the min-reduce is
-    map-side combined, so the shuffle carries only one partial
-    signature per (doc, map task), not the shingle stream. (A per-row
-    ``array_min(transform(...))`` variant inlines the shingle expression
-    into all ``num_hashes`` aggregates — quadratic Catalyst/codegen
-    blowup — hence the explode shape.)
+    Pure per-row projection — NO explode, NO shuffle: each shingle
+    string is hashed to a long ONCE (``xxhash64``); hash family i is
+    then ``xxhash64(base_hash, i)`` — seeded, deterministic, JVM-native,
+    hashing a fixed 12 bytes instead of re-hashing the string. The
+    shingle-hash array is bound as a lambda variable (one-element-array
+    transform) so Catalyst evaluates the shingle construction exactly
+    once per row even though ``num_hashes`` inner expressions reference
+    it. Embarrassingly parallel at any scale — the signature stage adds
+    zero exchanges to the plan.
 
     Docs whose shingle set is empty (shorter than the shingle width)
     get an all-MAX_LONG sentinel signature: they bucket only with each
     other and can never pass a Jaccard-threshold verify.
     """
-    sh_rows = df.select(
-        F.col(id_col),
-        F.explode_outer(shingle_fn(F.col(text_col), shingle_n))
-         .alias("__shingle__"))
     sentinel = F.lit((1 << 63) - 1).cast("long")
-    aggs = [
-        F.min(F.when(F.col("__shingle__").isNotNull(),
-                     F.xxhash64(F.col("__shingle__"), F.lit(i)))
-              .otherwise(sentinel)).alias(f"__h{i}__")
-        for i in range(num_hashes)]
-    sig = (sh_rows.groupBy(id_col).agg(*aggs)
-           .select(F.col(id_col),
-                   F.array(*[F.col(f"__h{i}__")
-                             for i in range(num_hashes)]).alias(out_col)))
-    return sig
+    shash = F.transform(shingle_fn(F.col(text_col), shingle_n),
+                        lambda s: F.xxhash64(s))
+
+    def per_row(hs: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.coalesce(
+                F.array_min(F.transform(hs, lambda h: F.xxhash64(h, i))),
+                sentinel))
+
+    sig = F.flatten(F.transform(F.array(shash), per_row))
+    return df.select(F.col(id_col), sig.alias(out_col))
 
 
 def lsh_band_buckets(df: DataFrame, id_col: str, sig_col: str = "minhash",
@@ -144,11 +149,19 @@ def lsh_band_buckets(df: DataFrame, id_col: str, sig_col: str = "minhash",
 
     This is the LSH key space — two ids are candidates iff they share a
     (band, bucket). Output is ``bands`` rows per input row.
+
+    The signature column is bound as a lambda variable so that when the
+    signature is itself an unmaterialized projection (the zero-shuffle
+    ``minhash_signatures`` shape), Catalyst evaluates it once per row —
+    referencing it directly inside the band lambda would recompute the
+    whole MinHash expression per band.
     """
-    band_hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(F.slice(F.col(sig_col),
-                                     b * rows_per_band + 1, rows_per_band)))
+    def per_row(sig: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(F.slice(sig, b * rows_per_band + 1,
+                                         rows_per_band)))
+    band_hashes = F.flatten(F.transform(F.array(F.col(sig_col)), per_row))
     return df.select(
         F.col(id_col),
         F.posexplode(band_hashes).alias("band", "bucket"))
@@ -161,9 +174,14 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
 
     Self-equi-join keyed by (band, bucket): the shuffle moves each row
     ``bands`` times, and the join output is only within-bucket pairs —
-    never the n² cross product.
+    never the n² cross product. The bucket table is materialized once
+    (eager ``localCheckpoint`` — executor-local storage, reclaimed when
+    the RDD is GC'd) so the two sides of the self-join share one
+    signature computation; without the barrier each side would re-scan
+    and re-MinHash the corpus (no exchange reuse across a broadcast).
     """
-    bb = lsh_band_buckets(sig_df, id_col, sig_col, bands, rows_per_band)
+    bb = lsh_band_buckets(sig_df, id_col, sig_col, bands, rows_per_band) \
+        .localCheckpoint(eager=True)
     a = bb.withColumnRenamed(id_col, "id_a")
     b = bb.withColumnRenamed(id_col, "id_b")
     return (a.join(b, ["band", "bucket"])
@@ -187,11 +205,18 @@ def verify_candidates(docs: DataFrame, pairs: DataFrame, id_col: str,
                       shingle_fn=word_shingles) -> DataFrame:
     """Exact Jaccard on candidate pairs only → (id_a, id_b, jaccard).
 
-    Two equi-joins on the id (shuffle by id); the expensive set ops run
-    once per *candidate*, not per pair of documents.
+    Docs are first pruned with a semi-join against the candidate id
+    set, so only candidate docs are shingled and shuffled — without it
+    the equi-joins would shuffle every doc's shingle array even though
+    only candidates match. The expensive set ops then run once per
+    *candidate pair*, not per pair of documents.
     """
-    sh = docs.select(F.col(id_col),
-                     shingle_fn(F.col(text_col), shingle_n).alias("__sh__"))
+    cand_ids = (pairs.select(F.col("id_a").alias(id_col))
+                .union(pairs.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    sh = (docs.join(cand_ids, id_col, "left_semi")
+          .select(F.col(id_col),
+                  shingle_fn(F.col(text_col), shingle_n).alias("__sh__")))
     scored = (pairs
               .join(sh.withColumnRenamed(id_col, "id_a")
                       .withColumnRenamed("__sh__", "sh_a"), "id_a")

@@ -43,6 +43,20 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _unit(vec: Column) -> Column:
+    """Cast to double and scale to unit L2 norm (zero vectors pass
+    through unscaled so cosine against them is 0, not NaN).
+
+    The norm is bound as a lambda variable via a one-element-array
+    transform — dividing inside a plain ``transform`` lambda would
+    re-run the norm fold once per element.
+    """
+    vd = _as_double(vec)
+    return F.flatten(F.transform(
+        F.array(F.nullif(_norm(vd), F.lit(0.0))),
+        lambda nrm: F.transform(vd, lambda x: x / F.coalesce(nrm, F.lit(1.0)))))
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Native cosine: zip_with product fold / norms — whole-stage codegen."""
     a, b = _as_double(a), _as_double(b)
@@ -61,15 +75,16 @@ def cosine_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
     per-probe top-k window (shuffle keyed by probe id).
     """
     pid = probe_id_col or id_col
+    # unit-normalize each side ONCE before the pair join: per-pair work
+    # is then a single dot fold instead of dot + two norm folds
     p = probes.select(F.col(pid).alias("probe_id"),
-                      _as_double(F.col(vec_col)).alias("probe_vec"))
+                      _unit(F.col(vec_col)).alias("probe_vec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      _as_double(F.col(vec_col)).alias("vec"))
+                      _unit(F.col(vec_col)).alias("vec"))
     pairs = c.join(F.broadcast(p))
     if exclude_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("probe_id"))
-    sim = _dot(F.col("vec"), F.col("probe_vec")) / (
-        _norm(F.col("vec")) * _norm(F.col("probe_vec")))
+    sim = _dot(F.col("vec"), F.col("probe_vec"))
     scored = pairs.select("probe_id", "neighbor_id", sim.alias("sim"))
     w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(),
                                                F.col("neighbor_id").asc())
@@ -150,14 +165,12 @@ class RandomHyperplaneLSH:
         if exclude_self:
             cand = cand.filter(F.col("neighbor_id") != F.col("probe_id"))
         c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                          _as_double(F.col(vec_col)).alias("vec"))
+                          _unit(F.col(vec_col)).alias("vec"))
         p = probes.select(F.col(pid).alias("probe_id"),
-                          _as_double(F.col(vec_col)).alias("probe_vec"))
+                          _unit(F.col(vec_col)).alias("probe_vec"))
         scored = (cand.join(c, "neighbor_id").join(F.broadcast(p), "probe_id")
                   .select("probe_id", "neighbor_id",
-                          (_dot(F.col("vec"), F.col("probe_vec"))
-                           / (_norm(F.col("vec")) * _norm(F.col("probe_vec")))
-                           ).alias("sim")))
+                          _dot(F.col("vec"), F.col("probe_vec")).alias("sim")))
         w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(),
                                                    F.col("neighbor_id").asc())
         return (scored.withColumn("rank", F.row_number().over(w))
@@ -179,9 +192,9 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
     scores all pairs — exact, for modest corpora and oracle baselines.
     """
     c = df.select(F.col(id_col).alias("id_a"),
-                  _as_double(F.col(vec_col)).alias("va"))
+                  _unit(F.col(vec_col)).alias("va"))
     d = df.select(F.col(id_col).alias("id_b"),
-                  _as_double(F.col(vec_col)).alias("vb"))
+                  _unit(F.col(vec_col)).alias("vb"))
     if lsh is None:
         pairs = c.join(F.broadcast(d), F.col("id_a") < F.col("id_b"))
     else:
@@ -193,7 +206,6 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
                 .filter(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b").distinct())
         pairs = cand.join(c, "id_a").join(d, "id_b")
-    sim = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb")))
+    sim = _dot(F.col("va"), F.col("vb"))
     return (pairs.select("id_a", "id_b", sim.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
