@@ -93,18 +93,23 @@ def language_id(text: Column) -> Column:
     Ties break in fixed _LANG_ORDER so the result is deterministic and
     an ANSI-SQL oracle can mirror the CASE chain exactly.
     """
-    low = F.transform(_tokens(text), F.lower)
+    def per_row(low: Column) -> Column:
+        # `low` is a bound lambda variable: the tokenize+lower runs once
+        # per row even though every language's score references it
+        def hit_count(words: list[str]) -> Column:
+            wl = sorted(words)
+            return F.size(F.filter(low, lambda t: t.isin(*wl)))
 
-    def hit_count(words: list[str]) -> Column:
-        wl = sorted(words)
-        return F.size(F.filter(low, lambda t: t.isin(*wl)))
+        scores = {lang: hit_count(ws)
+                  for lang, ws in LANG_STOPWORDS.items()}
+        best = F.greatest(*scores.values())
+        out = F.when(best <= 0, F.lit("und"))
+        for lang in _LANG_ORDER:
+            out = out.when(scores[lang] == best, F.lit(lang))
+        return out
 
-    scores = {lang: hit_count(ws) for lang, ws in LANG_STOPWORDS.items()}
-    best = F.greatest(*scores.values())
-    out = F.when(best <= 0, F.lit("und"))
-    for lang in _LANG_ORDER:
-        out = out.when(scores[lang] == best, F.lit(lang))
-    return out
+    return F.get(F.transform(F.array(F.transform(_tokens(text), F.lower)),
+                             per_row), 0)
 
 
 def doc_fingerprint(text: Column) -> Column:
@@ -117,12 +122,20 @@ def doc_fingerprint(text: Column) -> Column:
 def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
     """Winnowing fingerprint set (Schleimer et al., SIGMOD'03): rolling
     k-gram hashes, min per w-window, distinct. Native end-to-end —
-    positional char k-grams → xxhash64 → windowed array_min."""
+    positional char k-grams → xxhash64 → windowed array_min.
+
+    The hash array is bound as a lambda variable before the windowed
+    min — a lambda that referenced the hash expression directly would
+    re-hash every k-gram at every window position (O(len²) per row).
+    """
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
         lambda i: text.substr(i, F.lit(k)))
     hashes = F.transform(grams, lambda g: F.xxhash64(g))
-    mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(hashes) - (w - 1), F.lit(1))),
-        lambda i: F.array_min(F.slice(hashes, i, w)))
-    return F.array_distinct(mins)
+
+    def per_row(hs: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(hs) - (w - 1), F.lit(1))),
+            lambda i: F.array_min(F.slice(hs, i, w)))
+
+    return F.array_distinct(F.flatten(F.transform(F.array(hashes), per_row)))
