@@ -14,6 +14,7 @@ from .vibration import (sweep_moments, continuous_moments,
                         psd_from_moments, transfer_functions, MomentCache)
 from .photon import (fit_spectrum, photon_peak_expr, average_pulses,
                      fft_ensemble_stats, apply_dpdi, fit_template)
+from .picker import TracePicker
 
 __version__ = "0.3.0"
 
@@ -25,5 +26,6 @@ __all__ = [
     "transfer_functions", "MomentCache",
     "fit_spectrum", "photon_peak_expr", "average_pulses",
     "fft_ensemble_stats", "apply_dpdi", "fit_template",
+    "TracePicker",
     "__version__",
 ]

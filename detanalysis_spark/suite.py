@@ -1328,3 +1328,34 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = _cos_nd(emb, 0.4)
     return (nd.filter(F.col("id_a") % 10 == 0)
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
+# ----------------------------------------------------------------------
+# headless point-pick (ScatterPlotter analog, picker.py): nearest-k
+# events to a clicked (x, y) under display-normalized distance —
+# TakeOrderedAndProject top-k, never a global sort
+# ----------------------------------------------------------------------
+from .picker import TracePicker  # noqa: E402
+
+
+@query("nearest_event_pick", oracle="""
+WITH r AS (
+  SELECT min(value) AS xlo, max(value) AS xhi,
+         CAST(min(user_id) AS DOUBLE) AS ylo,
+         CAST(max(user_id) AS DOUBLE) AS yhi
+  FROM events)
+SELECT event_id, event_type,
+       round(sqrt(((value - 500.0)/(xhi - xlo)) * ((value - 500.0)/(xhi - xlo))
+                + ((user_id - 50.0)/(yhi - ylo)) * ((user_id - 50.0)/(yhi - ylo))),
+             6) AS pick_dist
+FROM events, r
+ORDER BY pick_dist, event_id
+LIMIT 5
+""")
+def nearest_event_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = TracePicker(ev, "value", "CAST(user_id AS DOUBLE)",
+                    tiebreak=["event_id"])
+    return (p.nearest_events(500.0, 50.0, n=5)
+            .select("event_id", "event_type",
+                    F.round("pick_dist", 6).alias("pick_dist")))

@@ -91,13 +91,17 @@ def baseline_subtract(trace: Column | str, pretrigger_samples: int) -> Column:
 
     Pure built-in array expressions: ``slice`` + ``aggregate`` for the
     baseline, ``transform`` for the subtraction — stays inside
-    whole-stage codegen, no UDF.
+    whole-stage codegen, no UDF. The baseline scalar is bound as a
+    lambda variable (one-element-array transform): subtracting the
+    aggregate expression directly inside the ``transform`` lambda would
+    re-run the pre-trigger fold once per sample — O(k·n) per trace.
     """
     t = F.col(trace) if isinstance(trace, str) else trace
     k = int(pretrigger_samples)
     base = F.aggregate(F.slice(t, 1, k), F.lit(0.0),
                        lambda acc, x: acc + x) / F.lit(float(k))
-    return F.transform(t, lambda x: x - base)
+    return F.flatten(F.transform(
+        F.array(base), lambda b: F.transform(t, lambda x: x - b)))
 
 
 def trace_energy(trace: Column | str, fs: float) -> Column:
