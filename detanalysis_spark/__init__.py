@@ -11,9 +11,11 @@ from .analyzer import Analyzer, CutInfo, FeatureInfo, ensure_event_index, EVENT_
 from .semiautocut import Semiautocut, MasterSemiautocuts
 from .registry import load_plugins
 from .vibration import (sweep_moments, continuous_moments,
-                        psd_from_moments, transfer_functions, MomentCache)
+                        psd_from_moments, transfer_functions, MomentCache,
+                        VibrationAnalyzer)
 from .photon import (fit_spectrum, photon_peak_expr, average_pulses,
-                     fft_ensemble_stats, apply_dpdi, fit_template)
+                     fft_ensemble_stats, apply_dpdi, fit_template,
+                     PhotonCalibration)
 from .picker import TracePicker
 
 __version__ = "0.3.0"
@@ -26,6 +28,6 @@ __all__ = [
     "transfer_functions", "MomentCache",
     "fit_spectrum", "photon_peak_expr", "average_pulses",
     "fft_ensemble_stats", "apply_dpdi", "fit_template",
-    "TracePicker",
+    "TracePicker", "VibrationAnalyzer", "PhotonCalibration",
     "__version__",
 ]

@@ -399,3 +399,129 @@ def template_energy(template_t: np.ndarray, fs: float) -> float:
     (photon_calibration.py:2063-2073). The distributed per-trace
     variant is traces.trace_energy."""
     return float(np.sum(template_t) / fs)
+
+
+class PhotonCalibration:
+    """Facade mirroring the reference's ``PhotonCalibration`` class
+    (photon_calibration.py): one object per (event table, amplitude
+    column) that walks the demo workflow — spectrum fit → peak
+    assignment → trace ensembles → frequency-domain template → energy.
+
+    Every heavy step stays distributed (histogram, peak tagging, pulse
+    averaging, FFT ensemble stats); only the tiny aggregates (histogram
+    bins, one peak's spectrum) cross to the driver for the scipy-style
+    LM fits, exactly as laid out in SURVEY.md §2.10 U3.
+    """
+
+    def __init__(self, events: DataFrame, amp_col: str,
+                 traces: DataFrame | None = None, fs: float = 1.25e6,
+                 trace_col: str = "trace"):
+        self._events = events
+        self._amp_col = amp_col
+        self._traces = traces
+        self._fs = float(fs)
+        self._trace_col = trace_col
+        self.popt = None
+        self.pstds = None
+        self.pcov = None
+        self.hist = None
+        self._eqspacing = True
+        self._npeaks = None
+
+    # ------------------------------------------------------------------
+    def fit_spectrum(self, cut: Column | None = None, poisson: bool = False,
+                     eqspacing: bool = True, npeaks: int = 5,
+                     guess: list | None = None, bounds=None,
+                     bins: int = 200):
+        """Distributed histogram → driver Gaussian-comb fit
+        (photon_calibration.py:369-612). Stores popt/pstds on self."""
+        self.popt, self.pcov, self.pstds, self.hist = fit_spectrum(
+            self._events, self._amp_col, cut=cut, poisson=poisson,
+            eqspacing=eqspacing, npeaks=npeaks, guess=guess,
+            bounds=bounds, bins=bins)
+        self._eqspacing = eqspacing
+        self._npeaks = npeaks
+        return self.popt, self.pstds
+
+    @property
+    def spacing(self) -> float:
+        """Fitted peak spacing (equal-spacing model parameter 0)."""
+        if self.popt is None:
+            raise RuntimeError("call fit_spectrum() first")
+        if not self._eqspacing:
+            raise RuntimeError("spacing is only defined for the "
+                               "equal-spacing model")
+        return float(self.popt[0])
+
+    @property
+    def peak_stds(self) -> list[float]:
+        if self.popt is None:
+            raise RuntimeError("call fit_spectrum() first")
+        return [float(s) for s in self.popt[1:1 + self._npeaks]]
+
+    def peak_expr(self, n_sigma: float = 2.0) -> Column:
+        """Peak-assignment CASE chain from the fitted comb — the
+        photon_cut_dict analog (photon_calibration.py:297-366)."""
+        return photon_peak_expr(self._amp_col, self.spacing,
+                                self.peak_stds, n_sigma=n_sigma)
+
+    def tagged_traces(self, n_sigma: float = 2.0,
+                      join_keys: tuple[str, ...] = ("series_number",
+                                                    "event_number")
+                      ) -> DataFrame:
+        """Traces joined to their fitted peak tag (broadcast-safe only
+        when the event side is pre-filtered; here both are full tables,
+        so it is a plain equi-join on the trace keys)."""
+        if self._traces is None:
+            raise ValueError("PhotonCalibration built without traces")
+        ev = self._events.select(*join_keys,
+                                 self.peak_expr(n_sigma).alias("peak")) \
+            .filter(F.col("peak").isNotNull())
+        return self._traces.join(ev, on=list(join_keys))
+
+    # ------------------------------------------------------------------
+    def average_pulses(self, n_sigma: float = 2.0,
+                       baseline_samples: int | None = None) -> DataFrame:
+        """Per-peak mean pulse (photon_calibration.py:959-993)."""
+        return average_pulses(self.tagged_traces(n_sigma),
+                              trace_col=self._trace_col,
+                              baseline_samples=baseline_samples)
+
+    def fft_stats(self, n_sigma: float = 2.0) -> DataFrame:
+        """Per-(peak, freq-bin) FFT ensemble stats
+        (photon_calibration.py:1340-1400)."""
+        return fft_ensemble_stats(self.tagged_traces(n_sigma), self._fs,
+                                  trace_col=self._trace_col)
+
+    def fit_peak_template(self, stats_df: DataFrame, peak: int,
+                          t_arr: np.ndarray, t0: float, guess,
+                          bounds=None, f_fit_cutoff: float | None = None,
+                          re_col: str = "mean_re", im_col: str = "mean_im",
+                          sre_col: str = "std_re", sim_col: str = "std_im"):
+        """Collect one peak's spectrum and LM-fit the two-pole template
+        (photon_calibration.py:1754-1998). Returns (popt, pcov, pstds)."""
+        mean, std = collect_peak_spectrum(stats_df, peak, re_col=re_col,
+                                          im_col=im_col, sre_col=sre_col,
+                                          sim_col=sim_col)
+        freqs = np.fft.rfftfreq(t_arr.size, d=1.0 / self._fs)
+        return fit_template(mean, std, freqs, self._fs, t_arr, t0, guess,
+                            bounds=bounds, f_fit_cutoff=f_fit_cutoff)
+
+    def template_energy(self, template_t: np.ndarray) -> float:
+        """Energy integral of a fitted template (A17)."""
+        return template_energy(template_t, self._fs)
+
+    # ------------------------------------------------------------------
+    def get_save_obj(self) -> dict:
+        """JSON-ready calibration summary (photon_calibration.py:
+        2469-2480 pickles the object; a dict keeps it portable)."""
+        if self.popt is None:
+            raise RuntimeError("call fit_spectrum() first")
+        return {
+            "amp_col": self._amp_col,
+            "fs": self._fs,
+            "eqspacing": self._eqspacing,
+            "npeaks": self._npeaks,
+            "popt": [float(p) for p in self.popt],
+            "pstds": [float(s) for s in self.pstds],
+        }

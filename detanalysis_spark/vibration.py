@@ -382,3 +382,94 @@ class MomentCache:
             self._df = self._build(union).persist()
             self._channels = set(union)
         return self._df
+
+
+class VibrationAnalyzer:
+    """Facade mirroring the reference's ``Vibration_Analyzer`` entry
+    point (vibration_analyzer.py class): one object per dataset that
+    builds/caches the moment frame and derives PSDs and transfer
+    functions from it.
+
+    Two data types, as in the reference:
+
+    - ``"sweep"``: ``df`` is a processed sweep table with
+      ``amp_real_<ch>/amp_imag_<ch>`` columns (the
+      ``_moments_from_dataframe`` path, vibration_analyzer.py:462-530);
+      mean phasors exist, so all three TF estimators are valid.
+    - ``"continuous"``: ``df`` is a per-event trace table
+      (channel, event ordinal, array<double> trace); moments come from
+      the downsample → rechunk → FFT → bin-aggregate pipeline
+      (vibration_analyzer.py:313-460). The phase-locked estimator is
+      rejected, matching vibration_analyzer.py:144-148.
+
+    Moment frames are cached with channel-superset reuse (ST5,
+    vibration_analyzer.py:532-591) and TF/PSD results are memoized per
+    request key (:1017-1049) so repeated calls never recompute.
+    """
+
+    def __init__(self, df: DataFrame, data_type: str = "sweep",
+                 sample_rate: float | None = None,
+                 downsample_factor: int = 1,
+                 chunk_samples: int | None = None,
+                 order_col: str = "event_id", trace_col: str = "trace",
+                 trace_length_msec: float | None = None):
+        if data_type not in ("sweep", "continuous"):
+            raise ValueError(f"unknown data_type {data_type!r}")
+        if data_type == "continuous" and sample_rate is None:
+            raise ValueError("continuous data requires sample_rate")
+        self._df = df
+        self._data_type = data_type
+        self._sample_rate = sample_rate
+        self._downsample = downsample_factor
+        self._chunk_samples = chunk_samples
+        self._order_col = order_col
+        self._trace_col = trace_col
+        self._trace_length_msec = trace_length_msec
+        self._moments = MomentCache(self._build_moments)
+        self._results: dict[tuple, DataFrame] = {}
+
+    # ------------------------------------------------------------------
+    def _build_moments(self, channels: list[str]) -> DataFrame:
+        if self._data_type == "sweep":
+            return sweep_moments(self._df, channels,
+                                 trace_length_msec=self._trace_length_msec)
+        return continuous_moments(
+            self._df, channels, self._sample_rate,
+            downsample_factor=self._downsample,
+            chunk_samples=self._chunk_samples,
+            order_col=self._order_col, trace_col=self._trace_col)
+
+    def moments(self, channels: list[str],
+                force_overwrite: bool = False) -> DataFrame:
+        return self._moments.get(sorted(channels),
+                                 force_overwrite=force_overwrite)
+
+    # ------------------------------------------------------------------
+    def calc_psd(self, channels: list[str],
+                 force_overwrite: bool = False) -> DataFrame:
+        """(frequency_hz, channel, psd, asd_variance) — reference
+        ``calc_psd`` (vibration_analyzer.py:649-742)."""
+        key = ("psd", tuple(sorted(channels)))
+        if force_overwrite or key not in self._results:
+            m = self.moments(channels, force_overwrite)
+            self._results[key] = psd_from_moments(m, sorted(channels))
+        return self._results[key]
+
+    def calc_transfer_function(self, channel_pairs: list[tuple[str, str]],
+                               methods: list[str] | None = None,
+                               force_overwrite: bool = False) -> DataFrame:
+        """Long TF frame — reference ``calc_transfer_function``
+        (vibration_analyzer.py:880-1015); the phase-locked estimator is
+        refused on continuous data (:144-148, 791-795)."""
+        if methods is None:
+            # default to every estimator valid for the data type
+            methods = [m for m in VALID_TF_METHODS
+                       if self._data_type == "sweep" or m != "phase-locked"]
+        chans = sorted({c for pair in channel_pairs for c in pair})
+        key = ("tf", tuple(sorted(channel_pairs)), tuple(methods))
+        if force_overwrite or key not in self._results:
+            m = self.moments(chans, force_overwrite)
+            self._results[key] = transfer_functions(
+                m, channel_pairs, methods=methods,
+                phasors_available=(self._data_type == "sweep"))
+        return self._results[key]

@@ -1,0 +1,138 @@
+"""VibrationAnalyzer / PhotonCalibration facade behavior (the
+reference's class-level entry points over the functional engine)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from detanalysis_spark.photon import PhotonCalibration
+from detanalysis_spark.vibration import VibrationAnalyzer
+
+CHANNELS = ["AccelGround", "AccelStage1"]
+
+
+@pytest.fixture(scope="module")
+def sweep_df(spark):
+    rng = np.random.default_rng(11)
+    freqs = np.logspace(0, 2, 5)
+    tf = 1.0 / (1.0 + 1j * freqs / 30.0)
+    rows = []
+    for fi, f in enumerate(freqs):
+        drive = np.exp(1j * rng.uniform(0, 0.2, 30))
+        g = drive + 0.02 * (rng.standard_normal(30)
+                            + 1j * rng.standard_normal(30))
+        s1 = tf[fi] * drive + 0.02 * (rng.standard_normal(30)
+                                      + 1j * rng.standard_normal(30))
+        for t in range(30):
+            rows.append((float(f), 1000.0,
+                         float(g[t].real), float(g[t].imag),
+                         float(s1[t].real), float(s1[t].imag)))
+    pdf = pd.DataFrame(rows, columns=[
+        "frequency_hz", "trace_length_msec",
+        "amp_real_AccelGround", "amp_imag_AccelGround",
+        "amp_real_AccelStage1", "amp_imag_AccelStage1"])
+    return spark.createDataFrame(pdf), tf, freqs
+
+
+def test_vibration_facade_psd_and_tf(sweep_df):
+    df, tf, freqs = sweep_df
+    va = VibrationAnalyzer(df, data_type="sweep")
+    psd = va.calc_psd(CHANNELS).toPandas()
+    assert set(psd.channel) == set(CHANNELS)
+    assert len(psd) == 2 * len(freqs)
+
+    got = (va.calc_transfer_function([("AccelStage1", "AccelGround")])
+           .toPandas())
+    assert set(got.method) == {"rms-ratio", "cross-correlation",
+                               "phase-locked"}
+    pl = got[got.method == "phase-locked"].sort_values("frequency_hz")
+    np.testing.assert_allclose(pl.tf_re + 1j * pl.tf_im, tf,
+                               rtol=0.05, atol=0.02)
+
+
+def test_vibration_facade_memoizes(sweep_df):
+    df, _, _ = sweep_df
+    va = VibrationAnalyzer(df, data_type="sweep")
+    a = va.calc_psd(CHANNELS)
+    assert va.calc_psd(CHANNELS) is a                  # result memo
+    vb = VibrationAnalyzer(df, data_type="sweep")
+    m = vb.moments(["AccelGround"])
+    assert vb.moments(["AccelGround"]) is m            # cache hit
+    assert vb.moments(CHANNELS) is not m               # widen rebuilds
+    assert vb.moments(["AccelGround"]) is not m        # superset reused
+
+
+def test_vibration_facade_continuous_rejects_phase_locked(spark):
+    rng = np.random.default_rng(4)
+    rows = [("chA", i, [float(x) for x in rng.standard_normal(32)])
+            for i in range(8)]
+    df = spark.createDataFrame(rows, ["channel", "event_id", "trace"])
+    va = VibrationAnalyzer(df, data_type="continuous", sample_rate=100.0)
+    got = va.calc_transfer_function([("chA", "chA")]).toPandas()
+    # default methods exclude phase-locked on continuous data
+    assert set(got.method) == {"rms-ratio", "cross-correlation"}
+    with pytest.raises(ValueError, match="phase-locked"):
+        va.calc_transfer_function([("chA", "chA")],
+                                  methods=["phase-locked"])
+
+
+def test_vibration_facade_validates():
+    with pytest.raises(ValueError, match="data_type"):
+        VibrationAnalyzer(None, data_type="nope")
+    with pytest.raises(ValueError, match="sample_rate"):
+        VibrationAnalyzer(None, data_type="continuous")
+
+
+# ----------------------------------------------------------------------
+SPACING = 4.0
+STDS = [0.30, 0.32, 0.35]
+
+
+@pytest.fixture(scope="module")
+def photon_data(spark):
+    rng = np.random.default_rng(3)
+    n = 6000
+    peaks = rng.choice(3, size=n, p=[0.5, 0.3, 0.2])
+    amps = peaks * SPACING + rng.standard_normal(n) * np.array(STDS)[peaks]
+    ev = spark.createDataFrame(
+        pd.DataFrame({"series_number": np.full(n, 7, dtype=np.int64),
+                      "event_number": np.arange(n),
+                      "amp": amps}))
+    t = np.arange(64)
+    tr_rows = []
+    for eid in range(300):
+        pk = int(peaks[eid])
+        pulse = pk * np.exp(-((t - 20.0) ** 2) / 50.0)
+        tr = pulse + 0.01 * rng.standard_normal(64)
+        tr_rows.append((7, int(eid), [float(x) for x in tr]))
+    traces = spark.createDataFrame(
+        tr_rows, ["series_number", "event_number", "trace"])
+    return ev, traces, peaks
+
+
+def test_photon_facade_workflow(photon_data):
+    ev, traces, peaks = photon_data
+    pc = PhotonCalibration(ev, "amp", traces=traces, fs=1000.0)
+    with pytest.raises(RuntimeError, match="fit_spectrum"):
+        _ = pc.spacing
+    pc.fit_spectrum(npeaks=3,
+                    guess=[3.5, 0.35, 0.35, 0.35, 200.0, 120.0, 80.0])
+    assert pc.spacing == pytest.approx(SPACING, rel=0.05)
+    assert len(pc.peak_stds) == 3
+
+    tagged = pc.tagged_traces()
+    got = {r.event_number: r.peak for r in tagged.collect()}
+    agree = np.mean([got[e] == peaks[e] for e in got])
+    assert agree > 0.95
+
+    avg = pc.average_pulses(baseline_samples=10).toPandas() \
+        .pivot(index="pos", columns="peak", values="value")
+    assert avg.loc[20, 2] == pytest.approx(2.0, abs=0.1)
+
+    stats = pc.fft_stats()
+    assert stats.filter("peak = 1").count() == 33  # 64//2 + 1 bins
+
+    obj = pc.get_save_obj()
+    assert obj["npeaks"] == 3
+    assert obj["popt"][0] == pytest.approx(SPACING, rel=0.05)
