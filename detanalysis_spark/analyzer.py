@@ -27,6 +27,7 @@ Reference parity citations are given per method (file:line into
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any, Callable, Iterable, Mapping, Sequence
 
@@ -165,6 +166,51 @@ class Analyzer:
         self._features.clear()
         self.drop_global_filter()
         return self
+
+    # ------------------------------------------------------------------
+    # introspection properties (analyzer.py:82-133)
+    # ------------------------------------------------------------------
+    @property
+    def nevents(self) -> int:
+        """Row count of the working (filtered) view (analyzer.py:94-96).
+        Triggers one count job — Spark has no cached len()."""
+        return self.df.count()
+
+    @property
+    def nfiles(self) -> int:
+        """Number of files behind the master scan (analyzer.py:98-100)."""
+        return len(self._df_full.inputFiles())
+
+    @property
+    def file_names(self) -> list[str]:
+        """O1: sorted distinct backing files (analyzer.py:106-111)."""
+        return sorted(self._df_full.inputFiles())
+
+    @property
+    def feature_names(self) -> list[str]:
+        """All selectable columns incl. registered lazy features
+        (analyzer.py:106-111)."""
+        return self.df_full.columns
+
+    @property
+    def nfeatures(self) -> int:
+        return len(self.feature_names)
+
+    @property
+    def is_df_filtered(self) -> bool:
+        """True when a global filter is active (analyzer.py:90-92)."""
+        return self._global_filter is not None
+
+    def list_cuts(self) -> list[str]:
+        """Registered cut names (analyzer.py:113-115)."""
+        return sorted(self._cuts)
+
+    def get_unit(self, feature_exp: str) -> str | None:
+        """Unit string from feature metadata (analyzer.py:135-136; Vaex
+        tracked units on the frame — here they live in the registered
+        feature's metadata under ``'unit'``)."""
+        info = self._features.get(feature_exp)
+        return info.metadata.get("unit") if info is not None else None
 
     # ------------------------------------------------------------------
     # views
@@ -354,6 +400,69 @@ class Analyzer:
         return dict(self._features)
 
     # ------------------------------------------------------------------
+    # selection persistence + plugin repo (analyzer.py:359-377, 482-525, 816-829)
+    # ------------------------------------------------------------------
+    def save_current_selection(self, name: str, metadata: Mapping | None = None,
+                               overwrite: bool = False) -> CutInfo:
+        """Freeze the active global filter as a named cut
+        (analyzer.py:359-377). The reference materializes the widget
+        mask into a boolean column; here the filter predicate itself is
+        registered — lazy, and still valid after the filter changes."""
+        if self._global_filter is None:
+            raise ValueError("no global filter active — nothing to save")
+        meta = dict(metadata or {})
+        meta.setdefault("source", "global_filter")
+        meta.setdefault("description", self.global_filter_description)
+        return self.register_cut(self._global_filter, name,
+                                 metadata=meta, overwrite=overwrite)
+
+    def set_analysis_repo(self, repo_path: str, load_func: bool = True) -> None:
+        """Attach a cut/feature script repository (analyzer.py:816-829):
+        remembers the path (git metadata is captured per-load by the
+        registry) and optionally loads ``cuts/`` and ``features/``."""
+        self._analysis_repo_path = repo_path
+        if load_func:
+            self.load_derived_features()
+            self.load_cuts()
+
+    def _find_plugin_dir(self, explicit: str | None, leaf: str) -> str | None:
+        if explicit is not None:
+            return explicit
+        root = getattr(self, "_analysis_repo_path", None)
+        if root is None:
+            return None
+        cand = os.path.join(root, leaf)
+        if os.path.isdir(cand):
+            return cand
+        for dirpath, dirnames, _ in os.walk(root):
+            if leaf in dirnames:
+                return os.path.join(dirpath, leaf)
+        return None
+
+    def load_cuts(self, cuts_path: str | None = None,
+                  overwrite: bool = False) -> list[str]:
+        """Load cut scripts (analyzer.py:482-500) via the plugin
+        registry (version gate + git capture). Returns loaded names."""
+        from .registry import load_plugins
+        path = self._find_plugin_dir(cuts_path, "cuts")
+        if path is None or not os.path.isdir(path):
+            return []
+        return load_plugins(self, path, is_cut=True,
+                            repo_dir=getattr(self, "_analysis_repo_path", None),
+                            overwrite=overwrite)
+
+    def load_derived_features(self, features_path: str | None = None,
+                              overwrite: bool = False) -> list[str]:
+        """Load feature scripts (analyzer.py:502-525)."""
+        from .registry import load_plugins
+        path = self._find_plugin_dir(features_path, "features")
+        if path is None or not os.path.isdir(path):
+            return []
+        return load_plugins(self, path, is_cut=False,
+                            repo_dir=getattr(self, "_analysis_repo_path", None),
+                            overwrite=overwrite)
+
+    # ------------------------------------------------------------------
     # global filter (P5, analyzer.py:419-454)
     # ------------------------------------------------------------------
     def apply_global_filter(self, cut: Any, mode: str = "replace") -> None:
@@ -464,6 +573,28 @@ class Analyzer:
         if "series_number" in keep:
             writer = writer.partitionBy("series_number")
         writer.parquet(path)
+
+    # ------------------------------------------------------------------
+    # headless plotting data providers (analyzer.py:579-716)
+    # ------------------------------------------------------------------
+    def hist(self, feature: str, cut: Any = None, shape: int = 64,
+             limits: Any = "minmax"):
+        """1-D histogram of a feature under an optional cut — the data
+        half of the reference's ``hist`` (analyzer.py:579-662), without
+        the matplotlib render. Returns ``(counts, edges)`` numpy arrays
+        from one distributed pass."""
+        from .operators.histogram import hist1d
+        return hist1d(self._subset_df(self.df, cut), feature,
+                      shape=shape, limits=limits)
+
+    def heatmap(self, feature_x: str, feature_y: str, cut: Any = None,
+                shape: int | Sequence[int] = 64, limits_x: Any = "minmax",
+                limits_y: Any = "minmax"):
+        """2-D histogram grid — the data half of ``heatmap``
+        (analyzer.py:664-716). Returns ``(grid, x_edges, y_edges)``."""
+        from .operators.histogram import hist2d
+        return hist2d(self._subset_df(self.df, cut), feature_x, feature_y,
+                      shape=shape, limits_x=limits_x, limits_y=limits_y)
 
     def passage_fraction(self, cut: Any, base_cut: Any = None) -> float:
         """A8: fraction of (base-cut) rows passing ``cut`` — one agg of

@@ -56,6 +56,27 @@ from .analyzer import Analyzer
 
 SENTINEL = -1e8
 
+# reference trigger_type codes (semiautocuts.py:1872-1881)
+TRIGGER_RANDOM = 3.0
+TRIGGER_TRIGGER = 4.0
+
+
+def _trigger_sel(lgc_randoms: bool, lgc_triggers: bool,
+                 trigger_col: str) -> tuple[Column | None, str]:
+    """Trigger-type row selection + title suffix
+    (semiautocuts.py:1872-1883). ``(None, ...)`` means all rows —
+    only possible when both flags are False, which the reference
+    leaves undefined; we treat it as no selection."""
+    t = F.col(trigger_col)
+    if lgc_randoms and lgc_triggers:
+        return ((t == TRIGGER_RANDOM) | (t == TRIGGER_TRIGGER),
+                " (Triggers and Randoms)")
+    if lgc_randoms:
+        return t == TRIGGER_RANDOM, " (Randoms Only)"
+    if lgc_triggers:
+        return t == TRIGGER_TRIGGER, " (Triggers Only)"
+    return None, ""
+
 # the reference's central-interval percentiles (semiautocuts.py:590-607)
 _SIG_LO = (50.0 - 68.27 / 2.0) / 100.0
 _SIG_HI = (50.0 + 68.27 / 2.0) / 100.0
@@ -422,6 +443,40 @@ class Semiautocut:
         return ~bad
 
     # ------------------------------------------------------------------
+    # passage fraction (semiautocuts.py:1846-1896)
+    # ------------------------------------------------------------------
+    def get_passage_fraction(self, lgcprint: bool = False,
+                             lgc_randoms: bool = True,
+                             lgc_triggers: bool = True,
+                             trigger_col: str = "trigger_type") -> float:
+        """Fraction of trigger-selected events passing this cut.
+
+        The reference (semiautocuts.py:1846-1896) collects the full
+        boolean mask to the driver; here numerator and denominator come
+        back from ONE map-side-combined aggregate — no mask ever leaves
+        the executors.
+        """
+        if self.column is None:
+            raise RuntimeError("call do_cut() first")
+        df = self.ana.df_full
+        sel, title = _trigger_sel(lgc_randoms, lgc_triggers, trigger_col)
+        if sel is not None:
+            df = df.filter(sel)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(self.column.cast("long")).alias("passed")).collect()[0]
+        n, passed = int(row["n"]), int(row["passed"] or 0)
+        frac = passed / n if n else float("nan")
+        if lgcprint:
+            print(f"Cut name: {self.cut_name}")
+            print(f"Passage fraction: {frac}{title}")
+            print(f"Number of events passing cuts: {passed}{title}")
+            print(f"Number of events failing cuts: {n - passed}{title}")
+            print(f"Number of total events: {n}{title}")
+            print(" ")
+        return frac
+
+    # ------------------------------------------------------------------
     # cut-recipe (de)serialization (semiautocuts.py:308-381, 1899-1936)
     # ------------------------------------------------------------------
     def get_cut_dict(self, save_values: bool = True) -> dict:
@@ -564,3 +619,102 @@ class MasterSemiautocuts:
         return self.get_combined_cuts(
             sat_pass_threshold=combo.get("sat_pass_threshold"),
             cut_name=combo.get("cut_name"))
+
+    def batch_create_load_combine_cuts(self, master_dict_list: Sequence[Mapping],
+                                       time_col: str = "event_time") -> list[Column]:
+        """Run the full recipe for each master dict
+        (semiautocuts.py:2161-2189). Returns the combined Columns."""
+        return [self.create_load_combine_cuts(d, time_col=time_col)
+                for d in master_dict_list]
+
+    # ------------------------------------------------------------------
+    # passage fractions (semiautocuts.py:2191-2239, 2471-2531)
+    # ------------------------------------------------------------------
+    def get_passage_fraction(self, lgcprint: bool = False,
+                             lgc_randoms_return: bool = False,
+                             trigger_col: str = "trigger_type") -> float:
+        """Overall and randoms-only passage fraction of the combined
+        cut (semiautocuts.py:2191-2239) — both from ONE aggregate pass
+        instead of two driver-side mask scans."""
+        if self.column is None:
+            raise RuntimeError("call get_combined_cuts() first")
+        df = self.ana.df_full
+        is_rand = (F.col(trigger_col) == TRIGGER_RANDOM).cast("long") \
+            if trigger_col in df.columns else F.lit(0)
+        passed = self.column.cast("long")
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(passed).alias("passed"),
+            F.sum(is_rand).alias("n_rand"),
+            F.sum(passed * is_rand).alias("passed_rand")).collect()[0]
+        n, p = int(row["n"]), int(row["passed"] or 0)
+        nr, pr = int(row["n_rand"] or 0), int(row["passed_rand"] or 0)
+        frac = p / n if n else float("nan")
+        frac_rand = pr / nr if nr else float("nan")
+        if lgcprint:
+            print(f"Passage fraction: {frac}")
+            print(f"Number of events passing cuts: {p}")
+            print(f"Number of events failing cuts: {n - p}")
+            print(f"Number of total events: {n}")
+            print(" ")
+            print(f"Passage fraction randoms: {frac_rand}")
+            print(f"Number of Randoms Passing Cuts: {pr}")
+            print(f"Total number of randoms: {nr}")
+        return frac_rand if lgc_randoms_return else frac
+
+    def get_randoms_passfrac_table(self, trigger_col: str = "trigger_type"):
+        """Sequential passage-fraction matrix over randoms
+        (semiautocuts.py:2471-2531): cell (i, j), j <= i, is the
+        fraction of ALL randoms passing cut_i AND cuts_0..j; the
+        denominator is the constant randoms count. Returns
+        ``(matrix, cut_names)`` with NaN above the diagonal.
+
+        The reference materializes an n×N mask matrix on the driver;
+        here every cell is a ``sum()`` column of one aggregate — a
+        single map-side-combined job, O(n²) scalar results.
+        """
+        import numpy as np
+
+        df = self.ana.df_full
+        preds = [self.ana.resolve_cut(nm).cast("boolean")
+                 for nm in self.cuts_list]
+        n = len(preds)
+        is_rand = (F.col(trigger_col) == TRIGGER_RANDOM)
+        aggs = [F.sum(is_rand.cast("long")).alias("__nrand__")]
+        for i in range(n):
+            acc = preds[i] & is_rand
+            for j in range(i + 1):
+                acc = acc & preds[j]
+                aggs.append(F.sum(acc.cast("long")).alias(f"__c_{i}_{j}__"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        nrand = row["__nrand__"] or 0
+        mat = np.full((n, n), np.nan)
+        for i in range(n):
+            for j in range(i + 1):
+                mat[i, j] = (row[f"__c_{i}_{j}__"] or 0) / nrand if nrand else np.nan
+        return mat, list(self.cuts_list)
+
+    def get_example_events(self, num_example_events: int,
+                           traces: DataFrame | None = None,
+                           join_keys: Sequence[str] = ("series_number",
+                                                       "event_number"),
+                           seed: int | None = None) -> DataFrame:
+        """Random events passing the combined cut, with their raw
+        traces when a trace table is given (semiautocuts.py:2414-2469).
+        Headless analog of ``plot_example_events``: returns the
+        DataFrame instead of rendering.
+
+        Scale shape: ``orderBy(rand)`` + ``limit`` prunes to n rows
+        BEFORE the trace join, so the join is a broadcast key-lookup of
+        n keys against the big trace table — never a full-table join.
+        """
+        if self.column is None:
+            raise RuntimeError("call get_combined_cuts() first")
+        picked = (self.ana.df_full.filter(self.column)
+                  .orderBy(F.rand(seed) if seed is not None else F.rand())
+                  .limit(int(num_example_events)))
+        if traces is None:
+            return picked
+        from .traces import get_traces
+        return get_traces(traces, picked.select(*join_keys),
+                          nb_events_limit=int(num_example_events))
