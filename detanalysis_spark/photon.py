@@ -375,8 +375,9 @@ def fit_template(mean_p_f: np.ndarray, std_p_f: np.ndarray,
     fft_ensemble_stats → apply_dpdi pipeline via collect_peak_spectrum;
     the fit itself is a driver-side n_freqs-point problem.
     """
-    w_re = 1.0 / std_p_f.real
-    w_im = 1.0 / std_p_f.imag
+    with np.errstate(divide="ignore"):
+        w_re = 1.0 / std_p_f.real
+        w_im = 1.0 / std_p_f.imag
     for w in (w_re, w_im):
         w[~np.isfinite(w)] = 0.0
         w[0] = 0.0

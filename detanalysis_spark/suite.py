@@ -1359,3 +1359,102 @@ def nearest_event_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (p.nearest_events(500.0, 50.0, n=5)
             .select("event_id", "event_type",
                     F.round("pick_dist", 6).alias("pick_dist")))
+
+
+# ----------------------------------------------------------------------
+# MasterSemiautocuts randoms passage-fraction matrix
+# (semiautocuts.py:2471-2531): lower-triangular sequential passfracs
+# over the randoms population, all cells from ONE aggregate pass.
+# trigger_type is derived (events has none): event_id % 3 == 0 → random.
+# Integer passed-counts keep the compare hash-exact.
+# ----------------------------------------------------------------------
+@query("master_randoms_passfrac", oracle="""
+WITH b AS (SELECT (value > 1.0) AS c0, (value < 8.0) AS c1,
+                  (event_type <> 'error') AS c2,
+                  (event_id % 3 = 0) AS r
+           FROM events)
+SELECT 0 AS i, 0 AS j, CAST(count(*) FILTER (WHERE c0 AND r) AS BIGINT) AS passed FROM b
+UNION ALL SELECT 1, 0, count(*) FILTER (WHERE c1 AND c0 AND r) FROM b
+UNION ALL SELECT 1, 1, count(*) FILTER (WHERE c1 AND c0 AND r) FROM b
+UNION ALL SELECT 2, 0, count(*) FILTER (WHERE c2 AND c0 AND r) FROM b
+UNION ALL SELECT 2, 1, count(*) FILTER (WHERE c2 AND c0 AND c1 AND r) FROM b
+UNION ALL SELECT 2, 2, count(*) FILTER (WHERE c2 AND c0 AND c1 AND r) FROM b
+""")
+def master_randoms_passfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ana = Analyzer(load_table(spark, sf_dir, "events"))
+    ana.register_feature(
+        "CASE WHEN event_id % 3 = 0 THEN 3.0 ELSE 4.0 END", "trigger_type")
+    ana.register_cut("value > 1.0", "c0")
+    ana.register_cut("value < 8.0", "c1")
+    ana.register_cut("event_type <> 'error'", "c2")
+    m = MasterSemiautocuts(ana, ["c0", "c1", "c2"])
+    mat, _ = m.get_randoms_passfrac_table()
+    nrand = ana.count("trigger_type = 3.0")
+    rows = [(i, j, int(round(mat[i, j] * nrand)))
+            for i in range(3) for j in range(i + 1)]
+    return spark.createDataFrame(rows, "i int, j int, passed bigint")
+
+
+# ----------------------------------------------------------------------
+# Semiautocut passage fraction under the reference's trigger-type
+# selections (semiautocuts.py:1846-1896): randoms-only / triggers-only
+# / both, one engine call each; counts emitted as exact integers.
+# ----------------------------------------------------------------------
+@query("passfrac_trigger_splits", oracle=f"""
+WITH b AS (SELECT value, (event_id % 3 = 0) AS is_rand FROM events),
+s AS (SELECT quantile_cont(value, 0.5) AS med,
+             abs(((quantile_cont(value, {_SIG_LO!r}) - quantile_cont(value, 0.5))
+                + (quantile_cont(value, 0.5) - quantile_cont(value, {_SIG_HI!r}))) / 2) AS sig
+      FROM b)
+SELECT 'randoms' AS sel,
+       CAST(count(*) FILTER (WHERE is_rand) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE is_rand AND value > med - 2*sig
+                               AND value < med + 2*sig) AS BIGINT) AS passed
+FROM b, s
+UNION ALL
+SELECT 'triggers', count(*) FILTER (WHERE NOT is_rand),
+       count(*) FILTER (WHERE NOT is_rand AND value > med - 2*sig
+                          AND value < med + 2*sig)
+FROM b, s
+UNION ALL
+SELECT 'both', count(*), count(*) FILTER (WHERE value > med - 2*sig
+                                            AND value < med + 2*sig)
+FROM b, s
+""")
+def passfrac_trigger_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ana = Analyzer(load_table(spark, sf_dir, "events"))
+    ana.register_feature(
+        "CASE WHEN event_id % 3 = 0 THEN 3.0 ELSE 4.0 END", "trigger_type")
+    sac = Semiautocut(ana, "value", "", {"sigma": 2.0},
+                      cut_rq_name_override=True)
+    sac.do_cut()
+    rows = []
+    for sel, kw in (("randoms", {"lgc_triggers": False}),
+                    ("triggers", {"lgc_randoms": False}),
+                    ("both", {})):
+        n = ana.count(f"trigger_type = 3.0" if sel == "randoms"
+                      else "trigger_type = 4.0" if sel == "triggers"
+                      else "trigger_type IN (3.0, 4.0)")
+        frac = sac.get_passage_fraction(**kw)
+        rows.append((sel, n, int(round(frac * n))))
+    return spark.createDataFrame(rows, "sel string, n bigint, passed bigint")
+
+
+# ----------------------------------------------------------------------
+# save_current_selection (analyzer.py:359-377): freeze the global
+# filter as a named cut, drop the filter, count under the saved cut.
+# ----------------------------------------------------------------------
+@query("saved_selection_counts", oracle="""
+SELECT event_type, count(*) AS n
+FROM events
+WHERE value > 2.0 AND user_id % 2 = 0
+GROUP BY event_type
+""")
+def saved_selection_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ana = Analyzer(load_table(spark, sf_dir, "events"))
+    ana.apply_global_filter("value > 2.0")
+    ana.apply_global_filter("user_id % 2 = 0", mode="and")
+    ana.save_current_selection("frozen")
+    ana.drop_global_filter()
+    return (ana._subset_df(ana.df, "frozen")
+            .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
