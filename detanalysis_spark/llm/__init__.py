@@ -6,7 +6,8 @@ components designed for the 100 TB regime (bucketed candidate
 generation, no all-pairs, no driver-side loops).
 """
 
-from .similarity import cosine_similarity, cosine_topk, RandomHyperplaneLSH
+from .similarity import (cosine_similarity, cosine_topk,
+                         RandomHyperplaneLSH, IVFIndex)
 from .dedup import (dedup_exact, minhash_signatures, lsh_candidate_pairs,
                     near_dup_clusters, simhash, ngram_jaccard)
 from .text import (token_count, bpe_ish_token_count, quality_scores,
@@ -15,7 +16,7 @@ from .multimodal import (decode_raw8, encode_raw8, resize_bilinear,
                          image_features, audio_features, frame_sample_udf)
 
 __all__ = [
-    "cosine_similarity", "cosine_topk", "RandomHyperplaneLSH",
+    "cosine_similarity", "cosine_topk", "RandomHyperplaneLSH", "IVFIndex",
     "dedup_exact", "minhash_signatures", "lsh_candidate_pairs",
     "near_dup_clusters", "simhash", "ngram_jaccard",
     "token_count", "bpe_ish_token_count", "quality_scores",

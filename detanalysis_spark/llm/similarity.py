@@ -209,3 +209,134 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
     sim = _dot(F.col("va"), F.col("vb"))
     return (pairs.select("id_a", "id_b", sim.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+# ----------------------------------------------------------------------
+# IVF (inverted-file) index — the second standard ANN scale path
+# ----------------------------------------------------------------------
+class IVFIndex:
+    """IVF ANN: a spherical k-means coarse quantizer partitions the
+    corpus into cells; a probe searches only its ``n_probe`` nearest
+    cells.
+
+    Training runs driver-side on a deterministic sample (a coarse
+    quantizer needs only a sketch of the distribution); assignment and
+    probing are vectorized pandas UDFs — one matmul per Arrow batch
+    against the (small) centroid matrix, which ships to executors via
+    closure capture.
+
+    Scale shape (100 TB): ``with_cell`` is a per-row projection (no
+    shuffle); persisting the corpus bucketed/partitioned by ``ivf_cell``
+    makes probe-time reads partition-pruned — each query touches
+    ``n_probe`` cells ≈ ``n_probe/n_centroids`` of the data. The
+    candidate join is an equi-join on the cell id, never all-pairs.
+    With ``n_probe == n_centroids`` the search is exhaustive and exactly
+    matches brute force — the oracle path.
+    """
+
+    def __init__(self, n_centroids: int = 64, n_probe: int = 4,
+                 seed: int = 42, max_iter: int = 25):
+        if n_probe > n_centroids:
+            raise ValueError("n_probe cannot exceed n_centroids")
+        self.n_centroids, self.n_probe = n_centroids, n_probe
+        self.seed, self.max_iter = seed, max_iter
+        self.centroids: np.ndarray | None = None  # (k, dim), unit rows
+
+    @staticmethod
+    def _unit_rows(mat: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        return mat / n
+
+    def fit(self, df: DataFrame, vec_col: str = "embedding",
+            id_col: str = "vec_id", sample_size: int = 100_000) -> "IVFIndex":
+        """Train the quantizer on the ``sample_size`` lowest-id vectors
+        (deterministic across runs; any fixed subset is adequate for a
+        coarse quantizer). Lloyd iterations with cosine assignment;
+        empty cells are re-seeded from the least-covered points."""
+        pdf = (df.orderBy(id_col).limit(sample_size)
+               .select(vec_col).toPandas())
+        X = self._unit_rows(np.stack(pdf[vec_col].to_numpy())
+                            .astype(np.float64))
+        k = min(self.n_centroids, X.shape[0])
+        rng = np.random.default_rng(self.seed)
+        C = X[rng.choice(X.shape[0], size=k, replace=False)]
+        for _ in range(self.max_iter):
+            sims = X @ C.T                      # (n, k)
+            assign = sims.argmax(axis=1)
+            newC = np.zeros_like(C)
+            for c in range(k):
+                members = X[assign == c]
+                if len(members):
+                    newC[c] = members.sum(axis=0)
+                else:  # re-seed dead cell with the worst-covered point
+                    newC[c] = X[sims.max(axis=1).argmin()]
+            newC = self._unit_rows(newC)
+            if np.allclose(newC, C, atol=1e-9):
+                C = newC
+                break
+            C = newC
+        self.centroids = C
+        return self
+
+    def _require_fit(self) -> np.ndarray:
+        if self.centroids is None:
+            raise RuntimeError("call fit() first")
+        return self.centroids
+
+    def cell_udf(self, n_cells: int = 1):
+        """pandas UDF: ``n_cells`` nearest centroid ids per vector
+        (one matmul per Arrow batch)."""
+        C = self._require_fit()
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def _cells(vecs: pd.Series) -> pd.Series:
+            if vecs.empty:
+                return pd.Series([], dtype=object)
+            mat = IVFIndex._unit_rows(np.stack(vecs.to_numpy())
+                                      .astype(np.float64))
+            sims = mat @ C.T
+            if n_cells == 1:
+                return pd.Series(list(sims.argmax(axis=1)
+                                      .astype(np.int64)[:, None]))
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_cells]
+            return pd.Series(list(top.astype(np.int64)))
+
+        return _cells
+
+    def with_cell(self, df: DataFrame, vec_col: str = "embedding",
+                  out_col: str = "ivf_cell") -> DataFrame:
+        """Attach the home-cell id (projection only — persist the table
+        partitioned by this column for probe-time partition pruning)."""
+        return df.withColumn(
+            out_col, self.cell_udf(1)(F.col(vec_col)).getItem(0))
+
+    def topk(self, corpus: DataFrame, probes: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             probe_id_col: str | None = None,
+             exclude_self: bool = True) -> DataFrame:
+        """Approximate top-k: exact cosine over the probes' ``n_probe``
+        nearest cells only. Same output contract as ``cosine_topk``."""
+        pid = probe_id_col or id_col
+        c = (self.with_cell(corpus, vec_col)
+             .select(F.col(id_col).alias("neighbor_id"),
+                     F.col("ivf_cell").alias("cell"),
+                     _unit(F.col(vec_col)).alias("vec")))
+        p = (probes
+             .select(F.col(pid).alias("probe_id"),
+                     self.cell_udf(self.n_probe)(F.col(vec_col))
+                     .alias("cells"),
+                     _unit(F.col(vec_col)).alias("probe_vec"))
+             .select("probe_id", "probe_vec",
+                     F.explode("cells").alias("cell")))
+        pairs = c.join(F.broadcast(p), "cell")
+        if exclude_self:
+            pairs = pairs.filter(F.col("neighbor_id") != F.col("probe_id"))
+        scored = pairs.select(
+            "probe_id", "neighbor_id",
+            _dot(F.col("vec"), F.col("probe_vec")).alias("sim"))
+        w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(),
+                                                   F.col("neighbor_id").asc())
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("probe_id", "rank", "neighbor_id", "sim"))

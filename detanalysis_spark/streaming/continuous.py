@@ -146,3 +146,30 @@ def run_available_now(sdf: DataFrame, query_name: str = "moments",
          .trigger(availableNow=True).start())
     q.awaitTermination(timeout_sec)
     return sdf.sparkSession.table(query_name)
+
+
+def streaming_dedup_exact(sdf: DataFrame, cols: list[str],
+                          watermark_col: str | None = None,
+                          delay: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: state-backed first-wins on content hash.
+
+    The batch ``llm.dedup.dedup_exact`` keeps min-id per hash; on a
+    stream "first seen wins" is the streaming analog (arrival order is
+    the stream's id order). With ``watermark_col`` the dedup state is
+    evicted once keys age past ``delay``
+    (``dropDuplicatesWithinWatermark``) — the unbounded-ingest path
+    where duplicates arrive close together (crawl recrawls, retries).
+    Without it, state holds every distinct hash — only for bounded
+    backfills.
+
+    State lives in the streaming state store keyed by the hash —
+    shuffle-partitioned, scales horizontally with partitions.
+    """
+    from ..llm.dedup import content_hash
+
+    out = sdf.withColumn("__content_hash__", content_hash(*cols))
+    if watermark_col is not None:
+        out = out.withWatermark(watermark_col, delay)
+        return (out.dropDuplicatesWithinWatermark(["__content_hash__"])
+                .drop("__content_hash__"))
+    return out.dropDuplicates(["__content_hash__"]).drop("__content_hash__")

@@ -1458,3 +1458,96 @@ def saved_selection_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ana.drop_global_filter()
     return (ana._subset_df(ana.df, "frozen")
             .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
+
+
+# ----------------------------------------------------------------------
+# IVF ANN over embeddings: spherical k-means coarse quantizer, probe
+# searches n_probe cells. With n_probe == n_centroids the search is
+# exhaustive, so the brute-force DuckDB cosine oracle applies exactly —
+# this checks the whole IVF machinery (fit → assign → cell join → rank)
+# end-to-end. The partial-probe scale path is covered by pytest recall
+# tests on planted clusters.
+# ----------------------------------------------------------------------
+@query("ann_ivf_topk", oracle="""
+WITH s AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                CAST(p.embedding AS DOUBLE[])) AS sim
+  FROM embeddings c,
+       (SELECT * FROM embeddings WHERE vec_id < 4) p
+  WHERE c.vec_id <> p.vec_id),
+r AS (SELECT probe_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM s)
+SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id,
+       round(sim, 6) AS sim
+FROM r WHERE rank <= 5
+""")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.similarity import IVFIndex
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = IVFIndex(n_centroids=8, n_probe=8, seed=7).fit(
+        emb, sample_size=2000)
+    return (ivf.topk(emb, emb.filter("vec_id < 4"), k=5)
+            .withColumn("sim", F.round("sim", 6)))
+
+
+# ----------------------------------------------------------------------
+# End-to-end training-data pipeline: language-ID gate → quality filter
+# → exact dedup (first-wins by doc_id) → per-source corpus stats.
+# Composes llm.text + llm.dedup as one lazy plan: the filters reach the
+# scan, the only shuffle is the dedup hash partition + final groupBy.
+# ----------------------------------------------------------------------
+@query("training_pipeline_stats", oracle=r"""
+WITH f AS (
+  SELECT doc_id, source, text,
+         string_split_regex(trim(text), '\s+') AS toks,
+         list_transform(string_split_regex(trim(text), '\s+'),
+                        t -> lower(t)) AS low,
+         len(text) AS n_chars
+  FROM documents),
+s AS (
+  SELECT doc_id, source, text, len(toks) AS n_tokens,
+         len(list_filter(low, t -> list_contains(
+             ['a','and','in','is','of','that','the','to'], t))) AS s_en,
+         len(list_filter(low, t -> list_contains(
+             ['das','der','die','ein','ist','nicht','und','zu'], t))) AS s_de,
+         len(list_filter(low, t -> list_contains(
+             ['est','et','la','le','les','pas','que','une'], t))) AS s_fr,
+         len(list_filter(low, t -> list_contains(
+             ['el','es','la','los','no','que','una','y'], t))) AS s_es,
+         len(list_filter(low, t -> list_contains(
+             ['a','and','in','is','of','that','the','to'], t)))::DOUBLE
+           / greatest(len(toks), 1) AS stop_ratio,
+         (n_chars - len(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+           / greatest(n_chars, 1) AS digit_ratio
+  FROM f),
+kept AS (
+  SELECT doc_id, source, text, n_tokens FROM s
+  WHERE greatest(s_en, s_de, s_fr, s_es) > 0
+    AND s_en = greatest(s_en, s_de, s_fr, s_es)
+    AND stop_ratio > 0.04 AND digit_ratio < 0.2 AND n_tokens >= 5),
+uniq AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY text
+                                              ORDER BY doc_id) AS rn
+                 FROM kept) WHERE rn = 1)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM uniq GROUP BY source
+""")
+def training_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.dedup import dedup_exact
+    from .llm.text import language_id, quality_scores, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = quality_scores(F.col("text"))
+    kept = (docs
+            .filter(language_id(F.col("text")) == "en")
+            .filter((qs["stopword_ratio"] > 0.04)
+                    & (qs["digit_ratio"] < 0.2)
+                    & (qs["n_tokens"] >= 5)))
+    uniq = dedup_exact(kept, ["text"], "doc_id")
+    return (uniq.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(token_count(F.col("text"))).alias("total_tokens")))

@@ -196,3 +196,60 @@ def test_cosine_near_dup_exact_and_lsh(spark):
     approx = {(r.id_a, r.id_b)
               for r in cosine_near_dup_pairs(df, 0.95, lsh=lsh).collect()}
     assert approx == exact           # near-identical vectors always collide
+
+
+# ----------------------------------------------------------------------
+# IVF index
+# ----------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    """4 well-separated clusters of 25 vectors each (planted structure
+    an IVF quantizer must recover)."""
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((4, 16)) * 10.0
+    vecs = np.vstack([c + 0.1 * rng.standard_normal((25, 16))
+                      for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"])
+    return df, vecs
+
+
+def test_ivf_full_probe_matches_brute_force(clustered_vectors):
+    from detanalysis_spark.llm.similarity import IVFIndex
+    df, _ = clustered_vectors
+    probes = df.filter("vec_id IN (0, 30, 60)")
+    ivf = IVFIndex(n_centroids=4, n_probe=4, seed=1).fit(df)
+    got = ivf.topk(df, probes, k=5).collect()
+    want = cosine_topk(df, probes, k=5).collect()
+    key = lambda r: (r.probe_id, r.rank)
+    assert sorted([(r.probe_id, r.rank, r.neighbor_id) for r in got]) \
+        == sorted([(r.probe_id, r.rank, r.neighbor_id) for r in want])
+    gs = {key(r): r.sim for r in got}
+    for r in want:
+        assert gs[key(r)] == pytest.approx(r.sim, abs=1e-9)
+
+
+def test_ivf_single_probe_recalls_within_cluster(clustered_vectors):
+    from detanalysis_spark.llm.similarity import IVFIndex
+    df, vecs = clustered_vectors
+    ivf = IVFIndex(n_centroids=4, n_probe=1, seed=1).fit(df)
+    # every vector's true top-5 lives in its own cluster, so probing a
+    # single cell must still achieve perfect recall
+    probes = df.filter("vec_id IN (2, 27, 52, 77)")
+    got = ivf.topk(df, probes, k=5).collect()
+    want = cosine_topk(df, probes, k=5).collect()
+    assert sorted([(r.probe_id, r.rank, r.neighbor_id) for r in got]) \
+        == sorted([(r.probe_id, r.rank, r.neighbor_id) for r in want])
+    # and the candidate set it scored was ~1/4 of the corpus, not all of
+    # it: each home cell holds exactly one planted cluster
+    cells = ivf.with_cell(df).groupBy("ivf_cell").count().collect()
+    assert sorted(r["count"] for r in cells) == [25, 25, 25, 25]
+
+
+def test_ivf_validates():
+    from detanalysis_spark.llm.similarity import IVFIndex
+    with pytest.raises(ValueError, match="n_probe"):
+        IVFIndex(n_centroids=4, n_probe=8)
+    with pytest.raises(RuntimeError, match="fit"):
+        IVFIndex().cell_udf()

@@ -96,3 +96,37 @@ def test_stream_state_carries_across_batches(spark, cont_dir):
     # chunk COUNT must match even across micro-batch boundaries; values
     # match when files arrive in event order (ordering contract)
     assert set(got) == set(want)
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    from detanalysis_spark.streaming.continuous import streaming_dedup_exact
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType, TimestampType)
+    import pandas as pd
+
+    d = str(tmp_path / "docs_stream")
+    pdf = pd.DataFrame({
+        "doc_id": range(10),
+        "text": ["alpha", "beta", "alpha", "gamma", "beta",
+                 "delta", "alpha", "epsilon", "zeta", "gamma"],
+        "ts": pd.to_datetime("2026-01-01") + pd.to_timedelta(range(10), "s"),
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(d)
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType()),
+                         StructField("ts", TimestampType())])
+    sdf = spark.readStream.schema(schema).parquet(d)
+
+    got = run_available_now(streaming_dedup_exact(sdf, ["text"]),
+                            "dedup_t1", output_mode="append").collect()
+    texts = sorted(r.text for r in got)
+    assert texts == ["alpha", "beta", "delta", "epsilon", "gamma", "zeta"]
+
+    # watermarked variant: same result on this bounded drain, but the
+    # plan carries the state-eviction operator
+    sdf2 = spark.readStream.schema(schema).parquet(d)
+    got2 = run_available_now(
+        streaming_dedup_exact(sdf2, ["text"], watermark_col="ts"),
+        "dedup_t2", output_mode="append").collect()
+    assert sorted(r.text for r in got2) == texts
