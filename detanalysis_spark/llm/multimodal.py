@@ -167,7 +167,8 @@ def audio_features(df: DataFrame, id_col: str, frame_samples: int = 256,
         for pdf in batches:
             ids, rmss, zcrs, energies = [], [], [], []
             for r in pdf.itertuples(index=False):
-                x = np.frombuffer(r.payload, dtype="<i2") / 32768.0
+                buf = r.payload[:len(r.payload) & ~1]  # drop odd tail byte
+                x = np.frombuffer(buf, dtype="<i2") / 32768.0
                 ids.append(getattr(r, id_col))
                 rmss.append(float(np.sqrt(np.mean(x ** 2))) if x.size
                             else 0.0)

@@ -1551,3 +1551,43 @@ def training_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (uniq.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(token_count(F.col("text"))).alias("total_tokens")))
+
+
+# ----------------------------------------------------------------------
+# Multimodal audio: PCM16 payloads (synthesized deterministically from
+# the documents' ASCII bytes — little-endian byte pairs) → RMS via the
+# mapInPandas DSP kernel; the oracle recomputes the identical math with
+# DuckDB list comprehensions. Exercises the real plumbing: binary
+# payload column, Arrow batches, vectorized decode.
+# ----------------------------------------------------------------------
+@query("multimodal_audio_stats", oracle="""
+WITH c AS (SELECT doc_id, lang,
+                  substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 64) AS t
+           FROM documents),
+s AS (SELECT doc_id, lang,
+             [CASE WHEN 2*i+2 <= len(t)
+                   THEN ord(substr(t, 2*i+1, 1)) + 256 * ord(substr(t, 2*i+2, 1))
+              END for i in range(32)] AS raw
+      FROM c),
+v AS (SELECT doc_id, lang,
+             list_transform(list_filter(raw, x -> x IS NOT NULL),
+                            x -> (CASE WHEN x >= 32768 THEN x - 65536
+                                       ELSE x END) / 32768.0) AS x
+      FROM s)
+SELECT lang, count(*) AS n,
+       round(avg(sqrt(coalesce(list_aggregate(list_transform(x, e -> e * e),
+                                              'sum'), 0.0)
+                      / greatest(len(x), 1))), 6) AS avg_rms
+FROM v GROUP BY lang
+""")
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(F.col("text"), "[^ -~]", "")
+    pcm = docs.select(
+        "doc_id", "lang",
+        F.encode(F.substring(clean, 1, 64), "utf-8").alias("payload"))
+    feats = _MM.audio_features(pcm, "doc_id", frame_samples=8)
+    return (feats.join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("rms"), 6).alias("avg_rms")))
