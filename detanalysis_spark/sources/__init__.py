@@ -1,5 +1,7 @@
-from .tables import load_table, load_all, register_views, TABLES
+from .tables import (load_table, load_all, register_views, TABLES,
+                     normalize_legacy_columns, LEGACY_COLUMN_MAP)
 from .files import extract_file_names, load_filterfile
 
 __all__ = ["load_table", "load_all", "register_views", "TABLES",
+           "normalize_legacy_columns", "LEGACY_COLUMN_MAP",
            "extract_file_names", "load_filterfile"]

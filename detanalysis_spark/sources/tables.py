@@ -65,3 +65,23 @@ def register_views(spark: SparkSession, sf_dir: str,
     """Register all tables as temp views for the SQL surface."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ----------------------------------------------------------------------
+# legacy schema adapter (analyzer.py:975-988: `eventnumber` vs
+# `event_number` era variants)
+# ----------------------------------------------------------------------
+LEGACY_COLUMN_MAP = {
+    "seriesnumber": "series_number",
+    "eventnumber": "event_number",
+    "dumpnumber": "dump_number",
+    "triggerindex": "trigger_index",
+}
+
+
+def normalize_legacy_columns(df: DataFrame) -> DataFrame:
+    """Rename legacy id columns to their canonical names (no-op when the
+    canonical name already exists). Pure projection — free at any scale."""
+    renames = {legacy: canon for legacy, canon in LEGACY_COLUMN_MAP.items()
+               if legacy in df.columns and canon not in df.columns}
+    return df.withColumnsRenamed(renames) if renames else df

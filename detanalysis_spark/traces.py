@@ -53,8 +53,13 @@ def get_traces(traces: DataFrame, keys: DataFrame,
     ``keys``: DataFrame holding the selected events (any frame with the
     key columns — typically ``Analyzer.df`` under a cut). Only the key
     columns are kept, deduplicated, limited, then **broadcast** so the
-    trace scan side never shuffles.
+    trace scan side never shuffles. Legacy id-column spellings
+    (``eventnumber``/``seriesnumber``, analyzer.py:975-988) are
+    normalized on both sides first.
     """
+    from .sources import normalize_legacy_columns
+    traces = normalize_legacy_columns(traces)
+    keys = normalize_legacy_columns(keys)
     on = [k for k in TRACE_KEYS if k in keys.columns and k in traces.columns]
     if not on:
         raise ValueError(f"keys must carry at least one of {TRACE_KEYS}")
