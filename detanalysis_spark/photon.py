@@ -428,6 +428,7 @@ class PhotonCalibration:
         self.hist = None
         self._eqspacing = True
         self._npeaks = None
+        self._template_fits: dict[int, tuple] = {}
 
     # ------------------------------------------------------------------
     def fit_spectrum(self, cut: Column | None = None, poisson: bool = False,
@@ -498,19 +499,93 @@ class PhotonCalibration:
                           t_arr: np.ndarray, t0: float, guess,
                           bounds=None, f_fit_cutoff: float | None = None,
                           re_col: str = "mean_re", im_col: str = "mean_im",
-                          sre_col: str = "std_re", sim_col: str = "std_im"):
+                          sre_col: str = "std_re", sim_col: str = "std_im",
+                          model=template_twopole_t):
         """Collect one peak's spectrum and LM-fit the two-pole template
-        (photon_calibration.py:1754-1998). Returns (popt, pcov, pstds)."""
+        (photon_calibration.py:1754-1998). Returns (popt, pcov, pstds);
+        the fit is also stored for the energy/PCE derivations."""
         mean, std = collect_peak_spectrum(stats_df, peak, re_col=re_col,
                                           im_col=im_col, sre_col=sre_col,
                                           sim_col=sim_col)
         freqs = np.fft.rfftfreq(t_arr.size, d=1.0 / self._fs)
-        return fit_template(mean, std, freqs, self._fs, t_arr, t0, guess,
-                            bounds=bounds, f_fit_cutoff=f_fit_cutoff)
+        popt, pcov, pstds = fit_template(mean, std, freqs, self._fs, t_arr,
+                                         t0, guess, bounds=bounds,
+                                         f_fit_cutoff=f_fit_cutoff,
+                                         model=model)
+        self._template_fits[int(peak)] = (np.asarray(popt, dtype=float),
+                                          np.asarray(pcov, dtype=float),
+                                          np.asarray(t_arr, dtype=float),
+                                          float(t0), model)
+        return popt, pcov, pstds
 
     def template_energy(self, template_t: np.ndarray) -> float:
         """Energy integral of a fitted template (A17)."""
         return template_energy(template_t, self._fs)
+
+    # ------------------------------------------------------------------
+    # calibration headline numbers (photon_calibration.py:614-691,
+    # 2076-2145)
+    # ------------------------------------------------------------------
+    def spectrum_energy_res(self, photon_energy: float, peak: int = 0
+                            ) -> tuple[float, float]:
+        """Energy resolution from the fitted comb
+        (photon_calibration.py:614-691): ``E_photon · width / spacing``
+        with the fit covariance propagated through the gradient.
+
+        Documented deviation: the reference's gradient terms multiply by
+        ``spacing**-2`` written as ``peak_spacing**-2`` applied with a
+        ``/`` (:660-662) — algebraically wrong; the analytic gradient
+        (∂/∂s = -E·w/s², ∂/∂w = E/s) is used here. Our comb model fits
+        a per-peak width, so ``peak`` selects which width defines the
+        resolution (the reference's shared-width model has one).
+        """
+        if self.popt is None:
+            raise RuntimeError("call fit_spectrum() first")
+        if not self._eqspacing:
+            raise RuntimeError("energy resolution needs the equal-spacing model")
+        s = float(self.popt[0])
+        w_idx = 1 + int(peak)
+        w = float(self.popt[w_idx])
+        res = photon_energy * w / s
+        grad = np.zeros(len(self.popt))
+        grad[0] = -photon_energy * w / s ** 2
+        grad[w_idx] = photon_energy / s
+        err = float(np.sqrt(grad @ (np.asarray(self.pcov) @ grad)))
+        return float(res), err
+
+    def _template_energy_of(self, peak: int, params: np.ndarray) -> float:
+        _, _, t_arr, t0, model = self._template_fits[int(peak)]
+        return float(np.sum(model(t_arr, *params, t0)) / self._fs)
+
+    def template_energy_uncertainty(self, peak: int
+                                    ) -> tuple[float, float]:
+        """Template energy ± uncertainty via numerical Jacobian against
+        the template-fit covariance (photon_calibration.py:2076-2116;
+        the reference's drawn-sample array is computed but unused there
+        — only the Jacobian propagation matters)."""
+        if int(peak) not in self._template_fits:
+            raise RuntimeError("call fit_peak_template() for this peak first")
+        popt, pcov, *_ = self._template_fits[int(peak)]
+        energy = self._template_energy_of(peak, popt)
+        jac = np.zeros_like(popt)
+        for i in range(popt.size):
+            eps = 1e-8 * (abs(popt[i]) if popt[i] != 0 else 1.0)
+            up = popt.copy()
+            up[i] += eps
+            jac[i] = (self._template_energy_of(peak, up) - energy) / eps
+        std = float(np.sqrt(jac @ (pcov @ jac)))
+        return energy, std
+
+    def phonon_collection_efficiency(self, peak: int,
+                                     photon_energy_j: float
+                                     ) -> tuple[float, float]:
+        """PCE = template energy / (n_photons · E_photon)
+        (photon_calibration.py:2118-2145)."""
+        photon_energy = photon_energy_j * int(peak)
+        if photon_energy == 0:
+            raise ValueError("peak 0 carries no photon energy")
+        energy, std = self.template_energy_uncertainty(peak)
+        return energy / photon_energy, std / photon_energy
 
     # ------------------------------------------------------------------
     def get_save_obj(self) -> dict:

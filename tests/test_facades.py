@@ -136,3 +136,48 @@ def test_photon_facade_workflow(photon_data):
     obj = pc.get_save_obj()
     assert obj["npeaks"] == 3
     assert obj["popt"][0] == pytest.approx(SPACING, rel=0.05)
+
+
+def test_photon_facade_energy_res_and_pce(photon_data, spark):
+    from detanalysis_spark import photon as P
+
+    ev, _, _ = photon_data
+    pc = PhotonCalibration(ev, "amp", fs=10000.0)
+    with pytest.raises(RuntimeError, match="fit_spectrum"):
+        pc.spectrum_energy_res(1.0)
+    pc.fit_spectrum(npeaks=3,
+                    guess=[3.5, 0.35, 0.35, 0.35, 200.0, 120.0, 80.0])
+
+    e_photon = 1.9  # eV-like unit; only ratios matter
+    res, err = pc.spectrum_energy_res(e_photon, peak=0)
+    assert res == pytest.approx(e_photon * pc.popt[1] / pc.popt[0])
+    assert err > 0
+
+    # plant a clean two-pole ensemble for peak 1, fit it through the
+    # facade, then check energy ± uncertainty and PCE
+    rng = np.random.default_rng(8)
+    n, fs = 256, 10000.0
+    t = np.arange(n) / fs
+    amp_true, tau_f, tau_r, t0 = 2.0, 2e-3, 2e-4, 5e-3
+    template = P.template_twopole_t(t, amp_true, tau_f, tau_r, t0)
+    rows = [(i, 1, [float(x) for x in
+                    template + 0.02 * rng.standard_normal(n)])
+            for i in range(80)]
+    df = spark.createDataFrame(rows, ["event_id", "peak", "trace"])
+    stats = P.fft_ensemble_stats(df, fs)
+
+    with pytest.raises(RuntimeError, match="fit_peak_template"):
+        pc.template_energy_uncertainty(1)
+    pc.fit_peak_template(stats, 1, t, t0,
+                         guess=[1.0, 1.5e-3, 3e-4],
+                         bounds=([0.1, 1e-4, 1e-5], [10.0, 1e-2, 1e-3]))
+    energy, std = pc.template_energy_uncertainty(1)
+    e_true = P.template_energy(template, fs)
+    assert energy == pytest.approx(e_true, rel=0.05)
+    assert 0 < std < abs(energy)
+
+    pce, pce_std = pc.phonon_collection_efficiency(1, e_true)
+    assert pce == pytest.approx(1.0, rel=0.05)
+    assert pce_std == pytest.approx(std / e_true)
+    with pytest.raises(ValueError, match="peak 0"):
+        pc.phonon_collection_efficiency(0, e_true)
