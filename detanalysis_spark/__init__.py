@@ -15,6 +15,8 @@ from .vibration import (sweep_moments, continuous_moments,
                         VibrationAnalyzer)
 from .photon import (fit_spectrum, photon_peak_expr, average_pulses,
                      fft_ensemble_stats, apply_dpdi, fit_template,
+                     subtract_zero_photon_means, crosstalk_template,
+                     subtract_template_expr, subtract_template_means,
                      PhotonCalibration)
 from .picker import TracePicker
 

@@ -265,6 +265,76 @@ def average_pulses(traces_df: DataFrame, peak_col: str = "peak",
                     (F.col("value") - F.col("__base__")).alias("value")))
 
 
+def subtract_zero_photon_means(means: DataFrame, peak_col: str = "peak",
+                               pos_col: str = "pos",
+                               val_col: str = "value") -> DataFrame:
+    """Subtract the zero-photon mean pulse from every higher peak's
+    mean (photon_calibration.py:1192-1275 ``subtract_zero_photon_template``
+    — the reference loops peaks >= 1 and leaves peak 0 untouched).
+
+    One broadcast join on ``pos`` (the zero-photon pulse is a single
+    trace-length row set) — no shuffle of the mean frame.
+    """
+    zero = (means.filter(F.col(peak_col) == 0)
+            .select(F.col(pos_col),
+                    F.col(val_col).alias("__zero__")))
+    return (means.join(F.broadcast(zero), pos_col, "left")
+            .select(peak_col, pos_col,
+                    F.when(F.col(peak_col) == 0, F.col(val_col))
+                    .otherwise(F.col(val_col)
+                               - F.coalesce(F.col("__zero__"), F.lit(0.0)))
+                    .alias(val_col)))
+
+
+def crosstalk_template(template_0p: np.ndarray, fs: float,
+                       pretrigger_window: float, crosstalk_length: float,
+                       window_plus: int, window_minus: int) -> np.ndarray:
+    """Crosstalk (TTL edge) template from the zero-photon mean pulse
+    (photon_calibration.py:1044-1104): windows around the rising and
+    falling TTL edges, each re-baselined to the mean of the quiet span
+    ``[edge − 5·window_minus, edge − window_minus)`` before it; zero
+    elsewhere. Driver-side numpy — the input is one trace-length array.
+    """
+    template_0p = np.asarray(template_0p, dtype=np.float64)
+    out = np.zeros_like(template_0p)
+    for edge_t in (pretrigger_window, pretrigger_window + crosstalk_length):
+        edge = int(edge_t * fs)
+        start, stop = edge - window_minus, edge + window_plus
+        avg_start = edge - 5 * window_minus
+        quiet = template_0p[avg_start:start]
+        base = float(np.mean(quiet)) if quiet.size else 0.0
+        out[start:stop] = template_0p[start:stop] - base
+    return out
+
+
+def subtract_template_expr(trace_col: Column | str,
+                           template: np.ndarray) -> Column:
+    """Per-trace template subtraction as a native array expression
+    (photon_calibration.py:1118-1123 subtracts in a driver loop; here
+    ``zip_with`` against a literal array runs in whole-stage codegen on
+    the executors — the template is a few KB of plan constant)."""
+    col = F.col(trace_col) if isinstance(trace_col, str) else trace_col
+    lit = F.array(*[F.lit(float(x)) for x in np.asarray(template)])
+    return F.zip_with(col, lit, lambda x, t: x - t)
+
+
+def subtract_template_means(means: DataFrame, template: np.ndarray,
+                            pos_col: str = "pos",
+                            val_col: str = "value") -> DataFrame:
+    """Subtract a template from every peak's mean pulse — the mean-frame
+    half of ``subtract_crosstalk_template``
+    (photon_calibration.py:1106-1190). Broadcast join on ``pos``."""
+    spark = means.sparkSession
+    tmpl = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(np.asarray(template))],
+        f"{pos_col} int, __tmpl__ double")
+    return (means.join(F.broadcast(tmpl), pos_col, "left")
+            .withColumn(val_col,
+                        F.col(val_col)
+                        - F.coalesce(F.col("__tmpl__"), F.lit(0.0)))
+            .drop("__tmpl__"))
+
+
 # ----------------------------------------------------------------------
 # per-bin FFT ensemble stats (A15, photon_calibration.py:1340-1400)
 # ----------------------------------------------------------------------

@@ -197,3 +197,52 @@ def test_template_fit_recovers_pulse(spark):
     e_fit = P.template_energy(fit_t, fs)
     e_true = P.template_energy(template, fs)
     assert e_fit == pytest.approx(e_true, rel=0.05)
+
+
+# ----------------------------------------------------------------------
+# zero-photon / crosstalk template subtraction
+# (photon_calibration.py:1044-1275)
+# ----------------------------------------------------------------------
+def test_subtract_zero_photon_means(spark):
+    rows = [(p, pos, float(p * 10 + pos)) for p in range(3)
+            for pos in range(4)]
+    means = spark.createDataFrame(rows, ["peak", "pos", "value"])
+    got = {(r.peak, r.pos): r.value
+           for r in P.subtract_zero_photon_means(means).collect()}
+    for pos in range(4):
+        assert got[(0, pos)] == float(pos)             # untouched
+        assert got[(1, pos)] == 10.0                   # (10+pos) - pos
+        assert got[(2, pos)] == 20.0
+
+
+def test_crosstalk_template_windows():
+    fs, pre, length = 1000.0, 0.02, 0.05   # edges at samples 20 and 70
+    t0p = np.zeros(100)
+    t0p[20:25] = 5.0                        # rising-edge blip
+    t0p[70:75] = -3.0                       # falling-edge blip
+    t0p[:20] = 1.0                          # quiet baseline before edge 1
+    tmpl = P.crosstalk_template(t0p, fs, pre, length,
+                                window_plus=6, window_minus=2)
+    # rising window [18, 26): quiet span [10, 18) has baseline 1.0
+    assert tmpl[20] == pytest.approx(4.0)
+    assert tmpl[18] == pytest.approx(0.0)   # 1.0 - 1.0
+    # falling window [68, 76): quiet span [60, 68) is zeros
+    assert tmpl[70] == pytest.approx(-3.0)
+    assert tmpl[30] == 0.0 and tmpl[90] == 0.0  # outside both windows
+
+
+def test_subtract_template_trace_and_means(spark):
+    tmpl = np.array([1.0, 2.0, 0.0, -1.0])
+    df = spark.createDataFrame(
+        [(1, [float(x) for x in range(4)])], ["peak", "trace"])
+    got = df.select(P.subtract_template_expr("trace", tmpl)
+                    .alias("t")).collect()[0].t
+    assert list(got) == pytest.approx([-1.0, -1.0, 2.0, 4.0])
+
+    means = spark.createDataFrame(
+        [(p, pos, 10.0) for p in (0, 1) for pos in range(4)],
+        ["peak", "pos", "value"])
+    got2 = {(r.peak, r.pos): r.value
+            for r in P.subtract_template_means(means, tmpl).collect()}
+    assert got2[(0, 0)] == 9.0 and got2[(1, 1)] == 8.0
+    assert got2[(0, 3)] == 11.0
