@@ -287,7 +287,8 @@ def continuous_moments(df: DataFrame, channels: list[str],
                        chunk_samples: int | None = None,
                        order_col: str = "event_id",
                        trace_col: str = "trace",
-                       n_samples: int | None = None) -> DataFrame:
+                       n_samples: int | None = None,
+                       accel_gain: float = 1.0) -> DataFrame:
     """A13/ST3: moment frame from a continuous per-event trace stream
     (vibration_analyzer.py:313-460). Output schema matches
     ``sweep_moments`` (frequency_hz = bin center, m_* absent — mean
@@ -302,6 +303,13 @@ def continuous_moments(df: DataFrame, channels: list[str],
     """
     ev = df.filter(F.col("channel").isin(channels))
     ev = every_nth(ev, order_col, downsample_factor)
+    if accel_gain != 1.0:
+        # volts → g conversion (vibration_analyzer.py:404; the reference
+        # hard-defaults to its transducer's gain of 100.0 — here neutral
+        # 1.0 unless the caller states the hardware gain)
+        ev = ev.withColumn(trace_col,
+                           F.transform(F.col(trace_col),
+                                       lambda x: x / F.lit(float(accel_gain))))
     if chunk_samples is not None:
         chunks = rechunk_traces(ev, chunk_samples, order_col=order_col,
                                 trace_col=trace_col)
@@ -412,7 +420,8 @@ class VibrationAnalyzer:
                  downsample_factor: int = 1,
                  chunk_samples: int | None = None,
                  order_col: str = "event_id", trace_col: str = "trace",
-                 trace_length_msec: float | None = None):
+                 trace_length_msec: float | None = None,
+                 accel_gain: float = 1.0):
         if data_type not in ("sweep", "continuous"):
             raise ValueError(f"unknown data_type {data_type!r}")
         if data_type == "continuous" and sample_rate is None:
@@ -425,10 +434,21 @@ class VibrationAnalyzer:
         self._order_col = order_col
         self._trace_col = trace_col
         self._trace_length_msec = trace_length_msec
+        self._accel_gain = accel_gain
         self._moments = MomentCache(self._build_moments)
         self._results: dict[tuple, DataFrame] = {}
 
     # ------------------------------------------------------------------
+    def describe(self):
+        """Summary of the loaded data (vibration_analyzer.py:627-647):
+        column stats for the sweep table; the continuous path has no
+        processed frame, so None is returned (the reference prints a
+        message)."""
+        if self._data_type == "continuous":
+            return None
+        from .analyzer import Analyzer
+        return Analyzer(self._df).describe()
+
     def _build_moments(self, channels: list[str]) -> DataFrame:
         if self._data_type == "sweep":
             return sweep_moments(self._df, channels,
@@ -437,7 +457,8 @@ class VibrationAnalyzer:
             self._df, channels, self._sample_rate,
             downsample_factor=self._downsample,
             chunk_samples=self._chunk_samples,
-            order_col=self._order_col, trace_col=self._trace_col)
+            order_col=self._order_col, trace_col=self._trace_col,
+            accel_gain=self._accel_gain)
 
     def moments(self, channels: list[str],
                 force_overwrite: bool = False) -> DataFrame:

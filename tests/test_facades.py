@@ -181,3 +181,24 @@ def test_photon_facade_energy_res_and_pce(photon_data, spark):
     assert pce_std == pytest.approx(std / e_true)
     with pytest.raises(ValueError, match="peak 0"):
         pc.phonon_collection_efficiency(0, e_true)
+
+
+def test_vibration_accel_gain_and_describe(spark, sweep_df):
+    rng = np.random.default_rng(14)
+    rows = [("chA", i, [float(x) for x in rng.standard_normal(32)])
+            for i in range(8)]
+    df = spark.createDataFrame(rows, ["channel", "event_id", "trace"])
+    va1 = VibrationAnalyzer(df, data_type="continuous", sample_rate=100.0)
+    va2 = VibrationAnalyzer(df, data_type="continuous", sample_rate=100.0,
+                            accel_gain=10.0)
+    p1 = {r.frequency_hz: r["S_re__chA__chA"]
+          for r in va1.moments(["chA"]).collect()}
+    p2 = {r.frequency_hz: r["S_re__chA__chA"]
+          for r in va2.moments(["chA"]).collect()}
+    for f in p1:
+        assert p2[f] == pytest.approx(p1[f] / 100.0)  # 1/gain² in power
+    assert va1.describe() is None                      # continuous path
+
+    sdf, _, _ = sweep_df
+    desc = VibrationAnalyzer(sdf, data_type="sweep").describe()
+    assert "frequency_hz" in desc.columns
