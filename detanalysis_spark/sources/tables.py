@@ -85,3 +85,36 @@ def normalize_legacy_columns(df: DataFrame) -> DataFrame:
     renames = {legacy: canon for legacy, canon in LEGACY_COLUMN_MAP.items()
                if legacy in df.columns and canon not in df.columns}
     return df.withColumnsRenamed(renames) if renames else df
+
+
+# ----------------------------------------------------------------------
+# bucketed persistence: co-located joins/aggs with zero exchanges
+# ----------------------------------------------------------------------
+def write_bucketed(df: DataFrame, table_name: str, bucket_cols,
+                   num_buckets: int = 32, sort_cols=None,
+                   path: str | None = None, mode: str = "overwrite") -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) by its join
+    / aggregation keys.
+
+    This is the 100 TB co-location strategy: two tables bucketed by the
+    same keys into the same bucket count join with NO shuffle on either
+    side, and aggregations keyed by the bucket columns skip their
+    exchange — the scan itself provides the partitioning. For the event
+    engine that means bucketing events and the cut sidecar by
+    ``__event_index__``, and traces by ``(series_number,
+    event_number)``.
+    """
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode(mode).format("parquet").bucketBy(int(num_buckets), *cols)
+    if sort_cols:
+        sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sc)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a bucketed table back with its bucket spec intact (a plain
+    ``spark.read.parquet`` of the files would lose it)."""
+    return spark.table(table_name)

@@ -1591,3 +1591,61 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.avg("rms"), 6).alias("avg_rms")))
+
+
+# ----------------------------------------------------------------------
+# every-Nth downsample (O6, vibration_analyzer.py:397-401): pure modulo
+# filter — no shuffle, pushdown-eligible
+# ----------------------------------------------------------------------
+from .operators.sampling import every_nth as _every_nth  # noqa: E402
+
+
+@query("every_nth_downsample", oracle="""
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+WHERE event_id % 7 = 0
+GROUP BY event_type
+""")
+def every_nth_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (_every_nth(ev, "event_id", 7)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(cents(F.col("value"))).alias("sum_value_cents")))
+
+
+# ----------------------------------------------------------------------
+# describe (analyzer.py:116-133): one agg pass over every numeric
+# column; exact-integer means via cents for hash stability
+# ----------------------------------------------------------------------
+@query("describe_events", oracle="""
+SELECT 'value' AS feature,
+       CAST(count(value) AS BIGINT) AS n,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+UNION ALL
+SELECT 'user_id', count(user_id),
+       round(min(user_id), 6), round(max(user_id), 6),
+       CAST(sum(user_id) * 100 AS BIGINT)
+FROM events
+""")
+def describe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ana = Analyzer(load_table(spark, sf_dir, "events"))
+    rows = []
+    desc = ana.describe(["value", "user_id"])
+    # exact integer sums recomputed for hash stability (describe's
+    # float mean is display-side); min/max come from the same pass
+    sums = ana.df.agg(
+        F.sum(cents(F.col("value"))).alias("v"),
+        (F.sum("user_id") * 100).alias("u")).collect()[0]
+    rows.append(("value", int(desc["value"]["count"]),
+                 round(float(desc["value"]["min"]), 6),
+                 round(float(desc["value"]["max"]), 6), int(sums["v"])))
+    rows.append(("user_id", int(desc["user_id"]["count"]),
+                 round(float(desc["user_id"]["min"]), 6),
+                 round(float(desc["user_id"]["max"]), 6), int(sums["u"])))
+    return spark.createDataFrame(
+        rows, "feature string, n bigint, min_v double, max_v double, sum_cents bigint")

@@ -126,3 +126,32 @@ def test_approx_percentiles_close_to_exact(li, vals):
     med_e = robust_sigma(li, "l_extendedprice", exact=True)
     assert med_a[0] == pytest.approx(med_e[0], rel=0.02)
     assert med_a[1] == pytest.approx(med_e[1], rel=0.05)
+
+
+# ----------------------------------------------------------------------
+# salted join (skew fallback): result parity with the plain join
+# ----------------------------------------------------------------------
+def test_salted_join_matches_plain(spark):
+    from detanalysis_spark.operators.joins import salted_join
+    from pyspark.sql import functions as F
+    import pytest
+
+    # pathological skew: 90% of rows share one key
+    big = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1800, F.lit(7)).otherwise(F.col("id") % 5)
+        .alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([(7, "hot"), (1, "a"), (3, "b")],
+                                  ["k", "name"])
+    want = sorted((r.k, r.v, r.name)
+                  for r in big.join(small, "k").collect())
+    got = sorted((r.k, r.v, r.name)
+                 for r in salted_join(big, small, "k", salt=4).collect())
+    assert got == want
+
+    wl = sorted((r.k, r.v, r.name)
+                for r in big.join(small, "k", "left").collect())
+    gl = sorted((r.k, r.v, r.name)
+                for r in salted_join(big, small, "k", how="left").collect())
+    assert gl == wl
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(big, small, "k", how="full")

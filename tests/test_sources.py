@@ -69,3 +69,34 @@ def test_load_filterfile_roundtrip(spark, tmp_path):
     stats = P.fft_ensemble_stats(traces, fs=100.0)
     out = P.apply_dpdi(stats, ff)
     assert out.count() == 8                   # 8 of the 14//2+1 bins keyed
+
+
+# ----------------------------------------------------------------------
+# bucketed co-located join: zero exchanges (the 100 TB join strategy)
+# ----------------------------------------------------------------------
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from detanalysis_spark.sources import write_bucketed, read_bucketed
+
+    ev = spark.range(0, 10000).select(
+        F.col("id").alias("__event_index__"),
+        (F.col("id") % 7).alias("val"))
+    flags = spark.range(0, 10000).select(
+        F.col("id").alias("__event_index__"),
+        (F.col("id") % 2 == 0).alias("cut_even"))
+    write_bucketed(ev, "t_ev_bkt", "__event_index__", num_buckets=8,
+                   sort_cols="__event_index__",
+                   path=str(tmp_path / "ev"))
+    write_bucketed(flags, "t_flag_bkt", "__event_index__", num_buckets=8,
+                   sort_cols="__event_index__",
+                   path=str(tmp_path / "flags"))
+    try:
+        a = read_bucketed(spark, "t_ev_bkt")
+        b = read_bucketed(spark, "t_flag_bkt")
+        joined = a.hint("merge").join(b, "__event_index__")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan       # both sides scan pre-bucketed
+        got = joined.filter("cut_even").count()
+        assert got == 5000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ev_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_flag_bkt")
