@@ -319,3 +319,27 @@ def simhash(text: Column, bits: int = 64) -> Column:
 def hamming_distance(a: Column, b: Column) -> Column:
     """Native popcount of the XOR — whole-stage codegen."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ----------------------------------------------------------------------
+# deterministic stratified sampling (training-data mixture weighting)
+# ----------------------------------------------------------------------
+def stratified_sample_mod(df: DataFrame, strata_col: str,
+                          fractions: dict, id_col: str,
+                          modulus: int = 10_000) -> DataFrame:
+    """Keep a per-stratum fraction of rows by the deterministic rule
+    ``pmod(id, modulus) < fraction·modulus`` — the data-mixing step of
+    a training pipeline (downsample over-represented sources by
+    weight).
+
+    Unlike ``sample()``, the decision is a pure row-local predicate:
+    reproducible across runs/partitionings, pushdown-eligible, and
+    exactly re-computable by any other engine (the oracle property).
+    Strata absent from ``fractions`` are kept whole.
+    """
+    expr = F.lit(True)
+    ticket = F.pmod(F.col(id_col), F.lit(modulus))
+    for stratum, frac in fractions.items():
+        keep = ticket < int(round(float(frac) * modulus))
+        expr = F.when(F.col(strata_col) == stratum, keep).otherwise(expr)
+    return df.filter(expr)

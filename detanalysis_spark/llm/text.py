@@ -139,3 +139,22 @@ def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
             lambda i: F.array_min(F.slice(hs, i, w)))
 
     return F.array_distinct(F.flatten(F.transform(F.array(hashes), per_row)))
+
+
+def normalize_text(text: Column, casefold: bool = True,
+                   strip_punct: bool = True,
+                   collapse_ws: bool = True) -> Column:
+    """Canonicalize text before hashing/dedup (the standard pre-dedup
+    normalization: near-identical docs that differ only in case,
+    punctuation, or whitespace hash identically afterwards).
+
+    All native regexp/lower/trim — whole-stage codegen, no Python.
+    """
+    out = text
+    if casefold:
+        out = F.lower(out)
+    if strip_punct:
+        out = F.regexp_replace(out, _PUNCT_CLASS, "")
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out

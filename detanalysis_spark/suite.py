@@ -1649,3 +1649,46 @@ def describe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                  round(float(desc["user_id"]["max"]), 6), int(sums["u"])))
     return spark.createDataFrame(
         rows, "feature string, n bigint, min_v double, max_v double, sum_cents bigint")
+
+
+# ----------------------------------------------------------------------
+# deterministic mixture sampling + normalization-aware dedup grouping:
+# the data-mixing / canonicalization steps of a training pipeline
+# ----------------------------------------------------------------------
+@query("mixture_sample_stats", oracle="""
+SELECT source, count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE (source = 'web' AND doc_id % 10000 < 2500)
+   OR (source = 'wiki' AND doc_id % 10000 < 7500)
+   OR (source NOT IN ('web', 'wiki'))
+GROUP BY source
+""")
+def mixture_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.dedup import stratified_sample_mod
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = stratified_sample_mod(docs, "source",
+                                  {"web": 0.25, "wiki": 0.75}, "doc_id")
+    return (mixed.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+@query("normalized_dedup_groups", oracle=r"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents)
+SELECT CAST(count(DISTINCT t) AS BIGINT) AS n_normalized,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM norm
+""")
+def normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.text import normalize_text
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        normalize_text(F.col("text"), strip_punct=False).alias("t"))
+    return norm.agg(
+        F.countDistinct("t").alias("n_normalized"),
+        F.countDistinct("doc_id").alias("n_docs"))

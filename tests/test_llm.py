@@ -253,3 +253,42 @@ def test_ivf_validates():
         IVFIndex(n_centroids=4, n_probe=8)
     with pytest.raises(RuntimeError, match="fit"):
         IVFIndex().cell_udf()
+
+
+# ----------------------------------------------------------------------
+# text normalization + deterministic mixture sampling
+# ----------------------------------------------------------------------
+def test_normalize_text_unifies_variants(spark):
+    from detanalysis_spark.llm.text import normalize_text
+    df = spark.createDataFrame(
+        [(0, "Hello,  World!"), (1, "hello world"), (2, "HELLO   WORLD.")],
+        ["i", "t"])
+    got = [r.n for r in df.select(
+        normalize_text(F.col("t")).alias("n")).collect()]
+    assert got == ["hello world"] * 3
+    # punctuation preserved when disabled
+    keep = df.filter("i = 0").select(
+        normalize_text(F.col("t"), strip_punct=False).alias("n")
+    ).collect()[0].n
+    assert keep == "hello, world!"
+
+
+def test_stratified_sample_mod(spark):
+    from detanalysis_spark.llm.dedup import stratified_sample_mod
+    rows = [(i, "web" if i % 2 == 0 else "wiki") for i in range(10000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = stratified_sample_mod(df, "source", {"web": 0.1}, "doc_id",
+                                modulus=100)
+    counts = {r.source: r.n for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["wiki"] == 5000                  # untouched stratum
+    # kept web rows are exactly those with doc_id % 100 < 10
+    want_web = sum(1 for i in range(0, 10000, 2) if i % 100 < 10)
+    assert counts["web"] == want_web
+    # deterministic: re-running yields the identical id set
+    a = sorted(r.doc_id for r in out.filter("source='web'").collect())
+    b = sorted(r.doc_id for r in
+               stratified_sample_mod(df, "source", {"web": 0.1}, "doc_id",
+                                     modulus=100)
+               .filter("source='web'").collect())
+    assert a == b
