@@ -158,3 +158,37 @@ def normalize_text(text: Column, casefold: bool = True,
     if collapse_ws:
         out = F.trim(F.regexp_replace(out, r"\s+", " "))
     return out
+
+
+def chunk_text(text: Column, window_tokens: int,
+               stride_tokens: int | None = None) -> Column:
+    """Token-window chunks of a document (array<string>) — the
+    fixed-context splitting step of a training pipeline. Overlapping
+    when ``stride < window``; the tail chunk keeps the remainder.
+
+    The token array is bound as a lambda variable (one-element-array
+    transform) so the regex split runs once per row, not once per
+    window position. All native — no Python in the path.
+    """
+    stride = int(stride_tokens if stride_tokens is not None else window_tokens)
+    if stride < 1 or window_tokens < 1:
+        raise ValueError("window and stride must be >= 1")
+
+    def per_row(tk: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tk), F.lit(1)),
+                       F.lit(stride)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, window_tokens)))
+    return F.flatten(F.transform(F.array(_tokens(text)), per_row))
+
+
+def chunk_documents(df, text_col: str = "text", id_col: str = "doc_id",
+                    window_tokens: int = 512,
+                    stride_tokens: int | None = None):
+    """Exploded chunk table (id, chunk_id, chunk_text, n_tokens) — one
+    row per training window. Pure per-row projection + explode; no
+    shuffle, embarrassingly parallel at any scale."""
+    chunks = chunk_text(F.col(text_col), window_tokens, stride_tokens)
+    out = df.select(F.col(id_col),
+                    F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+    return out.withColumn("n_tokens", token_count(F.col("chunk_text")))

@@ -1692,3 +1692,32 @@ def normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return norm.agg(
         F.countDistinct("t").alias("n_normalized"),
         F.countDistinct("doc_id").alias("n_docs"))
+
+
+# ----------------------------------------------------------------------
+# training-window chunking: overlapping token windows per document,
+# exploded to one row per context — pure projection + explode
+# ----------------------------------------------------------------------
+@query("chunked_documents_stats", oracle=r"""
+WITH t AS (SELECT doc_id, source,
+                  string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+c AS (SELECT doc_id, source,
+             [array_to_string(toks[i:i+49], ' ')
+              for i in range(1, greatest(len(toks), 1) + 1, 40)] AS chunks
+      FROM t),
+e AS (SELECT source, unnest(chunks) AS chunk_text FROM c)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(len(string_split_regex(trim(chunk_text), '\s+')))
+            AS BIGINT) AS total_chunk_tokens
+FROM e GROUP BY source
+""")
+def chunked_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.text import chunk_documents
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, window_tokens=50, stride_tokens=40)
+    ch = ch.join(docs.select("doc_id", "source"), "doc_id")
+    return (ch.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum("n_tokens").alias("total_chunk_tokens")))

@@ -292,3 +292,21 @@ def test_stratified_sample_mod(spark):
                                      modulus=100)
                .filter("source='web'").collect())
     assert a == b
+
+
+def test_chunk_text_windows(spark):
+    from detanalysis_spark.llm.text import chunk_documents, chunk_text
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, "x"), (2, "")], ["doc_id", "text"])
+    got = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+           for r in chunk_documents(df, window_tokens=3,
+                                    stride_tokens=2).collect()}
+    # doc 0: 7 tokens, stride 2 -> starts at 1,3,5,7
+    assert got[(0, 0)] == ("a b c", 3)
+    assert got[(0, 1)] == ("c d e", 3)
+    assert got[(0, 2)] == ("e f g", 3)
+    assert got[(0, 3)] == ("g", 1)          # remainder tail
+    assert got[(1, 0)] == ("x", 1)
+    assert (2, 0) in got                     # empty doc -> one empty chunk
+    with pytest.raises(ValueError, match="window"):
+        df.select(chunk_text(F.col("text"), 0))
