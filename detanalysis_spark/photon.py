@@ -657,6 +657,24 @@ class PhotonCalibration:
         energy, std = self.template_energy_uncertainty(peak)
         return energy / photon_energy, std / photon_energy
 
+    def fits_comparison_table(self):
+        """Per-peak template-fit parameters ± 1σ as a pandas frame —
+        the headless ``print_fits_comparison_table`` analog
+        (photon_calibration.py:2190-2466 renders the same numbers with
+        tabulate). One row per fitted peak, one (value, err) pair per
+        model parameter."""
+        import pandas as pd
+        rows = []
+        for peak in sorted(self._template_fits):
+            popt, pcov, *_ = self._template_fits[peak]
+            pstds = np.sqrt(np.diag(pcov))
+            row: dict = {"peak": peak}
+            for i, (v, e) in enumerate(zip(popt, pstds)):
+                row[f"p{i}"] = float(v)
+                row[f"p{i}_err"] = float(e)
+            rows.append(row)
+        return pd.DataFrame(rows)
+
     # ------------------------------------------------------------------
     def get_save_obj(self) -> dict:
         """JSON-ready calibration summary (photon_calibration.py:

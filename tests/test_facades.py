@@ -202,3 +202,27 @@ def test_vibration_accel_gain_and_describe(spark, sweep_df):
     sdf, _, _ = sweep_df
     desc = VibrationAnalyzer(sdf, data_type="sweep").describe()
     assert "frequency_hz" in desc.columns
+
+
+def test_photon_fits_comparison_table(photon_data, spark):
+    from detanalysis_spark import photon as P
+
+    ev, _, _ = photon_data
+    pc = PhotonCalibration(ev, "amp", fs=10000.0)
+    assert pc.fits_comparison_table().empty
+
+    rng = np.random.default_rng(9)
+    n, fs = 128, 10000.0
+    t = np.arange(n) / fs
+    template = P.template_twopole_t(t, 2.0, 2e-3, 2e-4, 5e-3)
+    df = spark.createDataFrame(
+        [(i, 1, [float(x) for x in template + 0.02 * rng.standard_normal(n)])
+         for i in range(40)], ["event_id", "peak", "trace"])
+    stats = P.fft_ensemble_stats(df, fs)
+    pc._fs = fs
+    pc.fit_peak_template(stats, 1, t, 5e-3, guess=[1.0, 1.5e-3, 3e-4],
+                         bounds=([0.1, 1e-4, 1e-5], [10.0, 1e-2, 1e-3]))
+    tab = pc.fits_comparison_table()
+    assert list(tab.peak) == [1]
+    assert tab.loc[0, "p0"] == pytest.approx(2.0, rel=0.1)
+    assert tab.loc[0, "p0_err"] > 0
