@@ -399,6 +399,9 @@ class Analyzer:
     def get_features(self) -> dict[str, FeatureInfo]:
         return dict(self._features)
 
+    # reference method name (analyzer.py:460-480)
+    add_feature = register_feature
+
     # ------------------------------------------------------------------
     # selection persistence + plugin repo (analyzer.py:359-377, 482-525, 816-829)
     # ------------------------------------------------------------------

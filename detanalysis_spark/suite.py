@@ -1721,3 +1721,28 @@ def chunked_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ch.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_chunks"),
                  F.sum("n_tokens").alias("total_chunk_tokens")))
+
+
+# ----------------------------------------------------------------------
+# salted join (hot-key skew fallback): result is EXACTLY the plain
+# equi-join, so the plain-SQL oracle applies — the salt only reshapes
+# the shuffle. Revenue by brand through the salted path.
+# ----------------------------------------------------------------------
+@query("salted_join_brand_revenue", oracle="""
+SELECT p.p_brand AS brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_quantity > 45
+GROUP BY p.p_brand
+""")
+def salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import salted_join
+    li = load_table(spark, sf_dir, "lineitem").filter("l_quantity > 45")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = salted_join(li.withColumnRenamed("l_partkey", "p_partkey"),
+                    part, "p_partkey", salt=4)
+    return (j.groupBy(F.col("p_brand").alias("brand"))
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(cents(F.col("l_extendedprice"))).alias("revenue_cents")))

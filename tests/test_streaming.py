@@ -130,3 +130,30 @@ def test_streaming_dedup_exact(spark, tmp_path):
         streaming_dedup_exact(sdf2, ["text"], watermark_col="ts"),
         "dedup_t2", output_mode="append").collect()
     assert sorted(r.text for r in got2) == texts
+
+
+def test_streaming_windowed_counts_with_watermark(spark, tmp_path):
+    from detanalysis_spark.streaming.continuous import (
+        streaming_windowed_counts)
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType, TimestampType)
+    import pandas as pd
+
+    d = str(tmp_path / "ev_stream")
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    pdf = pd.DataFrame({
+        "event_id": range(12),
+        "kind": ["a", "b"] * 6,
+        "ts": [base + pd.Timedelta(seconds=10 * i) for i in range(12)],
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(d)
+    schema = StructType([StructField("event_id", LongType()),
+                         StructField("kind", StringType()),
+                         StructField("ts", TimestampType())])
+    sdf = spark.readStream.schema(schema).parquet(d)
+    agg = streaming_windowed_counts(sdf, "ts", "1 minute", "5 minutes",
+                                    group_cols=["kind"])
+    got = run_available_now(agg, "win_t1", output_mode="complete").collect()
+    # 120s of events -> two 1-min windows, 3 of each kind per window
+    out = {(r.window_start.minute, r.kind): r.n for r in got}
+    assert out == {(0, "a"): 3, (0, "b"): 3, (1, "a"): 3, (1, "b"): 3}
