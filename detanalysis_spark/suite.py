@@ -1746,3 +1746,29 @@ def salted_join_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.groupBy(F.col("p_brand").alias("brand"))
             .agg(F.count(F.lit(1)).alias("n_items"),
                  F.sum(cents(F.col("l_extendedprice"))).alias("revenue_cents")))
+
+
+# ----------------------------------------------------------------------
+# semi-structured props: JSON extraction as a native expression
+# (get_json_object → DuckDB json_extract) — the metadata-sidecar
+# pattern for multimodal/typed payload columns
+# ----------------------------------------------------------------------
+@query("json_props_stats", oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+GROUP BY event_type
+""")
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.withColumn("k", k).filter(F.col("k") >= 50)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.max("k").alias("max_k")))
