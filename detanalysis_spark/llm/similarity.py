@@ -259,8 +259,16 @@ class IVFIndex:
         X = self._unit_rows(np.stack(pdf[vec_col].to_numpy())
                             .astype(np.float64))
         k = min(self.n_centroids, X.shape[0])
-        rng = np.random.default_rng(self.seed)
-        C = X[rng.choice(X.shape[0], size=k, replace=False)]
+        # farthest-point init (deterministic k-means++ analog): greedy
+        # max-min cosine spread avoids the merged-cluster local optima
+        # random seeding is prone to
+        chosen = [0]
+        sims = (X @ X[0])[:, None]
+        for _ in range(k - 1):
+            nxt = int(sims.max(axis=1).argmin())
+            chosen.append(nxt)
+            sims = np.concatenate([sims, (X @ X[nxt])[:, None]], axis=1)
+        C = X[chosen]
         for _ in range(self.max_iter):
             sims = X @ C.T                      # (n, k)
             assign = sims.argmax(axis=1)
@@ -277,6 +285,40 @@ class IVFIndex:
                 break
             C = newC
         self.centroids = C
+        return self
+
+    def fit_distributed(self, df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id", n_iter: int = 5,
+                        init_sample: int = 10_000) -> "IVFIndex":
+        """Distributed Lloyd refinement — the 100 TB training path.
+
+        Initialization still uses the driver sample (``fit``), but each
+        refinement iteration runs over the FULL corpus: cell assignment
+        is the vectorized pandas UDF (one matmul per Arrow batch), the
+        M-step is ``embedding_centroids`` (posexplode + groupBy —
+        map-side combined), and only the k×dim centroid table returns
+        to the driver per iteration. Dead cells keep their previous
+        centroid.
+        """
+        self.fit(df, vec_col=vec_col, id_col=id_col,
+                 sample_size=init_sample)
+        k, dim = self.centroids.shape
+        for _ in range(n_iter):
+            assigned = self.with_cell(df.select(vec_col), vec_col)
+            cents = embedding_centroids(assigned, "ivf_cell", vec_col,
+                                        normalize=True).collect()
+            newC = self.centroids.copy()
+            by_cell: dict[int, np.ndarray] = {}
+            for r in cents:
+                by_cell.setdefault(int(r["group"]),
+                                   np.zeros(dim))[int(r["pos"])] = r["mean"]
+            for c, vec in by_cell.items():
+                newC[c] = vec
+            newC = self._unit_rows(newC)
+            if np.allclose(newC, self.centroids, atol=1e-9):
+                self.centroids = newC
+                break
+            self.centroids = newC
         return self
 
     def _require_fit(self) -> np.ndarray:
@@ -340,3 +382,28 @@ class IVFIndex:
         return (scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
                 .select("probe_id", "rank", "neighbor_id", "sim"))
+
+
+def embedding_centroids(df: DataFrame, group_col: str,
+                        vec_col: str = "embedding",
+                        normalize: bool = False) -> DataFrame:
+    """Per-group mean vector: (group, pos, mean) long frame.
+
+    ``posexplode → groupBy(group, pos).avg`` — one shuffle keyed by
+    (group, pos), map-side combined; the classic distributed centroid
+    step (also the M-step of k-means). ``normalize`` projects each
+    group's mean back to the unit sphere (spherical k-means).
+    """
+    vd = _as_double(F.col(vec_col))
+    ex = df.select(F.col(group_col).alias("group"),
+                   F.posexplode(vd).alias("pos", "x"))
+    out = ex.groupBy("group", "pos").agg(F.avg("x").alias("mean"))
+    if not normalize:
+        return out
+    nrm = (out.withColumn("sq", F.col("mean") * F.col("mean"))
+           .groupBy("group").agg(F.sqrt(F.sum("sq")).alias("__n__")))
+    return (out.join(F.broadcast(nrm), "group")
+            .select("group", "pos",
+                    F.when(F.col("__n__") > 0,
+                           F.col("mean") / F.col("__n__"))
+                    .otherwise(F.col("mean")).alias("mean")))

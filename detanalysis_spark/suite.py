@@ -1772,3 +1772,26 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("k").alias("sum_k"),
                  F.max("k").alias("max_k")))
+
+
+# ----------------------------------------------------------------------
+# distributed per-label embedding centroids (the k-means M-step /
+# class-prototype computation): posexplode + groupBy, map-side combined
+# ----------------------------------------------------------------------
+@query("embedding_centroids_by_label", oracle="""
+WITH e AS (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) - 1 AS pos
+  FROM embeddings)
+SELECT label AS "group", CAST(pos AS INT) AS pos,
+       round(avg(x), 6) AS mean
+FROM e WHERE pos < 4
+GROUP BY label, pos
+""")
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.similarity import embedding_centroids
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = embedding_centroids(emb, "label")
+    return (cents.filter(F.col("pos") < 4)
+            .select(F.col("group"), F.col("pos").cast("int").alias("pos"),
+                    F.round("mean", 6).alias("mean")))

@@ -310,3 +310,35 @@ def test_chunk_text_windows(spark):
     assert (2, 0) in got                     # empty doc -> one empty chunk
     with pytest.raises(ValueError, match="window"):
         df.select(chunk_text(F.col("text"), 0))
+
+
+def test_ivf_fit_distributed_recovers_clusters(clustered_vectors):
+    from detanalysis_spark.llm.similarity import IVFIndex
+    df, _ = clustered_vectors
+    ivf = IVFIndex(n_centroids=4, n_probe=1, seed=3) \
+        .fit_distributed(df, n_iter=3, init_sample=100)
+    # distributed refinement must still separate the 4 planted clusters
+    cells = ivf.with_cell(df).groupBy("ivf_cell").count().collect()
+    assert sorted(r["count"] for r in cells) == [25, 25, 25, 25]
+    probes = df.filter("vec_id IN (2, 52)")
+    got = ivf.topk(df, probes, k=5).collect()
+    want = cosine_topk(df, probes, k=5).collect()
+    assert sorted([(r.probe_id, r.rank, r.neighbor_id) for r in got]) \
+        == sorted([(r.probe_id, r.rank, r.neighbor_id) for r in want])
+
+
+def test_embedding_centroids_normalized(spark):
+    from detanalysis_spark.llm.similarity import embedding_centroids
+    df = spark.createDataFrame(
+        [(0, [3.0, 0.0]), (0, [0.0, 4.0]), (1, [2.0, 0.0])],
+        ["label", "embedding"])
+    got = {(r.group, r.pos): r.mean
+           for r in embedding_centroids(df, "label").collect()}
+    assert got[(0, 0)] == pytest.approx(1.5)
+    assert got[(0, 1)] == pytest.approx(2.0)
+    norm = {(r.group, r.pos): r.mean
+            for r in embedding_centroids(df, "label",
+                                         normalize=True).collect()}
+    n0 = np.hypot(1.5, 2.0)
+    assert norm[(0, 0)] == pytest.approx(1.5 / n0)
+    assert norm[(1, 0)] == pytest.approx(1.0)
