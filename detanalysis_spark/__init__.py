@@ -9,7 +9,8 @@ operators (dedup, similarity search, text analysis, multimodal).
 from .session import get_spark
 from .analyzer import Analyzer, CutInfo, FeatureInfo, ensure_event_index, EVENT_INDEX
 from .semiautocut import Semiautocut, MasterSemiautocuts
-from .registry import load_plugins
+from .registry import (load_plugins, version, authors, date,
+                       description, contact)
 from .vibration import (sweep_moments, continuous_moments,
                         psd_from_moments, transfer_functions, MomentCache,
                         VibrationAnalyzer)
@@ -20,12 +21,13 @@ from .photon import (fit_spectrum, photon_peak_expr, average_pulses,
                      PhotonCalibration)
 from .picker import TracePicker
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "get_spark", "Analyzer", "CutInfo", "FeatureInfo",
     "ensure_event_index", "EVENT_INDEX", "Semiautocut",
     "MasterSemiautocuts", "load_plugins",
+    "version", "authors", "date", "description", "contact",
     "sweep_moments", "continuous_moments", "psd_from_moments",
     "transfer_functions", "MomentCache",
     "fit_spectrum", "photon_peak_expr", "average_pulses",
