@@ -17,7 +17,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "asof_join", "range_join_binned"]
 
 
 def salted_join(big: DataFrame, small: DataFrame, on: Sequence[str] | str,
@@ -39,3 +39,92 @@ def salted_join(big: DataFrame, small: DataFrame, on: Sequence[str] | str,
     s = small.withColumn(
         "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     return b.join(s, keys + ["__salt__"], how).drop("__salt__")
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              by: Sequence[str] | str, value_cols: Sequence[str] | None = None,
+              tolerance=None, suffix: str = "_right") -> DataFrame:
+    """Backward as-of join: for each left row, attach the latest right
+    row with ``right.on <= left.on`` within the same ``by`` group
+    (DuckDB ``ASOF JOIN`` / pandas ``merge_asof`` semantics; ties at
+    equal ``on`` match).
+
+    Spark has no native as-of join; the scale-safe shape is the
+    union-window trick: tag sides, union, and take
+    ``last(value, ignorenulls=True)`` over a window partitioned by
+    ``by`` and ordered by ``(on, side)`` — ONE shuffle keyed by ``by``,
+    no range/nested-loop join, no per-row probe. Rows stream through
+    the sorted window state once. Skew note: each ``by`` group must fit
+    a task's sort spill budget — salt pathological groups first.
+
+    ``tolerance``: maximum allowed ``left.on - right.on`` (same units
+    as ``on``); matches older than that become NULL. The matched right
+    timestamp is returned as ``{on}{suffix}``.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    if not keys:
+        raise ValueError("asof_join requires at least one 'by' key "
+                         "(a keyless as-of would funnel the union "
+                         "through one task)")
+    vals = list(value_cols) if value_cols is not None else \
+        [c for c in right.columns if c not in keys + [on]]
+    rtypes = dict(right.dtypes)
+    ltime = dict(left.dtypes)[on]
+
+    l2 = left.select(
+        *left.columns, F.lit(1).alias("__side__"),
+        *[F.lit(None).cast(rtypes[c]).alias(f"__r_{c}__") for c in vals],
+        F.lit(None).cast(ltime).alias("__r_on__"))
+    r2 = right.select(
+        *[F.lit(None).cast(t).alias(c) if c not in keys + [on]
+          else F.col(c) for c, t in left.dtypes],
+        F.lit(0).alias("__side__"),
+        *[F.col(c).alias(f"__r_{c}__") for c in vals],
+        F.col(on).cast(ltime).alias("__r_on__"))
+
+    from pyspark.sql import Window
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col(on).asc(), F.col("__side__").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = l2.unionByName(r2).select(
+        "*",
+        *[F.last(f"__r_{c}__", ignorenulls=True).over(w)
+          .alias(f"__f_{c}__") for c in vals],
+        F.last("__r_on__", ignorenulls=True).over(w).alias("__f_on__"))
+
+    out = filled.filter(F.col("__side__") == 1)
+    in_tol = F.lit(True) if tolerance is None else \
+        (F.col(on) - F.col("__f_on__") <= tolerance)
+    sel = [F.col(c) for c in left.columns]
+    for c in vals:
+        sel.append(F.when(in_tol, F.col(f"__f_{c}__"))
+                   .alias(c + suffix if c in left.columns else c))
+    sel.append(F.when(in_tol, F.col("__f_on__")).alias(on + suffix))
+    return out.select(*sel)
+
+
+def range_join_binned(points: DataFrame, intervals: DataFrame,
+                      point_col: str, lo_col: str, hi_col: str,
+                      bin_width: float) -> DataFrame:
+    """Point-in-interval join (``lo <= p < hi``) without a nested-loop:
+    both sides are keyed into fixed-width bins, intervals exploded
+    across every bin they overlap, then an ordinary shuffle equi-join
+    on the bin id with an exact containment filter after.
+
+    Spark plans a raw inequality join as BroadcastNestedLoopJoin —
+    all-pairs, a 100 TB non-starter. Binned, the join cost is
+    |points| + Σ(interval span / bin_width): pick ``bin_width`` near
+    the median interval span so each interval lands in O(1) bins.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    p = points.withColumn(
+        "__bin__", F.floor(F.col(point_col) / bin_width).cast("long"))
+    i = intervals.withColumn(
+        "__bin__", F.explode(F.sequence(
+            F.floor(F.col(lo_col) / bin_width).cast("long"),
+            F.floor(F.col(hi_col) / bin_width).cast("long"))))
+    return (p.join(i, "__bin__")
+            .filter((F.col(point_col) >= F.col(lo_col))
+                    & (F.col(point_col) < F.col(hi_col)))
+            .drop("__bin__"))

@@ -1795,3 +1795,55 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cents.filter(F.col("pos") < 4)
             .select(F.col("group"), F.col("pos").cast("int").alias("pos"),
                     F.round("mean", 6).alias("mean")))
+
+
+# ----------------------------------------------------------------------
+# as-of join (operators/joins.py): latest error event at-or-before each
+# purchase, per user. DuckDB has a native ASOF JOIN — a perfect oracle
+# for an operator Spark lacks. Outputs are exact integers (counts +
+# summed microsecond lags).
+# ----------------------------------------------------------------------
+@query("asof_join_purchase_error_lag", oracle="""
+WITH l AS (SELECT user_id, epoch_us(ts) AS t_us
+           FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, epoch_us(ts) AS t_us
+      FROM events WHERE event_type = 'error')
+SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(r.t_us) AS BIGINT) AS n_with_prior_error,
+       CAST(coalesce(sum(l.t_us - r.t_us), 0) AS BIGINT) AS total_lag_us
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.t_us >= r.t_us
+""")
+def asof_join_purchase_error_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import asof_join
+    ev = load_table(spark, sf_dir, "events") \
+        .withColumn("t_us", F.unix_micros(F.col("ts")))
+    left = ev.filter("event_type = 'purchase'").select("user_id", "t_us")
+    right = ev.filter("event_type = 'error'").select("user_id", "t_us")
+    j = asof_join(left, right, on="t_us", by="user_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("t_us_right").alias("n_with_prior_error"),
+        F.coalesce(F.sum(F.col("t_us") - F.col("t_us_right")),
+                   F.lit(0)).cast("long").alias("total_lag_us"))
+
+
+# ----------------------------------------------------------------------
+# binned range join: event values against literal intervals (the same
+# VALUES list inlined in the oracle) — exact containment counts
+# ----------------------------------------------------------------------
+_RANGE_INTERVALS = [(i, i * 0.5, i * 0.5 + 1.0) for i in range(20)]
+
+
+@query("range_join_value_intervals", oracle=f"""
+WITH iv(iid, lo, hi) AS (VALUES {", ".join(f"({i}, {lo!r}, {hi!r})" for i, lo, hi in _RANGE_INTERVALS)})
+SELECT iv.iid, CAST(count(*) AS BIGINT) AS n_events
+FROM events e JOIN iv ON e.value >= iv.lo AND e.value < iv.hi
+GROUP BY iv.iid
+""")
+def range_join_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import range_join_binned
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    iv = spark.createDataFrame(_RANGE_INTERVALS, "iid int, lo double, hi double")
+    j = range_join_binned(ev, iv, "value", "lo", "hi", bin_width=1.0)
+    return j.groupBy("iid").agg(F.count(F.lit(1)).alias("n_events"))

@@ -155,3 +155,72 @@ def test_salted_join_matches_plain(spark):
     assert gl == wl
     with pytest.raises(ValueError, match="salted_join"):
         salted_join(big, small, "k", how="full")
+
+
+# ----------------------------------------------------------------------
+# as-of join vs pandas merge_asof
+# ----------------------------------------------------------------------
+def test_asof_join_matches_pandas(spark):
+    from detanalysis_spark.operators.joins import asof_join
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(21)
+    left = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 60),
+        "t": np.sort(rng.integers(0, 1000, 60)).astype(np.int64),
+        "x": np.arange(60, dtype=np.int64)})
+    right = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 25),
+        "t": np.sort(rng.integers(0, 1000, 25)).astype(np.int64),
+        "status": [f"s{i}" for i in range(25)]})
+
+    got = asof_join(spark.createDataFrame(left).repartition(4),
+                    spark.createDataFrame(right).repartition(3),
+                    on="t", by="k").toPandas() \
+        .sort_values("x", ignore_index=True)
+    want = pd.merge_asof(left.sort_values("t"),
+                         right.sort_values("t"), on="t", by="k",
+                         direction="backward") \
+        .sort_values("x", ignore_index=True)
+    assert list(got.status.fillna("-")) == list(want.status.fillna("-"))
+
+    # tolerance: matches older than 50 ticks are nulled
+    got_tol = asof_join(spark.createDataFrame(left),
+                        spark.createDataFrame(right),
+                        on="t", by="k", tolerance=50).toPandas() \
+        .sort_values("x", ignore_index=True)
+    want_tol = pd.merge_asof(left.sort_values("t"),
+                             right.sort_values("t"), on="t", by="k",
+                             direction="backward", tolerance=50) \
+        .sort_values("x", ignore_index=True)
+    assert list(got_tol.status.fillna("-")) == list(want_tol.status.fillna("-"))
+
+    with pytest.raises(ValueError, match="by"):
+        asof_join(spark.createDataFrame(left),
+                  spark.createDataFrame(right), on="t", by=[])
+
+
+def test_range_join_binned_matches_bruteforce(spark):
+    from detanalysis_spark.operators.joins import range_join_binned
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(30)
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(rng.uniform(0, 100, 300))],
+        ["pid", "x"])
+    ivs = spark.createDataFrame(
+        [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(
+            zip(rng.uniform(0, 95, 40), rng.uniform(0.5, 8.0, 40)))],
+        ["iid", "lo", "hi"])
+    got = sorted((r.pid, r.iid) for r in
+                 range_join_binned(pts, ivs, "x", "lo", "hi", 2.0).collect())
+    want = sorted((r.pid, r.iid) for r in
+                  pts.crossJoin(ivs)
+                  .filter((F.col("x") >= F.col("lo"))
+                          & (F.col("x") < F.col("hi"))).collect())
+    assert got == want
+    with pytest.raises(ValueError, match="bin_width"):
+        range_join_binned(pts, ivs, "x", "lo", "hi", 0)
