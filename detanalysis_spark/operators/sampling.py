@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["random_choice", "every_nth", "log_spaced_indices",
-           "log_downsample", "polyval"]
+           "log_downsample", "polyval", "sessionize"]
 
 
 def random_choice(df: DataFrame, n: int, cut: Column | None = None,
@@ -67,3 +67,25 @@ def polyval(coeffs: Sequence[float], x: Column | str) -> Column:
     for c in reversed(coeffs[:-1]):
         acc = acc * xc + float(c)
     return acc
+
+
+def sessionize(df: DataFrame, key_col: str, ts_col: str, gap) -> DataFrame:
+    """Gap-based session assignment: a new session starts whenever the
+    time since the key's previous event exceeds ``gap`` (same units as
+    ``ts_col``). Adds ``session_id`` = ``(key, session ordinal)`` as a
+    dense per-key counter.
+
+    One shuffle keyed by ``key_col`` (lag + running sum over the same
+    window partition — Catalyst fuses them into a single sort+window).
+    The classic log-analysis / user-session primitive.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = (prev.isNull()
+                | ((F.col(ts_col) - prev) > gap)).cast("long")
+    return df.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

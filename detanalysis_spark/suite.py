@@ -1847,3 +1847,31 @@ def range_join_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = spark.createDataFrame(_RANGE_INTERVALS, "iid int, lo double, hi double")
     j = range_join_binned(ev, iv, "value", "lo", "hi", bin_width=1.0)
     return j.groupBy("iid").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# ----------------------------------------------------------------------
+# gap-based sessionization: per-user sessions with a 30-minute gap rule
+# — lag + running sum in ONE window partition (single shuffle by user)
+# ----------------------------------------------------------------------
+@query("sessionized_event_counts", oracle="""
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+-- every session has exactly one new_sess=1 row (the first event is
+-- always a session start), so the session count is the marker sum
+SELECT CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM marked
+""")
+def sessionized_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import sessionize
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("t_us", F.unix_micros(F.col("ts"))))
+    s = sessionize(ev, "user_id", "t_us", gap=1_800_000_000)
+    return s.agg(
+        F.countDistinct("user_id", "session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"))

@@ -46,3 +46,15 @@ def test_polyval_matches_numpy(spark):
     xs = np.array([r.x for r in df.collect()])
     want = np.polyval(coeffs[::-1], xs)
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_sessionize_gap_rule(spark):
+    from detanalysis_spark.operators.sampling import sessionize
+    rows = [("u1", 0), ("u1", 100), ("u1", 2000), ("u1", 2050),
+            ("u2", 10), ("u2", 5000)]
+    df = spark.createDataFrame(rows, ["k", "t"])
+    got = {(r.k, r.t): r.session_id
+           for r in sessionize(df, "k", "t", gap=500).collect()}
+    assert got[("u1", 0)] == 1 and got[("u1", 100)] == 1
+    assert got[("u1", 2000)] == 2 and got[("u1", 2050)] == 2
+    assert got[("u2", 10)] == 1 and got[("u2", 5000)] == 2
