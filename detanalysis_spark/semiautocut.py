@@ -477,6 +477,47 @@ class Semiautocut:
         return frac
 
     # ------------------------------------------------------------------
+    # headless diagnostic providers (semiautocuts.py:879-1727 plot_*)
+    # ------------------------------------------------------------------
+    def diagnostics_frame(self, x_col: str | None = None,
+                          decimate: int = 1) -> DataFrame:
+        """Data behind ``plot_vs_time`` / ``plot_vs_ofamp`` /
+        ``plot_chi2_vs_ofamp`` (semiautocuts.py:879-1727): one row per
+        (optionally every-Nth decimated) event with the x axis, the cut
+        RQ, the chi2 RQ when present, and the pass flag. Lazy — the
+        caller renders or aggregates."""
+        if self.column is None:
+            raise RuntimeError("call do_cut() first")
+        x = x_col or self.time_col
+        df = self.ana.df_full
+        cols = [F.col(x).alias("x"), F.col(self.cut_rq).alias("value"),
+                self.column.alias("passed")]
+        if self.chi2_rq in df.columns:
+            cols.append(F.col(self.chi2_rq).alias("chi2"))
+        out = df.select(*cols)
+        if decimate > 1:
+            out = out.filter(
+                F.pmod(F.abs(F.hash("x", "value")), decimate) == 0)
+        return out
+
+    def histograms(self, shape: int = 64,
+                   limits=None) -> tuple:
+        """Data behind ``plot_histograms`` (semiautocuts.py:1612-1727):
+        (counts_all, counts_passing, edges) over the cut RQ — both
+        histograms share the full-range edges, two distributed passes."""
+        if self.column is None:
+            raise RuntimeError("call do_cut() first")
+        from .operators.histogram import hist1d
+        df = self.ana.df_full
+        counts_all, edges = hist1d(df, self.cut_rq, shape=shape,
+                                   limits=limits if limits is not None
+                                   else "minmax")
+        lo, hi = float(edges[0]), float(edges[-1])
+        counts_pass, _ = hist1d(df.filter(self.column), self.cut_rq,
+                                shape=shape, limits=(lo, hi))
+        return counts_all, counts_pass, edges
+
+    # ------------------------------------------------------------------
     # cut-recipe (de)serialization (semiautocuts.py:308-381, 1899-1936)
     # ------------------------------------------------------------------
     def get_cut_dict(self, save_values: bool = True) -> dict:

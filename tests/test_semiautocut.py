@@ -201,3 +201,28 @@ def test_master_recipe_interpreter(ana, arrays):
     # the difference feature is queryable
     got = np.sort(ana.get_values("dchi2"))
     np.testing.assert_allclose(got, np.sort(chi2 - base), rtol=1e-12)
+
+
+def test_diagnostics_frame_and_histograms(ana, arrays):
+    rq = arrays[f"baseline_{CH}"]
+    sac = Semiautocut(ana, "baseline", CH, {"sigma": 2.0},
+                      cut_name="cut_diag")
+    with pytest.raises(RuntimeError, match="do_cut"):
+        sac.diagnostics_frame()
+    sac.do_cut()
+
+    diag = sac.diagnostics_frame().toPandas()
+    assert set(diag.columns) == {"x", "value", "passed", "chi2"}
+    assert len(diag) == N
+    lo, hi = np_sigma_bounds(rq, 2.0)
+    want_pass = int(((rq > lo) & (rq < hi)).sum())
+    assert int(diag.passed.sum()) == want_pass
+
+    thin = sac.diagnostics_frame(decimate=4).toPandas()
+    assert 0 < len(thin) < N
+
+    counts_all, counts_pass, edges = sac.histograms(shape=32)
+    assert counts_all.sum() == N
+    assert counts_pass.sum() == want_pass
+    assert (counts_pass <= counts_all).all()
+    assert len(edges) == 33
