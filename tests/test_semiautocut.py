@@ -226,3 +226,40 @@ def test_diagnostics_frame_and_histograms(ana, arrays):
     assert counts_pass.sum() == want_pass
     assert (counts_pass <= counts_all).all()
     assert len(edges) == 33
+
+
+def test_include_previous_cuts_auto_discovery(spark, arrays):
+    """include_previous_cuts=True discovers registered `cut_*` names
+    matching the channel AND boolean `cut_*` columns already on the
+    frame (semiautocuts.py:384-409)."""
+    import pandas as pd
+    pdf = pd.DataFrame(arrays)
+    pdf[EVENT_INDEX] = np.arange(N, dtype=np.int64)
+    pdf[f"cut_stored_{CH}"] = pdf[f"lowchi2_of1x1_nodelay_{CH}"] < 110.0
+    a = Analyzer(spark.createDataFrame(pdf).repartition(4))
+    a.register_cut(F.col(f"baseline_{CH}") > 0.018, f"cut_reg_{CH}")
+
+    sac = Semiautocut(a, "amp_of1x1_nodelay", CH, {"percent_upper": 0.8})
+    sac.do_cut(include_previous_cuts=True)
+
+    cond = (pdf[f"lowchi2_of1x1_nodelay_{CH}"] < 110.0) \
+        & (pdf[f"baseline_{CH}"] > 0.018)
+    amp = pdf[f"amp_of1x1_nodelay_{CH}"]
+    cap = np.quantile(amp[cond], 0.8, method="linear")
+    want = int((amp < cap).sum())
+    assert a.count(sac.cut_name) == want
+
+
+def test_operators_on_empty_frame(spark):
+    """Empty-input smoke: core operators must not throw on zero rows."""
+    empty = spark.createDataFrame(
+        [], schema=f"event_time double, amp_of1x1_nodelay double, "
+                   f"`{EVENT_INDEX}` long")
+    a = Analyzer(empty)
+    assert a.count() == 0
+    sac = Semiautocut(a, "amp_of1x1_nodelay", "", {"sigma": 2.0},
+                      cut_rq_name_override=True)
+    sac.do_cut()
+    assert a.count(sac.cut_name) == 0           # empty sample passes nothing
+    counts, _ = a.hist("amp_of1x1_nodelay", shape=8, limits=(0.0, 1.0))
+    assert counts.sum() == 0
