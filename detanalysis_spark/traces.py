@@ -203,3 +203,51 @@ def with_fft(df: DataFrame, trace_col: str, fs: float,
     return (df.withColumn(f"{out_col}_re", F.col(f"{out_col}.re"))
               .withColumn(f"{out_col}_im", F.col(f"{out_col}.im"))
               .drop(out_col))
+
+
+def get_traces_array(traces: DataFrame, keys: DataFrame,
+                     channels: Sequence[str] | None = None,
+                     nb_events_limit: int | None = 1000,
+                     baselinesub: bool = False,
+                     baselineinds: tuple[int, int] = (5, 100)):
+    """Eager trace fetch returning the reference's array contract
+    (analyzer.py:1006-1047): ``(ndarray[n_events, n_channels,
+    n_samples], info)`` where info is a list of per-event key dicts.
+
+    This is the one intentional driver-transfer boundary of the trace
+    layer (capped by ``nb_events_limit``, exactly like the reference's
+    ``memory_limit`` guard); everything before the final ``toPandas``
+    — key join, optional baseline subtraction — runs distributed.
+    """
+    sel = get_traces(traces, keys, channels=channels,
+                     nb_events_limit=nb_events_limit)
+    trace_col = F.col("trace")
+    if baselinesub:
+        lo, hi = baselineinds
+        base = _slice_mean(trace_col, lo, hi)
+        trace_col = F.transform(trace_col, lambda x: x - base)
+    has_channel = "channel" in sel.columns
+    cols = [c for c in TRACE_KEYS if c in sel.columns]
+    pdf = sel.select(*cols, *(["channel"] if has_channel else []),
+                     trace_col.alias("trace")).toPandas()
+    if pdf.empty:
+        return np.empty((0, 0, 0)), []
+    chans = (sorted(pdf["channel"].unique()) if has_channel else [None])
+    key_tuples = sorted(set(map(tuple, pdf[cols].itertuples(index=False))))
+    n_samples = len(pdf["trace"].iloc[0])
+    out = np.full((len(key_tuples), len(chans), n_samples), np.nan)
+    k_idx = {k: i for i, k in enumerate(key_tuples)}
+    c_idx = {c: i for i, c in enumerate(chans)}
+    for row in pdf.itertuples(index=False):
+        k = tuple(getattr(row, c) for c in cols)
+        ch = getattr(row, "channel", None) if has_channel else None
+        out[k_idx[k], c_idx[ch], :] = np.asarray(row.trace)
+    info = [dict(zip(cols, k)) for k in key_tuples]
+    return out, info
+
+
+def _slice_mean(trace: Column, lo: int, hi: int) -> Column:
+    """Mean of trace[lo:hi] as a scalar column (native fold)."""
+    n = max(hi - lo, 1)
+    return (F.aggregate(F.slice(trace, lo + 1, hi - lo),
+                        F.lit(0.0), lambda a, x: a + x) / F.lit(float(n)))

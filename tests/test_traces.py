@@ -109,3 +109,32 @@ def test_rfft_onesided_norm(spark):
     # Parseval: sum |onesided|^2 * fs/N ≈ mean square of signal
     psd2 = np.asarray(row["fft_re"]) ** 2 + np.asarray(row["fft_im"]) ** 2
     assert psd2.sum() * FS / N_SAMPLES == pytest.approx(np.mean(sig ** 2), rel=1e-9)
+
+
+def test_get_traces_array_shape_and_baseline(spark):
+    from detanalysis_spark.traces import get_traces_array
+    import numpy as np
+
+    rows = []
+    for ev in range(6):
+        for ch in ("chA", "chB"):
+            base = 2.0 if ch == "chA" else -1.0
+            rows.append((1, ev, ch, [base + float(i) * 0.0 for i in range(8)]))
+    traces = spark.createDataFrame(
+        rows, ["series_number", "event_number", "channel", "trace"])
+    keys = spark.createDataFrame([(1, 0), (1, 3)],
+                                 ["series_number", "event_number"])
+    arr, info = get_traces_array(traces, keys)
+    assert arr.shape == (2, 2, 8)
+    assert info == [{"series_number": 1, "event_number": 0},
+                    {"series_number": 1, "event_number": 3}]
+    assert arr[0, 0].mean() == 2.0 and arr[0, 1].mean() == -1.0
+
+    arr2, _ = get_traces_array(traces, keys, baselinesub=True,
+                               baselineinds=(0, 4))
+    assert np.allclose(arr2, 0.0)     # constant traces null out
+
+    empty_keys = spark.createDataFrame([(9, 9)],
+                                       ["series_number", "event_number"])
+    arr3, info3 = get_traces_array(traces, empty_keys)
+    assert arr3.size == 0 and info3 == []
