@@ -1875,3 +1875,41 @@ def sessionized_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.agg(
         F.countDistinct("user_id", "session_id").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"))
+
+
+# ----------------------------------------------------------------------
+# W2 scale path: equal-frequency (exact-percentile) edges + CASE-chain
+# bin assignment — the distributed replacement for the un-partitioned
+# ntile window. Per-quintile counts and purchase fractions.
+# ----------------------------------------------------------------------
+@query("eqfreq_binned_passfrac", oracle="""
+WITH e AS (SELECT quantile_cont(value, 0.0) AS e0,
+                  quantile_cont(value, 0.2) AS e1,
+                  quantile_cont(value, 0.4) AS e2,
+                  quantile_cont(value, 0.6) AS e3,
+                  quantile_cont(value, 0.8) AS e4,
+                  quantile_cont(value, 1.0) AS e5
+           FROM events),
+b AS (SELECT CASE WHEN value >= e0 AND value < e1 THEN 0
+                  WHEN value >= e1 AND value < e2 THEN 1
+                  WHEN value >= e2 AND value < e3 THEN 2
+                  WHEN value >= e3 AND value < e4 THEN 3
+                  WHEN value >= e4 AND value <= e5 THEN 4 END AS bin,
+             event_type
+      FROM events, e)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS n_purchase
+FROM b WHERE bin IS NOT NULL
+GROUP BY bin
+""")
+def eqfreq_binned_passfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.binning import equal_frequency_edges
+    ev = load_table(spark, sf_dir, "events")
+    edges = equal_frequency_edges(ev, "value", 5, exact=True)
+    b = assign_bin(F.col("value"), edges)
+    return (ev.withColumn("bin", b).filter(F.col("bin").isNotNull())
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum((F.col("event_type") == "purchase").cast("long"))
+                 .alias("n_purchase")))
