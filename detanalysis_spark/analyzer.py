@@ -606,3 +606,49 @@ class Analyzer:
         col = self.resolve_cut(cut)
         row = df.agg(F.avg(col.cast("double")).alias("frac")).collect()[0]
         return float(row["frac"]) if row["frac"] is not None else float("nan")
+
+    # ------------------------------------------------------------------
+    # raw-trace fetch (S7/S8, analyzer.py:1006-1047)
+    # ------------------------------------------------------------------
+    def get_traces(self, channels: Sequence[str] | None, raw_path: "str | DataFrame",
+                   cut: Any = None, nb_random_samples: int | None = None,
+                   nb_events_limit: int = 1000, seed: int = 42,
+                   baselinesub: bool = False,
+                   baselineinds: tuple[int, int] = (5, 100)):
+        """Batch trace fetch against a trace table (reference
+        ``get_traces``, analyzer.py:1006-1047): select event keys under
+        ``cut`` (optionally an exact-n random sample), broadcast-join
+        them against the trace Parquet, and return the reference's
+        ``(ndarray[n_events, n_channels, n_samples], info)`` contract.
+
+        ``raw_path`` is a Parquet path or an already-loaded trace
+        DataFrame (keyed by series/event number, one row per channel).
+        The key join and optional baseline subtraction run distributed;
+        only the capped result crosses to the driver — the Spark analog
+        of the reference's ``memory_limit`` guard.
+        """
+        from .traces import get_traces_array
+        traces = (self._spark.read.parquet(raw_path)
+                  if isinstance(raw_path, str) else raw_path)
+        keys = self._subset_df(self.df, cut)
+        if nb_random_samples:
+            keys = keys.orderBy(F.rand(seed)).limit(nb_random_samples)
+        return get_traces_array(traces, keys, channels=channels,
+                                nb_events_limit=nb_events_limit,
+                                baselinesub=baselinesub,
+                                baselineinds=baselineinds)
+
+    def get_trace(self, channels: Sequence[str] | None, raw_path: "str | DataFrame",
+                  series_number: int, event_number: int, **kwargs):
+        """Single-event fetch (S8, scatterplotter.py:112-202): point
+        predicate on the key columns, then the same array contract with
+        the leading event axis squeezed."""
+        traces = (self._spark.read.parquet(raw_path)
+                  if isinstance(raw_path, str) else raw_path)
+        keys = self._spark.createDataFrame(
+            [(int(series_number), int(event_number))],
+            "series_number long, event_number long")
+        from .traces import get_traces_array
+        arr, info = get_traces_array(traces, keys, channels=channels,
+                                     nb_events_limit=1, **kwargs)
+        return (arr[0] if arr.shape[0] else arr.reshape(arr.shape[1:])), info

@@ -138,3 +138,28 @@ def test_get_traces_array_shape_and_baseline(spark):
                                        ["series_number", "event_number"])
     arr3, info3 = get_traces_array(traces, empty_keys)
     assert arr3.size == 0 and info3 == []
+
+
+def test_analyzer_get_traces_method(spark, trace_df):
+    """Reference entry point parity: analyzer.get_traces(channels,
+    raw_path, cut=...) → (n_events, n_channels, n_samples) + info
+    (analyzer.py:1006-1047)."""
+    from detanalysis_spark.analyzer import Analyzer
+
+    events = spark.createDataFrame(
+        [(s, e, float(s * 10 + e)) for s in (1, 2, 3) for e in range(4)],
+        "series_number long, event_number long, amp double")
+    az = Analyzer(events, spark)
+    az.register_cut("series_number = 1", "c_s1")
+
+    arr, info = az.get_traces(["chanA", "chanB"], trace_df, cut="c_s1")
+    assert arr.shape == (4, 2, N_SAMPLES)
+    assert all(d["series_number"] == 1 for d in info)
+
+    arr_s, info_s = az.get_traces(None, trace_df, cut="c_s1",
+                                  nb_random_samples=2)
+    assert arr_s.shape[0] == 2
+
+    single, sinfo = az.get_trace(["chanB"], trace_df, 2, 3)
+    assert single.shape == (1, N_SAMPLES)
+    assert sinfo == [{"series_number": 2, "event_number": 3}]
