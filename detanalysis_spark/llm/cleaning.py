@@ -1,0 +1,158 @@
+"""Training-data cleaning operators: PII scrubbing, repetition signals,
+benchmark decontamination.
+
+These are the standard "safety and leakage" stages of a large-scale
+LLM data pipeline, built to run at 100 TB:
+
+- **PII detection/redaction** is pure JVM regex (``regexp_extract_all``
+  / ``regexp_replace`` inside whole-stage codegen) — a per-row
+  projection with no shuffle, so it streams at scan speed.
+- **Repetition signals** (duplicate-token / duplicate-n-gram ratios,
+  Gopher-style quality gates) are native array expressions — again a
+  shuffle-free projection.
+- **Decontamination** explodes each document's *distinct* n-grams and
+  semi-joins them against the benchmark's n-gram set. Benchmarks are
+  tiny relative to the corpus, so the gram set is **broadcast**: the
+  corpus side never shuffles and the cost is one scan + one local join.
+
+Every regex is in the portable subset Java regex (Spark) and RE2
+(DuckDB oracle) interpret identically: explicit character classes,
+no lookaround, no backreferences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "PII_PATTERNS", "pii_counts", "redact_pii",
+    "repetition_scores", "benchmark_ngrams", "contamination_overlap",
+]
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+# Ordered: redaction applies them in this sequence (ssn before phone —
+# both are digit-dash shapes; email before ipv4 so hostnames with
+# dotted quads redact as one email, matching the SQL oracle chain).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "phone": r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}",
+    "ipv4": r"[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Occurrence count per PII kind — ``{kind: IntegerType column}``.
+
+    ``size(regexp_extract_all(...))`` keeps the whole thing inside
+    codegen; nothing crosses to Python.
+    """
+    return {kind: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+            for kind, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(text: Column, kinds: list[str] | None = None,
+               token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token``, applying
+    :data:`PII_PATTERNS` in declaration order (so overlapping shapes —
+    ssn vs phone — resolve deterministically, identically to a chained
+    ``regexp_replace`` SQL oracle)."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        if kinds is not None and kind not in kinds:
+            continue
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# repetition / quality gates (Gopher-style)
+# ---------------------------------------------------------------------------
+def _tokens(text: Column) -> Column:
+    # split("") yields [""], not [] — treat blank text as zero tokens
+    return F.when(F.length(F.trim(text)) == 0,
+                  F.array().cast("array<string>")) \
+            .otherwise(F.split(F.trim(text), r"\s+"))
+
+
+def repetition_scores(text: Column, n: int = 2) -> dict[str, Column]:
+    """Repetition signals over whitespace tokens, all native array ops:
+
+    - ``dup_token_ratio``: ``1 - distinct_tokens / tokens`` (0 for
+      empty text).
+    - ``dup_ngram_ratio``: ``1 - distinct_ngrams / ngrams`` for word
+      ``n``-grams (0 when fewer than ``n`` tokens).
+    - ``max_token_ratio``: frequency of the most common token divided
+      by the token count — the classic "one word dominates" gate.
+
+    The token array is bound once per row via a one-element array
+    transform (the same trick as ``word_shingles``) so the regex split
+    is not re-evaluated per lambda element.
+    """
+    def per_row(tk: Column) -> Column:
+        n_tok = F.size(tk)
+        n_gram = F.greatest(n_tok - (n - 1), F.lit(0))
+        grams = F.when(n_gram >= 1, F.transform(
+            F.sequence(F.lit(1), n_gram),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)))) \
+            .otherwise(F.array().cast("array<string>"))
+        dup_tok = F.when(n_tok > 0,
+                         1.0 - F.size(F.array_distinct(tk)) / n_tok) \
+            .otherwise(F.lit(0.0))
+        dup_ngram = F.when(n_gram > 0,
+                           1.0 - F.size(F.array_distinct(grams)) / n_gram) \
+            .otherwise(F.lit(0.0))
+        max_tok = F.when(n_tok > 0, F.array_max(F.transform(
+            F.array_distinct(tk),
+            lambda t: F.size(F.filter(tk, lambda x: x == t)))) / n_tok) \
+            .otherwise(F.lit(0.0))
+        return F.struct(dup_tok.alias("dup_token_ratio"),
+                        dup_ngram.alias("dup_ngram_ratio"),
+                        max_tok.alias("max_token_ratio"))
+
+    s = F.transform(F.array(_tokens(text)), per_row)[0]
+    return {"dup_token_ratio": s["dup_token_ratio"],
+            "dup_ngram_ratio": s["dup_ngram_ratio"],
+            "max_token_ratio": s["max_token_ratio"]}
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+def benchmark_ngrams(bench: DataFrame, text_col: str = "text",
+                     n: int = 5) -> DataFrame:
+    """Distinct word ``n``-grams of a benchmark corpus — one column
+    ``gram``. Small by construction (benchmarks are MBs, not TBs)."""
+    from .dedup import word_shingles
+    return (bench
+            .select(F.explode(word_shingles(F.col(text_col), n)).alias("gram"))
+            .distinct())
+
+
+def contamination_overlap(docs: DataFrame, bench_grams: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          n: int = 5) -> DataFrame:
+    """Per-document benchmark overlap: ``(id, n_grams, n_hits)``.
+
+    Each doc's *distinct* grams are exploded and inner-joined against
+    the **broadcast** benchmark gram set, then counted back per doc —
+    the corpus never shuffles, so this scales linearly in corpus size.
+    Documents with no grams (shorter than ``n`` tokens) surface with
+    ``n_grams = 0, n_hits = 0``.
+    """
+    from .dedup import word_shingles
+    grams = docs.select(F.col(id_col),
+                        word_shingles(F.col(text_col), n).alias("__grams__"))
+    exploded = grams.select(id_col, F.explode("__grams__").alias("gram"))
+    hits = (exploded
+            .join(F.broadcast(bench_grams), "gram", "inner")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    return (grams
+            .select(id_col, F.size("__grams__").alias("n_grams"))
+            .join(hits, id_col, "left")
+            .select(id_col, "n_grams",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits")))

@@ -1913,3 +1913,136 @@ def eqfreq_binned_passfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum((F.col("event_type") == "purchase").cast("long"))
                  .alias("n_purchase")))
+
+
+# ----------------------------------------------------------------------
+# cleaning pillar (llm/cleaning.py): PII detection/redaction over a
+# deterministically PII-seeded derivation of the documents table —
+# pure codegen regex projection, no shuffle
+# ----------------------------------------------------------------------
+from .llm import cleaning as _CL  # noqa: E402
+
+
+@query("pii_redaction_stats", oracle=r"""
+WITH d AS (
+  SELECT source,
+         text || ' contact user' || doc_id || '@example.com at 10.0.'
+              || (doc_id % 256) || '.7' AS t
+  FROM documents),
+r AS (
+  SELECT source, t,
+         len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(t,
+             '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS n_ipv4,
+         regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '[PII]', 'g'),
+             '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '[PII]', 'g')
+           AS red
+  FROM d)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS total_emails,
+       CAST(sum(n_ipv4) AS BIGINT) AS total_ipv4,
+       CAST(sum(len(t) - len(red)) AS BIGINT) AS chars_redacted
+FROM r GROUP BY source
+""")
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "source",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"), F.lit("@example.com at 10.0."),
+                 (F.col("doc_id") % 256).cast("string"), F.lit(".7")).alias("t"))
+    counts = _CL.pii_counts(F.col("t"))
+    red = _CL.redact_pii(F.col("t"), kinds=["email", "ipv4"])
+    return (seeded
+            .select("source", counts["email"].alias("n_email"),
+                    counts["ipv4"].alias("n_ipv4"),
+                    (F.length("t") - F.length(red)).alias("delta"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("n_email").cast("long")).alias("total_emails"),
+                 F.sum(F.col("n_ipv4").cast("long")).alias("total_ipv4"),
+                 F.sum(F.col("delta").cast("long")).alias("chars_redacted")))
+
+
+# ----------------------------------------------------------------------
+# Gopher-style repetition quality gates — native array expressions
+# ----------------------------------------------------------------------
+@query("repetition_quality_stats", oracle=r"""
+WITH t AS (
+  SELECT lang, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE len(trim(text)) > 0),
+s AS (
+  SELECT lang,
+         1 - len(list_distinct(toks))::DOUBLE / len(toks) AS dup_tok,
+         CASE WHEN len(toks) >= 2 THEN
+           1 - len(list_distinct([array_to_string(toks[i:i+1], ' ')
+                                  for i in range(1, len(toks))]))::DOUBLE
+               / (len(toks) - 1)
+         ELSE 0.0 END AS dup_gram,
+         list_max(list_transform(list_distinct(toks),
+             t2 -> len(list_filter(toks, x -> x = t2))))::DOUBLE
+           / len(toks) AS max_tok
+  FROM t)
+SELECT lang, count(*) AS n_docs,
+       round(avg(dup_tok), 6) AS avg_dup_token_ratio,
+       round(avg(dup_gram), 6) AS avg_dup_bigram_ratio,
+       round(avg(max_tok), 6) AS avg_max_token_ratio,
+       CAST(count(*) FILTER (WHERE dup_tok > 0.7) AS BIGINT) AS n_flagged
+FROM s GROUP BY lang
+""")
+def repetition_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+    s = _CL.repetition_scores(F.col("text"), n=2)
+    return (docs
+            .select("lang", s["dup_token_ratio"].alias("dup_tok"),
+                    s["dup_ngram_ratio"].alias("dup_gram"),
+                    s["max_token_ratio"].alias("max_tok"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("dup_tok"), 6).alias("avg_dup_token_ratio"),
+                 F.round(F.avg("dup_gram"), 6).alias("avg_dup_bigram_ratio"),
+                 F.round(F.avg("max_tok"), 6).alias("avg_max_token_ratio"),
+                 F.sum((F.col("dup_tok") > 0.7).cast("long"))
+                 .alias("n_flagged")))
+
+
+# ----------------------------------------------------------------------
+# benchmark decontamination — every 25th doc acts as the "benchmark";
+# corpus docs are flagged by distinct word-3-gram overlap against the
+# broadcast benchmark gram set (corpus side never shuffles)
+# ----------------------------------------------------------------------
+@query("decontamination_stats", oracle=r"""
+WITH g AS (
+  SELECT doc_id, source,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in range(1, len(toks)-1)]) AS grams
+  FROM (SELECT doc_id, source,
+               string_split_regex(trim(text), '\s+') AS toks
+        FROM documents)),
+b AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 25 = 0),
+d AS (SELECT doc_id, source, grams FROM g WHERE doc_id % 25 <> 0),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM d),
+h AS (SELECT e.doc_id, count(*) AS n_hits
+      FROM e JOIN b USING (gram) GROUP BY e.doc_id)
+SELECT source, count(*) AS n_docs,
+       CAST(count(*) FILTER (WHERE coalesce(n_hits, 0) >= 1) AS BIGINT)
+         AS n_contaminated,
+       CAST(sum(coalesce(n_hits, 0)) AS BIGINT) AS total_hits
+FROM d LEFT JOIN h USING (doc_id) GROUP BY source
+""")
+def decontamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    grams = _CL.benchmark_ngrams(bench, n=3)
+    ov = _CL.contamination_overlap(corpus, grams, n=3)
+    return (corpus.select("doc_id", "source")
+            .join(ov, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("n_hits") >= 1).cast("long"))
+                 .alias("n_contaminated"),
+                 F.sum(F.col("n_hits").cast("long")).alias("total_hits")))

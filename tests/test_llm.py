@@ -342,3 +342,79 @@ def test_embedding_centroids_normalized(spark):
     n0 = np.hypot(1.5, 2.0)
     assert norm[(0, 0)] == pytest.approx(1.5 / n0)
     assert norm[(1, 0)] == pytest.approx(1.0)
+
+
+# ----------------------------------------------------------------------
+# cleaning: PII, repetition, decontamination
+# ----------------------------------------------------------------------
+def test_pii_counts_and_redaction(spark):
+    from detanalysis_spark.llm import cleaning as C
+
+    rows = [
+        (1, "mail me at bob.smith+x@corp.example.com today"),
+        (2, "server 192.168.001.42 and 10.0.0.1 are up"),
+        (3, "call 555-123-4567 or ssn 123-45-6789"),
+        (4, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in df.select(
+        "id",
+        *[c.alias(k) for k, c in C.pii_counts(F.col("text")).items()],
+        C.redact_pii(F.col("text")).alias("red")).collect()}
+
+    assert got[1]["email"] == 1 and got[1]["ipv4"] == 0
+    assert got[2]["ipv4"] == 2
+    assert got[3]["phone"] == 1 and got[3]["ssn"] == 1
+    assert got[4]["email"] == got[4]["ipv4"] == got[4]["phone"] == 0
+    assert got[1]["red"] == "mail me at [PII] today"
+    assert got[2]["red"] == "server [PII] and [PII] are up"
+    # ssn pattern wins before the phone pattern; both redact
+    assert got[3]["red"] == "call [PII] or ssn [PII]"
+    assert got[4]["red"] == rows[3][1]
+
+
+def test_repetition_scores_match_python(spark):
+    from detanalysis_spark.llm import cleaning as C
+
+    texts = ["a a a a", "one two three four", "x y x y x y", "solo", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    s = C.repetition_scores(F.col("text"), n=2)
+    got = {r["id"]: r for r in df.select(
+        "id", *[c.alias(k) for k, c in s.items()]).collect()}
+
+    for i, t in enumerate(texts):
+        toks = t.split()
+        grams = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        want_tok = 1 - len(set(toks)) / len(toks) if toks else 0.0
+        want_gram = 1 - len(set(grams)) / len(grams) if grams else 0.0
+        want_max = (max(toks.count(x) for x in set(toks)) / len(toks)
+                    if toks else 0.0)
+        assert got[i]["dup_token_ratio"] == pytest.approx(want_tok)
+        assert got[i]["dup_ngram_ratio"] == pytest.approx(want_gram)
+        assert got[i]["max_token_ratio"] == pytest.approx(want_max)
+
+
+def test_contamination_overlap_broadcast(spark):
+    from detanalysis_spark.llm import cleaning as C
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame([
+        (1, "we saw the quick brown fox jumps high"),   # shares 3-grams
+        (2, "completely unrelated words in this text"),
+        (3, "too short"),                               # < n tokens
+    ], "doc_id long, text string")
+
+    grams = C.benchmark_ngrams(bench, n=3)
+    out = C.contamination_overlap(docs, grams, n=3)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # doc1 grams: "we saw the","saw the quick","the quick brown",
+    # "quick brown fox","brown fox jumps","fox jumps high" → 3 hits
+    assert got[1]["n_hits"] == 3 and got[1]["n_grams"] == 6
+    assert got[2]["n_hits"] == 0
+    assert got[3]["n_grams"] == 0 and got[3]["n_hits"] == 0
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
