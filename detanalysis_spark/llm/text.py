@@ -10,13 +10,14 @@ POSIX class names.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "token_count", "bpe_ish_token_count", "quality_scores",
     "language_id", "LANG_STOPWORDS", "doc_fingerprint",
-    "winnow_fingerprints",
+    "winnow_fingerprints", "normalize_text", "chunk_text",
+    "chunk_documents", "pack_documents",
 ]
 
 # portable regexes (identical semantics in Java regex and RE2)
@@ -192,3 +193,32 @@ def chunk_documents(df, text_col: str = "text", id_col: str = "doc_id",
     out = df.select(F.col(id_col),
                     F.posexplode(chunks).alias("chunk_id", "chunk_text"))
     return out.withColumn("n_tokens", token_count(F.col("chunk_text")))
+
+
+def pack_documents(df, token_col: Column | str, budget: int,
+                   order_col: str = "doc_id",
+                   partition_cols: list[str] | None = None):
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    ``order_col`` order (optionally per ``partition_cols`` stream) and
+    the token stream is cut into fixed ``budget``-token context
+    windows. Each document is stamped with
+
+    - ``pack_id``  — the window its first token lands in, and
+    - ``pack_offset`` — its token offset within that window,
+
+    the bookkeeping a training loader needs to assemble packed
+    contexts. Deterministic, one window shuffle keyed by the partition
+    columns — no stateful driver loop. (With no partition columns the
+    window is global; prefer a stream key — e.g. ``source`` — at scale,
+    which keeps the sort partition-local.)
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    w = Window.partitionBy(*(partition_cols or [])).orderBy(order_col)
+    start = F.coalesce(
+        F.sum(tok).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0)).cast("long")
+    return (df
+            .withColumn("pack_id", F.floor(start / budget))
+            .withColumn("pack_offset", start % budget))

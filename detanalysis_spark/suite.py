@@ -2046,3 +2046,41 @@ def decontamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum((F.col("n_hits") >= 1).cast("long"))
                  .alias("n_contaminated"),
                  F.sum(F.col("n_hits").cast("long")).alias("total_hits")))
+
+
+# ----------------------------------------------------------------------
+# sequence packing — concat-and-chunk documents into fixed-budget
+# context windows per source stream (one window shuffle, no driver
+# state); per-source pack counts and fill stats
+# ----------------------------------------------------------------------
+@query("sequence_packing_stats", oracle=r"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\s+')) AS n_tok
+  FROM documents WHERE len(trim(text)) > 0),
+p AS (
+  SELECT source, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS start
+  FROM d)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT start // 256) AS BIGINT) AS n_packs_started,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(max(start // 256) + 1 AS BIGINT) AS n_windows
+FROM p GROUP BY source
+""")
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.text import pack_documents, token_count
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.length(F.trim(F.col("text"))) > 0)
+            .select("doc_id", "source",
+                    token_count(F.col("text")).cast("long").alias("n_tok")))
+    packed = pack_documents(docs, "n_tok", budget=256,
+                            partition_cols=["source"])
+    return (packed.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("pack_id").alias("n_packs_started"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 (F.max("pack_id") + 1).alias("n_windows")))

@@ -418,3 +418,20 @@ def test_contamination_overlap_broadcast(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pack_documents_window_math(spark):
+    from detanalysis_spark.llm.text import pack_documents
+
+    rows = [(i, "s", n) for i, n in enumerate([40, 40, 40, 100, 10, 90])]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    got = {r["doc_id"]: (r["pack_id"], r["pack_offset"])
+           for r in pack_documents(df, "n_tok", budget=100,
+                                   partition_cols=["source"]).collect()}
+    # cumulative starts: 0, 40, 80, 120, 220, 230
+    assert got[0] == (0, 0)
+    assert got[1] == (0, 40)
+    assert got[2] == (0, 80)    # straddles into window 1
+    assert got[3] == (1, 20)
+    assert got[4] == (2, 20)
+    assert got[5] == (2, 30)
