@@ -263,6 +263,16 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                                  F.col("id_a").alias("dst"))))
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("cluster_id", F.col("id")))
+
+    def label_sum(df: DataFrame):
+        # labels only ever decrease (least-of-neighborhood), so the
+        # exact total is a monotone convergence witness — one agg per
+        # round instead of a join + count. decimal(38,0) keeps the sum
+        # exact at any corpus size.
+        return (df.agg(F.sum(F.col("cluster_id").cast("decimal(38,0)")))
+                .collect()[0][0])
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         nbr_min = (edges
                    .join(labels.withColumnRenamed("id", "dst")
@@ -276,13 +286,11 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                                                     F.col("cluster_id")))
                            .alias("cluster_id"))
                    .localCheckpoint(eager=True))
-        changed = (updated.alias("u")
-                   .join(labels.alias("l"), "id")
-                   .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-                   .limit(1).count())
+        new_sum = label_sum(updated)
         labels = updated
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(f"near_dup_clusters: no convergence in {max_iter} rounds")
 
 

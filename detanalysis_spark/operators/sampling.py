@@ -20,7 +20,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["random_choice", "every_nth", "log_spaced_indices",
+__all__ = ["random_choice", "every_nth", "log_spaced_indices", "cap_per_key",
            "log_downsample", "polyval", "sessionize"]
 
 
@@ -89,3 +89,24 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str, gap) -> DataFrame:
         "session_id",
         F.sum(new_sess).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+
+def cap_per_key(df: DataFrame, key_cols: Sequence[str], n: int,
+                order_col: str) -> DataFrame:
+    """Keep the first ``n`` rows per key in ``order_col`` order — the
+    deterministic "domain cap" used to bound over-represented sources
+    in a training mix (and the reference's per-class example picks,
+    semiautocuts.py:2414-2469, made reproducible).
+
+    One shuffle keyed by ``key_cols``; rank-1..n within each key, no
+    join-back. Keys are assumed well-distributed (domains, sources);
+    for a pathological hot key, pre-salt or pre-filter.
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    return (df.withColumn("__cap_rn__", F.row_number().over(w))
+            .filter(F.col("__cap_rn__") <= n)
+            .drop("__cap_rn__"))

@@ -2084,3 +2084,25 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("pack_id").alias("n_packs_started"),
                  F.sum("n_tok").alias("total_tokens"),
                  (F.max("pack_id") + 1).alias("n_windows")))
+
+
+# ----------------------------------------------------------------------
+# deterministic domain cap — keep first-15-per-source (curation stage
+# that bounds over-represented domains); per-lang survivor counts
+# ----------------------------------------------------------------------
+@query("domain_cap_counts", oracle="""
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM r WHERE rn <= 15 GROUP BY lang
+""")
+def domain_cap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import cap_per_key
+    docs = load_table(spark, sf_dir, "documents")
+    capped = cap_per_key(docs, ["source"], 15, "doc_id")
+    return (capped.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("n_chars").cast("long")).alias("total_chars")))

@@ -58,3 +58,17 @@ def test_sessionize_gap_rule(spark):
     assert got[("u1", 0)] == 1 and got[("u1", 100)] == 1
     assert got[("u1", 2000)] == 2 and got[("u1", 2050)] == 2
     assert got[("u2", 10)] == 1 and got[("u2", 5000)] == 2
+
+
+def test_cap_per_key_deterministic(spark):
+    from detanalysis_spark.operators.sampling import cap_per_key
+
+    df = spark.createDataFrame(
+        [(k, i) for k in ("a", "b") for i in range(10)] + [("c", 0)],
+        "key string, v long")
+    out = cap_per_key(df, ["key"], 3, "v")
+    got = sorted((r["key"], r["v"]) for r in out.collect())
+    assert got == [("a", 0), ("a", 1), ("a", 2),
+                   ("b", 0), ("b", 1), ("b", 2), ("c", 0)]
+    with pytest.raises(ValueError):
+        cap_per_key(df, ["key"], 0, "v")
