@@ -407,3 +407,103 @@ def embedding_centroids(df: DataFrame, group_col: str,
                     F.when(F.col("__n__") > 0,
                            F.col("mean") / F.col("__n__"))
                     .otherwise(F.col("mean")).alias("mean")))
+
+
+# ---------------------------------------------------------------------------
+# distributed covariance / PCA over the embedding column
+# ---------------------------------------------------------------------------
+def embedding_moments(df: DataFrame, vec_col: str = "embedding"):
+    """Distributed second moments of an embedding column: returns
+    ``(n, sum_vec[d], gram[d, d])`` as numpy, from ONE pass.
+
+    Each partition computes its local count / column sum / Gram matrix
+    ``XᵀX`` inside an Arrow batch (``mapInPandas`` — numpy matmul, no
+    per-row Python), and only the tiny ``d×d`` partials cross to the
+    driver. This is the standard scale-out pattern for covariance/PCA:
+    at 1000 executors the driver combines 1000 matrices of ``d²``
+    floats, independent of row count.
+    """
+    import pandas as pd  # noqa: F811 (local for the udf closure)
+
+    sub = df.select(_as_double(F.col(vec_col)).alias("v")).filter(
+        F.col("v").isNotNull())
+
+    def partial(batches):
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            n += mat.shape[0]
+            s = mat.sum(axis=0) if s is None else s + mat.sum(axis=0)
+            gg = mat.T @ mat
+            g = gg if g is None else g + gg
+        if n:
+            yield pd.DataFrame({"n": [n],
+                                "s": [s.tolist()],
+                                "g": [g.reshape(-1).tolist()]})
+
+    parts = sub.mapInPandas(
+        partial, "n long, s array<double>, g array<double>").collect()
+    if not parts:
+        raise ValueError("embedding_moments: empty input")
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    d = s.shape[0]
+    g = np.sum([np.asarray(p["g"]).reshape(d, d) for p in parts], axis=0)
+    return n, s, g
+
+
+def embedding_covariance(df: DataFrame, vec_col: str = "embedding"):
+    """Population covariance matrix ``E[xxᵀ] − E[x]E[x]ᵀ`` (numpy
+    ``d×d``) of the embedding column — one distributed pass."""
+    n, s, g = embedding_moments(df, vec_col)
+    mu = s / n
+    return g / n - np.outer(mu, mu)
+
+
+def pca_fit(df: DataFrame, vec_col: str = "embedding",
+            n_components: int = 8):
+    """PCA of the embedding column: ``(components[d, k], explained
+    variance[k], mean[d])``.
+
+    Covariance is the one-pass distributed reduction above; the
+    eigendecomposition runs on the driver's ``d×d`` matrix (trivial
+    for embedding dims). Components are sign-canonicalized (largest
+    |loading| positive) so results are deterministic.
+    """
+    n, s, g = embedding_moments(df, vec_col)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    w = evecs[:, order]
+    for j in range(w.shape[1]):
+        i = int(np.argmax(np.abs(w[:, j])))
+        if w[i, j] < 0:
+            w[:, j] = -w[:, j]
+    return w, evals[order], mu
+
+
+def pca_project(df: DataFrame, components: np.ndarray, mean: np.ndarray,
+                vec_col: str = "embedding",
+                out_col: str = "pca") -> DataFrame:
+    """Project embeddings onto fitted components: adds ``out_col`` =
+    ``Wᵀ(x − μ)`` (array<double>, length k). The ``d×k`` matrix ships
+    to executors in the UDF closure (a broadcast-sized constant);
+    projection is one numpy matmul per Arrow batch."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.types import DoubleType
+
+    w = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _proj(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        out = (mat - mu) @ w
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, _proj(_as_double(F.col(vec_col))))

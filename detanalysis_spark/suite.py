@@ -2106,3 +2106,24 @@ def domain_cap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (capped.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.col("n_chars").cast("long")).alias("total_chars")))
+
+
+# ----------------------------------------------------------------------
+# distributed embedding covariance (one mapInPandas pass; only d×d
+# partials reach the driver) vs DuckDB covar_pop per dimension pair
+# ----------------------------------------------------------------------
+@query("embedding_covariance_stats", oracle="""
+SELECT CAST(ri.range AS BIGINT) AS i, CAST(rj.range AS BIGINT) AS j,
+       round(covar_pop(CAST(embedding AS DOUBLE[])[CAST(ri.range + 1 AS INT)],
+                       CAST(embedding AS DOUBLE[])[CAST(rj.range + 1 AS INT)]),
+             6) AS cov
+FROM embeddings, range(4) ri, range(4) rj
+GROUP BY i, j
+""")
+def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.similarity import embedding_covariance
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = embedding_covariance(emb)
+    rows = [(i, j, round(float(cov[i, j]), 6))
+            for i in range(4) for j in range(4)]
+    return spark.createDataFrame(rows, "i long, j long, cov double")

@@ -435,3 +435,32 @@ def test_pack_documents_window_math(spark):
     assert got[3] == (1, 20)
     assert got[4] == (2, 20)
     assert got[5] == (2, 30)
+
+
+def test_embedding_covariance_and_pca_match_numpy(spark):
+    from detanalysis_spark.llm.similarity import (embedding_covariance,
+                                                  pca_fit, pca_project)
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 1, (200, 6))
+    base[:, 3] = 3.0 * base[:, 0] + 0.1 * base[:, 3]   # correlated dims
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(base)],
+        "vec_id long, embedding array<double>").repartition(7)
+
+    cov = embedding_covariance(df)
+    want = np.cov(base.T, bias=True)
+    np.testing.assert_allclose(cov, want, rtol=1e-9, atol=1e-9)
+
+    w, ev, mu = pca_fit(df, n_components=3)
+    evals, evecs = np.linalg.eigh(want)
+    np.testing.assert_allclose(sorted(ev, reverse=True),
+                               sorted(evals, reverse=True)[:3], rtol=1e-9)
+    # projection matches numpy (components sign-canonicalized)
+    got = (pca_project(df, w, mu).orderBy("vec_id")
+           .select("pca").toPandas()["pca"])
+    want_proj = (base - base.mean(axis=0)) @ w
+    np.testing.assert_allclose(np.asarray(got.tolist()), want_proj,
+                               rtol=1e-8, atol=1e-8)
+    # variance along first component equals the top eigenvalue
+    assert np.var(want_proj[:, 0]) == pytest.approx(ev[0], rel=1e-9)
