@@ -2127,3 +2127,21 @@ def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(i, j, round(float(cov[i, j]), 6))
             for i in range(4) for j in range(4)]
     return spark.createDataFrame(rows, "i long, j long, cov double")
+
+
+# ----------------------------------------------------------------------
+# A4 approx percentile — mergeable-sketch scale path. No SQL oracle:
+# sketch results are engine-specific by construction (DuckDB's
+# approx_quantile uses a different sketch), so the driver records the
+# weaker rows-only check; exactness is pytest-verified against the
+# exact path within sketch error (tests/test_operators.py).
+# ----------------------------------------------------------------------
+@query("approx_percentile_profile")
+def approx_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [1.0, 25.0, 50.0, 75.0, 99.0]
+    agg = F.percentile_approx(F.col("l_extendedprice"),
+                              F.lit([q / 100.0 for q in qs]), F.lit(10000))
+    row = li.agg(agg.alias("p")).collect()[0]["p"]
+    return spark.createDataFrame(
+        [(q, float(v)) for q, v in zip(qs, row)], "q double, value double")

@@ -108,6 +108,26 @@ def main() -> int:
             d, ["a"], trace_length_msec=1000.0).count()
     probe("sweep_moments", mom(ev1), mom(evk))
 
+    # benchmark decontamination: broadcast gram set, corpus never
+    # shuffles — cost must track corpus size, not corpus × benchmark
+    def decon(df):
+        from detanalysis_spark.llm import cleaning as C
+        bench = df.filter(F.col("doc_id") % 25 == 0)
+        corpus = df.filter(F.col("doc_id") % 25 != 0)
+        grams = C.benchmark_ngrams(bench, n=3)
+        return lambda: C.contamination_overlap(corpus, grams, n=3).count()
+    probe("decontamination", decon(docs1), decon(docsk))
+
+    # sequence packing: one window shuffle keyed by source
+    def pack(df):
+        from detanalysis_spark.llm.text import pack_documents, token_count
+        d = df.select("doc_id", "source",
+                      token_count(F.col("text")).cast("long").alias("n_tok"))
+        return lambda: pack_documents(
+            d, "n_tok", budget=256,
+            partition_cols=["source"]).agg(F.max("pack_id")).collect()[0][0]
+    probe("sequence_packing", pack(docs1), pack(docsk))
+
     print(json.dumps({"probe": results, "multiplier": k}))
     return 0
 
