@@ -59,7 +59,8 @@ class FeatureInfo:
     metadata: dict = field(default_factory=dict)
 
 
-def ensure_event_index(df: DataFrame, order_by: Sequence[str] | None = None) -> DataFrame:
+def ensure_event_index(df: DataFrame, order_by: Sequence[str] | None = None,
+                       out_col: str = EVENT_INDEX) -> DataFrame:
     """Assign the permanent row id at ingest (analyzer.py:563-565).
 
     The reference does ``np.arange(len(df))``. Distributed equivalent
@@ -79,7 +80,7 @@ def ensure_event_index(df: DataFrame, order_by: Sequence[str] | None = None) -> 
     This is a one-time ingest cost — the id is persisted to Parquet and
     never recomputed at query time. No-op if the column exists.
     """
-    if EVENT_INDEX in df.columns:
+    if out_col in df.columns:
         return df
     if order_by:
         cols = [F.col(c) for c in order_by]
@@ -96,7 +97,7 @@ def ensure_event_index(df: DataFrame, order_by: Sequence[str] | None = None) -> 
     off = df.sparkSession.createDataFrame(
         rows, schema="__pid__ int, __off__ long, __m0__ long")
     return (tagged.join(F.broadcast(off), "__pid__")
-            .withColumn(EVENT_INDEX,
+            .withColumn(out_col,
                         (F.col("__off__") + F.col("__mid__") - F.col("__m0__")).cast("long"))
             .drop("__pid__", "__mid__", "__off__", "__m0__"))
 

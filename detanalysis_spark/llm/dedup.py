@@ -32,6 +32,7 @@ __all__ = [
     "lsh_band_buckets", "lsh_candidate_pairs", "ngram_jaccard",
     "verify_candidates", "near_dup_pairs", "near_dup_clusters",
     "simhash", "hamming_distance",
+    "positional_ngrams", "duplicated_spans", "span_dup_stats",
 ]
 
 
@@ -103,6 +104,82 @@ def char_shingles(text: Column, n: int = 5) -> Column:
         _gram_positions(F.length(text) - (n - 1)),
         lambda i: text.substr(i, F.lit(n)))
     return F.array_distinct(grams)
+
+
+# ----------------------------------------------------------------------
+# substring-level (span) dedup — the distributed analog of
+# suffix-array exact-substring dedup over a training corpus: find
+# fixed-length token spans repeated across documents and measure how
+# much of each document is covered by cross-document duplicated text
+# ----------------------------------------------------------------------
+def positional_ngrams(text: Column, n: int = 5) -> Column:
+    """All overlapping word n-grams of a text, one per token position
+    (unlike ``word_shingles``, NOT deduplicated) — the unit of
+    substring-level duplication analysis. Same single-tokenize lambda
+    binding as ``word_shingles``."""
+    def per_row(tk: Column) -> Column:
+        return F.transform(
+            _gram_positions(F.size(tk) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+    return F.flatten(F.transform(F.array(_tokens(text)), per_row))
+
+
+def duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", span_tokens: int = 5,
+                     min_docs: int = 2) -> DataFrame:
+    """(gram, n_docs, n_occurrences) for every ``span_tokens``-word span
+    that occurs in at least ``min_docs`` distinct documents.
+
+    One explode + one shuffle keyed by the span text; the per-(gram,
+    doc) pre-aggregate is map-side combined, so the shuffle carries at
+    most one row per distinct (gram, doc) — never one per occurrence.
+    At 100 TB the gram key space is huge but uniformly distributed (no
+    skew beyond genuinely viral spans, which is the signal itself).
+    """
+    pos = docs.select(F.col(id_col).alias("__id__"),
+                      F.explode(positional_ngrams(F.col(text_col),
+                                                  span_tokens)).alias("gram"))
+    per_doc = pos.groupBy("gram", "__id__").agg(F.count(F.lit(1)).alias("n"))
+    return (per_doc.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n").alias("n_occurrences"))
+            .filter(F.col("n_docs") >= min_docs))
+
+
+def span_dup_stats(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", span_tokens: int = 5,
+                   min_docs: int = 2) -> DataFrame:
+    """Per-document substring-duplication profile:
+    (id, n_spans, n_dup_spans) where ``n_dup_spans`` counts the span
+    positions whose gram also appears in ≥ ``min_docs`` documents.
+
+    Docs shorter than ``span_tokens`` have zero spans and are kept
+    (n_spans = 0). The corpus is exploded and pre-aggregated to
+    (gram, doc, n) exactly once (``localCheckpoint`` barrier shares it
+    between the dup-gram aggregate and the per-doc rollup — without it
+    both sides would re-scan and re-explode the corpus); the dup-gram
+    table joins back keyed by gram (AQE picks broadcast when small).
+    dup fraction = n_dup_spans / n_spans is left to the caller so
+    aggregates can stay exact-integer.
+    """
+    pos = docs.select(F.col(id_col),
+                      F.explode(positional_ngrams(F.col(text_col),
+                                                  span_tokens)).alias("gram"))
+    pdg = (pos.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("n"))
+           .localCheckpoint(eager=True))
+    dup = (pdg.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+           .filter(F.col("n_docs") >= min_docs)
+           .select("gram", F.lit(1).alias("__dup__")))
+    per_doc = (pdg.join(dup, "gram", "left")
+               .groupBy(id_col)
+               .agg(F.sum("n").alias("n_spans"),
+                    F.sum(F.when(F.col("__dup__").isNotNull(), F.col("n"))
+                           .otherwise(F.lit(0))).alias("n_dup_spans")))
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+                    F.coalesce(F.col("n_dup_spans"), F.lit(0))
+                     .alias("n_dup_spans")))
 
 
 # ----------------------------------------------------------------------

@@ -18,6 +18,7 @@ __all__ = [
     "language_id", "LANG_STOPWORDS", "doc_fingerprint",
     "winnow_fingerprints", "normalize_text", "chunk_text",
     "chunk_documents", "pack_documents",
+    "term_frequencies", "document_frequencies", "tfidf_topk",
 ]
 
 # portable regexes (identical semantics in Java regex and RE2)
@@ -222,3 +223,50 @@ def pack_documents(df, token_col: Column | str, budget: int,
     return (df
             .withColumn("pack_id", F.floor(start / budget))
             .withColumn("pack_offset", start % budget))
+
+
+def term_frequencies(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, term, tf) — lowercased whitespace terms, one shuffle keyed
+    by (id, term) with map-side combine. The per-document vocabulary is
+    the unit of all downstream TF-IDF work."""
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.transform(_tokens(F.col(text_col)),
+                              lambda t: F.lower(t))).alias("term"))
+    return (terms.filter(F.length("term") > 0)
+            .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+
+
+def document_frequencies(tf_df, id_col: str = "doc_id"):
+    """(term, df) document frequencies from a term-frequency table —
+    one aggregate keyed by term (tf rows are already distinct per
+    (id, term), so a plain count is the distinct-doc count)."""
+    return tf_df.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def tfidf_topk(df, id_col: str = "doc_id", text_col: str = "text",
+               k: int = 3, n_docs: int | None = None):
+    """Top-k characteristic terms per document by TF-IDF:
+    (id, rank, term, tf, df, score).
+
+    score = tf · (ln((1+N)/(1+df)) + 1)  (smooth IDF). The ranking
+    key is the all-integer tuple (tf desc, df asc, term asc) — never
+    the float score — so ordering is bit-exact across engines/libms;
+    the score column is informational (rounded by callers).
+
+    Plan: tf aggregate → df aggregate → join keyed by term (AQE
+    broadcasts the vocabulary side when small) → per-doc top-k window
+    partitioned by id (no global sort). ``n_docs`` skips the corpus
+    count when the caller already knows it.
+    """
+    N = int(n_docs if n_docs is not None else df.count())
+    tf = term_frequencies(df, id_col, text_col)
+    dfreq = document_frequencies(tf, id_col)
+    idf = F.log((1.0 + N) / (1.0 + F.col("df"))) + 1.0
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    return (tf.join(dfreq, "term")
+            .withColumn("score", F.col("tf") * idf)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "rank", "term", "tf", "df", "score"))

@@ -21,7 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["random_choice", "every_nth", "log_spaced_indices", "cap_per_key",
-           "log_downsample", "polyval", "sessionize"]
+           "log_downsample", "polyval", "sessionize",
+           "shuffle_key", "deterministic_shuffle", "assign_batches"]
 
 
 def random_choice(df: DataFrame, n: int, cut: Column | None = None,
@@ -110,3 +111,49 @@ def cap_per_key(df: DataFrame, key_cols: Sequence[str], n: int,
     return (df.withColumn("__cap_rn__", F.row_number().over(w))
             .filter(F.col("__cap_rn__") <= n)
             .drop("__cap_rn__"))
+
+
+def shuffle_key(id_col: Column | str, seed: int = 0) -> Column:
+    """Deterministic pseudo-random sort key for a row id: md5 of
+    ``"<seed>:<id>"``. md5 exists with identical output in every SQL
+    engine, so any system can re-derive the exact same ordering — the
+    reproducibility property a training-data shuffle needs."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat_ws(":", F.lit(str(int(seed))), c.cast("string")))
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str,
+                          seed: int = 0) -> DataFrame:
+    """Seeded, reproducible global shuffle of a corpus: range-partition
+    + sort on the md5 shuffle key. One range exchange (sampled
+    boundaries, no single-task sort) — the standard scalable total
+    order. Re-running with the same seed reproduces the ordering
+    bit-for-bit on any cluster size."""
+    key = shuffle_key(id_col, seed).alias("__shuffle_key__")
+    return (df.withColumn("__shuffle_key__", key)
+            .repartitionByRange(F.col("__shuffle_key__"))
+            .sortWithinPartitions("__shuffle_key__")
+            .drop("__shuffle_key__"))
+
+
+def assign_batches(df: DataFrame, id_col: str, batch_size: int,
+                   seed: int = 0) -> DataFrame:
+    """Training-batch assignment: shuffle the corpus deterministically
+    (seeded md5 key) and stamp each row with its global shuffle rank
+    and batch number (``rank // batch_size``).
+
+    The global rank uses the same two-pass partition-offset scheme as
+    ``ensure_event_index`` (range partitions ascend with the key, so
+    offset + within-partition position IS the total-order rank) — no
+    single-partition window anywhere, valid at any scale. Equivalent
+    SQL: ``row_number() OVER (ORDER BY md5(seed || ':' || id)) - 1``.
+    """
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    from ..analyzer import ensure_event_index
+    keyed = df.withColumn("__shuffle_key__", shuffle_key(id_col, seed))
+    ranked = ensure_event_index(keyed, order_by=["__shuffle_key__"],
+                                out_col="shuffle_rank")
+    return (ranked.drop("__shuffle_key__")
+            .withColumn("batch", (F.col("shuffle_rank") / batch_size)
+                        .cast("long")))

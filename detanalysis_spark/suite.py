@@ -2145,3 +2145,98 @@ def approx_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = li.agg(agg.alias("p")).collect()[0]["p"]
     return spark.createDataFrame(
         [(q, float(v)) for q, v in zip(qs, row)], "q double, value double")
+
+
+# ----------------------------------------------------------------------
+# substring-level (span) dedup — cross-document duplicated 5-token
+# spans (the distributed analog of suffix-array exact-substring dedup)
+# rolled up per source, exact-integer counts
+# ----------------------------------------------------------------------
+@query("span_dedup_stats", oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+pos AS (
+  SELECT doc_id, unnest([array_to_string(t[i:i+4], ' ')
+                         for i in range(1, len(t)-3)]) AS gram
+  FROM toks),
+dg AS (
+  SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd
+                    FROM pos GROUP BY gram) WHERE nd >= 2),
+per AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(CASE WHEN gram IN (SELECT gram FROM dg) THEN 1 ELSE 0 END) AS n_dup
+  FROM pos GROUP BY doc_id)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(p.n_spans), 0) AS BIGINT) AS total_spans,
+       CAST(coalesce(sum(p.n_dup), 0) AS BIGINT) AS dup_spans,
+       round(coalesce(sum(p.n_dup), 0)::DOUBLE /
+             greatest(coalesce(sum(p.n_spans), 0), 1), 6) AS dup_fraction
+FROM documents d LEFT JOIN per p USING (doc_id)
+GROUP BY d.source
+""")
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    st = _DD.span_dup_stats(docs, "doc_id", "text", span_tokens=5, min_docs=2)
+    return (st.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_spans").alias("total_spans"),
+                 F.sum("n_dup_spans").alias("dup_spans"))
+            .withColumn("dup_fraction",
+                        F.round(F.col("dup_spans").cast("double") /
+                                F.greatest(F.col("total_spans"), F.lit(1)), 6)))
+
+
+# ----------------------------------------------------------------------
+# TF-IDF top-k characteristic terms per document — integer-tuple
+# ranking (tf desc, df asc, term asc) so ordering is bit-exact across
+# engines; the float score is informational (rounded)
+# ----------------------------------------------------------------------
+@query("tfidf_top_terms", oracle=r"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+    FROM documents) WHERE len(term) > 0 GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS N FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             tf.tf * (ln((1.0 + N) / (1.0 + dfreq.df)) + 1.0) AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfreq.df ASC,
+                                         tf.term ASC) AS rank
+      FROM tf JOIN dfreq USING (term), n)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(score, 6) AS score
+FROM s WHERE rank <= 3 AND doc_id < 100
+""")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = _TX.tfidf_topk(docs, "doc_id", "text", k=3)
+    return (out.filter(F.col("doc_id") < 100)
+            .select("doc_id", F.col("rank").cast("long").alias("rank"),
+                    "term", "tf", "df",
+                    F.round("score", 6).alias("score")))
+
+
+# ----------------------------------------------------------------------
+# deterministic training shuffle + batch assignment — seeded md5 key,
+# two-pass global rank (no single-partition window); per-batch stats
+# ----------------------------------------------------------------------
+@query("training_batch_stats", oracle="""
+WITH r AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY md5(concat('7:', CAST(doc_id AS VARCHAR))))
+           - 1 AS rk
+  FROM documents)
+SELECT CAST(rk // 256 AS BIGINT) AS batch, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM r GROUP BY batch
+""")
+def training_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import assign_batches
+    docs = load_table(spark, sf_dir, "documents")
+    ab = assign_batches(docs, "doc_id", 256, seed=7)
+    return (ab.groupBy("batch")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("n_chars").cast("long")).alias("total_chars")))

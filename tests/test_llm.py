@@ -464,3 +464,54 @@ def test_embedding_covariance_and_pca_match_numpy(spark):
                                rtol=1e-8, atol=1e-8)
     # variance along first component equals the top eigenvalue
     assert np.var(want_proj[:, 0]) == pytest.approx(ev[0], rel=1e-9)
+
+
+def test_span_dup_stats_planted(spark):
+    from detanalysis_spark.llm.dedup import (duplicated_spans,
+                                             positional_ngrams, span_dup_stats)
+    import pyspark.sql.functions as F
+
+    shared = "the quick brown fox jumps"          # 5-token span in two docs
+    rows = [(1, f"{shared} over the lazy dog"),   # spans: 5 total
+            (2, f"something completely different here then {shared}"),
+            (3, "tiny doc"),                      # < 5 tokens → 0 spans
+            (4, "unique words only appear once in this document")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # positional grams keep duplicates (unlike word_shingles)
+    g = docs.filter("doc_id = 1").select(
+        positional_ngrams(F.col("text"), 5).alias("g")).collect()[0]["g"]
+    assert g[0] == shared and len(g) == 9 - 5 + 1
+
+    dup = {r.gram: (r.n_docs, r.n_occurrences)
+           for r in duplicated_spans(docs, span_tokens=5).collect()}
+    assert dup[shared] == (2, 2)
+
+    st = {r.doc_id: (r.n_spans, r.n_dup_spans)
+          for r in span_dup_stats(docs, span_tokens=5).collect()}
+    assert st[3] == (0, 0)                 # short doc kept with zero spans
+    assert st[4][1] == 0                   # no cross-doc dup spans
+    assert st[1][0] == 5 and st[1][1] >= 1
+    assert st[2][1] >= 1
+
+
+def test_tfidf_topk_matches_python(spark):
+    import math
+
+    from detanalysis_spark.llm.text import tfidf_topk
+
+    rows = [(1, "apple apple banana common"),
+            (2, "banana cherry common common"),
+            (3, "cherry date common apple")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_topk(docs, k=2).collect()
+    got = {(r.doc_id, r.rank): (r.term, r.tf, r.df, r.score) for r in out}
+    # doc 1: apple tf=2 wins; then (tf=1) banana df=2 < common df=3
+    assert got[(1, 1)][0] == "apple" and got[(1, 2)][0] == "banana"
+    # doc 2: common tf=2; then banana (df=2) before cherry? cherry df=2,
+    # banana df=2 → term asc → banana
+    assert got[(2, 1)][0] == "common" and got[(2, 2)][0] == "banana"
+    n = 3
+    want = 2 * (math.log((1 + n) / (1 + 2)) + 1)   # apple: tf=2, df=2
+    assert abs(got[(1, 1)][3] - want) < 1e-12
+    assert len(out) == 6

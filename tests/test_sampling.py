@@ -72,3 +72,28 @@ def test_cap_per_key_deterministic(spark):
                    ("b", 0), ("b", 1), ("b", 2), ("c", 0)]
     with pytest.raises(ValueError):
         cap_per_key(df, ["key"], 0, "v")
+
+
+def test_assign_batches_matches_python_oracle(spark):
+    import hashlib
+
+    from detanalysis_spark.operators.sampling import (assign_batches,
+                                                      deterministic_shuffle)
+
+    n, seed, bs = 103, 11, 16
+    df = spark.createDataFrame([(i, i * 2) for i in range(n)],
+                               "doc_id long, v long").repartition(7)
+    got = {r.doc_id: (r.shuffle_rank, r.batch)
+           for r in assign_batches(df, "doc_id", bs, seed=seed).collect()}
+    order = sorted(range(n), key=lambda i: hashlib.md5(
+        f"{seed}:{i}".encode()).hexdigest())
+    for rk, i in enumerate(order):
+        assert got[i] == (rk, rk // bs), (i, rk, got[i])
+    # seeded shuffle is reproducible and a permutation
+    a = [r.doc_id for r in deterministic_shuffle(df, "doc_id", seed=3)
+         .toLocalIterator()]
+    b = [r.doc_id for r in deterministic_shuffle(df, "doc_id", seed=3)
+         .toLocalIterator()]
+    assert a == b and sorted(a) == list(range(n))
+    with pytest.raises(ValueError):
+        assign_batches(df, "doc_id", 0)
