@@ -676,6 +676,140 @@ class PhotonCalibration:
         return pd.DataFrame(rows)
 
     # ------------------------------------------------------------------
+    # reference-name API (photon_calibration.py) — the reference's
+    # workflow verbs, delegating to the distributed implementations
+    # above; "plot" variants return the plot-ready data (headless)
+    # ------------------------------------------------------------------
+    calculate_average_pulses = average_pulses           # :959
+
+    def load_events(self, photon_peak_number: int,
+                    number_events_limit: int = 1000,
+                    n_sigma: float = 2.0) -> DataFrame:
+        """photon_calibration.py:841 — one fitted peak's traces,
+        row-capped (the reference's default 1000-event cap)."""
+        return (self.tagged_traces(n_sigma)
+                .filter(F.col("peak") == int(photon_peak_number))
+                .limit(int(number_events_limit)))
+
+    def define_photon_cut(self, peak_number: int, width_sigma: float,
+                          cut_name: str, ana=None) -> Column:
+        """photon_calibration.py:755 — window cut around one fitted
+        peak (center ± width_sigma·σ); registered on ``ana`` when an
+        Analyzer is given, always returned as a Column."""
+        center = self.spacing * int(peak_number)
+        width = float(width_sigma) * self.peak_stds[int(peak_number)]
+        pred = F.col(self._amp_col).between(center - width, center + width)
+        if ana is not None:
+            ana.register_cut(pred, cut_name, overwrite=True,
+                             metadata={"kind": "photon_peak",
+                                       "peak": int(peak_number)})
+        return pred
+
+    def calculate_dPdI(self, dpdi_df: DataFrame | None = None,
+                       didv_result=None) -> DataFrame:
+        """photon_calibration.py:1277 — attach the dPdI model table.
+
+        The reference's dIdV-model path needs qetpy (not in this
+        environment) and is gated; pass the (freq_index, value_real,
+        value_imag, err_real, err_imag) table from
+        ``sources.load_filterfile`` — the reference's filter-file path
+        (:1301-1325)."""
+        if dpdi_df is None:
+            raise NotImplementedError(
+                "dIdV-model dPdI needs qetpy; pass dpdi_df loaded via "
+                "sources.load_filterfile")
+        self._dpdi = dpdi_df
+        return dpdi_df
+
+    def calculate_frequency_domain_templates(self, n_sigma: float = 2.0
+                                             ) -> DataFrame:
+        """photon_calibration.py:1330 — per-(peak, bin) FFT ensemble
+        stats in the current domain; converted to the power domain when
+        a dPdI table was attached via ``calculate_dPdI``."""
+        cur = self.fft_stats(n_sigma)
+        dpdi = getattr(self, "_dpdi", None)
+        return cur if dpdi is None else apply_dpdi(cur, dpdi)
+
+    def fit_templates(self, photon_peak_number: int, stats_df: DataFrame,
+                      t_arr: np.ndarray, t0: float, guess, **kw):
+        """photon_calibration.py:1754 — reference-name wrapper of
+        ``fit_peak_template`` (same LM fit, same stored covariance)."""
+        return self.fit_peak_template(stats_df, photon_peak_number,
+                                      t_arr, t0, guess, **kw)
+
+    def get_current_template(self, photon_peak_number: int) -> np.ndarray:
+        """photon_calibration.py:2001 — evaluate the fitted time-domain
+        template for one peak."""
+        if int(photon_peak_number) not in self._template_fits:
+            raise RuntimeError("call fit_templates() for this peak first")
+        popt, _, t_arr, t0, model = self._template_fits[int(photon_peak_number)]
+        return model(t_arr, *popt, t0)
+
+    def get_crosstalk_template(self, crosstalk_length: float,
+                               crosstalk_window_plus: int,
+                               crosstalk_window_minus: int,
+                               pretrigger_window: float,
+                               means: DataFrame | None = None,
+                               n_sigma: float = 2.0) -> np.ndarray:
+        """photon_calibration.py:1044 — crosstalk (TTL-edge) template
+        from the zero-photon mean pulse; the mean frame is computed
+        distributed, only the one trace-length pulse is collected."""
+        m = means if means is not None else self.average_pulses(n_sigma)
+        rows = (m.filter(F.col("peak") == 0).orderBy("pos")
+                .select("value").collect())
+        pulse = np.array([r["value"] for r in rows], dtype=np.float64)
+        self._crosstalk = crosstalk_template(
+            pulse, self._fs, pretrigger_window, crosstalk_length,
+            crosstalk_window_plus, crosstalk_window_minus)
+        return self._crosstalk
+
+    def subtract_crosstalk_template(self, means: DataFrame) -> DataFrame:
+        """photon_calibration.py:1106 — subtract the stored crosstalk
+        template from every peak's mean pulse (broadcast join on pos)."""
+        tmpl = getattr(self, "_crosstalk", None)
+        if tmpl is None:
+            raise RuntimeError("call get_crosstalk_template() first")
+        return subtract_template_means(means, tmpl)
+
+    def subtract_zero_photon_template(self, means: DataFrame) -> DataFrame:
+        """photon_calibration.py:1192 — subtract the zero-photon mean
+        from every higher peak's mean (peak 0 untouched)."""
+        return subtract_zero_photon_means(means)
+
+    # calibration headline numbers under the reference's names
+    get_spectrum_energy_res = spectrum_energy_res        # :614
+    get_template_energy_uncertainty = template_energy_uncertainty  # :2076
+    # (the reference's method name carries this typo — keep both)
+    get_template_phonon_collection_effiency = phonon_collection_efficiency
+    get_template_phonon_collection_efficiency = phonon_collection_efficiency
+
+    def print_fits_comparison_table(self) -> None:
+        """photon_calibration.py:2190 — render ``fits_comparison_table``
+        to stdout (the engine's only print surface)."""
+        print(self.fits_comparison_table().to_string(index=False))
+
+    def get_nice_photon_spectrum_plot(self, bins: int | None = None):
+        """photon_calibration.py:693 analog — (bin centers, counts,
+        fitted comb parameters): the data behind the spectrum plot;
+        headless (no rendering)."""
+        if self.hist is None:
+            raise RuntimeError("call fit_spectrum() first")
+        centers, counts = self.hist
+        return centers, counts, self.popt
+
+    def get_correlation_matrix_visualization(self, photon_peak_number: int
+                                             ) -> np.ndarray:
+        """photon_calibration.py:2147 analog — the template-fit
+        parameter correlation matrix (data behind the visualization)."""
+        if int(photon_peak_number) not in self._template_fits:
+            raise RuntimeError("call fit_templates() for this peak first")
+        _, pcov, *_ = self._template_fits[int(photon_peak_number)]
+        std = np.sqrt(np.diag(pcov))
+        denom = np.outer(std, std)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return pcov / denom
+
+    # ------------------------------------------------------------------
     def get_save_obj(self) -> dict:
         """JSON-ready calibration summary (photon_calibration.py:
         2469-2480 pickles the object; a dict keeps it portable)."""

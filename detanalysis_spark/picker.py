@@ -121,3 +121,25 @@ class TracePicker:
                 lowpass_filter_udf(fs, lowpass_cutoff, order)(
                     F.col(trace_col)))
         return out
+
+    # ------------------------------------------------------------------
+    # headless plot providers under the reference's names — the engine
+    # returns plot-ready data, never renders
+    # ------------------------------------------------------------------
+    def plot_picking_scatter(self, cut: Column | str | None = None,
+                             max_points: int = 20000,
+                             seed: int = 42) -> DataFrame:
+        """scatterplotter.py plot_picking_scatter analog: the (x, y)
+        scatter frame behind the picker, seeded-sampled down to
+        ``max_points`` BEFORE collection (the reference draws every
+        point; at scale that is the plot-thinning rule O7)."""
+        df = self._df if cut is None else self._df.filter(
+            F.expr(cut) if isinstance(cut, str) else cut)
+        pts = df.select(self._x.alias("x"), self._y.alias("y"))
+        return pts.orderBy(F.rand(seed)).limit(int(max_points))
+
+    def plot_picked_events(self, x: float, y: float, n: int = 1,
+                           **kw) -> DataFrame:
+        """scatterplotter.py plot_picked_events analog: the picked
+        events' traces (``pick_traces`` result, plot-ready)."""
+        return self.pick_traces(x, y, n=n, **kw)

@@ -594,6 +594,59 @@ class Semiautocut:
     def from_json(cls, ana: Analyzer | DataFrame, s: str, **kw) -> "Semiautocut":
         return cls.from_cut_dict(ana, json.loads(s), **kw)
 
+    def load_cut_dict(self, cut_dict: Mapping,
+                      lgc_diagnostics: bool = False) -> None:
+        """Reference-name entry point (semiautocuts.py:308-381):
+        re-initialize THIS object in place from a saved cut dict
+        (keeps the analyzer binding; everything else comes from the
+        dict, exactly like ``from_cut_dict``)."""
+        fresh = Semiautocut.from_cut_dict(self.ana, cut_dict,
+                                          time_col=self.time_col,
+                                          exact=self.exact)
+        self.__dict__.update(fresh.__dict__)
+        if lgc_diagnostics:
+            print(f"Loaded cut name: {self.cut_name}")
+
+    # ------------------------------------------------------------------
+    # headless plot providers under the reference's method names — the
+    # engine never renders; each returns the exact plot-ready data
+    # ------------------------------------------------------------------
+    def plot_vs_time(self, decimate: int = 1) -> DataFrame:
+        """semiautocuts.py:879 analog: (x=time, value, passed[, chi2])."""
+        return self.diagnostics_frame(x_col=self.time_col, decimate=decimate)
+
+    def plot_vs_ofamp(self, decimate: int = 1) -> DataFrame:
+        """semiautocuts.py:1179 analog: x = the ofamp RQ."""
+        return self.diagnostics_frame(x_col=self.ofamp_rq, decimate=decimate)
+
+    def plot_chi2_vs_ofamp(self, decimate: int = 1) -> DataFrame:
+        """semiautocuts.py:1418 analog (chi2 column included when the
+        chi2 RQ exists in the frame)."""
+        return self.diagnostics_frame(x_col=self.ofamp_rq, decimate=decimate)
+
+    def plot_histograms(self, shape: int = 64, limits=None) -> tuple:
+        """semiautocuts.py:1612 analog → (counts_all, counts_pass,
+        edges) numpy arrays."""
+        return self.histograms(shape=shape, limits=limits)
+
+    def plot_example_events(self, num_example_events: int,
+                            traces: DataFrame | None = None,
+                            seed: int | None = None) -> DataFrame:
+        """semiautocuts.py:1728 analog: random events passing this cut
+        (with traces when a trace table is given) — sample-then-join,
+        never a full-table trace join."""
+        if self.column is None:
+            raise RuntimeError("call do_cut() first")
+        picked = (self.ana.df_full.filter(self.column)
+                  .orderBy(F.rand(seed) if seed is not None else F.rand())
+                  .limit(int(num_example_events)))
+        if traces is None:
+            return picked
+        from .traces import get_traces
+        return get_traces(traces, picked.select("series_number",
+                                                "event_number"),
+                          nb_events_limit=int(num_example_events))
+
 
 class MasterSemiautocuts:
     """Combine per-channel cuts into one master cut
@@ -759,3 +812,23 @@ class MasterSemiautocuts:
         from .traces import get_traces
         return get_traces(traces, picked.select(*join_keys),
                           nb_events_limit=int(num_example_events))
+
+    # reference name (semiautocuts.py:2267) — headless: returns data
+    plot_example_events = get_example_events
+
+    def _master_diag_frame(self, x_rq: str, y_rq: str) -> DataFrame:
+        if self.column is None:
+            raise RuntimeError("call get_combined_cuts() first")
+        df = self.ana.df_full
+        cols = [F.col(x_rq).alias("x"), F.col(y_rq).alias("y"),
+                self.column.alias("passed")]
+        return df.select(*cols)
+
+    def plot_chi2_vs_ofamp(self) -> DataFrame:
+        """semiautocuts.py:2240 analog: (x=ofamp, y=chi2, passed) for
+        the combined master cut — plot-ready data, never rendered."""
+        return self._master_diag_frame(self.ofamp_rq, self.chi2_rq)
+
+    def plot_ofamp_vs_time(self, time_col: str = "event_time") -> DataFrame:
+        """semiautocuts.py:2380 analog: (x=time, y=ofamp, passed)."""
+        return self._master_diag_frame(time_col, self.ofamp_rq)

@@ -52,6 +52,11 @@ def get_spark(app_name: str = "detanalysis_spark", master: str | None = None,
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # local mode = the driver JVM is the whole engine; the 1g default
+    # heap OOMs real workloads on a 32-core box. On a cluster this is
+    # the deploy's concern — the setting only applies at JVM launch.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    builder = builder.config("spark.driver.memory", mem)
     for k, v in {**_DEFAULTS, **extra}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

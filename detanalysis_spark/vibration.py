@@ -494,3 +494,35 @@ class VibrationAnalyzer:
                 m, channel_pairs, methods=methods,
                 phasors_available=(self._data_type == "sweep"))
         return self._results[key]
+
+    # ------------------------------------------------------------------
+    # headless plot providers under the reference's names
+    # (vibration_analyzer.py:1162-1169 raise when the cache is empty —
+    # same contract here; the engine returns plot-ready data, never
+    # renders)
+    # ------------------------------------------------------------------
+    def _cached(self, kind: str) -> DataFrame:
+        hits = [v for k, v in self._results.items() if k[0] == kind]
+        if not hits:
+            raise RuntimeError(
+                f"no cached {kind} result — call calc_{kind.replace('tf', 'transfer_function')}() first")
+        return hits[-1]
+
+    def plot_psd(self) -> DataFrame:
+        """vibration_analyzer.py plot_psd analog: the cached PSD frame
+        (frequency_hz, channel, psd, asd_variance)."""
+        return self._cached("psd")
+
+    def plot_transfer_function(self) -> DataFrame:
+        """plot_transfer_function analog: the cached TF frame
+        (magnitude + 1σ per method/pair)."""
+        return self._cached("tf")
+
+    def plot_transfer_function_phase(self) -> DataFrame:
+        """plot_transfer_function_phase analog: the cached TF frame
+        with phase = atan2(im, re) appended per row."""
+        tf = self._cached("tf")
+        if "tf_im" in tf.columns:
+            return tf.withColumn("phase_rad",
+                                 F.atan2(F.col("tf_im"), F.col("tf_re")))
+        return tf

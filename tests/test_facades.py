@@ -226,3 +226,54 @@ def test_photon_fits_comparison_table(photon_data, spark):
     assert list(tab.peak) == [1]
     assert tab.loc[0, "p0"] == pytest.approx(2.0, rel=0.1)
     assert tab.loc[0, "p0_err"] > 0
+
+
+def test_reference_public_api_names_present():
+    """Every public method of the reference's six classes has a
+    same-named counterpart on our facades (headless plot providers
+    return the plot-ready data instead of rendering)."""
+    from detanalysis_spark.analyzer import Analyzer
+    from detanalysis_spark.photon import PhotonCalibration
+    from detanalysis_spark.picker import TracePicker
+    from detanalysis_spark.semiautocut import MasterSemiautocuts, Semiautocut
+    from detanalysis_spark.vibration import VibrationAnalyzer
+
+    surface = {
+        Analyzer: [
+            "add_files", "clean", "describe", "register_cut", "combine_cuts",
+            "register_cut_box", "apply_global_filter", "drop_global_filter",
+            "get_values", "register_feature", "add_feature", "hist",
+            "heatmap", "get_event_list", "get_traces", "get_trace",
+            "load_cuts", "load_derived_features", "set_analysis_repo"],
+        Semiautocut: [
+            "do_cut", "get_passage_fraction", "get_cut_dict",
+            "load_cut_dict", "plot_vs_time", "plot_vs_ofamp",
+            "plot_chi2_vs_ofamp", "plot_histograms", "plot_example_events"],
+        MasterSemiautocuts: [
+            "create_cut_rqs", "load_cut_dicts", "combine_cuts",
+            "get_combined_cuts", "create_load_combine_cuts",
+            "batch_create_load_combine_cuts", "get_passage_fraction",
+            "get_randoms_passfrac_table", "get_example_events",
+            "plot_example_events", "plot_chi2_vs_ofamp",
+            "plot_ofamp_vs_time"],
+        PhotonCalibration: [
+            "fit_spectrum", "define_photon_cut", "load_events",
+            "calculate_average_pulses", "get_crosstalk_template",
+            "subtract_crosstalk_template", "subtract_zero_photon_template",
+            "calculate_dPdI", "calculate_frequency_domain_templates",
+            "fit_templates", "get_current_template",
+            "get_spectrum_energy_res", "get_template_energy_uncertainty",
+            "get_template_phonon_collection_effiency",
+            "print_fits_comparison_table", "get_nice_photon_spectrum_plot",
+            "get_correlation_matrix_visualization", "get_save_obj"],
+        VibrationAnalyzer: [
+            "describe", "calc_psd", "calc_transfer_function", "plot_psd",
+            "plot_transfer_function", "plot_transfer_function_phase"],
+        TracePicker: [
+            "nearest_events", "events_in_box", "pick_traces",
+            "plot_picking_scatter", "plot_picked_events"],
+    }
+    missing = [f"{cls.__name__}.{name}"
+               for cls, names in surface.items()
+               for name in names if not hasattr(cls, name)]
+    assert not missing, missing

@@ -263,3 +263,23 @@ def test_operators_on_empty_frame(spark):
     assert a.count(sac.cut_name) == 0           # empty sample passes nothing
     counts, _ = a.hist("amp_of1x1_nodelay", shape=8, limits=(0.0, 1.0))
     assert counts.sum() == 0
+
+
+def test_load_cut_dict_in_place_and_plot_providers(ana, arrays):
+    sac = Semiautocut(ana, "baseline", CH, {"sigma": 1.5}, time_bins=3,
+                      cut_name="cut_lcd_orig")
+    sac.do_cut()
+    d = sac.get_cut_dict(save_values=True)
+
+    other = Semiautocut(ana, "baseline", CH, {"sigma": 99.0},
+                        cut_name="cut_lcd_tmp")
+    other.load_cut_dict(d)           # reference-name in-place reinit
+    other.cut_name = "cut_lcd_reload"
+    other.do_cut()
+    assert mask_ids(ana, "cut_lcd_orig") == mask_ids(ana, "cut_lcd_reload")
+
+    # headless plot providers return plot-ready data
+    diag = sac.plot_vs_time().limit(5).collect()
+    assert {"x", "value", "passed"} <= set(diag[0].asDict())
+    counts_all, counts_pass, edges = sac.plot_histograms(shape=16)
+    assert counts_all.sum() >= counts_pass.sum() and len(edges) == 17

@@ -128,6 +128,23 @@ def main() -> int:
             partition_cols=["source"]).agg(F.max("pack_id")).collect()[0][0]
     probe("sequence_packing", pack(docs1), pack(docsk))
 
+    # span dedup: explode + gram-keyed shuffle; amplified copies make
+    # every span a cross-doc duplicate, so output grows k× — wall-clock
+    # should track the exploded row count, not the pair space
+    def span(df):
+        from detanalysis_spark.llm.dedup import span_dup_stats
+        return lambda: span_dup_stats(df, "doc_id", "text").agg(
+            F.sum("n_dup_spans")).collect()[0][0]
+    probe("span_dedup", span(docs1), span(docsk))
+
+    # batch assignment: range exchange + two-pass rank — one pass over
+    # the corpus regardless of size
+    def batches(df):
+        from detanalysis_spark.operators.sampling import assign_batches
+        return lambda: assign_batches(df, "doc_id", 256, seed=7).agg(
+            F.max("batch")).collect()[0][0]
+    probe("assign_batches", batches(docs1), batches(docsk))
+
     print(json.dumps({"probe": results, "multiplier": k}))
     return 0
 
