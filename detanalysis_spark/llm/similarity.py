@@ -507,3 +507,48 @@ def pca_project(df: DataFrame, components: np.ndarray, mean: np.ndarray,
         return pd.Series(list(out))
 
     return df.withColumn(out_col, _proj(_as_double(F.col(vec_col))))
+
+
+# ----------------------------------------------------------------------
+# int8 embedding quantization — the storage/bandwidth path for ANN at
+# corpus scale (4x smaller vectors; exact rescale is one multiply)
+# ----------------------------------------------------------------------
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        out_col: str = "q", scale_col: str = "scale"
+                        ) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale). Pure per-row projection (native array
+    ops, no shuffle, no Python); an all-zero vector gets scale 0 and an
+    all-zero code. Dequantization is ``q_i · scale``.
+    """
+    v = _as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = (amax / F.lit(127.0)).alias(scale_col)
+    q = F.when(amax > 0,
+               F.transform(v, lambda x: F.round(x / (amax / 127.0))
+                           .cast("int"))) \
+         .otherwise(F.transform(v, lambda x: F.lit(0))).alias(out_col)
+    return df.withColumns({scale_col: scale, out_col: q})
+
+
+def dequantize_expr(q_col: Column | str, scale_col: Column | str) -> Column:
+    """Reconstruct the float vector from (int8 codes, per-vector scale)."""
+    q = F.col(q_col) if isinstance(q_col, str) else q_col
+    s = F.col(scale_col) if isinstance(scale_col, str) else scale_col
+    return F.transform(q, lambda x: x.cast("double") * s)
+
+
+def quantization_error(df: DataFrame, vec_col: str = "embedding",
+                       ) -> DataFrame:
+    """Per-row quantization audit: (…, scale, max_abs_err, cos_sim) of
+    the int8 round-trip against the original vector — the acceptance
+    gate before swapping a corpus to quantized storage."""
+    qdf = quantize_embeddings(df, vec_col)
+    deq = dequantize_expr("q", "scale")
+    orig = _as_double(F.col(vec_col))
+    err = F.array_max(F.zip_with(orig, deq, lambda a, b: F.abs(a - b)))
+    # try_divide: an all-zero vector has no defined cosine → NULL
+    # (plain / raises under ANSI mode)
+    cos = F.try_divide(_dot(orig, deq), _norm(orig) * _norm(deq))
+    return (qdf.withColumn("max_abs_err", err)
+            .withColumn("cos_sim", cos))

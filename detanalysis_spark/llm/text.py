@@ -19,6 +19,7 @@ __all__ = [
     "winnow_fingerprints", "normalize_text", "chunk_text",
     "chunk_documents", "pack_documents",
     "term_frequencies", "document_frequencies", "tfidf_topk",
+    "unigram_logprob_scores",
 ]
 
 # portable regexes (identical semantics in Java regex and RE2)
@@ -270,3 +271,29 @@ def tfidf_topk(df, id_col: str = "doc_id", text_col: str = "text",
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(id_col, "rank", "term", "tf", "df", "score"))
+
+
+def unigram_logprob_scores(df, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           total_tokens: int | None = None):
+    """Per-document unigram language-model score:
+    (id, n_tokens, nll) with nll = −(1/n)·Σ tf·ln(ctf/T) — the mean
+    negative log-likelihood of the doc under the corpus's own unigram
+    distribution. Low = stereotyped/repetitive text, high = rare-token
+    soup; the classic cheap perplexity gate of a data pipeline.
+
+    Plan: tf aggregate (keyed by (id, term)) → corpus term counts
+    (keyed by term) → join back keyed by term → per-doc rollup. One
+    tiny driver agg fetches the corpus token total T (skippable via
+    ``total_tokens``). Every count is exact-integer; only the final
+    log-space division is float.
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    T = int(total_tokens if total_tokens is not None
+            else ctf.agg(F.sum("ctf")).collect()[0][0])
+    logp = F.log(F.col("ctf").cast("double") / float(T))
+    return (tf.join(ctf, "term")
+            .groupBy(id_col)
+            .agg(F.sum("tf").alias("n_tokens"),
+                 (-F.sum(F.col("tf") * logp) / F.sum("tf")).alias("nll")))

@@ -2240,3 +2240,63 @@ def training_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ab.groupBy("batch")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.col("n_chars").cast("long")).alias("total_chars")))
+
+
+# ----------------------------------------------------------------------
+# unigram LM quality score — per-doc mean NLL under the corpus's own
+# unigram distribution (cheap perplexity gate); exact-integer counts,
+# float only in the final log-space division
+# ----------------------------------------------------------------------
+@query("unigram_nll_scores", oracle=r"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+    FROM documents) WHERE len(term) > 0 GROUP BY doc_id, term),
+ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term),
+tot AS (SELECT sum(ctf) AS T FROM ctf)
+SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       round(-sum(tf.tf * ln(ctf.ctf / T)) / sum(tf.tf), 6) AS nll
+FROM tf JOIN ctf USING (term), tot
+WHERE tf.doc_id < 100
+GROUP BY tf.doc_id
+""")
+def unigram_nll_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sc = _TX.unigram_logprob_scores(docs)
+    return (sc.filter(F.col("doc_id") < 100)
+            .select("doc_id", "n_tokens", F.round("nll", 6).alias("nll")))
+
+
+# ----------------------------------------------------------------------
+# int8 embedding quantization audit — symmetric per-vector scale,
+# round-trip error + cosine vs the original (both sides fold arrays in
+# element order, so the float expressions match bit-for-bit)
+# ----------------------------------------------------------------------
+@query("embedding_quantization_stats", oracle="""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 50),
+q AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM base),
+d AS (
+  SELECT vec_id, v, scale,
+         [round(v[i+1] / scale) * scale for i in range(len(v))] AS deq
+  FROM q)
+SELECT vec_id, round(scale, 6) AS scale,
+       round(list_max([abs(v[i+1] - deq[i+1]) for i in range(len(v))]),
+             6) AS max_abs_err,
+       round(list_aggregate([v[i+1] * deq[i+1] for i in range(len(v))], 'sum')
+             / sqrt(list_aggregate([x * x for x in v], 'sum'))
+             / sqrt(list_aggregate([x * x for x in deq], 'sum')),
+             6) AS cos_sim
+FROM d
+""")
+def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.similarity import quantization_error
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    qe = quantization_error(emb)
+    return qe.select("vec_id", F.round("scale", 6).alias("scale"),
+                     F.round("max_abs_err", 6).alias("max_abs_err"),
+                     F.round("cos_sim", 6).alias("cos_sim"))

@@ -515,3 +515,46 @@ def test_tfidf_topk_matches_python(spark):
     want = 2 * (math.log((1 + n) / (1 + 2)) + 1)   # apple: tf=2, df=2
     assert abs(got[(1, 1)][3] - want) < 1e-12
     assert len(out) == 6
+
+
+def test_unigram_logprob_scores_match_python(spark):
+    import math
+
+    from detanalysis_spark.llm.text import unigram_logprob_scores
+
+    rows = [(1, "a a b"), (2, "b c")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.nll)
+           for r in unigram_logprob_scores(docs).collect()}
+    # corpus counts: a=2, b=2, c=1, T=5
+    p = {"a": 2 / 5, "b": 2 / 5, "c": 1 / 5}
+    want1 = -(2 * math.log(p["a"]) + math.log(p["b"])) / 3
+    want2 = -(math.log(p["b"]) + math.log(p["c"])) / 2
+    assert got[1][0] == 3 and abs(got[1][1] - want1) < 1e-12
+    assert got[2][0] == 2 and abs(got[2][1] - want2) < 1e-12
+
+
+def test_quantization_roundtrip_matches_numpy(spark):
+    import numpy as np
+
+    from detanalysis_spark.llm.similarity import quantization_error
+
+    vecs = [(1, [0.5, -1.0, 0.25, 0.125]), (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [127.0, -64.0, 1.0, 0.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in quantization_error(df).collect()}
+
+    for vid, v in [(1, vecs[0][1]), (3, vecs[2][1])]:
+        a = np.asarray(v)
+        scale = np.abs(a).max() / 127.0
+        q = np.round(a / scale).astype(int)
+        assert list(out[vid]["q"]) == q.tolist()
+        assert out[vid]["scale"] == pytest.approx(scale, rel=1e-12)
+        deq = q * scale
+        assert out[vid]["max_abs_err"] == pytest.approx(
+            np.abs(a - deq).max(), abs=1e-12)
+        cos = float(a @ deq / (np.linalg.norm(a) * np.linalg.norm(deq)))
+        assert out[vid]["cos_sim"] == pytest.approx(cos, rel=1e-9)
+    # all-zero vector: zero scale, zero codes, undefined cosine → NULL
+    assert out[2]["scale"] == 0.0 and list(out[2]["q"]) == [0, 0, 0, 0]
+    assert out[2]["cos_sim"] is None and out[2]["max_abs_err"] == 0.0
