@@ -609,6 +609,41 @@ class Analyzer:
         return float(row["frac"]) if row["frac"] is not None else float("nan")
 
     # ------------------------------------------------------------------
+    # headless analogs of the reference's interactive/plot surface
+    # ------------------------------------------------------------------
+    def scatter(self, feature_x: str, feature_y: str, cut: Any = None,
+                max_points: int = 20000, seed: int = 42) -> DataFrame:
+        """Reference ``scatter`` (analyzer.py:717-810) headless analog:
+        the (x, y) point frame behind the scatter plot, seeded-sampled
+        down to ``max_points`` before any collection (the reference
+        samples before plotting for the same reason, analyzer.py:
+        770-771)."""
+        df = self._subset_df(self.df, cut)
+        pts = df.select(F.expr(feature_x).alias("x"),
+                        F.expr(feature_y).alias("y"))
+        return pts.orderBy(F.rand(seed)).limit(int(max_points))
+
+    def plot_traces(self, channels: Sequence[str] | None,
+                    raw_path: "str | DataFrame", cut: Any = None,
+                    nb_random_samples: int = 20, seed: int = 42,
+                    **kwargs):
+        """Reference ``plot_traces`` (analyzer.py:812-947) headless
+        analog: the sampled traces the reference would draw (its panel
+        cap is 20), via the same sample-then-broadcast-join path as
+        ``get_traces`` — data only, never rendered."""
+        return self.get_traces(channels, raw_path, cut=cut,
+                               nb_random_samples=int(nb_random_samples),
+                               seed=seed, **kwargs)
+
+    def interactive_selection(self, event_ids, name: str,
+                              **kwargs) -> CutInfo:
+        """Reference ``interactive_selection`` (analyzer.py:359-377)
+        converts a Vaex widget selection into a named cut. A headless
+        engine's equivalent input is the selected row-id list itself
+        (SURVEY §2.10 U5): register it as a semi-join cut."""
+        return self.cut_from_event_ids(event_ids, name, **kwargs)
+
+    # ------------------------------------------------------------------
     # raw-trace fetch (S7/S8, analyzer.py:1006-1047)
     # ------------------------------------------------------------------
     def get_traces(self, channels: Sequence[str] | None, raw_path: "str | DataFrame",

@@ -244,7 +244,8 @@ def test_reference_public_api_names_present():
             "register_cut_box", "apply_global_filter", "drop_global_filter",
             "get_values", "register_feature", "add_feature", "hist",
             "heatmap", "get_event_list", "get_traces", "get_trace",
-            "load_cuts", "load_derived_features", "set_analysis_repo"],
+            "load_cuts", "load_derived_features", "set_analysis_repo",
+            "scatter", "plot_traces", "interactive_selection"],
         Semiautocut: [
             "do_cut", "get_passage_fraction", "get_cut_dict",
             "load_cut_dict", "plot_vs_time", "plot_vs_ofamp",
