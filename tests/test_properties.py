@@ -85,3 +85,45 @@ def test_dedup_exact_idempotent_and_minimal(spark, texts):
         by_text.setdefault(t, i)
     assert sorted(r.id for r in rows) == sorted(by_text.values())
     assert D.dedup_exact(kept, ["t"], "id").count() == len(rows)
+
+
+@given(ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=60,
+                    unique=True),
+       seed=st.integers(0, 100), bs=st.integers(1, 7))
+@settings(**SETTINGS)
+def test_assign_batches_is_dense_permutation(spark, ids, seed, bs):
+    """Shuffle ranks are a dense 0..n-1 permutation for ANY id set,
+    batches are contiguous rank blocks, and the same seed reproduces
+    the exact assignment."""
+    from detanalysis_spark.operators.sampling import assign_batches
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = assign_batches(df, "doc_id", bs, seed=seed).collect()
+    ranks = sorted(r.shuffle_rank for r in out)
+    assert ranks == list(range(len(ids)))
+    for r in out:
+        assert r.batch == r.shuffle_rank // bs
+    again = {r.doc_id: r.shuffle_rank
+             for r in assign_batches(df, "doc_id", bs, seed=seed).collect()}
+    assert {r.doc_id: r.shuffle_rank for r in out} == again
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1,
+    max_size=12))
+@settings(**SETTINGS)
+def test_span_dup_stats_invariants(spark, texts):
+    """For ANY corpus: every doc appears exactly once, 0 <= dup <=
+    total spans, and total spans equals the per-doc positional gram
+    count (len - n + 1, floored at 0, on whitespace tokens)."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_spans, r.n_dup_spans)
+           for r in D.span_dup_stats(df, span_tokens=3).collect()}
+    assert set(out) == set(range(len(texts)))
+    for i, t in rows:
+        toks = t.strip().split()
+        toks = [x for x in toks if x] or ([""] if not t.strip() else [])
+        want = max(len(toks) - 2, 0) if toks else 0
+        n_spans, n_dup = out[i]
+        assert n_spans == want, (t, toks, n_spans, want)
+        assert 0 <= n_dup <= n_spans
