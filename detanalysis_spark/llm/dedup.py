@@ -33,6 +33,7 @@ __all__ = [
     "verify_candidates", "near_dup_pairs", "near_dup_clusters",
     "simhash", "hamming_distance",
     "positional_ngrams", "duplicated_spans", "span_dup_stats",
+    "dedup_incremental", "lsh_candidate_pairs_between",
 ]
 
 
@@ -263,6 +264,56 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
     b = bb.withColumnRenamed(id_col, "id_b")
     return (a.join(b, ["band", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+# ----------------------------------------------------------------------
+# incremental / cross-corpus dedup — the growing-corpus stages: new
+# batches are dropped against what the corpus already holds, exactly
+# (hash anti-join) and near (asymmetric LSH bucket join), without ever
+# re-deduplicating the existing corpus
+# ----------------------------------------------------------------------
+def dedup_incremental(new_docs: DataFrame, seen: DataFrame,
+                      cols: list[str], id_col: str,
+                      seen_is_hashes: bool = False) -> DataFrame:
+    """New-batch exact dedup against an existing corpus: rows of
+    ``new_docs`` whose content hash is NOT already present in ``seen``
+    (a docs frame with the same columns, or — ``seen_is_hashes`` — a
+    1-column frame of precomputed ``content_hash`` values, the compact
+    thing a pipeline persists between batches).
+
+    Within-batch duplicates are also collapsed (keep-min-id), so the
+    output is ingestible as-is. Two hash-keyed operations: the
+    within-batch window and one left-anti join; the corpus side moves
+    only its hash column.
+    """
+    batch = dedup_exact(new_docs, cols, id_col) \
+        .withColumn("__h__", content_hash(*cols))
+    seen_h = (seen.select(F.col("content_hash").alias("__h__"))
+              if seen_is_hashes
+              else seen.select(content_hash(*cols).alias("__h__")))
+    return batch.join(seen_h, "__h__", "left_anti").drop("__h__")
+
+
+def lsh_candidate_pairs_between(a_sigs: DataFrame, b_sigs: DataFrame,
+                                id_col: str, sig_col: str = "minhash",
+                                bands: int = 16, rows_per_band: int = 4
+                                ) -> DataFrame:
+    """Cross-corpus LSH candidates: (id_a from ``a_sigs``, id_b from
+    ``b_sigs``) pairs sharing a band bucket — the near-dup screen of an
+    incremental ingest (new batch vs existing corpus) without the n²
+    pair space or re-bucketing corpus×corpus.
+
+    Both sides must carry signatures from the same MinHash family
+    (same num_hashes/shingles — ``minhash_signatures`` defaults). The
+    join is shuffle-keyed by (band, bucket); the small new-batch side
+    broadcasts when AQE sees it fit.
+    """
+    a = lsh_band_buckets(a_sigs, id_col, sig_col, bands, rows_per_band) \
+        .withColumnRenamed(id_col, "id_a")
+    b = lsh_band_buckets(b_sigs, id_col, sig_col, bands, rows_per_band) \
+        .withColumnRenamed(id_col, "id_b")
+    return (a.join(b, ["band", "bucket"])
             .select("id_a", "id_b").distinct())
 
 

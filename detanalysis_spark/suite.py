@@ -2300,3 +2300,33 @@ def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qe.select("vec_id", F.round("scale", 6).alias("scale"),
                      F.round("max_abs_err", 6).alias("max_abs_err"),
                      F.round("cos_sim", 6).alias("cos_sim"))
+
+
+# ----------------------------------------------------------------------
+# incremental ingest dedup — new batch (doc_id >= split) exact-deduped
+# against the already-ingested corpus (doc_id < split) via hash
+# anti-join; per-lang survivor stats
+# ----------------------------------------------------------------------
+@query("incremental_dedup_stats", oracle="""
+WITH seen AS (
+  SELECT md5(concat(text)) AS h FROM documents WHERE doc_id % 5 <> 0),
+batch AS (
+  SELECT * FROM (
+    SELECT doc_id, lang, n_chars,
+           row_number() OVER (PARTITION BY md5(concat(text))
+                              ORDER BY doc_id) AS rn,
+           md5(concat(text)) AS h
+    FROM documents WHERE doc_id % 5 = 0)
+  WHERE rn = 1 AND h NOT IN (SELECT h FROM seen))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_new,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM batch GROUP BY lang
+""")
+def incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    kept = _DD.dedup_incremental(new, seen, ["text"], "doc_id")
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_new"),
+                 F.sum(F.col("n_chars").cast("long")).alias("total_chars")))

@@ -558,3 +558,40 @@ def test_quantization_roundtrip_matches_numpy(spark):
     # all-zero vector: zero scale, zero codes, undefined cosine → NULL
     assert out[2]["scale"] == 0.0 and list(out[2]["q"]) == [0, 0, 0, 0]
     assert out[2]["cos_sim"] is None and out[2]["max_abs_err"] == 0.0
+
+
+def test_dedup_incremental_and_cross_corpus_lsh(spark):
+    from detanalysis_spark.llm.dedup import (dedup_incremental,
+                                             lsh_candidate_pairs_between,
+                                             minhash_signatures)
+
+    seen = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma"),       # exact dup of corpus doc 1
+         (11, "completely fresh text"),
+         (12, "completely fresh text"),  # within-batch dup of 11
+         (13, "another new document")],
+        "doc_id long, text string")
+
+    kept = sorted(r.doc_id for r in
+                  dedup_incremental(new, seen, ["text"], "doc_id").collect())
+    assert kept == [11, 13]
+
+    # hash-only corpus side (what a pipeline persists between batches)
+    from detanalysis_spark.llm.dedup import content_hash
+    seen_h = seen.select(content_hash("text").alias("content_hash"))
+    kept2 = sorted(r.doc_id for r in
+                   dedup_incremental(new, seen_h, ["text"], "doc_id",
+                                     seen_is_hashes=True).collect())
+    assert kept2 == kept
+
+    # cross-corpus LSH: the exact dup must collide; candidates are
+    # directional (new x corpus), never corpus x corpus
+    a = minhash_signatures(new, shingle_n=2)
+    b = minhash_signatures(seen, shingle_n=2)
+    cand = lsh_candidate_pairs_between(a, b, "doc_id")
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (10, 1) in pairs
+    assert all(ia >= 10 and ib < 10 for ia, ib in pairs)
