@@ -326,6 +326,38 @@ class IVFIndex:
             raise RuntimeError("call fit() first")
         return self.centroids
 
+    def save(self, spark, path: str) -> None:
+        """Persist the trained quantizer as a tiny parquet table
+        (cell, pos, value) plus the index config — an index trained
+        once on the corpus is reused by every probe job."""
+        C = self._require_fit()
+        rows = [(int(c), int(p), float(v))
+                for c, row in enumerate(C) for p, v in enumerate(row)]
+        meta = [(-1, -1, float(self.n_centroids)),
+                (-1, -2, float(self.n_probe))]
+        spark.createDataFrame(rows + meta,
+                              "cell int, pos int, value double") \
+            .coalesce(1).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark, path: str, n_probe: int | None = None
+             ) -> "IVFIndex":
+        """Rebuild a saved quantizer; ``n_probe`` may be overridden at
+        load time (recall/latency knob, no retraining needed)."""
+        rows = spark.read.parquet(path).collect()
+        meta = {r["pos"]: r["value"] for r in rows if r["cell"] == -1}
+        k = int(meta[-1])
+        data = [r for r in rows if r["cell"] >= 0]
+        dim = max(r["pos"] for r in data) + 1
+        C = np.zeros((k, dim))
+        for r in data:
+            C[r["cell"], r["pos"]] = r["value"]
+        idx = cls(n_centroids=k,
+                  n_probe=int(n_probe if n_probe is not None
+                              else meta[-2]))
+        idx.centroids = C
+        return idx
+
     def cell_udf(self, n_cells: int = 1):
         """pandas UDF: ``n_cells`` nearest centroid ids per vector
         (one matmul per Arrow batch)."""

@@ -595,3 +595,25 @@ def test_dedup_incremental_and_cross_corpus_lsh(spark):
     pairs = {(r.id_a, r.id_b) for r in cand.collect()}
     assert (10, 1) in pairs
     assert all(ia >= 10 and ib < 10 for ia, ib in pairs)
+
+
+def test_ivf_save_load_roundtrip(spark, tmp_path, clustered_vectors):
+    from detanalysis_spark.llm.similarity import IVFIndex
+
+    df, _ = clustered_vectors
+    idx = IVFIndex(n_centroids=4, n_probe=2).fit(df)
+    path = str(tmp_path / "ivf_index")
+    idx.save(spark, path)
+
+    back = IVFIndex.load(spark, path)
+    assert back.n_centroids == 4 and back.n_probe == 2
+    np.testing.assert_allclose(back.centroids, idx.centroids, atol=1e-12)
+
+    probes = df.filter("vec_id < 3")
+    a = [(r.probe_id, r.rank, r.neighbor_id)
+         for r in idx.topk(df, probes, k=3).collect()]
+    b = [(r.probe_id, r.rank, r.neighbor_id)
+         for r in back.topk(df, probes, k=3).collect()]
+    assert sorted(a) == sorted(b)
+    # n_probe override at load time, no retraining
+    assert IVFIndex.load(spark, path, n_probe=4).n_probe == 4
