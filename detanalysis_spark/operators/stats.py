@@ -103,3 +103,15 @@ def passage_fraction_table(df: DataFrame, cut_cols: Sequence[Column],
             if den:
                 mat[i, j] = (row[f"__num_{i}_{j}__"] or 0) / den
     return mat, list(names)
+
+
+def trim_outliers(df: DataFrame, expression: str | Column,
+                  lo_pct: float = 1.0, hi_pct: float = 99.0,
+                  exact: bool = True) -> DataFrame:
+    """Keep rows with ``lo_pct <= percentile_rank(x) <= hi_pct`` — the
+    standard two-pass outlier trim (one tiny percentile aggregate, then
+    a pushdown-eligible BETWEEN filter; nothing but two scalars crosses
+    to the driver). ``exact=False`` switches to the sketch percentiles
+    for the 100 TB path."""
+    lo, hi = percentiles(df, expression, [lo_pct, hi_pct], exact=exact)
+    return df.filter(_col(expression).between(lo, hi))

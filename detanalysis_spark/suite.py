@@ -2330,3 +2330,29 @@ def incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (kept.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_new"),
                  F.sum(F.col("n_chars").cast("long")).alias("total_chars")))
+
+
+# ----------------------------------------------------------------------
+# percentile outlier trim — two-pass: exact [p1, p99] band from one
+# aggregate, then a pushdown BETWEEN filter; summary stats after trim
+# ----------------------------------------------------------------------
+@query("trimmed_price_stats", oracle="""
+WITH band AS (
+  SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+         quantile_cont(l_extendedprice, 0.99) AS hi
+  FROM lineitem)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM lineitem, band
+WHERE l_extendedprice BETWEEN lo AND hi
+GROUP BY l_returnflag
+""")
+def trimmed_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.stats import trim_outliers
+    li = load_table(spark, sf_dir, "lineitem")
+    trimmed = trim_outliers(li, "l_extendedprice", 1.0, 99.0, exact=True)
+    return (trimmed.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(cents(F.col("l_extendedprice")))
+                  .alias("sum_price_cents")))

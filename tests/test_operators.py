@@ -224,3 +224,20 @@ def test_range_join_binned_matches_bruteforce(spark):
     assert got == want
     with pytest.raises(ValueError, match="bin_width"):
         range_join_binned(pts, ivs, "x", "lo", "hi", 0)
+
+
+def test_trim_outliers_matches_numpy(spark):
+    import numpy as np
+
+    from detanalysis_spark.operators.stats import trim_outliers
+
+    rng = np.random.default_rng(3)
+    xs = rng.normal(0, 10, 500)
+    df = spark.createDataFrame([(float(x),) for x in xs], ["x"])
+    out = np.array([r.x for r in trim_outliers(df, "x", 5.0, 95.0).collect()])
+    lo, hi = np.percentile(xs, [5.0, 95.0])
+    want = xs[(xs >= lo) & (xs <= hi)]
+    assert sorted(out.tolist()) == pytest.approx(sorted(want.tolist()))
+    # approx path keeps a sane fraction too
+    n_approx = trim_outliers(df, "x", 5.0, 95.0, exact=False).count()
+    assert abs(n_approx - len(want)) <= 25
