@@ -582,14 +582,18 @@ class Analyzer:
     # headless plotting data providers (analyzer.py:579-716)
     # ------------------------------------------------------------------
     def hist(self, feature: str, cut: Any = None, shape: int = 64,
-             limits: Any = "minmax"):
+             limits: Any = "minmax", what: str = "count(*)",
+             normalize: bool = False):
         """1-D histogram of a feature under an optional cut — the data
         half of the reference's ``hist`` (analyzer.py:579-662), without
-        the matplotlib render. Returns ``(counts, edges)`` numpy arrays
-        from one distributed pass."""
+        the matplotlib render, including its ``what`` binned-statistic
+        grammar (:595) and ``normalize`` density option (:586).
+        Returns ``(values, edges)`` numpy arrays from one distributed
+        pass."""
         from .operators.histogram import hist1d
         return hist1d(self._subset_df(self.df, cut), feature,
-                      shape=shape, limits=limits)
+                      shape=shape, limits=limits, what=what,
+                      normalize=normalize)
 
     def heatmap(self, feature_x: str, feature_y: str, cut: Any = None,
                 shape: int | Sequence[int] = 64, limits_x: Any = "minmax",

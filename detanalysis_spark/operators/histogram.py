@@ -36,11 +36,36 @@ def bucket_expr(col: Column, lo: float, hi: float, shape: int) -> Column:
     return F.when(col == F.lit(hi), F.lit(shape - 1)).otherwise(raw)
 
 
-def hist1d(df: DataFrame, expression: str | Column, shape: int = 64,
-           limits: Any = "minmax", dense: bool = True):
-    """1-D histogram: returns (counts ndarray[shape], edges ndarray[shape+1]).
+def what_agg(what: str) -> Column:
+    """Parse the reference's ``what`` aggregation string
+    (analyzer.py:595, vaex grammar): ``count(*)`` or
+    ``sum|mean|min|max(<column expr>)`` → one aggregate Column."""
+    import re
 
-    Two jobs max: limits agg (skipped when explicit) + bucket groupBy.
+    m = re.fullmatch(r"\s*(count|sum|mean|avg|min|max)\(([^)]*)\)\s*", what)
+    if not m:
+        raise ValueError(f"unsupported what={what!r}")
+    fn, inner = m.group(1), m.group(2).strip()
+    if fn == "count":
+        if inner not in ("*", ""):
+            return F.count(F.expr(inner))
+        return F.count(F.lit(1))
+    col = F.expr(inner)
+    return {"sum": F.sum, "mean": F.avg, "avg": F.avg,
+            "min": F.min, "max": F.max}[fn](col)
+
+
+def hist1d(df: DataFrame, expression: str | Column, shape: int = 64,
+           limits: Any = "minmax", dense: bool = True,
+           what: str = "count(*)", normalize: bool = False):
+    """1-D histogram: returns (values ndarray[shape], edges ndarray[shape+1]).
+
+    ``what`` selects the per-bin statistic (the reference's vaex-style
+    grammar: ``count(*)``, ``mean(expr)``, …) — a binned-statistic
+    operator, still ONE bucket-keyed aggregate. ``normalize`` (only
+    with counts) divides by total·bin_width — np.histogram
+    ``density=True`` parity. Two jobs max: limits agg (skipped when
+    explicit) + bucket groupBy.
     """
     import numpy as np
 
@@ -49,15 +74,25 @@ def hist1d(df: DataFrame, expression: str | Column, shape: int = 64,
     if hi == lo:
         hi = lo + 1.0
     b = bucket_expr(col, lo, hi, shape)
+    agg = what_agg(what).alias("count")
     rows = (df.filter(col.isNotNull() & (col >= lo) & (col <= hi))
-              .groupBy(b.alias("bucket")).count().collect())
+              .groupBy(b.alias("bucket")).agg(agg).collect())
     edges = np.linspace(lo, hi, shape + 1)
     if not dense:
         return rows, edges
-    counts = np.zeros(shape, dtype=np.int64)
+    is_count = what.strip().startswith("count")
+    counts = np.zeros(shape,
+                      dtype=np.int64 if is_count and not normalize
+                      else np.float64)
+    if normalize and not is_count:
+        raise ValueError("normalize applies to count histograms only")
     for r in rows:
         if r["bucket"] is not None and 0 <= r["bucket"] < shape:
             counts[r["bucket"]] = r["count"]
+    if normalize:
+        total = counts.sum()
+        if total > 0:
+            counts = counts / (total * (edges[1] - edges[0]))
     return counts, edges
 
 

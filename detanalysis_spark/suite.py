@@ -2356,3 +2356,28 @@ def trimmed_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(cents(F.col("l_extendedprice")))
                   .alias("sum_price_cents")))
+
+
+# ----------------------------------------------------------------------
+# A6 'what' grammar — binned statistic (mean of one column per bucket
+# of another), same single bucket-keyed aggregate as the count path
+# ----------------------------------------------------------------------
+@query("hist1d_mean_quantity", oracle="""
+SELECT CAST(CASE WHEN l_extendedprice = 60000.0 THEN 19
+            ELSE floor((l_extendedprice - 0.0) / 3000.0) END AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(l_quantity), 6) AS mean_qty
+FROM lineitem
+WHERE l_extendedprice IS NOT NULL
+  AND l_extendedprice >= 0.0 AND l_extendedprice <= 60000.0
+GROUP BY 1
+""")
+def hist1d_mean_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.histogram import bucket_expr
+    li = load_table(spark, sf_dir, "lineitem")
+    col = F.col("l_extendedprice")
+    b = bucket_expr(col, 0.0, 60000.0, 20)
+    return (li.filter(col.isNotNull() & (col >= 0.0) & (col <= 60000.0))
+            .groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("l_quantity"), 6).alias("mean_qty")))

@@ -241,3 +241,34 @@ def test_trim_outliers_matches_numpy(spark):
     # approx path keeps a sane fraction too
     n_approx = trim_outliers(df, "x", 5.0, 95.0, exact=False).count()
     assert abs(n_approx - len(want)) <= 25
+
+
+def test_hist1d_what_and_normalize(spark):
+    import numpy as np
+
+    from detanalysis_spark.operators.histogram import hist1d
+
+    rng = np.random.default_rng(11)
+    xs = rng.uniform(0, 10, 400)
+    ys = rng.normal(5, 2, 400)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(xs, ys)], ["x", "y"])
+
+    # density parity with np.histogram
+    dens, edges = hist1d(df, "x", shape=8, limits=(0.0, 10.0),
+                         normalize=True)
+    want, _ = np.histogram(xs, bins=8, range=(0.0, 10.0), density=True)
+    np.testing.assert_allclose(dens, want, rtol=1e-12)
+
+    # binned mean parity with a numpy groupby
+    means, _ = hist1d(df, "x", shape=8, limits=(0.0, 10.0),
+                      what="mean(y)")
+    idx = np.minimum((xs / 1.25).astype(int), 7)
+    for b in range(8):
+        sel = ys[idx == b]
+        if len(sel):
+            assert means[b] == pytest.approx(sel.mean(), rel=1e-12)
+    with pytest.raises(ValueError):
+        hist1d(df, "x", what="median(y)")
+    with pytest.raises(ValueError):
+        hist1d(df, "x", what="mean(y)", normalize=True)
