@@ -98,8 +98,9 @@ def hist1d(df: DataFrame, expression: str | Column, shape: int = 64,
 
 def hist2d(df: DataFrame, expr_x: str | Column, expr_y: str | Column,
            shape: int | Sequence[int] = 256, limits_x: Any = "minmax",
-           limits_y: Any = "minmax"):
-    """2-D histogram / heatmap grid (analyzer.py:664-715).
+           limits_y: Any = "minmax", what: str = "count(*)"):
+    """2-D histogram / heatmap grid (analyzer.py:664-715), with the
+    reference's ``what`` binned-statistic grammar (:669).
 
     Returns (grid ndarray[sx, sy], xedges, yedges). One shuffle of at
     most sx*sy groups; the dense pivot happens on the driver over ≤64k
@@ -118,10 +119,12 @@ def hist2d(df: DataFrame, expr_x: str | Column, expr_y: str | Column,
         hiy = loy + 1.0
     bx = bucket_expr(cx, lox, hix, sx)
     by = bucket_expr(cy, loy, hiy, sy)
+    is_count = what.strip().startswith("count")
     rows = (df.filter(cx.isNotNull() & cy.isNotNull()
                       & (cx >= lox) & (cx <= hix) & (cy >= loy) & (cy <= hiy))
-              .groupBy(bx.alias("bx"), by.alias("by")).count().collect())
-    grid = np.zeros((sx, sy), dtype=np.int64)
+              .groupBy(bx.alias("bx"), by.alias("by"))
+              .agg(what_agg(what).alias("count")).collect())
+    grid = np.zeros((sx, sy), dtype=np.int64 if is_count else np.float64)
     for r in rows:
         if r["bx"] is not None and r["by"] is not None:
             grid[r["bx"], r["by"]] = r["count"]

@@ -1,9 +1,9 @@
 from .tables import (load_table, load_all, register_views, TABLES,
                      normalize_legacy_columns, LEGACY_COLUMN_MAP,
-                     write_bucketed, read_bucketed)
+                     write_bucketed, read_bucketed, write_partitioned)
 from .files import extract_file_names, load_filterfile
 
 __all__ = ["load_table", "load_all", "register_views", "TABLES",
-           "write_bucketed", "read_bucketed",
+           "write_bucketed", "read_bucketed", "write_partitioned",
            "normalize_legacy_columns", "LEGACY_COLUMN_MAP",
            "extract_file_names", "load_filterfile"]

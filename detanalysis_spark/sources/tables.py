@@ -118,3 +118,17 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     """Read a bucketed table back with its bucket spec intact (a plain
     ``spark.read.parquet`` of the files would lose it)."""
     return spark.table(table_name)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols,
+                      mode: str = "overwrite") -> None:
+    """Hive-style directory partitioning — the 100 TB event-store
+    layout (SURVEY §7.1: partition by ``series_number``). Predicates on
+    the partition columns become partition PRUNING: the scan never
+    opens a file outside matching directories, which is what makes the
+    reference's series-scoped loads (S3) cheap at scale. Keep the
+    column low-cardinality (series, date) — one directory per value.
+    """
+    cols = [partition_cols] if isinstance(partition_cols, str) \
+        else list(partition_cols)
+    df.write.mode(mode).partitionBy(*cols).parquet(path)

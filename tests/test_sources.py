@@ -100,3 +100,20 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ev_bkt")
         spark.sql("DROP TABLE IF EXISTS t_flag_bkt")
+
+
+def test_write_partitioned_prunes(spark, sf_dir, tmp_path):
+    from detanalysis_spark.sources import load_table, write_partitioned
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(ev, path, "event_type")
+
+    back = spark.read.parquet(path)
+    one = back.filter(F.col("event_type") == "click")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in \
+        plan.split("PartitionFilters")[1][:200]
+    # pruning is also semantically right
+    want = ev.filter(F.col("event_type") == "click").count()
+    assert one.count() == want
