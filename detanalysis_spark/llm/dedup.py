@@ -34,6 +34,7 @@ __all__ = [
     "simhash", "hamming_distance",
     "positional_ngrams", "duplicated_spans", "span_dup_stats",
     "dedup_incremental", "lsh_candidate_pairs_between",
+    "apply_near_dedup",
 ]
 
 
@@ -374,6 +375,22 @@ def near_dup_pairs(docs: DataFrame, id_col: str, text_col: str = "text",
                                rows_per_band=rows_per_band)
     return verify_candidates(docs, cand, id_col, text_col, shingle_n,
                              threshold, shingle_fn)
+
+
+def apply_near_dedup(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", threshold: float = 0.5,
+                     **near_dup_kw) -> DataFrame:
+    """End-to-end near-dedup of a corpus: MinHash → LSH → verify →
+    connected components → keep ONE doc per cluster (the minimum id —
+    every cluster label IS its minimum member id, so the keep rule is
+    a single left-anti join of non-canonical members, no extra
+    aggregate). Docs in no near-dup pair pass through untouched."""
+    pairs = near_dup_pairs(docs, id_col, text_col, threshold,
+                           **near_dup_kw).localCheckpoint(eager=True)
+    cl = near_dup_clusters(pairs)
+    drop = cl.filter(F.col("id") != F.col("cluster_id")) \
+             .select(F.col("id").alias(id_col))
+    return docs.join(drop, id_col, "left_anti")
 
 
 def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:

@@ -19,7 +19,7 @@ __all__ = [
     "winnow_fingerprints", "normalize_text", "chunk_text",
     "chunk_documents", "pack_documents",
     "term_frequencies", "document_frequencies", "tfidf_topk",
-    "unigram_logprob_scores",
+    "unigram_logprob_scores", "build_vocab",
 ]
 
 # portable regexes (identical semantics in Java regex and RE2)
@@ -297,3 +297,21 @@ def unigram_logprob_scores(df, id_col: str = "doc_id",
             .groupBy(id_col)
             .agg(F.sum("tf").alias("n_tokens"),
                  (-F.sum(F.col("tf") * logp) / F.sum("tf")).alias("nll")))
+
+
+def build_vocab(df, id_col: str = "doc_id", text_col: str = "text",
+                size: int = 30000, min_df: int = 1):
+    """Tokenizer vocabulary induction: the ``size`` most frequent
+    lowercased terms — (rank, term, ctf, df). Ties break by term asc
+    (bit-exact across engines). Corpus term counts are one gram-keyed
+    aggregate; the final top-``size`` is a TakeOrdered (top-k, never a
+    full global sort)."""
+    tf = term_frequencies(df, id_col, text_col)
+    stats = (tf.groupBy("term")
+             .agg(F.sum("tf").alias("ctf"), F.count(F.lit(1)).alias("df"))
+             .filter(F.col("df") >= int(min_df)))
+    ranked = (stats.orderBy(F.col("ctf").desc(), F.col("term").asc())
+              .limit(int(size)))
+    w = Window.orderBy(F.col("ctf").desc(), F.col("term").asc())
+    return (ranked.withColumn("rank", F.row_number().over(w))
+            .select("rank", "term", "ctf", "df"))

@@ -2381,3 +2381,28 @@ def hist1d_mean_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(b.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.avg("l_quantity"), 6).alias("mean_qty")))
+
+
+# ----------------------------------------------------------------------
+# tokenizer vocabulary induction — top-V corpus terms (TakeOrdered
+# top-k; the rank window runs over only the V surviving rows)
+# ----------------------------------------------------------------------
+@query("vocab_top_terms", oracle=r"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+    FROM documents) WHERE len(term) > 0 GROUP BY doc_id, term),
+stats AS (SELECT term, sum(tf) AS ctf, count(*) AS df FROM tf GROUP BY term),
+ranked AS (
+  SELECT term, ctf, df,
+         row_number() OVER (ORDER BY ctf DESC, term ASC) AS rank
+  FROM stats)
+SELECT CAST(rank AS BIGINT) AS rank, term, CAST(ctf AS BIGINT) AS ctf,
+       CAST(df AS BIGINT) AS df
+FROM ranked WHERE rank <= 200
+""")
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v = _TX.build_vocab(docs, size=200)
+    return v.select(F.col("rank").cast("long").alias("rank"),
+                    "term", "ctf", "df")

@@ -617,3 +617,22 @@ def test_ivf_save_load_roundtrip(spark, tmp_path, clustered_vectors):
     assert sorted(a) == sorted(b)
     # n_probe override at load time, no retraining
     assert IVFIndex.load(spark, path, n_probe=4).n_probe == 4
+
+
+def test_apply_near_dedup_keeps_canonical(docs):
+    kept = sorted(r.doc_id for r in
+                  D.apply_near_dedup(docs, threshold=0.5).collect())
+    # docs 0/1/2 form one near-dup cluster (keep 0); 3 and 4 unique
+    assert kept == [0, 3, 4]
+
+
+def test_build_vocab_ranking(spark):
+    from detanalysis_spark.llm.text import build_vocab
+
+    rows = [(1, "b b b a a c"), (2, "a b d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    v = [(r.rank, r.term, r.ctf, r.df)
+         for r in build_vocab(df, size=3).orderBy("rank").collect()]
+    # b: ctf 4 df 2; a: ctf 3 df 2; c/d ctf 1 → tie broken by term asc
+    assert v == [(1, "b", 4, 2), (2, "a", 3, 2), (3, "c", 1, 1)]
+    assert build_vocab(df, size=10, min_df=2).count() == 2
