@@ -822,4 +822,25 @@ class PhotonCalibration:
             "npeaks": self._npeaks,
             "popt": [float(p) for p in self.popt],
             "pstds": [float(s) for s in self.pstds],
+            "pcov": [[float(v) for v in row]
+                     for row in np.asarray(self.pcov)],
         }
+
+    @classmethod
+    def from_save_obj(cls, events: DataFrame, obj: dict,
+                      traces: DataFrame | None = None,
+                      trace_col: str = "trace") -> "PhotonCalibration":
+        """Rebuild a calibration from ``get_save_obj`` output — the
+        reference's pickle-reload analog (photon_calibration.py:
+        2482-2516) against a fresh event table: the fitted comb comes
+        back without refitting; derived cuts/energies work
+        immediately."""
+        self = cls(events, obj["amp_col"], traces=traces,
+                   fs=obj["fs"], trace_col=trace_col)
+        self.popt = np.asarray(obj["popt"], dtype=float)
+        self.pstds = np.asarray(obj["pstds"], dtype=float)
+        self.pcov = np.asarray(obj["pcov"], dtype=float) \
+            if "pcov" in obj else np.diag(self.pstds ** 2)
+        self._eqspacing = bool(obj["eqspacing"])
+        self._npeaks = int(obj["npeaks"])
+        return self

@@ -246,3 +246,29 @@ def test_subtract_template_trace_and_means(spark):
             for r in P.subtract_template_means(means, tmpl).collect()}
     assert got2[(0, 0)] == 9.0 and got2[(1, 1)] == 8.0
     assert got2[(0, 3)] == 11.0
+
+
+def test_save_obj_round_trip(spark):
+    import json
+
+    import numpy as np
+
+    from detanalysis_spark.photon import PhotonCalibration
+
+    rng = np.random.default_rng(23)
+    amps = np.concatenate([rng.normal(k * 2.0, 0.1, 300)
+                           for k in range(3)])
+    ev = spark.createDataFrame([(float(a),) for a in amps], ["amp"])
+    pc = PhotonCalibration(ev, "amp")
+    pc.fit_spectrum(npeaks=3, bins=120)
+    blob = json.dumps(pc.get_save_obj())
+
+    back = PhotonCalibration.from_save_obj(ev, json.loads(blob))
+    assert back.spacing == pytest.approx(pc.spacing)
+    # derived surfaces work without refit and match the fitted object
+    n = ev.filter(back.peak_expr(2.0).isNotNull()).count()
+    assert n == ev.filter(pc.peak_expr(2.0).isNotNull()).count() and n > 0
+    res, err = back.get_spectrum_energy_res(1.0)
+    want_res, want_err = pc.spectrum_energy_res(1.0)
+    assert res == pytest.approx(want_res)
+    assert err == pytest.approx(want_err, nan_ok=True)
