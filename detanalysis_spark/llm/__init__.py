@@ -7,11 +7,15 @@ generation, no all-pairs, no driver-side loops).
 """
 
 from .similarity import (cosine_similarity, cosine_topk,
-                         RandomHyperplaneLSH, IVFIndex)
+                         RandomHyperplaneLSH, IVFIndex,
+                         quantize_embeddings, quantization_error)
 from .dedup import (dedup_exact, minhash_signatures, lsh_candidate_pairs,
-                    near_dup_clusters, simhash, ngram_jaccard)
+                    near_dup_clusters, simhash, ngram_jaccard,
+                    near_dup_pairs, apply_near_dedup, dedup_incremental,
+                    span_dup_stats)
 from .text import (token_count, bpe_ish_token_count, quality_scores,
-                   language_id, doc_fingerprint)
+                   language_id, doc_fingerprint, tfidf_topk, build_vocab,
+                   unigram_logprob_scores)
 from .multimodal import (decode_raw8, encode_raw8, resize_bilinear,
                          image_features, audio_features, frame_sample_udf)
 from .cleaning import (pii_counts, redact_pii, repetition_scores,
@@ -24,7 +28,10 @@ __all__ = [
     "dedup_exact", "minhash_signatures", "lsh_candidate_pairs",
     "near_dup_clusters", "simhash", "ngram_jaccard",
     "token_count", "bpe_ish_token_count", "quality_scores",
-    "language_id", "doc_fingerprint",
+    "language_id", "doc_fingerprint", "tfidf_topk", "build_vocab",
+    "unigram_logprob_scores",
+    "near_dup_pairs", "apply_near_dedup", "dedup_incremental",
+    "span_dup_stats", "quantize_embeddings", "quantization_error",
     "decode_raw8", "encode_raw8", "resize_bilinear",
     "image_features", "audio_features", "frame_sample_udf",
 ]
