@@ -9,6 +9,16 @@ nanos) and convert to microsecond timestamps with *integer* arithmetic
 nanos), matching DuckDB's truncate-to-micros behavior so oracle
 comparisons agree.
 
+The second wrinkle: tz-naive microsecond timestamps (parquet
+TIMESTAMP(MICROS, isAdjustedToUTC=false)) load as Spark
+``TIMESTAMP_NTZ``, which rejects ``unix_micros`` / ``cast(double)``.
+DuckDB treats the same naive wall-clock as UTC in ``epoch()``, so we
+rebase NTZ columns to TIMESTAMP_LTZ whose *internal epoch equals the
+wall-clock-as-UTC epoch* — computed with pure NTZ wall-clock
+arithmetic (``timestampdiff`` from the NTZ epoch), so the result is
+independent of the session time zone (a plain ``cast("timestamp")``
+would shift by the session offset).
+
 Column detection is driver-side via the parquet footer (pyarrow), so
 the executors still use the native vectorized scan — pushdown and
 column pruning intact.
@@ -22,36 +32,45 @@ from pyspark.sql import functions as F
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
-_NANO_COLS_CACHE: dict[str, list[str]] = {}
+_TS_COLS_CACHE: dict[str, tuple[list[str], list[str]]] = {}
 
 
-def _nano_timestamp_cols(path: str) -> list[str]:
-    if path in _NANO_COLS_CACHE:
-        return _NANO_COLS_CACHE[path]
-    cols: list[str] = []
+def _timestamp_cols(path: str) -> tuple[list[str], list[str]]:
+    """(nano-precision cols, tz-naive micro/milli/sec cols) per footer."""
+    if path in _TS_COLS_CACHE:
+        return _TS_COLS_CACHE[path]
+    nano: list[str] = []
+    ntz: list[str] = []
     try:
         import pyarrow.dataset as ds
         import pyarrow as pa
         schema = ds.dataset(path, format="parquet").schema
         for field in schema:
-            if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
-                cols.append(field.name)
+            if pa.types.is_timestamp(field.type):
+                if field.type.unit == "ns":
+                    nano.append(field.name)
+                elif field.type.tz is None:
+                    ntz.append(field.name)
     except Exception:
         pass
-    _NANO_COLS_CACHE[path] = cols
-    return cols
+    _TS_COLS_CACHE[path] = (nano, ntz)
+    return nano, ntz
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table with timestamp normalization."""
     path = f"{sf_dir}/{name}.parquet"
-    nano_cols = _nano_timestamp_cols(path)
+    nano_cols, ntz_cols = _timestamp_cols(path)
     # nanosAsLong is set once at session build (session.py _DEFAULTS) —
     # never mutated here (racy under concurrent use)
     df = spark.read.parquet(path)
     for c in nano_cols:
         # integer div: 1704067798778549829 ns -> 1704067798778549 us
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c in ntz_cols:
+        # NTZ wall-clock -> LTZ with epoch == wall-clock-as-UTC (tz-free)
+        df = df.withColumn(c, F.timestamp_micros(F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{c}`)")))
     return df
 
 

@@ -457,8 +457,12 @@ def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("time_binned_count_exclusion", oracle="""
 WITH binned AS (
   SELECT *, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day_bin FROM events
+), cnts AS (
+  SELECT day_bin, count(*) AS cnt FROM binned GROUP BY day_bin
+), thr AS (
+  SELECT quantile_cont(cnt, 0.5) AS med FROM cnts
 ), keep AS (
-  SELECT day_bin FROM binned GROUP BY day_bin HAVING count(*) <= 120
+  SELECT day_bin FROM cnts, thr WHERE cnt <= med
 )
 SELECT event_type, count(*) AS n,
        CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
@@ -466,11 +470,15 @@ FROM binned WHERE day_bin IN (SELECT day_bin FROM keep)
 GROUP BY event_type
 """)
 def time_binned_count_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold is relative (median of per-bin counts) so the query is
+    # non-trivial at every scale factor — the reference's
+    # percentile-over-bin-counts threshold mode (semiautocuts.py:783-795)
     ev = load_table(spark, sf_dir, "events")
     binned = ev.withColumn(
         "day_bin", F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400.0)).cast("long"))
-    keep = (binned.groupBy("day_bin").agg(F.count(F.lit(1)).alias("cnt"))
-            .filter("cnt <= 120").select("day_bin"))
+    cnts = binned.groupBy("day_bin").agg(F.count(F.lit(1)).alias("cnt"))
+    med = cnts.agg(F.expr("percentile(cnt, 0.5)").alias("med"))
+    keep = (cnts.join(F.broadcast(med)).filter("cnt <= med").select("day_bin"))
     return (binned.join(F.broadcast(keep), "day_bin", "left_semi")
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
