@@ -134,25 +134,29 @@ def benchmark_ngrams(bench: DataFrame, text_col: str = "text",
 
 def contamination_overlap(docs: DataFrame, bench_grams: DataFrame,
                           id_col: str = "doc_id", text_col: str = "text",
-                          n: int = 5) -> DataFrame:
-    """Per-document benchmark overlap: ``(id, n_grams, n_hits)``.
+                          n: int = 5,
+                          carry_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Per-document benchmark overlap: ``(id, *carry, n_grams, n_hits)``.
 
-    Each doc's *distinct* grams are exploded and inner-joined against
-    the **broadcast** benchmark gram set, then counted back per doc —
-    the corpus never shuffles, so this scales linearly in corpus size.
-    Documents with no grams (shorter than ``n`` tokens) surface with
-    ``n_grams = 0, n_hits = 0``.
+    One shingle pass, one shuffle: each doc's *distinct* grams are
+    exploded (``explode_outer`` so gram-less docs survive) and
+    left-joined against the **broadcast** benchmark gram set, then hit
+    counts fold back per doc in a single map-side-combined groupBy —
+    the corpus itself never shuffles by gram, so this scales linearly
+    in corpus size. ``carry_cols`` ride along (e.g. ``source``) so
+    callers don't need a second join back to the corpus.
     """
     from .dedup import word_shingles
-    grams = docs.select(F.col(id_col),
+    carry = list(carry_cols)
+    marked = bench_grams.select("gram").withColumn("__hit__", F.lit(1))
+    grams = docs.select(F.col(id_col), *[F.col(c) for c in carry],
                         word_shingles(F.col(text_col), n).alias("__grams__"))
-    exploded = grams.select(id_col, F.explode("__grams__").alias("gram"))
-    hits = (exploded
-            .join(F.broadcast(bench_grams), "gram", "inner")
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_hits")))
-    return (grams
-            .select(id_col, F.size("__grams__").alias("n_grams"))
-            .join(hits, id_col, "left")
-            .select(id_col, "n_grams",
-                    F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits")))
+    exploded = grams.select(id_col, *carry,
+                            F.size("__grams__").alias("__n_grams__"),
+                            F.explode_outer("__grams__").alias("gram"))
+    return (exploded
+            .join(F.broadcast(marked), "gram", "left")
+            .groupBy(id_col, *carry)
+            .agg(F.max("__n_grams__").alias("n_grams"),
+                 F.coalesce(F.sum("__hit__"), F.lit(0)).cast("long")
+                 .alias("n_hits")))

@@ -2046,10 +2046,9 @@ def decontamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 25 == 0)
     corpus = docs.filter(F.col("doc_id") % 25 != 0)
     grams = _CL.benchmark_ngrams(bench, n=3)
-    ov = _CL.contamination_overlap(corpus, grams, n=3)
-    return (corpus.select("doc_id", "source")
-            .join(ov, "doc_id")
-            .groupBy("source")
+    ov = _CL.contamination_overlap(corpus, grams, n=3,
+                                   carry_cols=("source",))
+    return (ov.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum((F.col("n_hits") >= 1).cast("long"))
                  .alias("n_contaminated"),
