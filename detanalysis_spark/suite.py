@@ -477,8 +477,10 @@ def time_binned_count_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = ev.withColumn(
         "day_bin", F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(86400.0)).cast("long"))
     cnts = binned.groupBy("day_bin").agg(F.count(F.lit(1)).alias("cnt"))
-    med = cnts.agg(F.expr("percentile(cnt, 0.5)").alias("med"))
-    keep = (cnts.join(F.broadcast(med)).filter("cnt <= med").select("day_bin"))
+    # two-pass scalar like the histogram limits: cnts is one row per day
+    # bin, so the median is a driver-side scalar, not a join
+    med = cnts.agg(F.expr("percentile(cnt, 0.5)")).first()[0]
+    keep = cnts.filter(F.col("cnt") <= F.lit(med)).select("day_bin")
     return (binned.join(F.broadcast(keep), "day_bin", "left_semi")
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
