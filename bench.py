@@ -11,6 +11,7 @@ plan without driver-transfer noise.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -45,6 +46,10 @@ def main() -> int:
             dt = float("nan")
         timings[name] = round(dt, 4)
         total += dt if dt == dt else 0.0
+        # release localCheckpoint RDDs / broadcasts pinned by dropped
+        # DataFrame refs so earlier queries' executor storage doesn't
+        # inflate later ones (GC runs outside the timed window)
+        gc.collect()
 
     print(json.dumps({
         "metric": "suite_wall_clock",
