@@ -20,6 +20,14 @@ from .photon import (fit_spectrum, photon_peak_expr, average_pulses,
                      subtract_template_expr, subtract_template_means,
                      PhotonCalibration)
 from .picker import TracePicker
+from . import registry as func  # reference exposes decorators via `func`
+
+# reference-name aliases (detanalysis/__init__.py:1-6 exports exactly:
+# Analyzer, Vibration_Analyzer, Semiautocut, MasterSemiautocuts,
+# ScatterPlotter, PhotonCalibration) — a migrating user's imports work
+# verbatim
+Vibration_Analyzer = VibrationAnalyzer
+ScatterPlotter = TracePicker
 
 __version__ = "0.4.0"
 
@@ -33,5 +41,6 @@ __all__ = [
     "fit_spectrum", "photon_peak_expr", "average_pulses",
     "fft_ensemble_stats", "apply_dpdi", "fit_template",
     "TracePicker", "VibrationAnalyzer", "PhotonCalibration",
+    "Vibration_Analyzer", "ScatterPlotter", "func",
     "__version__",
 ]

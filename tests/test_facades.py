@@ -278,3 +278,20 @@ def test_reference_public_api_names_present():
                for cls, names in surface.items()
                for name in names if not hasattr(cls, name)]
     assert not missing, missing
+
+
+def test_reference_package_exports():
+    """The reference's __init__ exports exactly Analyzer,
+    Vibration_Analyzer, Semiautocut, MasterSemiautocuts, ScatterPlotter,
+    PhotonCalibration and the func decorators — a migrating user's
+    imports must work verbatim against our package."""
+    import detanalysis_spark as pkg
+
+    for name in ("Analyzer", "Vibration_Analyzer", "Semiautocut",
+                 "MasterSemiautocuts", "ScatterPlotter",
+                 "PhotonCalibration", "func"):
+        assert hasattr(pkg, name), name
+    for deco in ("version", "authors", "date", "description", "contact"):
+        assert hasattr(pkg.func, deco), deco
+    assert pkg.Vibration_Analyzer is pkg.VibrationAnalyzer
+    assert pkg.ScatterPlotter is pkg.TracePicker
