@@ -145,6 +145,33 @@ def main() -> int:
             F.max("batch")).collect()[0][0]
     probe("assign_batches", batches(docs1), batches(docsk))
 
+    # as-of join: union-window strategy — one shuffle keyed by
+    # (user_id), never a nested loop over the time axis
+    def asof(df):
+        from detanalysis_spark.operators.joins import asof_join
+        left = df.filter("event_type = 'purchase'") \
+                 .select("user_id", F.col("ts").alias("t"), "value")
+        right = df.filter("event_type = 'error'") \
+                  .select("user_id", F.col("ts").alias("t"),
+                          F.col("event_id").alias("err_id"))
+        return lambda: asof_join(left, right, on="t",
+                                 by="user_id").count()
+    ev1d = ev1.withColumn("ts", F.col("ts").cast("double"))
+    probe("asof_join", asof(ev1d), asof(evk))
+
+    # IVF ANN: probe cost must track (cells probed × rows/cell), not
+    # the full corpus
+    def ivf(df):
+        from detanalysis_spark.llm.similarity import IVFIndex
+        def run():
+            idx = IVFIndex(n_centroids=32, n_probe=4, seed=7).fit(df)
+            probes = df.orderBy("vec_id").limit(8)
+            return idx.topk(df, probes, k=5).count()
+        return run
+    emb1 = load_table(spark, SF_DIR, "embeddings")
+    embk = amplify(emb1, ["vec_id"], k)
+    probe("ivf_topk", ivf(emb1), ivf(embk))
+
     print(json.dumps({"probe": results, "multiplier": k}))
     return 0
 
