@@ -117,3 +117,31 @@ def test_write_partitioned_prunes(spark, sf_dir, tmp_path):
     # pruning is also semantically right
     want = ev.filter(F.col("event_type") == "click").count()
     assert one.count() == want
+
+
+def test_load_table_rebases_naive_timestamps(spark, tmp_path):
+    """Tz-naive parquet timestamps (micros NTZ — the testdata layout as
+    of round 2) load as LTZ whose internal epoch equals the
+    wall-clock-as-UTC epoch, independent of session time zone, so
+    unix_micros / cast(double) work and agree with DuckDB's epoch()."""
+    import datetime
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from detanalysis_spark.sources.tables import load_table
+
+    wall = datetime.datetime(2024, 1, 1, 12, 0, 0)          # naive
+    tbl = pa.table({"ts": pa.array([wall], pa.timestamp("us")),
+                    "x": pa.array([1], pa.int64())})
+    d = tmp_path / "tsntz"
+    d.mkdir()
+    pq.write_table(tbl, d / "t.parquet")
+
+    df = load_table(spark, str(d), "t")
+    assert dict(df.dtypes)["ts"] == "timestamp"             # LTZ, not ntz
+    got = df.select(F.unix_micros("ts").alias("us")).first()["us"]
+    expect = int(wall.replace(
+        tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    assert got == expect
+    # cast(double) — the suite's event_time feature path — also works
+    sec = df.select(F.col("ts").cast("double").alias("s")).first()["s"]
+    assert sec == expect / 1_000_000
