@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "PII_PATTERNS", "pii_counts", "redact_pii",
     "repetition_scores", "benchmark_ngrams", "contamination_overlap",
+    "line_frequencies", "remove_boilerplate_lines",
 ]
 
 # ---------------------------------------------------------------------------
@@ -160,3 +161,58 @@ def contamination_overlap(docs: DataFrame, bench_grams: DataFrame,
             .agg(F.max("__n_grams__").alias("n_grams"),
                  F.coalesce(F.sum("__hit__"), F.lit(0)).cast("long")
                  .alias("n_hits")))
+
+
+# ---------------------------------------------------------------------------
+# boilerplate line removal
+# ---------------------------------------------------------------------------
+def line_frequencies(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     delim: str = "\n") -> DataFrame:
+    """``(line, n_docs)``: how many distinct documents contain each
+    line. One explode + one map-side-combined groupBy keyed by line —
+    the classic first pass of boilerplate detection (headers, footers,
+    cookie banners repeat across a crawl; body text doesn't)."""
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            F.split(F.col(text_col), delim))).alias("line"))
+    return (lines.groupBy("line")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def remove_boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", min_docs: int = 100,
+                             delim: str = "\n",
+                             out_col: str = "clean_text") -> DataFrame:
+    """Strip lines that appear in ≥ ``min_docs`` documents, preserving
+    the order of the surviving lines.
+
+    Scale shape: the frequent-line set is small by construction (a line
+    must repeat across ``min_docs`` docs to qualify), so it
+    **broadcasts** to a left-anti join against the exploded lines; the
+    only corpus-sized shuffle is the per-doc rebuild groupBy. The
+    rebuild sorts each doc's surviving ``(pos, line)`` structs — order
+    is exact, not collect_list luck.
+    """
+    frequent = (line_frequencies(docs, id_col, text_col, delim)
+                .filter(F.col("n_docs") >= min_docs)
+                .select("line"))
+    exploded = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim))
+        .alias("pos", "line"))
+    kept = exploded.join(F.broadcast(frequent), "line", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("pos"), F.col("line")))),
+                       lambda s: s["line"]),
+                   delim).alias(out_col),
+                   F.count(F.lit(1)).alias("n_lines_kept")))
+    # docs whose every line was boilerplate still come back (empty text)
+    return (docs.join(rebuilt, id_col, "left")
+            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+            .withColumn("n_lines_kept",
+                        F.coalesce(F.col("n_lines_kept"), F.lit(0))))

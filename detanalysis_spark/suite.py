@@ -2415,3 +2415,48 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _TX.build_vocab(docs, size=200)
     return v.select(F.col("rank").cast("long").alias("rank"),
                     "term", "ctf", "df")
+
+
+# ----------------------------------------------------------------------
+# boilerplate line removal — strip lines repeated across >= 2% of the
+# corpus (crawl headers/footers), preserve surviving line order; md5 of
+# the rebuilt text pins the reconstruction exactly
+# ----------------------------------------------------------------------
+@query("boilerplate_removal_stats", oracle=r"""
+WITH d AS (
+  SELECT doc_id, source,
+         concat('HDR ', source, chr(10), text, chr(10), 'FOOT') AS mtext
+  FROM documents),
+tot AS (SELECT greatest(3, CAST(ceil(0.02 * count(*)) AS BIGINT)) AS thr FROM d),
+lz AS (SELECT doc_id, source,
+              unnest([{'line': p[i], 'pos': i}
+                      for i in range(1, len(p)+1)]) AS s
+       FROM (SELECT doc_id, source, string_split(mtext, chr(10)) AS p FROM d)),
+l AS (SELECT doc_id, source, s.line AS line, s.pos AS pos FROM lz),
+f AS (SELECT line FROM l, tot GROUP BY line, thr
+      HAVING count(DISTINCT doc_id) >= thr),
+k AS (SELECT l.* FROM l LEFT JOIN f USING (line) WHERE f.line IS NULL),
+r AS (SELECT doc_id, coalesce(string_agg(line, chr(10) ORDER BY pos), '') AS clean
+      FROM k GROUP BY doc_id),
+rr AS (SELECT d.doc_id, d.source, coalesce(r.clean, '') AS clean
+       FROM d LEFT JOIN r USING (doc_id))
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(clean)) AS BIGINT) AS total_clean_chars,
+       CAST(count(DISTINCT md5(clean)) AS BIGINT) AS n_unique_clean
+FROM rr GROUP BY source
+""")
+def boilerplate_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source",
+        F.concat_ws("\n", F.concat(F.lit("HDR "), F.col("source")),
+                    F.col("text"), F.lit("FOOT")).alias("mtext"))
+    import math
+    thr = max(3, math.ceil(0.02 * d.count()))
+    clean = _CL.remove_boilerplate_lines(d, id_col="doc_id",
+                                         text_col="mtext", min_docs=thr)
+    return (clean.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("clean_text")).alias("total_clean_chars"),
+                 F.countDistinct(F.md5(F.col("clean_text").cast("binary")))
+                 .alias("n_unique_clean")))

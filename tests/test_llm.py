@@ -636,3 +636,31 @@ def test_build_vocab_ranking(spark):
     # b: ctf 4 df 2; a: ctf 3 df 2; c/d ctf 1 → tie broken by term asc
     assert v == [(1, "b", 4, 2), (2, "a", 3, 2), (3, "c", 1, 1)]
     assert build_vocab(df, size=10, min_df=2).count() == 2
+
+
+def test_boilerplate_line_removal(spark):
+    from detanalysis_spark.llm import (line_frequencies,
+                                       remove_boilerplate_lines)
+    rows = [(i, "COOKIE BANNER\nbody text %d\nunique line %d\nFOOTER"
+             % (i, i * 7)) for i in range(10)]
+    rows.append((10, "COOKIE BANNER\nFOOTER"))   # all-boilerplate doc
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    freq = {r["line"]: r["n_docs"]
+            for r in line_frequencies(df).collect()}
+    assert freq["COOKIE BANNER"] == 11 and freq["FOOTER"] == 11
+    assert freq["body text 3"] == 1
+
+    out = remove_boilerplate_lines(df, min_docs=5).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 11
+    # order of surviving lines preserved, boilerplate gone
+    assert by_id[3]["clean_text"] == "body text 3\nunique line 21"
+    assert by_id[3]["n_lines_kept"] == 2
+    # fully-boilerplate doc survives with empty text, not a dropped row
+    assert by_id[10]["clean_text"] == "" and by_id[10]["n_lines_kept"] == 0
+    # duplicated *within* one doc counts once toward the doc frequency
+    one = spark.createDataFrame(
+        [(1, "x\nx\nx"), (2, "y")], ["doc_id", "text"])
+    f2 = {r["line"]: r["n_docs"] for r in line_frequencies(one).collect()}
+    assert f2["x"] == 1
