@@ -20,12 +20,13 @@ from .multimodal import (decode_raw8, encode_raw8, resize_bilinear,
                          image_features, audio_features, frame_sample_udf)
 from .cleaning import (pii_counts, redact_pii, repetition_scores,
                        benchmark_ngrams, contamination_overlap,
-                       line_frequencies, remove_boilerplate_lines)
+                       line_frequencies, remove_boilerplate_lines,
+                       decontaminate)
 
 __all__ = [
     "pii_counts", "redact_pii", "repetition_scores",
     "benchmark_ngrams", "contamination_overlap",
-    "line_frequencies", "remove_boilerplate_lines",
+    "line_frequencies", "remove_boilerplate_lines", "decontaminate",
     "cosine_similarity", "cosine_topk", "RandomHyperplaneLSH", "IVFIndex",
     "dedup_exact", "minhash_signatures", "lsh_candidate_pairs",
     "near_dup_clusters", "simhash", "ngram_jaccard",

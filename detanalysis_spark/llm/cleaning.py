@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "PII_PATTERNS", "pii_counts", "redact_pii",
     "repetition_scores", "benchmark_ngrams", "contamination_overlap",
-    "line_frequencies", "remove_boilerplate_lines",
+    "line_frequencies", "remove_boilerplate_lines", "decontaminate",
 ]
 
 # ---------------------------------------------------------------------------
@@ -216,3 +216,16 @@ def remove_boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
             .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
             .withColumn("n_lines_kept",
                         F.coalesce(F.col("n_lines_kept"), F.lit(0))))
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 5, max_hits: int = 0) -> DataFrame:
+    """Drop corpus documents that share more than ``max_hits`` word
+    ``n``-grams with the benchmark — the filtering counterpart of
+    ``contamination_overlap`` (same broadcast shape: the corpus never
+    shuffles; contaminated ids feed one left-anti join)."""
+    grams = benchmark_ngrams(bench, text_col, n)
+    ov = contamination_overlap(docs, grams, id_col, text_col, n)
+    bad = ov.filter(F.col("n_hits") > max_hits).select(id_col)
+    return docs.join(bad, id_col, "left_anti")

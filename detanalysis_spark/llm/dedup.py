@@ -379,17 +379,39 @@ def near_dup_pairs(docs: DataFrame, id_col: str, text_col: str = "text",
 
 def apply_near_dedup(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", threshold: float = 0.5,
+                     keep_by: str | None = None, keep: str = "max",
                      **near_dup_kw) -> DataFrame:
     """End-to-end near-dedup of a corpus: MinHash → LSH → verify →
-    connected components → keep ONE doc per cluster (the minimum id —
-    every cluster label IS its minimum member id, so the keep rule is
-    a single left-anti join of non-canonical members, no extra
-    aggregate). Docs in no near-dup pair pass through untouched."""
+    connected components → keep ONE doc per cluster. Docs in no
+    near-dup pair pass through untouched.
+
+    Default keep rule: the minimum id — every cluster label IS its
+    minimum member id, so the keep rule is a single left-anti join of
+    non-canonical members, no extra aggregate. With ``keep_by`` (e.g. a
+    quality-score column) the survivor is instead the cluster member
+    with the ``keep``-most (``max``/``min``) score, ties broken by
+    minimum id — one extra small aggregate over cluster members only
+    (the clustered subset, not the corpus)."""
     pairs = near_dup_pairs(docs, id_col, text_col, threshold,
                            **near_dup_kw).localCheckpoint(eager=True)
     cl = near_dup_clusters(pairs)
-    drop = cl.filter(F.col("id") != F.col("cluster_id")) \
-             .select(F.col("id").alias(id_col))
+    if keep_by is None:
+        drop = cl.filter(F.col("id") != F.col("cluster_id")) \
+                 .select(F.col(id_col) if id_col == "id"
+                         else F.col("id").alias(id_col))
+        return docs.join(drop, id_col, "left_anti")
+    if keep not in ("max", "min"):
+        raise ValueError(f"keep must be 'max' or 'min', got {keep!r}")
+    members = cl.join(
+        docs.select(F.col(id_col).alias("id"), F.col(keep_by)), "id")
+    score = F.col(keep_by) if keep == "max" else -F.col(keep_by)
+    best = (members
+            .groupBy("cluster_id")
+            .agg(F.min(F.struct((-score).alias("s"),
+                                F.col("id"))).alias("b"))
+            .select(F.col("b.id").alias("keep_id")))
+    drop = (cl.join(best, cl["id"] == best["keep_id"], "left_anti")
+            .select(F.col("id").alias(id_col)))
     return docs.join(drop, id_col, "left_anti")
 
 

@@ -664,3 +664,36 @@ def test_boilerplate_line_removal(spark):
         [(1, "x\nx\nx"), (2, "y")], ["doc_id", "text"])
     f2 = {r["line"]: r["n_docs"] for r in line_frequencies(one).collect()}
     assert f2["x"] == 1
+
+
+def test_decontaminate_filters_hit_docs(spark):
+    from detanalysis_spark.llm import decontaminate
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over it"),   # contaminated
+         (2, "completely unrelated text body here"),
+         (3, "short")], ["doc_id", "text"])
+    kept = decontaminate(docs, bench, n=3)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+
+
+def test_apply_near_dedup_keep_by_score(spark):
+    from detanalysis_spark.llm import apply_near_dedup
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base, 0.2), (2, base + " x", 0.9), (3, base + " y", 0.9),
+            (4, "totally different words entirely unrelated", 0.1)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "score"])
+    # default: min id survives the cluster
+    kept = sorted(r["doc_id"] for r in
+                  apply_near_dedup(docs, threshold=0.5).collect())
+    assert kept == [1, 4]
+    # keep_by score: the best-scored member survives, min-id tiebreak
+    kept = sorted(r["doc_id"] for r in
+                  apply_near_dedup(docs, threshold=0.5, keep_by="score",
+                                   keep="max").collect())
+    assert kept == [2, 4]
+    kept = sorted(r["doc_id"] for r in
+                  apply_near_dedup(docs, threshold=0.5, keep_by="score",
+                                   keep="min").collect())
+    assert kept == [1, 4]
