@@ -55,9 +55,23 @@ def compare(name: str, spark, con) -> tuple[bool, str]:
     return True, f"ok ({len(sdf)} rows, {t_spark:.2f}s)"
 
 
+def _vanilla_spark():
+    """A driver-like session: default configs, deliberately non-UTC
+    timezone, none of the engine's session.py tuning — queries must
+    pass here too, since the correctness harness supplies its own
+    SparkSession."""
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder.appName("oracle-check-vanilla")
+            .master("local[8]")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
 def main() -> int:
     names = sys.argv[1:] or list(suite.QUERIES)
-    spark = get_spark("oracle-check")
+    spark = (_vanilla_spark() if os.environ.get("SPARK_GRAFT_VANILLA")
+             else get_spark("oracle-check"))
     con = duckdb.connect()
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
