@@ -14,7 +14,8 @@ from .registry import (load_plugins, version, authors, date,
 from .vibration import (sweep_moments, continuous_moments,
                         psd_from_moments, transfer_functions, MomentCache,
                         VibrationAnalyzer)
-from .photon import (fit_spectrum, photon_peak_expr, average_pulses,
+from .photon import (fit_spectrum, fit_spectrum_grouped,
+                     photon_peak_expr, average_pulses,
                      fft_ensemble_stats, apply_dpdi, fit_template,
                      subtract_zero_photon_means, crosstalk_template,
                      subtract_template_expr, subtract_template_means,
@@ -38,7 +39,7 @@ __all__ = [
     "version", "authors", "date", "description", "contact",
     "sweep_moments", "continuous_moments", "psd_from_moments",
     "transfer_functions", "MomentCache",
-    "fit_spectrum", "photon_peak_expr", "average_pulses",
+    "fit_spectrum", "fit_spectrum_grouped", "photon_peak_expr", "average_pulses",
     "fft_ensemble_stats", "apply_dpdi", "fit_template",
     "TracePicker", "VibrationAnalyzer", "PhotonCalibration",
     "Vibration_Analyzer", "ScatterPlotter", "func",

@@ -177,6 +177,29 @@ def least_squares_lm(resid_fn, x0, bounds=None, max_iter: int = 200,
     return p, pcov, np.sqrt(np.clip(np.diag(pcov), 0, None))
 
 
+def _auto_spacing(centers: np.ndarray, counts: np.ndarray,
+                  width: float) -> float:
+    """Seed the comb-spacing guess from the histogram itself: median
+    gap between smoothed local maxima (the photon peaks). Robust to
+    where the 0-photon peak sits relative to the histogram edge —
+    seeding from ``tallest-peak − min`` misreads the 0-peak offset as
+    the spacing when the amplitude range extends below zero."""
+    c = np.convolve(counts, np.ones(5) / 5.0, mode="same")
+    thr = 0.1 * c.max()
+    locs: list[int] = []
+    for i in range(1, len(c) - 1):
+        if c[i] >= c[i - 1] and c[i] > c[i + 1] and c[i] > thr:
+            if locs and i - locs[-1] <= 2:          # collapse plateaus
+                if c[i] > c[locs[-1]]:
+                    locs[-1] = i
+            else:
+                locs.append(i)
+    if len(locs) >= 2:
+        return float(np.median(np.diff(centers[locs])))
+    peak_b = int(np.argmax(counts[1:])) + 1
+    return max(float(centers[peak_b] - centers[0]) + width / 2, width)
+
+
 # ----------------------------------------------------------------------
 # distributed histogram → driver fit (photon_calibration.py:369-612)
 # ----------------------------------------------------------------------
@@ -208,8 +231,7 @@ def fit_spectrum(df: DataFrame, amp_col: str, cut: Column | None = None,
     centers = lo + (np.arange(bins) + 0.5) * width
 
     if guess is None:
-        peak_b = int(np.argmax(counts[1:])) + 1
-        spacing_guess = max(centers[peak_b] - lo, width)
+        spacing_guess = _auto_spacing(centers, counts, width)
         guess = default_guess(spacing_guess, 2 * width, float(counts.max()),
                               npeaks, poisson, eqspacing)
     if bounds is None:
@@ -224,6 +246,72 @@ def fit_spectrum(df: DataFrame, amp_col: str, cut: Column | None = None,
 
     popt, pcov, pstds = least_squares_lm(resid, guess, bounds)
     return popt, pcov, pstds, (centers, counts)
+
+
+def fit_spectrum_grouped(df: DataFrame, amp_col: str, group_col: str,
+                         poisson: bool = False, eqspacing: bool = True,
+                         npeaks: int = 5, bins: int = 200) -> DataFrame:
+    """Per-group spectrum fits, fitted in parallel on the executors —
+    the many-channel scale path of U3 (SURVEY §2.10: "aggregate in
+    Spark → scipy on the driver … optionally ``applyInPandas`` for many
+    channels in parallel"; reference loops channels one at a time,
+    photon_calibration.py:369-612).
+
+    Three stages, all distributed: per-group [min, max] (one agg,
+    broadcast back), per-(group, bin) counts (one shuffle), then
+    ``applyInPandas`` over groups — each task fits its group's
+    ``bins``-bin histogram with the same bounded-LM core the
+    single-spectrum path uses, so ≤ ``bins`` rows per group ever move
+    and the fits scale out with the number of groups.
+
+    Returns (group, popt array, pstds array, n_events, fit_cost).
+    """
+    a = F.col(amp_col).cast("double")
+    mm = (df.groupBy(group_col)
+          .agg(F.min(a).alias("__lo__"), F.max(a).alias("__hi__")))
+    j = df.join(F.broadcast(mm), group_col)
+    w = (F.col("__hi__") - F.col("__lo__")) / bins
+    w = F.when(w == 0, F.lit(1.0)).otherwise(w)
+    idx = F.least(F.floor((a - F.col("__lo__")) / w).cast("int"),
+                  F.lit(bins - 1))
+    hist = (j.groupBy(F.col(group_col).cast("string").alias("group"),
+                      idx.alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.first("__lo__").alias("lo"),
+                 F.first("__hi__").alias("hi")))
+
+    out_schema = ("group string, popt array<double>, "
+                  "pstds array<double>, n_events long, fit_cost double")
+
+    def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = float(pdf["lo"].iloc[0]), float(pdf["hi"].iloc[0])
+        width = (hi - lo) / bins or 1.0
+        counts = np.zeros(bins, dtype=np.float64)
+        counts[pdf["b"].to_numpy()] = pdf["n"].to_numpy()
+        centers = lo + (np.arange(bins) + 0.5) * width
+        spacing_guess = _auto_spacing(centers, counts, width)
+        guess = default_guess(spacing_guess, 2 * width,
+                              float(counts.max()), npeaks, poisson,
+                              eqspacing)
+        bounds = default_bounds(guess, npeaks, poisson, eqspacing)
+        wts = np.where(counts > 0,
+                       1.0 / np.sqrt(np.where(counts > 0, counts, 1)), 0.0)
+
+        def resid(p):
+            return (counts - model_spectrum(centers, p, poisson,
+                                            eqspacing, npeaks)) * wts
+
+        popt, _, pstds = least_squares_lm(resid, guess, bounds)
+        r = resid(popt)
+        return pd.DataFrame({
+            "group": [pdf["group"].iloc[0]],
+            "popt": [list(map(float, popt))],
+            "pstds": [list(map(float, pstds))],
+            "n_events": [int(counts.sum())],
+            "fit_cost": [float(r @ r)],
+        })
+
+    return hist.groupBy("group").applyInPandas(fit_one, out_schema)
 
 
 def photon_peak_expr(amp_col: Column | str, spacing: float,

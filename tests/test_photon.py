@@ -272,3 +272,27 @@ def test_save_obj_round_trip(spark):
     want_res, want_err = pc.spectrum_energy_res(1.0)
     assert res == pytest.approx(want_res)
     assert err == pytest.approx(want_err, nan_ok=True)
+
+
+def test_fit_spectrum_grouped_parallel_channels(spark):
+    """Two channels with different spacings, fitted in one distributed
+    applyInPandas pass — each recovers its own planted spacing."""
+    rng = np.random.default_rng(11)
+    frames = []
+    for ch, spacing in (("chanA", 4.0), ("chanB", 6.0)):
+        peaks = rng.choice(NPEAKS, size=8000, p=WEIGHTS)
+        amps = peaks * spacing + rng.standard_normal(8000) * \
+            np.array(STDS)[peaks]
+        frames.append(pd.DataFrame({"channel": ch, "amp": amps}))
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+
+    fits = {r["group"]: r for r in
+            P.fit_spectrum_grouped(df, "amp", "channel",
+                                   npeaks=NPEAKS, bins=200).collect()}
+    assert set(fits) == {"chanA", "chanB"}
+    assert fits["chanA"]["popt"][0] == pytest.approx(4.0, rel=0.05)
+    assert fits["chanB"]["popt"][0] == pytest.approx(6.0, rel=0.05)
+    assert fits["chanA"]["n_events"] == 8000
+    for r in fits.values():
+        assert all(np.isfinite(r["pstds"]))
+        assert r["fit_cost"] >= 0.0
