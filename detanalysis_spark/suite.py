@@ -2460,3 +2460,19 @@ def boilerplate_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.length("clean_text")).alias("total_clean_chars"),
                  F.countDistinct(F.md5(F.col("clean_text").cast("binary")))
                  .alias("n_unique_clean")))
+
+
+# ----------------------------------------------------------------------
+# per-group spectrum fits on the executors (U3 scale path: iterative
+# LM fit — not SQL-expressible → rows-only; recovery of planted peak
+# spacings is pytest'd in tests/test_photon.py)
+# ----------------------------------------------------------------------
+@query("grouped_spectrum_fits")
+def grouped_spectrum_fits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .photon import fit_spectrum_grouped
+    ev = load_table(spark, sf_dir, "events")
+    fits = fit_spectrum_grouped(ev, "value", "event_type",
+                                npeaks=3, bins=120)
+    return fits.select("group", "n_events",
+                       F.round("fit_cost", 2).alias("fit_cost"),
+                       F.size("popt").alias("n_params"))
