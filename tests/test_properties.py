@@ -127,3 +127,41 @@ def test_span_dup_stats_invariants(spark, texts):
         n_spans, n_dup = out[i]
         assert n_spans == want, (t, toks, n_spans, want)
         assert 0 <= n_dup <= n_spans
+
+
+@given(min_docs=st.integers(1, 8),
+       seed=st.integers(0, 10_000))
+@settings(**SETTINGS)
+def test_boilerplate_rebuild_invariants(spark, min_docs, seed):
+    """remove_boilerplate_lines invariants over random corpora:
+    (1) kept lines = lines whose doc-frequency < min_docs, in original
+    order; (2) min_docs > n_docs is the identity; (3) per-doc
+    n_lines_kept equals the rebuilt text's line count."""
+    from detanalysis_spark.llm import remove_boilerplate_lines
+    rng = np.random.default_rng(seed)
+    pool = [f"line{j}" for j in range(6)]
+    docs = []
+    for i in range(6):
+        k = int(rng.integers(1, 5))
+        docs.append((i, "\n".join(rng.choice(pool, size=k, replace=True))))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    # oracle doc-frequency in plain python (distinct per doc)
+    from collections import Counter
+    freq = Counter()
+    for _, t in docs:
+        freq.update(set(t.split("\n")))
+
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate_lines(df, min_docs=min_docs).collect()}
+    assert len(out) == len(docs)
+    for i, t in docs:
+        expect = [ln for ln in t.split("\n") if freq[ln] < min_docs]
+        got = out[i]["clean_text"].split("\n") if out[i]["clean_text"] \
+            else []
+        assert got == expect, (i, t, min_docs)
+        assert out[i]["n_lines_kept"] == len(expect)
+
+    ident = {r["doc_id"]: r["clean_text"] for r in
+             remove_boilerplate_lines(df, min_docs=7).collect()}
+    assert ident == {i: t for i, t in docs}
