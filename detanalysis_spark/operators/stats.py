@@ -115,3 +115,41 @@ def trim_outliers(df: DataFrame, expression: str | Column,
     for the 100 TB path."""
     lo, hi = percentiles(df, expression, [lo_pct, hi_pct], exact=exact)
     return df.filter(_col(expression).between(lo, hi))
+
+
+def profile_table(df: DataFrame, cols: Sequence[str] | None = None,
+                  approx: bool = True, rsd: float = 0.05) -> DataFrame:
+    """Per-column data-quality profile in ONE aggregation pass:
+    ``(column, n_rows, n_nulls, n_distinct, min_value, max_value)``,
+    min/max rendered as strings so mixed-type tables share one schema.
+
+    The 100 TB intake survey: every metric is an associative aggregate
+    (map-side combined, one shuffle to a single merged row — no
+    per-column scans). ``approx=True`` uses HyperLogLog
+    (``approx_count_distinct``, relative error ``rsd``) so cardinality
+    costs O(1) memory per column; ``approx=False`` gives exact
+    ``count_distinct`` for oracle comparison at test scale. The single
+    wide row is unpivoted driver-side via ``stack`` — bytes moved:
+    6 scalars per column.
+    """
+    names = list(cols) if cols is not None else list(df.columns)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n__")]
+    for c in names:
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"__nul_{c}__"))
+        aggs.append((F.approx_count_distinct(col, rsd) if approx
+                     else F.count_distinct(col)).alias(f"__dis_{c}__"))
+        aggs.append(F.min(col).cast("string").alias(f"__min_{c}__"))
+        aggs.append(F.max(col).cast("string").alias(f"__max_{c}__"))
+    wide = df.agg(*aggs)
+    stack_args: list[str] = []
+    for c in names:
+        quoted = c.replace("'", "''")
+        stack_args.append(f"'{quoted}', `__nul_{c}__`, `__dis_{c}__`, "
+                          f"`__min_{c}__`, `__max_{c}__`")
+    stacked = wide.select(
+        F.col("__n__").alias("n_rows"),
+        F.expr(f"stack({len(names)}, {', '.join(stack_args)}) AS "
+               "(column, n_nulls, n_distinct, min_value, max_value)"))
+    return stacked.select("column", "n_rows", "n_nulls", "n_distinct",
+                          "min_value", "max_value")

@@ -2476,3 +2476,37 @@ def grouped_spectrum_fits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fits.select("group", "n_events",
                        F.round("fit_cost", 2).alias("fit_cost"),
                        F.size("popt").alias("n_params"))
+
+
+# ----------------------------------------------------------------------
+# one-pass table profile (data-quality intake survey): per-column
+# counts, nulls, cardinality, min/max — exact count_distinct here so
+# the oracle matches; the operator's approx=True HLL path is the 100 TB
+# default (pytest'd against the exact path)
+# ----------------------------------------------------------------------
+@query("orders_table_profile", oracle="""
+WITH m AS (
+  SELECT 'o_orderkey' AS col, count(*) AS n, sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nul,
+         count(DISTINCT o_orderkey) AS dis, CAST(min(o_orderkey) AS VARCHAR) AS mn, CAST(max(o_orderkey) AS VARCHAR) AS mx FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(*), sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT o_custkey), CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', count(*), sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus) FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', count(*), sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', count(*), sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority) FROM orders)
+SELECT col AS column, CAST(n AS BIGINT) AS n_rows, CAST(nul AS BIGINT) AS n_nulls,
+       CAST(dis AS BIGINT) AS n_distinct, mn AS min_value, mx AS max_value
+FROM m
+""")
+def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.stats import profile_table
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderpriority"], approx=False)

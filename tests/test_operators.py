@@ -272,3 +272,29 @@ def test_hist1d_what_and_normalize(spark):
         hist1d(df, "x", what="median(y)")
     with pytest.raises(ValueError):
         hist1d(df, "x", what="mean(y)", normalize=True)
+
+
+def test_profile_table_exact_and_approx(spark):
+    from detanalysis_spark.operators.stats import profile_table
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "k": list(range(500)) * 2,
+        "s": (["x"] * 999) + [None],
+        "v": [float(i % 37) for i in range(1000)],
+    })
+    df = spark.createDataFrame(pdf)
+    exact = {r["column"]: r for r in
+             profile_table(df, approx=False).collect()}
+    assert exact["k"]["n_rows"] == 1000
+    assert exact["k"]["n_distinct"] == 500
+    assert exact["s"]["n_nulls"] == 1
+    assert exact["s"]["n_distinct"] == 1
+    assert exact["v"]["min_value"] == "0.0"
+    assert exact["v"]["max_value"] == "36.0"
+    # HLL path within its advertised relative error
+    approx = {r["column"]: r for r in
+              profile_table(df, approx=True, rsd=0.05).collect()}
+    for c in ("k", "s", "v"):
+        e, a = exact[c]["n_distinct"], approx[c]["n_distinct"]
+        assert abs(a - e) <= max(2, 0.15 * e), (c, e, a)
+        assert approx[c]["n_nulls"] == exact[c]["n_nulls"]
