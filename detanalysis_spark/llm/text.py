@@ -226,6 +226,32 @@ def pack_documents(df, token_col: Column | str, budget: int,
             .withColumn("pack_offset", start % budget))
 
 
+def take_token_budget(df, token_col: Column | str, budget: int,
+                      order_col: str = "doc_id",
+                      partition_cols: list[str] | None = None):
+    """Deterministic token-budget subsample: keep the ``order_col``-
+    ordered prefix of each ``partition_cols`` stream until the budget is
+    reached — the mixture-building step ("take N tokens of each
+    source"). A document is kept iff the tokens *before* it total less
+    than ``budget``, so the output overshoots by at most one document —
+    the standard greedy-prefix convention, and exactly reproducible.
+
+    Same shape as ``pack_documents``: one window shuffle keyed by the
+    stream columns, cumulative sum stays partition-local, no driver
+    state.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    w = Window.partitionBy(*(partition_cols or [])).orderBy(order_col)
+    before = F.coalesce(
+        F.sum(tok).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0)).cast("long")
+    return (df.withColumn("__tok_before__", before)
+            .filter(F.col("__tok_before__") < budget)
+            .drop("__tok_before__"))
+
+
 def term_frequencies(df, id_col: str = "doc_id", text_col: str = "text"):
     """(id, term, tf) — lowercased whitespace terms, one shuffle keyed
     by (id, term) with map-side combine. The per-document vocabulary is

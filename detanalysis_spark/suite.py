@@ -2510,3 +2510,37 @@ def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         orders, ["o_orderkey", "o_custkey", "o_orderstatus",
                  "o_totalprice", "o_orderpriority"], approx=False)
+
+
+# ----------------------------------------------------------------------
+# token-budget mixture subsample: per-source greedy doc_id-ordered
+# prefix until 2000 tokens (overshoot <= one doc)
+# ----------------------------------------------------------------------
+@query("token_budget_sample_stats", oracle=r"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\s+')) AS n_tok
+  FROM documents WHERE len(trim(text)) > 0),
+p AS (
+  SELECT doc_id, source, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS before
+  FROM d)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(max(doc_id) AS BIGINT) AS last_doc_id
+FROM p WHERE before < 2000 GROUP BY source
+""")
+def token_budget_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.text import take_token_budget, token_count
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.length(F.trim(F.col("text"))) > 0)
+            .select("doc_id", "source",
+                    token_count(F.col("text")).cast("long").alias("n_tok")))
+    sampled = take_token_budget(docs, "n_tok", budget=2000,
+                                partition_cols=["source"])
+    return (sampled.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.max("doc_id").alias("last_doc_id")))

@@ -697,3 +697,21 @@ def test_apply_near_dedup_keep_by_score(spark):
                   apply_near_dedup(docs, threshold=0.5, keep_by="score",
                                    keep="min").collect())
     assert kept == [1, 4]
+
+
+def test_take_token_budget_prefix_rule(spark):
+    from detanalysis_spark.llm.text import take_token_budget
+    rows = [(i, "s", 10) for i in range(10)] + [(i, "t", 40)
+                                               for i in range(10, 14)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    out = take_token_budget(df, "n_tok", budget=35,
+                            partition_cols=["source"]).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # s: 10+10+10 = 30 < 35 → doc 3 still starts (before=30), doc 4 not
+    assert sorted(by_src["s"]) == [0, 1, 2, 3]
+    # t: first doc always kept; second has before=40 >= 35
+    assert sorted(by_src["t"]) == [10]
+    # overshoot is at most one document
+    assert sum(r["n_tok"] for r in out if r["source"] == "s") == 40
