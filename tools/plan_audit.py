@@ -64,8 +64,11 @@ def audit(name: str, plan: str) -> list[str]:
         benign = False
         for i, line in enumerate(tree_lines):
             if f"Exchange ({node_id})" in line:
+                # Sort-based final agg (string min/max) is the same
+                # benign partial-merge shape as the hash variant
                 if i + 1 < len(tree_lines) \
-                        and "HashAggregate" in tree_lines[i + 1]:
+                        and ("HashAggregate" in tree_lines[i + 1]
+                             or "SortAggregate" in tree_lines[i + 1]):
                     benign = True
                 break
         if not benign:
