@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["random_choice", "every_nth", "log_spaced_indices", "cap_per_key",
            "log_downsample", "polyval", "sessionize",
-           "shuffle_key", "deterministic_shuffle", "assign_batches"]
+           "shuffle_key", "deterministic_shuffle", "assign_batches",
+           "assign_split"]
 
 
 def random_choice(df: DataFrame, n: int, cut: Column | None = None,
@@ -157,3 +158,38 @@ def assign_batches(df: DataFrame, id_col: str, batch_size: int,
     return (ranked.drop("__shuffle_key__")
             .withColumn("batch", (F.col("shuffle_rank") / batch_size)
                         .cast("long")))
+
+
+def assign_split(df: DataFrame, id_col: str,
+                 fractions: dict[str, float] | None = None,
+                 seed: int = 0, out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test split assignment: each row's split
+    is a pure function of ``(seed, id)`` — stable under re-partitioning,
+    appends, and cluster size, so the same row lands in the same split
+    on every engine and every run.
+
+    Mechanics: the first 8 hex chars of the seeded md5 key are compared
+    against cumulative-fraction thresholds rendered as 8-digit hex
+    strings. String comparison on lowercase hex is exactly numeric
+    comparison, and md5 is available with identical output in every SQL
+    engine, so the rule is portable verbatim (DuckDB/Trino/BigQuery).
+    A per-row projection — no shuffle, no sampling pass.
+    """
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if not fractions or any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    names = list(fractions)
+    key8 = F.substring(shuffle_key(id_col, seed), 1, 8)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        thr = format(int(cum * (1 << 32)), "08x")
+        cond = key8 < thr
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    out = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, out)

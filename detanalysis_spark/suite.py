@@ -2544,3 +2544,26 @@ def token_budget_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tok").alias("total_tokens"),
                  F.max("doc_id").alias("last_doc_id")))
+
+
+# ----------------------------------------------------------------------
+# deterministic split assignment: portable seeded-md5 hex-threshold
+# rule, verified verbatim against the DuckDB rendering of the same rule
+# ----------------------------------------------------------------------
+@query("split_assignment_counts", oracle="""
+WITH k AS (
+  SELECT lang, substr(md5(concat('5:', CAST(doc_id AS VARCHAR))), 1, 8) AS k8
+  FROM documents)
+SELECT CASE WHEN k8 < 'cccccccc' THEN 'train'
+            WHEN k8 < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split,
+       lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM k GROUP BY split, lang
+""")
+def split_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import assign_split
+    docs = load_table(spark, sf_dir, "documents")
+    sp = assign_split(docs, "doc_id",
+                      {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5)
+    return (sp.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs")))

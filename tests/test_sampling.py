@@ -97,3 +97,27 @@ def test_assign_batches_matches_python_oracle(spark):
     assert a == b and sorted(a) == list(range(n))
     with pytest.raises(ValueError):
         assign_batches(df, "doc_id", 0)
+
+
+def test_assign_split_deterministic_partition(spark):
+    from detanalysis_spark.operators.sampling import assign_split
+    df = spark.createDataFrame([(i,) for i in range(3000)], ["id"])
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["id"]: r["split"] for r in assign_split(df, "id", fr, seed=1).collect()}
+    # stable under repartitioning and re-runs
+    b = {r["id"]: r["split"]
+         for r in assign_split(df.repartition(13), "id", fr, seed=1).collect()}
+    assert a == b
+    # partition: every row gets exactly one split, fractions ~honored
+    from collections import Counter
+    c = Counter(a.values())
+    assert sum(c.values()) == 3000 and set(c) == set(fr)
+    assert abs(c["train"] / 3000 - 0.8) < 0.03
+    assert abs(c["val"] / 3000 - 0.1) < 0.02
+    # different seed reshuffles membership
+    d = {r["id"]: r["split"] for r in assign_split(df, "id", fr, seed=2).collect()}
+    assert d != a
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        assign_split(df, "id", {"a": 0.5, "b": 0.6})
