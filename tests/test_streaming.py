@@ -157,3 +157,48 @@ def test_streaming_windowed_counts_with_watermark(spark, tmp_path):
     # 120s of events -> two 1-min windows, 3 of each kind per window
     out = {(r.window_start.minute, r.kind): r.n for r in got}
     assert out == {(0, "a"): 3, (0, "b"): 3, (1, "a"): 3, (1, "b"): 3}
+
+
+def test_stateless_curation_ops_stream_unchanged(spark, tmp_path):
+    """The stateless curation operators (PII redaction, quality gates,
+    split assignment, token counting) are pure projections, so the SAME
+    functions run on a readStream frame and agree with batch exactly —
+    streaming curation needs no parallel implementation."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    import pandas as pd
+    from detanalysis_spark.llm.cleaning import redact_pii, repetition_scores
+    from detanalysis_spark.llm.text import token_count
+    from detanalysis_spark.operators.sampling import assign_split
+
+    d = str(tmp_path / "cur_stream")
+    pdf = pd.DataFrame({
+        "doc_id": range(8),
+        "text": ["mail me at a@b.co now", "plain text here",
+                 "x x x x x x", "call 555-123-4567 ok",
+                 "", "one two three", "dup dup dup dup", "tail words"],
+    })
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(d)
+
+    def curate(df):
+        rep = repetition_scores(F.col("text"))
+        return (assign_split(df, "doc_id",
+                             {"train": 0.75, "val": 0.25}, seed=3)
+                .withColumn("clean", redact_pii(F.col("text")))
+                .withColumn("n_tok", token_count(F.col("text")))
+                .withColumn("dup_ratio", rep["dup_token_ratio"]))
+
+    batch = {r["doc_id"]: r for r in
+             curate(spark.read.parquet(d)).collect()}
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    sdf = spark.readStream.schema(schema).parquet(d)
+    got = {r["doc_id"]: r for r in
+           run_available_now(curate(sdf), "curation_t1",
+                             output_mode="append").collect()}
+    assert set(got) == set(batch)
+    for i in batch:
+        for c in ("split", "clean", "n_tok", "dup_ratio"):
+            assert got[i][c] == batch[i][c], (i, c)
+    assert "[PII]" in got[0]["clean"] and "[PII]" in got[3]["clean"]
