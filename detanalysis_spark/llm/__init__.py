@@ -15,7 +15,8 @@ from .dedup import (dedup_exact, minhash_signatures, lsh_candidate_pairs,
                     span_dup_stats)
 from .text import (token_count, bpe_ish_token_count, quality_scores,
                    language_id, doc_fingerprint, tfidf_topk, build_vocab,
-                   unigram_logprob_scores)
+                   unigram_logprob_scores, take_token_budget,
+                   pack_documents, chunk_documents, normalize_text)
 from .multimodal import (decode_raw8, encode_raw8, resize_bilinear,
                          image_features, audio_features, frame_sample_udf)
 from .cleaning import (pii_counts, redact_pii, repetition_scores,
@@ -32,7 +33,8 @@ __all__ = [
     "near_dup_clusters", "simhash", "ngram_jaccard",
     "token_count", "bpe_ish_token_count", "quality_scores",
     "language_id", "doc_fingerprint", "tfidf_topk", "build_vocab",
-    "unigram_logprob_scores",
+    "unigram_logprob_scores", "take_token_budget",
+    "pack_documents", "chunk_documents", "normalize_text",
     "near_dup_pairs", "apply_near_dedup", "dedup_incremental",
     "span_dup_stats", "quantize_embeddings", "quantization_error",
     "decode_raw8", "encode_raw8", "resize_bilinear",

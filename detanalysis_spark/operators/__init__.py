@@ -1,19 +1,24 @@
 from .histogram import hist1d, hist2d, hist1d_df, bucket_expr
 from .stats import (basic_stats, percentiles, robust_sigma, robust_sigma_expr,
-                    passage_fraction_table)
+                    passage_fraction_table, trim_outliers, profile_table)
 from .binning import (equal_width_edges, equal_frequency_edges, ofamp_edges,
                       assign_bin, ntile_bin)
-from .joins import salted_join
+from .joins import salted_join, asof_join, range_join_binned
 from .sampling import (random_choice, every_nth, log_spaced_indices,
-                       log_downsample, polyval)
+                       log_downsample, polyval, cap_per_key, sessionize,
+                       shuffle_key, deterministic_shuffle, assign_batches,
+                       assign_split)
 
 __all__ = [
     "salted_join",
     "hist1d", "hist2d", "hist1d_df", "bucket_expr",
     "basic_stats", "percentiles", "robust_sigma", "robust_sigma_expr",
-    "passage_fraction_table",
+    "passage_fraction_table", "trim_outliers", "profile_table",
+    "asof_join", "range_join_binned",
     "equal_width_edges", "equal_frequency_edges", "ofamp_edges",
     "assign_bin", "ntile_bin",
     "random_choice", "every_nth", "log_spaced_indices",
-    "log_downsample", "polyval",
+    "log_downsample", "polyval", "cap_per_key", "sessionize",
+    "shuffle_key", "deterministic_shuffle", "assign_batches",
+    "assign_split",
 ]
