@@ -267,7 +267,8 @@ def fit_spectrum_grouped(df: DataFrame, amp_col: str, group_col: str,
     Returns (group, popt array, pstds array, n_events, fit_cost).
     """
     a = F.col(amp_col).cast("double")
-    mm = (df.groupBy(group_col)
+    df = df.filter(a.isNotNull() & ~F.isnan(a))   # null bin idx would
+    mm = (df.groupBy(group_col)                    # poison the fit task
           .agg(F.min(a).alias("__lo__"), F.max(a).alias("__hi__")))
     j = df.join(F.broadcast(mm), group_col)
     w = (F.col("__hi__") - F.col("__lo__")) / bins
