@@ -19,12 +19,14 @@ from .text import (token_count, bpe_ish_token_count, quality_scores,
                    pack_documents, chunk_documents, normalize_text)
 from .multimodal import (decode_raw8, encode_raw8, resize_bilinear,
                          image_features, audio_features, frame_sample_udf)
+from .pipeline import CurationConfig, curate_corpus
 from .cleaning import (pii_counts, redact_pii, repetition_scores,
                        benchmark_ngrams, contamination_overlap,
                        line_frequencies, remove_boilerplate_lines,
                        decontaminate)
 
 __all__ = [
+    "CurationConfig", "curate_corpus",
     "pii_counts", "redact_pii", "repetition_scores",
     "benchmark_ngrams", "contamination_overlap",
     "line_frequencies", "remove_boilerplate_lines", "decontaminate",

@@ -1,0 +1,121 @@
+"""One-call corpus curation: the canonical large-scale training-data
+pipeline, assembled from the pillar operators in the order production
+pipelines run them:
+
+    normalize → boilerplate strip → PII redaction → quality gates
+    (length / repetition / language) → benchmark decontamination →
+    exact dedup → near dedup (MinHash-LSH) → split assignment
+
+Every stage is a lazy DataFrame transformation (the whole pipeline is
+ONE Catalyst plan until an action), and each is individually
+oracle-checked / pytest'd elsewhere — this module only composes them.
+At 100 TB the composition matters: filters run in pipeline order, so
+cheap projection gates (length, repetition) prune rows before the
+shuffling stages (dedup) ever see them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cleaning import (decontaminate, redact_pii,
+                       remove_boilerplate_lines, repetition_scores)
+from .dedup import apply_near_dedup, dedup_exact
+from .text import language_id, normalize_text, token_count
+
+__all__ = ["CurationConfig", "curate_corpus"]
+
+
+@dataclass
+class CurationConfig:
+    """Knobs for :func:`curate_corpus`; defaults are the common-crawl
+    style settings the pillar queries use."""
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    min_tokens: int = 5
+    max_dup_token_ratio: float = 0.6
+    max_token_ratio: float = 0.3
+    languages: tuple[str, ...] | None = None   # None = no language gate
+    boilerplate_min_docs: int | None = None    # None = skip stage
+    bench: DataFrame | None = None             # None = skip decontaminate
+    decontaminate_ngram: int = 5
+    near_dup_threshold: float | None = 0.5     # None = exact dedup only
+    keep_by: str | None = None                 # near-dedup survivor rule
+    split_fractions: dict | None = None        # None = skip split stamp
+    split_seed: int = 0
+
+
+def curate_corpus(docs: DataFrame, config: CurationConfig | None = None,
+                  with_counts: bool = False):
+    """Run the full curation pipeline; returns ``(curated_df, counts)``.
+
+    ``counts`` is ``{stage: rows_surviving}`` when ``with_counts`` —
+    each entry costs one count action (the stages re-run from the lazy
+    plan; fine at audit time, skip it in production). With
+    ``with_counts=False`` the dict is empty and nothing executes.
+    """
+    cfg = config or CurationConfig()
+    counts: dict[str, int] = {}
+
+    def tick(stage: str, df: DataFrame) -> DataFrame:
+        if with_counts:
+            counts[stage] = df.count()
+        return df
+
+    out = tick("input", docs)
+
+    # normalize (kept alongside, not replacing: dedup keys use it)
+    out = out.withColumn("__norm__", normalize_text(F.col(cfg.text_col)))
+
+    if cfg.boilerplate_min_docs is not None:
+        out = remove_boilerplate_lines(
+            out, id_col=cfg.id_col, text_col=cfg.text_col,
+            min_docs=cfg.boilerplate_min_docs)
+        out = out.drop(cfg.text_col) \
+                 .withColumnRenamed("clean_text", cfg.text_col) \
+                 .drop("n_lines_kept")
+        out = tick("boilerplate", out)
+
+    out = out.withColumn(cfg.text_col,
+                         redact_pii(F.col(cfg.text_col)))
+
+    n_tok = token_count(F.col(cfg.text_col))
+    rep = repetition_scores(F.col(cfg.text_col))
+    out = (out.withColumn("__n_tok__", n_tok)
+           .filter(F.col("__n_tok__") >= cfg.min_tokens)
+           .filter(rep["dup_token_ratio"] <= cfg.max_dup_token_ratio)
+           .filter(rep["max_token_ratio"] <= cfg.max_token_ratio))
+    out = tick("quality", out)
+
+    if cfg.languages is not None:
+        out = out.filter(
+            language_id(F.col(cfg.text_col)).isin(*cfg.languages))
+        out = tick("language", out)
+
+    if cfg.bench is not None:
+        out = decontaminate(out, cfg.bench, id_col=cfg.id_col,
+                            text_col=cfg.text_col,
+                            n=cfg.decontaminate_ngram)
+        out = tick("decontaminated", out)
+
+    out = dedup_exact(out, ["__norm__"], cfg.id_col)
+    out = tick("exact_dedup", out)
+
+    if cfg.near_dup_threshold is not None:
+        out = apply_near_dedup(out, id_col=cfg.id_col,
+                               text_col=cfg.text_col,
+                               threshold=cfg.near_dup_threshold,
+                               keep_by=cfg.keep_by)
+        out = tick("near_dedup", out)
+
+    out = out.drop("__norm__", "__n_tok__")
+
+    if cfg.split_fractions is not None:
+        from ..operators.sampling import assign_split
+        out = assign_split(out, cfg.id_col, cfg.split_fractions,
+                           seed=cfg.split_seed)
+
+    return out, counts

@@ -715,3 +715,39 @@ def test_take_token_budget_prefix_rule(spark):
     assert sorted(by_src["t"]) == [10]
     # overshoot is at most one document
     assert sum(r["n_tok"] for r in out if r["source"] == "s") == 40
+
+
+def test_curate_corpus_end_to_end(spark):
+    from detanalysis_spark.llm.pipeline import CurationConfig, curate_corpus
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),                               # survivor
+        (1, base.upper()),                       # exact dup after normalize
+        (2, base + " extra"),                    # near dup of 0
+        (3, "tiny"),                             # min_tokens gate
+        (4, "dup dup dup dup dup dup dup dup"),  # repetition gate
+        (5, "mail x@y.io " + " ".join(f"w{i}" for i in range(12))),  # PII
+        (6, "the quick brown fox jumps over the lazy dog today"),
+        (7, "el rapido zorro marron salta sobre el perro foo bar"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(99, "quick brown fox jumps over the lazy")], ["doc_id", "text"])
+
+    cfg = CurationConfig(min_tokens=5, near_dup_threshold=0.5,
+                         bench=bench, decontaminate_ngram=4,
+                         split_fractions={"train": 0.5, "val": 0.5},
+                         split_seed=3)
+    out, counts = curate_corpus(docs, cfg, with_counts=True)
+    got = {r["doc_id"]: r for r in out.collect()}
+
+    # 3 (too short), 4 (repetition), 6 (contaminated) gated;
+    # 1 exact-dup of 0 after casefold; 2 near-dup of 0 → keep 0, 5, 7
+    assert sorted(got) == [0, 5, 7]
+    assert "[PII]" in got[5]["text"]
+    assert all(r["split"] in ("train", "val") for r in got.values())
+    assert counts["input"] == 8
+    assert counts["quality"] == 6          # drops 3 and 4
+    assert counts["decontaminated"] == 5   # drops 6
+    assert counts["exact_dedup"] == 4      # collapses 1 into 0
+    assert counts["near_dedup"] == 3       # collapses 2 into 0
