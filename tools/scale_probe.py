@@ -145,6 +145,18 @@ def main() -> int:
             F.max("batch")).collect()[0][0]
     probe("assign_batches", batches(docs1), batches(docsk))
 
+    # boilerplate removal: line-keyed count + broadcast anti-join +
+    # per-doc rebuild — frequent-line set is bounded, corpus shuffles
+    # once by doc id
+    def boiler(df):
+        from detanalysis_spark.llm.cleaning import remove_boilerplate_lines
+        d = df.select("doc_id", F.concat_ws(
+            "\n", F.lit("HDR"), F.col("text"), F.lit("FOOT")).alias("t"))
+        return lambda: remove_boilerplate_lines(
+            d, text_col="t", min_docs=50).agg(
+            F.sum("n_lines_kept")).collect()[0][0]
+    probe("boilerplate_removal", boiler(docs1), boiler(docsk))
+
     # as-of join: union-window strategy — one shuffle keyed by
     # (user_id), never a nested loop over the time axis
     def asof(df):
