@@ -173,10 +173,12 @@ def line_frequencies(docs: DataFrame, id_col: str = "doc_id",
     line. One explode + one map-side-combined groupBy keyed by line —
     the classic first pass of boilerplate detection (headers, footers,
     cookie banners repeat across a crawl; body text doesn't)."""
+    import re as _re
     lines = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(
-            F.split(F.col(text_col), delim))).alias("line"))
+            # F.split takes a regex; the delimiter is a literal
+            F.split(F.col(text_col), _re.escape(delim)))).alias("line"))
     return (lines.groupBy("line")
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
@@ -195,12 +197,15 @@ def remove_boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
     rebuild sorts each doc's surviving ``(pos, line)`` structs — order
     is exact, not collect_list luck.
     """
+    import re as _re
     frequent = (line_frequencies(docs, id_col, text_col, delim)
                 .filter(F.col("n_docs") >= min_docs)
                 .select("line"))
     exploded = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delim))
+        # split's pattern arg is a regex; array_join's delim (below) is
+        # literal — escape so both sides agree for any delimiter
+        F.posexplode(F.split(F.col(text_col), _re.escape(delim)))
         .alias("pos", "line"))
     kept = exploded.join(F.broadcast(frequent), "line", "left_anti")
     rebuilt = (kept.groupBy(id_col)

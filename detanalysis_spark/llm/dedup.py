@@ -404,7 +404,12 @@ def apply_near_dedup(docs: DataFrame, id_col: str = "doc_id",
         raise ValueError(f"keep must be 'max' or 'min', got {keep!r}")
     members = cl.join(
         docs.select(F.col(id_col).alias("id"), F.col(keep_by)), "id")
-    score = F.col(keep_by) if keep == "max" else -F.col(keep_by)
+    # null scores must lose, not win: a null first struct field sorts
+    # BEFORE every non-null value under min(), so coalesce to the worst
+    # score for the chosen direction
+    worst = float("-inf") if keep == "max" else float("inf")
+    scored = F.coalesce(F.col(keep_by).cast("double"), F.lit(worst))
+    score = scored if keep == "max" else -scored
     best = (members
             .groupBy("cluster_id")
             .agg(F.min(F.struct((-score).alias("s"),

@@ -67,9 +67,6 @@ def curate_corpus(docs: DataFrame, config: CurationConfig | None = None,
 
     out = tick("input", docs)
 
-    # normalize (kept alongside, not replacing: dedup keys use it)
-    out = out.withColumn("__norm__", normalize_text(F.col(cfg.text_col)))
-
     if cfg.boilerplate_min_docs is not None:
         out = remove_boilerplate_lines(
             out, id_col=cfg.id_col, text_col=cfg.text_col,
@@ -82,12 +79,19 @@ def curate_corpus(docs: DataFrame, config: CurationConfig | None = None,
     out = out.withColumn(cfg.text_col,
                          redact_pii(F.col(cfg.text_col)))
 
+    # dedup keys normalize the CLEANED text — two docs identical after
+    # boilerplate/PII cleaning must collapse even if the raw crawls
+    # differed in exactly the stripped content
+    out = out.withColumn("__norm__", normalize_text(F.col(cfg.text_col)))
+
+    # one conjunctive filter node: common-subexpression elimination can
+    # share the tokenization across the three gates
     n_tok = token_count(F.col(cfg.text_col))
     rep = repetition_scores(F.col(cfg.text_col))
-    out = (out.withColumn("__n_tok__", n_tok)
-           .filter(F.col("__n_tok__") >= cfg.min_tokens)
-           .filter(rep["dup_token_ratio"] <= cfg.max_dup_token_ratio)
-           .filter(rep["max_token_ratio"] <= cfg.max_token_ratio))
+    out = out.filter(
+        (n_tok >= cfg.min_tokens)
+        & (rep["dup_token_ratio"] <= cfg.max_dup_token_ratio)
+        & (rep["max_token_ratio"] <= cfg.max_token_ratio))
     out = tick("quality", out)
 
     if cfg.languages is not None:
@@ -111,7 +115,7 @@ def curate_corpus(docs: DataFrame, config: CurationConfig | None = None,
                                keep_by=cfg.keep_by)
         out = tick("near_dedup", out)
 
-    out = out.drop("__norm__", "__n_tok__")
+    out = out.drop("__norm__")
 
     if cfg.split_fractions is not None:
         from ..operators.sampling import assign_split

@@ -175,19 +175,27 @@ def assign_split(df: DataFrame, id_col: str,
     engine, so the rule is portable verbatim (DuckDB/Trino/BigQuery).
     A per-row projection — no shuffle, no sampling pass.
     """
-    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
     if not fractions or any(f < 0 for f in fractions.values()):
-        raise ValueError("fractions must be non-negative")
+        raise ValueError("fractions must be non-empty and non-negative")
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
+    # zero-fraction splits get no rows by definition — drop them so the
+    # unconditional last bucket is never a zero-fraction name (a
+    # trailing 0 entry would otherwise absorb every key above the last
+    # positive threshold)
+    fractions = {k: v for k, v in fractions.items() if v > 0}
     names = list(fractions)
     key8 = F.substring(shuffle_key(id_col, seed), 1, 8)
     expr = None
     cum = 0.0
     for name in names[:-1]:
         cum += fractions[name]
-        thr = format(int(cum * (1 << 32)), "08x")
+        # clamp: cum≈1.0 would render 9 hex chars and break the 8-char
+        # lexicographic comparison
+        thr = format(min(int(cum * (1 << 32)), (1 << 32) - 1), "08x")
         cond = key8 < thr
         expr = F.when(cond, F.lit(name)) if expr is None \
             else expr.when(cond, F.lit(name))

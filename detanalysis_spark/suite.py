@@ -2425,7 +2425,8 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("boilerplate_removal_stats", oracle=r"""
 WITH d AS (
   SELECT doc_id, source,
-         concat('HDR ', source, chr(10), text, chr(10), 'FOOT') AS mtext
+         concat('HDR ', coalesce(source, ''), chr(10),
+                coalesce(text, ''), chr(10), 'FOOT') AS mtext
   FROM documents),
 tot AS (SELECT greatest(3, CAST(ceil(0.02 * count(*)) AS BIGINT)) AS thr FROM d),
 lz AS (SELECT doc_id, source,
@@ -2447,10 +2448,16 @@ FROM rr GROUP BY source
 """)
 def boilerplate_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # coalesce on BOTH sides: Spark concat_ws silently drops NULL
+    # elements while DuckDB concat keeps the separators around one —
+    # normalizing nulls to '' makes the construction engine-agnostic
     d = docs.select(
         "doc_id", "source",
-        F.concat_ws("\n", F.concat(F.lit("HDR "), F.col("source")),
-                    F.col("text"), F.lit("FOOT")).alias("mtext"))
+        F.concat_ws("\n",
+                    F.concat(F.lit("HDR "),
+                             F.coalesce(F.col("source"), F.lit(""))),
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.lit("FOOT")).alias("mtext"))
     import math
     thr = max(3, math.ceil(0.02 * d.count()))
     clean = _CL.remove_boilerplate_lines(d, id_col="doc_id",

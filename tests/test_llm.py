@@ -751,3 +751,20 @@ def test_curate_corpus_end_to_end(spark):
     assert counts["decontaminated"] == 5   # drops 6
     assert counts["exact_dedup"] == 4      # collapses 1 into 0
     assert counts["near_dedup"] == 3       # collapses 2 into 0
+
+
+def test_apply_near_dedup_keep_by_null_score_loses(spark):
+    """Regression: a cluster member with a NULL score must not win the
+    cluster (null struct fields sort first under min())."""
+    from detanalysis_spark.llm import apply_near_dedup
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base, 0.9), (2, base + " x", None), (3, base + " y", 0.5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "score"])
+    kept = [r["doc_id"] for r in
+            apply_near_dedup(docs, threshold=0.5, keep_by="score",
+                             keep="max").collect()]
+    assert kept == [1]
+    kept = [r["doc_id"] for r in
+            apply_near_dedup(docs, threshold=0.5, keep_by="score",
+                             keep="min").collect()]
+    assert kept == [3]

@@ -121,3 +121,20 @@ def test_assign_split_deterministic_partition(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         assign_split(df, "id", {"a": 0.5, "b": 0.6})
+
+
+def test_assign_split_zero_and_full_fractions(spark):
+    from detanalysis_spark.operators.sampling import assign_split
+    from collections import Counter
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["id"])
+    # trailing zero fraction must receive NO rows (regression: the
+    # cum=1.0 threshold used to render 9 hex chars and send ~15/16 of
+    # keys to the zero bucket)
+    c = Counter(r["split"] for r in
+                assign_split(df, "id", {"train": 1.0, "holdout": 0.0},
+                             seed=1).collect())
+    assert c == {"train": 1000}
+    c = Counter(r["split"] for r in
+                assign_split(df, "id", {"a": 0.5, "b": 0.5, "z": 0.0},
+                             seed=2).collect())
+    assert c["z"] == 0 and c["a"] + c["b"] == 1000

@@ -64,6 +64,10 @@ def _vanilla_spark():
     return (SparkSession.builder.appName("oracle-check-vanilla")
             .master("local[8]")
             .config("spark.sql.session.timeZone", "America/New_York")
+            # reader capability, not engine tuning: without it Spark
+            # cannot load TIMESTAMP(NANOS) parquet at all (load_table's
+            # nano branch expects long nanos)
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
             .config("spark.ui.enabled", "false")
             .getOrCreate())
 

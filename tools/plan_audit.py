@@ -91,7 +91,8 @@ def summarize(plan: str) -> dict[str, str]:
     joins = sorted({j.replace("Exec", "") for j in re.findall(
         r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
         r"BroadcastNestedLoopJoin|CartesianProduct)\b", plan)})
-    exchanges = len(re.findall(r"\bExchange\b", plan.split("\n\n", 1)[0]))
+    exchanges = len(re.findall(r"\b(?:Broadcast)?Exchange\b",
+                               plan.split("\n\n", 1)[0]))
     pyth = len(re.findall(r"\b(ArrowEvalPython|FlatMapGroupsInPandas|"
                           r"MapInPandas|BatchEvalPython)\b", plan))
     return {
