@@ -2574,3 +2574,27 @@ def split_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                       {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5)
     return (sp.groupBy("split", "lang")
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+# ----------------------------------------------------------------------
+# one-call curation pipeline (capstone): normalize → PII → quality →
+# decontaminate → exact dedup → MinHash near-dedup → split, one lazy
+# plan. Near-dedup's LSH makes it non-SQL-expressible → rows-only;
+# every individual stage has its own oracle-verified query above, and
+# the composition is pytest'd on planted data (tests/test_llm.py).
+# ----------------------------------------------------------------------
+@query("curated_corpus_stats")
+def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.pipeline import CurationConfig, curate_corpus
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    cfg = CurationConfig(min_tokens=5, bench=bench,
+                         decontaminate_ngram=3,
+                         near_dup_threshold=0.5,
+                         split_fractions={"train": 0.9, "val": 0.1},
+                         split_seed=11)
+    out, _ = curate_corpus(corpus, cfg)
+    return (out.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("n_chars").cast("long")).alias("total_chars")))
