@@ -6,12 +6,21 @@ pipelines run them:
     (length / repetition / language) → benchmark decontamination →
     exact dedup → near dedup (MinHash-LSH) → split assignment
 
-Every stage is a lazy DataFrame transformation (the whole pipeline is
-ONE Catalyst plan until an action), and each is individually
-oracle-checked / pytest'd elsewhere — this module only composes them.
-At 100 TB the composition matters: filters run in pipeline order, so
-cheap projection gates (length, repetition) prune rows before the
-shuffling stages (dedup) ever see them.
+Every cleaning stage is a lazy DataFrame transformation, and each is
+individually oracle-checked / pytest'd elsewhere — this module only
+composes them. At 100 TB the composition matters: filters run in
+pipeline order, so cheap projection gates (length, repetition) prune
+rows before the shuffling stages (dedup) ever see them.
+
+When ``near_dup_threshold`` is set the cleaned frame is materialized
+(eager ``localCheckpoint``) right before near-dedup: the MinHash
+signature scan, the two shingle sides of candidate verification, and
+the final anti-join all consume the SAME evaluation of the cleaning
+stack instead of re-running boilerplate/PII/quality/decontaminate 3-4
+times (at 100 TB that re-execution is a 3× cluster bill). This means
+the near-dedup stage executes eagerly during ``curate_corpus()``; with
+``near_dup_threshold=None`` the pipeline stays one lazy Catalyst plan
+until the caller's first action.
 """
 
 from __future__ import annotations
@@ -55,7 +64,10 @@ def curate_corpus(docs: DataFrame, config: CurationConfig | None = None,
     ``counts`` is ``{stage: rows_surviving}`` when ``with_counts`` —
     each entry costs one count action (the stages re-run from the lazy
     plan; fine at audit time, skip it in production). With
-    ``with_counts=False`` the dict is empty and nothing executes.
+    ``with_counts=False`` the dict is empty and the cleaning stages stay
+    lazy — but when ``near_dup_threshold`` is set the near-dedup stage
+    itself executes eagerly (cleaned-frame checkpoint + LSH pair
+    materialization; see module docstring).
     """
     cfg = config or CurationConfig()
     counts: dict[str, int] = {}
@@ -109,6 +121,10 @@ def curate_corpus(docs: DataFrame, config: CurationConfig | None = None,
     out = tick("exact_dedup", out)
 
     if cfg.near_dup_threshold is not None:
+        # barrier: one evaluation of the whole cleaning stack, shared by
+        # the signature scan, both verify join sides, and the final
+        # anti-join (see module docstring)
+        out = out.localCheckpoint(eager=True)
         out = apply_near_dedup(out, id_col=cfg.id_col,
                                text_col=cfg.text_col,
                                threshold=cfg.near_dup_threshold,

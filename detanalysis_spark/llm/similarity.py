@@ -181,22 +181,31 @@ class RandomHyperplaneLSH:
 def cosine_near_dup_pairs(df: DataFrame, threshold: float,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          lsh: "RandomHyperplaneLSH | None" = None
+                          lsh: "RandomHyperplaneLSH | None" = None,
+                          probes: DataFrame | None = None
                           ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos ≥ t).
 
     With ``lsh``, candidates come from shared (table, bucket) keys and
     exact cosine runs only inside buckets — the 100 TB path (recall
     depends on (bits, tables) vs the threshold; near-identical vectors
-    collide with probability ≈ 1). Without it, a broadcast self-join
-    scores all pairs — exact, for modest corpora and oracle baselines.
+    collide with probability ≈ 1). Without it, an exact broadcast join
+    scores pairs directly: pass ``probes`` (a small slice of ``df``;
+    same schema) to bound the product to |probes| × |corpus| — the
+    SMALL probe side is broadcast and the corpus streams through it
+    once. Without ``probes`` the whole corpus is broadcast against
+    itself — all-pairs exact, only for modest corpora and oracle
+    baselines (``probes`` is ignored when ``lsh`` is given: buckets
+    already bound the candidate space).
     """
-    c = df.select(F.col(id_col).alias("id_a"),
-                  _unit(F.col(vec_col)).alias("va"))
+    probe_df = df if probes is None else probes
+    c = probe_df.select(F.col(id_col).alias("id_a"),
+                        _unit(F.col(vec_col)).alias("va"))
     d = df.select(F.col(id_col).alias("id_b"),
                   _unit(F.col(vec_col)).alias("vb"))
     if lsh is None:
-        pairs = c.join(F.broadcast(d), F.col("id_a") < F.col("id_b"))
+        # broadcast the (small) probe side; the corpus side streams
+        pairs = d.join(F.broadcast(c), F.col("id_a") < F.col("id_b"))
     else:
         bb = lsh.explode_buckets(lsh.with_buckets(df, vec_col),
                                  id_col=id_col)

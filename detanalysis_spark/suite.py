@@ -1332,12 +1332,12 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """)
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # probe side bounded to a deterministic 10% slice: the exact path
-    # scores |probe|x|corpus| pairs, so the exhibit keeps that product
-    # small; unrestricted corpora take the LSH-bucketed path
-    nd = _cos_nd(emb, 0.4)
-    return (nd.filter(F.col("id_a") % 10 == 0)
-            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+    # probe side bounded to a deterministic 10% slice BEFORE the join:
+    # the small slice broadcasts and the corpus streams through once,
+    # so only |slice|x|corpus| pairs are ever scored; unrestricted
+    # corpora take the LSH-bucketed path
+    nd = _cos_nd(emb, 0.4, probes=emb.filter(F.col("vec_id") % 10 == 0))
+    return nd.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 # ----------------------------------------------------------------------
@@ -2577,11 +2577,95 @@ def split_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# one-call curation pipeline (capstone), exact-dedup variant: with
+# near_dup_threshold=None every stage is deterministic and
+# SQL-expressible, so the full composition gets a value-hash oracle —
+# the SQL chains the per-stage oracles (PII redaction → token/
+# repetition quality gates → 3-gram benchmark decontamination → exact
+# dedup on normalized text, keep-min-id → seeded-md5 split) in
+# pipeline order, each CTE feeding the next so inter-stage ordering
+# (dedup canonical chosen among filter SURVIVORS) is exercised too.
+# ----------------------------------------------------------------------
+@query("curated_corpus_exact_stats", oracle=r"""
+WITH red AS (
+  SELECT doc_id, lang, n_chars,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+                 '[PII]', 'g'),
+               '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[PII]', 'g'),
+             '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '[PII]', 'g'),
+           '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}',
+           '[PII]', 'g') AS t
+  FROM documents WHERE doc_id % 25 <> 0),
+tok AS (
+  SELECT *, string_split_regex(trim(t), '\s+') AS toks FROM red
+  WHERE len(trim(t)) > 0),
+q AS (
+  SELECT * FROM tok
+  WHERE len(toks) >= 5
+    AND 1 - len(list_distinct(toks))::DOUBLE / len(toks) <= 0.6
+    AND list_max(list_transform(list_distinct(toks),
+          x -> len(list_filter(toks, y -> y = x))))::DOUBLE
+        / len(toks) <= 0.3),
+bg AS (
+  SELECT DISTINCT unnest([array_to_string(btoks[i:i+2], ' ')
+                          for i in range(1, len(btoks)-1)]) AS gram
+  FROM (SELECT string_split_regex(trim(text), '\s+') AS btoks
+        FROM documents WHERE doc_id % 25 = 0)),
+dg AS (
+  SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+                         for i in range(1, len(toks)-1)]) AS gram
+  FROM q),
+bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (gram)),
+dc AS (SELECT q.* FROM q LEFT JOIN bad ON q.doc_id = bad.doc_id
+       WHERE bad.doc_id IS NULL),
+nm AS (
+  SELECT *, trim(regexp_replace(regexp_replace(lower(t),
+             '[.,;:!?''"()\[\]{}<>/@#$%^&*_+=~`|\\-]', '', 'g'),
+             '\s+', ' ', 'g')) AS norm
+  FROM dc),
+dd AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY norm
+                                              ORDER BY doc_id) AS rn
+                 FROM nm)
+  WHERE rn = 1),
+sp AS (
+  SELECT lang, n_chars,
+         CASE WHEN substr(md5(concat('11:', CAST(doc_id AS VARCHAR))),
+                          1, 8) < 'e6666666'
+              THEN 'train' ELSE 'val' END AS split
+  FROM dd)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM sp GROUP BY split, lang
+""")
+def curated_corpus_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.pipeline import CurationConfig, curate_corpus
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    cfg = CurationConfig(min_tokens=5, bench=bench,
+                         decontaminate_ngram=3,
+                         near_dup_threshold=None,
+                         split_fractions={"train": 0.9, "val": 0.1},
+                         split_seed=11)
+    out, _ = curate_corpus(corpus, cfg)
+    return (out.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("n_chars").cast("long")).alias("total_chars")))
+
+
+# ----------------------------------------------------------------------
 # one-call curation pipeline (capstone): normalize → PII → quality →
 # decontaminate → exact dedup → MinHash near-dedup → split, one lazy
 # plan. Near-dedup's LSH makes it non-SQL-expressible → rows-only;
-# every individual stage has its own oracle-verified query above, and
-# the composition is pytest'd on planted data (tests/test_llm.py).
+# every individual stage has its own oracle-verified query above and
+# the deterministic composition is value-hash-checked by
+# curated_corpus_exact_stats; the composition is also pytest'd on
+# planted data (tests/test_llm.py).
 # ----------------------------------------------------------------------
 @query("curated_corpus_stats")
 def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
