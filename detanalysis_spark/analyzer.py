@@ -113,7 +113,11 @@ class Analyzer:
 
     def __init__(self, df: DataFrame, spark: SparkSession | None = None):
         self._spark = spark or df.sparkSession
-        self._df_full = df
+        # id-based paths (mask cuts, semi-joins, sampling) require the
+        # permanent row id; assign it here so hand-built Analyzers are
+        # never missing it (no-op when the column already exists, e.g.
+        # via from_parquet — otherwise one tiny per-partition-stats job)
+        self._df_full = ensure_event_index(df)
         self._cuts: dict[str, CutInfo] = {}
         self._features: dict[str, FeatureInfo] = {}
         self._global_filter: Column | None = None

@@ -420,15 +420,25 @@ def apply_near_dedup(docs: DataFrame, id_col: str = "doc_id",
     return docs.join(drop, id_col, "left_anti")
 
 
-def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def near_dup_clusters(pairs: DataFrame, max_iter: int = 20,
+                      accelerate: bool = True) -> DataFrame:
     """Connected components over (id_a, id_b) edges → (id, cluster_id).
 
-    Iterative min-label propagation: each round every vertex takes the
-    minimum label in its neighborhood (large-star style). Converges in
-    O(component diameter) rounds; each round is one shuffle keyed by
-    vertex id. ``localCheckpoint`` truncates lineage so plans stay flat.
-    Near-dup clusters are small and shallow in practice, so a handful of
-    rounds suffices; raises if max_iter is exhausted before convergence.
+    Iterative min-label propagation with pointer jumping: each round
+    every vertex takes the least of (its label, the minimum label in
+    its neighborhood, its label's label). The neighbor-min step alone
+    (large-star style) converges in O(component diameter) rounds; the
+    pointer-jump ``label(label(v))`` halves the remaining distance to
+    the component minimum each round, so chain-shaped components
+    converge in O(log diameter) rounds instead — a planted 1000-link
+    chain closes in ~11 rounds. Labels only ever decrease and always
+    hold a component member's id, so a combined-update fixpoint is
+    exactly the per-component minimum (the plain-propagation argument
+    unchanged). Each round is two id-keyed shuffles (edges⋈labels +
+    labels⋈labels); ``localCheckpoint`` truncates lineage so plans
+    stay flat. Raises if max_iter is exhausted before convergence.
+    ``accelerate=False`` restores plain propagation (one shuffle per
+    round — marginally cheaper when clusters are known-shallow).
     """
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
@@ -437,10 +447,10 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
               .withColumn("cluster_id", F.col("id")))
 
     def label_sum(df: DataFrame):
-        # labels only ever decrease (least-of-neighborhood), so the
-        # exact total is a monotone convergence witness — one agg per
-        # round instead of a join + count. decimal(38,0) keeps the sum
-        # exact at any corpus size.
+        # labels only ever decrease (least-of-neighborhood-and-jump),
+        # so the exact total is a monotone convergence witness — one
+        # agg per round instead of a join + count. decimal(38,0) keeps
+        # the sum exact at any corpus size.
         return (df.agg(F.sum(F.col("cluster_id").cast("decimal(38,0)")))
                 .collect()[0][0])
 
@@ -452,12 +462,24 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                          "dst")
                    .groupBy(F.col("src").alias("id"))
                    .agg(F.min("nbr_label").alias("nbr_min")))
-        updated = (labels.join(nbr_min, "id", "left")
-                   .select("id", F.least(F.col("cluster_id"),
-                                         F.coalesce(F.col("nbr_min"),
-                                                    F.col("cluster_id")))
+        best = F.least(F.col("cluster_id"),
+                       F.coalesce(F.col("nbr_min"), F.col("cluster_id")))
+        if accelerate:
+            # pointer jump: label(label(v)) — every label is itself a
+            # vertex id, so one self-join resolves the grandparent
+            jump = labels.select(F.col("id").alias("cluster_id"),
+                                 F.col("cluster_id").alias("jump_label"))
+            updated = (labels.join(nbr_min, "id", "left")
+                       .join(jump, "cluster_id", "left")
+                       .select("id", F.least(
+                           best, F.coalesce(F.col("jump_label"),
+                                            F.col("cluster_id")))
                            .alias("cluster_id"))
-                   .localCheckpoint(eager=True))
+                       .localCheckpoint(eager=True))
+        else:
+            updated = (labels.join(nbr_min, "id", "left")
+                       .select("id", best.alias("cluster_id"))
+                       .localCheckpoint(eager=True))
         new_sum = label_sum(updated)
         labels = updated
         if new_sum == prev_sum:

@@ -211,11 +211,17 @@ def pack_documents(df, token_col: Column | str, budget: int,
     the bookkeeping a training loader needs to assemble packed
     contexts. Deterministic, one window shuffle keyed by the partition
     columns — no stateful driver loop. (With no partition columns the
-    window is global; prefer a stream key — e.g. ``source`` — at scale,
-    which keeps the sort partition-local.)
+    window is global — single task, warns; prefer a stream key — e.g.
+    ``source`` — at scale, which keeps the sort partition-local.)
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")
+    if not partition_cols:
+        import warnings
+        warnings.warn(
+            "pack_documents without partition_cols uses a global "
+            "window (single task); pass a stream key at scale",
+            stacklevel=2)
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
     w = Window.partitionBy(*(partition_cols or [])).orderBy(order_col)
     start = F.coalesce(
@@ -238,10 +244,18 @@ def take_token_budget(df, token_col: Column | str, budget: int,
 
     Same shape as ``pack_documents``: one window shuffle keyed by the
     stream columns, cumulative sum stays partition-local, no driver
-    state.
+    state. With ``partition_cols=None`` the window is GLOBAL — the
+    whole frame funnels through one task (warns; fine for bounded
+    samples, pass a stream key at scale).
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")
+    if not partition_cols:
+        import warnings
+        warnings.warn(
+            "take_token_budget without partition_cols uses a global "
+            "window (single task); pass a stream key at scale",
+            stacklevel=2)
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
     w = Window.partitionBy(*(partition_cols or [])).orderBy(order_col)
     before = F.coalesce(

@@ -144,7 +144,10 @@ def profile_table(df: DataFrame, cols: Sequence[str] | None = None,
     wide = df.agg(*aggs)
     stack_args: list[str] = []
     for c in names:
-        quoted = c.replace("'", "''")
+        # Spark SQL string literals escape with backslash ('' would
+        # parse as two adjacent literals → concatenation), so escape
+        # backslashes then single quotes
+        quoted = c.replace("\\", "\\\\").replace("'", "\\'")
         stack_args.append(f"'{quoted}', `__nul_{c}__`, `__dis_{c}__`, "
                           f"`__min_{c}__`, `__max_{c}__`")
     stacked = wide.select(

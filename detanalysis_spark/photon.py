@@ -34,9 +34,11 @@ from .traces import rfft_udf  # noqa: F401  (re-export convenience)
 __all__ = [
     "model_spectrum", "default_guess", "default_bounds", "fit_spectrum",
     "photon_peak_expr", "average_pulses", "fft_ensemble_stats",
-    "apply_dpdi", "least_squares_lm",
-    "template_twopole_t", "template_f", "collect_peak_spectrum",
-    "fit_template", "template_energy",
+    "apply_dpdi", "didv_dvdi", "dpdi_from_didv", "dpdi_table",
+    "least_squares_lm",
+    "template_twopole_t", "template_threepole_t", "template_fourpole_t",
+    "TEMPLATE_MODELS", "template_f", "collect_peak_spectrum",
+    "fit_template", "compare_template_fits", "template_energy",
 ]
 
 
@@ -216,6 +218,8 @@ def fit_spectrum(df: DataFrame, amp_col: str, cut: Column | None = None,
 
     Returns (popt, pcov, pstds, (bin_centers, counts)).
     """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
     if cut is not None:
         df = df.filter(cut)
     a = F.col(amp_col).cast("double")
@@ -266,6 +270,8 @@ def fit_spectrum_grouped(df: DataFrame, amp_col: str, group_col: str,
 
     Returns (group, popt array, pstds array, n_events, fit_cost).
     """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
     a = F.col(amp_col).cast("double")
     df = df.filter(a.isNotNull() & ~F.isnan(a))   # null bin idx would
     mm = (df.groupBy(group_col)                    # poison the fit task
@@ -480,6 +486,107 @@ def apply_dpdi(stats_df: DataFrame, dpdi_df: DataFrame) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# dIdV-model dPdI from the published Irwin-Hilton small-signal TES
+# formalism (Irwin & Hilton, "Transition-Edge Sensors", 2005) — the
+# public-formula replacement for the reference's qetpy call
+# (photon_calibration.py:1277-1299 via get_dPdI_with_uncertainties).
+# ----------------------------------------------------------------------
+def didv_dvdi(freqs: np.ndarray, params: dict) -> np.ndarray:
+    """Complex fitted dV/dI of the TES bias circuit at ``freqs``, in
+    the standard 1/2/3-pole parametrization of dIdV fits (the same
+    A/B/C, τ1/τ2/τ3 convention the reference's qetpy results carry):
+
+        1-pole:  dVdI = A
+        2-pole:  dVdI = A·(1 + jωτ2) + B/(1 + jωτ1)
+        3-pole:  dVdI = A·(1 + jωτ2) + B/(1 + jωτ1 − C/(1 + jωτ3))
+
+    ``params`` holds A (required) and optionally B, C, tau1, tau2,
+    tau3 (absent → that pole collapses: C=0 gives the 2-pole form,
+    B=0 the 1-pole form)."""
+    w = 2j * np.pi * np.asarray(freqs, dtype=np.float64)
+    A = params["A"]
+    B = params.get("B", 0.0)
+    C = params.get("C", 0.0)
+    tau1 = params.get("tau1", 0.0)
+    tau2 = params.get("tau2", 0.0)
+    tau3 = params.get("tau3", 0.0)
+    out = A * (1.0 + w * tau2)
+    if B:
+        denom = 1.0 + w * tau1
+        if C:
+            denom = denom - C / (1.0 + w * tau3)
+        out = out + B / denom
+    return out
+
+
+def dpdi_from_didv(freqs: np.ndarray, didv_result: dict,
+                   n_mc: int = 0, seed: int = 0):
+    """dPdI(ω) (+ optional 1σ uncertainty) from a dIdV fit result.
+
+    Small-signal derivation: with the TES biased through load
+    resistance ``rl`` and inductance ``L``, the circuit satisfies
+    dVdI(ω) = rl + jωL + Z_tes(ω), and the power dissipated in the
+    TES is P = I·V_tes with V_tes0 = i0·r0, so
+
+        dP/dI = V_tes0 + i0·dV_tes/dI = i0·(r0 + dVdI(ω) − rl − jωL)
+
+    — every term from the published model; no qetpy.
+
+    ``didv_result`` keys: ``params`` (see :func:`didv_dvdi`), ``i0``,
+    ``r0``, ``rl``, ``L``; optional ``cov``+``cov_labels`` (parameter
+    covariance). With ``n_mc > 0`` and a covariance present, the
+    uncertainty is propagated by deterministic Monte-Carlo over the
+    fit parameters (n_mc Gaussian draws; returns per-frequency complex
+    std as ``err_re + 1j·err_im``), matching the reference's
+    with-uncertainties variant in spirit. Returns ``(dpdi, dpdi_err)``
+    with ``dpdi_err=None`` when no covariance is given.
+    """
+    freqs = np.asarray(freqs, dtype=np.float64)
+    i0, r0 = float(didv_result["i0"]), float(didv_result["r0"])
+    rl = float(didv_result["rl"])
+    ind = float(didv_result.get("L", 0.0))
+    w = 2j * np.pi * freqs
+
+    def one(params: dict) -> np.ndarray:
+        return i0 * (r0 + didv_dvdi(freqs, params) - rl - w * ind)
+
+    dpdi = one(didv_result["params"])
+    cov = didv_result.get("cov")
+    if cov is None or n_mc <= 0:
+        return dpdi, None
+    labels = list(didv_result.get("cov_labels") or
+                  sorted(didv_result["params"]))
+    rng = np.random.default_rng(seed)
+    draws = rng.multivariate_normal(
+        [didv_result["params"].get(k, 0.0) for k in labels],
+        np.asarray(cov, dtype=np.float64), size=n_mc)
+    samples = np.stack([
+        one({**didv_result["params"], **dict(zip(labels, d))})
+        for d in draws])
+    err = samples.real.std(axis=0) + 1j * samples.imag.std(axis=0)
+    return dpdi, err
+
+
+def dpdi_table(spark: SparkSession, dpdi: np.ndarray,
+               dpdi_err: np.ndarray | None = None) -> DataFrame:
+    """Render a driver-side dPdI curve as the (freq_index, value_real,
+    value_imag, err_real, err_imag) model table ``apply_dpdi``
+    consumes — the same shape ``sources.load_filterfile`` produces, so
+    the dIdV-model and filter-file paths are interchangeable
+    downstream. n_freqs rows; always broadcast."""
+    dpdi = np.asarray(dpdi)
+    err = (np.zeros_like(dpdi) if dpdi_err is None
+           else np.asarray(dpdi_err))
+    rows = [(int(i), float(v.real), float(v.imag),
+             float(e.real), float(e.imag))
+            for i, (v, e) in enumerate(zip(dpdi, err))]
+    return spark.createDataFrame(
+        rows, schema="freq_index int, value_real double, "
+                     "value_imag double, err_real double, "
+                     "err_imag double")
+
+
+# ----------------------------------------------------------------------
 # pulse-template fit (U3, photon_calibration.py:1440-1998)
 # ----------------------------------------------------------------------
 def template_twopole_t(t_arr: np.ndarray, amp: float, tau_f: float,
@@ -495,6 +602,60 @@ def template_twopole_t(t_arr: np.ndarray, amp: float, tau_f: float,
     if np.isnan(out).any() or np.isinf(out).all():
         return np.zeros_like(out)
     return out
+
+
+def template_threepole_t(t_arr: np.ndarray, amp1: float, amp2: float,
+                         tau_f1: float, tau_f2: float, tau_r: float,
+                         t0: float) -> np.ndarray:
+    """Three-pole pulse: two fall times sharing one rise,
+
+        A·(e^{−t/τf1} − e^{−t/τr}) + B·(e^{−t/τf2} − e^{−t/τr})
+
+    for t ≥ t0 — the published TES pulse-shape algebra behind the
+    reference's qetpy ``make_template_threepole`` call
+    (photon_calibration.py:1497-1515). Parameter order matches the
+    reference's (amp1, amp2, fall_1, fall_2, rise) so ``fit_template``
+    guesses/bounds line up positionally."""
+    t = np.clip(np.asarray(t_arr, dtype=np.float64) - t0, 0, None)
+    on = np.asarray(t_arr, dtype=np.float64) >= t0
+    rise = np.exp(-t / tau_r)
+    p = amp1 * (np.exp(-t / tau_f1) - rise) \
+        + amp2 * (np.exp(-t / tau_f2) - rise)
+    out = np.where(on, p, 0.0)
+    if np.isnan(out).any() or np.isinf(out).all():
+        return np.zeros_like(out)
+    return out
+
+
+def template_fourpole_t(t_arr: np.ndarray, amp1: float, amp2: float,
+                        amp3: float, tau_f1: float, tau_f2: float,
+                        tau_f3: float, tau_r: float,
+                        t0: float) -> np.ndarray:
+    """Four-pole pulse: three fall times sharing one rise,
+
+        A·(e^{−t/τf1} − e^{−t/τr}) + B·(e^{−t/τf2} − e^{−t/τr})
+          + C·(e^{−t/τf3} − e^{−t/τr})
+
+    for t ≥ t0 (reference's qetpy ``make_template_fourpole``,
+    photon_calibration.py:1525-1544)."""
+    t = np.clip(np.asarray(t_arr, dtype=np.float64) - t0, 0, None)
+    on = np.asarray(t_arr, dtype=np.float64) >= t0
+    rise = np.exp(-t / tau_r)
+    p = amp1 * (np.exp(-t / tau_f1) - rise) \
+        + amp2 * (np.exp(-t / tau_f2) - rise) \
+        + amp3 * (np.exp(-t / tau_f3) - rise)
+    out = np.where(on, p, 0.0)
+    if np.isnan(out).any() or np.isinf(out).all():
+        return np.zeros_like(out)
+    return out
+
+
+#: template family registry — name → (model fn, n free params before t0)
+TEMPLATE_MODELS: dict = {
+    "twopole": (template_twopole_t, 3),
+    "threepole": (template_threepole_t, 5),
+    "fourpole": (template_fourpole_t, 7),
+}
 
 
 def template_f(template_t: np.ndarray, fs: float) -> np.ndarray:
@@ -552,6 +713,49 @@ def fit_template(mean_p_f: np.ndarray, std_p_f: np.ndarray,
         return out
 
     return least_squares_lm(resid, guess, bounds)
+
+
+def compare_template_fits(mean_p_f: np.ndarray, std_p_f: np.ndarray,
+                          freqs: np.ndarray, fs: float,
+                          t_arr: np.ndarray, t0: float,
+                          guesses: dict, bounds: dict | None = None,
+                          f_fit_cutoff: float | None = None) -> list[dict]:
+    """Fit every template family in ``guesses`` (name → guess vector,
+    names from :data:`TEMPLATE_MODELS`) against one peak spectrum and
+    return a comparison table: ``[{model, n_params, popt, pstds, cost,
+    aic}]`` sorted by AIC (cost = weighted residual sum of squares;
+    AIC = 2k + n·ln(cost/n)) — the model-selection step the reference
+    leaves to the user's choice of ``self.model``
+    (photon_calibration.py:1556-1603)."""
+    rows = []
+    for name, guess in guesses.items():
+        model, n_par = TEMPLATE_MODELS[name]
+        if len(guess) != n_par:
+            raise ValueError(f"{name} expects {n_par} params, "
+                             f"got {len(guess)}")
+        popt, _, pstds = fit_template(
+            mean_p_f, std_p_f, freqs, fs, t_arr, t0, guess,
+            None if bounds is None else bounds.get(name),
+            f_fit_cutoff, model=model)
+        m = template_f(model(t_arr, *popt, t0), fs)[:mean_p_f.size]
+        with np.errstate(divide="ignore"):
+            w_re = 1.0 / std_p_f.real
+            w_im = 1.0 / std_p_f.imag
+        for w in (w_re, w_im):
+            w[~np.isfinite(w)] = 0.0
+            w[0] = 0.0
+            if f_fit_cutoff is not None:
+                w[np.abs(freqs[:w.size]) > f_fit_cutoff] = 0.0
+        diff = mean_p_f - m
+        cost = float(np.sum((diff.real * w_re) ** 2
+                            + (diff.imag * w_im) ** 2))
+        n_pts = int(np.count_nonzero(w_re) + np.count_nonzero(w_im))
+        aic = 2 * n_par + n_pts * np.log(max(cost, 1e-300) / max(n_pts, 1))
+        rows.append({"model": name, "n_params": n_par,
+                     "popt": [float(p) for p in popt],
+                     "pstds": [float(s) for s in pstds],
+                     "cost": cost, "aic": float(aic)})
+    return sorted(rows, key=lambda r: r["aic"])
 
 
 def template_energy(template_t: np.ndarray, fs: float) -> float:
@@ -795,18 +999,36 @@ class PhotonCalibration:
         return pred
 
     def calculate_dPdI(self, dpdi_df: DataFrame | None = None,
-                       didv_result=None) -> DataFrame:
+                       didv_result: dict | None = None,
+                       n_samples: int | None = None,
+                       n_mc: int = 0) -> DataFrame:
         """photon_calibration.py:1277 — attach the dPdI model table.
 
-        The reference's dIdV-model path needs qetpy (not in this
-        environment) and is gated; pass the (freq_index, value_real,
-        value_imag, err_real, err_imag) table from
-        ``sources.load_filterfile`` — the reference's filter-file path
-        (:1301-1325)."""
+        Two paths, mirroring the reference's:
+
+        - ``dpdi_df``: the (freq_index, value_real, value_imag,
+          err_real, err_imag) table from ``sources.load_filterfile``
+          — the filter-file path (:1301-1325).
+        - ``didv_result``: a dIdV fit result dict (see
+          :func:`dpdi_from_didv`) — the model path, computed from the
+          published Irwin-Hilton small-signal formalism instead of
+          qetpy. ``n_samples`` sets the trace length for the rfft
+          frequency grid (defaults to the fitted ensemble's bin count
+          convention: pass it when attaching before any fit).
+        """
         if dpdi_df is None:
-            raise NotImplementedError(
-                "dIdV-model dPdI needs qetpy; pass dpdi_df loaded via "
-                "sources.load_filterfile")
+            if didv_result is None:
+                raise ValueError(
+                    "pass dpdi_df (filter-file path, "
+                    "sources.load_filterfile) or didv_result "
+                    "(dIdV-model path, dpdi_from_didv)")
+            if n_samples is None:
+                raise ValueError(
+                    "n_samples (trace length) is required for the "
+                    "dIdV-model path's frequency grid")
+            freqs = np.fft.rfftfreq(int(n_samples), d=1.0 / self._fs)
+            dpdi, err = dpdi_from_didv(freqs, didv_result, n_mc=n_mc)
+            dpdi_df = dpdi_table(self._events.sparkSession, dpdi, err)
         self._dpdi = dpdi_df
         return dpdi_df
 

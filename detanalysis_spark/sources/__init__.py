@@ -2,8 +2,12 @@ from .tables import (load_table, load_all, register_views, TABLES,
                      normalize_legacy_columns, LEGACY_COLUMN_MAP,
                      write_bucketed, read_bucketed, write_partitioned)
 from .files import extract_file_names, load_filterfile
+from .hdf5 import (read_vaex_hdf5, hdf5_row_count, hdf5_to_parquet,
+                   load_hdf5)
 
 __all__ = ["load_table", "load_all", "register_views", "TABLES",
            "write_bucketed", "read_bucketed", "write_partitioned",
            "normalize_legacy_columns", "LEGACY_COLUMN_MAP",
-           "extract_file_names", "load_filterfile"]
+           "extract_file_names", "load_filterfile",
+           "read_vaex_hdf5", "hdf5_row_count", "hdf5_to_parquet",
+           "load_hdf5"]

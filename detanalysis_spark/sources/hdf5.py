@@ -1,0 +1,183 @@
+"""HDF5 → Parquet ingestion (the reference's native on-disk format).
+
+Reference semantics: detanalysis loads columnar vaex-layout HDF5 —
+datasets at ``/table/columns/<col>/data`` (analyzer.py:560
+``vx.open_many``; SURVEY §1.1, confirmed against ``demos/
+features.hdf5``) — or, with ``load_from_pandas``, pandas-HDFStore
+files keyed ``detprocess_df`` (analyzer.py:550-558). A real
+detanalysis user therefore arrives with HDF5; this module converts it
+once into the engine's partitioned Parquet, after which every query
+runs on the columnar scan path (predicate pushdown, column pruning).
+
+Spark-first shape: conversion is embarrassingly parallel BY FILE, so
+the file list is distributed with ``sc.parallelize(files, n_files)``
+and each task converts its file with h5py + pyarrow — no row ever
+passes through the driver, and a 100 TB ingest scales with executor
+count. The permanent ``__event_index__`` is assigned per file from
+precomputed offsets (one metadata-only pass collects per-file row
+counts, the same two-pass pattern as ``ensure_event_index``), so ids
+are globally dense and file-order stable without any global sort.
+
+h5py is optional (absent in this container): every entry point raises
+a clear ImportError naming the dependency, and tests gate on it.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .files import extract_file_names
+
+__all__ = ["read_vaex_hdf5", "hdf5_row_count", "hdf5_to_parquet",
+           "load_hdf5"]
+
+EVENT_INDEX = "__event_index__"
+
+
+def _require_h5py():
+    try:
+        import h5py  # noqa: F401
+        return h5py
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "HDF5 ingestion requires h5py (pip install h5py); the "
+            "engine's query path is Parquet-only — convert once with "
+            "hdf5_to_parquet() on a machine that has it") from e
+
+
+def _column_names(h5file) -> list[str]:
+    if "table" not in h5file or "columns" not in h5file["table"]:
+        raise ValueError(
+            "not a vaex-layout HDF5 file (expected /table/columns/"
+            "<col>/data groups)")
+    return sorted(h5file["table"]["columns"].keys())
+
+
+def hdf5_row_count(path: str) -> int:
+    """Rows in one vaex-layout file — metadata only (no data read)."""
+    h5py = _require_h5py()
+    with h5py.File(path, "r") as f:
+        cols = _column_names(f)
+        return int(f["table"]["columns"][cols[0]]["data"].shape[0])
+
+
+def read_vaex_hdf5(path: str, columns: Sequence[str] | None = None):
+    """One vaex-layout HDF5 file → ``pyarrow.Table`` (column-pruned
+    when ``columns`` is given). Bytes datasets decode as UTF-8 strings;
+    everything else keeps its numpy dtype."""
+    h5py = _require_h5py()
+    import numpy as np
+    import pyarrow as pa
+
+    with h5py.File(path, "r") as f:
+        names = _column_names(f)
+        if columns is not None:
+            missing = set(columns) - set(names)
+            if missing:
+                raise ValueError(f"columns not in {path}: "
+                                 f"{sorted(missing)}")
+            names = [c for c in names if c in set(columns)]
+        arrays, fields = [], []
+        for c in names:
+            data = f["table"]["columns"][c]["data"][:]
+            if data.dtype.kind in ("S", "O"):
+                data = np.array(
+                    [v.decode("utf-8") if isinstance(v, bytes) else str(v)
+                     for v in data])
+            arr = pa.array(data)
+            arrays.append(arr)
+            fields.append(pa.field(c, arr.type))
+        return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def _convert_one(path: str, out_dir: str, offset: int | None,
+                 columns: Sequence[str] | None,
+                 compression: str) -> str:
+    """Convert one file (runs on an executor). Returns the output path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = read_vaex_hdf5(path, columns)
+    if offset is not None:
+        import numpy as np
+        idx = pa.array(np.arange(offset, offset + table.num_rows,
+                                 dtype=np.int64))
+        table = table.append_column(
+            pa.field(EVENT_INDEX, pa.int64()), idx)
+    base = os.path.splitext(os.path.basename(path))[0]
+    out_path = os.path.join(out_dir, f"{base}.parquet")
+    pq.write_table(table, out_path, compression=compression)
+    return out_path
+
+
+def hdf5_to_parquet(spark: SparkSession, paths, out_dir: str,
+                    series=None, columns: Sequence[str] | None = None,
+                    assign_event_index: bool = True,
+                    compression: str = "snappy") -> list[str]:
+    """Convert vaex-layout HDF5 file(s)/dir(s) → one Parquet file each
+    under ``out_dir``; returns the sorted output paths.
+
+    Two passes: (1) driver-side metadata pass reads per-file row
+    counts and computes dense ``__event_index__`` offsets in sorted
+    file order — matching ``np.arange(len(df))`` over the
+    ``open_many`` concatenation (reference analyzer.py:563-565);
+    (2) the conversion itself fans out one Spark task per file.
+    """
+    _require_h5py()
+    files = extract_file_names(paths, series=series, ext=".hdf5")
+    offsets = _plan_offsets(files) if assign_event_index \
+        else [None] * len(files)
+    return _convert_files(spark, list(zip(files, offsets)), out_dir,
+                          columns, compression)
+
+
+def _plan_offsets(files: list[str]) -> list:
+    """Dense ``__event_index__`` start offset per file, in sorted file
+    order (metadata-only pass)."""
+    acc, offsets = 0, []
+    for p in files:
+        offsets.append(acc)
+        acc += hdf5_row_count(p)
+    return offsets
+
+
+def _convert_files(spark: SparkSession, work: list, out_dir: str,
+                   columns, compression) -> list[str]:
+    os.makedirs(out_dir, exist_ok=True)
+    sc = spark.sparkContext
+    out = (sc.parallelize(work, len(work))
+           .map(lambda fo: _convert_one(fo[0], out_dir, fo[1],
+                                        columns, compression))
+           .collect())
+    return sorted(out)
+
+
+def load_hdf5(spark: SparkSession, paths, out_dir: str, series=None,
+              columns: Sequence[str] | None = None) -> DataFrame:
+    """One-call convenience: convert (if needed) then open the Parquet.
+
+    Conversion is skipped for files whose up-to-date Parquet twin
+    already exists in ``out_dir`` (mtime-checked), so repeated loads
+    pay only the scan. ``__event_index__`` offsets are planned over
+    the FULL sorted file list (not just the stale subset), so ids
+    stay globally dense and stable across incremental conversions —
+    provided new files sort AFTER already-converted ones (true for
+    the reference's timestamped series naming); files inserted
+    mid-order need a fresh ``hdf5_to_parquet`` run of the whole set.
+    """
+    _require_h5py()
+    files = extract_file_names(paths, series=series, ext=".hdf5")
+    offsets = _plan_offsets(files)
+    twins = [os.path.join(out_dir,
+                          os.path.splitext(os.path.basename(p))[0]
+                          + ".parquet")
+             for p in files]
+    stale = [(p, off) for p, off, twin in zip(files, offsets, twins)
+             if not os.path.exists(twin)
+             or os.path.getmtime(twin) < os.path.getmtime(p)]
+    if stale:
+        _convert_files(spark, stale, out_dir, columns, "snappy")
+    return spark.read.parquet(*twins)

@@ -84,6 +84,29 @@ def test_near_dup_clusters_transitive(spark):
     assert cl[10] == cl[11] == 10
 
 
+def test_near_dup_clusters_chain_pointer_jumping(spark):
+    """A 1000-link chain needs O(diameter) rounds under plain
+    propagation but O(log n) with pointer jumping: the accelerated
+    path must converge within ~11 rounds while the plain path
+    exhausts the same budget (VERDICT r2 item 7)."""
+    edges = [(i, i + 1) for i in range(1000)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    cl = D.near_dup_clusters(pairs, max_iter=14)
+    assert cl.filter(F.col("cluster_id") != 0).count() == 0
+    assert cl.count() == 1001
+    with pytest.raises(RuntimeError, match="no convergence"):
+        D.near_dup_clusters(pairs, max_iter=14, accelerate=False)
+
+
+def test_near_dup_clusters_plain_mode_small(spark):
+    pairs = spark.createDataFrame(
+        [(5, 6), (6, 7), (30, 31)], ["id_a", "id_b"])
+    cl = {r.id: r.cluster_id
+          for r in D.near_dup_clusters(pairs, accelerate=False).collect()}
+    assert cl[5] == cl[6] == cl[7] == 5
+    assert cl[30] == cl[31] == 30
+
+
 def test_simhash_and_hamming(docs):
     sh = {r.doc_id: r.sh for r in docs.select(
         "doc_id", D.simhash(F.col("text")).alias("sh")).collect()}

@@ -296,3 +296,174 @@ def test_fit_spectrum_grouped_parallel_channels(spark):
     for r in fits.values():
         assert all(np.isfinite(r["pstds"]))
         assert r["fit_cost"] >= 0.0
+
+
+# ----------------------------------------------------------------------
+# 3/4-pole template families (photon_calibration.py:1497-1551): planted
+# pulses round-trip through the weighted complex LM fit with near-zero
+# residual, and the family-comparison table ranks the right model first
+# ----------------------------------------------------------------------
+def _planted_spectrum(spark, template, n, fs, rng, n_traces=80,
+                      noise=0.01):
+    rows = [(i, 0, [float(x) for x in
+                    template + noise * rng.standard_normal(n)])
+            for i in range(n_traces)]
+    df = spark.createDataFrame(rows, ["event_id", "peak", "trace"])
+    stats = P.fft_ensemble_stats(df, fs)
+    return P.collect_peak_spectrum(
+        stats, 0, re_col="mean_re", im_col="mean_im",
+        sre_col="std_re", sim_col="std_im")
+
+
+def test_threepole_fit_recovers_pulse(spark):
+    rng = np.random.default_rng(44)
+    n, fs = 256, 10000.0
+    t = np.arange(n) / fs
+    true = [1.5, 0.8, 3e-3, 8e-4, 1e-4]          # A, B, tf1, tf2, tr
+    t0 = 5e-3
+    template = P.template_threepole_t(t, *true, t0)
+    mean_i, std_i = _planted_spectrum(spark, template, n, fs, rng)
+    freqs = np.fft.rfftfreq(n, 1 / fs)
+
+    guess = [1.0, 0.5, 2e-3, 5e-4, 2e-4]
+    bounds = ([0.1, 0.05, 1e-3, 1e-4, 1e-5],
+              [10.0, 5.0, 1e-2, 1e-3, 5e-4])
+    popt, _, _ = P.fit_template(mean_i, std_i, freqs, fs, t, t0,
+                                guess, bounds,
+                                model=P.template_threepole_t)
+    fit_t = P.template_threepole_t(t, *popt, t0)
+    # parameter-level identity is not guaranteed (the two fall terms
+    # can trade amplitude); the fitted PULSE must match the planted one
+    resid = np.linalg.norm(fit_t - template) / np.linalg.norm(template)
+    assert resid < 0.05
+    assert P.template_energy(fit_t, fs) == pytest.approx(
+        P.template_energy(template, fs), rel=0.05)
+
+
+def test_fourpole_fit_recovers_pulse(spark):
+    rng = np.random.default_rng(55)
+    n, fs = 256, 10000.0
+    t = np.arange(n) / fs
+    true = [1.2, 0.7, 0.4, 4e-3, 1.2e-3, 4e-4, 1e-4]
+    t0 = 5e-3
+    template = P.template_fourpole_t(t, *true, t0)
+    mean_i, std_i = _planted_spectrum(spark, template, n, fs, rng)
+    freqs = np.fft.rfftfreq(n, 1 / fs)
+
+    guess = [1.0, 0.5, 0.3, 3e-3, 1e-3, 5e-4, 2e-4]
+    bounds = ([0.1, 0.05, 0.02, 1e-3, 2e-4, 1e-4, 1e-5],
+              [10.0, 5.0, 3.0, 1e-2, 3e-3, 9e-4, 5e-4])
+    popt, _, _ = P.fit_template(mean_i, std_i, freqs, fs, t, t0,
+                                guess, bounds,
+                                model=P.template_fourpole_t)
+    fit_t = P.template_fourpole_t(t, *popt, t0)
+    resid = np.linalg.norm(fit_t - template) / np.linalg.norm(template)
+    assert resid < 0.05
+
+
+def test_compare_template_fits_ranks_true_family_first(spark):
+    rng = np.random.default_rng(66)
+    n, fs = 256, 10000.0
+    t = np.arange(n) / fs
+    true = [1.5, 0.8, 3e-3, 8e-4, 1e-4]
+    t0 = 5e-3
+    template = P.template_threepole_t(t, *true, t0)
+    mean_i, std_i = _planted_spectrum(spark, template, n, fs, rng)
+    freqs = np.fft.rfftfreq(n, 1 / fs)
+
+    table = P.compare_template_fits(
+        mean_i, std_i, freqs, fs, t, t0,
+        guesses={"twopole": [1.0, 2e-3, 2e-4],
+                 "threepole": [1.0, 0.5, 2e-3, 5e-4, 2e-4]},
+        bounds={"twopole": ([0.1, 1e-4, 1e-5], [10.0, 1e-2, 1e-3]),
+                "threepole": ([0.1, 0.05, 1e-3, 1e-4, 1e-5],
+                              [10.0, 5.0, 1e-2, 1e-3, 5e-4])})
+    assert [r["model"] for r in table][0] == "threepole"
+    assert table[0]["cost"] < table[1]["cost"]
+    assert {"model", "n_params", "popt", "pstds", "cost", "aic"} \
+        <= set(table[0])
+
+
+def test_template_models_registry_arity():
+    for name, (model, n_par) in P.TEMPLATE_MODELS.items():
+        t = np.arange(64) / 1e4
+        out = model(t, *([1.0] * n_par), 1e-3)
+        assert out.shape == t.shape
+        assert np.all(out[t < 1e-3] == 0.0)
+
+
+# ----------------------------------------------------------------------
+# dIdV-model dPdI (Irwin-Hilton small-signal formalism; the
+# public-formula replacement for photon_calibration.py:1277-1299)
+# ----------------------------------------------------------------------
+def test_dpdi_from_didv_analytic_limits():
+    freqs = np.array([0.0, 1e3, 1e4])
+    # 1-pole: dVdI = A constant → dPdI = i0*(r0 + A - rl - jwL)
+    res = {"params": {"A": 0.3}, "i0": 2e-6, "r0": 0.1, "rl": 0.02,
+           "L": 1e-7}
+    dpdi, err = P.dpdi_from_didv(freqs, res)
+    assert err is None
+    w = 2j * np.pi * freqs
+    expect = 2e-6 * (0.1 + 0.3 - 0.02 - w * 1e-7)
+    assert np.allclose(dpdi, expect)
+    # DC limit is purely real
+    assert dpdi[0].imag == 0.0
+
+
+def test_dpdi_from_didv_two_pole_dc():
+    # 2-pole at DC: dVdI(0) = A + B
+    res = {"params": {"A": 0.3, "B": -0.1, "tau1": 1e-4, "tau2": 1e-6},
+           "i0": 1e-6, "r0": 0.15, "rl": 0.03, "L": 0.0}
+    dpdi, _ = P.dpdi_from_didv(np.array([0.0]), res)
+    assert dpdi[0] == pytest.approx(1e-6 * (0.15 + 0.2 - 0.03))
+    # 3-pole collapses to 2-pole when C=0
+    res3 = {**res, "params": {**res["params"], "C": 0.0, "tau3": 1e-5}}
+    d3, _ = P.dpdi_from_didv(np.array([0.0, 5e3]), res3)
+    d2, _ = P.dpdi_from_didv(np.array([0.0, 5e3]), res)
+    assert np.allclose(d3, d2)
+
+
+def test_dpdi_uncertainty_scales_with_cov():
+    freqs = np.linspace(0, 1e4, 16)
+    base = {"params": {"A": 0.3, "B": -0.1, "tau1": 1e-4, "tau2": 1e-6},
+            "i0": 1e-6, "r0": 0.15, "rl": 0.03, "L": 1e-7,
+            "cov_labels": ["A", "B"]}
+    small = {**base, "cov": np.diag([1e-6, 1e-6])}
+    big = {**base, "cov": np.diag([4e-6, 4e-6])}
+    _, e_small = P.dpdi_from_didv(freqs, small, n_mc=400)
+    _, e_big = P.dpdi_from_didv(freqs, big, n_mc=400)
+    assert e_small is not None and np.all(e_small.real >= 0)
+    # 2x the parameter std → ~2x the dPdI std (MC tolerance)
+    ratio = np.median(e_big.real[1:] / e_small.real[1:])
+    assert ratio == pytest.approx(2.0, rel=0.25)
+    # deterministic across calls (seeded)
+    _, e_again = P.dpdi_from_didv(freqs, small, n_mc=400)
+    assert np.allclose(e_small, e_again)
+
+
+def test_calculate_dpdi_model_path_end_to_end(spark):
+    rng = np.random.default_rng(7)
+    n, fs = 64, 10000.0
+    t = np.arange(n) / fs
+    template = P.template_twopole_t(t, 2.0, 2e-3, 2e-4, 1e-3)
+    rows = [(i, 0, [float(x) for x in
+                    template + 0.01 * rng.standard_normal(n)])
+            for i in range(20)]
+    ev = spark.createDataFrame(rows, ["event_id", "peak", "amp"]) \
+        .withColumnRenamed("amp", "trace")
+    stats = P.fft_ensemble_stats(ev, fs)
+
+    didv = {"params": {"A": 0.3, "B": -0.1, "tau1": 1e-4,
+                       "tau2": 1e-6},
+            "i0": 1e-6, "r0": 0.15, "rl": 0.03, "L": 1e-7}
+    freqs = np.fft.rfftfreq(n, d=1.0 / fs)
+    dpdi, _ = P.dpdi_from_didv(freqs, didv)
+    table = P.dpdi_table(spark, dpdi)
+    out = P.apply_dpdi(stats, table)
+    got = {r["bin"]: r for r in out.collect()}
+    # power-domain mean at a mid bin equals current-mean x dpdi
+    s = {r["bin"]: r for r in stats.collect()}
+    b = 5
+    mi = s[b]["mean_re"] + 1j * s[b]["mean_im"]
+    mp = got[b]["mean_p_re"] + 1j * got[b]["mean_p_im"]
+    assert mp == pytest.approx(mi * dpdi[b], rel=1e-9)

@@ -145,3 +145,63 @@ def test_load_table_rebases_naive_timestamps(spark, tmp_path):
     # cast(double) — the suite's event_time feature path — also works
     sec = df.select(F.col("ts").cast("double").alias("s")).first()["s"]
     assert sec == expect / 1_000_000
+
+
+# ----------------------------------------------------------------------
+# HDF5 → Parquet ingestion (sources/hdf5.py; reference analyzer.py:560
+# vaex columnar layout). Gated: h5py is not in this container.
+# ----------------------------------------------------------------------
+try:
+    import h5py
+except ImportError:
+    h5py = None
+
+needs_h5py = pytest.mark.skipif(h5py is None, reason="h5py not installed")
+
+
+def _write_vaex_hdf5(path, n, offset=0):
+    with h5py.File(path, "w") as f:
+        cols = f.create_group("table").create_group("columns")
+        cols.create_group("amp").create_dataset(
+            "data", data=np.arange(n, dtype=np.float64) + offset)
+        cols.create_group("series_number").create_dataset(
+            "data", data=np.full(n, offset, dtype=np.int64))
+        cols.create_group("tag").create_dataset(
+            "data", data=np.array([f"t{i % 3}".encode() for i in range(n)]))
+
+
+@needs_h5py
+def test_hdf5_roundtrip_two_files(spark, tmp_path):
+    from detanalysis_spark.sources.hdf5 import (hdf5_row_count,
+                                                hdf5_to_parquet)
+    a, b = tmp_path / "s1_a.hdf5", tmp_path / "s2_b.hdf5"
+    _write_vaex_hdf5(a, 7)
+    _write_vaex_hdf5(b, 5, offset=100)
+    assert hdf5_row_count(str(a)) == 7
+
+    out = hdf5_to_parquet(spark, str(tmp_path), str(tmp_path / "pq"))
+    assert len(out) == 2
+    df = spark.read.parquet(*out)
+    assert df.count() == 12
+    # dense global ids in sorted file order, strings decoded
+    ids = [r[0] for r in
+           df.select("__event_index__").orderBy("__event_index__").collect()]
+    assert ids == list(range(12))
+    assert df.filter(F.col("tag") == "t0").count() > 0
+    top = (df.orderBy("__event_index__").limit(7)
+           .agg(F.max("series_number")).first()[0])
+    assert top == 0  # first 7 ids come from the first-sorting file
+
+
+@needs_h5py
+def test_load_hdf5_incremental_conversion(spark, tmp_path):
+    from detanalysis_spark.sources.hdf5 import load_hdf5
+    _write_vaex_hdf5(tmp_path / "s1_a.hdf5", 4)
+    pq_dir = tmp_path / "pq"
+    df1 = load_hdf5(spark, str(tmp_path), str(pq_dir))
+    assert df1.count() == 4
+    # appended file sorts after → only it converts; ids stay dense
+    _write_vaex_hdf5(tmp_path / "s2_b.hdf5", 3, offset=50)
+    df2 = load_hdf5(spark, str(tmp_path), str(pq_dir))
+    ids = sorted(r[0] for r in df2.select("__event_index__").collect())
+    assert ids == list(range(7))
