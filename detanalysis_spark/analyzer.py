@@ -113,11 +113,7 @@ class Analyzer:
 
     def __init__(self, df: DataFrame, spark: SparkSession | None = None):
         self._spark = spark or df.sparkSession
-        # id-based paths (mask cuts, semi-joins, sampling) require the
-        # permanent row id; assign it here so hand-built Analyzers are
-        # never missing it (no-op when the column already exists, e.g.
-        # via from_parquet — otherwise one tiny per-partition-stats job)
-        self._df_full = ensure_event_index(df)
+        self._df_full = df
         self._cuts: dict[str, CutInfo] = {}
         self._features: dict[str, FeatureInfo] = {}
         self._global_filter: Column | None = None
@@ -155,6 +151,7 @@ class Analyzer:
         id-based cuts stay valid (one tiny agg job per append).
         Registered cuts/features survive (they are expressions, not data).
         """
+        self._ensure_ids()
         new = ensure_event_index(self._spark.read.parquet(*paths))
         if replace:
             self._df_full = new
@@ -269,6 +266,17 @@ class Analyzer:
             return self._ids_to_predicate(cut)
         raise TypeError(f"unsupported cut specifier: {type(cut)!r}")
 
+    def _ensure_ids(self) -> None:
+        """Lazily assign the permanent row id the first time an
+        id-dependent path (mask cuts, semi-joins, id projections,
+        sampling) needs it. Hand-built Analyzers therefore never hit a
+        missing-``__event_index__`` failure, while Analyzers that only
+        run expression cuts/aggregates never pay the (small) two-pass
+        id-assignment job. No-op when the column already exists (e.g.
+        ``from_parquet`` ingest)."""
+        if EVENT_INDEX not in self._df_full.columns:
+            self._df_full = ensure_event_index(self._df_full)
+
     def _ids_to_predicate(self, ids: DataFrame, name: str = "anon") -> Column:
         """Mask → predicate, any cardinality, zero driver transfer.
 
@@ -280,6 +288,7 @@ class Analyzer:
         filters, and projections (tested: Spark plans existence joins for
         boolean-context subqueries).
         """
+        self._ensure_ids()
         safe = "".join(ch if ch.isalnum() else "_" for ch in name)
         view = f"__cut_ids_{safe}_{next(self._ids_seq)}__"
         ids.select(EVENT_INDEX).createOrReplaceTempView(view)
@@ -291,6 +300,7 @@ class Analyzer:
             return df
         if isinstance(cut, DataFrame):
             # J1 semi-join on row identity (analyzer.py:236-244)
+            self._ensure_ids()
             return df.join(cut.select(EVENT_INDEX), EVENT_INDEX, "left_semi")
         return df.filter(self.resolve_cut(cut))
 
@@ -341,6 +351,7 @@ class Analyzer:
         DataFrame of ids — no size cap — becomes an IN-subquery that
         Catalyst plans as a semi/existence join.
         """
+        self._ensure_ids()
         if not isinstance(ids, DataFrame):
             id_list = [int(x) for x in ids]
             col = F.col(EVENT_INDEX).isin(id_list)
@@ -573,6 +584,7 @@ class Analyzer:
         sidecar inherits the master's partitioning so the join is
         co-partitioned.
         """
+        self._ensure_ids()
         names = list(cuts or self._cuts)
         flags = [self._cuts[n].column.alias(n) for n in names]
         keep = [EVENT_INDEX] + (["series_number"] if "series_number" in self._df_full.columns else [])

@@ -8,12 +8,14 @@ without touching bytes. Decode/feature/resize/frame-sample run inside
 ``mapInPandas``/``pandas_udf`` — one Python roundtrip per Arrow batch,
 never per row.
 
-Codecs: this container has no image/audio libraries, so *format*
-decoding is stubbed: ``RAW8`` (uint8 row-major, a real codec for raw
-bitmaps, implemented here with numpy) decodes for real; JPEG/PNG/FLAC
-raise ``NotImplementedError`` unless PIL/soundfile happen to be
-importable. Everything after decode — bilinear resize, channel stats,
-PCM frame energy / zero-crossing rate, frame sampling — is real numpy.
+Codecs: this container has no image/audio libraries, but three real
+codecs need none — ``RAW8`` (uint8 row-major) with numpy, ``PNG``
+(8-bit gray/RGB/RGBA, non-interlaced) via stdlib ``zlib`` + numpy
+scanline unfiltering, and ``WAV`` PCM via the stdlib ``wave`` module.
+JPEG/FLAC/etc. still raise ``NotImplementedError`` unless
+PIL/soundfile happen to be importable. Everything after decode —
+bilinear resize, channel stats, PCM frame energy / zero-crossing
+rate, frame sampling — is real numpy.
 """
 
 from __future__ import annotations
@@ -30,7 +32,8 @@ from pyspark.sql.types import (ArrayType, BinaryType, DoubleType,
 
 __all__ = [
     "IMAGE_META_FIELDS", "AUDIO_META_FIELDS", "decode_raw8",
-    "encode_raw8", "resize_bilinear", "image_features_schema",
+    "encode_raw8", "decode_png", "encode_png", "decode_wav",
+    "encode_wav", "resize_bilinear", "image_features_schema",
     "image_features", "audio_features_schema", "audio_features",
     "sample_frames", "frame_sample_udf",
 ]
@@ -69,10 +72,184 @@ def encode_raw8(img: np.ndarray) -> bytes:
     return (np.clip(img, 0, 1) * 255).astype(np.uint8).tobytes()
 
 
+# ----------------------------------------------------------------------
+# PNG codec — stdlib zlib + numpy scanline unfiltering (RFC 2083);
+# 8-bit depth, color types 0/2/4/6, non-interlaced
+# ----------------------------------------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG → float64 (H, W, C) in
+    [0, 1]. Pure stdlib (``zlib``, ``struct``) + numpy: scanline
+    filters None/Sub/Up/Average/Paeth are all unfiltered here — Sub
+    via a mod-256 cumulative sum per byte lane, Up vectorized, and
+    Average/Paeth with the per-pixel recurrence the spec requires."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, idat, meta = 8, [], None
+    while pos < len(data):
+        (length,), typ = struct.unpack(">I", data[pos:pos + 4]), \
+            data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG: missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = meta
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG: only 8-bit non-interlaced gray/RGB(A) supported "
+            f"(depth={depth}, color_type={ctype}, "
+            f"interlace={interlace})")
+    c = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG: scanline payload size mismatch")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype, line = int(lines[y, 0]), lines[y, 1:]
+        if ftype == 0:                                   # None
+            rec = line.copy()
+        elif ftype == 1:                                 # Sub
+            rec = np.cumsum(line.reshape(-1, c), axis=0,
+                            dtype=np.uint64).astype(np.uint8).ravel()
+        elif ftype == 2:                                 # Up
+            rec = line + prev
+        elif ftype == 3:                                 # Average
+            rec = np.empty(stride, dtype=np.uint8)
+            left = np.zeros(c, dtype=np.uint16)
+            px = line.reshape(-1, c)
+            up = prev.reshape(-1, c).astype(np.uint16)
+            ro = rec.reshape(-1, c)
+            for x in range(w):
+                left = (px[x] + ((left + up[x]) >> 1)).astype(np.uint8)
+                ro[x] = left
+                left = left.astype(np.uint16)
+        elif ftype == 4:                                 # Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            px = line.reshape(-1, c).astype(np.int16)
+            up = prev.reshape(-1, c).astype(np.int16)
+            ro = rec.reshape(-1, c)
+            left = np.zeros(c, dtype=np.int16)
+            ul = np.zeros(c, dtype=np.int16)
+            for x in range(w):
+                p = left + up[x] - ul
+                pa, pb, pc = (np.abs(p - left), np.abs(p - up[x]),
+                              np.abs(p - ul))
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, up[x], ul))
+                val = ((px[x] + pred) & 0xFF).astype(np.uint8)
+                ro[x] = val
+                left, ul = val.astype(np.int16), up[x]
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, c) / 255.0
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode (H, W, C) float [0, 1] → 8-bit PNG (for tests/fixtures;
+    ``filter_type`` 0/1/2 applied to every scanline)."""
+    import struct
+    import zlib
+
+    arr = np.round(np.clip(img, 0, 1) * 255).astype(np.uint8)
+    h, w, c = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def filt(y: int) -> bytes:
+        line = arr[y].reshape(-1).astype(np.int16)
+        if filter_type == 1:
+            prev_px = np.concatenate(
+                [np.zeros(c, np.int16), line[:-c]])
+            out = (line - prev_px) & 0xFF
+        elif filter_type == 2:
+            up = (arr[y - 1].reshape(-1).astype(np.int16) if y
+                  else np.zeros_like(line))
+            out = (line - up) & 0xFF
+        else:
+            out = line & 0xFF
+        return out.astype(np.uint8).tobytes()
+
+    raw = b"".join(bytes([filter_type]) + filt(y) for y in range(h))
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+# ----------------------------------------------------------------------
+# WAV codec — stdlib wave module (PCM 8/16/32-bit)
+# ----------------------------------------------------------------------
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV payload → (float64 (n_samples, channels) in
+    [-1, 1], sample_rate). Stdlib ``wave`` only."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        nch, sw, rate = wf.getnchannels(), wf.getsampwidth(), \
+            wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    if sw == 2:
+        x = np.frombuffer(frames, dtype="<i2") / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(frames, dtype="<i4") / 2147483648.0
+    else:
+        raise NotImplementedError(f"WAV: sample width {sw} unsupported")
+    return x.reshape(-1, nch), rate
+
+
+def encode_wav(x: np.ndarray, sample_rate: int) -> bytes:
+    """Encode (n_samples, channels) float [-1, 1] → PCM16 WAV bytes
+    (for tests/fixtures)."""
+    import io
+    import wave
+
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    if x.shape[0] < x.shape[1]:
+        x = x.T
+    pcm = (np.clip(x, -1, 1) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(x.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def _decode(data: bytes, width: int, height: int, channels: int,
             fmt: str) -> np.ndarray:
     if fmt == "RAW8":
         return decode_raw8(data, width, height, channels)
+    if fmt == "PNG":
+        img = decode_png(data)
+        if img.shape[2] == 1 and channels > 1:
+            img = np.repeat(img, channels, axis=2)
+        return img
     try:  # pragma: no cover - libs absent in this environment
         from PIL import Image
         import io
@@ -81,7 +258,7 @@ def _decode(data: bytes, width: int, height: int, channels: int,
     except ImportError:
         raise NotImplementedError(
             f"format {fmt!r}: no image codec available in this "
-            f"environment (RAW8 is supported natively)")
+            f"environment (RAW8 and PNG are supported natively)")
 
 
 def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -155,20 +332,28 @@ def audio_features_schema(id_field: StructField) -> StructType:
 
 
 def audio_features(df: DataFrame, id_col: str, frame_samples: int = 256,
-                   payload_col: str = "payload") -> DataFrame:
-    """PCM16 payload → RMS, zero-crossing rate, per-frame energy.
+                   payload_col: str = "payload",
+                   payload_format: str = "PCM16") -> DataFrame:
+    """Audio payload → RMS, zero-crossing rate, per-frame energy.
 
-    Real numpy DSP on the raw bytes — no codec needed for PCM. The
-    trailing partial frame is dropped (rechunk semantics).
+    ``payload_format``: ``"PCM16"`` (raw int16 little-endian bytes) or
+    ``"WAV"`` (stdlib ``wave`` decode; multi-channel is mixed down to
+    mono before the features). Real numpy DSP either way — no external
+    codec. The trailing partial frame is dropped (rechunk semantics).
     """
+    if payload_format not in ("PCM16", "WAV"):
+        raise ValueError(f"unsupported payload_format {payload_format!r}")
     schema = audio_features_schema(df.schema[id_col])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, rmss, zcrs, energies = [], [], [], []
             for r in pdf.itertuples(index=False):
-                buf = r.payload[:len(r.payload) & ~1]  # drop odd tail byte
-                x = np.frombuffer(buf, dtype="<i2") / 32768.0
+                if payload_format == "WAV":
+                    x = decode_wav(r.payload)[0].mean(axis=1)
+                else:
+                    buf = r.payload[:len(r.payload) & ~1]  # drop odd tail
+                    x = np.frombuffer(buf, dtype="<i2") / 32768.0
                 ids.append(getattr(r, id_col))
                 rmss.append(float(np.sqrt(np.mean(x ** 2))) if x.size
                             else 0.0)

@@ -109,3 +109,114 @@ def test_frame_sampling(spark):
     assert len(got) == 3                           # frames 0, 3, 6
     assert all(bytes(f) == bytes(range(16)) for f in got)
     assert M.sample_frames(b"", frame_bytes, 2) == []
+
+
+# ----------------------------------------------------------------------
+# stdlib codecs: PNG (zlib + scanline unfiltering) and WAV (wave)
+# ----------------------------------------------------------------------
+def test_png_roundtrip_all_filters():
+    rng = np.random.default_rng(3)
+    img = rng.random((9, 7, 3))
+    q = np.round(np.clip(img, 0, 1) * 255) / 255.0   # 8-bit grid
+    for ft in (0, 1, 2):
+        data = M.encode_png(img, filter_type=ft)
+        dec = M.decode_png(data)
+        assert dec.shape == (9, 7, 3)
+        assert np.allclose(dec, q, atol=1e-12), f"filter {ft}"
+
+
+def test_png_paeth_average_reference_decoder():
+    # hand-build Average(3)- and Paeth(4)-filtered scanlines and check
+    # against a scalar reference implementation of the spec recurrences
+    import struct
+    import zlib
+    rng = np.random.default_rng(4)
+    w, h, c = 5, 4, 2
+    truth = rng.integers(0, 256, size=(h, w * c), dtype=np.uint8)
+
+    def ref_filter(ftype, line, prev):
+        out = []
+        for i, b in enumerate(line.astype(int)):
+            left = out[i - c] if i >= c else 0
+            up = int(prev[i])
+            ul = int(prev[i - c]) if i >= c else 0
+            if ftype == 3:
+                out.append((b - (left + up) // 2) % 256)
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else \
+                    up if pb <= pc else ul
+                out.append((b - pred) % 256)
+            out[i] = out[i]
+        return bytes(out)
+
+    # NOTE: filtering references the RECONSTRUCTED previous row, which
+    # for a known truth image is just the truth row above
+    raw = b""
+    for y in range(h):
+        prev = truth[y - 1] if y else np.zeros(w * c, dtype=np.uint8)
+        ft = 3 if y % 2 == 0 else 4
+        # invert the spec recurrence left-to-right against recon values
+        line, out = truth[y], []
+        for i, b in enumerate(line.astype(int)):
+            left = int(line[i - c]) if i >= c else 0
+            up = int(prev[i])
+            ul = int(prev[i - c]) if i >= c else 0
+            if ft == 3:
+                out.append((b - (left + up) // 2) % 256)
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else \
+                    up if pb <= pc else ul
+                out.append((b - pred) % 256)
+        raw += bytes([ft]) + bytes(out)
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body)))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0)  # gray+alpha
+    png = (sig + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    dec = (M.decode_png(png) * 255).round().astype(np.uint8)
+    assert np.array_equal(dec.reshape(h, w * c), truth)
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        M.decode_png(b"JUNK" * 4)
+
+
+def test_wav_roundtrip_and_features(spark):
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-0.5, 0.5, size=(1000, 2))
+    data = M.encode_wav(x, 8000)
+    dec, rate = M.decode_wav(data)
+    assert rate == 8000 and dec.shape == (1000, 2)
+    # encode scales by 32767, decode divides by 32768 -> ~2 LSB slack
+    assert np.allclose(dec, x, atol=2.5 / 32768)
+
+    df = spark.createDataFrame([(1, bytearray(data))], ["sid", "payload"])
+    out = M.audio_features(df, "sid", frame_samples=100,
+                           payload_format="WAV").collect()[0]
+    mono = dec.mean(axis=1)
+    assert out["rms"] == pytest.approx(
+        float(np.sqrt(np.mean(mono ** 2))), rel=1e-6)
+    assert len(out["frame_energy"]) == 10
+
+
+def test_image_features_png_format(spark):
+    rng = np.random.default_rng(6)
+    img = rng.random((8, 8, 3))
+    payload = M.encode_png(img, filter_type=1)
+    df = spark.createDataFrame(
+        [(7, bytearray(payload), 8, 8, 3, "PNG")],
+        ["img_id", "payload", "width", "height", "channels", "format"])
+    out = M.image_features(df, "img_id", out_w=2, out_h=2).collect()[0]
+    q = np.round(np.clip(img, 0, 1) * 255) / 255.0
+    assert out["mean_lum"] == pytest.approx(
+        float(q.mean(axis=2).mean()), abs=1e-9)
+    assert len(out["resized"]) == 4

@@ -184,6 +184,35 @@ def main() -> int:
     embk = amplify(emb1, ["vec_id"], k)
     probe("ivf_topk", ivf(emb1), ivf(embk))
 
+    # connected components on a planted CHAIN — the worst case for
+    # plain label propagation (O(diameter) rounds). Pointer jumping
+    # must make rounds — and wall — grow with log(chain length), so
+    # the k× chain should cost ~log2(k) extra rounds, far below k×.
+    def cc(n):
+        def run():
+            pairs = spark.range(n).select(
+                F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+            return D.near_dup_clusters(pairs, max_iter=40).filter(
+                F.col("cluster_id") == 0).count()
+        return run
+    probe("cc_chain_pointer_jump", cc(1000), cc(1000 * k))
+
+    # one-call curation capstone: the cleaned frame is checkpointed
+    # before near-dedup, so the cleaning stack runs ONCE — wall must
+    # track corpus size, not corpus × stages re-run
+    def capstone(df):
+        from detanalysis_spark.llm.pipeline import (CurationConfig,
+                                                    curate_corpus)
+        def run():
+            bench = df.filter(F.col("doc_id") % 25 == 0)
+            corpus = df.filter(F.col("doc_id") % 25 != 0)
+            out, _ = curate_corpus(corpus, CurationConfig(
+                min_tokens=5, bench=bench, decontaminate_ngram=3,
+                near_dup_threshold=0.5))
+            return out.count()
+        return run
+    probe("curate_corpus", capstone(docs1), capstone(docsk))
+
     print(json.dumps({"probe": results, "multiplier": k}))
     return 0
 
