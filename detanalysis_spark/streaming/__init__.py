@@ -2,7 +2,11 @@
 rechunker, and incremental moment accumulation (SURVEY §2 ST1-ST3)."""
 
 from .continuous import (read_continuous_stream, rechunk_stream,
-                         streaming_psd_moments, run_available_now)
+                         streaming_psd_moments, run_available_now,
+                         streaming_dedup_exact, streaming_windowed_counts,
+                         streaming_near_dup_hits)
 
 __all__ = ["read_continuous_stream", "rechunk_stream",
-           "streaming_psd_moments", "run_available_now"]
+           "streaming_psd_moments", "run_available_now",
+           "streaming_dedup_exact", "streaming_windowed_counts",
+           "streaming_near_dup_hits"]

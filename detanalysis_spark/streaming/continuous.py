@@ -195,3 +195,41 @@ def streaming_windowed_counts(sdf: DataFrame, time_col: str,
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.col("window.start").alias("window_start"),
                     F.col("window.end").alias("window_end"), *cols, "n"))
+
+
+def streaming_near_dup_hits(sdf: DataFrame, corpus_buckets: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            num_hashes: int = 64, bands: int = 16,
+                            shingle_n: int = 3) -> DataFrame:
+    """Streaming near-dup SCREEN against a static corpus: each
+    micro-batch's documents are MinHash-signed and joined against the
+    corpus's precomputed LSH band buckets; a doc id is emitted when it
+    shares ≥1 (band, bucket) key with any corpus doc — the ingest-time
+    "probably seen before" gate of an unbounded crawl, the streaming
+    counterpart of ``llm.dedup.lsh_candidate_pairs_between``.
+
+    Signature work is stateless per batch (the same native expressions
+    the batch path uses — no Python); the (band, bucket) probe is a
+    stream-static equi-join (static side broadcast or shuffled once
+    per batch); the final per-id dedup is ``dropDuplicates`` streaming
+    state keyed by id. Output: distinct flagged ``id_col`` rows, append
+    mode — feed them to an exact-Jaccard verify stage or an anti-join
+    quarantine. (Returning the full row + flag would need a
+    stream-stream self-join; the id stream composes with the caller's
+    ``foreachBatch`` instead.)
+
+    ``corpus_buckets``: the static (id, band, bucket) frame from
+    ``llm.dedup.lsh_band_buckets`` over the existing corpus's
+    signatures (same num_hashes/bands family — REQUIRED for bucket
+    keys to be comparable).
+    """
+    from ..llm.dedup import lsh_band_buckets, minhash_signatures
+
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(sdf.select(id_col, text_col), text_col,
+                              num_hashes, shingle_n, id_col=id_col)
+    bb = lsh_band_buckets(sigs, id_col, "minhash", bands, rows_per_band)
+    return (bb.join(corpus_buckets.select("band", "bucket").distinct(),
+                    ["band", "bucket"])
+            .select(id_col).dropDuplicates([id_col]))

@@ -202,3 +202,47 @@ def test_stateless_curation_ops_stream_unchanged(spark, tmp_path):
         for c in ("split", "clean", "n_tok", "dup_ratio"):
             assert got[i][c] == batch[i][c], (i, c)
     assert "[PII]" in got[0]["clean"] and "[PII]" in got[3]["clean"]
+
+
+def test_streaming_near_dup_hits_matches_batch(spark, tmp_path):
+    """The streaming LSH screen must flag exactly the ids the batch
+    cross-corpus screen (lsh_candidate_pairs_between) flags."""
+    from detanalysis_spark.llm.dedup import (lsh_band_buckets,
+                                             lsh_candidate_pairs_between,
+                                             minhash_signatures)
+    from detanalysis_spark.streaming.continuous import (
+        run_available_now, streaming_near_dup_hits)
+    from pyspark.sql.types import LongType, StringType, StructField, \
+        StructType
+
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today"),
+         (101, "pack my box with five dozen liquor jugs right now"),
+         (102, "sphinx of black quartz judge my vow please kindly")],
+        ["doc_id", "text"])
+    new = [(0, "the quick brown fox jumps over the lazy dog today"),
+           (1, "a completely different document about sparkly engines"),
+           (2, "pack my box with five dozen liquor jugs right now"),
+           (3, "nothing like anything else in the corpus at all humph")]
+
+    sigs = minhash_signatures(corpus, "text", 64, 3, id_col="doc_id")
+    buckets = lsh_band_buckets(sigs, "doc_id", "minhash", 16, 4)
+
+    batch_new = spark.createDataFrame(new, ["doc_id", "text"])
+    expect = sorted(
+        r.id_a for r in lsh_candidate_pairs_between(
+            minhash_signatures(batch_new, "text", 64, 3, id_col="doc_id")
+            .withColumnRenamed("doc_id", "id"),
+            sigs.withColumnRenamed("doc_id", "id"), "id")
+        .select("id_a").distinct().collect())
+
+    d = str(tmp_path / "new_docs")
+    batch_new.coalesce(2).write.mode("overwrite").parquet(d)
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    sdf = spark.readStream.schema(schema).parquet(d)
+    got = run_available_now(
+        streaming_near_dup_hits(sdf, buckets),
+        "ndscreen_t1", output_mode="append").collect()
+    assert sorted(r.doc_id for r in got) == expect
+    assert expect == [0, 2]   # the two planted near-dups
