@@ -248,7 +248,8 @@ def lsh_band_buckets(df: DataFrame, id_col: str, sig_col: str = "minhash",
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
                         sig_col: str = "minhash", bands: int = 16,
-                        rows_per_band: int = 4) -> DataFrame:
+                        rows_per_band: int = 4,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Distinct candidate (id_a < id_b) pairs via the banded bucket join.
 
     Self-equi-join keyed by (band, bucket): the shuffle moves each row
@@ -258,9 +259,24 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
     the RDD is GC'd) so the two sides of the self-join share one
     signature computation; without the barrier each side would re-scan
     and re-MinHash the corpus (no exchange reuse across a broadcast).
+
+    ``max_bucket_size`` is the hot-bucket guard for the 100 TB regime:
+    one degenerate bucket of m members (boilerplate-heavy shingle
+    patterns, template farms) emits m² pairs and makes a single join
+    task quadratic. Buckets larger than the cap are DROPPED — standard
+    practice in production MinHash dedup: members of a huge bucket
+    still collide in their other ``bands − 1`` bands unless they are
+    exactly the template-collision case the cap exists to bound. The
+    cap adds one window count over the bucket key (same shuffle
+    partitioning as the join itself).
     """
     bb = lsh_band_buckets(sig_df, id_col, sig_col, bands, rows_per_band) \
         .localCheckpoint(eager=True)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        bb = (bb.withColumn("__bsz__", F.count(F.lit(1)).over(w))
+              .filter(F.col("__bsz__") <= max_bucket_size)
+              .drop("__bsz__"))
     a = bb.withColumnRenamed(id_col, "id_a")
     b = bb.withColumnRenamed(id_col, "id_b")
     return (a.join(b, ["band", "bucket"])
@@ -360,19 +376,22 @@ def verify_candidates(docs: DataFrame, pairs: DataFrame, id_col: str,
 def near_dup_pairs(docs: DataFrame, id_col: str, text_col: str = "text",
                    threshold: float = 0.5, shingle_n: int = 3,
                    num_hashes: int = 64, bands: int = 16,
-                   shingle_fn=word_shingles) -> DataFrame:
+                   shingle_fn=word_shingles,
+                   max_bucket_size: int | None = None) -> DataFrame:
     """End-to-end near-dup detection: MinHash → LSH buckets → verify.
 
     (id_a, id_b, jaccard) for pairs with exact Jaccard ≥ threshold that
     collide in ≥1 LSH band. With (bands=16, rows=4), a 0.9-Jaccard pair
-    is missed with probability (1-0.9⁴)¹⁶ ≈ 4e-8.
+    is missed with probability (1-0.9⁴)¹⁶ ≈ 4e-8. ``max_bucket_size``
+    forwards to :func:`lsh_candidate_pairs` (hot-bucket guard).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs.select(id_col, text_col), text_col,
                               num_hashes, shingle_n, id_col=id_col,
                               shingle_fn=shingle_fn)
     cand = lsh_candidate_pairs(sigs, id_col, bands=bands,
-                               rows_per_band=rows_per_band)
+                               rows_per_band=rows_per_band,
+                               max_bucket_size=max_bucket_size)
     return verify_candidates(docs, cand, id_col, text_col, shingle_n,
                              threshold, shingle_fn)
 

@@ -137,11 +137,22 @@ def profile_table(df: DataFrame, cols: Sequence[str] | None = None,
     for c in names:
         col = F.col(c)
         aggs.append(F.sum(col.isNull().cast("long")).alias(f"__nul_{c}__"))
-        aggs.append((F.approx_count_distinct(col, rsd) if approx
-                     else F.count_distinct(col)).alias(f"__dis_{c}__"))
+        if approx:
+            aggs.append(F.approx_count_distinct(col, rsd)
+                        .alias(f"__dis_{c}__"))
         aggs.append(F.min(col).cast("string").alias(f"__min_{c}__"))
         aggs.append(F.max(col).cast("string").alias(f"__max_{c}__"))
     wide = df.agg(*aggs)
+    if not approx:
+        # exact cardinalities go in a SEPARATE single-row aggregate:
+        # mixing multi-column count_distinct with plain aggs makes
+        # Catalyst expand every row once per distinct column and run
+        # the plain aggs over the multiplied rows (~5x slower here).
+        # Split, the plain agg stays one-pass and the distinct agg
+        # expands only itself; the two 1-row frames cross-join for free.
+        dist = df.agg(*[F.count_distinct(F.col(c)).alias(f"__dis_{c}__")
+                        for c in names])
+        wide = wide.crossJoin(dist)
     stack_args: list[str] = []
     for c in names:
         # Spark SQL string literals escape with backslash ('' would

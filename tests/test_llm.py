@@ -791,3 +791,25 @@ def test_apply_near_dedup_keep_by_null_score_loses(spark):
             apply_near_dedup(docs, threshold=0.5, keep_by="score",
                              keep="min").collect()]
     assert kept == [3]
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """A template farm (identical docs) creates one huge bucket per
+    band; the cap drops those buckets, while genuinely distinct pairs
+    in small buckets survive."""
+    docs = [(i, "the exact same boilerplate template text repeated")
+            for i in range(50)]
+    docs += [(100, "a unique document about distributed quicksort"),
+             (101, "a unique document about distributed quicksort plus")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    uncapped = D.near_dup_pairs(df, "doc_id", threshold=0.3)
+    capped = D.near_dup_pairs(df, "doc_id", threshold=0.3,
+                              max_bucket_size=10)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un >= 50 * 49 / 2           # the template farm all pairs
+    # the farm's buckets (size 50) are dropped; the distinct near-dup
+    # pair (bucket size 2) survives
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got
+    assert n_cap < n_un
+    assert all(a >= 100 for a, _ in got)

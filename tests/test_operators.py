@@ -298,3 +298,12 @@ def test_profile_table_exact_and_approx(spark):
         e, a = exact[c]["n_distinct"], approx[c]["n_distinct"]
         assert abs(a - e) <= max(2, 0.15 * e), (c, e, a)
         assert approx[c]["n_nulls"] == exact[c]["n_nulls"]
+
+
+def test_profile_table_quoted_column_names(spark):
+    from detanalysis_spark.operators.stats import profile_table
+    df = spark.range(5).selectExpr("id AS `it's`", "id * 2 AS `a\\b`")
+    out = {r["column"]: r for r in
+           profile_table(df, approx=False).collect()}
+    assert set(out) == {"it's", "a\\b"}
+    assert out["it's"]["n_distinct"] == 5
