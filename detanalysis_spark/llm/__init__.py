@@ -7,7 +7,7 @@ generation, no all-pairs, no driver-side loops).
 """
 
 from .similarity import (cosine_similarity, cosine_topk,
-                         RandomHyperplaneLSH, IVFIndex,
+                         RandomHyperplaneLSH, IVFIndex, semantic_dedup,
                          quantize_embeddings, quantization_error)
 from .dedup import (dedup_exact, minhash_signatures, lsh_candidate_pairs,
                     near_dup_clusters, simhash, ngram_jaccard,
@@ -31,6 +31,7 @@ __all__ = [
     "benchmark_ngrams", "contamination_overlap",
     "line_frequencies", "remove_boilerplate_lines", "decontaminate",
     "cosine_similarity", "cosine_topk", "RandomHyperplaneLSH", "IVFIndex",
+    "semantic_dedup",
     "dedup_exact", "minhash_signatures", "lsh_candidate_pairs",
     "near_dup_clusters", "simhash", "ngram_jaccard",
     "token_count", "bpe_ish_token_count", "quality_scores",

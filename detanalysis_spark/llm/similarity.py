@@ -220,6 +220,53 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
             .filter(F.col("cosine") >= threshold))
 
 
+def semantic_dedup(df: DataFrame, threshold: float,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   cluster_col: str | None = None,
+                   ivf: "IVFIndex | None" = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then inside each
+    cluster drop every point that has cosine ≥ ``threshold`` with a
+    LOWER-id point of the same cluster (the paper's keep-lowest-index
+    rule — deterministic, no graph pass needed).
+
+    Clusters come from ``cluster_col`` (any precomputed assignment:
+    class labels, k-means cells, ...) or from ``ivf`` (an
+    :class:`IVFIndex`, whose ``with_cell`` adds a per-row projection —
+    the scale path). One of the two is required: an unclustered corpus
+    would mean all-pairs cosine, which is exactly what SemDeDup's
+    clustering exists to avoid.
+
+    Returns ``df`` minus the dropped rows (all original columns).
+
+    Scale shape (100 TB): the pairwise join is an equi-join keyed by
+    the cluster id, so candidate pairs are bounded by the largest
+    cluster (choose k ≈ n/target_cluster_size when fitting the IVF);
+    the final filter is one anti-join on ``id_col``. Nothing is ever
+    all-pairs across clusters and nothing collects to the driver.
+    """
+    if cluster_col is None:
+        if ivf is None:
+            raise ValueError(
+                "semantic_dedup needs cluster_col or ivf: without a "
+                "clustering the pairwise step would be all-pairs")
+        df = ivf.with_cell(df, vec_col=vec_col)
+        cluster_col = "ivf_cell"
+    a = df.select(F.col(cluster_col).alias("__c__"),
+                  F.col(id_col).alias("id_a"),
+                  _unit(F.col(vec_col)).alias("va"))
+    b = df.select(F.col(cluster_col).alias("__c__"),
+                  F.col(id_col).alias("id_b"),
+                  _unit(F.col(vec_col)).alias("vb"))
+    dropped = (a.join(b, "__c__")
+               .filter(F.col("id_a") < F.col("id_b"))
+               .filter(_dot(F.col("va"), F.col("vb")) >= F.lit(threshold))
+               .select(F.col("id_b").alias(id_col))
+               .distinct())
+    return df.join(dropped, id_col, "left_anti")
+
+
 # ----------------------------------------------------------------------
 # IVF (inverted-file) index — the second standard ANN scale path
 # ----------------------------------------------------------------------

@@ -476,6 +476,39 @@ class Semiautocut:
             print(" ")
         return frac
 
+    def get_passage_fraction_splits(
+            self, trigger_col: str = "trigger_type",
+    ) -> dict[str, tuple[int, int, float]]:
+        """All three trigger-type splits of :meth:`get_passage_fraction`
+        — randoms-only, triggers-only, both — from ONE map-side-combined
+        aggregate instead of three separate jobs (the reference's loop at
+        semiautocuts.py:1846-1896 scans once per selection).
+
+        Returns ``{sel: (n, passed, fraction)}`` for
+        ``sel in ("randoms", "triggers", "both")``.
+        """
+        if self.column is None:
+            raise RuntimeError("call do_cut() first")
+        df = self.ana.df_full
+        p = self.column.cast("long")
+        t = F.col(trigger_col)
+        is_rand = t == TRIGGER_RANDOM
+        is_trig = t == TRIGGER_TRIGGER
+        row = df.agg(
+            F.sum(is_rand.cast("long")).alias("nr"),
+            F.sum(F.when(is_rand, p).otherwise(F.lit(0))).alias("pr"),
+            F.sum(is_trig.cast("long")).alias("nt"),
+            F.sum(F.when(is_trig, p).otherwise(F.lit(0))).alias("pt"),
+        ).collect()[0]
+        nr, pr = int(row["nr"] or 0), int(row["pr"] or 0)
+        nt, pt = int(row["nt"] or 0), int(row["pt"] or 0)
+        nb, pb = nr + nt, pr + pt
+        return {
+            "randoms": (nr, pr, pr / nr if nr else float("nan")),
+            "triggers": (nt, pt, pt / nt if nt else float("nan")),
+            "both": (nb, pb, pb / nb if nb else float("nan")),
+        }
+
     # ------------------------------------------------------------------
     # headless diagnostic providers (semiautocuts.py:879-1727 plot_*)
     # ------------------------------------------------------------------

@@ -4,9 +4,11 @@ rechunker, and incremental moment accumulation (SURVEY §2 ST1-ST3)."""
 from .continuous import (read_continuous_stream, rechunk_stream,
                          streaming_psd_moments, run_available_now,
                          streaming_dedup_exact, streaming_windowed_counts,
-                         streaming_near_dup_hits)
+                         streaming_near_dup_hits, streaming_session_counts,
+                         stream_to_parquet)
 
 __all__ = ["read_continuous_stream", "rechunk_stream",
            "streaming_psd_moments", "run_available_now",
            "streaming_dedup_exact", "streaming_windowed_counts",
-           "streaming_near_dup_hits"]
+           "streaming_near_dup_hits", "streaming_session_counts",
+           "stream_to_parquet"]

@@ -233,3 +233,71 @@ def streaming_near_dup_hits(sdf: DataFrame, corpus_buckets: DataFrame,
     return (bb.join(corpus_buckets.select("band", "bucket").distinct(),
                     ["band", "bucket"])
             .select(id_col).dropDuplicates([id_col]))
+
+
+def streaming_session_counts(sdf: DataFrame, time_col: str,
+                             gap: str = "5 minutes",
+                             watermark_delay: str = "10 minutes",
+                             group_cols: list[str] | None = None
+                             ) -> DataFrame:
+    """Gap-based sessionization on an unbounded stream via native
+    ``session_window`` — the streaming counterpart of the batch
+    ``operators.sampling.sessionize`` (lag + running sum): events of the
+    same key separated by < ``gap`` merge into one session whose window
+    extends ``gap`` past the last event. Session state is merged
+    incrementally by the streaming aggregation and evicted once the
+    watermark passes a session's end — bounded state on an unbounded
+    stream, which the batch window-function formulation cannot give.
+
+    Output (append mode, emitted when sessions close):
+    (session_start, session_end, [group_cols...], n_events).
+    """
+    cols = list(group_cols or [])
+    return (sdf.withWatermark(time_col, watermark_delay)
+            .groupBy(F.session_window(F.col(time_col), gap), *cols)
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    *cols, "n_events"))
+
+
+def stream_to_parquet(sdf: DataFrame, path: str, checkpoint_dir: str,
+                      transform=None, query_name: str = "ingest",
+                      timeout_sec: int = 300):
+    """Streaming parquet SINK with checkpointed exactly-once file
+    commits — the persistent-ingest counterpart of the memory-sink
+    drain in :func:`run_available_now`.
+
+    The checkpoint directory carries the source offsets + file-commit
+    log, so re-running over an unchanged input directory appends
+    NOTHING new (idempotent restart — the property a 100 TB ingest
+    loop actually needs), and a crash mid-batch replays that batch
+    without double-committing files.
+
+    ``transform``: optional per-micro-batch function
+    ``(batch_df, batch_id) -> DataFrame`` applied via ``foreachBatch``
+    — the hook for batch-only ops in the sink path (e.g. anti-join
+    against a persisted dedup index). Without it the stream writes
+    directly (no epoch-level Python involvement).
+
+    Drains with ``Trigger.AvailableNow`` and blocks until done; returns
+    the terminated StreamingQuery.
+    """
+    if transform is None:
+        q = (sdf.writeStream.format("parquet")
+             .option("path", path)
+             .option("checkpointLocation", checkpoint_dir)
+             .queryName(query_name)
+             .trigger(availableNow=True).start())
+    else:
+        def _write(batch_df: DataFrame, batch_id: int) -> None:
+            out = transform(batch_df, batch_id)
+            if out is not None:
+                out.write.mode("append").parquet(path)
+
+        q = (sdf.writeStream.foreachBatch(_write)
+             .option("checkpointLocation", checkpoint_dir)
+             .queryName(query_name)
+             .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_sec)
+    return q

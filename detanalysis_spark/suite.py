@@ -1341,6 +1341,34 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# SemDeDup semantic dedup (Abbas et al., arXiv:2303.09540): cluster the
+# embedding space, keep-lowest-index inside each cluster among points
+# with cosine >= threshold. Clusters here are the label column (any
+# assignment works — IVF cells are the unsupervised scale path); the
+# pairwise step is an equi-join keyed by cluster, never all-pairs.
+# ----------------------------------------------------------------------
+from .llm.similarity import semantic_dedup as _sem_dedup  # noqa: E402
+
+
+@query("semantic_dedup_stats", oracle="""
+SELECT e.label, count(*) AS n_kept, min(e.vec_id) AS first_kept
+FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings d
+  WHERE d.label = e.label AND d.vec_id < e.vec_id
+    AND list_cosine_similarity(CAST(d.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])) >= 0.30)
+GROUP BY e.label
+""")
+def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = _sem_dedup(emb, 0.30, cluster_col="label")
+    return (kept.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.min("vec_id").alias("first_kept")))
+
+
+# ----------------------------------------------------------------------
 # headless point-pick (ScatterPlotter analog, picker.py): nearest-k
 # events to a clicked (x, y) under display-normalized distance —
 # TakeOrderedAndProject top-k, never a global sort
@@ -1438,15 +1466,9 @@ def passfrac_trigger_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     sac = Semiautocut(ana, "value", "", {"sigma": 2.0},
                       cut_rq_name_override=True)
     sac.do_cut()
-    rows = []
-    for sel, kw in (("randoms", {"lgc_triggers": False}),
-                    ("triggers", {"lgc_randoms": False}),
-                    ("both", {})):
-        n = ana.count(f"trigger_type = 3.0" if sel == "randoms"
-                      else "trigger_type = 4.0" if sel == "triggers"
-                      else "trigger_type IN (3.0, 4.0)")
-        frac = sac.get_passage_fraction(**kw)
-        rows.append((sel, n, int(round(frac * n))))
+    splits = sac.get_passage_fraction_splits()
+    rows = [(sel, n, passed)
+            for sel, (n, passed, _frac) in splits.items()]
     return spark.createDataFrame(rows, "sel string, n bigint, passed bigint")
 
 
@@ -2682,6 +2704,79 @@ def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.groupBy("split", "lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.col("n_chars").cast("long")).alias("total_chars")))
+
+
+# ----------------------------------------------------------------------
+# Native multi-level aggregation exhibits: ROLLUP with grouping id,
+# pivot (FILTER-agg equivalent), and a frame-bounded moving window.
+# All three stay entirely in whole-stage codegen — rollup/pivot are ONE
+# hash aggregate each (rollup expands grouping sets map-side; pivot is
+# conditional aggregation, not a join), and the moving average is one
+# window shuffle keyed by user. Money sums use integer cents so the
+# totals are associativity-exact across engines.
+# ----------------------------------------------------------------------
+@query("rollup_order_revenue", oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority, o_orderstatus) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""")
+def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (orders.rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.grouping_id().alias("gid"),
+                 F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(cents).alias("revenue_cents"))
+            .select("o_orderpriority", "o_orderstatus", "gid",
+                    "n_orders", "revenue_cents"))
+
+
+@query("pivot_priority_by_status", oracle="""
+SELECT o_orderpriority,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P"
+FROM orders
+GROUP BY o_orderpriority
+""")
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    # explicit value list => no extra distinct-values job, stable schema
+    return (orders.withColumn("cents", cents)
+            .groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["O", "F", "P"])
+            .agg(F.sum("cents")))
+
+
+@query("moving_avg_event_value", oracle="""
+WITH w AS (
+  SELECT event_type,
+         avg(value) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+           AS mov
+  FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(avg(mov), 6) AS mean_moving_avg
+FROM w GROUP BY event_type
+""")
+def moving_avg_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "event_id")
+         .rowsBetween(-3, Window.currentRow))
+    return (events.withColumn("mov", F.avg("value").over(w))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("mov"), 6).alias("mean_moving_avg")))
 
 
 # ======================================================================

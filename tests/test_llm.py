@@ -279,6 +279,47 @@ def test_ivf_validates():
 
 
 # ----------------------------------------------------------------------
+# SemDeDup semantic dedup: keep-lowest-index within cluster among
+# points with cosine >= threshold, vs a numpy replay of the paper rule
+# ----------------------------------------------------------------------
+def _semdedup_numpy(vecs, clusters, threshold):
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    kept = []
+    for i in range(len(vecs)):
+        drop = any(j < i and clusters[j] == clusters[i]
+                   and unit[j] @ unit[i] >= threshold for j in range(i))
+        if not drop:
+            kept.append(i)
+    return kept
+
+
+def test_semantic_dedup_matches_numpy_rule(clustered_vectors):
+    from detanalysis_spark.llm.similarity import IVFIndex, semantic_dedup
+    df, vecs = clustered_vectors
+    ivf = IVFIndex(n_centroids=4, n_probe=1, seed=1).fit(df)
+    with_cell = ivf.with_cell(df)
+    clusters = {r.vec_id: r.ivf_cell for r in with_cell.collect()}
+    cl = np.array([clusters[i] for i in range(len(vecs))])
+    # threshold inside the within-cluster cosine range so some drop
+    want = _semdedup_numpy(vecs, cl, 0.999)
+    got = sorted(r.vec_id
+                 for r in semantic_dedup(df, 0.999, ivf=ivf).collect())
+    assert got == want
+    assert 0 < len(got) < df.count()  # some dropped, some kept
+    # precomputed-cluster path agrees with the ivf= path
+    got2 = sorted(r.vec_id for r in semantic_dedup(
+        with_cell, 0.999, cluster_col="ivf_cell").collect())
+    assert got2 == want
+
+
+def test_semantic_dedup_requires_clustering(clustered_vectors):
+    from detanalysis_spark.llm.similarity import semantic_dedup
+    df, _ = clustered_vectors
+    with pytest.raises(ValueError, match="cluster_col or ivf"):
+        semantic_dedup(df, 0.9)
+
+
+# ----------------------------------------------------------------------
 # text normalization + deterministic mixture sampling
 # ----------------------------------------------------------------------
 def test_normalize_text_unifies_variants(spark):

@@ -69,6 +69,18 @@ def test_sac_passage_fraction_trigger_splits(ana, arrays):
     assert sac.get_passage_fraction(lgc_randoms=False) == pytest.approx(
         mask[trg].sum() / trg.sum())
 
+    # one-pass splits agree with the three per-selection jobs
+    splits = sac.get_passage_fraction_splits()
+    assert splits["randoms"] == (
+        int(rand.sum()), int(mask[rand].sum()),
+        pytest.approx(mask[rand].sum() / rand.sum()))
+    assert splits["triggers"] == (
+        int(trg.sum()), int(mask[trg].sum()),
+        pytest.approx(mask[trg].sum() / trg.sum()))
+    assert splits["both"] == (
+        int(both.sum()), int(mask[both].sum()),
+        pytest.approx(mask[both].sum() / both.sum()))
+
 
 # ----------------------------------------------------------------------
 # MasterSemiautocuts passfrac + randoms table + batch

@@ -246,3 +246,94 @@ def test_streaming_near_dup_hits_matches_batch(spark, tmp_path):
         "ndscreen_t1", output_mode="append").collect()
     assert sorted(r.doc_id for r in got) == expect
     assert expect == [0, 2]   # the two planted near-dups
+
+
+def test_streaming_session_counts(spark, tmp_path):
+    """Native session_window sessionization agrees with the planted
+    session structure (and with the batch lag+running-sum sessionize)."""
+    from detanalysis_spark.streaming import streaming_session_counts
+    from detanalysis_spark.operators.sampling import sessionize
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType, TimestampType)
+    import pandas as pd
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    # user a: events at 0/60/120s (one session), then 1000/1060s (second)
+    for s in [0, 60, 120, 1000, 1060]:
+        rows.append(("a", base + pd.Timedelta(seconds=s)))
+    # user b: 30s, then 2000s -> two singleton sessions
+    for s in [30, 2000]:
+        rows.append(("b", base + pd.Timedelta(seconds=s)))
+    pdf = pd.DataFrame(rows, columns=["user", "ts"])
+    d = str(tmp_path / "sess_stream")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(d)
+
+    schema = StructType([StructField("user", StringType()),
+                         StructField("ts", TimestampType())])
+    sdf = spark.readStream.schema(schema).parquet(d)
+    agg = streaming_session_counts(sdf, "ts", gap="5 minutes",
+                                   group_cols=["user"])
+    got = run_available_now(agg, "sess_t1", output_mode="complete").collect()
+    out = sorted((r.user, r.n_events) for r in got)
+    assert out == [("a", 2), ("a", 3), ("b", 1), ("b", 1)]
+    # session extents: gap extends 5 min past the last event
+    a3 = [r for r in got if r.user == "a" and r.n_events == 3][0]
+    assert a3.session_start == base
+    assert a3.session_end == base + pd.Timedelta(seconds=120 + 300)
+
+    # batch sessionize sees the same session sizes
+    bdf = spark.createDataFrame(pdf).withColumn(
+        "t", F.col("ts").cast("double"))
+    sess = sessionize(bdf, "user", "t", 300.0)
+    batch = sorted((r.user, r.n) for r in sess.groupBy("user", "session_id")
+                   .agg(F.count(F.lit(1)).alias("n")).collect())
+    assert batch == out
+
+
+def test_stream_to_parquet_idempotent_restart(spark, tmp_path):
+    """Checkpointed parquet sink: re-draining an unchanged source
+    appends nothing; new source files append exactly once; the
+    foreachBatch transform hook filters in-flight."""
+    from detanalysis_spark.streaming import stream_to_parquet
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src = tmp_path / "sink_src"
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    schema = StructType([StructField("v", LongType())])
+
+    spark.range(0, 10).withColumnRenamed("id", "v").coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "f1"))
+
+    def read_stream():
+        return spark.readStream.schema(schema) \
+            .option("recursiveFileLookup", "true").parquet(str(src))
+
+    stream_to_parquet(read_stream(), out, ckpt, query_name="sink_t1")
+    assert spark.read.parquet(out).count() == 10
+
+    # unchanged source + same checkpoint -> no duplicate rows
+    stream_to_parquet(read_stream(), out, ckpt, query_name="sink_t2")
+    assert spark.read.parquet(out).count() == 10
+
+    # new file -> exactly the new rows land
+    spark.range(100, 110).withColumnRenamed("id", "v").coalesce(1) \
+        .write.mode("append").parquet(str(src / "f2"))
+    stream_to_parquet(read_stream(), out, ckpt, query_name="sink_t3")
+    vals = sorted(r.v for r in spark.read.parquet(out).collect())
+    assert vals == list(range(10)) + list(range(100, 110))
+
+    # foreachBatch transform hook (its own checkpoint: a checkpoint is
+    # bound to ONE sink kind) filters in-flight and is likewise
+    # restart-idempotent
+    out2 = str(tmp_path / "sink_out2")
+    ckpt2 = str(tmp_path / "sink_ckpt2")
+    filt = lambda df, _bid: df.filter("v % 2 = 0")  # noqa: E731
+    stream_to_parquet(read_stream(), out2, ckpt2, transform=filt,
+                      query_name="sink_t4")
+    stream_to_parquet(read_stream(), out2, ckpt2, transform=filt,
+                      query_name="sink_t5")
+    vals2 = sorted(r.v for r in spark.read.parquet(out2).collect())
+    assert vals2 == [v for v in list(range(10)) + list(range(100, 110))
+                     if v % 2 == 0]
