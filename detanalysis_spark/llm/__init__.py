@@ -16,7 +16,9 @@ from .dedup import (dedup_exact, minhash_signatures, lsh_candidate_pairs,
 from .text import (token_count, bpe_ish_token_count, quality_scores,
                    language_id, doc_fingerprint, tfidf_topk, build_vocab,
                    unigram_logprob_scores, take_token_budget,
-                   pack_documents, chunk_documents, normalize_text)
+                   pack_documents, chunk_documents, normalize_text,
+                   word_frequencies, bpe_pair_counts, train_bpe,
+                   bpe_segment_udf)
 from .multimodal import (decode_raw8, encode_raw8, resize_bilinear,
                          image_features, audio_features, frame_sample_udf)
 from .pipeline import CurationConfig, curate_corpus
@@ -38,6 +40,7 @@ __all__ = [
     "language_id", "doc_fingerprint", "tfidf_topk", "build_vocab",
     "unigram_logprob_scores", "take_token_budget",
     "pack_documents", "chunk_documents", "normalize_text",
+    "word_frequencies", "bpe_pair_counts", "train_bpe", "bpe_segment_udf",
     "near_dup_pairs", "apply_near_dedup", "dedup_incremental",
     "span_dup_stats", "quantize_embeddings", "quantization_error",
     "decode_raw8", "encode_raw8", "resize_bilinear",

@@ -10,8 +10,13 @@ POSIX class names.
 
 from __future__ import annotations
 
+from typing import Sequence
+
+import pandas as pd
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
 
 __all__ = [
     "token_count", "bpe_ish_token_count", "quality_scores",
@@ -20,6 +25,7 @@ __all__ = [
     "chunk_documents", "pack_documents",
     "term_frequencies", "document_frequencies", "tfidf_topk",
     "unigram_logprob_scores", "build_vocab",
+    "word_frequencies", "bpe_pair_counts", "train_bpe", "bpe_segment_udf",
 ]
 
 # portable regexes (identical semantics in Java regex and RE2)
@@ -355,3 +361,145 @@ def build_vocab(df, id_col: str = "doc_id", text_col: str = "text",
     w = Window.orderBy(F.col("ctf").desc(), F.col("term").asc())
     return (ranked.withColumn("rank", F.row_number().over(w))
             .select("rank", "term", "ctf", "df"))
+
+
+# ----------------------------------------------------------------------
+# distributed BPE tokenizer training (Sennrich et al. 2016,
+# arXiv:1508.07909). Scale design: the corpus is scanned ONCE to build
+# the (word, freq) table; the merge loop then runs entirely over that
+# distinct-word table weighted by frequency — at 100 TB the distinct
+# vocabulary is orders of magnitude smaller than the corpus, and each
+# round is one adjacent-pair aggregate (top-1 via TakeOrdered, a few
+# bytes to the driver) plus one JVM-native fold projection. No Python
+# touches the data during training.
+# ----------------------------------------------------------------------
+BPE_EOW = "</w>"
+
+
+def word_frequencies(df, text_col: str = "text"):
+    """(word, freq) over the corpus — BPE training's only corpus-scale
+    pass. One explode + one map-side-combined aggregate."""
+    return (df.select(F.explode(_tokens(F.col(text_col))).alias("word"))
+            .filter(F.length("word") > 0)
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+
+
+def _chars_plus_eow(word: Column) -> Column:
+    # (?!^) splits BETWEEN characters; Java split still emits one
+    # trailing empty string — drop empties before appending the marker
+    chars = F.filter(F.split(word, r"(?!^)"), lambda x: x != "")
+    return F.concat(chars, F.array(F.lit(BPE_EOW)))
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    # guard: sequence(0, -1) would DESCEND for single-symbol arrays
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(syms) - 2),
+        lambda i: F.struct(F.element_at(syms, i + 1).alias("a"),
+                           F.element_at(syms, i + 2).alias("b")))
+    return F.when(F.size(syms) >= 2, pairs) \
+        .otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
+def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping merge of adjacent (a, b) -> a+b as
+    a native fold: append each symbol unless it completes the pair with
+    the accumulator's last element, in which case replace that element
+    with the merged symbol. (A merged symbol never re-merges within the
+    round — exactly the reference algorithm's scan.)"""
+    ab = F.lit(a + b)
+    return F.aggregate(
+        syms, F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ab)))
+        .otherwise(F.concat(acc, F.array(x))))
+
+
+def bpe_pair_counts(word_freq):
+    """Weighted adjacent-symbol-pair counts over a (word, freq) table
+    (symbols = characters + end-of-word marker): the statistic BPE's
+    first merge maximizes. One explode + one aggregate."""
+    syms = _chars_plus_eow(F.col("word"))
+    return (word_freq
+            .select(F.explode(_adjacent_pairs(syms)).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("pair_count")))
+
+
+def train_bpe(df, num_merges: int, text_col: str = "text",
+              min_freq: int = 2):
+    """Learn ``num_merges`` BPE merges from a corpus.
+
+    Ties break by (count desc, a asc, b asc) — bit-exact across
+    engines and runs. Stops early when the best pair's weighted count
+    falls below ``min_freq``. Returns ``(merges, vocab_df)`` where
+    ``merges`` is the ordered list of (a, b) pairs and ``vocab_df`` is
+    the final (symbol, freq) table under those merges.
+
+    Each round localCheckpoints the (small) word-symbol table so the
+    plan stays O(1) deep instead of O(num_merges).
+    """
+    wf = word_frequencies(df, text_col)
+    syms = (wf.select(_chars_plus_eow(F.col("word")).alias("syms"), "freq")
+            .localCheckpoint())
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(num_merges)):
+        top = (syms.select(F.explode(_adjacent_pairs(F.col("syms")))
+                           .alias("p"), "freq")
+               .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+               .agg(F.sum("freq").alias("n"))
+               .orderBy(F.col("n").desc(), F.col("a").asc(),
+                        F.col("b").asc())
+               .limit(1).collect())
+        if not top or top[0]["n"] < min_freq:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        syms = (syms.select(_merge_pair_expr(F.col("syms"), a, b)
+                            .alias("syms"), "freq")
+                .localCheckpoint())
+    vocab = (syms.select(F.explode("syms").alias("symbol"), "freq")
+             .groupBy("symbol").agg(F.sum("freq").alias("freq")))
+    return merges, vocab
+
+
+def bpe_segment_udf(merges: Sequence[tuple[str, str]]):
+    """Vectorized pandas UDF applying learned merges to text:
+    ``array<string>`` of subword tokens per row. Application is the
+    classic rank-greedy loop (always merge the lowest-rank pair
+    present) — per-row Python, but Arrow-batched and embarrassingly
+    parallel; training never uses this path."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    def encode_word(word: str) -> list[str]:
+        toks = list(word) + [BPE_EOW]
+        while len(toks) > 1:
+            best, best_rank = None, None
+            for i in range(len(toks) - 1):
+                r = ranks.get((toks[i], toks[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            # merge ALL non-overlapping occurrences of that pair, L->R
+            a, b = toks[best], toks[best + 1]
+            out, i = [], 0
+            while i < len(toks):
+                if (i + 1 < len(toks) and toks[i] == a
+                        and toks[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return toks
+
+    @pandas_udf(ArrayType(StringType()))
+    def seg(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(
+            lambda t: [tok for w in t.split() for tok in encode_word(w)])
+
+    return seg

@@ -2779,6 +2779,43 @@ def moving_avg_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("mov"), 6).alias("mean_moving_avg")))
 
 
+# ----------------------------------------------------------------------
+# BPE tokenizer training statistics (Sennrich et al., arXiv:1508.07909):
+# the weighted adjacent-pair counts the first merge maximizes, over the
+# distinct-word frequency table. Corpus is scanned once (word counts);
+# the pair aggregate runs on the SMALL word table — the shape that lets
+# the full train_bpe merge loop run at 100 TB (merge rounds never touch
+# the corpus). Top-20 with (count desc, pair asc) tie-break; the full
+# trainer + segmenter are pytest-verified against a pure-python replay.
+# ----------------------------------------------------------------------
+@query("bpe_first_merge_pairs", oracle=r"""
+WITH wf AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents)
+  WHERE length(word) > 0 GROUP BY word),
+ch AS (
+  SELECT freq,
+         list_append([word[i] for i in range(1, len(word)+1)], '</w>')
+           AS syms
+  FROM wf),
+p AS (
+  SELECT unnest([{'a': syms[i], 'b': syms[i+1]}
+                 for i in range(1, len(syms))]) AS pr, freq
+  FROM ch)
+SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS pair_count
+FROM p GROUP BY 1, 2 ORDER BY pair_count DESC, a, b LIMIT 20
+""")
+def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.text import bpe_pair_counts, word_frequencies
+    docs = load_table(spark, sf_dir, "documents")
+    wf = word_frequencies(docs)
+    return (bpe_pair_counts(wf)
+            .orderBy(F.col("pair_count").desc(), F.col("a").asc(),
+                     F.col("b").asc())
+            .limit(20))
+
+
 # ======================================================================
 # registration order epilogue
 #

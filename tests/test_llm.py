@@ -854,3 +854,75 @@ def test_lsh_hot_bucket_cap(spark):
     assert (100, 101) in got
     assert n_cap < n_un
     assert all(a >= 100 for a, _ in got)
+
+
+# ----------------------------------------------------------------------
+# distributed BPE training vs a pure-python replay of Sennrich et al.
+# (same tie-break: count desc, then pair lexicographic)
+# ----------------------------------------------------------------------
+def _bpe_python(word_freqs, num_merges, min_freq=2, eow="</w>"):
+    import collections
+    syms = {tuple(list(w) + [eow]): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = collections.Counter()
+        for toks, f in syms.items():
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_freq:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        out = {}
+        for toks, f in syms.items():
+            new, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(toks[i])
+                    i += 1
+            out[tuple(new)] = out.get(tuple(new), 0) + f
+        syms = out
+    return merges, syms
+
+
+def test_train_bpe_matches_python_reference(spark):
+    from detanalysis_spark.llm.text import train_bpe, word_frequencies
+    corpus = ["low low low low low",
+              "lower lower widest widest widest",
+              "newest newest newest newest newest newest"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                               ["doc_id", "text"])
+    wf = {r.word: r.freq for r in word_frequencies(df).collect()}
+    want_merges, want_syms = _bpe_python(wf, 10)
+    got_merges, vocab = train_bpe(df, 10)
+    assert got_merges == want_merges
+    want_vocab = {}
+    for toks, f in want_syms.items():
+        for t in toks:
+            want_vocab[t] = want_vocab.get(t, 0) + f
+    got_vocab = {r.symbol: r.freq for r in vocab.collect()}
+    assert got_vocab == want_vocab
+
+
+def test_bpe_segment_applies_learned_merges(spark):
+    from detanalysis_spark.llm.text import train_bpe, bpe_segment_udf
+    df = spark.createDataFrame(
+        [(0, "low low low lower lowest"), (1, "new newer newest")],
+        ["doc_id", "text"])
+    merges, _ = train_bpe(df, 8, min_freq=1)
+    seg = bpe_segment_udf(merges)
+    out = {r.doc_id: r.toks for r in
+           df.select("doc_id", seg(F.col("text")).alias("toks")).collect()}
+    # round-trip: concatenating subwords (dropping EOW) rebuilds the text
+    for i, text in [(0, "low low low lower lowest"),
+                    (1, "new newer newest")]:
+        rebuilt = "".join(t.replace("</w>", " ") for t in out[i]).strip()
+        assert rebuilt == text
+    # the most frequent whole word became a single token
+    assert "low</w>" in out[0]

@@ -213,6 +213,17 @@ def main() -> int:
         return run
     probe("curate_corpus", capstone(docs1), capstone(docsk))
 
+    # SemDeDup semantic dedup: pairwise work is bounded by the largest
+    # cluster, so k× the corpus with k× the clusters (amplified labels
+    # stay distinct) must cost ~k× the pairs, never (k·n)² — wall should
+    # grow ≲ linearly
+    def semded(df):
+        from detanalysis_spark.llm.similarity import semantic_dedup
+        return lambda: semantic_dedup(
+            df, 0.30, cluster_col="label").count()
+    embk_lbl = amplify(emb1, ["vec_id", "label"], k)
+    probe("semantic_dedup", semded(emb1), semded(embk_lbl))
+
     print(json.dumps({"probe": results, "multiplier": k}))
     return 0
 
