@@ -2816,6 +2816,32 @@ def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+# ----------------------------------------------------------------------
+# Grouped closed-form least squares + correlation: the distributed
+# regression pattern — sufficient statistics (n, Σx, Σy, Σxx, Σxy) are
+# associative, so the whole fit is ONE map-side-combined aggregate per
+# group; native regr_*/corr aggregates keep it in codegen. The same
+# shape the reference's fitting UDAFs reduce to when the model is
+# linear in its parameters.
+# ----------------------------------------------------------------------
+@query("grouped_regression_stats", oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(value, user_id), 6) AS slope,
+       round(regr_intercept(value, user_id), 6) AS intercept,
+       round(corr(value, user_id), 6) AS r
+FROM events
+GROUP BY event_type
+""")
+def grouped_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    y, x = F.col("value"), F.col("user_id").cast("double")
+    return (events.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.regr_slope(y, x), 6).alias("slope"),
+                 F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+                 F.round(F.corr(y, x), 6).alias("r")))
+
+
 # ======================================================================
 # registration order epilogue
 #
