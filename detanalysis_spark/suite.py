@@ -2842,6 +2842,65 @@ def grouped_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.corr(y, x), 6).alias("r")))
 
 
+# ----------------------------------------------------------------------
+# Streaming gap-based sessionization: native session_window over an
+# unbounded read of the events table, drained with AvailableNow, then a
+# batch cohort rollup of the emitted sessions. The oracle replays the
+# identical gap rule (new session when the per-user delta ≥ gap; the
+# session extends gap past its last event) with window functions. No
+# inter-event delta in the data lands exactly ON the 1-hour gap, so the
+# strict/non-strict boundary cannot diverge between engines.
+# ----------------------------------------------------------------------
+@query("streaming_session_stats", oracle="""
+WITH s AS (
+  SELECT user_id, event_id, epoch(ts) AS t,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w >= 3600.0
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (
+  SELECT user_id, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s),
+sess AS (
+  SELECT user_id, sid, count(*) AS n_ev,
+         CAST(round((max(t) - min(t) + 3600.0) * 1e6) AS BIGINT) AS dur_us
+  FROM g GROUP BY user_id, sid)
+SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_ev) AS BIGINT) AS n_events,
+       CAST(sum(dur_us) AS BIGINT) AS total_dur_us
+FROM sess GROUP BY cohort
+""")
+def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import run_available_now, streaming_session_counts
+    schema = load_table(spark, sf_dir, "events").schema
+    sdf = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    sess = streaming_session_counts(sdf, "ts", gap="1 hour",
+                                    group_cols=["user_id"])
+    name = f"sess_{_uuid.uuid4().hex[:8]}"
+    # state-store partition count is fixed at stream start from
+    # spark.sql.shuffle.partitions; a test-scale drain doesn't need 200
+    # state partitions' worth of per-batch store init (a real deployment
+    # sizes this to the key cardinality). Scoped: restored right after.
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        t = run_available_now(sess, name, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    dur = F.expr(
+        "timestampdiff(MICROSECOND, session_start, session_end)")
+    return (t.withColumn("dur_us", dur)
+            .groupBy((F.col("user_id") % 10).alias("cohort"))
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("n_events").alias("n_events"),
+                 F.sum("dur_us").alias("total_dur_us")))
+
+
 # ======================================================================
 # registration order epilogue
 #
