@@ -165,3 +165,72 @@ def test_boilerplate_rebuild_invariants(spark, min_docs, seed):
     ident = {r["doc_id"]: r["clean_text"] for r in
              remove_boilerplate_lines(df, min_docs=7).collect()}
     assert ident == {i: t for i, t in docs}
+
+
+@given(seed=st.integers(0, 10**6))
+@settings(**SETTINGS)
+def test_bpe_merge_fold_matches_python(spark, seed):
+    """The JVM-native merge fold (train_bpe's per-round projection)
+    equals a plain left-to-right non-overlapping python merge on
+    arbitrary symbol sequences — including overlap traps like
+    (a, a) over 'a a a'."""
+    from detanalysis_spark.llm.text import _merge_pair_expr
+    rng = np.random.default_rng(seed)
+    alphabet = ["a", "b", "ab", "c"]
+    seqs = [[str(alphabet[j]) for j in
+             rng.integers(0, len(alphabet), rng.integers(0, 9))]
+            for _ in range(8)]
+    a, b = (str(alphabet[rng.integers(0, len(alphabet))]),
+            str(alphabet[rng.integers(0, len(alphabet))]))
+
+    def py_merge(toks):
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(seqs)],
+                               "i int, syms array<string>")
+    got = {r.i: r.m for r in df.select(
+        "i", _merge_pair_expr(F.col("syms"), a, b).alias("m")).collect()}
+    for i, s in enumerate(seqs):
+        assert got[i] == py_merge(s), (s, a, b)
+
+
+@given(seed=st.integers(0, 10**6), parts=st.integers(1, 7))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_semantic_dedup_invariants(spark, seed, parts):
+    """SemDeDup keep rule: (1) the lowest-id point of every cluster is
+    always kept; (2) every dropped point has a kept-or-dropped
+    lower-id neighbor above threshold; (3) the kept set is invariant
+    under repartitioning."""
+    from detanalysis_spark.llm.similarity import semantic_dedup
+    rng = np.random.default_rng(seed)
+    n, d = 24, 4
+    vecs = rng.standard_normal((n, d))
+    # plant some duplicates so the threshold bites
+    for j in range(0, n, 5):
+        vecs[j] = vecs[(j + 7) % n] + 0.01 * rng.standard_normal(d)
+    cl = rng.integers(0, 3, n)
+    df = spark.createDataFrame(
+        [(i, int(cl[i]), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, c long, embedding array<double>")
+    kept = sorted(r.vec_id for r in
+                  semantic_dedup(df, 0.98, cluster_col="c").collect())
+    kept2 = sorted(r.vec_id for r in semantic_dedup(
+        df.repartition(parts), 0.98, cluster_col="c").collect())
+    assert kept == kept2
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for c in set(cl):
+        ids = [i for i in range(n) if cl[i] == c]
+        assert min(ids) in kept
+    for i in range(n):
+        if i not in kept:
+            assert any(j < i and cl[j] == cl[i]
+                       and unit[j] @ unit[i] >= 0.98 for j in range(i))
