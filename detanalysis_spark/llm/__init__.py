@@ -25,13 +25,14 @@ from .pipeline import CurationConfig, curate_corpus
 from .cleaning import (pii_counts, redact_pii, repetition_scores,
                        benchmark_ngrams, contamination_overlap,
                        line_frequencies, remove_boilerplate_lines,
-                       decontaminate)
+                       remove_duplicate_lines, decontaminate)
 
 __all__ = [
     "CurationConfig", "curate_corpus",
     "pii_counts", "redact_pii", "repetition_scores",
     "benchmark_ngrams", "contamination_overlap",
-    "line_frequencies", "remove_boilerplate_lines", "decontaminate",
+    "line_frequencies", "remove_boilerplate_lines",
+    "remove_duplicate_lines", "decontaminate",
     "cosine_similarity", "cosine_topk", "RandomHyperplaneLSH", "IVFIndex",
     "semantic_dedup",
     "dedup_exact", "minhash_signatures", "lsh_candidate_pairs",

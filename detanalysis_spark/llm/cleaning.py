@@ -223,6 +223,49 @@ def remove_boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
                         F.coalesce(F.col("n_lines_kept"), F.lit(0))))
 
 
+def remove_duplicate_lines(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", delim: str = "\n",
+                           out_col: str = "clean_text") -> DataFrame:
+    """Corpus-wide first-occurrence-wins line dedup (the C4/RefinedWeb
+    exact line-dedup rule): every line occurrence is dropped unless it
+    is the FIRST occurrence in the corpus, ordered by
+    (``id_col``, position). Complements
+    :func:`remove_boilerplate_lines` — that rule is frequency-based
+    (drop everywhere once common), this one keeps exactly one copy of
+    every repeated line.
+
+    Scale shape: one line-keyed shuffle finds each line's first
+    (doc, pos) via a min-struct aggregate (map-side combined — no
+    window over the exploded corpus), the exploded lines join back on
+    the line key, and one per-doc rebuild groupBy restores order.
+    Documents reduced to nothing come back with empty text.
+    """
+    import re as _re
+    exploded = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(delim)))
+        .alias("pos", "line"))
+    first = (exploded.groupBy("line")
+             .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                                 F.col("pos").alias("p"))).alias("f")))
+    kept = (exploded.join(first, "line")
+            .filter((F.col(id_col) == F.col("f.d"))
+                    & (F.col("pos") == F.col("f.p")))
+            .drop("f"))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("pos"), F.col("line")))),
+                       lambda s: s["line"]),
+                   delim).alias(out_col),
+                   F.count(F.lit(1)).alias("n_lines_kept")))
+    return (docs.join(rebuilt, id_col, "left")
+            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+            .withColumn("n_lines_kept",
+                        F.coalesce(F.col("n_lines_kept"), F.lit(0))))
+
+
 def decontaminate(docs: DataFrame, bench: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   n: int = 5, max_hits: int = 0) -> DataFrame:

@@ -926,3 +926,27 @@ def test_bpe_segment_applies_learned_merges(spark):
         assert rebuilt == text
     # the most frequent whole word became a single token
     assert "low</w>" in out[0]
+
+
+def test_remove_duplicate_lines_first_occurrence_wins(spark):
+    """C4/RefinedWeb exact line dedup: only the corpus-first occurrence
+    of each line survives (ordered by doc_id then position); document
+    line order is preserved; fully-deduped docs come back empty."""
+    from detanalysis_spark.llm.cleaning import remove_duplicate_lines
+    docs = [
+        (0, "alpha\nbeta\nalpha"),        # in-doc repeat: keep first only
+        (1, "beta\ngamma"),               # beta already seen in doc 0
+        (2, "alpha\nbeta"),               # nothing new -> empty
+        (3, "delta"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: (r.clean_text, r.n_lines_kept)
+           for r in remove_duplicate_lines(df).collect()}
+    assert out[0] == ("alpha\nbeta", 2)
+    assert out[1] == ("gamma", 1)
+    assert out[2] == ("", 0)
+    assert out[3] == ("delta", 1)
+    # result is partition-invariant
+    out2 = {r.doc_id: (r.clean_text, r.n_lines_kept)
+            for r in remove_duplicate_lines(df.repartition(5)).collect()}
+    assert out2 == out
