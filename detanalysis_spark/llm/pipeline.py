@@ -2,9 +2,10 @@
 pipeline, assembled from the pillar operators in the order production
 pipelines run them:
 
-    normalize → boilerplate strip → PII redaction → quality gates
-    (length / repetition / language) → benchmark decontamination →
-    exact dedup → near dedup (MinHash-LSH) → split assignment
+    normalize → boilerplate strip → [optional C4-style exact line
+    dedup] → PII redaction → quality gates (length / repetition /
+    language) → benchmark decontamination → exact dedup → near dedup
+    (MinHash-LSH) → split assignment
 
 Every cleaning stage is a lazy DataFrame transformation, and each is
 individually oracle-checked / pytest'd elsewhere — this module only
@@ -31,7 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .cleaning import (decontaminate, redact_pii,
-                       remove_boilerplate_lines, repetition_scores)
+                       remove_boilerplate_lines, remove_duplicate_lines,
+                       repetition_scores)
 from .dedup import apply_near_dedup, dedup_exact
 from .text import language_id, normalize_text, token_count
 
@@ -49,6 +51,7 @@ class CurationConfig:
     max_token_ratio: float = 0.3
     languages: tuple[str, ...] | None = None   # None = no language gate
     boilerplate_min_docs: int | None = None    # None = skip stage
+    dedup_lines: bool = False                  # C4-style exact line dedup
     bench: DataFrame | None = None             # None = skip decontaminate
     decontaminate_ngram: int = 5
     near_dup_threshold: float | None = 0.5     # None = exact dedup only
@@ -87,6 +90,14 @@ def curate_corpus(docs: DataFrame, config: CurationConfig | None = None,
                  .withColumnRenamed("clean_text", cfg.text_col) \
                  .drop("n_lines_kept")
         out = tick("boilerplate", out)
+
+    if cfg.dedup_lines:
+        out = remove_duplicate_lines(out, id_col=cfg.id_col,
+                                     text_col=cfg.text_col)
+        out = out.drop(cfg.text_col) \
+                 .withColumnRenamed("clean_text", cfg.text_col) \
+                 .drop("n_lines_kept")
+        out = tick("line_dedup", out)
 
     out = out.withColumn(cfg.text_col,
                          redact_pii(F.col(cfg.text_col)))

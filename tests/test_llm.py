@@ -817,6 +817,29 @@ def test_curate_corpus_end_to_end(spark):
     assert counts["near_dedup"] == 3       # collapses 2 into 0
 
 
+def test_curate_corpus_with_line_dedup_stage(spark):
+    """dedup_lines=True strips corpus-repeated lines (keeping the first
+    occurrence) before the quality gates see the text."""
+    from detanalysis_spark.llm.pipeline import CurationConfig, curate_corpus
+    boiler = "subscribe to our newsletter today please thanks"
+    rows = [
+        (0, boiler + "\nalpha beta gamma delta epsilon zeta"),
+        (1, boiler + "\nomega psi chi phi upsilon tau"),
+        (2, boiler),                      # only the repeated line -> dies
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cfg = CurationConfig(min_tokens=5, dedup_lines=True,
+                         near_dup_threshold=None)
+    out, counts = curate_corpus(docs, cfg, with_counts=True)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    # doc 0 keeps its unique line AND the first copy of the boiler line;
+    # doc 1 keeps only its unique line; doc 2 is emptied then gated
+    assert got[0] == boiler + "\nalpha beta gamma delta epsilon zeta"
+    assert got[1] == "omega psi chi phi upsilon tau"
+    assert 2 not in got
+    assert counts["line_dedup"] == 3 and counts["quality"] == 2
+
+
 def test_apply_near_dedup_keep_by_null_score_loses(spark):
     """Regression: a cluster member with a NULL score must not win the
     cluster (null struct fields sort first under min())."""
