@@ -188,9 +188,17 @@ def streaming_windowed_counts(sdf: DataFrame, time_col: str,
 
     Output: (window.start, window.end, [group_cols...], n) in append
     mode once the watermark passes the window end.
+
+    ``watermark_delay=None`` skips the watermark — required for
+    TIMESTAMP_NTZ event time (watermarks demand TIMESTAMP), and the
+    session-timezone-independent choice for epoch-aligned windows;
+    state then never evicts, so pair it with complete-mode bounded
+    drains only.
     """
     cols = list(group_cols or [])
-    return (sdf.withWatermark(time_col, watermark_delay)
+    if watermark_delay is not None:
+        sdf = sdf.withWatermark(time_col, watermark_delay)
+    return (sdf
             .groupBy(F.window(F.col(time_col), window_duration), *cols)
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.col("window.start").alias("window_start"),

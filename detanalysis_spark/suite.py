@@ -2901,6 +2901,62 @@ def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("dur_us").alias("total_dur_us")))
 
 
+# ----------------------------------------------------------------------
+# Streaming watermarked tumbling-window aggregation (ST4) with a full
+# oracle: 7-day event-time windows per event_type, drained with
+# AvailableNow, then rolled up per type. Window starts are epoch-floor
+# aligned in both engines (Spark tumbling windows anchor at the 1970
+# epoch; the oracle floors epoch seconds to the same 604800 s grid).
+# ----------------------------------------------------------------------
+@query("streaming_windowed_stats", oracle="""
+WITH w AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 604800.0) * 604800 AS BIGINT) AS win,
+         count(*) AS n
+  FROM events GROUP BY event_type, win)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(max(n) AS BIGINT) AS max_in_window,
+       CAST(min(win) AS BIGINT) AS first_window
+FROM w GROUP BY event_type
+""")
+def streaming_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import StructType, TimestampNTZType
+
+    from .streaming import run_available_now, streaming_windowed_counts
+    # read ts as TIMESTAMP_NTZ: epoch-aligned tumbling windows on a
+    # naive timestamp are session-timezone independent (an LTZ column
+    # would align window boundaries to the session zone and shift
+    # first_window on a non-UTC driver session)
+    schema = StructType([
+        f if f.name != "ts" else type(f)("ts", TimestampNTZType())
+        for f in load_table(spark, sf_dir, "events").schema.fields])
+    sdf = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    # no watermark: NTZ event time keeps the epoch alignment
+    # session-tz-independent; the bounded AvailableNow drain in
+    # complete mode doesn't need eviction (the watermark path is
+    # pytest-covered on LTZ in tests/test_streaming.py)
+    agg = streaming_windowed_counts(sdf, "ts", "7 days", None,
+                                    group_cols=["event_type"])
+    name = f"win_{_uuid.uuid4().hex[:8]}"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        t = run_available_now(agg, name, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    win = F.expr("timestampdiff(SECOND, "
+                 "TIMESTAMP_NTZ '1970-01-01 00:00:00', window_start)")
+    return (t.withColumn("win", win)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_windows"),
+                 F.sum("n").alias("n_events"),
+                 F.max("n").alias("max_in_window"),
+                 F.min("win").alias("first_window")))
+
+
 # ======================================================================
 # registration order epilogue
 #
