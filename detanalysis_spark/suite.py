@@ -2957,6 +2957,32 @@ def streaming_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("win").alias("first_window")))
 
 
+# ----------------------------------------------------------------------
+# Incremental append (S4) + ingest row-id assignment (S6) as an
+# official hash-checked row: loading the events table and appending the
+# same file again must yield 2n rows with 2n DISTINCT dense ids (the
+# second batch's ids re-offset past the current max — the round-1
+# duplicate-id bug class, now graded every round).
+# ----------------------------------------------------------------------
+@query("incremental_append_ids", oracle="""
+SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
+       CAST(2 * count(*) AS BIGINT) AS n_distinct_ids,
+       CAST(2 * count(*) - 1 AS BIGINT) AS max_id,
+       CAST(0 AS BIGINT) AS min_id
+FROM events
+""")
+def incremental_append_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{sf_dir}/events.parquet"
+    ana = Analyzer.from_parquet(spark, path)
+    ana.add_files(path)
+    idc = F.col(EVENT_INDEX)
+    return ana.df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(idc).alias("n_distinct_ids"),
+        F.max(idc).alias("max_id"),
+        F.min(idc).alias("min_id"))
+
+
 # ======================================================================
 # registration order epilogue
 #
