@@ -789,12 +789,16 @@ class MasterSemiautocuts:
             print(f"Total number of randoms: {nr}")
         return frac_rand if lgc_randoms_return else frac
 
-    def get_randoms_passfrac_table(self, trigger_col: str = "trigger_type"):
+    def get_randoms_passfrac_table(self, trigger_col: str = "trigger_type",
+                                   return_nrand: bool = False):
         """Sequential passage-fraction matrix over randoms
         (semiautocuts.py:2471-2531): cell (i, j), j <= i, is the
         fraction of ALL randoms passing cut_i AND cuts_0..j; the
         denominator is the constant randoms count. Returns
-        ``(matrix, cut_names)`` with NaN above the diagonal.
+        ``(matrix, cut_names)`` with NaN above the diagonal — or
+        ``(matrix, cut_names, nrand)`` with ``return_nrand=True``
+        (the randoms count already rides along in the same aggregate;
+        returning it saves callers a second job).
 
         The reference materializes an n×N mask matrix on the driver;
         here every cell is a ``sum()`` column of one aggregate — a
@@ -819,6 +823,8 @@ class MasterSemiautocuts:
         for i in range(n):
             for j in range(i + 1):
                 mat[i, j] = (row[f"__c_{i}_{j}__"] or 0) / nrand if nrand else np.nan
+        if return_nrand:
+            return mat, list(self.cuts_list), int(nrand)
         return mat, list(self.cuts_list)
 
     def get_example_events(self, num_example_events: int,

@@ -1426,8 +1426,8 @@ def master_randoms_passfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
     ana.register_cut("value < 8.0", "c1")
     ana.register_cut("event_type <> 'error'", "c2")
     m = MasterSemiautocuts(ana, ["c0", "c1", "c2"])
-    mat, _ = m.get_randoms_passfrac_table()
-    nrand = ana.count("trigger_type = 3.0")
+    # nrand rides along in the matrix aggregate — ONE job total
+    mat, _, nrand = m.get_randoms_passfrac_table(return_nrand=True)
     rows = [(i, j, int(round(mat[i, j] * nrand)))
             for i in range(3) for j in range(i + 1)]
     return spark.createDataFrame(rows, "i int, j int, passed bigint")
