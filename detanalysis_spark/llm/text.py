@@ -386,7 +386,10 @@ def word_frequencies(df, text_col: str = "text"):
 
 def _chars_plus_eow(word: Column) -> Column:
     # (?!^) splits BETWEEN characters; Java split still emits one
-    # trailing empty string — drop empties before appending the marker
+    # trailing empty string — drop empties before appending the marker.
+    # Note: Java regex splits on UTF-16 code units, so astral-plane
+    # characters (outside the BMP) would seed as surrogate halves;
+    # byte-level or BMP text (the usual BPE seeding regimes) is exact.
     chars = F.filter(F.split(word, r"(?!^)"), lambda x: x != "")
     return F.concat(chars, F.array(F.lit(BPE_EOW)))
 
