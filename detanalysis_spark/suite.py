@@ -2983,6 +2983,43 @@ def incremental_append_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(idc).alias("min_id"))
 
 
+# ----------------------------------------------------------------------
+# Corpus-wide first-occurrence exact line dedup (the C4/RefinedWeb
+# rule), exhibited at word granularity (the synthetic docs are
+# single-line): every token occurrence is dropped unless it is the
+# corpus-FIRST occurrence ordered by (doc_id, position). The engine
+# path is remove_duplicate_lines — a line-keyed min-struct aggregate
+# (no corpus-wide window) + order-exact rebuild; the oracle replays the
+# same first-occurrence rule with a composite (doc, pos) key.
+# ----------------------------------------------------------------------
+@query("line_dedup_first_occurrence", oracle=r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\s+')) AS word,
+         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) - 1
+           AS pos
+  FROM documents),
+f AS (SELECT word, min(doc_id * 1000000 + pos) AS fk FROM w GROUP BY word),
+k AS (SELECT w.doc_id FROM w JOIN f ON w.word = f.word
+      WHERE w.doc_id * 1000000 + w.pos = f.fk)
+SELECT d.lang,
+       CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs_with_first,
+       CAST(count(*) AS BIGINT) AS n_first_words
+FROM k JOIN documents d USING (doc_id) GROUP BY d.lang
+""")
+def line_dedup_first_occurrence(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from .llm.cleaning import remove_duplicate_lines
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.withColumn(
+        "text", F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    out = remove_duplicate_lines(norm, delim=" ")
+    return (out.filter(F.col("n_lines_kept") > 0)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs_with_first"),
+                 F.sum("n_lines_kept").alias("n_first_words")))
+
+
 # ======================================================================
 # registration order epilogue
 #
