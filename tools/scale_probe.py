@@ -224,6 +224,25 @@ def main() -> int:
     embk_lbl = amplify(emb1, ["vec_id", "label"], k)
     probe("semantic_dedup", semded(emb1), semded(embk_lbl))
 
+    # BPE training: the merge loop runs on the DISTINCT-WORD table, so
+    # k× the corpus (same vocabulary) leaves per-round cost flat — only
+    # the one word-count pass sees the extra rows
+    def bpe(df):
+        from detanalysis_spark.llm.text import train_bpe
+        return lambda: len(train_bpe(df, 5, min_freq=1)[0])
+    probe("bpe_train_5_merges", bpe(docs1), bpe(docsk))
+
+    # corpus-wide first-occurrence line dedup: one line-keyed min
+    # aggregate + rebuild; k× the docs with the same line vocabulary
+    # keeps the first-occurrence table constant
+    def ldedup(df):
+        from detanalysis_spark.llm.cleaning import remove_duplicate_lines
+        d = df.withColumn("text", F.regexp_replace(
+            F.trim(F.col("text")), r"\s+", " "))
+        return lambda: remove_duplicate_lines(d, delim=" ") \
+            .agg(F.sum("n_lines_kept")).collect()[0][0]
+    probe("line_dedup_first_occ", ldedup(docs1), ldedup(docsk))
+
     print(json.dumps({"probe": results, "multiplier": k}))
     return 0
 
