@@ -183,6 +183,37 @@ def line_frequencies(docs: DataFrame, id_col: str = "doc_id",
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+def _explode_lines(docs: DataFrame, id_col: str, text_col: str,
+                   delim: str) -> DataFrame:
+    """(id, pos, line) — split's pattern arg is a regex; the rebuild's
+    array_join delim is literal, so escape to keep both sides agreeing
+    for any delimiter."""
+    import re as _re
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(delim)))
+        .alias("pos", "line"))
+
+
+def _rebuild_docs(docs: DataFrame, kept: DataFrame, id_col: str,
+                  delim: str, out_col: str) -> DataFrame:
+    """Reassemble surviving (id, pos, line) rows into per-doc text,
+    order-exact (sorted (pos, line) structs, not collect_list luck);
+    docs whose every line was dropped come back with empty text."""
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("pos"), F.col("line")))),
+                       lambda s: s["line"]),
+                   delim).alias(out_col),
+                   F.count(F.lit(1)).alias("n_lines_kept")))
+    return (docs.join(rebuilt, id_col, "left")
+            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+            .withColumn("n_lines_kept",
+                        F.coalesce(F.col("n_lines_kept"), F.lit(0))))
+
+
 def remove_boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text", min_docs: int = 100,
                              delim: str = "\n",
@@ -193,34 +224,14 @@ def remove_boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
     Scale shape: the frequent-line set is small by construction (a line
     must repeat across ``min_docs`` docs to qualify), so it
     **broadcasts** to a left-anti join against the exploded lines; the
-    only corpus-sized shuffle is the per-doc rebuild groupBy. The
-    rebuild sorts each doc's surviving ``(pos, line)`` structs — order
-    is exact, not collect_list luck.
+    only corpus-sized shuffle is the per-doc rebuild groupBy.
     """
-    import re as _re
     frequent = (line_frequencies(docs, id_col, text_col, delim)
                 .filter(F.col("n_docs") >= min_docs)
                 .select("line"))
-    exploded = docs.select(
-        F.col(id_col),
-        # split's pattern arg is a regex; array_join's delim (below) is
-        # literal — escape so both sides agree for any delimiter
-        F.posexplode(F.split(F.col(text_col), _re.escape(delim)))
-        .alias("pos", "line"))
+    exploded = _explode_lines(docs, id_col, text_col, delim)
     kept = exploded.join(F.broadcast(frequent), "line", "left_anti")
-    rebuilt = (kept.groupBy(id_col)
-               .agg(F.array_join(
-                   F.transform(
-                       F.array_sort(F.collect_list(
-                           F.struct(F.col("pos"), F.col("line")))),
-                       lambda s: s["line"]),
-                   delim).alias(out_col),
-                   F.count(F.lit(1)).alias("n_lines_kept")))
-    # docs whose every line was boilerplate still come back (empty text)
-    return (docs.join(rebuilt, id_col, "left")
-            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
-            .withColumn("n_lines_kept",
-                        F.coalesce(F.col("n_lines_kept"), F.lit(0))))
+    return _rebuild_docs(docs, kept, id_col, delim, out_col)
 
 
 def remove_duplicate_lines(docs: DataFrame, id_col: str = "doc_id",
@@ -239,31 +250,23 @@ def remove_duplicate_lines(docs: DataFrame, id_col: str = "doc_id",
     window over the exploded corpus), the exploded lines join back on
     the line key, and one per-doc rebuild groupBy restores order.
     Documents reduced to nothing come back with empty text.
+
+    Empty lines (paragraph separators — '' between two delimiters) are
+    structure, not content: they pass through untouched, as in the real
+    C4/RefinedWeb implementations, so dedup never reflows paragraphs.
     """
-    import re as _re
-    exploded = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), _re.escape(delim)))
-        .alias("pos", "line"))
-    first = (exploded.groupBy("line")
+    exploded = _explode_lines(docs, id_col, text_col, delim)
+    content = exploded.filter(F.col("line") != "")
+    first = (content.groupBy("line")
              .agg(F.min(F.struct(F.col(id_col).alias("d"),
                                  F.col("pos").alias("p"))).alias("f")))
-    kept = (exploded.join(first, "line")
-            .filter((F.col(id_col) == F.col("f.d"))
-                    & (F.col("pos") == F.col("f.p")))
-            .drop("f"))
-    rebuilt = (kept.groupBy(id_col)
-               .agg(F.array_join(
-                   F.transform(
-                       F.array_sort(F.collect_list(
-                           F.struct(F.col("pos"), F.col("line")))),
-                       lambda s: s["line"]),
-                   delim).alias(out_col),
-                   F.count(F.lit(1)).alias("n_lines_kept")))
-    return (docs.join(rebuilt, id_col, "left")
-            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
-            .withColumn("n_lines_kept",
-                        F.coalesce(F.col("n_lines_kept"), F.lit(0))))
+    kept_content = (content.join(first, "line")
+                    .filter((F.col(id_col) == F.col("f.d"))
+                            & (F.col("pos") == F.col("f.p")))
+                    .drop("f"))
+    kept = kept_content.unionByName(
+        exploded.filter(F.col("line") == ""))
+    return _rebuild_docs(docs, kept, id_col, delim, out_col)
 
 
 def decontaminate(docs: DataFrame, bench: DataFrame,

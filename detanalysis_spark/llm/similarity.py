@@ -251,8 +251,11 @@ def semantic_dedup(df: DataFrame, threshold: float,
             raise ValueError(
                 "semantic_dedup needs cluster_col or ivf: without a "
                 "clustering the pairwise step would be all-pairs")
+        original_cols = df.columns
         df = ivf.with_cell(df, vec_col=vec_col)
         cluster_col = "ivf_cell"
+    else:
+        original_cols = df.columns
     a = df.select(F.col(cluster_col).alias("__c__"),
                   F.col(id_col).alias("id_a"),
                   _unit(F.col(vec_col)).alias("va"))
@@ -264,7 +267,9 @@ def semantic_dedup(df: DataFrame, threshold: float,
                .filter(_dot(F.col("va"), F.col("vb")) >= F.lit(threshold))
                .select(F.col("id_b").alias(id_col))
                .distinct())
-    return df.join(dropped, id_col, "left_anti")
+    # select the caller's columns: the ivf path's helper ivf_cell
+    # column must not leak into the result
+    return df.join(dropped, id_col, "left_anti").select(*original_cols)
 
 
 # ----------------------------------------------------------------------

@@ -442,8 +442,15 @@ def train_bpe(df, num_merges: int, text_col: str = "text",
     the final (symbol, freq) table under those merges.
 
     Each round localCheckpoints the (small) word-symbol table so the
-    plan stays O(1) deep instead of O(num_merges).
+    plan stays O(1) deep instead of O(num_merges); the previous round's
+    checkpoint blocks are explicitly released (ContextCleaner collects
+    them once the driver reference drops — the periodic gc.collect()
+    makes that deterministic for long merge runs instead of waiting on
+    driver GC pressure), so executor storage holds ONE table copy, not
+    O(num_merges).
     """
+    import gc
+
     wf = word_frequencies(df, text_col)
     syms = (wf.select(_chars_plus_eow(F.col("word")).alias("syms"), "freq")
             .localCheckpoint())
@@ -460,9 +467,13 @@ def train_bpe(df, num_merges: int, text_col: str = "text",
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
+        prev = syms
         syms = (syms.select(_merge_pair_expr(F.col("syms"), a, b)
                             .alias("syms"), "freq")
                 .localCheckpoint())
+        del prev
+        if len(merges) % 32 == 0:
+            gc.collect()  # let ContextCleaner free old checkpoint blocks
     vocab = (syms.select(F.explode("syms").alias("symbol"), "freq")
              .groupBy("symbol").agg(F.sum("freq").alias("freq")))
     return merges, vocab

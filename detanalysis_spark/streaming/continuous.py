@@ -138,14 +138,39 @@ def streaming_psd_moments(chunks: DataFrame, fs: float,
 
 def run_available_now(sdf: DataFrame, query_name: str = "moments",
                       output_mode: str = "complete",
-                      timeout_sec: int = 300) -> DataFrame:
+                      timeout_sec: int = 300,
+                      shuffle_partitions: int | None = None) -> DataFrame:
     """Drain a bounded stream with AvailableNow into a memory sink and
-    return the final result as a batch DataFrame."""
-    q = (sdf.writeStream.format("memory").queryName(query_name)
-         .outputMode(output_mode)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_sec)
-    return sdf.sparkSession.table(query_name)
+    return the final result as a batch DataFrame.
+
+    ``shuffle_partitions`` temporarily overrides
+    ``spark.sql.shuffle.partitions`` for the drain (restored after):
+    the state-store partition count is fixed at stream start from that
+    conf, and a test-scale drain doesn't need hundreds of per-batch
+    store inits — a real deployment sizes it to the key cardinality.
+
+    Raises TimeoutError if the drain doesn't finish in ``timeout_sec``
+    (the query keeps running otherwise and would race its reader).
+    """
+    spark = sdf.sparkSession
+    old = None
+    if shuffle_partitions is not None:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(int(shuffle_partitions)))
+    try:
+        q = (sdf.writeStream.format("memory").queryName(query_name)
+             .outputMode(output_mode)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"streaming drain {query_name!r} did not finish in "
+                f"{timeout_sec}s")
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(query_name)
 
 
 def streaming_dedup_exact(sdf: DataFrame, cols: list[str],
@@ -177,7 +202,7 @@ def streaming_dedup_exact(sdf: DataFrame, cols: list[str],
 
 def streaming_windowed_counts(sdf: DataFrame, time_col: str,
                               window_duration: str = "1 minute",
-                              watermark_delay: str = "10 minutes",
+                              watermark_delay: str | None = "10 minutes",
                               group_cols: list[str] | None = None
                               ) -> DataFrame:
     """Event-time tumbling-window aggregation with a watermark (ST4 —
@@ -261,6 +286,11 @@ def streaming_session_counts(sdf: DataFrame, time_col: str,
     (session_start, session_end, [group_cols...], n_events).
     """
     cols = list(group_cols or [])
+    if not cols:
+        raise ValueError(
+            "streaming_session_counts needs at least one group column: "
+            "Spark does not support GLOBAL session-window aggregation "
+            "on a stream (sessions must be keyed, e.g. by user)")
     return (sdf.withWatermark(time_col, watermark_delay)
             .groupBy(F.session_window(F.col(time_col), gap), *cols)
             .agg(F.count(F.lit(1)).alias("n_events"))
@@ -276,11 +306,19 @@ def stream_to_parquet(sdf: DataFrame, path: str, checkpoint_dir: str,
     commits — the persistent-ingest counterpart of the memory-sink
     drain in :func:`run_available_now`.
 
-    The checkpoint directory carries the source offsets + file-commit
-    log, so re-running over an unchanged input directory appends
-    NOTHING new (idempotent restart — the property a 100 TB ingest
-    loop actually needs), and a crash mid-batch replays that batch
-    without double-committing files.
+    The checkpoint directory carries the source offsets, so re-running
+    over an unchanged input directory appends NOTHING new (idempotent
+    restart — the property a 100 TB ingest loop actually needs). Crash
+    safety differs by path:
+
+    - Without ``transform``, the native parquet sink's file-commit log
+      makes mid-batch crash replays exactly-once.
+    - With ``transform`` (``foreachBatch``), there is no commit log, so
+      the write is keyed by a ``__batch_id__`` partition column with
+      dynamic partition overwrite: a replayed micro-batch OVERWRITES
+      its own partition instead of appending a duplicate — idempotent
+      under replay. Readers see the extra ``__batch_id__`` column; drop
+      it if the schema must match the input exactly.
 
     ``transform``: optional per-micro-batch function
     ``(batch_df, batch_id) -> DataFrame`` applied via ``foreachBatch``
@@ -288,8 +326,9 @@ def stream_to_parquet(sdf: DataFrame, path: str, checkpoint_dir: str,
     against a persisted dedup index). Without it the stream writes
     directly (no epoch-level Python involvement).
 
-    Drains with ``Trigger.AvailableNow`` and blocks until done; returns
-    the terminated StreamingQuery.
+    Drains with ``Trigger.AvailableNow``; raises TimeoutError if not
+    finished within ``timeout_sec``. Returns the terminated
+    StreamingQuery.
     """
     if transform is None:
         q = (sdf.writeStream.format("parquet")
@@ -301,11 +340,19 @@ def stream_to_parquet(sdf: DataFrame, path: str, checkpoint_dir: str,
         def _write(batch_df: DataFrame, batch_id: int) -> None:
             out = transform(batch_df, batch_id)
             if out is not None:
-                out.write.mode("append").parquet(path)
+                (out.withColumn("__batch_id__", F.lit(int(batch_id)))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("__batch_id__")
+                 .parquet(path))
 
         q = (sdf.writeStream.foreachBatch(_write)
              .option("checkpointLocation", checkpoint_dir)
              .queryName(query_name)
              .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming sink {query_name!r} did not finish in "
+            f"{timeout_sec}s")
     return q

@@ -2882,16 +2882,8 @@ def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = streaming_session_counts(sdf, "ts", gap="1 hour",
                                     group_cols=["user_id"])
     name = f"sess_{_uuid.uuid4().hex[:8]}"
-    # state-store partition count is fixed at stream start from
-    # spark.sql.shuffle.partitions; a test-scale drain doesn't need 200
-    # state partitions' worth of per-batch store init (a real deployment
-    # sizes this to the key cardinality). Scoped: restored right after.
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        t = run_available_now(sess, name, output_mode="complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    t = run_available_now(sess, name, output_mode="complete",
+                          shuffle_partitions=8)
     dur = F.expr(
         "timestampdiff(MICROSECOND, session_start, session_end)")
     return (t.withColumn("dur_us", dur)
@@ -2941,12 +2933,8 @@ def streaming_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = streaming_windowed_counts(sdf, "ts", "7 days", None,
                                     group_cols=["event_type"])
     name = f"win_{_uuid.uuid4().hex[:8]}"
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        t = run_available_now(agg, name, output_mode="complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    t = run_available_now(agg, name, output_mode="complete",
+                          shuffle_partitions=8)
     win = F.expr("timestampdiff(SECOND, "
                  "TIMESTAMP_NTZ '1970-01-01 00:00:00', window_start)")
     return (t.withColumn("win", win)

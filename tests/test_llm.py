@@ -973,3 +973,11 @@ def test_remove_duplicate_lines_first_occurrence_wins(spark):
     out2 = {r.doc_id: (r.clean_text, r.n_lines_kept)
             for r in remove_duplicate_lines(df.repartition(5)).collect()}
     assert out2 == out
+
+    # empty lines are paragraph STRUCTURE, not content: they pass
+    # through untouched in every doc (no corpus-wide reflow)
+    paras = spark.createDataFrame(
+        [(0, "one\n\ntwo"), (1, "three\n\nfour")], ["doc_id", "text"])
+    got = {r.doc_id: r.clean_text
+           for r in remove_duplicate_lines(paras).collect()}
+    assert got == {0: "one\n\ntwo", 1: "three\n\nfour"}

@@ -290,6 +290,12 @@ def test_streaming_session_counts(spark, tmp_path):
                    .agg(F.count(F.lit(1)).alias("n")).collect())
     assert batch == out
 
+    # global (keyless) session windows are unsupported on streams —
+    # clear error instead of a start-time Spark failure
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="group column"):
+        streaming_session_counts(sdf, "ts")
+
 
 def test_stream_to_parquet_idempotent_restart(spark, tmp_path):
     """Checkpointed parquet sink: re-draining an unchanged source
@@ -327,6 +333,7 @@ def test_stream_to_parquet_idempotent_restart(spark, tmp_path):
     # foreachBatch transform hook (its own checkpoint: a checkpoint is
     # bound to ONE sink kind) filters in-flight and is likewise
     # restart-idempotent
+    import shutil
     out2 = str(tmp_path / "sink_out2")
     ckpt2 = str(tmp_path / "sink_ckpt2")
     filt = lambda df, _bid: df.filter("v % 2 = 0")  # noqa: E731
@@ -334,6 +341,16 @@ def test_stream_to_parquet_idempotent_restart(spark, tmp_path):
                       query_name="sink_t4")
     stream_to_parquet(read_stream(), out2, ckpt2, transform=filt,
                       query_name="sink_t5")
+    want2 = [v for v in list(range(10)) + list(range(100, 110))
+             if v % 2 == 0]
     vals2 = sorted(r.v for r in spark.read.parquet(out2).collect())
-    assert vals2 == [v for v in list(range(10)) + list(range(100, 110))
-                     if v % 2 == 0]
+    assert vals2 == want2
+
+    # replay idempotency: losing the checkpoint replays the batch with
+    # the same batch id — the __batch_id__-keyed dynamic overwrite
+    # REPLACES the partition instead of appending duplicates
+    shutil.rmtree(ckpt2)
+    stream_to_parquet(read_stream(), out2, ckpt2, transform=filt,
+                      query_name="sink_t6")
+    vals3 = sorted(r.v for r in spark.read.parquet(out2).collect())
+    assert vals3 == want2
