@@ -137,6 +137,40 @@ def deterministic_shuffle(df: DataFrame, id_col: str,
             .drop("__shuffle_key__"))
 
 
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
+                    n: int, seed: int = 0) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES, Inf. Proc. Letters 2006): each row gets
+    the key ``ln(u) / w`` with ``u`` a seeded uniform in (0, 1] derived
+    from the portable md5 of ``(seed, id)``; the ``n`` LARGEST keys are
+    the sample — exactly the distribution of sequential
+    weighted-without-replacement draws.
+
+    Inclusion is a pure function of ``(seed, ids, weights)`` — stable
+    under re-partitioning and cluster size, and re-derivable verbatim
+    in any engine with md5 + ln (the oracle does). Rows with
+    non-positive or null weight are excluded (zero-weight rows have
+    zero selection probability; A-ES keys are undefined for them).
+
+    Scale shape: one projection + TakeOrdered top-n — no global sort,
+    no shuffle of the corpus; only n rows reach the driver-side limit.
+    The standard mixture-building primitive: sample documents
+    proportional to quality score / domain weight.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = F.col(weight_col).cast("double")
+    v = F.conv(F.substring(shuffle_key(id_col, seed), 1, 15),
+               16, 10).cast("double")
+    u = (v + F.lit(1.0)) / F.lit(float(16 ** 15))   # uniform in (0, 1]
+    key = (F.log(u) / w).alias("__aes_key__")
+    return (df.filter(w > 0)
+            .withColumn("__aes_key__", key)
+            .orderBy(F.col("__aes_key__").desc())
+            .limit(int(n))
+            .drop("__aes_key__"))
+
+
 def assign_batches(df: DataFrame, id_col: str, batch_size: int,
                    seed: int = 0) -> DataFrame:
     """Training-batch assignment: shuffle the corpus deterministically

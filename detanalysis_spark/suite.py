@@ -3008,6 +3008,40 @@ def line_dedup_first_occurrence(spark: SparkSession,
                  F.sum("n_lines_kept").alias("n_first_words")))
 
 
+# ----------------------------------------------------------------------
+# Deterministic weighted sampling without replacement (Efraimidis-
+# Spirakis A-ES): key = ln(u)/w with a portable seeded-md5 uniform;
+# top-n keys are the sample. One projection + TakeOrdered — no global
+# sort, no corpus shuffle. The oracle re-derives the identical keys
+# (md5 and ln agree across engines; the uniform construction is
+# bit-identical integer arithmetic).
+# ----------------------------------------------------------------------
+@query("weighted_sample_stats", oracle="""
+WITH k AS (
+  SELECT doc_id, n_chars, lang,
+         ln((('0x' || substr(md5(concat('7:', CAST(doc_id AS VARCHAR))),
+                             1, 15))::UBIGINT + 1.0)
+            / 1152921504606846976.0)
+           / CAST(n_chars AS DOUBLE) AS aes_key
+  FROM documents WHERE n_chars > 0
+  ORDER BY aes_key DESC LIMIT 50)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM k
+""")
+def weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import weighted_sample
+    docs = load_table(spark, sf_dir, "documents")
+    picked = weighted_sample(docs, "doc_id", "n_chars", 50, seed=7)
+    return picked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("doc_id").alias("id_sum"),
+        F.count_distinct("lang").alias("n_langs"))
+
+
 # ======================================================================
 # registration order epilogue
 #

@@ -138,3 +138,45 @@ def test_assign_split_zero_and_full_fractions(spark):
                 assign_split(df, "id", {"a": 0.5, "b": 0.5, "z": 0.0},
                              seed=2).collect())
     assert c["z"] == 0 and c["a"] + c["b"] == 1000
+
+
+def test_weighted_sample_matches_aes_replay(spark):
+    """A-ES weighted sampling: inclusion equals a python replay of the
+    key formula (seeded md5 uniform, ln(u)/w, top-n); non-positive and
+    null weights are excluded; result is partition-invariant."""
+    import hashlib
+    import math
+    from detanalysis_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(200)]
+    rows += [(200, 0.0), (201, -3.0), (202, None)]   # excluded
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    def key(i, w, seed=11):
+        v = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16)
+        u = (v + 1) / 16 ** 15
+        return math.log(u) / w
+
+    want = sorted((i for i, w in rows if w and w > 0),
+                  key=lambda i: -key(i, dict(rows)[i]))[:25]
+    got = sorted(r.id for r in
+                 weighted_sample(df, "id", "w", 25, seed=11).collect())
+    assert got == sorted(want)
+    got2 = sorted(r.id for r in weighted_sample(
+        df.repartition(7), "id", "w", 25, seed=11).collect())
+    assert got2 == got
+
+    # heavier rows are sampled more often: compare inclusion counts of
+    # the heaviest vs lightest weight class over several seeds
+    heavy = {i for i, w in rows[:200] if w >= 40}
+    light = {i for i, w in rows[:200] if w <= 10}
+    h = l = 0
+    for s in range(6):
+        picked = {r.id for r in
+                  weighted_sample(df, "id", "w", 40, seed=s).collect()}
+        h += len(picked & heavy)
+        l += len(picked & light)
+    assert h > l
+
+    with pytest.raises(ValueError, match="n must be"):
+        weighted_sample(df, "id", "w", 0)
