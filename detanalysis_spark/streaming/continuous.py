@@ -356,3 +356,58 @@ def stream_to_parquet(sdf: DataFrame, path: str, checkpoint_dir: str,
             f"streaming sink {query_name!r} did not finish in "
             f"{timeout_sec}s")
     return q
+
+
+def streaming_ann_topk(sdf: DataFrame, ivf, corpus: DataFrame, k: int = 5,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       probe_id_col: str | None = None) -> DataFrame:
+    """Streaming approximate nearest neighbors: each micro-batch's
+    probe vectors are cell-assigned by a fitted :class:`IVFIndex` and
+    joined against the STATIC corpus's cells — the ingest-time "what
+    does this new document resemble" lookup of an unbounded embedding
+    stream (near-real-time retrieval, streaming semantic screening).
+
+    Shapes: cell assignment is a per-row vectorized projection on the
+    stream (one matmul per Arrow batch against the small centroid
+    matrix); the candidate step is a stream-static equi-join on the
+    cell id, so each probe scores ~``n_probe/n_centroids`` of the
+    corpus, never all of it. Per-probe ranking uses a streaming
+    groupBy with a sorted-top-k collect aggregate (window functions
+    are not available on unbounded frames) — state is one k-slot list
+    per probe id. Complete/update output modes; drain bounded backlogs
+    with :func:`run_available_now`.
+
+    Output: (probe_id, rank, neighbor_id, sim) — the same contract as
+    ``IVFIndex.topk``.
+    """
+    from ..llm.similarity import _dot, _unit
+
+    pid = probe_id_col or id_col
+    c = (ivf.with_cell(corpus, vec_col)
+         .select(F.col(id_col).alias("neighbor_id"),
+                 F.col("ivf_cell").alias("cell"),
+                 _unit(F.col(vec_col)).alias("vec")))
+    p = (sdf.select(F.col(pid).alias("probe_id"),
+                    ivf.cell_udf(ivf.n_probe)(F.col(vec_col))
+                    .alias("cells"),
+                    _unit(F.col(vec_col)).alias("probe_vec"))
+         .select("probe_id", "probe_vec", F.explode("cells").alias("cell")))
+    pairs = p.join(c, "cell").filter(
+        F.col("neighbor_id") != F.col("probe_id"))
+    scored = pairs.select(
+        "probe_id", "neighbor_id",
+        _dot(F.col("vec"), F.col("probe_vec")).alias("sim"))
+    # top-k per probe without a window: collect (-sim, neighbor) structs,
+    # sort ascending (= sim descending, neighbor asc tie-break), slice k
+    topk = (scored.groupBy("probe_id")
+            .agg(F.slice(F.sort_array(F.collect_list(F.struct(
+                (-F.col("sim")).alias("neg_sim"),
+                F.col("neighbor_id").alias("neighbor_id")))),
+                1, int(k)).alias("top")))
+    hit = F.explode(F.transform(
+        F.col("top"),
+        lambda s, i: F.struct((i + 1).alias("rank"),
+                              s["neighbor_id"].alias("neighbor_id"),
+                              (-s["neg_sim"]).alias("sim"))))
+    return (topk.select("probe_id", hit.alias("h"))
+            .select("probe_id", "h.rank", "h.neighbor_id", "h.sim"))

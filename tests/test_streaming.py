@@ -354,3 +354,39 @@ def test_stream_to_parquet_idempotent_restart(spark, tmp_path):
                       query_name="sink_t6")
     vals3 = sorted(r.v for r in spark.read.parquet(out2).collect())
     assert vals3 == want2
+
+
+def test_streaming_ann_topk_matches_batch_ivf(spark, tmp_path):
+    """Streamed probes against a static IVF-celled corpus return the
+    same (probe, rank, neighbor) sets as the batch IVFIndex.topk."""
+    import numpy as np
+    from detanalysis_spark.llm.similarity import IVFIndex
+    from detanalysis_spark.streaming import streaming_ann_topk
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((4, 12)) * 10.0
+    vecs = np.vstack([c + 0.1 * rng.standard_normal((20, 12))
+                      for c in centers])
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"])
+    ivf = IVFIndex(n_centroids=4, n_probe=2, seed=2).fit(corpus)
+
+    probes = corpus.filter("vec_id IN (3, 25, 47, 69)")
+    want = sorted((r.probe_id, r.rank, r.neighbor_id)
+                  for r in ivf.topk(corpus, probes, k=4).collect())
+
+    d = str(tmp_path / "probe_stream")
+    probes.coalesce(1).write.mode("overwrite").parquet(d)
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding",
+                                     ArrayType(DoubleType()))])
+    sdf = spark.readStream.schema(schema).parquet(d)
+    got_df = run_available_now(
+        streaming_ann_topk(sdf, ivf, corpus, k=4),
+        "ann_t1", output_mode="complete", shuffle_partitions=4)
+    got = sorted((r.probe_id, r.rank, r.neighbor_id)
+                 for r in got_df.collect())
+    assert got == want
