@@ -439,6 +439,67 @@ class IVFIndex:
 
         return _cells
 
+    def write_corpus(self, df: DataFrame, path: str,
+                     vec_col: str = "embedding",
+                     mode: str = "append") -> None:
+        """Persist (or incrementally APPEND) corpus vectors into the
+        cell-partitioned layout: one directory per ``ivf_cell``.
+
+        This is how an IVF index grows at 100 TB: new vectors are
+        cell-assigned (per-row projection) and appended to their cell
+        partitions — no rebuild, no touch of existing data. Probes read
+        through :meth:`read_corpus` with partition PRUNING: a probe
+        visiting ``n_probe`` cells opens ``n_probe/n_centroids`` of the
+        directories, never the whole corpus.
+        """
+        (self.with_cell(df, vec_col)
+         .write.mode(mode).partitionBy("ivf_cell").parquet(path))
+
+    @staticmethod
+    def read_corpus(spark, path: str) -> DataFrame:
+        """Read a cell-partitioned corpus back; ``ivf_cell`` comes from
+        the directory layout, so a filter on it prunes at planning
+        time (check ``PartitionFilters`` in the scan)."""
+        return spark.read.parquet(path)
+
+    def topk_from_corpus(self, spark, path: str, probes: DataFrame,
+                         k: int = 10, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         probe_id_col: str | None = None) -> DataFrame:
+        """`topk` against a persisted cell-partitioned corpus, reading
+        ONLY the probes' cells: the probe cells are computed driver-side
+        from the (in-memory) probe vectors, turned into an `isin`
+        partition filter, and the scan prunes every other directory —
+        the I/O shape that makes IVF pay off on disk, not just in the
+        join."""
+        rows = (probes.select(
+            self.cell_udf(self.n_probe)(F.col(vec_col)).alias("cells"))
+            .select(F.explode("cells").alias("c")).distinct().collect())
+        cells = sorted({int(r["c"]) for r in rows})
+        corpus = self.read_corpus(spark, path).filter(
+            F.col("ivf_cell").isin(cells))
+        pid = probe_id_col or id_col
+        c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col("ivf_cell").alias("cell"),
+                          _unit(F.col(vec_col)).alias("vec"))
+        p = (probes
+             .select(F.col(pid).alias("probe_id"),
+                     self.cell_udf(self.n_probe)(F.col(vec_col))
+                     .alias("cells"),
+                     _unit(F.col(vec_col)).alias("probe_vec"))
+             .select("probe_id", "probe_vec",
+                     F.explode("cells").alias("cell")))
+        pairs = c.join(F.broadcast(p), "cell").filter(
+            F.col("neighbor_id") != F.col("probe_id"))
+        scored = pairs.select(
+            "probe_id", "neighbor_id",
+            _dot(F.col("vec"), F.col("probe_vec")).alias("sim"))
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id").asc())
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("probe_id", "rank", "neighbor_id", "sim"))
+
     def with_cell(self, df: DataFrame, vec_col: str = "embedding",
                   out_col: str = "ivf_cell") -> DataFrame:
         """Attach the home-cell id (projection only — persist the table

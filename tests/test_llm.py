@@ -981,3 +981,32 @@ def test_remove_duplicate_lines_first_occurrence_wins(spark):
     got = {r.doc_id: r.clean_text
            for r in remove_duplicate_lines(paras).collect()}
     assert got == {0: "one\n\ntwo", 1: "three\n\nfour"}
+
+
+def test_ivf_persisted_corpus_prunes_and_appends(clustered_vectors, tmp_path):
+    """Cell-partitioned corpus persistence: probes against the on-disk
+    layout read ONLY their cells (partition pruning in the plan),
+    results equal the in-memory topk, and incremental append grows the
+    index without rebuilding."""
+    from detanalysis_spark.llm.similarity import IVFIndex
+    df, _ = clustered_vectors
+    spark = df.sparkSession
+    ivf = IVFIndex(n_centroids=4, n_probe=1, seed=1).fit(df)
+    path = str(tmp_path / "ivf_corpus")
+
+    first = df.filter("vec_id < 90")
+    late = df.filter("vec_id >= 90")
+    ivf.write_corpus(first, path, mode="overwrite")
+    ivf.write_corpus(late, path)         # incremental append
+    assert IVFIndex.read_corpus(spark, path).count() == df.count()
+
+    probes = df.filter("vec_id IN (2, 27)")
+    got = ivf.topk_from_corpus(spark, path, probes, k=5)
+    want = sorted((r.probe_id, r.rank, r.neighbor_id)
+                  for r in ivf.topk(df, probes, k=5).collect())
+    assert sorted((r.probe_id, r.rank, r.neighbor_id)
+                  for r in got.collect()) == want
+    # the scan is partition-pruned to the probes' cells
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split(
+        "PartitionFilters", 1)[1][:300]
