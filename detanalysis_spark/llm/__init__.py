@@ -8,6 +8,7 @@ generation, no all-pairs, no driver-side loops).
 
 from .similarity import (cosine_similarity, cosine_topk,
                          RandomHyperplaneLSH, IVFIndex, semantic_dedup,
+                         embedding_outliers,
                          quantize_embeddings, quantization_error)
 from .dedup import (dedup_exact, minhash_signatures, lsh_candidate_pairs,
                     near_dup_clusters, simhash, ngram_jaccard,
@@ -34,7 +35,7 @@ __all__ = [
     "line_frequencies", "remove_boilerplate_lines",
     "remove_duplicate_lines", "decontaminate",
     "cosine_similarity", "cosine_topk", "RandomHyperplaneLSH", "IVFIndex",
-    "semantic_dedup",
+    "semantic_dedup", "embedding_outliers",
     "dedup_exact", "minhash_signatures", "lsh_candidate_pairs",
     "near_dup_clusters", "simhash", "ngram_jaccard",
     "token_count", "bpe_ish_token_count", "quality_scores",

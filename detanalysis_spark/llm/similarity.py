@@ -566,6 +566,46 @@ def embedding_centroids(df: DataFrame, group_col: str,
 # ---------------------------------------------------------------------------
 # distributed covariance / PCA over the embedding column
 # ---------------------------------------------------------------------------
+def embedding_outliers(df: DataFrame, group_col: str,
+                       vec_col: str = "embedding",
+                       z_threshold: float = 2.0) -> DataFrame:
+    """Per-group embedding outlier detection: distance of each vector
+    to its group centroid, z-scored within the group — the standard
+    screen for mislabeled / off-distribution examples in a training
+    corpus (and the per-cluster dispersion audit of a SemDeDup run).
+
+    Adds ``dist`` (L2 to the group centroid), ``z`` and ``is_outlier``
+    (z > ``z_threshold``) to ``df``.
+
+    Scale shape: the centroid table is (groups × dim) small — it
+    broadcasts as per-group ARRAYS and the distance is a JVM-native
+    zip_with fold per row (no per-dimension explode of the corpus);
+    the group mean/std of distances is one more map-side-combined
+    aggregate, also broadcast back. The corpus is never shuffled.
+    """
+    cents = embedding_centroids(df, group_col, vec_col)
+    cent_arr = (cents.groupBy("group")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("pos"), F.col("mean")))),
+                    lambda s: s["mean"]).alias("__cent__")))
+    vd = _as_double(F.col(vec_col))
+    j = (df.join(F.broadcast(cent_arr),
+                 F.col(group_col) == F.col("group")).drop("group"))
+    dist = F.sqrt(F.aggregate(
+        F.zip_with(vd, F.col("__cent__"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    d = j.withColumn("dist", dist).drop("__cent__")
+    stats = d.groupBy(group_col).agg(
+        F.avg("dist").alias("__mu__"),
+        F.stddev_samp("dist").alias("__sd__"))
+    return (d.join(F.broadcast(stats), group_col)
+            .withColumn("z", (F.col("dist") - F.col("__mu__"))
+                        / F.col("__sd__"))
+            .withColumn("is_outlier", F.col("z") > F.lit(z_threshold))
+            .drop("__mu__", "__sd__"))
+
+
 def embedding_moments(df: DataFrame, vec_col: str = "embedding"):
     """Distributed second moments of an embedding column: returns
     ``(n, sum_vec[d], gram[d, d])`` as numpy, from ONE pass.

@@ -3042,6 +3042,41 @@ def weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("lang").alias("n_langs"))
 
 
+# ----------------------------------------------------------------------
+# Embedding outlier screen: distance to the label centroid, z-scored
+# within the label (threshold 2.0 — every vector sits ≥0.007 z away
+# from the cut at all SFs, so engine/oracle float roundings cannot flip
+# a count). Centroids broadcast as arrays; the corpus never shuffles.
+# ----------------------------------------------------------------------
+@query("embedding_outlier_stats", oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+x AS (SELECT vec_id, label, unnest(emb) AS v,
+             generate_subscripts(emb, 1) AS p FROM e),
+c AS (SELECT label, p, avg(v) AS m FROM x GROUP BY label, p),
+d AS (SELECT x.vec_id, x.label,
+             sqrt(sum((x.v - c.m) * (x.v - c.m))) AS dist
+      FROM x JOIN c ON x.label = c.label AND x.p = c.p
+      GROUP BY x.vec_id, x.label),
+s AS (SELECT label, avg(dist) AS mu, stddev_samp(dist) AS sd
+      FROM d GROUP BY label)
+SELECT d.label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN (dist - mu) / sd > 2.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       round(avg(dist), 6) AS mean_dist
+FROM d JOIN s USING (label) GROUP BY d.label
+""")
+def embedding_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.similarity import embedding_outliers
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_outliers(emb, "label", z_threshold=2.0)
+    return (out.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("is_outlier").cast("long"))
+                 .alias("n_outliers"),
+                 F.round(F.avg("dist"), 6).alias("mean_dist")))
+
+
 # ======================================================================
 # registration order epilogue
 #

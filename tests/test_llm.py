@@ -1010,3 +1010,33 @@ def test_ivf_persisted_corpus_prunes_and_appends(clustered_vectors, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ivf_cell" in plan.split(
         "PartitionFilters", 1)[1][:300]
+
+
+def test_embedding_outliers_match_numpy(clustered_vectors):
+    """dist/z/is_outlier equal a numpy replay; planting a far vector
+    makes exactly that vector the group's outlier."""
+    from detanalysis_spark.llm.similarity import embedding_outliers
+    df, vecs = clustered_vectors
+    spark = df.sparkSession
+    lab = np.repeat(np.arange(4), 25)
+    far = vecs.copy()
+    far[7] = far[7] + 40.0                   # plant an outlier in group 0
+    d2 = spark.createDataFrame(
+        [(i, int(lab[i]), [float(x) for x in far[i]])
+         for i in range(len(far))],
+        "vec_id long, grp long, embedding array<double>")
+    got = {r.vec_id: r for r in
+           embedding_outliers(d2, "grp", z_threshold=2.0).collect()}
+
+    for g in range(4):
+        idx = np.where(lab == g)[0]
+        cent = far[idx].mean(axis=0)
+        dist = np.linalg.norm(far[idx] - cent, axis=1)
+        mu, sd = dist.mean(), dist.std(ddof=1)
+        for j, i in enumerate(idx):
+            assert got[i].dist == pytest.approx(dist[j], rel=1e-9)
+            assert got[i].z == pytest.approx((dist[j] - mu) / sd,
+                                             rel=1e-9)
+            assert got[i].is_outlier == ((dist[j] - mu) / sd > 2.0)
+    outliers = [i for i, r in got.items() if r.is_outlier]
+    assert 7 in outliers
