@@ -3077,6 +3077,44 @@ def embedding_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("dist"), 6).alias("mean_dist")))
 
 
+# ----------------------------------------------------------------------
+# Cross-modal curation capstone: text quality gate → embedding join →
+# SemDeDup semantic dedup among the survivors — the text and embedding
+# pillars composed in one plan. The join is id-keyed (AQE broadcasts
+# the gated side when small); the pairwise step stays cluster-keyed.
+# Fully deterministic → full chained DuckDB oracle.
+# ----------------------------------------------------------------------
+@query("semantic_curation_stats", oracle=r"""
+WITH q AS (
+  SELECT d.doc_id, d.lang, d.n_chars, e.label,
+         CAST(e.embedding AS DOUBLE[]) AS emb
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE len(string_split_regex(trim(d.text), '\s+')) >= 5
+    AND length(trim(d.text)) > 0)
+SELECT x.lang, x.label,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(x.n_chars) AS BIGINT) AS total_chars
+FROM q x
+WHERE NOT EXISTS (
+  SELECT 1 FROM q y
+  WHERE y.label = x.label AND y.doc_id < x.doc_id
+    AND list_cosine_similarity(y.emb, x.emb) >= 0.30)
+GROUP BY x.lang, x.label
+""")
+def semantic_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.text import token_count
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    gated = docs.filter(token_count(F.col("text")) >= 5)
+    joined = (gated.join(emb, gated["doc_id"] == emb["vec_id"])
+              .select("doc_id", "lang", "n_chars", "label", "embedding"))
+    kept = _sem_dedup(joined, 0.30, id_col="doc_id", cluster_col="label")
+    return (kept.groupBy("lang", "label")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum(F.col("n_chars").cast("long"))
+                 .alias("total_chars")))
+
+
 # ======================================================================
 # registration order epilogue
 #
