@@ -40,7 +40,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 QUADRATIC_ORACLES = {
     "near_dup_pairs_minhash", "near_dup_cluster_sizes",
     "embedding_near_dup_pairs", "ann_cosine_topk", "ann_ivf_topk",
-    "semantic_dedup_stats",  # within-cluster all-pairs NOT EXISTS
+    "semantic_dedup_stats",     # within-cluster all-pairs NOT EXISTS
+    "semantic_curation_stats",  # same NOT EXISTS shape on the gated set
 }
 
 
