@@ -22,14 +22,15 @@ from .text import (token_count, bpe_ish_token_count, quality_scores,
                    bpe_segment_udf)
 from .multimodal import (decode_raw8, encode_raw8, resize_bilinear,
                          image_features, audio_features, frame_sample_udf)
-from .pipeline import CurationConfig, curate_corpus
+from .pipeline import (CurationConfig, curate_corpus,
+                       curate_corpus_stream)
 from .cleaning import (pii_counts, redact_pii, repetition_scores,
                        benchmark_ngrams, contamination_overlap,
                        line_frequencies, remove_boilerplate_lines,
                        remove_duplicate_lines, decontaminate)
 
 __all__ = [
-    "CurationConfig", "curate_corpus",
+    "CurationConfig", "curate_corpus", "curate_corpus_stream",
     "pii_counts", "redact_pii", "repetition_scores",
     "benchmark_ngrams", "contamination_overlap",
     "line_frequencies", "remove_boilerplate_lines",

@@ -37,7 +37,8 @@ from .cleaning import (decontaminate, redact_pii,
 from .dedup import apply_near_dedup, dedup_exact
 from .text import language_id, normalize_text, token_count
 
-__all__ = ["CurationConfig", "curate_corpus"]
+__all__ = ["CurationConfig", "curate_corpus",
+           "curate_corpus_stream"]
 
 
 @dataclass
@@ -150,3 +151,78 @@ def curate_corpus(docs: DataFrame, config: CurationConfig | None = None,
                            seed=cfg.split_seed)
 
     return out, counts
+
+
+def curate_corpus_stream(sdf: DataFrame,
+                         config: CurationConfig | None = None,
+                         dedup_watermark_col: str | None = None,
+                         dedup_delay: str = "10 minutes") -> DataFrame:
+    """The curation pipeline on an UNBOUNDED stream — the ingest-time
+    counterpart of :func:`curate_corpus`, composed from the stages that
+    stream:
+
+    - PII redaction, normalization, quality/repetition/language gates,
+      split assignment: stateless projections — the SAME expressions as
+      batch (proven equal in tests/test_streaming.py).
+    - Benchmark decontamination: ``arrays_overlap`` of each document's
+      shingle array against the benchmark gram set as a literal array
+      (benchmarks are MBs by definition, so the one-time driver
+      materialization is bounded) — a pure projection, because the
+      batch path's per-doc hit-count AGGREGATION is not available on
+      an unwatermarked stream in append mode. Matches batch exactly
+      for the default ``max_hits=0`` ("any overlap drops the doc").
+    - Exact dedup: first-seen-wins streaming state on the normalized
+      content hash (:func:`streaming.streaming_dedup_exact`); pass
+      ``dedup_watermark_col`` to bound state on an unbounded crawl.
+
+    Corpus-wide stages that need a full pass (boilerplate line
+    frequencies, MinHash near-dedup clustering) cannot stream — run
+    them as periodic batch compaction over the sink
+    (``stream_to_parquet`` + :func:`curate_corpus`), or screen
+    near-dups in-flight with ``streaming_near_dup_hits``. Dedup keeps
+    the FIRST ARRIVAL per normalized text (arrival order is the
+    stream's id order), where batch keeps min-id — identical when
+    files arrive in id order.
+
+    Returns the streaming DataFrame (same columns as batch output,
+    minus near-dedup); sink it with ``stream_to_parquet``.
+    """
+    from ..streaming.continuous import streaming_dedup_exact
+
+    cfg = config or CurationConfig()
+    out = sdf.withColumn(cfg.text_col, redact_pii(F.col(cfg.text_col)))
+    out = out.withColumn("__norm__", normalize_text(F.col(cfg.text_col)))
+
+    n_tok = token_count(F.col(cfg.text_col))
+    rep = repetition_scores(F.col(cfg.text_col))
+    out = out.filter(
+        (n_tok >= cfg.min_tokens)
+        & (rep["dup_token_ratio"] <= cfg.max_dup_token_ratio)
+        & (rep["max_token_ratio"] <= cfg.max_token_ratio))
+
+    if cfg.languages is not None:
+        out = out.filter(
+            language_id(F.col(cfg.text_col)).isin(*cfg.languages))
+
+    if cfg.bench is not None:
+        from .cleaning import benchmark_ngrams
+        from .dedup import word_shingles
+        gram_rows = benchmark_ngrams(
+            cfg.bench, cfg.text_col, cfg.decontaminate_ngram).collect()
+        grams = [r["gram"] for r in gram_rows]
+        if grams:
+            bench_arr = F.array(*[F.lit(g) for g in grams])
+            doc_grams = word_shingles(F.col(cfg.text_col),
+                                      cfg.decontaminate_ngram)
+            out = out.filter(~F.arrays_overlap(doc_grams, bench_arr))
+
+    out = streaming_dedup_exact(out, ["__norm__"],
+                                watermark_col=dedup_watermark_col,
+                                delay=dedup_delay)
+    out = out.drop("__norm__")
+
+    if cfg.split_fractions is not None:
+        from ..operators.sampling import assign_split
+        out = assign_split(out, cfg.id_col, cfg.split_fractions,
+                           seed=cfg.split_seed)
+    return out

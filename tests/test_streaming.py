@@ -390,3 +390,49 @@ def test_streaming_ann_topk_matches_batch_ivf(spark, tmp_path):
     got = sorted((r.probe_id, r.rank, r.neighbor_id)
                  for r in got_df.collect())
     assert got == want
+
+
+def test_curate_corpus_stream_matches_batch(spark, tmp_path):
+    """Streaming curation (PII → quality → decontaminate → streaming
+    exact dedup → split) produces the same surviving TEXT SET as the
+    batch pipeline with matching config (dedup keeps first-arrival vs
+    min-id — identical sets when files arrive in id order)."""
+    from detanalysis_spark.llm.pipeline import (CurationConfig,
+                                                curate_corpus,
+                                                curate_corpus_stream)
+    from detanalysis_spark.streaming import stream_to_parquet
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (1, base.upper()),                       # exact dup after normalize
+        (2, "tiny"),                             # min_tokens gate
+        (3, "dup dup dup dup dup dup dup dup"),  # repetition gate
+        (4, "mail x@y.io " + " ".join(f"w{i}" for i in range(12))),
+        (5, "the quick brown fox jumps over the lazy dog today"),
+        (6, "wholly novel content streaming through the pipe now"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(99, "quick brown fox jumps over the lazy")], ["doc_id", "text"])
+    cfg = CurationConfig(min_tokens=5, bench=bench, decontaminate_ngram=4,
+                         near_dup_threshold=None,
+                         split_fractions={"train": 0.5, "val": 0.5},
+                         split_seed=3)
+
+    want_df, _ = curate_corpus(docs, cfg)
+    want = sorted((r.text, r.split) for r in want_df.collect())
+
+    d = str(tmp_path / "curate_src")
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    sdf = spark.readStream.schema(schema).parquet(d)
+    out = str(tmp_path / "curate_out")
+    ckpt = str(tmp_path / "curate_ckpt")
+    stream_to_parquet(curate_corpus_stream(sdf, cfg), out, ckpt,
+                      query_name="curate_s1")
+    got = sorted((r.text, r.split)
+                 for r in spark.read.parquet(out).collect())
+    assert got == want
