@@ -190,6 +190,20 @@ def curate_corpus_stream(sdf: DataFrame,
     from ..streaming.continuous import streaming_dedup_exact
 
     cfg = config or CurationConfig()
+    # corpus-wide stages cannot stream: fail loudly instead of silently
+    # producing a different corpus than the batch run would
+    if cfg.boilerplate_min_docs is not None or cfg.dedup_lines:
+        raise ValueError(
+            "boilerplate_min_docs / dedup_lines need a full corpus pass "
+            "and cannot stream — run them as batch compaction over the "
+            "sink (stream_to_parquet + curate_corpus)")
+    if cfg.near_dup_threshold is not None:
+        import warnings
+        warnings.warn(
+            "near_dup_threshold is ignored on the stream path (MinHash "
+            "clustering needs the full corpus); screen in-flight with "
+            "streaming_near_dup_hits or near-dedup in batch compaction",
+            stacklevel=2)
     out = sdf.withColumn(cfg.text_col, redact_pii(F.col(cfg.text_col)))
     out = out.withColumn("__norm__", normalize_text(F.col(cfg.text_col)))
 
@@ -211,7 +225,9 @@ def curate_corpus_stream(sdf: DataFrame,
             cfg.bench, cfg.text_col, cfg.decontaminate_ngram).collect()
         grams = [r["gram"] for r in gram_rows]
         if grams:
-            bench_arr = F.array(*[F.lit(g) for g in grams])
+            # ONE typed array literal — per-gram F.lit()s would build a
+            # Catalyst node per gram (millions for a real benchmark)
+            bench_arr = F.lit(grams)
             doc_grams = word_shingles(F.col(cfg.text_col),
                                       cfg.decontaminate_ngram)
             out = out.filter(~F.arrays_overlap(doc_grams, bench_arr))

@@ -462,35 +462,25 @@ class IVFIndex:
         time (check ``PartitionFilters`` in the scan)."""
         return spark.read.parquet(path)
 
-    def topk_from_corpus(self, spark, path: str, probes: DataFrame,
-                         k: int = 10, id_col: str = "vec_id",
-                         vec_col: str = "embedding",
-                         probe_id_col: str | None = None) -> DataFrame:
-        """`topk` against a persisted cell-partitioned corpus, reading
-        ONLY the probes' cells: the probe cells are computed driver-side
-        from the (in-memory) probe vectors, turned into an `isin`
-        partition filter, and the scan prunes every other directory —
-        the I/O shape that makes IVF pay off on disk, not just in the
-        join."""
-        rows = (probes.select(
-            self.cell_udf(self.n_probe)(F.col(vec_col)).alias("cells"))
-            .select(F.explode("cells").alias("c")).distinct().collect())
-        cells = sorted({int(r["c"]) for r in rows})
-        corpus = self.read_corpus(spark, path).filter(
-            F.col("ivf_cell").isin(cells))
-        pid = probe_id_col or id_col
-        c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                          F.col("ivf_cell").alias("cell"),
-                          _unit(F.col(vec_col)).alias("vec"))
-        p = (probes
-             .select(F.col(pid).alias("probe_id"),
-                     self.cell_udf(self.n_probe)(F.col(vec_col))
-                     .alias("cells"),
-                     _unit(F.col(vec_col)).alias("probe_vec"))
-             .select("probe_id", "probe_vec",
-                     F.explode("cells").alias("cell")))
-        pairs = c.join(F.broadcast(p), "cell").filter(
-            F.col("neighbor_id") != F.col("probe_id"))
+    def _celled_probes(self, probes: DataFrame, pid: str,
+                       vec_col: str) -> DataFrame:
+        """(probe_id, probe_vec, cells) — the probe side of every IVF
+        search path."""
+        return probes.select(
+            F.col(pid).alias("probe_id"),
+            self.cell_udf(self.n_probe)(F.col(vec_col)).alias("cells"),
+            _unit(F.col(vec_col)).alias("probe_vec"))
+
+    @staticmethod
+    def _score_and_rank(c: DataFrame, p_exploded: DataFrame, k: int,
+                        exclude_self: bool = True) -> DataFrame:
+        """Shared tail of the batch IVF search: cell equi-join (small
+        probe side broadcast), exact cosine inside the matched cells,
+        per-probe window rank. ``c`` = (neighbor_id, cell, vec);
+        ``p_exploded`` = (probe_id, probe_vec, cell)."""
+        pairs = c.join(F.broadcast(p_exploded), "cell")
+        if exclude_self:
+            pairs = pairs.filter(F.col("neighbor_id") != F.col("probe_id"))
         scored = pairs.select(
             "probe_id", "neighbor_id",
             _dot(F.col("vec"), F.col("probe_vec")).alias("sim"))
@@ -499,6 +489,34 @@ class IVFIndex:
         return (scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
                 .select("probe_id", "rank", "neighbor_id", "sim"))
+
+    def topk_from_corpus(self, spark, path: str, probes: DataFrame,
+                         k: int = 10, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         probe_id_col: str | None = None,
+                         exclude_self: bool = True) -> DataFrame:
+        """`topk` against a persisted cell-partitioned corpus, reading
+        ONLY the probes' cells: the probe cells are computed driver-side
+        from the (in-memory) probe vectors, turned into an `isin`
+        partition filter, and the scan prunes every other directory —
+        the I/O shape that makes IVF pay off on disk, not just in the
+        join. The celled probe frame is checkpointed so the cell UDF
+        runs ONCE (shared by the driver-side cell collect and the
+        join)."""
+        pid = probe_id_col or id_col
+        pc = self._celled_probes(probes, pid, vec_col) \
+            .localCheckpoint(eager=True)
+        rows = (pc.select(F.explode("cells").alias("c"))
+                .distinct().collect())
+        cells = sorted({int(r["c"]) for r in rows})
+        corpus = self.read_corpus(spark, path).filter(
+            F.col("ivf_cell").isin(cells))
+        c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col("ivf_cell").alias("cell"),
+                          _unit(F.col(vec_col)).alias("vec"))
+        p = pc.select("probe_id", "probe_vec",
+                      F.explode("cells").alias("cell"))
+        return self._score_and_rank(c, p, k, exclude_self)
 
     def with_cell(self, df: DataFrame, vec_col: str = "embedding",
                   out_col: str = "ivf_cell") -> DataFrame:
@@ -518,24 +536,10 @@ class IVFIndex:
              .select(F.col(id_col).alias("neighbor_id"),
                      F.col("ivf_cell").alias("cell"),
                      _unit(F.col(vec_col)).alias("vec")))
-        p = (probes
-             .select(F.col(pid).alias("probe_id"),
-                     self.cell_udf(self.n_probe)(F.col(vec_col))
-                     .alias("cells"),
-                     _unit(F.col(vec_col)).alias("probe_vec"))
+        p = (self._celled_probes(probes, pid, vec_col)
              .select("probe_id", "probe_vec",
                      F.explode("cells").alias("cell")))
-        pairs = c.join(F.broadcast(p), "cell")
-        if exclude_self:
-            pairs = pairs.filter(F.col("neighbor_id") != F.col("probe_id"))
-        scored = pairs.select(
-            "probe_id", "neighbor_id",
-            _dot(F.col("vec"), F.col("probe_vec")).alias("sim"))
-        w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(),
-                                                   F.col("neighbor_id").asc())
-        return (scored.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("probe_id", "rank", "neighbor_id", "sim"))
+        return self._score_and_rank(c, p, k, exclude_self)
 
 
 def embedding_centroids(df: DataFrame, group_col: str,
@@ -584,14 +588,17 @@ def embedding_outliers(df: DataFrame, group_col: str,
     aggregate, also broadcast back. The corpus is never shuffled.
     """
     cents = embedding_centroids(df, group_col, vec_col)
+    # alias the centroid key: a caller's column literally named "group"
+    # must neither collide in the join nor be dropped afterwards
     cent_arr = (cents.groupBy("group")
                 .agg(F.transform(
                     F.array_sort(F.collect_list(
                         F.struct(F.col("pos"), F.col("mean")))),
-                    lambda s: s["mean"]).alias("__cent__")))
+                    lambda s: s["mean"]).alias("__cent__"))
+                .withColumnRenamed("group", "__grp__"))
     vd = _as_double(F.col(vec_col))
     j = (df.join(F.broadcast(cent_arr),
-                 F.col(group_col) == F.col("group")).drop("group"))
+                 F.col(group_col) == F.col("__grp__")).drop("__grp__"))
     dist = F.sqrt(F.aggregate(
         F.zip_with(vd, F.col("__cent__"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x))
@@ -599,9 +606,15 @@ def embedding_outliers(df: DataFrame, group_col: str,
     stats = d.groupBy(group_col).agg(
         F.avg("dist").alias("__mu__"),
         F.stddev_samp("dist").alias("__sd__"))
+    # singleton groups (sd NULL) and zero-variance groups (sd 0, or NaN
+    # under the legacy statisticalAggregate conf) have no outliers by
+    # definition: z pins to 0 so is_outlier is a real false, never NULL
+    sd_ok = F.col("__sd__").isNotNull() & ~F.isnan("__sd__") \
+        & (F.col("__sd__") > 0)
+    z = F.when(sd_ok, (F.col("dist") - F.col("__mu__")) / F.col("__sd__")) \
+        .otherwise(F.lit(0.0))
     return (d.join(F.broadcast(stats), group_col)
-            .withColumn("z", (F.col("dist") - F.col("__mu__"))
-                        / F.col("__sd__"))
+            .withColumn("z", z)
             .withColumn("is_outlier", F.col("z") > F.lit(z_threshold))
             .drop("__mu__", "__sd__"))
 

@@ -164,7 +164,10 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
                16, 10).cast("double")
     u = (v + F.lit(1.0)) / F.lit(float(16 ** 15))   # uniform in (0, 1]
     key = (F.log(u) / w).alias("__aes_key__")
-    return (df.filter(w > 0)
+    # NaN compares GREATER than any number in Spark, so `w > 0` alone
+    # would admit NaN weights — whose NaN keys then sort to the top of
+    # the descending order and hijack the sample
+    return (df.filter((w > 0) & ~F.isnan(w))
             .withColumn("__aes_key__", key)
             .orderBy(F.col("__aes_key__").desc())
             .limit(int(n))

@@ -372,10 +372,17 @@ def streaming_ann_topk(sdf: DataFrame, ivf, corpus: DataFrame, k: int = 5,
     matrix); the candidate step is a stream-static equi-join on the
     cell id, so each probe scores ~``n_probe/n_centroids`` of the
     corpus, never all of it. Per-probe ranking uses a streaming
-    groupBy with a sorted-top-k collect aggregate (window functions
-    are not available on unbounded frames) — state is one k-slot list
-    per probe id. Complete/update output modes; drain bounded backlogs
-    with :func:`run_available_now`.
+    groupBy with a sorted-collect aggregate sliced to k at output
+    (window functions are not available on unbounded frames).
+
+    State caveat: ``collect_list`` buffers ALL of a probe's scored
+    candidates (~corpus × n_probe/n_centroids structs per probe), and
+    complete mode retains every probe ever seen — so this shape is for
+    BOUNDED drains (``run_available_now``) or short update-mode runs.
+    For a long-running unbounded probe stream, rank per micro-batch
+    instead: ``stream_to_parquet(..., transform=lambda df, _:
+    ivf.topk(corpus, df, k))`` runs the batch ranking inside
+    ``foreachBatch`` with zero aggregation state.
 
     Output: (probe_id, rank, neighbor_id, sim) — the same contract as
     ``IVFIndex.topk``.
@@ -387,10 +394,7 @@ def streaming_ann_topk(sdf: DataFrame, ivf, corpus: DataFrame, k: int = 5,
          .select(F.col(id_col).alias("neighbor_id"),
                  F.col("ivf_cell").alias("cell"),
                  _unit(F.col(vec_col)).alias("vec")))
-    p = (sdf.select(F.col(pid).alias("probe_id"),
-                    ivf.cell_udf(ivf.n_probe)(F.col(vec_col))
-                    .alias("cells"),
-                    _unit(F.col(vec_col)).alias("probe_vec"))
+    p = (ivf._celled_probes(sdf, pid, vec_col)
          .select("probe_id", "probe_vec", F.explode("cells").alias("cell")))
     pairs = p.join(c, "cell").filter(
         F.col("neighbor_id") != F.col("probe_id"))
