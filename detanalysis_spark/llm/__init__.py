@@ -27,7 +27,8 @@ from .pipeline import (CurationConfig, curate_corpus,
 from .cleaning import (pii_counts, redact_pii, repetition_scores,
                        benchmark_ngrams, contamination_overlap,
                        line_frequencies, remove_boilerplate_lines,
-                       remove_duplicate_lines, decontaminate)
+                       remove_duplicate_lines, decontaminate,
+                       adaptive_quality_filter)
 
 __all__ = [
     "CurationConfig", "curate_corpus", "curate_corpus_stream",
@@ -35,6 +36,7 @@ __all__ = [
     "benchmark_ngrams", "contamination_overlap",
     "line_frequencies", "remove_boilerplate_lines",
     "remove_duplicate_lines", "decontaminate",
+    "adaptive_quality_filter",
     "cosine_similarity", "cosine_topk", "RandomHyperplaneLSH", "IVFIndex",
     "semantic_dedup", "embedding_outliers",
     "dedup_exact", "minhash_signatures", "lsh_candidate_pairs",

@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "PII_PATTERNS", "pii_counts", "redact_pii",
     "repetition_scores", "benchmark_ngrams", "contamination_overlap",
-    "line_frequencies", "remove_boilerplate_lines", "decontaminate",
+    "line_frequencies", "remove_boilerplate_lines",
+    "remove_duplicate_lines", "decontaminate",
+    "adaptive_quality_filter",
 ]
 
 # ---------------------------------------------------------------------------
@@ -280,3 +282,39 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
     ov = contamination_overlap(docs, grams, id_col, text_col, n)
     bad = ov.filter(F.col("n_hits") > max_hits).select(id_col)
     return docs.join(bad, id_col, "left_anti")
+
+
+def adaptive_quality_filter(docs: DataFrame, score: "Column | str",
+                            group_col: str, quantile: float = 0.5,
+                            keep: str = "above",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Per-group adaptive quality gating: keep documents whose quality
+    ``score`` clears their OWN group's ``quantile`` — per-language /
+    per-domain thresholds instead of one global cutoff (a global
+    threshold set on English tails deletes whole low-resource
+    languages; the adaptive rule keeps each group's best half).
+
+    ``keep='above'`` keeps score >= the group quantile, ``'below'``
+    keeps score <= it. Returns ``docs`` plus a ``__q__`` threshold
+    column dropped from the output.
+
+    Scale shape: exact per-group percentile is ONE aggregate keyed by
+    the group (percentile is an associative-merge aggregate in Spark);
+    the thresholds frame is (groups) small, broadcasts back, and the
+    filter is a per-row comparison. The corpus is never shuffled.
+    """
+    if keep not in ("above", "below"):
+        raise ValueError("keep must be 'above' or 'below'")
+    if not 0.0 <= quantile <= 1.0:
+        raise ValueError("quantile must be in [0, 1]")
+    s = F.col(score) if isinstance(score, str) else score
+    scored = docs.withColumn("__score__", s.cast("double"))
+    thr = (scored.groupBy(group_col)
+           .agg(F.percentile("__score__", F.lit(float(quantile)))
+                .alias("__q__"))
+           .withColumnRenamed(group_col, "__g__"))
+    j = scored.join(F.broadcast(thr),
+                    F.col(group_col) == F.col("__g__")).drop("__g__")
+    pred = (F.col("__score__") >= F.col("__q__") if keep == "above"
+            else F.col("__score__") <= F.col("__q__"))
+    return j.filter(pred).drop("__score__", "__q__")

@@ -3115,6 +3115,33 @@ def semantic_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("total_chars")))
 
 
+# ----------------------------------------------------------------------
+# Per-group adaptive quality gate: keep documents clearing their OWN
+# language's median quality score (a single global threshold tuned on
+# the dominant language deletes whole low-resource languages). One
+# percentile aggregate keyed by language + a broadcast threshold join —
+# the corpus never shuffles.
+# ----------------------------------------------------------------------
+@query("adaptive_quality_stats", oracle="""
+WITH t AS (SELECT lang, quantile_cont(n_chars, 0.5) AS q
+           FROM documents GROUP BY lang)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+       CAST(min(d.n_chars) AS BIGINT) AS min_chars
+FROM documents d JOIN t ON d.lang = t.lang
+WHERE d.n_chars >= t.q
+GROUP BY d.lang
+""")
+def adaptive_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.cleaning import adaptive_quality_filter
+    docs = load_table(spark, sf_dir, "documents")
+    kept = adaptive_quality_filter(docs, "n_chars", "lang", quantile=0.5)
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+                 F.min(F.col("n_chars").cast("long")).alias("min_chars")))
+
+
 # ======================================================================
 # registration order epilogue
 #

@@ -1040,3 +1040,24 @@ def test_embedding_outliers_match_numpy(clustered_vectors):
             assert got[i].is_outlier == ((dist[j] - mu) / sd > 2.0)
     outliers = [i for i, r in got.items() if r.is_outlier]
     assert 7 in outliers
+
+
+def test_adaptive_quality_filter_per_group_threshold(spark):
+    """Each group keeps exactly its rows clearing the group's own
+    quantile; a global threshold would have deleted group 'b'
+    entirely."""
+    from detanalysis_spark.llm.cleaning import adaptive_quality_filter
+    rows = [(i, "a", 100 + i) for i in range(10)]          # scores 100-109
+    rows += [(100 + i, "b", 10 + i) for i in range(10)]    # scores 10-19
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "score"])
+    kept = {r.doc_id for r in adaptive_quality_filter(
+        df, "score", "grp", quantile=0.5).collect()}
+    # median of 100..109 = 104.5 -> keep 105..109 (ids 5..9); same for b
+    assert kept == set(range(5, 10)) | set(range(105, 110))
+    below = {r.doc_id for r in adaptive_quality_filter(
+        df, "score", "grp", quantile=0.5, keep="below").collect()}
+    assert below == set(range(0, 5)) | set(range(100, 105))
+    with pytest.raises(ValueError, match="above"):
+        adaptive_quality_filter(df, "score", "grp", keep="sideways")
+    with pytest.raises(ValueError, match="quantile"):
+        adaptive_quality_filter(df, "score", "grp", quantile=1.5)
