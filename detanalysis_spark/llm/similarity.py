@@ -139,29 +139,78 @@ class RandomHyperplaneLSH:
             F.col(id_col),
             F.posexplode(F.col(bucket_col)).alias("table", "bucket"))
 
+    def probe_buckets_udf(self, n_flip: int):
+        """Multi-probe bucket lists (Lv et al., VLDB'07): per table, the
+        exact bucket PLUS the buckets reached by flipping each of the
+        ``n_flip`` least-confident bits (smallest |projection| — the
+        hyperplanes the vector sits closest to, where a true neighbor
+        most likely landed on the other side). Returns
+        ``array<array<long>>`` indexed by table. Costs ``1 + n_flip``
+        probe buckets per table instead of more tables — same recall
+        lever, no extra corpus-side signatures or storage."""
+        planes = self._planes
+        tables, bits = self.tables, self.bits
+        pow2 = (1 << np.arange(bits)).astype(np.int64)
+
+        @F.pandas_udf(ArrayType(ArrayType(LongType())))
+        def _probe(vecs: pd.Series) -> pd.Series:
+            if vecs.empty:
+                return pd.Series([], dtype=object)
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)
+            out = []
+            for i in range(mat.shape[0]):
+                per_table = []
+                for t in range(tables):
+                    proj = mat[i] @ planes[t].T            # (bits,)
+                    base = int((proj > 0).astype(np.int64) @ pow2)
+                    flips = np.argsort(np.abs(proj),
+                                       kind="stable")[:n_flip]
+                    per_table.append([base] + [base ^ int(pow2[j])
+                                               for j in flips])
+                out.append(per_table)
+            return pd.Series(out)
+
+        return _probe
+
+    def _probe_bucket_rows(self, probes: DataFrame, pid: str,
+                           vec_col: str, n_flip: int) -> DataFrame:
+        """(probe_id, table, bucket) — exact buckets, plus flipped
+        neighbors when ``n_flip > 0``."""
+        p = probes.withColumnRenamed(pid, "probe_id")
+        if n_flip <= 0:
+            return self.explode_buckets(self.with_buckets(p, vec_col),
+                                        id_col="probe_id")
+        sig = self.probe_buckets_udf(n_flip)(F.col(vec_col))
+        return (p.select("probe_id",
+                         F.posexplode(sig).alias("table", "bl"))
+                .select("probe_id", "table",
+                        F.explode("bl").alias("bucket")))
+
     def candidates(self, corpus: DataFrame, probes: DataFrame,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   probe_id_col: str | None = None) -> DataFrame:
-        """Distinct (probe_id, neighbor_id) candidate pairs via bucket join."""
+                   probe_id_col: str | None = None,
+                   n_flip: int = 0) -> DataFrame:
+        """Distinct (probe_id, neighbor_id) candidate pairs via bucket
+        join; ``n_flip`` enables multi-probe (see
+        :meth:`probe_buckets_udf`)."""
         pid = probe_id_col or id_col
         cb = self.explode_buckets(
             self.with_buckets(corpus, vec_col), id_col=id_col
         ).withColumnRenamed(id_col, "neighbor_id")
-        pb = self.explode_buckets(
-            self.with_buckets(probes.withColumnRenamed(pid, "probe_id"),
-                              vec_col),
-            id_col="probe_id")
+        pb = self._probe_bucket_rows(probes, pid, vec_col, n_flip)
         return (cb.join(F.broadcast(pb), ["table", "bucket"])
                 .select("probe_id", "neighbor_id").distinct())
 
     def topk(self, corpus: DataFrame, probes: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              probe_id_col: str | None = None,
-             exclude_self: bool = True) -> DataFrame:
-        """Approximate top-k: exact cosine, but only on bucket candidates."""
+             exclude_self: bool = True, n_flip: int = 0) -> DataFrame:
+        """Approximate top-k: exact cosine, but only on bucket
+        candidates; ``n_flip`` > 0 turns on multi-probe."""
         pid = probe_id_col or id_col
         cand = self.candidates(corpus, probes, id_col=id_col,
-                               vec_col=vec_col, probe_id_col=pid)
+                               vec_col=vec_col, probe_id_col=pid,
+                               n_flip=n_flip)
         if exclude_self:
             cand = cand.filter(F.col("neighbor_id") != F.col("probe_id"))
         c = corpus.select(F.col(id_col).alias("neighbor_id"),
