@@ -532,6 +532,22 @@ class Analyzer:
         """A1: row count under the working view + optional cut."""
         return self._subset_df(self.df, cut).count()
 
+    def sql(self, query: str, view: str = "events",
+            cut: Any = None) -> DataFrame:
+        """ANSI-SQL over the working view (global filter applied; named
+        cuts become BOOLEAN columns ``cut_<name>`` so SQL can filter on
+        them): registers the frame as ``view`` and runs ``query``
+        through Catalyst — the full declarative surface for users who
+        prefer SQL to the DataFrame API. Lazy; same plan quality as the
+        method API."""
+        df = self._subset_df(self.df, cut)
+        for name in self.list_cuts():
+            pred = self.resolve_cut(name)
+            if pred is not None:
+                df = df.withColumn(f"cut_{name}", pred)
+        df.createOrReplaceTempView(view)
+        return self._spark.sql(query)
+
     def describe(self, columns: Sequence[str] | None = None) -> "Any":
         """Column stats (analyzer.py:116-133): one distributed agg pass
         computing count/mean/std/min/max for every numeric column —

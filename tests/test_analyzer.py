@@ -115,3 +115,14 @@ def test_get_event_list_limit(spark, sf_dir):
     out = a.get_event_list(nb_events_limit=10)
     assert len(out) == 10
     assert set(out[0]) == {"series_number", "event_number"}
+
+
+def test_analyzer_sql_surface(ana):
+    """Analyzer.sql: the working view (global filter applied) and named
+    cuts (as cut_<name> booleans) are queryable in ANSI SQL."""
+    ana.register_cut("value > 400", "sql_hot", overwrite=True)
+    got = ana.sql(
+        "SELECT count(*) AS n, count_if(cut_sql_hot) AS n_hot FROM events"
+    ).first()
+    assert got.n == ana.count()
+    assert got.n_hot == ana.count("sql_hot")
