@@ -7,7 +7,8 @@ from .joins import salted_join, asof_join, range_join_binned
 from .sampling import (random_choice, every_nth, log_spaced_indices,
                        log_downsample, polyval, cap_per_key, sessionize,
                        shuffle_key, deterministic_shuffle, assign_batches,
-                       assign_split, weighted_sample)
+                       assign_split, weighted_sample,
+                       weighted_sample_per_key)
 
 __all__ = [
     "salted_join",
@@ -20,5 +21,5 @@ __all__ = [
     "random_choice", "every_nth", "log_spaced_indices",
     "log_downsample", "polyval", "cap_per_key", "sessionize",
     "shuffle_key", "deterministic_shuffle", "assign_batches",
-    "assign_split", "weighted_sample",
+    "assign_split", "weighted_sample", "weighted_sample_per_key",
 ]

@@ -174,6 +174,34 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
             .drop("__aes_key__"))
 
 
+def weighted_sample_per_key(df: DataFrame, key_cols: Sequence[str],
+                            id_col: str, weight_col: str, n: int,
+                            seed: int = 0) -> DataFrame:
+    """Per-group A-ES weighted sampling: the ``n`` largest ``ln(u)/w``
+    keys WITHIN each group — e.g. "sample 10k docs per source,
+    proportional to quality score" in one pass. Same deterministic,
+    engine-portable keys as :func:`weighted_sample`.
+
+    One shuffle keyed by ``key_cols`` (rank window); group counts below
+    ``n`` return all their rows.
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = F.col(weight_col).cast("double")
+    v = F.conv(F.substring(shuffle_key(id_col, seed), 1, 15),
+               16, 10).cast("double")
+    u = (v + F.lit(1.0)) / F.lit(float(16 ** 15))
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    win = Window.partitionBy(*keys).orderBy(
+        (F.log(u) / w).desc(), F.col(id_col).asc())
+    return (df.filter((w > 0) & ~F.isnan(w))
+            .withColumn("__aes_rank__", F.row_number().over(win))
+            .filter(F.col("__aes_rank__") <= int(n))
+            .drop("__aes_rank__"))
+
+
 def assign_batches(df: DataFrame, id_col: str, batch_size: int,
                    seed: int = 0) -> DataFrame:
     """Training-batch assignment: shuffle the corpus deterministically

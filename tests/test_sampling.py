@@ -180,3 +180,31 @@ def test_weighted_sample_matches_aes_replay(spark):
 
     with pytest.raises(ValueError, match="n must be"):
         weighted_sample(df, "id", "w", 0)
+
+
+def test_weighted_sample_per_key_matches_global_rule(spark):
+    """Per-group sampling keeps each group's top-n A-ES keys — the
+    union of per-group replays of the global formula."""
+    import hashlib
+    import math
+    from detanalysis_spark.operators.sampling import weighted_sample_per_key
+
+    rows = [(i, "g%d" % (i % 3), float(1 + (i * 11) % 40))
+            for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, src string, w double")
+
+    def key(i, w, seed=5):
+        v = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16)
+        return math.log((v + 1) / 16 ** 15) / w
+
+    want = set()
+    for g in ("g0", "g1", "g2"):
+        members = [(i, w) for i, s, w in rows if s == g]
+        want |= {i for i, _ in sorted(
+            members, key=lambda t: (-key(t[0], t[1]), t[0]))[:7]}
+    got = {r.id for r in weighted_sample_per_key(
+        df, "src", "id", "w", 7, seed=5).collect()}
+    assert got == want
+    # groups smaller than n return everything
+    small = spark.createDataFrame([(1, "x", 2.0)], "id long, src string, w double")
+    assert weighted_sample_per_key(small, "src", "id", "w", 5).count() == 1
