@@ -22,6 +22,8 @@ from .text import (token_count, bpe_ish_token_count, quality_scores,
                    bpe_segment_udf)
 from .multimodal import (decode_raw8, encode_raw8, resize_bilinear,
                          image_features, audio_features, frame_sample_udf)
+from .classifier import (hashed_token_features, portable_bucket,
+                         score_hashed_linear, train_linear_probe)
 from .pipeline import (CurationConfig, curate_corpus,
                        curate_corpus_stream)
 from .cleaning import (pii_counts, redact_pii, repetition_scores,
@@ -50,4 +52,6 @@ __all__ = [
     "span_dup_stats", "quantize_embeddings", "quantization_error",
     "decode_raw8", "encode_raw8", "resize_bilinear",
     "image_features", "audio_features", "frame_sample_udf",
+    "hashed_token_features", "portable_bucket",
+    "score_hashed_linear", "train_linear_probe",
 ]

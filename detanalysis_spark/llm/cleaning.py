@@ -31,6 +31,7 @@ __all__ = [
     "line_frequencies", "remove_boilerplate_lines",
     "remove_duplicate_lines", "decontaminate",
     "adaptive_quality_filter",
+    "GOPHER_DEFAULTS", "gopher_quality_flags", "gopher_quality_filter",
 ]
 
 # ---------------------------------------------------------------------------
@@ -318,3 +319,93 @@ def adaptive_quality_filter(docs: DataFrame, score: "Column | str",
     pred = (F.col("__score__") >= F.col("__q__") if keep == "above"
             else F.col("__score__") <= F.col("__q__"))
     return j.filter(pred).drop("__score__", "__q__")
+
+
+# ---------------------------------------------------------------------------
+# Gopher / MassiveText document-quality rules (Rae et al. 2021,
+# arXiv:2112.11446, Appendix A.1.1) — the published rule set most
+# large-scale pipelines start from. Every rule is a native expression
+# (one shuffle-free projection over the corpus); the thresholds are
+# parameters so corpora with different token statistics can retune
+# without touching the rule definitions.
+# ---------------------------------------------------------------------------
+GOPHER_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,     # '#' and '...' per word
+    "max_bullet_ratio": 0.9,     # lines starting with a bullet
+    "max_ellipsis_ratio": 0.3,   # lines ending with an ellipsis
+    "min_alpha_ratio": 0.8,      # words containing >=1 [A-Za-z]
+    "min_stop_hits": 2,          # distinct English stopwords present
+}
+
+
+def gopher_quality_flags(text: Column, **overrides) -> dict[str, Column]:
+    """The Gopher rule set as named boolean Columns plus ``gopher_pass``
+    (their conjunction). Words are whitespace tokens; lines split on
+    newline; bullets are ``-``/``*`` after left-trim; the ellipsis
+    forms are ``...`` and ``…``. Identical arithmetic is expressible in
+    ANSI SQL, so the whole gate is oracle-checkable.
+    """
+    from .text import LANG_STOPWORDS, _tokens
+
+    p = {**GOPHER_DEFAULTS, **overrides}
+    tk = F.filter(_tokens(text), lambda t: F.length(t) > 0)
+    n_words = F.size(tk)
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+
+    mean_len = F.aggregate(F.transform(tk, F.length), F.lit(0),
+                           lambda a, x: a + x).cast("double") / safe_words
+
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    n_ellipsis = (F.length(text)
+                  - F.length(F.regexp_replace(text, r"\.\.\.", ""))) \
+        / F.lit(3) \
+        + (F.length(text) - F.length(F.regexp_replace(text, "…", "")))
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / safe_words
+
+    lines = F.filter(F.split(text, "\n"),
+                     lambda ln: F.length(F.trim(ln)) > 0)
+    n_lines = F.size(lines)
+    safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    bullet_ratio = F.size(F.filter(
+        lines, lambda ln: F.ltrim(ln).startswith("-")
+        | F.ltrim(ln).startswith("*"))).cast("double") / safe_lines
+    ellipsis_ratio = F.size(F.filter(
+        lines, lambda ln: F.rtrim(ln).endswith("...")
+        | F.rtrim(ln).endswith("…"))).cast("double") / safe_lines
+
+    alpha_ratio = F.size(F.filter(
+        tk, lambda t: t.rlike("[A-Za-z]"))).cast("double") / safe_words
+
+    stops = sorted(LANG_STOPWORDS["en"])
+    low = F.transform(tk, F.lower)
+    stop_hits = F.size(F.filter(
+        F.array([F.lit(s) for s in stops]),
+        lambda s: F.array_contains(low, s)))
+
+    flags = {
+        "word_count_ok": (n_words >= p["min_words"])
+        & (n_words <= p["max_words"]),
+        "mean_word_len_ok": (mean_len >= p["min_mean_word_len"])
+        & (mean_len <= p["max_mean_word_len"]),
+        "symbol_ratio_ok": symbol_ratio <= p["max_symbol_ratio"],
+        "bullet_ratio_ok": bullet_ratio <= p["max_bullet_ratio"],
+        "ellipsis_ratio_ok": ellipsis_ratio <= p["max_ellipsis_ratio"],
+        "alpha_ratio_ok": alpha_ratio >= p["min_alpha_ratio"],
+        "stopword_ok": stop_hits >= p["min_stop_hits"],
+    }
+    acc = F.lit(True)
+    for c in flags.values():
+        acc = acc & c
+    flags["gopher_pass"] = acc
+    return flags
+
+
+def gopher_quality_filter(df: DataFrame, text_col: str = "text",
+                          **overrides) -> DataFrame:
+    """Rows passing every Gopher rule — one shuffle-free projection."""
+    flags = gopher_quality_flags(F.col(text_col), **overrides)
+    return df.filter(flags["gopher_pass"])

@@ -25,6 +25,8 @@ __all__ = [
     "chunk_documents", "pack_documents",
     "term_frequencies", "document_frequencies", "tfidf_topk",
     "unigram_logprob_scores", "build_vocab",
+    "bigram_frequencies", "BigramLM", "train_bigram_lm",
+    "bigram_logprob_scores",
     "word_frequencies", "bpe_pair_counts", "train_bpe", "bpe_segment_udf",
 ]
 
@@ -343,6 +345,107 @@ def unigram_logprob_scores(df, id_col: str = "doc_id",
             .groupBy(id_col)
             .agg(F.sum("tf").alias("n_tokens"),
                  (-F.sum(F.col("tf") * logp) / F.sum("tf")).alias("nll")))
+
+
+def _clean_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens with empties removed — the shared
+    tokenization of every LM/TF operator (bit-identical to the oracle
+    SQL's ``lower(string_split_regex(trim(text), '\\s+'))`` + filter)."""
+    return F.filter(F.transform(_tokens(text), lambda t: F.lower(t)),
+                    lambda t: F.length(t) > 0)
+
+
+def bigram_frequencies(df, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """(id, w1, w2, tf) — adjacent lowercased-token pairs per document,
+    one shuffle keyed by (id, w1, w2) with map-side combine. Pairing is
+    a JVM-native index fold (``sequence`` + ``element_at``), so no
+    Python touches the text; docs with <2 tokens simply contribute no
+    rows."""
+    tk = _clean_tokens(F.col(text_col))
+    rows = df.select(F.col(id_col), tk.alias("__tk__")) \
+             .filter(F.size("__tk__") >= 2)
+    pair = F.transform(
+        F.sequence(F.lit(1), F.size("__tk__") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("__tk__"), i).alias("w1"),
+            F.element_at(F.col("__tk__"), i + 1).alias("w2")))
+    bg = rows.select(F.col(id_col), F.explode(pair).alias("bg"))
+    return (bg.select(id_col, F.col("bg.w1").alias("w1"),
+                      F.col("bg.w2").alias("w2"))
+            .groupBy(id_col, "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("tf")))
+
+
+class BigramLM:
+    """Corpus-trained bigram language model with stupid backoff
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation" — the count-only smoothing used at web scale because
+    it needs no discounting pass).
+
+    ``bigrams`` (w1, w2, c12) and ``unigrams`` (term, c1) are lazy
+    vocabulary-bound DataFrames — at 100 TB they are orders of
+    magnitude smaller than the corpus, shuffle-keyed by gram, and AQE
+    broadcasts them in the scoring join when they fit. ``total`` is the
+    training token count (one tiny driver agg, cached).
+    """
+
+    def __init__(self, bigrams, unigrams, total: int, alpha: float = 0.4):
+        self.bigrams = bigrams
+        self.unigrams = unigrams
+        self.total = int(total)
+        self.alpha = float(alpha)
+
+
+def train_bigram_lm(df, id_col: str = "doc_id", text_col: str = "text",
+                    alpha: float = 0.4) -> BigramLM:
+    """Fit a :class:`BigramLM` on a corpus: one (id, term) tf aggregate
+    for the unigram table, one (id, w1, w2) aggregate for the bigram
+    table — two gram-keyed shuffles total, both map-side combined."""
+    tf = term_frequencies(df, id_col, text_col)
+    uni = tf.groupBy("term").agg(F.sum("tf").alias("c1"))
+    bg = (bigram_frequencies(df, id_col, text_col)
+          .groupBy("w1", "w2").agg(F.sum("tf").alias("c12")))
+    total = int(uni.agg(F.sum("c1")).collect()[0][0] or 0)
+    return BigramLM(bg, uni, total, alpha)
+
+
+def bigram_logprob_scores(df, lm: BigramLM, id_col: str = "doc_id",
+                          text_col: str = "text"):
+    """Per-document mean NLL under ``lm`` with stupid backoff:
+
+    p(w2|w1) = c12/c1[w1]            if the bigram was seen in training
+             = α·c1[w2]/T            else if w2 was seen
+             = α·1/T                 else (deterministic OOV floor)
+
+    Returns (id, n_bigrams, nll) with nll = −(1/n)·Σ tf·ln p. Held-out
+    scoring (train on one slice, score another) is the standard
+    perplexity quality gate; scoring the training corpus itself never
+    exercises the backoff path.
+
+    Plan: the document side folds to a (id, w1, w2, tf) aggregate, then
+    three gram-keyed LEFT joins against the vocabulary-bound LM tables
+    (bigram on (w1,w2), unigram on each side) — AQE broadcasts the LM
+    side when small, and the corpus never shuffles more than once per
+    join key. All counts exact-integer; float only in the final log.
+    """
+    sb = bigram_frequencies(df, id_col, text_col)
+    u1 = lm.unigrams.select(F.col("term").alias("w1"),
+                            F.col("c1").alias("__c1w1__"))
+    u2 = lm.unigrams.select(F.col("term").alias("w2"),
+                            F.col("c1").alias("__c1w2__"))
+    T = float(lm.total)
+    joined = (sb.join(lm.bigrams, ["w1", "w2"], "left")
+              .join(u1, "w1", "left")
+              .join(u2, "w2", "left"))
+    p = F.when(F.col("c12").isNotNull(),
+               F.col("c12").cast("double") / F.col("__c1w1__")) \
+         .otherwise(lm.alpha * F.coalesce(F.col("__c1w2__"),
+                                          F.lit(1)).cast("double") / T)
+    return (joined.groupBy(id_col)
+            .agg(F.sum("tf").alias("n_bigrams"),
+                 (-F.sum(F.col("tf") * F.log(p)) / F.sum("tf"))
+                 .alias("nll")))
 
 
 def build_vocab(df, id_col: str = "doc_id", text_col: str = "text",

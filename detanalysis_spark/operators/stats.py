@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # the reference's central-interval percentiles (semiautocuts.py:600-607)
@@ -167,3 +167,36 @@ def profile_table(df: DataFrame, cols: Sequence[str] | None = None,
                "(column, n_nulls, n_distinct, min_value, max_value)"))
     return stacked.select("column", "n_rows", "n_nulls", "n_distinct",
                           "min_value", "max_value")
+
+
+def key_skew_profile(df: DataFrame, key_col: str | Column,
+                     top: int = 10) -> DataFrame:
+    """Hot-key diagnostic for shuffle planning: the ``top`` heaviest
+    keys with their row counts, share of the table, and skew factor
+    (count / mean-rows-per-key — how much the hottest key's reducer
+    would exceed the average in a key-hashed exchange). The number
+    that tells you whether a join needs salting (`salted_join`) or an
+    AQE skew split BEFORE you burn a cluster-hour finding out.
+
+    Returns (rank, key, cnt, share, skew); ties break by key ascending
+    so ranking is bit-exact across engines.
+
+    Plan: ONE map-side-combined groupBy(key) over the table; the
+    top-``top`` is a TakeOrdered (never a global sort), the table
+    totals are a 1-row aggregate of the key-counts frame that
+    cross-joins back for free. At 100 TB this costs exactly one
+    key-keyed shuffle of the distinct-key table.
+    """
+    key = _col(key_col).alias("key")
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("__n__"),
+                     F.count(F.lit(1)).alias("__k__"))
+    head = (counts.orderBy(F.col("cnt").desc(), F.col("key").asc())
+            .limit(int(top)))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return (head.crossJoin(F.broadcast(tot))
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", "key", "cnt",
+                    (F.col("cnt") / F.col("__n__")).alias("share"),
+                    (F.col("cnt") * F.col("__k__") / F.col("__n__"))
+                    .alias("skew")))

@@ -4,10 +4,14 @@ from .tables import (load_table, load_all, register_views, TABLES,
 from .files import extract_file_names, load_filterfile
 from .hdf5 import (read_vaex_hdf5, hdf5_row_count, hdf5_to_parquet,
                    load_hdf5)
+from .layout import (zorder_key, zorder_write, file_manifest,
+                     prune_files, pruned_parquet)
 
 __all__ = ["load_table", "load_all", "register_views", "TABLES",
            "write_bucketed", "read_bucketed", "write_partitioned",
            "normalize_legacy_columns", "LEGACY_COLUMN_MAP",
            "extract_file_names", "load_filterfile",
            "read_vaex_hdf5", "hdf5_row_count", "hdf5_to_parquet",
-           "load_hdf5"]
+           "load_hdf5",
+           "zorder_key", "zorder_write", "file_manifest",
+           "prune_files", "pruned_parquet"]

@@ -1091,3 +1091,189 @@ def test_multiprobe_lsh_improves_recall(spark):
     h3, c3 = recall(3)
     assert c0 <= c3            # multi-probe is a superset
     assert h3 > h0             # and recovers strictly more planted pairs
+
+
+# ----------------------------------------------------------------------
+# bigram LM with stupid backoff
+# ----------------------------------------------------------------------
+def test_bigram_lm_matches_hand_computation(spark):
+    import math
+    from detanalysis_spark.llm.text import (train_bigram_lm,
+                                            bigram_logprob_scores)
+    train = spark.createDataFrame(
+        [(0, "the cat sat"), (2, "the cat ran the dog sat")],
+        ["doc_id", "text"])
+    # corpus counts: the=3 cat=2 sat=2 ran=1 dog=1  T=9
+    # bigrams: (the,cat)=2 (cat,sat)=1 (cat,ran)=1 (ran,the)=1
+    #          (the,dog)=1 (dog,sat)=1
+    lm = train_bigram_lm(train)
+    assert lm.total == 9
+
+    score = spark.createDataFrame(
+        [(1, "the cat sat"),        # all bigrams seen
+         (3, "cat the"),            # unseen bigram, both words known
+         (5, "zap zap"),            # unseen bigram, OOV backoff word
+         (7, "one")],               # <2 tokens: no rows
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           bigram_logprob_scores(score, lm).collect()}
+
+    p_the_cat = 2 / 3
+    p_cat_sat = 1 / 2
+    exp1 = -(math.log(p_the_cat) + math.log(p_cat_sat)) / 2
+    assert abs(out[1]["nll"] - exp1) < 1e-12 and out[1]["n_bigrams"] == 2
+
+    exp3 = -math.log(0.4 * 3 / 9)       # backoff to c1(the)=3
+    assert abs(out[3]["nll"] - exp3) < 1e-12
+
+    exp5 = -math.log(0.4 * 1 / 9)       # OOV floor: coalesce(c1, 1)
+    assert abs(out[5]["nll"] - exp5) < 1e-12
+
+    assert 7 not in out                  # sub-bigram docs emit nothing
+
+
+def test_bigram_lm_empty_token_hygiene(spark):
+    """Runs of whitespace must not create empty-string bigram members;
+    adjacency is computed AFTER empty removal."""
+    from detanalysis_spark.llm.text import train_bigram_lm
+    df = spark.createDataFrame([(0, "  a   b  ")], ["doc_id", "text"])
+    lm = train_bigram_lm(df)
+    rows = lm.bigrams.collect()
+    assert [(r["w1"], r["w2"], r["c12"]) for r in rows] == [("a", "b", 1)]
+
+
+# ----------------------------------------------------------------------
+# hashed linear classifier (fasttext-style quality probe)
+# ----------------------------------------------------------------------
+def test_portable_bucket_matches_duckdb(spark):
+    import duckdb
+    from detanalysis_spark.llm.classifier import portable_bucket
+    import pyspark.sql.functions as F
+    terms = ["the", "cat", "zap", "Ünïcode", "x" * 50]
+    df = spark.createDataFrame([(t,) for t in terms], ["t"])
+    got = {r["t"]: r["b"] for r in
+           df.select("t", portable_bucket(F.col("t"), 256).alias("b"))
+             .collect()}
+    con = duckdb.connect()
+    for t in terms:
+        want = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::UBIGINT % 256",
+            [t]).fetchone()[0]
+        assert got[t] == want, t
+
+
+def test_score_hashed_linear_formula_weights(spark):
+    import math
+    from detanalysis_spark.llm.classifier import (score_hashed_linear,
+                                                  portable_bucket,
+                                                  DEFAULT_WEIGHT_MOD)
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame([(0, "aa bb aa")], ["doc_id", "text"])
+    buckets = {r["t"]: r["b"] for r in spark.createDataFrame(
+        [("aa",), ("bb",)], ["t"])
+        .select("t", portable_bucket(F.col("t"), 256).alias("b"))
+        .collect()}
+    w = {t: (b % DEFAULT_WEIGHT_MOD) / (DEFAULT_WEIGHT_MOD - 1) - 0.5
+         for t, b in buckets.items()}
+    want = (2 * w["aa"] + 1 * w["bb"]) / 3
+    out = score_hashed_linear(df, dim=256).collect()[0]
+    assert out["n_tokens"] == 3
+    assert abs(out["score"] - want) < 1e-12
+
+
+def test_score_hashed_linear_explicit_weights(spark):
+    import numpy as np
+    from detanalysis_spark.llm.classifier import (score_hashed_linear,
+                                                  hashed_token_features)
+    df = spark.createDataFrame(
+        [(0, "good good text"), (1, "bad stuff")], ["doc_id", "text"])
+    w = np.zeros(64)
+    feats = {(r["doc_id"], r["bucket"]): r["x"]
+             for r in hashed_token_features(df, dim=64).collect()}
+    for (_, b), _x in feats.items():
+        w[b] = 1.0  # weight 1 on every observed bucket
+    out = {r["doc_id"]: r for r in
+           score_hashed_linear(df, dim=64, weights=w, bias=2.0).collect()}
+    # score = bias + sum(tf * 1)/n = bias + 1 for every doc
+    assert abs(out[0]["score"] - 3.0) < 1e-12
+    assert abs(out[1]["score"] - 3.0) < 1e-12
+
+
+def test_train_linear_probe_matches_numpy(spark):
+    import numpy as np
+    from detanalysis_spark.llm.classifier import (train_linear_probe,
+                                                  hashed_token_features,
+                                                  score_hashed_linear)
+    import random
+    rng = random.Random(3)
+    good_vocab = ["clear", "prose", "reads", "well", "insight"]
+    bad_vocab = ["zzz", "spam", "click", "winner", "casino"]
+    rows = []
+    for i in range(60):
+        label = i % 2
+        vocab = good_vocab if label else bad_vocab
+        text = " ".join(rng.choice(vocab) for _ in range(12))
+        rows.append((i, text, float(label)))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+    dim, reg = 32, 1e-3
+
+    w = train_linear_probe(df, "y", dim=dim, reg=reg)
+
+    # dense numpy reference: identical features, identical ridge
+    feats = hashed_token_features(df, dim=dim).collect()
+    totals = {}
+    for r in feats:
+        totals[r["doc_id"]] = totals.get(r["doc_id"], 0.0) + r["x"]
+    X = np.zeros((60, dim + 1))
+    X[:, dim] = 1.0
+    y = np.array([float(i % 2) for i in range(60)])
+    for r in feats:
+        X[r["doc_id"], r["bucket"]] = r["x"] / totals[r["doc_id"]]
+    ref = np.linalg.solve(X.T @ X + reg * np.eye(dim + 1), X.T @ y)
+    assert np.allclose(w, ref, atol=1e-8)
+
+    # and the trained probe separates the classes
+    scored = {r["doc_id"]: r["score"] for r in
+              score_hashed_linear(df, dim=dim, weights=w[:-1],
+                                  bias=float(w[-1])).collect()}
+    good = [scored[i] for i in range(60) if i % 2 == 1]
+    bad = [scored[i] for i in range(60) if i % 2 == 0]
+    assert min(good) > max(bad)
+
+
+# ----------------------------------------------------------------------
+# Gopher / MassiveText quality rules
+# ----------------------------------------------------------------------
+def test_gopher_quality_flags(spark):
+    from detanalysis_spark.llm.cleaning import gopher_quality_flags
+    import pyspark.sql.functions as F
+    rows = [
+        # mean word len (46 chars / 10 words = 4.6), 60 words: passes
+        (0, "the quick brown foxes jump over those lazy hounds of today " * 6),
+        (1, "word " * 10),                    # too few words
+        (2, "# " * 12 + "the a of word " * 20,),  # 12/92 '#' per word > 0.1
+        (3, "- one\n- two\n- three",),        # all bullet lines
+        (4, ("the a is " + "9 8 7 6 5 4 3 2 1 0 " * 9)),  # digits: alpha low
+        (5, "a" * 20 + " " + "the of is to " * 15),  # long word ok; passes?
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    flags = gopher_quality_flags(F.col("text"), min_words=12)
+    out = {r["doc_id"]: r for r in
+           df.select("doc_id", *[v.alias(k) for k, v in flags.items()])
+             .collect()}
+    assert out[0]["gopher_pass"]
+    assert not out[1]["word_count_ok"] and not out[1]["gopher_pass"]
+    assert not out[2]["symbol_ratio_ok"]
+    assert not out[3]["bullet_ratio_ok"] and not out[3]["word_count_ok"]
+    assert not out[4]["alpha_ratio_ok"]
+    # doc 5: mean word len = (20 + 60*2.?) check just that flags exist
+    assert set(out[5].asDict()) >= {"mean_word_len_ok", "stopword_ok"}
+
+
+def test_gopher_filter_counts(spark):
+    from detanalysis_spark.llm.cleaning import gopher_quality_filter
+    df = spark.createDataFrame(
+        [(0, "the quick brown foxes jump over those lazy hounds of today " * 5),
+         (1, "tiny")], ["doc_id", "text"])
+    kept = gopher_quality_filter(df, min_words=10)
+    assert [r["doc_id"] for r in kept.collect()] == [0]

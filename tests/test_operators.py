@@ -307,3 +307,16 @@ def test_profile_table_quoted_column_names(spark):
            profile_table(df, approx=False).collect()}
     assert set(out) == {"it's", "a\\b"}
     assert out["it's"]["n_distinct"] == 5
+
+
+def test_key_skew_profile(spark):
+    from detanalysis_spark.operators.stats import key_skew_profile
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("a",), ("b",), ("c",)]
+    df = spark.createDataFrame(rows, ["k"])
+    out = key_skew_profile(df, "k", top=3).collect()
+    assert [(r["rank"], r["key"], r["cnt"]) for r in out] == [
+        (1, "hot", 6), (2, "warm", 3), (3, "a", 1)]
+    # 12 rows over 5 keys: mean 2.4 rows/key
+    assert abs(out[0]["share"] - 6 / 12) < 1e-12
+    assert abs(out[0]["skew"] - 6 / 2.4) < 1e-12
+    # ties broke by key asc: "a" before "b"/"c"

@@ -205,3 +205,77 @@ def test_load_hdf5_incremental_conversion(spark, tmp_path):
     df2 = load_hdf5(spark, str(tmp_path), str(pq_dir))
     ids = sorted(r[0] for r in df2.select("__event_index__").collect())
     assert ids == list(range(7))
+
+
+# ----------------------------------------------------------------------
+# Z-order layout + min-max manifest pruning
+# ----------------------------------------------------------------------
+def _morton(x: int, y: int, bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_zorder_key_matches_python_morton(spark):
+    from detanalysis_spark.sources.layout import zorder_key
+    bits = 4
+    top = (1 << bits) - 1
+    rows = [(float(x), float(y)) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    # ranges 0..15 with 4 bits: bucket == int value exactly at the ends,
+    # floor(x * 15/15) == x
+    out = df.withColumn("z", zorder_key(df, ["x", "y"], bits=bits,
+                                        ranges={"x": (0.0, 15.0),
+                                                "y": (0.0, 15.0)})) \
+            .collect()
+    for r in out:
+        assert r["z"] == _morton(int(r["x"]), int(r["y"]), bits), \
+            (r["x"], r["y"], r["z"])
+    assert max(r["z"] for r in out) == _morton(top, top, bits)
+
+
+def test_zorder_write_manifest_prunes_both_dims(spark, tmp_path):
+    from detanalysis_spark.sources.layout import (
+        zorder_write, file_manifest, prune_files, pruned_parquet)
+    import random
+    rng = random.Random(7)
+    rows = [(i, rng.uniform(0, 100), rng.uniform(0, 100))
+            for i in range(20000)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    path = str(tmp_path / "zordered")
+    zorder_write(df, ["x", "y"], path, n_files=8, bits=8)
+
+    man = file_manifest(spark, path, ["x", "y"])
+    pdf = man.toPandas()
+    n_files = pdf["file"].nunique()
+    assert n_files == 8
+    assert int(pdf.groupby("file")["n_rows"].first().sum()) == 20000
+
+    # a tight range on EITHER dimension must prune files — that's the
+    # whole point of z-order vs a plain sort on x
+    px = prune_files(pdf, {"x": (0.0, 10.0)})
+    py = prune_files(pdf, {"y": (0.0, 10.0)})
+    assert len(px) < n_files and len(py) < n_files
+
+    # soundness: pruned read + real predicate == full read + predicate
+    got = (pruned_parquet(spark, path, {"x": (0.0, 10.0)})
+           .filter("x >= 0 and x <= 10").count())
+    want = df.filter("x >= 0 and x <= 10").count()
+    assert got == want
+
+
+def test_prune_files_keeps_null_stat_files(tmp_path, spark):
+    from detanalysis_spark.sources.layout import file_manifest, prune_files
+    import pandas as pd
+    # one file with values, one with only nulls in x
+    p = str(tmp_path / "mixed")
+    spark.createDataFrame([(1, 5.0)], ["id", "x"]) \
+         .coalesce(1).write.parquet(p)
+    spark.createDataFrame(pd.DataFrame({"id": [2], "x": [None]})) \
+         .coalesce(1).write.mode("append").parquet(p)
+    pdf = file_manifest(spark, p, ["x"]).toPandas()
+    kept = prune_files(pdf, {"x": (100.0, 200.0)})
+    # the valued file [5,5] is provably empty for [100,200] -> pruned;
+    # the all-null file has no stats -> must survive
+    assert len(kept) == 1
