@@ -3362,6 +3362,90 @@ def gopher_rule_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         one("gopher_pass").alias("n_pass"))
 
 
+# ----------------------------------------------------------------------
+# continuous-aggregate maintenance — events absorbed as TWO batches
+# into a day-bucket rollup of mergeable sufficient statistics
+# (n, Σx, Σx², min, max), then finalized. The oracle recomputes from
+# scratch with the identical formulas, proving merge(build(b1),
+# build(b2)) == build(full) without ever re-scanning history.
+# ----------------------------------------------------------------------
+@query("incremental_rollup_stats", oracle="""
+WITH b AS (
+  SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS bucket_us,
+         event_type, CAST(value AS DOUBLE) AS v
+  FROM events),
+r AS (
+  SELECT bucket_us, event_type, count(v) AS n, sum(v) AS s,
+         sum(v * v) AS s2, min(v) AS mn, max(v) AS mx
+  FROM b GROUP BY bucket_us, event_type)
+SELECT bucket_us, event_type, CAST(n AS BIGINT) AS n,
+       round(s / n, 6) AS mean,
+       round(sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)), 6) AS std,
+       round(mn, 6) AS mn, round(mx, 6) AS mx
+FROM r
+""")
+def incremental_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rollup import (build_rollup, merge_rollups,
+                                   finalize_rollup)
+    ev = load_table(spark, sf_dir, "events")
+    day = 86_400_000_000
+    b1 = build_rollup(ev.filter(F.col("event_id") % 2 == 0), "ts",
+                      "value", keys=["event_type"], width_us=day)
+    b2 = build_rollup(ev.filter(F.col("event_id") % 2 == 1), "ts",
+                      "value", keys=["event_type"], width_us=day)
+    fin = finalize_rollup(merge_rollups(b1, b2, keys=["event_type"]))
+    return fin.select("bucket_us", "event_type", "n",
+                      F.round("mean", 6).alias("mean"),
+                      F.round("std", 6).alias("std"),
+                      F.round("mn", 6).alias("mn"),
+                      F.round("mx", 6).alias("mx"))
+
+
+# ----------------------------------------------------------------------
+# gap-filled daily series (time_bucket_gapfill analog) — rare events
+# (value > 250) leave empty days; the dense spine is a JVM-native
+# sequence explode per key, missing days get n=0, and the day-sum is
+# carried forward LOCF. One aggregate + one join + one key-partitioned
+# window.
+# ----------------------------------------------------------------------
+@query("gapfilled_daily_series", oracle="""
+WITH b AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(ts) % 86400000000 AS bucket_us,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value > 250.0),
+r AS (SELECT event_type, bucket_us, count(*) AS n, sum(v) AS s
+      FROM b GROUP BY event_type, bucket_us),
+k AS (SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+      FROM r GROUP BY event_type),
+spine AS (SELECT event_type,
+                 unnest(generate_series(lo, hi, 86400000000))
+                   AS bucket_us
+          FROM k),
+j AS (SELECT sp.event_type, sp.bucket_us,
+             coalesce(r.n, 0) AS n, r.s
+      FROM spine sp LEFT JOIN r
+        ON sp.event_type = r.event_type
+       AND sp.bucket_us = r.bucket_us)
+SELECT event_type, bucket_us, CAST(n AS BIGINT) AS n,
+       round(last_value(s IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket_us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS s_locf
+FROM j
+""")
+def gapfilled_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rollup import build_rollup, gapfill_buckets
+    day = 86_400_000_000
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 250.0)
+    r = build_rollup(ev, "ts", "value", keys=["event_type"],
+                     width_us=day)
+    dense = gapfill_buckets(r, day, keys=["event_type"],
+                            locf_cols=["s"])
+    return dense.select("event_type", "bucket_us", "n",
+                        F.round("s", 6).alias("s_locf"))
+
+
 # ======================================================================
 # registration order epilogue
 #
@@ -3416,6 +3500,8 @@ _R03_DEMOTED = frozenset({
     "eqfreq_binned_passfrac",     # W2: ntile_time_bins (r02)
     "every_nth_downsample",       # O6: modulo filter, pytest-covered
     "normalized_dedup_groups",    # dedup: dedup_exact_documents (r02)
+    "chunked_documents_stats",    # packing family: sequence_packing_stats
+    "token_budget_sample_stats",  # packing family: sequence_packing_stats
 })
 
 

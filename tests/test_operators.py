@@ -320,3 +320,112 @@ def test_key_skew_profile(spark):
     assert abs(out[0]["share"] - 6 / 12) < 1e-12
     assert abs(out[0]["skew"] - 6 / 2.4) < 1e-12
     # ties broke by key asc: "a" before "b"/"c"
+
+
+# ----------------------------------------------------------------------
+# incremental time-bucket rollup (continuous aggregate)
+# ----------------------------------------------------------------------
+def _rollup_rows(rollup):
+    return sorted(
+        ((r["bucket_us"],) + tuple(r[k] for k in ("n", "s", "s2", "mn", "mx"))
+         for r in rollup.collect()))
+
+
+def test_rollup_merge_equals_full_build(spark):
+    import datetime as dt
+    import random
+    from detanalysis_spark.operators.rollup import (build_rollup,
+                                                    merge_rollups,
+                                                    finalize_rollup)
+    rng = random.Random(11)
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(minutes=rng.randrange(0, 5000)),
+             "k%d" % rng.randrange(2), rng.uniform(0, 10))
+            for _ in range(500)]
+    df = spark.createDataFrame(rows, ["ts", "key", "v"])
+    hour = 3_600_000_000
+    full = build_rollup(df, "ts", "v", keys=["key"], width_us=hour)
+    b1 = build_rollup(df.limit(200), "ts", "v", keys=["key"],
+                      width_us=hour)
+    b2 = build_rollup(df.subtract(df.limit(200)), "ts", "v",
+                      keys=["key"], width_us=hour)
+    # limit() order is deterministic on a local createDataFrame source;
+    # the batches partition the input
+    merged = merge_rollups(b1, b2, keys=["key"])
+    a = {(r["bucket_us"], r["key"]): (r["n"], r["s"], r["mn"], r["mx"])
+         for r in full.collect()}
+    b = {(r["bucket_us"], r["key"]): (r["n"], r["s"], r["mn"], r["mx"])
+         for r in merged.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == b[k][0]
+        assert abs(a[k][1] - b[k][1]) < 1e-9
+        assert a[k][2:] == b[k][2:]
+
+    # finalize matches numpy on one group
+    import numpy as np
+    bucket, key = next(iter(a))
+    vals = np.array([v for ts, kk, v in rows
+                     if kk == key and
+                     int(ts.replace(tzinfo=dt.timezone.utc).timestamp()
+                         * 1e6) // hour * hour == bucket])
+    fin = {(r["bucket_us"], r["key"]): (r["mean"], r["var_pop"])
+           for r in finalize_rollup(full).collect()}
+    got_mean, got_var = fin[(bucket, key)]
+    # timestamps here are naive; Spark's unix_micros uses the session
+    # zone (UTC in tests), matching the tz-replaced python epoch above
+    assert abs(got_mean - vals.mean()) < 1e-9
+    assert abs(got_var - vals.var()) < 1e-9
+
+
+def test_update_rollup_touches_only_affected_partitions(spark, tmp_path):
+    import datetime as dt
+    import os
+    from detanalysis_spark.operators.rollup import (build_rollup,
+                                                    update_rollup,
+                                                    read_rollup)
+    hour = 3_600_000_000
+    path = str(tmp_path / "rollup")
+    d1 = dt.datetime(2024, 1, 1, 5)
+    d2 = dt.datetime(2024, 1, 2, 6)
+    d3 = dt.datetime(2024, 1, 3, 7)
+    batch1 = spark.createDataFrame(
+        [(d1, 1.0), (d1, 3.0), (d2, 5.0)], ["ts", "v"])
+    batch2 = spark.createDataFrame(
+        [(d2, 7.0), (d3, 9.0)], ["ts", "v"])
+
+    update_rollup(path, build_rollup(batch1, "ts", "v", width_us=hour))
+    parts1 = {p for p in os.listdir(path) if p.startswith("bucket_day=")}
+    assert len(parts1) == 2  # days 1 and 2
+
+    # capture day-1 partition file set; absorbing batch2 (days 2,3)
+    # must leave day-1 files untouched
+    day1 = sorted(parts1)[0]
+    files_before = sorted(os.listdir(os.path.join(path, day1)))
+    update_rollup(path, build_rollup(batch2, "ts", "v", width_us=hour))
+    assert sorted(os.listdir(os.path.join(path, day1))) == files_before
+    parts2 = {p for p in os.listdir(path) if p.startswith("bucket_day=")}
+    assert len(parts2) == 3
+
+    # and the merged content equals a from-scratch build
+    full = build_rollup(batch1.unionByName(batch2), "ts", "v",
+                        width_us=hour)
+    assert _rollup_rows(read_rollup(spark, path)) == _rollup_rows(full)
+
+
+def test_gapfill_locf(spark):
+    import datetime as dt
+    from detanalysis_spark.operators.rollup import (build_rollup,
+                                                    gapfill_buckets)
+    hour = 3_600_000_000
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    t3 = dt.datetime(2024, 1, 1, 3, 30)   # hours 1 and 2 missing
+    df = spark.createDataFrame(
+        [(t0, "a", 2.0), (t3, "a", 8.0)], ["ts", "key", "v"])
+    r = build_rollup(df, "ts", "v", keys=["key"], width_us=hour)
+    dense = gapfill_buckets(r, hour, keys=["key"], locf_cols=["s"]) \
+        .orderBy("bucket_us").collect()
+    assert len(dense) == 4                       # dense hourly spine
+    assert [x["n"] for x in dense] == [1, 0, 0, 1]
+    assert [x["s"] for x in dense] == [2.0, 2.0, 2.0, 8.0]  # LOCF
+    assert dense[1]["mx"] is None                # non-LOCF stays null
