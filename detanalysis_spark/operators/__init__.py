@@ -5,6 +5,7 @@ from .stats import (basic_stats, percentiles, robust_sigma, robust_sigma_expr,
 from .binning import (equal_width_edges, equal_frequency_edges, ofamp_edges,
                       assign_bin, ntile_bin)
 from .joins import salted_join, asof_join, range_join_binned
+from .privacy import k_anonymity_profile, suppress_small_groups
 from .rollup import (time_bucket, build_rollup, merge_rollups,
                      finalize_rollup, update_rollup, read_rollup,
                      gapfill_buckets)
@@ -29,4 +30,5 @@ __all__ = [
     "key_skew_profile",
     "time_bucket", "build_rollup", "merge_rollups", "finalize_rollup",
     "update_rollup", "read_rollup", "gapfill_buckets",
+    "k_anonymity_profile", "suppress_small_groups",
 ]

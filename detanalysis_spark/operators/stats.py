@@ -189,6 +189,10 @@ def key_skew_profile(df: DataFrame, key_col: str | Column,
     """
     key = _col(key_col).alias("key")
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    # the totals are ONE row broadcast against the <=top-row head: the
+    # nested-loop join Catalyst plans for it is 10x1 and free (same
+    # shape as orders_table_profile, allowlisted in the plan audit);
+    # the counts exchange is shared by both branches
     tot = counts.agg(F.sum("cnt").alias("__n__"),
                      F.count(F.lit(1)).alias("__k__"))
     head = (counts.orderBy(F.col("cnt").desc(), F.col("key").asc())

@@ -5,7 +5,8 @@ from .files import extract_file_names, load_filterfile
 from .hdf5 import (read_vaex_hdf5, hdf5_row_count, hdf5_to_parquet,
                    load_hdf5)
 from .layout import (zorder_key, zorder_write, file_manifest,
-                     prune_files, pruned_parquet)
+                     prune_files, pruned_parquet, schema_manifest,
+                     schema_drift)
 
 __all__ = ["load_table", "load_all", "register_views", "TABLES",
            "write_bucketed", "read_bucketed", "write_partitioned",
@@ -14,4 +15,4 @@ __all__ = ["load_table", "load_all", "register_views", "TABLES",
            "read_vaex_hdf5", "hdf5_row_count", "hdf5_to_parquet",
            "load_hdf5",
            "zorder_key", "zorder_write", "file_manifest",
-           "prune_files", "pruned_parquet"]
+           "prune_files", "pruned_parquet", "schema_manifest", "schema_drift"]

@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["zorder_key", "zorder_write", "file_manifest", "prune_files",
-           "pruned_parquet"]
+           "pruned_parquet", "schema_manifest", "schema_drift"]
 
 
 def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 10,
@@ -190,3 +190,51 @@ def pruned_parquet(spark: SparkSession, path: str,
     manifest = file_manifest(spark, path, cols or list(predicates))
     files = prune_files(manifest, predicates)
     return spark.read.parquet(*files)
+
+
+def schema_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file column inventory from parquet FOOTERS:
+    (file, column, physical_type). The lake-hygiene companion to
+    :func:`file_manifest` — distributed, footer-only reads."""
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        f for f in _glob.glob(os.path.join(path, "*.parquet"))
+        + ([path] if path.endswith(".parquet") else [])
+        if os.path.isfile(f))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path!r}")
+
+    def read_schemas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for f in pdf["file"]:
+                md = pq.ParquetFile(f).metadata
+                for i in range(md.num_columns):
+                    c = md.schema.column(i)
+                    out.append((f, c.path, str(c.physical_type)))
+            yield pd.DataFrame(out,
+                               columns=["file", "column", "physical_type"])
+
+    base = spark.createDataFrame([(f,) for f in files], "file string") \
+                .repartition(min(len(files), 64))
+    return base.mapInPandas(read_schemas,
+                            "file string, column string, "
+                            "physical_type string")
+
+
+def schema_drift(manifest: DataFrame) -> pd.DataFrame:
+    """Columns NOT present (or not type-stable) across every file of a
+    schema manifest — the drift report that catches a writer change
+    before ``mergeSchema`` silently nulls a column. Returns a pandas
+    frame (column, n_files, n_files_total, types) listing only
+    drifting columns; empty = clean lake."""
+    pdf = manifest.toPandas()
+    total = pdf["file"].nunique()
+    g = (pdf.groupby("column")
+         .agg(n_files=("file", "nunique"),
+              types=("physical_type", lambda s: sorted(set(s)))))
+    g["n_files_total"] = total
+    drift = g[(g["n_files"] != total) | (g["types"].map(len) > 1)]
+    return drift.reset_index()[["column", "n_files", "n_files_total",
+                                "types"]]

@@ -3446,6 +3446,36 @@ def gapfilled_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("s", 6).alias("s_locf"))
 
 
+# ----------------------------------------------------------------------
+# k-anonymity audit over (user_id, event_type) — ONE map-side-combined
+# aggregate over the quasi-identifier group sizes; the k=2 suppression
+# survivor count falls out algebraically (rows − rows-in-unique-groups,
+# exactly what suppress_small_groups keeps — pytest pins the identity).
+# ----------------------------------------------------------------------
+@query("k_anonymity_events", oracle="""
+WITH g AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY user_id, event_type)
+SELECT CAST(min(n) AS BIGINT) AS k_min,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN n < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique_groups,
+       CAST(sum(CASE WHEN n < 2 THEN n ELSE 0 END) AS BIGINT)
+         AS n_unique_rows,
+       CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+         AS n_kept_k2
+FROM g
+""")
+def k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.privacy import k_anonymity_profile
+    ev = load_table(spark, sf_dir, "events")
+    p = k_anonymity_profile(ev, ["user_id", "event_type"])
+    return p.select(
+        "k_min", "n_groups", "n_rows", "n_unique_groups",
+        "n_unique_rows",
+        (F.col("n_rows") - F.col("n_unique_rows")).alias("n_kept_k2"))
+
+
 # ======================================================================
 # registration order epilogue
 #
@@ -3502,6 +3532,7 @@ _R03_DEMOTED = frozenset({
     "normalized_dedup_groups",    # dedup: dedup_exact_documents (r02)
     "chunked_documents_stats",    # packing family: sequence_packing_stats
     "token_budget_sample_stats",  # packing family: sequence_packing_stats
+    "pivot_priority_by_status",   # conditional-agg family: rollup exhibit
 })
 
 

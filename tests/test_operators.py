@@ -429,3 +429,35 @@ def test_gapfill_locf(spark):
     assert [x["n"] for x in dense] == [1, 0, 0, 1]
     assert [x["s"] for x in dense] == [2.0, 2.0, 2.0, 8.0]  # LOCF
     assert dense[1]["mx"] is None                # non-LOCF stays null
+
+
+# ----------------------------------------------------------------------
+# k-anonymity profile + suppression
+# ----------------------------------------------------------------------
+def test_k_anonymity_profile_and_suppression(spark):
+    from detanalysis_spark.operators.privacy import (
+        k_anonymity_profile, suppress_small_groups)
+    rows = [("us", 30)] * 5 + [("us", 40)] * 2 + [("fr", 30)]
+    df = spark.createDataFrame(rows, ["country", "age"])
+    p = k_anonymity_profile(df, ["country", "age"]).collect()[0]
+    assert p["k_min"] == 1 and p["n_groups"] == 3 and p["n_rows"] == 8
+    assert p["n_unique_groups"] == 1 and p["n_unique_rows"] == 1
+
+    kept = suppress_small_groups(df, ["country", "age"], k=2)
+    assert kept.count() == 7                        # ("fr",30) dropped
+    p2 = k_anonymity_profile(kept, ["country", "age"]).collect()[0]
+    assert p2["k_min"] >= 2
+
+
+def test_suppression_count_matches_profile_algebra(spark):
+    """The identity the k_anonymity_events query relies on:
+    suppress_small_groups(k=2).count() == n_rows - n_unique_rows."""
+    from detanalysis_spark.operators.privacy import (
+        k_anonymity_profile, suppress_small_groups)
+    import random
+    rng = random.Random(5)
+    rows = [(rng.randrange(40), rng.choice("abc")) for _ in range(300)]
+    df = spark.createDataFrame(rows, ["uid", "etype"])
+    p = k_anonymity_profile(df, ["uid", "etype"]).collect()[0]
+    kept = suppress_small_groups(df, ["uid", "etype"], k=2).count()
+    assert kept == p["n_rows"] - p["n_unique_rows"]

@@ -279,3 +279,24 @@ def test_prune_files_keeps_null_stat_files(tmp_path, spark):
     # the valued file [5,5] is provably empty for [100,200] -> pruned;
     # the all-null file has no stats -> must survive
     assert len(kept) == 1
+
+
+def test_schema_manifest_and_drift(spark, tmp_path):
+    from detanalysis_spark.sources.layout import (schema_manifest,
+                                                  schema_drift)
+    p = str(tmp_path / "drifty")
+    spark.createDataFrame([(1, "a")], ["id", "name"]) \
+         .coalesce(1).write.parquet(p)
+    spark.createDataFrame([(2, "b", 1.5)], ["id", "name", "score"]) \
+         .coalesce(1).write.mode("append").parquet(p)
+    drift = schema_drift(schema_manifest(spark, p))
+    assert list(drift["column"]) == ["score"]
+    assert drift.iloc[0]["n_files"] == 1 and \
+        drift.iloc[0]["n_files_total"] == 2
+
+    # a clean lake reports nothing
+    clean = str(tmp_path / "clean")
+    spark.createDataFrame([(1,)], ["id"]).coalesce(1).write.parquet(clean)
+    spark.createDataFrame([(2,)], ["id"]) \
+         .coalesce(1).write.mode("append").parquet(clean)
+    assert schema_drift(schema_manifest(spark, clean)).empty

@@ -39,8 +39,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.1")
 # (bounded probe side broadcast against the corpus; the unbounded path
 # is LSH-bucketed). orders_table_profile joins TWO single-row global
 # aggregates (the exact-cardinality split, stats.py:146-155) — a
-# 1-row x 1-row BNLJ, free at any scale.
-INTENTIONAL_NESTED_LOOP = {"ann_cosine_topk", "embedding_near_dup_pairs",
+# 1-row x 1-row BNLJ, free at any scale. key_skew_profile_orders
+# broadcasts its single-row totals against the <=top-k head — a
+# 10x1 BNLJ of the same kind (stats.py key_skew_profile).
+INTENTIONAL_NESTED_LOOP = {"key_skew_profile_orders",
+                           "ann_cosine_topk", "embedding_near_dup_pairs",
                            "orders_table_profile"}
 # queries whose un-partitioned window is a documented correctness
 # exhibit, not the scale path (scale path: approx edges + assign_bin)
