@@ -5,10 +5,12 @@ from .continuous import (read_continuous_stream, rechunk_stream,
                          streaming_psd_moments, run_available_now,
                          streaming_dedup_exact, streaming_windowed_counts,
                          streaming_near_dup_hits, streaming_session_counts,
-                         stream_to_parquet, streaming_ann_topk)
+                         stream_to_parquet, streaming_ann_topk,
+                         streaming_rollup_deltas, read_rollup_from_deltas)
 
 __all__ = ["read_continuous_stream", "rechunk_stream",
            "streaming_psd_moments", "run_available_now",
            "streaming_dedup_exact", "streaming_windowed_counts",
            "streaming_near_dup_hits", "streaming_session_counts",
-           "stream_to_parquet", "streaming_ann_topk"]
+           "stream_to_parquet", "streaming_ann_topk",
+           "streaming_rollup_deltas", "read_rollup_from_deltas"]

@@ -415,3 +415,46 @@ def streaming_ann_topk(sdf: DataFrame, ivf, corpus: DataFrame, k: int = 5,
                               (-s["neg_sim"]).alias("sim"))))
     return (topk.select("probe_id", hit.alias("h"))
             .select("probe_id", "h.rank", "h.neighbor_id", "h.sim"))
+
+
+def streaming_rollup_deltas(sdf: DataFrame, path: str,
+                            checkpoint_dir: str, ts_col: str,
+                            value_col: str, keys: tuple = (),
+                            width_us: int = 86_400_000_000,
+                            query_name: str = "rollup",
+                            timeout_sec: int = 300):
+    """Streaming CONTINUOUS AGGREGATE maintenance, exactly-once.
+
+    Each micro-batch is reduced to its time-bucket rollup rows
+    (mergeable sufficient statistics — ``operators.rollup``) and
+    appended as a DELTA partition keyed by ``__batch_id__`` through
+    :func:`stream_to_parquet`'s idempotent ``foreachBatch`` path: a
+    replayed micro-batch OVERWRITES its own partition instead of
+    double-counting, so the delta log is exactly-once under crash
+    replay — the property a plain read-merge-write upsert cannot give
+    a stream. Readers call :func:`read_rollup_from_deltas` (merge at
+    read — delta rows are buckets × keys per batch, tiny); compact
+    offline with ``operators.rollup.update_rollup`` when the delta
+    count grows.
+    """
+    from ..operators.rollup import build_rollup
+
+    def to_rollup(batch_df: DataFrame, _batch_id: int) -> DataFrame:
+        return build_rollup(batch_df, ts_col, value_col, keys=keys,
+                            width_us=width_us)
+
+    return stream_to_parquet(sdf, path, checkpoint_dir,
+                             transform=to_rollup,
+                             query_name=query_name,
+                             timeout_sec=timeout_sec)
+
+
+def read_rollup_from_deltas(spark: SparkSession, path: str,
+                            keys: tuple = ()) -> DataFrame:
+    """Merge a streaming delta-rollup log back to one rollup frame
+    (drop the idempotency partition column, re-aggregate the
+    sufficient statistics)."""
+    from ..operators.rollup import merge_rollups
+
+    return merge_rollups(spark.read.parquet(path).drop("__batch_id__"),
+                         keys=keys)

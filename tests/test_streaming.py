@@ -436,3 +436,59 @@ def test_curate_corpus_stream_matches_batch(spark, tmp_path):
     got = sorted((r.text, r.split)
                  for r in spark.read.parquet(out).collect())
     assert got == want
+
+
+def test_streaming_rollup_deltas_exactly_once(spark, tmp_path):
+    """Streaming continuous aggregate: micro-batches land as
+    batch-id-keyed rollup deltas; the merged read equals a batch
+    build over everything seen, and re-draining an unchanged source
+    changes nothing."""
+    import datetime as dt
+    from detanalysis_spark.streaming import (streaming_rollup_deltas,
+                                             read_rollup_from_deltas)
+    from detanalysis_spark.operators.rollup import build_rollup
+    from pyspark.sql.types import (DoubleType, StructField, StructType,
+                                   TimestampType)
+
+    src = tmp_path / "roll_src"
+    out = str(tmp_path / "roll_out")
+    ckpt = str(tmp_path / "roll_ckpt")
+    hour = 3_600_000_000
+    t1 = dt.datetime(2024, 3, 1, 10, 15)
+    t2 = dt.datetime(2024, 3, 1, 11, 45)
+    schema = StructType([StructField("ts", TimestampType()),
+                         StructField("v", DoubleType())])
+
+    spark.createDataFrame([(t1, 2.0), (t1, 4.0)], schema).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "f1"))
+
+    def read_stream():
+        return spark.readStream.schema(schema) \
+            .option("recursiveFileLookup", "true").parquet(str(src))
+
+    def merged():
+        return {(r["bucket_us"],): (r["n"], r["s"], r["mn"], r["mx"])
+                for r in read_rollup_from_deltas(spark, out).collect()}
+
+    streaming_rollup_deltas(read_stream(), out, ckpt, "ts", "v",
+                            width_us=hour, query_name="r1")
+    first = merged()
+    assert sum(v[0] for v in first.values()) == 2
+
+    # unchanged source: no double counting
+    streaming_rollup_deltas(read_stream(), out, ckpt, "ts", "v",
+                            width_us=hour, query_name="r2")
+    assert merged() == first
+
+    # a second file lands exactly once and merges with history
+    spark.createDataFrame([(t1, 6.0), (t2, 10.0)], schema).coalesce(1) \
+        .write.mode("append").parquet(str(src / "f2"))
+    streaming_rollup_deltas(read_stream(), out, ckpt, "ts", "v",
+                            width_us=hour, query_name="r3")
+    batch_equiv = build_rollup(
+        spark.createDataFrame([(t1, 2.0), (t1, 4.0), (t1, 6.0),
+                               (t2, 10.0)], schema),
+        "ts", "v", width_us=hour)
+    want = {(r["bucket_us"],): (r["n"], r["s"], r["mn"], r["mx"])
+            for r in batch_equiv.collect()}
+    assert merged() == want

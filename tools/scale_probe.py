@@ -243,6 +243,60 @@ def main() -> int:
             .agg(F.sum("n_lines_kept")).collect()[0][0]
     probe("line_dedup_first_occ", ldedup(docs1), ldedup(docsk))
 
+    # bigram LM: LM tables are vocabulary-bound, so k× the corpus with
+    # the same vocabulary grows only the scoring side — wall ≲ linear
+    def bigram(df):
+        from detanalysis_spark.llm.text import (train_bigram_lm,
+                                                bigram_logprob_scores)
+        def run():
+            lm = train_bigram_lm(df.filter(F.col("doc_id") % 2 == 0))
+            return bigram_logprob_scores(
+                df.filter(F.col("doc_id") % 2 == 1), lm).count()
+        return run
+    probe("bigram_lm_score", bigram(docs1), bigram(docsk))
+
+    # hashed linear classifier: pure projection + id-keyed rollup
+    def clf(df):
+        from detanalysis_spark.llm.classifier import score_hashed_linear
+        return lambda: score_hashed_linear(df, dim=256).count()
+    probe("hashed_classifier", clf(docs1), clf(docsk))
+
+    # incremental rollup: build two batch rollups + merge + finalize —
+    # the merge re-aggregates rollup rows (buckets × keys), so k× the
+    # raw rows cost only the build pass
+    evr1 = ev1
+    evrk = amplify(ev1, ["event_id"], k)
+
+    def roll(df):
+        from detanalysis_spark.operators.rollup import (
+            build_rollup, merge_rollups, finalize_rollup)
+        def run():
+            b1 = build_rollup(df.filter(F.col("event_id") % 2 == 0),
+                              "ts", "value", keys=["event_type"],
+                              width_us=3_600_000_000)
+            b2 = build_rollup(df.filter(F.col("event_id") % 2 == 1),
+                              "ts", "value", keys=["event_type"],
+                              width_us=3_600_000_000)
+            return finalize_rollup(
+                merge_rollups(b1, b2, keys=["event_type"])).count()
+        return run
+    probe("rollup_build_merge", roll(evr1), roll(evrk))
+
+    # z-order write + footer manifest + pruned read: write cost tracks
+    # data size (one range exchange); the manifest is footer-only and
+    # pruning must keep the filtered read correct at any layout
+    def zorder(df, tag):
+        from detanalysis_spark.sources.layout import (zorder_write,
+                                                      pruned_parquet)
+        path = f"/tmp/detanalysis_spark_probe_z_{tag}"
+        def run():
+            zorder_write(df.select("event_id", "user_id", "value"),
+                         ["value", "user_id"], path, n_files=16)
+            return (pruned_parquet(spark, path, {"value": (20.0, 40.0)})
+                    .filter("value >= 20 and value <= 40").count())
+        return run
+    probe("zorder_manifest_scan", zorder(evr1, "1x"), zorder(evrk, "kx"))
+
     print(json.dumps({"probe": results, "multiplier": k}))
     return 0
 
