@@ -23,6 +23,7 @@ from .text import (token_count, bpe_ish_token_count, quality_scores,
 from .multimodal import (decode_raw8, encode_raw8, resize_bilinear,
                          image_features, audio_features, frame_sample_udf)
 from .classifier import (hashed_token_features, portable_bucket,
+                         hashed_embedding,
                          score_hashed_linear, train_linear_probe)
 from .pipeline import (CurationConfig, curate_corpus,
                        curate_corpus_stream)
@@ -53,5 +54,5 @@ __all__ = [
     "decode_raw8", "encode_raw8", "resize_bilinear",
     "image_features", "audio_features", "frame_sample_udf",
     "hashed_token_features", "portable_bucket",
-    "score_hashed_linear", "train_linear_probe",
+    "score_hashed_linear", "train_linear_probe", "hashed_embedding",
 ]

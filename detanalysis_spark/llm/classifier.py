@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from .text import term_frequencies
 
-__all__ = ["hashed_token_features", "portable_bucket",
+__all__ = ["hashed_token_features", "portable_bucket", "hashed_embedding",
            "score_hashed_linear", "train_linear_probe",
            "DEFAULT_WEIGHT_MOD"]
 
@@ -167,3 +167,39 @@ def train_linear_probe(df: DataFrame, label_col: str,
     bvec[d] = float(nd_ysum["ys"] or 0.0)
     A += float(reg) * np.eye(d + 1)
     return np.linalg.solve(A, bvec)
+
+
+def hashed_embedding(text: Column, dim: int = 64,
+                     normalize: bool = True) -> Column:
+    """Dense hashed bag-of-words vector (``array<double>``, length
+    ``dim``) from raw text — the model-free bridge that lets the whole
+    embedding stack (IVF ANN, SemDeDup, outlier screens) run on a text
+    corpus with no external encoder. Token buckets use the same
+    portable md5 hash as :func:`score_hashed_linear`; ``normalize``
+    L2-normalizes so dot products are cosine similarities (hashed
+    cosine ≈ token Jaccard-weighted overlap — the classic
+    feature-hashing trick, Weinberger et al. 2009).
+
+    Entirely native expressions: tokens → ``aggregate`` fold into a
+    dim-length array — a per-row projection, no shuffle, no UDF.
+    """
+    from .text import _tokens
+
+    tk = F.filter(F.transform(_tokens(text), lambda t: F.lower(t)),
+                  lambda t: F.length(t) > 0)
+    b = F.transform(tk, lambda t: F.conv(F.substring(F.md5(t), 1, 15),
+                                         16, 10).cast("long")
+                    % F.lit(int(dim)))
+    zero = F.array_repeat(F.lit(0.0), int(dim))
+    counts = F.aggregate(
+        b, zero,
+        lambda acc, i: F.transform(
+            acc, lambda v, j: F.when(j == i.cast("int"), v + 1.0)
+            .otherwise(v)))
+    if not normalize:
+        return counts
+    norm = F.sqrt(F.aggregate(counts, F.lit(0.0),
+                              lambda a, x: a + x * x))
+    return F.when(norm > 0.0,
+                  F.transform(counts, lambda v: v / norm)) \
+            .otherwise(counts)

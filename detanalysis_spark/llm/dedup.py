@@ -31,7 +31,7 @@ __all__ = [
     "word_shingles", "char_shingles", "minhash_signatures",
     "lsh_band_buckets", "lsh_candidate_pairs", "ngram_jaccard",
     "verify_candidates", "near_dup_pairs", "near_dup_clusters",
-    "simhash", "hamming_distance",
+    "simhash", "hamming_distance", "token_cosine_pairs",
     "positional_ngrams", "duplicated_spans", "span_dup_stats",
     "dedup_incremental", "lsh_candidate_pairs_between",
     "apply_near_dedup",
@@ -564,3 +564,55 @@ def stratified_sample_mod(df: DataFrame, strata_col: str,
         keep = ticket < int(round(float(frac) * modulus))
         expr = F.when(F.col(strata_col) == stratum, keep).otherwise(expr)
     return df.filter(expr)
+
+
+def token_cosine_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", threshold: float = 0.8,
+                       max_df: int | None = None) -> DataFrame:
+    """TF-weighted token cosine similarity join via an INVERTED INDEX:
+    (id_a, id_b, sim) for every pair with cosine >= ``threshold``
+    (id_a < id_b). The n-gram-free sibling of the MinHash path —
+    exact scores, candidate generation keyed by shared TERMS, never an
+    all-pairs product.
+
+    Plan: one (id, term) tf aggregate → per-doc norms (id-keyed
+    aggregate) → term-keyed self-join emits a pair row per shared term
+    (the inverted index), folded to per-pair dot products in one
+    map-side-combined aggregate → two norm joins + threshold filter.
+
+    Scale: pair-generation cost is Σ_term df(term)² — the frequent
+    terms dominate, so ``max_df`` drops terms seen in more than that
+    many docs from CANDIDATE GENERATION (the standard frequent-term
+    pruning of similarity joins; norms still use every term, so
+    reported sims are true-cosine lower bounds and a pair sharing only
+    ultra-common terms is the recall traded away). With ``max_df``
+    unset the join is exact.
+    """
+    from .text import term_frequencies
+
+    tf = term_frequencies(docs, id_col, text_col)
+    norms = tf.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("__nrm__"))
+    join_side = tf
+    if max_df is not None:
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df__"))
+        join_side = (tf.join(dfreq.filter(F.col("__df__") <= int(max_df)),
+                             "term").drop("__df__"))
+    a = join_side.select(F.col("term"), F.col(id_col).alias("id_a"),
+                         F.col("tf").alias("__tfa__"))
+    b = join_side.select(F.col("term"), F.col(id_col).alias("id_b"),
+                         F.col("tf").alias("__tfb__"))
+    dots = (a.join(b, "term")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("__tfa__") * F.col("__tfb__"))
+                 .alias("__dot__")))
+    na = norms.select(F.col(id_col).alias("id_a"),
+                      F.col("__nrm__").alias("__na__"))
+    nb = norms.select(F.col(id_col).alias("id_b"),
+                      F.col("__nrm__").alias("__nb__"))
+    return (dots.join(na, "id_a").join(nb, "id_b")
+            .withColumn("sim", F.col("__dot__")
+                        / (F.col("__na__") * F.col("__nb__")))
+            .filter(F.col("sim") >= float(threshold))
+            .select("id_a", "id_b", "sim"))

@@ -3476,6 +3476,37 @@ def k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_rows") - F.col("n_unique_rows")).alias("n_kept_k2"))
 
 
+# ----------------------------------------------------------------------
+# inverted-index token-cosine similarity join — exact TF cosine over a
+# bounded slice (doc_id < 100); candidates come from the term-keyed
+# self-join, never an all-pairs product. The scale path adds max_df
+# frequent-term pruning (pytest-covered lower-bound semantics).
+# ----------------------------------------------------------------------
+@query("token_cosine_near_dup", oracle=r"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id,
+           lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+    FROM documents WHERE doc_id < 100) WHERE len(term) > 0
+  GROUP BY doc_id, term),
+n AS (SELECT doc_id, sqrt(sum(tf * tf)) AS nrm FROM tf GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             sum(a.tf * b.tf) AS dot
+      FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       round(dot / (na.nrm * nb.nrm), 6) AS sim
+FROM p JOIN n na ON p.id_a = na.doc_id JOIN n nb ON p.id_b = nb.doc_id
+WHERE dot / (na.nrm * nb.nrm) >= 0.8
+""")
+def token_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.dedup import token_cosine_pairs
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 100)
+    pairs = token_cosine_pairs(docs, threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
 # ======================================================================
 # registration order epilogue
 #
@@ -3533,6 +3564,7 @@ _R03_DEMOTED = frozenset({
     "chunked_documents_stats",    # packing family: sequence_packing_stats
     "token_budget_sample_stats",  # packing family: sequence_packing_stats
     "pivot_priority_by_status",   # conditional-agg family: rollup exhibit
+    "moving_avg_event_value",     # window-frame exhibit; no ref parity op
 })
 
 

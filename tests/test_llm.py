@@ -1277,3 +1277,91 @@ def test_gopher_filter_counts(spark):
          (1, "tiny")], ["doc_id", "text"])
     kept = gopher_quality_filter(df, min_words=10)
     assert [r["doc_id"] for r in kept.collect()] == [0]
+
+
+def test_hashed_embedding_matches_python(spark):
+    import hashlib
+    import math
+    from detanalysis_spark.llm.classifier import hashed_embedding
+    import pyspark.sql.functions as F
+    dim = 16
+    text = "the cat the dog"
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    got = df.select(hashed_embedding(F.col("text"), dim=dim)
+                    .alias("e")).first()["e"]
+
+    counts = [0.0] * dim
+    for t in text.split():
+        b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % dim
+        counts[b] += 1.0
+    norm = math.sqrt(sum(c * c for c in counts))
+    want = [c / norm for c in counts]
+    assert all(abs(a - b) < 1e-12 for a, b in zip(got, want))
+    assert abs(sum(x * x for x in got) - 1.0) < 1e-12   # unit norm
+
+    # empty text -> zero vector, no NaN from the norm guard
+    z = spark.createDataFrame([(1, " ")], ["doc_id", "text"]) \
+        .select(hashed_embedding(F.col("text"), dim=dim).alias("e")) \
+        .first()["e"]
+    assert z == [0.0] * dim
+
+
+def test_hashed_embedding_drives_semantic_dedup(spark):
+    """The model-free bridge: near-identical texts land within the
+    SemDeDup threshold over their hashed embeddings; unrelated text
+    survives."""
+    from detanalysis_spark.llm.classifier import hashed_embedding
+    from detanalysis_spark.llm.similarity import semantic_dedup
+    import pyspark.sql.functions as F
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [(0, base, 0), (1, base + "tail", 0),
+            (2, "completely different words about spark plans", 0)]
+    df = spark.createDataFrame(rows, ["vec_id", "text", "label"]) \
+        .withColumn("embedding", hashed_embedding(F.col("text"), dim=64))
+    kept = sorted(r["vec_id"] for r in
+                  semantic_dedup(df, 0.9, cluster_col="label")
+                  .select("vec_id").collect())
+    assert kept == [0, 2]      # 1 is a hashed-cosine near-dup of 0
+
+
+def test_token_cosine_pairs_vs_numpy(spark):
+    import math
+    from collections import Counter
+    from detanalysis_spark.llm.dedup import token_cosine_pairs
+    rows = [(0, "the cat sat on the mat"),
+            (1, "the cat sat on the hat"),
+            (2, "spark plans shuffle data"),
+            (3, "the cat sat on the mat")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def cos(x, y):
+        a, b = Counter(x.split()), Counter(y.split())
+        dot = sum(a[t] * b[t] for t in a)
+        na = math.sqrt(sum(v * v for v in a.values()))
+        nb = math.sqrt(sum(v * v for v in b.values()))
+        return dot / (na * nb)
+
+    got = {(r["id_a"], r["id_b"]): r["sim"] for r in
+           token_cosine_pairs(df, threshold=0.5).collect()}
+    assert abs(got[(0, 3)] - 1.0) < 1e-12           # identical
+    assert abs(got[(0, 1)] - cos(rows[0][1], rows[1][1])) < 1e-12
+    assert (0, 2) not in got and (1, 2) not in got  # unrelated filtered
+    assert all(a < b for a, b in got)
+
+
+def test_token_cosine_pairs_max_df_prunes_common_terms(spark):
+    """Pairs sharing ONLY ultra-common terms disappear under max_df;
+    surviving scores still use full norms (lower-bound semantics)."""
+    from detanalysis_spark.llm.dedup import token_cosine_pairs
+    rows = [(0, "common alpha beta"), (1, "common gamma delta"),
+            (2, "common alpha beta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = {(r["id_a"], r["id_b"]) for r in
+            token_cosine_pairs(df, threshold=0.3).collect()}
+    assert (0, 1) in full                   # linked by "common" alone
+    pruned = {(r["id_a"], r["id_b"]): r["sim"] for r in
+              token_cosine_pairs(df, threshold=0.3, max_df=2).collect()}
+    assert (0, 1) not in pruned             # only-common link pruned
+    # identical docs share 2 of their 3 unit-tf terms after pruning,
+    # but norms keep all three: sim = 2/(sqrt(3)*sqrt(3)) = 2/3
+    assert abs(pruned[(0, 2)] - 2 / 3) < 1e-12
