@@ -234,3 +234,85 @@ def test_semantic_dedup_invariants(spark, seed, parts):
         if i not in kept:
             assert any(j < i and cl[j] == cl[i]
                        and unit[j] @ unit[i] >= 0.98 for j in range(i))
+
+
+@given(splits=st.lists(st.integers(0, 2), min_size=6, max_size=6),
+       width_h=st.integers(1, 48))
+@settings(**SETTINGS)
+def test_rollup_merge_associative_any_partitioning(spark, splits, width_h):
+    """merge(build(parts)) == build(full) for EVERY way of splitting
+    the rows into up to 3 batches and any bucket width — the mergeable
+    sufficient-statistic invariant behind incremental rollups."""
+    import datetime as dt
+    from detanalysis_spark.operators.rollup import (build_rollup,
+                                                    merge_rollups)
+    base_t = dt.datetime(2024, 1, 1)
+    rows = [(base_t + dt.timedelta(hours=3 * i), float(i * i % 17))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, ["ts", "v"])
+    width = width_h * 3_600_000_000
+    full = build_rollup(df, "ts", "v", width_us=width)
+
+    parts = []
+    for p in range(3):
+        idx = [i for i, s in enumerate(splits) if s == p]
+        if idx:
+            parts.append(build_rollup(
+                spark.createDataFrame([rows[i] for i in idx],
+                                      ["ts", "v"]),
+                "ts", "v", width_us=width))
+    merged = merge_rollups(*parts) if parts else None
+    want = {r["bucket_us"]: (r["n"], r["s"], r["mn"], r["mx"])
+            for r in full.collect()}
+    got = {r["bucket_us"]: (r["n"], r["s"], r["mn"], r["mx"])
+           for r in merged.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-9
+        assert got[k][2:] == want[k][2:]
+
+
+@given(xs=st.lists(st.integers(0, 255), min_size=1, max_size=8),
+       ys=st.lists(st.integers(0, 255), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_zorder_key_preserves_per_dim_order(spark, xs, ys):
+    """Morton keys are monotone along each axis when the other axis is
+    fixed — the property that makes z-range scans align with value
+    ranges."""
+    from detanalysis_spark.sources.layout import zorder_key
+    rows = ([(float(x), 0.0) for x in xs]
+            + [(0.0, float(y)) for y in ys])
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = df.withColumn("z", zorder_key(
+        df, ["x", "y"], bits=8,
+        ranges={"x": (0.0, 255.0), "y": (0.0, 255.0)})).collect()
+    on_x = sorted((r["x"], r["z"]) for r in out if r["y"] == 0.0)
+    assert all(z1 <= z2 for (_, z1), (_, z2) in zip(on_x, on_x[1:]))
+    on_y = sorted((r["y"], r["z"]) for r in out if r["x"] == 0.0)
+    assert all(z1 <= z2 for (_, z1), (_, z2) in zip(on_y, on_y[1:]))
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=12),
+    min_size=2, max_size=5))
+@settings(**SETTINGS)
+def test_bigram_scores_bounded_and_token_consistent(spark, texts):
+    """Scoring the training corpus itself never exercises backoff, so
+    every per-doc NLL is a mean of -ln(p) with p in (0, 1] — finite
+    and >= 0; n_bigrams == max(tokens - 1, 0) per doc."""
+    from detanalysis_spark.llm.text import (train_bigram_lm,
+                                            bigram_logprob_scores)
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    lm = train_bigram_lm(df)
+    out = {r["doc_id"]: r for r in
+           bigram_logprob_scores(df, lm).collect()}
+    for i, t in rows:
+        n_tok = len(t.split())
+        if n_tok < 2:
+            assert i not in out
+        else:
+            assert out[i]["n_bigrams"] == n_tok - 1
+            assert out[i]["nll"] >= -1e-12
+            assert out[i]["nll"] < float("inf")
