@@ -134,36 +134,40 @@ def train_linear_probe(df: DataFrame, label_col: str,
                          (F.col("x") / F.col("__n__")).alias("x")))
     labels = df.select(F.col(id_col),
                        F.col(label_col).cast("double").alias("__y__"))
-    fl = feats.join(labels, id_col)
-
-    a = fl.select(F.col(id_col), F.col("bucket").alias("b1"),
-                  F.col("x").alias("x1"))
-    bside = fl.select(F.col(id_col), F.col("bucket").alias("b2"),
-                      F.col("x").alias("x2"))
-    gram = (a.join(bside, id_col)
-            .groupBy("b1", "b2").agg(F.sum(F.col("x1") * F.col("x2"))
-                                     .alias("g"))
-            .collect())
-    xty = (fl.groupBy("bucket")
-           .agg(F.sum(F.col("x") * F.col("__y__")).alias("v"))
-           .collect())
-    # intercept via augmented feature x_dim = 1: its Gram row/col are
-    # the per-bucket feature sums and the doc count
-    sums = (fl.groupBy("bucket").agg(F.sum("x").alias("s")).collect())
-    nd_ysum = labels.agg(F.count(F.lit(1)).alias("n"),
-                         F.sum("__y__").alias("ys")).collect()[0]
+    # the feature pipeline (tokenize -> explode -> two aggregates ->
+    # label join) feeds BOTH driver actions below; persist so the
+    # corpus is scanned once, not once per action
+    fl = feats.join(labels, id_col).persist()
+    try:
+        a = fl.select(F.col(id_col), F.col("bucket").alias("b1"),
+                      F.col("x").alias("x1"))
+        bside = fl.select(F.col(id_col), F.col("bucket").alias("b2"),
+                          F.col("x").alias("x2"))
+        gram = (a.join(bside, id_col)
+                .groupBy("b1", "b2").agg(F.sum(F.col("x1") * F.col("x2"))
+                                         .alias("g"))
+                .collect())
+        # Xᵀy and the intercept's Gram row (per-bucket feature sums)
+        # fuse into ONE bucket-keyed aggregate
+        xty_sums = (fl.groupBy("bucket")
+                    .agg(F.sum(F.col("x") * F.col("__y__")).alias("v"),
+                         F.sum("x").alias("s"))
+                    .collect())
+        nd_ysum = labels.agg(F.count(F.lit(1)).alias("n"),
+                             F.sum("__y__").alias("ys")).collect()[0]
+    finally:
+        fl.unpersist()
 
     d = int(dim)
     A = np.zeros((d + 1, d + 1))
     bvec = np.zeros(d + 1)
     for r in gram:
         A[int(r["b1"]), int(r["b2"])] = r["g"]
-    for r in sums:
+    for r in xty_sums:
         A[int(r["bucket"]), d] = r["s"]
         A[d, int(r["bucket"])] = r["s"]
-    A[d, d] = float(nd_ysum["n"])
-    for r in xty:
         bvec[int(r["bucket"])] = r["v"]
+    A[d, d] = float(nd_ysum["n"])
     bvec[d] = float(nd_ysum["ys"] or 0.0)
     A += float(reg) * np.eye(d + 1)
     return np.linalg.solve(A, bvec)
@@ -183,13 +187,10 @@ def hashed_embedding(text: Column, dim: int = 64,
     Entirely native expressions: tokens → ``aggregate`` fold into a
     dim-length array — a per-row projection, no shuffle, no UDF.
     """
-    from .text import _tokens
+    from .text import _clean_tokens
 
-    tk = F.filter(F.transform(_tokens(text), lambda t: F.lower(t)),
-                  lambda t: F.length(t) > 0)
-    b = F.transform(tk, lambda t: F.conv(F.substring(F.md5(t), 1, 15),
-                                         16, 10).cast("long")
-                    % F.lit(int(dim)))
+    tk = _clean_tokens(text)
+    b = F.transform(tk, lambda t: portable_bucket(t, dim))
     zero = F.array_repeat(F.lit(0.0), int(dim))
     counts = F.aggregate(
         b, zero,

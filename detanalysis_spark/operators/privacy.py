@@ -28,11 +28,12 @@ __all__ = ["k_anonymity_profile", "suppress_small_groups"]
 def k_anonymity_profile(df: DataFrame,
                         quasi_cols: Sequence[str]) -> DataFrame:
     """One-row profile of the table's k-anonymity under ``quasi_cols``:
-    (k_min, n_groups, n_rows, n_violating_groups, n_violating_rows,
-    k_used) where ``k_min`` is the smallest group size (the table's
-    actual k) and the violating columns count groups/rows below the
-    conventional k=2 threshold (unique rows — the re-identifiable
-    ones)."""
+    (k_min, n_groups, n_rows, n_unique_groups, n_unique_rows) where
+    ``k_min`` is the smallest group size (the table's actual k) and
+    the unique columns count groups/rows below the conventional k=2
+    threshold (singleton rows — the re-identifiable ones). NULL
+    quasi-identifier values form their own group, mirroring groupBy
+    semantics."""
     if not quasi_cols:
         raise ValueError("k_anonymity_profile needs quasi-identifier columns")
     g = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n"))
@@ -50,11 +51,18 @@ def suppress_small_groups(df: DataFrame, quasi_cols: Sequence[str],
                           k: int) -> DataFrame:
     """Rows whose quasi-identifier group has >= k members — the
     suppression step that makes the survivors k-anonymous. One
-    aggregate + one equi-join on the quasi tuple (the aggregate side
-    is distinct-tuple-sized; AQE broadcasts it when small)."""
+    aggregate + one NULL-SAFE semi-join on the quasi tuple (groupBy
+    treats NULL as a group, so the join must too — a plain equi-join
+    would silently delete every null-keyed row no matter how large
+    its group). The aggregate side is distinct-tuple-sized; AQE
+    broadcasts it when small."""
     if k < 1:
         raise ValueError("k must be >= 1")
     big = (df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__n__"))
            .filter(F.col("__n__") >= int(k))
            .drop("__n__"))
-    return df.join(big, list(quasi_cols), "left_semi")
+    cond = None
+    for c in quasi_cols:
+        eq = df[c].eqNullSafe(big[c])
+        cond = eq if cond is None else cond & eq
+    return df.join(big, cond, "left_semi")

@@ -122,15 +122,12 @@ def update_rollup(path: str, batch_rollup: DataFrame,
                                keys=keys)
         staged = merged.withColumn(
             "bucket_day", bucket_day(F.col("bucket_us")))
-    with_conf = spark.conf
-    prev = with_conf.get("spark.sql.sources.partitionOverwriteMode",
-                         "static")
-    with_conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (staged.write.mode("overwrite").partitionBy("bucket_day")
-         .parquet(path))
-    finally:
-        with_conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # per-write option, not the session-global conf: concurrent writes
+    # in the same session keep their own overwrite semantics (the
+    # stream_to_parquet pattern in streaming/continuous.py)
+    (staged.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("bucket_day").parquet(path))
 
 
 def read_rollup(spark, path: str) -> DataFrame:
@@ -159,7 +156,21 @@ def gapfill_buckets(rollup: DataFrame, width_us: int,
              .select(*kc, F.explode(F.sequence(
                  F.col("__lo__"), F.col("__hi__"),
                  F.lit(int(width_us)))).alias("bucket_us")))
-    out = (spine.join(rollup, [*keys, "bucket_us"], "left")
+    # NULL-SAFE key equality: groupBy built a spine row for the
+    # null-key group, so the join back must match it (plain equality
+    # would zero out every bucket of that group). The spine derives
+    # from the rollup, so both sides need explicit aliases.
+    sp, ro = spine.alias("__sp__"), rollup.alias("__ro__")
+    cond = F.col("__sp__.bucket_us") == F.col("__ro__.bucket_us")
+    for k in keys:
+        cond = cond & F.col(f"__sp__.{k}").eqNullSafe(
+            F.col(f"__ro__.{k}"))
+    out = (sp.join(ro, cond, "left")
+           .select(*[F.col(f"__sp__.{k}").alias(k) for k in keys],
+                   F.col("__sp__.bucket_us").alias("bucket_us"),
+                   *[F.col(f"__ro__.{c}").alias(c)
+                     for c in rollup.columns
+                     if c not in ("bucket_us", *keys)])
            .withColumn("n", F.coalesce(F.col("n"), F.lit(0))))
     if locf_cols:
         w = (Window.partitionBy(*kc).orderBy("bucket_us")

@@ -202,5 +202,8 @@ def key_skew_profile(df: DataFrame, key_col: str | Column,
             .withColumn("rank", F.row_number().over(w))
             .select("rank", "key", "cnt",
                     (F.col("cnt") / F.col("__n__")).alias("share"),
-                    (F.col("cnt") * F.col("__k__") / F.col("__n__"))
-                    .alias("skew")))
+                    # cast BEFORE the multiply: long*long cnt*k
+                    # overflows (ANSI exception) at exactly the
+                    # hot-key scales this diagnostic exists for
+                    (F.col("cnt").cast("double") * F.col("__k__")
+                     / F.col("__n__")).alias("skew")))

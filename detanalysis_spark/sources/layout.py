@@ -106,8 +106,34 @@ def zorder_write(df: DataFrame, cols: Sequence[str], path: str,
        .write.mode(mode).parquet(path))
 
 
+def _list_parquet_files(path: str) -> list[str]:
+    """Shared lake listing: the ``*.parquet`` members of a directory,
+    or the path itself when it IS a parquet file."""
+    files = sorted(
+        f for f in _glob.glob(os.path.join(path, "*.parquet"))
+        + ([path] if path.endswith(".parquet") else [])
+        if os.path.isfile(f))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path!r}")
+    return files
+
+
+def _files_df(spark: SparkSession, files: Sequence[str]):
+    return spark.createDataFrame([(f,) for f in files], "file string") \
+                .repartition(min(len(files), 64))
+
+
 def _manifest_batches(cols: Sequence[str]):
     import pyarrow.parquet as pq
+
+    def as_double(v) -> float | None:
+        # footer stats come back typed (int/float/Decimal/date/str);
+        # non-castable types yield null stats = the file is never
+        # pruned, keeping pruning sound for any column type
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None
 
     def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -124,7 +150,10 @@ def _manifest_batches(cols: Sequence[str]):
                             if st is None or not st.has_min_max:
                                 lo = hi = None
                                 break
-                            mn, mx = float(st.min), float(st.max)
+                            mn, mx = as_double(st.min), as_double(st.max)
+                            if mn is None or mx is None:
+                                lo = hi = None
+                                break
                             lo = mn if lo is None else min(lo, mn)
                             hi = mx if hi is None else max(hi, mx)
                     out.append((f, md.num_rows, c, lo, hi))
@@ -139,19 +168,13 @@ def file_manifest(spark: SparkSession, path: str,
                   cols: Sequence[str]) -> DataFrame:
     """Per-file min-max stats for ``cols`` from parquet FOOTERS only:
     (file, n_rows, column, min_value, max_value) with values as
-    doubles (numeric/date columns). One Spark task per file batch —
-    each task reads a few KB of footer, never data pages — so a
-    100k-file lake manifests in a single short stage. Files whose
-    footer lacks stats for a column get null min/max (= never pruned).
+    doubles (numeric columns; other types yield null stats). One Spark
+    task per file batch — each task reads a few KB of footer, never
+    data pages — so a 100k-file lake manifests in a single short
+    stage. Files whose footer lacks castable stats for a column get
+    null min/max (= never pruned).
     """
-    files = sorted(
-        f for f in _glob.glob(os.path.join(path, "*.parquet"))
-        + ([path] if path.endswith(".parquet") else [])
-        if os.path.isfile(f))
-    if not files:
-        raise FileNotFoundError(f"no parquet files under {path!r}")
-    base = spark.createDataFrame([(f,) for f in files], "file string") \
-                .repartition(min(len(files), 64))
+    base = _files_df(spark, _list_parquet_files(path))
     schema = ("file string, n_rows long, column string, "
               "min_value double, max_value double")
     return base.mapInPandas(_manifest_batches(list(cols)), schema)
@@ -189,6 +212,11 @@ def pruned_parquet(spark: SparkSession, path: str,
     if nothing can be pruned."""
     manifest = file_manifest(spark, path, cols or list(predicates))
     files = prune_files(manifest, predicates)
+    if not files:
+        # every file provably empty for the predicate: an EMPTY frame
+        # with the table's schema, not a zero-path read error
+        return spark.read.parquet(
+            *_list_parquet_files(path)).where(F.lit(False))
     return spark.read.parquet(*files)
 
 
@@ -197,13 +225,6 @@ def schema_manifest(spark: SparkSession, path: str) -> DataFrame:
     (file, column, physical_type). The lake-hygiene companion to
     :func:`file_manifest` — distributed, footer-only reads."""
     import pyarrow.parquet as pq
-
-    files = sorted(
-        f for f in _glob.glob(os.path.join(path, "*.parquet"))
-        + ([path] if path.endswith(".parquet") else [])
-        if os.path.isfile(f))
-    if not files:
-        raise FileNotFoundError(f"no parquet files under {path!r}")
 
     def read_schemas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -216,8 +237,7 @@ def schema_manifest(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(out,
                                columns=["file", "column", "physical_type"])
 
-    base = spark.createDataFrame([(f,) for f in files], "file string") \
-                .repartition(min(len(files), 64))
+    base = _files_df(spark, _list_parquet_files(path))
     return base.mapInPandas(read_schemas,
                             "file string, column string, "
                             "physical_type string")

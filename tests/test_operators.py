@@ -461,3 +461,37 @@ def test_suppression_count_matches_profile_algebra(spark):
     p = k_anonymity_profile(df, ["uid", "etype"]).collect()[0]
     kept = suppress_small_groups(df, ["uid", "etype"], k=2).count()
     assert kept == p["n_rows"] - p["n_unique_rows"]
+
+
+def test_suppress_small_groups_null_safe(spark):
+    """NULL quasi-identifier values form a group (groupBy semantics);
+    suppression must keep them when the null group is large."""
+    from detanalysis_spark.operators.privacy import (
+        k_anonymity_profile, suppress_small_groups)
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame(
+        {"country": [None, None, None, "fr"], "age": [30, 30, 30, 40]}))
+    p = k_anonymity_profile(df, ["country", "age"]).collect()[0]
+    assert p["k_min"] == 1 and p["n_groups"] == 2
+    kept = suppress_small_groups(df, ["country", "age"], k=2)
+    assert kept.count() == 3            # the null group survives
+    assert kept.filter("country IS NULL").count() == 3
+
+
+def test_gapfill_null_key_group(spark):
+    """A null-keyed group's existing buckets must read back their own
+    data, not n=0 (null-safe spine join)."""
+    import datetime as dt
+    from detanalysis_spark.operators.rollup import (build_rollup,
+                                                    gapfill_buckets)
+    import pandas as pd
+    hour = 3_600_000_000
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    pdf = pd.DataFrame({"ts": [t0, t0], "key": [None, "a"],
+                        "v": [5.0, 7.0]})
+    df = spark.createDataFrame(pdf)
+    r = build_rollup(df, "ts", "v", keys=["key"], width_us=hour)
+    dense = gapfill_buckets(r, hour, keys=["key"]).collect()
+    by_key = {row["key"]: row for row in dense}
+    assert by_key[None]["n"] == 1 and by_key[None]["s"] == 5.0
+    assert by_key["a"]["n"] == 1 and by_key["a"]["s"] == 7.0

@@ -300,3 +300,31 @@ def test_schema_manifest_and_drift(spark, tmp_path):
     spark.createDataFrame([(2,)], ["id"]) \
          .coalesce(1).write.mode("append").parquet(clean)
     assert schema_drift(schema_manifest(spark, clean)).empty
+
+
+def test_pruned_parquet_empty_result_keeps_schema(spark, tmp_path):
+    from detanalysis_spark.sources.layout import pruned_parquet
+    p = str(tmp_path / "small")
+    spark.createDataFrame([(1, 5.0)], ["id", "x"]).coalesce(1) \
+        .write.parquet(p)
+    out = pruned_parquet(spark, p, {"x": (1000.0, 2000.0)})
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "x"}
+
+
+def test_file_manifest_non_numeric_columns_yield_null_stats(spark, tmp_path):
+    from detanalysis_spark.sources.layout import (file_manifest,
+                                                  prune_files)
+    import datetime as dt
+    p = str(tmp_path / "typed")
+    spark.createDataFrame(
+        [(1, "abc", dt.date(2024, 1, 2), 3.5)],
+        ["id", "name", "d", "x"]).coalesce(1).write.parquet(p)
+    pdf = file_manifest(spark, p, ["name", "d", "x"]).toPandas()
+    import pandas as pd
+    by_col = {r["column"]: r for _, r in pdf.iterrows()}
+    assert pd.isna(by_col["name"]["min_value"])   # string: null stats
+    assert pd.isna(by_col["d"]["min_value"])      # date: null stats
+    assert by_col["x"]["min_value"] == 3.5
+    # null-stat columns never prune
+    assert len(prune_files(pdf, {"name": (0.0, 1.0)})) == 1
