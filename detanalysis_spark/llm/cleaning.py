@@ -32,6 +32,7 @@ __all__ = [
     "remove_duplicate_lines", "decontaminate",
     "adaptive_quality_filter",
     "GOPHER_DEFAULTS", "gopher_quality_flags", "gopher_quality_filter",
+    "repetition_char_fractions",
 ]
 
 # ---------------------------------------------------------------------------
@@ -409,3 +410,94 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
     """Rows passing every Gopher rule — one shuffle-free projection."""
     flags = gopher_quality_flags(F.col(text_col), **overrides)
     return df.filter(flags["gopher_pass"])
+
+
+def repetition_char_fractions(text: Column, ns: tuple = (2, 3, 4),
+                              top_ns: tuple = (2, 3, 4)) -> dict[str, Column]:
+    """The CHARACTER-fraction repetition signals of the published
+    Gopher rule set (Rae et al. 2021, Appendix A.1.1) — within-document
+    rules complementary to :func:`repetition_scores`' count ratios:
+
+    - ``dup_line_frac``: fraction of (non-blank) lines that are exact
+      repeats of an earlier line.
+    - ``dup_line_char_frac``: fraction of non-blank-line characters
+      inside those repeated lines.
+    - ``top_{n}gram_char_frac``: characters covered by occurrences of
+      the single most frequent word n-gram, over total token chars.
+    - ``dup_{n}gram_char_frac``: characters covered by n-gram
+      occurrences that are repeats (occurrence count − distinct), over
+      total token chars — the paper's duplicated-n-gram coverage
+      proxy (overlaps counted per occurrence).
+
+    All native array/aggregate expressions — one shuffle-free
+    projection per document; n-gram char weights count gram token
+    chars (separators excluded) so the fractions are in [0, 1].
+    """
+    from .text import _tokens
+
+    tk = F.filter(F.transform(_tokens(text), lambda t: F.lower(t)),
+                  lambda t: F.length(t) > 0)
+    tok_chars = F.aggregate(F.transform(tk, F.length), F.lit(0),
+                            lambda a, x: a + x)
+    safe_tok_chars = F.greatest(tok_chars, F.lit(1)).cast("double")
+
+    lines = F.filter(F.split(text, "\n"),
+                     lambda ln: F.length(F.trim(ln)) > 0)
+    n_lines = F.size(lines)
+    safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+    line_chars = F.aggregate(F.transform(lines, F.length), F.lit(0),
+                             lambda a, x: a + x)
+    # chars in repeated occurrences: total line chars - chars of the
+    # distinct line set
+    dup_line_chars = line_chars - F.aggregate(
+        F.transform(F.array_distinct(lines), F.length), F.lit(0),
+        lambda a, x: a + x)
+
+    out: dict[str, Column] = {
+        "dup_line_frac": dup_lines.cast("double") / safe_lines,
+        "dup_line_char_frac": dup_line_chars.cast("double")
+        / F.greatest(line_chars, F.lit(1)).cast("double"),
+    }
+
+    def gram_structs(n: int) -> Column:
+        cnt = F.greatest(F.size(tk) - (n - 1), F.lit(0))
+        return F.when(cnt >= 1, F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.struct(
+                F.concat_ws(" ", F.slice(tk, i, n)).alias("g"),
+                F.aggregate(F.transform(F.slice(tk, i, n), F.length),
+                            F.lit(0), lambda a, x: a + x)
+                .alias("chars")))) \
+            .otherwise(F.array().cast(
+                "array<struct<g:string,chars:int>>"))
+
+    for n in top_ns:
+        grams = gram_structs(n)
+        # chars covered by the most frequent gram's occurrences:
+        # max over distinct grams of (occurrences × gram chars)
+        per_gram = F.transform(
+            F.array_distinct(F.transform(grams, lambda s: s["g"])),
+            lambda g: F.aggregate(
+                F.filter(grams, lambda s: s["g"] == g),
+                F.lit(0), lambda a, s: a + s["chars"]))
+        top_chars = F.coalesce(F.array_max(per_gram), F.lit(0))
+        out[f"top_{n}gram_char_frac"] = \
+            top_chars.cast("double") / safe_tok_chars
+
+    for n in ns:
+        grams = gram_structs(n)
+        total_chars = F.aggregate(grams, F.lit(0),
+                                  lambda a, s: a + s["chars"])
+        distinct_g = F.array_distinct(
+            F.transform(grams, lambda s: s["g"]))
+        first_chars = F.aggregate(
+            F.transform(distinct_g,
+                        lambda g: F.element_at(
+                            F.filter(grams, lambda s: s["g"] == g), 1)
+                        ["chars"]),
+            F.lit(0), lambda a, x: a + x)
+        dup_chars = total_chars - first_chars
+        out[f"dup_{n}gram_char_frac"] = \
+            dup_chars.cast("double") / safe_tok_chars
+    return out

@@ -3507,6 +3507,55 @@ def token_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
+# ----------------------------------------------------------------------
+# Gopher character-fraction repetition signals (Rae et al. 2021 App. A
+# continued): per-language averages of top/duplicated-2-gram character
+# coverage — shuffle-free per-row projection + one aggregate. Gram
+# token chars = len(gram) - 1 (the single separator), identical on
+# both sides.
+# ----------------------------------------------------------------------
+@query("repetition_char_frac_stats", oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(list_transform(string_split_regex(trim(text), '\s+'),
+                                    t -> lower(t)),
+                     t -> len(t) > 0) AS tk
+  FROM documents),
+t AS (SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS p
+      FROM toks),
+tc AS (SELECT doc_id, sum(len(w)) AS tok_chars FROM t GROUP BY doc_id),
+g AS (SELECT a.doc_id, a.w || ' ' || b.w AS gram, count(*) AS cnt
+      FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+      GROUP BY a.doc_id, a.w || ' ' || b.w),
+d AS (SELECT doc_id,
+             max(cnt * (len(gram) - 1)) AS top_chars,
+             sum((cnt - 1) * (len(gram) - 1)) AS dup_chars
+      FROM g GROUP BY doc_id),
+f AS (SELECT toks.doc_id, toks.lang,
+             coalesce(d.top_chars, 0) * 1.0
+               / greatest(tc.tok_chars, 1) AS topf,
+             coalesce(d.dup_chars, 0) * 1.0
+               / greatest(tc.tok_chars, 1) AS dupf
+      FROM toks JOIN tc ON toks.doc_id = tc.doc_id
+      LEFT JOIN d ON toks.doc_id = d.doc_id)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(topf), 6) AS avg_top2_char_frac,
+       round(avg(dupf), 6) AS avg_dup2_char_frac
+FROM f GROUP BY lang
+""")
+def repetition_char_frac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.cleaning import repetition_char_fractions
+    docs = load_table(spark, sf_dir, "documents")
+    m = repetition_char_fractions(F.col("text"), ns=(2,), top_ns=(2,))
+    scored = docs.select(
+        "lang", m["top_2gram_char_frac"].alias("topf"),
+        m["dup_2gram_char_frac"].alias("dupf"))
+    return (scored.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("topf"), 6).alias("avg_top2_char_frac"),
+                 F.round(F.avg("dupf"), 6).alias("avg_dup2_char_frac")))
+
+
 # ======================================================================
 # registration order epilogue
 #
@@ -3565,6 +3614,7 @@ _R03_DEMOTED = frozenset({
     "token_budget_sample_stats",  # packing family: sequence_packing_stats
     "pivot_priority_by_status",   # conditional-agg family: rollup exhibit
     "moving_avg_event_value",     # window-frame exhibit; no ref parity op
+    "grouped_regression_stats",   # native regr_* exhibit; no ref parity op
 })
 
 

@@ -1365,3 +1365,32 @@ def test_token_cosine_pairs_max_df_prunes_common_terms(spark):
     # identical docs share 2 of their 3 unit-tf terms after pruning,
     # but norms keep all three: sim = 2/(sqrt(3)*sqrt(3)) = 2/3
     assert abs(pruned[(0, 2)] - 2 / 3) < 1e-12
+
+
+def test_repetition_char_fractions_hand_computed(spark):
+    from detanalysis_spark.llm.cleaning import repetition_char_fractions
+    import pyspark.sql.functions as F
+    rows = [(0, "a b a b a b"),        # "a b" x3 of 5 bigrams
+            (1, "x\nx\nyy"),           # dup line "x"; 1 of 5 line chars?
+            (2, "unique words only here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    m = repetition_char_fractions(F.col("text"), ns=(2,), top_ns=(2,))
+    out = {r["doc_id"]: r for r in
+           df.select("doc_id", *[v.alias(k) for k, v in m.items()])
+             .collect()}
+    # doc 0: 6 tokens (6 chars). bigrams: "a b","b a","a b","b a","a b"
+    # top gram "a b": 3 occurrences x 2 token chars = 6 -> 6/6 = 1.0
+    assert abs(out[0]["top_2gram_char_frac"] - 1.0) < 1e-12
+    # dup occurrences: 5 grams, 2 distinct firsts (2+2 chars);
+    # total gram chars 10 -> dup 6 -> 6/6 = 1.0
+    assert abs(out[0]["dup_2gram_char_frac"] - 1.0) < 1e-12
+    assert out[0]["dup_line_frac"] == 0.0       # single line
+
+    # doc 1: lines x, x, yy -> 1 of 3 repeated; line chars 4, dup 1
+    assert abs(out[1]["dup_line_frac"] - 1 / 3) < 1e-12
+    assert abs(out[1]["dup_line_char_frac"] - 1 / 4) < 1e-12
+
+    # doc 2: no repetition anywhere
+    assert out[2]["dup_2gram_char_frac"] == 0.0
+    assert out[2]["top_2gram_char_frac"] > 0.0   # top gram exists once
+    assert out[2]["dup_line_frac"] == 0.0
