@@ -17,6 +17,7 @@ from .dedup import (dedup_exact, minhash_signatures, lsh_candidate_pairs,
 from .text import (token_count, bpe_ish_token_count, quality_scores,
                    language_id, doc_fingerprint, tfidf_topk, build_vocab,
                    unigram_logprob_scores, take_token_budget,
+                   save_bigram_lm, load_bigram_lm,
                    pack_documents, chunk_documents, normalize_text,
                    word_frequencies, bpe_pair_counts, train_bpe,
                    bpe_segment_udf)
@@ -24,7 +25,8 @@ from .multimodal import (decode_raw8, encode_raw8, resize_bilinear,
                          image_features, audio_features, frame_sample_udf)
 from .classifier import (hashed_token_features, portable_bucket,
                          hashed_embedding,
-                         score_hashed_linear, train_linear_probe)
+                         score_hashed_linear, train_linear_probe,
+                         save_probe, load_probe)
 from .pipeline import (CurationConfig, curate_corpus,
                        curate_corpus_stream)
 from .cleaning import (pii_counts, redact_pii, repetition_scores,
@@ -55,4 +57,5 @@ __all__ = [
     "image_features", "audio_features", "frame_sample_udf",
     "hashed_token_features", "portable_bucket",
     "score_hashed_linear", "train_linear_probe", "hashed_embedding",
+    "save_probe", "load_probe", "save_bigram_lm", "load_bigram_lm",
 ]

@@ -44,7 +44,7 @@ from .text import term_frequencies
 
 __all__ = ["hashed_token_features", "portable_bucket", "hashed_embedding",
            "score_hashed_linear", "train_linear_probe",
-           "DEFAULT_WEIGHT_MOD"]
+           "save_probe", "load_probe", "DEFAULT_WEIGHT_MOD"]
 
 # deterministic pseudo-weights for weight-free exhibits:
 # w[b] = (b % MOD)/(MOD-1) - 0.5  — uniform in [-0.5, 0.5], portable
@@ -204,3 +204,26 @@ def hashed_embedding(text: Column, dim: int = 64,
     return F.when(norm > 0.0,
                   F.transform(counts, lambda v: v / norm)) \
             .otherwise(counts)
+
+
+def save_probe(weights: np.ndarray, path: str, dim: int | None = None,
+               spark=None) -> None:
+    """Persist trained probe weights (the length-dim+1 vector from
+    :func:`train_linear_probe`) as a tiny (index, weight) parquet —
+    Spark writers, so any session filesystem works. ``spark`` is
+    required (there is no DataFrame to borrow a session from)."""
+    if spark is None:
+        raise ValueError("save_probe needs the SparkSession")
+    rows = [(i, float(w)) for i, w in enumerate(weights)]
+    spark.createDataFrame(rows, "idx int, w double") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_probe(spark, path: str) -> np.ndarray:
+    """Load :func:`save_probe` weights back as a numpy vector (ordered
+    by index)."""
+    rows = spark.read.parquet(path).collect()
+    out = np.zeros(len(rows))
+    for r in rows:
+        out[int(r["idx"])] = r["w"]
+    return out

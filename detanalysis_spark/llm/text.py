@@ -26,7 +26,7 @@ __all__ = [
     "term_frequencies", "document_frequencies", "tfidf_topk",
     "unigram_logprob_scores", "build_vocab",
     "bigram_frequencies", "BigramLM", "train_bigram_lm",
-    "bigram_logprob_scores",
+    "bigram_logprob_scores", "save_bigram_lm", "load_bigram_lm",
     "word_frequencies", "bpe_pair_counts", "train_bpe", "bpe_segment_udf",
 ]
 
@@ -620,3 +620,26 @@ def bpe_segment_udf(merges: Sequence[tuple[str, str]]):
             lambda t: [tok for w in t.split() for tok in encode_word(w)])
 
     return seg
+
+
+def save_bigram_lm(lm: BigramLM, path: str) -> None:
+    """Persist a :class:`BigramLM` as parquet (bigrams/, unigrams/)
+    plus a one-row meta table — everything goes through Spark writers,
+    so the artifact lands on whatever filesystem the session targets
+    (HDFS/S3/local alike)."""
+    spark = lm.bigrams.sparkSession
+    lm.bigrams.write.mode("overwrite").parquet(f"{path}/bigrams")
+    lm.unigrams.write.mode("overwrite").parquet(f"{path}/unigrams")
+    spark.createDataFrame([(int(lm.total), float(lm.alpha))],
+                          "total long, alpha double") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_bigram_lm(spark, path: str) -> BigramLM:
+    """Load a :func:`save_bigram_lm` artifact; scoring joins read the
+    LM tables lazily (predicate pushdown and AQE broadcast apply as if
+    freshly trained)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return BigramLM(spark.read.parquet(f"{path}/bigrams"),
+                    spark.read.parquet(f"{path}/unigrams"),
+                    int(meta["total"]), float(meta["alpha"]))

@@ -4,7 +4,8 @@ from .stats import (basic_stats, percentiles, robust_sigma, robust_sigma_expr,
                     key_skew_profile)
 from .binning import (equal_width_edges, equal_frequency_edges, ofamp_edges,
                       assign_bin, ntile_bin)
-from .joins import salted_join, asof_join, range_join_binned
+from .joins import (salted_join, asof_join, range_join_binned,
+                    merge_intervals)
 from .privacy import k_anonymity_profile, suppress_small_groups
 from .rollup import (time_bucket, build_rollup, merge_rollups,
                      finalize_rollup, update_rollup, read_rollup,
@@ -20,7 +21,7 @@ __all__ = [
     "hist1d", "hist2d", "hist1d_df", "bucket_expr",
     "basic_stats", "percentiles", "robust_sigma", "robust_sigma_expr",
     "passage_fraction_table", "trim_outliers", "profile_table",
-    "asof_join", "range_join_binned",
+    "asof_join", "range_join_binned", "merge_intervals",
     "equal_width_edges", "equal_frequency_edges", "ofamp_edges",
     "assign_bin", "ntile_bin",
     "random_choice", "every_nth", "log_spaced_indices",

@@ -128,3 +128,45 @@ def range_join_binned(points: DataFrame, intervals: DataFrame,
             .filter((F.col(point_col) >= F.col(lo_col))
                     & (F.col(point_col) < F.col(hi_col)))
             .drop("__bin__"))
+
+
+def merge_intervals(df: DataFrame, lo_col: str, hi_col: str,
+                    key_cols: Sequence[str] = ()) -> DataFrame:
+    """Union overlapping/touching [lo, hi] intervals per key — the
+    gaps-and-islands primitive: (keys..., lo, hi, n_merged). Two rows
+    merge when one starts at or before the running maximum end of all
+    earlier-starting rows.
+
+    The canonical pre-step for interval predicates (reference interval
+    cuts are an OR over [start, stop] windows,
+    ``semiautocuts.py:875-935``-style): merging first turns O(rows ×
+    intervals) predicate evaluation into O(rows × islands) with
+    identical semantics.
+
+    Plan: ONE shuffle keyed by ``key_cols`` — running-max + island
+    counter + island aggregate all share the same window partitioning,
+    so Catalyst plans a single sort+exchange. With no keys the window
+    is a documented single-partition fallback: merge per key at scale.
+    """
+    from pyspark.sql import Window
+
+    if not key_cols:
+        import warnings
+        warnings.warn("merge_intervals without key_cols runs the "
+                      "window on a single partition — fine for a "
+                      "bounded interval list, not for corpus-scale "
+                      "input", stacklevel=2)
+    w = (Window.partitionBy(*[F.col(k) for k in key_cols])
+         .orderBy(F.col(lo_col).asc(), F.col(hi_col).asc()))
+    prev_max_hi = F.max(F.col(hi_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = (prev_max_hi.isNull()
+                  | (F.col(lo_col) > prev_max_hi)).cast("long")
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("__island__", island)
+            .groupBy(*key_cols, "__island__")
+            .agg(F.min(lo_col).alias("lo"),
+                 F.max(hi_col).alias("hi"),
+                 F.count(F.lit(1)).alias("n_merged"))
+            .drop("__island__"))

@@ -3556,6 +3556,47 @@ def repetition_char_frac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("dupf"), 6).alias("avg_dup2_char_frac")))
 
 
+# ----------------------------------------------------------------------
+# interval union (gaps-and-islands) — overlapping [value, value+5]
+# windows per event type merged with running-max island semantics; one
+# key-partitioned sort+window. The pre-step that turns an OR-of-
+# betweens interval cut into O(islands) predicate terms.
+# ----------------------------------------------------------------------
+@query("merged_interval_islands", oracle="""
+WITH iv AS (
+  SELECT event_type AS k, value AS lo, value + 5.0 AS hi
+  FROM events WHERE event_id % 10 = 0),
+m AS (SELECT k, lo, hi,
+             max(hi) OVER (PARTITION BY k ORDER BY lo, hi
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pmh
+      FROM iv),
+isl AS (SELECT k, lo, hi,
+               sum(CASE WHEN pmh IS NULL OR lo > pmh THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY k ORDER BY lo, hi
+                       ROWS UNBOUNDED PRECEDING) AS island
+        FROM m),
+g AS (SELECT k, island, min(lo) AS lo, max(hi) AS hi, count(*) AS n
+      FROM isl GROUP BY k, island)
+SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(n) AS BIGINT) AS n_intervals,
+       round(sum(hi - lo), 6) AS covered
+FROM g GROUP BY k
+""")
+def merged_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import merge_intervals
+    ev = load_table(spark, sf_dir, "events") \
+        .filter(F.col("event_id") % 10 == 0) \
+        .select(F.col("event_type"), F.col("value").alias("lo"),
+                (F.col("value") + 5.0).alias("hi"))
+    merged = merge_intervals(ev, "lo", "hi", ["event_type"])
+    return (merged.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_islands"),
+                 F.sum("n_merged").alias("n_intervals"),
+                 F.round(F.sum(F.col("hi") - F.col("lo")), 6)
+                 .alias("covered")))
+
+
 # ======================================================================
 # registration order epilogue
 #
@@ -3615,6 +3656,7 @@ _R03_DEMOTED = frozenset({
     "pivot_priority_by_status",   # conditional-agg family: rollup exhibit
     "moving_avg_event_value",     # window-frame exhibit; no ref parity op
     "grouped_regression_stats",   # native regr_* exhibit; no ref parity op
+    "rollup_order_revenue",       # native grouping-sets exhibit; no ref op
 })
 
 

@@ -1394,3 +1394,34 @@ def test_repetition_char_fractions_hand_computed(spark):
     assert out[2]["dup_2gram_char_frac"] == 0.0
     assert out[2]["top_2gram_char_frac"] > 0.0   # top gram exists once
     assert out[2]["dup_line_frac"] == 0.0
+
+
+def test_bigram_lm_save_load_roundtrip(spark, tmp_path):
+    from detanalysis_spark.llm.text import (train_bigram_lm,
+                                            bigram_logprob_scores,
+                                            save_bigram_lm,
+                                            load_bigram_lm)
+    df = spark.createDataFrame(
+        [(0, "the cat sat"), (2, "the cat ran the dog sat")],
+        ["doc_id", "text"])
+    lm = train_bigram_lm(df)
+    path = str(tmp_path / "lm")
+    save_bigram_lm(lm, path)
+    lm2 = load_bigram_lm(spark, path)
+    assert lm2.total == lm.total and lm2.alpha == lm.alpha
+
+    score_df = spark.createDataFrame([(1, "the cat sat")],
+                                     ["doc_id", "text"])
+    a = bigram_logprob_scores(score_df, lm).collect()[0]
+    b = bigram_logprob_scores(score_df, lm2).collect()[0]
+    assert a["nll"] == b["nll"] and a["n_bigrams"] == b["n_bigrams"]
+
+
+def test_probe_save_load_roundtrip(spark, tmp_path):
+    import numpy as np
+    from detanalysis_spark.llm.classifier import save_probe, load_probe
+    w = np.linspace(-1, 1, 33)
+    path = str(tmp_path / "probe")
+    save_probe(w, path, spark=spark)
+    w2 = load_probe(spark, path)
+    assert np.allclose(w, w2)

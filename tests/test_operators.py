@@ -495,3 +495,30 @@ def test_gapfill_null_key_group(spark):
     by_key = {row["key"]: row for row in dense}
     assert by_key[None]["n"] == 1 and by_key[None]["s"] == 5.0
     assert by_key["a"]["n"] == 1 and by_key["a"]["s"] == 7.0
+
+
+def test_merge_intervals_islands(spark):
+    from detanalysis_spark.operators.joins import merge_intervals
+    rows = [("a", 0.0, 5.0), ("a", 3.0, 8.0), ("a", 8.0, 9.0),
+            ("a", 20.0, 25.0),
+            ("b", 1.0, 2.0), ("b", 1.5, 1.8)]   # contained interval
+    df = spark.createDataFrame(rows, ["k", "lo", "hi"])
+    out = {(r["k"], r["lo"], r["hi"]): r["n_merged"] for r in
+           merge_intervals(df, "lo", "hi", ["k"]).collect()}
+    # touching endpoints merge: [0,5]+[3,8]+[8,9] -> [0,9] of 3
+    assert out == {("a", 0.0, 9.0): 3, ("a", 20.0, 25.0): 1,
+                   ("b", 1.0, 2.0): 2}
+
+
+def test_merge_intervals_chain_through_containment(spark):
+    """An interval that ends before an EARLIER one must not split the
+    island (running-max semantics, not lag-of-hi)."""
+    from detanalysis_spark.operators.joins import merge_intervals
+    rows = [(0.0, 10.0), (1.0, 2.0), (3.0, 4.0), (9.5, 12.0)]
+    import warnings
+    df = spark.createDataFrame(rows, ["lo", "hi"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = merge_intervals(df, "lo", "hi").collect()
+    assert [(r["lo"], r["hi"], r["n_merged"]) for r in out] \
+        == [(0.0, 12.0, 4)]
