@@ -32,7 +32,7 @@ __all__ = [
     "remove_duplicate_lines", "decontaminate",
     "adaptive_quality_filter",
     "GOPHER_DEFAULTS", "gopher_quality_flags", "gopher_quality_filter",
-    "repetition_char_fractions",
+    "repetition_char_fractions", "repetition_char_fractions_grouped",
 ]
 
 # ---------------------------------------------------------------------------
@@ -460,44 +460,113 @@ def repetition_char_fractions(text: Column, ns: tuple = (2, 3, 4),
         / F.greatest(line_chars, F.lit(1)).cast("double"),
     }
 
-    def gram_structs(n: int) -> Column:
-        cnt = F.greatest(F.size(tk) - (n - 1), F.lit(0))
-        return F.when(cnt >= 1, F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: F.struct(
-                F.concat_ws(" ", F.slice(tk, i, n)).alias("g"),
-                F.aggregate(F.transform(F.slice(tk, i, n), F.length),
-                            F.lit(0), lambda a, x: a + x)
-                .alias("chars")))) \
-            .otherwise(F.array().cast(
-                "array<struct<g:string,chars:int>>"))
+    def gram_strings(n: int) -> Column:
+        # bind the token array before the positional lambda — slicing
+        # the raw tokenize expression per position would re-split the
+        # text O(G) times per row
+        def build(tkb: Column) -> Column:
+            cnt = F.greatest(F.size(tkb) - (n - 1), F.lit(0))
+            return F.when(cnt >= 1, F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.concat_ws(" ", F.slice(tkb, i, n)))) \
+                .otherwise(F.array().cast("array<string>"))
+
+        return F.transform(F.array(tk), build)[0]
+
+    def gram_metrics(n: int) -> Column:
+        # gram token chars = len(gram) - (n-1) separators, so both
+        # passes work off plain string lengths. The gram array binds
+        # ONCE per row as a lambda variable; a lambda that referenced
+        # the gram-building expression directly would rebuild the
+        # whole array per distinct gram — O(G²) array construction
+        # that wedges whole-stage codegen at corpus scale.
+        def body(ga: Column) -> Column:
+            chars = lambda g: F.length(g) - (n - 1)  # noqa: E731
+            total = F.aggregate(ga, F.lit(0),
+                                lambda a, g: a + chars(g))
+            firsts = F.aggregate(F.array_distinct(ga), F.lit(0),
+                                 lambda a, g: a + chars(g))
+            # top gram coverage via a sorted-run fold — O(G log G)
+            # instead of a per-distinct-gram rescan (O(G²))
+            init = F.struct(F.lit("").alias("prev"),
+                            F.lit(0).alias("run"),
+                            F.lit(0).alias("best"))
+
+            def step(acc: Column, g: Column) -> Column:
+                run = F.when(g == acc["prev"], acc["run"] + 1) \
+                       .otherwise(F.lit(1))
+                return F.struct(
+                    g.alias("prev"), run.alias("run"),
+                    F.greatest(acc["best"],
+                               run * chars(g)).alias("best"))
+
+            top = F.aggregate(F.array_sort(ga), init, step)["best"]
+            return F.struct(top.alias("top"),
+                            (total - firsts).alias("dup"))
+
+        return F.transform(F.array(gram_strings(n)), body)[0]
 
     for n in top_ns:
-        grams = gram_structs(n)
-        # chars covered by the most frequent gram's occurrences:
-        # max over distinct grams of (occurrences × gram chars)
-        per_gram = F.transform(
-            F.array_distinct(F.transform(grams, lambda s: s["g"])),
-            lambda g: F.aggregate(
-                F.filter(grams, lambda s: s["g"] == g),
-                F.lit(0), lambda a, s: a + s["chars"]))
-        top_chars = F.coalesce(F.array_max(per_gram), F.lit(0))
         out[f"top_{n}gram_char_frac"] = \
-            top_chars.cast("double") / safe_tok_chars
+            gram_metrics(n)["top"].cast("double") / safe_tok_chars
 
     for n in ns:
-        grams = gram_structs(n)
-        total_chars = F.aggregate(grams, F.lit(0),
-                                  lambda a, s: a + s["chars"])
-        distinct_g = F.array_distinct(
-            F.transform(grams, lambda s: s["g"]))
-        first_chars = F.aggregate(
-            F.transform(distinct_g,
-                        lambda g: F.element_at(
-                            F.filter(grams, lambda s: s["g"] == g), 1)
-                        ["chars"]),
-            F.lit(0), lambda a, x: a + x)
-        dup_chars = total_chars - first_chars
         out[f"dup_{n}gram_char_frac"] = \
-            dup_chars.cast("double") / safe_tok_chars
+            gram_metrics(n)["dup"].cast("double") / safe_tok_chars
     return out
+
+
+def repetition_char_fractions_grouped(df: DataFrame,
+                                      id_col: str = "doc_id",
+                                      text_col: str = "text",
+                                      n: int = 2) -> DataFrame:
+    """Relational form of the n-gram character-coverage metrics:
+    (id, tok_chars, top_{n}gram_char_frac, dup_{n}gram_char_frac).
+
+    Same numbers as :func:`repetition_char_fractions` (pytest pins the
+    equality) via explode + two map-side-combined aggregates instead
+    of per-row array folds — at corpus scale the shuffled/codegen'd
+    plan beats the interpreter-bound higher-order functions by ~an
+    order of magnitude, so this is the path the suite query and any
+    100 TB run should take; the Column version remains for
+    shuffle-free moderate-size projections.
+    """
+    from .text import _clean_tokens, term_frequencies
+
+    # project the token array FIRST: a gram lambda that referenced the
+    # tokenize expression directly would re-split the text once per
+    # gram position (O(G²) tokenization — the bound-variable pitfall)
+    toks = df.select(F.col(id_col),
+                     _clean_tokens(F.col(text_col)).alias("__tk__"))
+    tkc = F.col("__tk__")
+    grams = F.when(F.size(tkc) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(tkc) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tkc, i, n)))) \
+        .otherwise(F.array().cast("array<string>"))
+    g = (toks.select(F.col(id_col), F.explode_outer(grams).alias("g"))
+         .groupBy(id_col, "g").agg(F.count("g").alias("cnt")))
+    chars = F.length("g") - (n - 1)
+    per_doc = (g.groupBy(id_col).agg(
+        F.coalesce(F.sum(F.col("cnt") * chars), F.lit(0))
+        .alias("__total__"),
+        F.coalesce(F.sum(chars), F.lit(0)).alias("__firsts__"),
+        F.coalesce(F.max(F.col("cnt") * chars), F.lit(0))
+        .alias("__top__")))
+    tok_chars = (term_frequencies(df, id_col, text_col)
+                 .groupBy(id_col)
+                 .agg(F.sum(F.col("tf") * F.length("term"))
+                      .alias("tok_chars")))
+    base = df.select(id_col)
+    safe = F.greatest(F.col("tok_chars"), F.lit(1)).cast("double")
+    return (base.join(per_doc, id_col, "left")
+            .join(tok_chars, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("tok_chars"), F.lit(0))
+                    .alias("tok_chars"),
+                    (F.coalesce(F.col("__top__"), F.lit(0))
+                     .cast("double") / safe)
+                    .alias(f"top_{n}gram_char_frac"),
+                    ((F.coalesce(F.col("__total__"), F.lit(0))
+                      - F.coalesce(F.col("__firsts__"), F.lit(0)))
+                     .cast("double") / safe)
+                    .alias(f"dup_{n}gram_char_frac")))

@@ -1425,3 +1425,28 @@ def test_probe_save_load_roundtrip(spark, tmp_path):
     save_probe(w, path, spark=spark)
     w2 = load_probe(spark, path)
     assert np.allclose(w, w2)
+
+
+def test_char_fractions_grouped_equals_column_form(spark):
+    """The relational and per-row forms of the n-gram char-coverage
+    metrics must agree exactly (the suite query uses the relational
+    one; this equality is its link to the hand-computed fixtures)."""
+    from detanalysis_spark.llm.cleaning import (
+        repetition_char_fractions, repetition_char_fractions_grouped)
+    import pyspark.sql.functions as F
+    rows = [(0, "a b a b a b"), (1, "unique words only here"),
+            (2, "x"), (3, "  "), (4, "q r q r s t q r")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    m = repetition_char_fractions(F.col("text"), ns=(2,), top_ns=(2,))
+    col_form = {r["doc_id"]: (r["top"], r["dup"]) for r in
+                df.select("doc_id",
+                          m["top_2gram_char_frac"].alias("top"),
+                          m["dup_2gram_char_frac"].alias("dup"))
+                .collect()}
+    grp_form = {r["doc_id"]: (r["top_2gram_char_frac"],
+                              r["dup_2gram_char_frac"]) for r in
+                repetition_char_fractions_grouped(df, n=2).collect()}
+    assert set(col_form) == set(grp_form) == {0, 1, 2, 3, 4}
+    for k in col_form:
+        assert abs(col_form[k][0] - grp_form[k][0]) < 1e-12, k
+        assert abs(col_form[k][1] - grp_form[k][1]) < 1e-12, k
