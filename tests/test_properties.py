@@ -316,3 +316,38 @@ def test_bigram_scores_bounded_and_token_consistent(spark, texts):
             assert out[i]["n_bigrams"] == n_tok - 1
             assert out[i]["nll"] >= -1e-12
             assert out[i]["nll"] < float("inf")
+
+
+@given(texts=st.lists(
+    st.text(alphabet="abc xyz", min_size=1, max_size=20),
+    min_size=2, max_size=5))
+@settings(**SETTINGS)
+def test_token_cosine_matches_counter_cosine(spark, texts):
+    """Exact-mode token_cosine_pairs equals the Counter-based cosine
+    for every generated pair above threshold, and never emits a pair
+    below it."""
+    import math
+    from collections import Counter
+    from detanalysis_spark.llm.dedup import token_cosine_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    thr = 0.4
+    got = {(r["id_a"], r["id_b"]): r["sim"] for r in
+           token_cosine_pairs(df, threshold=thr).collect()}
+
+    def cos(x, y):
+        a = Counter(w.lower() for w in x.split())
+        b = Counter(w.lower() for w in y.split())
+        dot = sum(a[t] * b[t] for t in a)
+        na = math.sqrt(sum(v * v for v in a.values()))
+        nb = math.sqrt(sum(v * v for v in b.values()))
+        return dot / (na * nb) if na and nb else None
+
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            want = cos(texts[i], texts[j])
+            if want is not None and want >= thr:
+                assert abs(got[(i, j)] - want) < 1e-12, (i, j)
+            else:
+                assert (i, j) not in got, (i, j)
