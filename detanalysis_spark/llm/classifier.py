@@ -211,9 +211,15 @@ def save_probe(weights: np.ndarray, path: str, dim: int | None = None,
     """Persist trained probe weights (the length-dim+1 vector from
     :func:`train_linear_probe`) as a tiny (index, weight) parquet —
     Spark writers, so any session filesystem works. ``spark`` is
-    required (there is no DataFrame to borrow a session from)."""
+    required (there is no DataFrame to borrow a session from);
+    ``dim`` optionally validates the vector length (``dim`` for a
+    bias-free vector, ``dim+1`` with the trained intercept)."""
     if spark is None:
         raise ValueError("save_probe needs the SparkSession")
+    if dim is not None and len(weights) not in (dim, dim + 1):
+        raise ValueError(
+            f"weights has length {len(weights)}, expected {dim} "
+            f"(no bias) or {dim + 1} (trained intercept last)")
     rows = [(i, float(w)) for i, w in enumerate(weights)]
     spark.createDataFrame(rows, "idx int, w double") \
         .coalesce(1).write.mode("overwrite").parquet(path)

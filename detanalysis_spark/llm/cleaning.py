@@ -423,20 +423,25 @@ def repetition_char_fractions(text: Column, ns: tuple = (2, 3, 4),
     - ``dup_line_char_frac``: fraction of non-blank-line characters
       inside those repeated lines.
     - ``top_{n}gram_char_frac``: characters covered by occurrences of
-      the single most frequent word n-gram, over total token chars.
+      the single MOST FREQUENT word n-gram (ties broken by larger
+      gram), over total token chars.
     - ``dup_{n}gram_char_frac``: characters covered by n-gram
       occurrences that are repeats (occurrence count − distinct), over
       total token chars — the paper's duplicated-n-gram coverage
-      proxy (overlaps counted per occurrence).
+      proxy.
 
-    All native array/aggregate expressions — one shuffle-free
-    projection per document; n-gram char weights count gram token
-    chars (separators excluded) so the fractions are in [0, 1].
+    Overlapping occurrences are counted PER OCCURRENCE (each position
+    contributes its full gram chars), so on pathologically repetitive
+    text the n-gram fractions can exceed 1 — they are repetition
+    scores, not exact coverage measures; threshold accordingly. The
+    line fractions are true ratios in [0, 1]. All native
+    array/aggregate expressions — one shuffle-free projection per
+    document; gram char weights assume gram token chars < 1e6 (the
+    frequency/chars combined sort key).
     """
-    from .text import _tokens
+    from .text import _clean_tokens
 
-    tk = F.filter(F.transform(_tokens(text), lambda t: F.lower(t)),
-                  lambda t: F.length(t) > 0)
+    tk = _clean_tokens(text)
     tok_chars = F.aggregate(F.transform(tk, F.length), F.lit(0),
                             lambda a, x: a + x)
     safe_tok_chars = F.greatest(tok_chars, F.lit(1)).cast("double")
@@ -482,37 +487,51 @@ def repetition_char_fractions(text: Column, ns: tuple = (2, 3, 4),
         # that wedges whole-stage codegen at corpus scale.
         def body(ga: Column) -> Column:
             chars = lambda g: F.length(g) - (n - 1)  # noqa: E731
-            total = F.aggregate(ga, F.lit(0),
+            total = F.aggregate(ga, F.lit(0).cast("long"),
                                 lambda a, g: a + chars(g))
-            firsts = F.aggregate(F.array_distinct(ga), F.lit(0),
+            firsts = F.aggregate(F.array_distinct(ga),
+                                 F.lit(0).cast("long"),
                                  lambda a, g: a + chars(g))
-            # top gram coverage via a sorted-run fold — O(G log G)
-            # instead of a per-distinct-gram rescan (O(G²))
+            # most-frequent gram via a sorted-run fold — O(G log G)
+            # instead of a per-distinct-gram rescan. The Gopher rule
+            # selects by FREQUENCY (not by coverage), so the fold
+            # maximizes the combined key run*1e6 + chars: max count
+            # wins, ties break toward the larger gram; coverage is
+            # decoded from the winning key.
             init = F.struct(F.lit("").alias("prev"),
-                            F.lit(0).alias("run"),
-                            F.lit(0).alias("best"))
+                            F.lit(0).cast("long").alias("run"),
+                            F.lit(0).cast("long").alias("best"))
 
             def step(acc: Column, g: Column) -> Column:
                 run = F.when(g == acc["prev"], acc["run"] + 1) \
-                       .otherwise(F.lit(1))
+                       .otherwise(F.lit(1).cast("long"))
+                key = run * F.lit(1_000_000) + chars(g)
                 return F.struct(
                     g.alias("prev"), run.alias("run"),
-                    F.greatest(acc["best"],
-                               run * chars(g)).alias("best"))
+                    F.greatest(acc["best"], key).alias("best"))
 
-            top = F.aggregate(F.array_sort(ga), init, step)["best"]
+            best = F.aggregate(F.array_sort(ga), init, step)["best"]
+            # exact decode: subtract the remainder, then divide the
+            # exact multiple (no float truncation edge)
+            best_chars = F.pmod(best, F.lit(1_000_000))
+            top = ((best - best_chars) / F.lit(1_000_000)) \
+                .cast("long") * best_chars
             return F.struct(top.alias("top"),
                             (total - firsts).alias("dup"))
 
         return F.transform(F.array(gram_strings(n)), body)[0]
 
-    for n in top_ns:
-        out[f"top_{n}gram_char_frac"] = \
-            gram_metrics(n)["top"].cast("double") / safe_tok_chars
-
-    for n in ns:
-        out[f"dup_{n}gram_char_frac"] = \
-            gram_metrics(n)["dup"].cast("double") / safe_tok_chars
+    # one gram pipeline per distinct n — emitting top and dup from the
+    # same struct halves the per-row fold cost when a size appears in
+    # both tuples (HOF expressions are not reliably CSE'd by Catalyst)
+    for n in sorted(set(top_ns) | set(ns)):
+        m = gram_metrics(n)
+        if n in top_ns:
+            out[f"top_{n}gram_char_frac"] = \
+                m["top"].cast("double") / safe_tok_chars
+        if n in ns:
+            out[f"dup_{n}gram_char_frac"] = \
+                m["dup"].cast("double") / safe_tok_chars
     return out
 
 
@@ -531,42 +550,47 @@ def repetition_char_fractions_grouped(df: DataFrame,
     100 TB run should take; the Column version remains for
     shuffle-free moderate-size projections.
     """
-    from .text import _clean_tokens, term_frequencies
+    from .text import _clean_tokens
 
     # project the token array FIRST: a gram lambda that referenced the
     # tokenize expression directly would re-split the text once per
-    # gram position (O(G²) tokenization — the bound-variable pitfall)
-    toks = df.select(F.col(id_col),
-                     _clean_tokens(F.col(text_col)).alias("__tk__"))
+    # gram position (O(G²) tokenization — the bound-variable pitfall).
+    # tok_chars folds from the same bound array — no second tokenize
+    # pass, no extra shuffle.
+    toks = df.select(
+        F.col(id_col),
+        _clean_tokens(F.col(text_col)).alias("__tk__")) \
+        .select(F.col(id_col), F.col("__tk__"),
+                F.aggregate(F.transform(F.col("__tk__"), F.length),
+                            F.lit(0).cast("long"), lambda a, x: a + x)
+                .alias("tok_chars"))
     tkc = F.col("__tk__")
     grams = F.when(F.size(tkc) >= n, F.transform(
         F.sequence(F.lit(1), F.size(tkc) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(tkc, i, n)))) \
         .otherwise(F.array().cast("array<string>"))
-    g = (toks.select(F.col(id_col), F.explode_outer(grams).alias("g"))
-         .groupBy(id_col, "g").agg(F.count("g").alias("cnt")))
-    chars = F.length("g") - (n - 1)
+    g = (toks.select(F.col(id_col), F.col("tok_chars"),
+                     F.explode_outer(grams).alias("g"))
+         .groupBy(id_col, "g")
+         .agg(F.count("g").alias("cnt"),
+              F.first("tok_chars").alias("tok_chars")))
+    chars = (F.length("g") - (n - 1)).cast("long")
+    # most-frequent-gram selection (the Gopher rule picks by count,
+    # ties toward the larger gram) via the same combined key as the
+    # Column form: max(cnt*1e6 + chars), coverage decoded after
+    key = F.col("cnt") * F.lit(1_000_000) + chars
     per_doc = (g.groupBy(id_col).agg(
+        F.first("tok_chars").alias("tok_chars"),
         F.coalesce(F.sum(F.col("cnt") * chars), F.lit(0))
         .alias("__total__"),
         F.coalesce(F.sum(chars), F.lit(0)).alias("__firsts__"),
-        F.coalesce(F.max(F.col("cnt") * chars), F.lit(0))
-        .alias("__top__")))
-    tok_chars = (term_frequencies(df, id_col, text_col)
-                 .groupBy(id_col)
-                 .agg(F.sum(F.col("tf") * F.length("term"))
-                      .alias("tok_chars")))
-    base = df.select(id_col)
+        F.coalesce(F.max(key), F.lit(0)).alias("__best__")))
+    best_chars = F.pmod(F.col("__best__"), F.lit(1_000_000))
+    top = ((F.col("__best__") - best_chars) / F.lit(1_000_000)) \
+        .cast("long") * best_chars
     safe = F.greatest(F.col("tok_chars"), F.lit(1)).cast("double")
-    return (base.join(per_doc, id_col, "left")
-            .join(tok_chars, id_col, "left")
-            .select(id_col,
-                    F.coalesce(F.col("tok_chars"), F.lit(0))
-                    .alias("tok_chars"),
-                    (F.coalesce(F.col("__top__"), F.lit(0))
-                     .cast("double") / safe)
-                    .alias(f"top_{n}gram_char_frac"),
-                    ((F.coalesce(F.col("__total__"), F.lit(0))
-                      - F.coalesce(F.col("__firsts__"), F.lit(0)))
-                     .cast("double") / safe)
-                    .alias(f"dup_{n}gram_char_frac")))
+    return per_doc.select(
+        id_col, "tok_chars",
+        (top.cast("double") / safe).alias(f"top_{n}gram_char_frac"),
+        ((F.col("__total__") - F.col("__firsts__")).cast("double")
+         / safe).alias(f"dup_{n}gram_char_frac"))

@@ -135,7 +135,8 @@ def merge_intervals(df: DataFrame, lo_col: str, hi_col: str,
     """Union overlapping/touching [lo, hi] intervals per key — the
     gaps-and-islands primitive: (keys..., lo, hi, n_merged). Two rows
     merge when one starts at or before the running maximum end of all
-    earlier-starting rows.
+    earlier-starting rows. Rows with a null bound are dropped — they
+    describe no interval.
 
     The canonical pre-step for interval predicates (reference interval
     cuts are an OR over [start, stop] windows,
@@ -156,6 +157,12 @@ def merge_intervals(df: DataFrame, lo_col: str, hi_col: str,
                       "window on a single partition — fine for a "
                       "bounded interval list, not for corpus-scale "
                       "input", stacklevel=2)
+    # rows with a null bound carry no interval information and would
+    # otherwise null the island marker (null > x is null; sum skips
+    # it), silently gluing the row into the preceding island — drop
+    # them up front instead
+    df = df.filter(F.col(lo_col).isNotNull()
+                   & F.col(hi_col).isNotNull())
     w = (Window.partitionBy(*[F.col(k) for k in key_cols])
          .orderBy(F.col(lo_col).asc(), F.col(hi_col).asc()))
     prev_max_hi = F.max(F.col(hi_col)).over(

@@ -3527,16 +3527,19 @@ tc AS (SELECT doc_id, sum(len(w)) AS tok_chars FROM t GROUP BY doc_id),
 g AS (SELECT a.doc_id, a.w || ' ' || b.w AS gram, count(*) AS cnt
       FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.p = a.p + 1
       GROUP BY a.doc_id, a.w || ' ' || b.w),
+-- most-frequent gram by count (ties toward the larger gram) via the
+-- combined key cnt*1e6 + chars; coverage decoded from the winner
 d AS (SELECT doc_id,
-             max(cnt * (len(gram) - 1)) AS top_chars,
+             max(cnt * 1000000 + (len(gram) - 1)) AS best,
              sum((cnt - 1) * (len(gram) - 1)) AS dup_chars
       FROM g GROUP BY doc_id),
 f AS (SELECT toks.doc_id, toks.lang,
-             coalesce(d.top_chars, 0) * 1.0
-               / greatest(tc.tok_chars, 1) AS topf,
+             coalesce((d.best // 1000000) * (d.best % 1000000), 0)
+               * 1.0
+               / greatest(coalesce(tc.tok_chars, 0), 1) AS topf,
              coalesce(d.dup_chars, 0) * 1.0
-               / greatest(tc.tok_chars, 1) AS dupf
-      FROM toks JOIN tc ON toks.doc_id = tc.doc_id
+               / greatest(coalesce(tc.tok_chars, 0), 1) AS dupf
+      FROM toks LEFT JOIN tc ON toks.doc_id = tc.doc_id
       LEFT JOIN d ON toks.doc_id = d.doc_id)
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(topf), 6) AS avg_top2_char_frac,

@@ -1450,3 +1450,64 @@ def test_char_fractions_grouped_equals_column_form(spark):
     for k in col_form:
         assert abs(col_form[k][0] - grp_form[k][0]) < 1e-12, k
         assert abs(col_form[k][1] - grp_form[k][1]) < 1e-12, k
+
+
+def test_top_gram_picks_most_frequent_not_max_coverage(spark):
+    """The Gopher rule selects by FREQUENCY: a short gram occurring 3x
+    must beat a much longer gram occurring 2x, even though the longer
+    one covers more characters."""
+    from detanalysis_spark.llm.cleaning import (
+        repetition_char_fractions, repetition_char_fractions_grouped)
+    import pyspark.sql.functions as F
+    # "a b" occurs 3x (coverage 6); "longword otherlong" occurs 2x
+    # (coverage 2*17=34) — most frequent is "a b"
+    text = ("a b a b a b longword otherlong x longword otherlong")
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    m = repetition_char_fractions(F.col("text"), ns=(2,), top_ns=(2,))
+    got_col = df.select(
+        m["top_2gram_char_frac"].alias("t")).first()["t"]
+    got_grp = repetition_char_fractions_grouped(df, n=2) \
+        .first()["top_2gram_char_frac"]
+    tok_chars = sum(len(w) for w in text.split())
+    # "a b": 3 occurrences x 2 token chars = 6
+    assert abs(got_col - 6 / tok_chars) < 1e-12
+    assert abs(got_grp - 6 / tok_chars) < 1e-12
+
+
+def test_char_fractions_can_exceed_one_documented(spark):
+    """Per-occurrence counting on pathologically repetitive text
+    exceeds 1 — the documented behavior, pinned so a future 'fix'
+    doesn't silently change the oracle."""
+    from detanalysis_spark.llm.cleaning import repetition_char_fractions
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame([(0, "a a a")], ["doc_id", "text"])
+    m = repetition_char_fractions(F.col("text"), ns=(2,), top_ns=(2,))
+    r = df.select(m["top_2gram_char_frac"].alias("t"),
+                  m["dup_2gram_char_frac"].alias("d")).first()
+    assert abs(r["t"] - 4 / 3) < 1e-12   # 2 occ x 2 chars over 3
+    assert abs(r["d"] - 2 / 3) < 1e-12
+
+
+def test_char_fractions_grouped_keeps_blank_docs(spark):
+    from detanalysis_spark.llm.cleaning import \
+        repetition_char_fractions_grouped
+    df = spark.createDataFrame([(0, "a b a b"), (1, "   "), (2, "x")],
+                               ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           repetition_char_fractions_grouped(df, n=2).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[1]["tok_chars"] == 0
+    assert out[1]["top_2gram_char_frac"] == 0.0
+    assert out[2]["dup_2gram_char_frac"] == 0.0
+
+
+def test_merge_intervals_drops_null_bounds(spark):
+    from detanalysis_spark.operators.joins import merge_intervals
+    import pandas as pd
+    pdf = pd.DataFrame({"k": ["a"] * 3,
+                        "lo": [0.0, None, 20.0],
+                        "hi": [5.0, 100.0, 25.0]})
+    df = spark.createDataFrame(pdf)
+    out = sorted((r["lo"], r["hi"]) for r in
+                 merge_intervals(df, "lo", "hi", ["k"]).collect())
+    assert out == [(0.0, 5.0), (20.0, 25.0)]
