@@ -18,6 +18,7 @@ from .text import (token_count, bpe_ish_token_count, quality_scores,
                    language_id, doc_fingerprint, tfidf_topk, build_vocab,
                    unigram_logprob_scores, take_token_budget,
                    save_bigram_lm, load_bigram_lm,
+                   compression_ratio_udf, sentence_split_udtf,
                    pack_documents, chunk_documents, normalize_text,
                    word_frequencies, bpe_pair_counts, train_bpe,
                    bpe_segment_udf)
@@ -58,4 +59,5 @@ __all__ = [
     "hashed_token_features", "portable_bucket",
     "score_hashed_linear", "train_linear_probe", "hashed_embedding",
     "save_probe", "load_probe", "save_bigram_lm", "load_bigram_lm",
+    "compression_ratio_udf", "sentence_split_udtf",
 ]

@@ -28,6 +28,7 @@ __all__ = [
     "bigram_frequencies", "BigramLM", "train_bigram_lm",
     "bigram_logprob_scores", "save_bigram_lm", "load_bigram_lm",
     "word_frequencies", "bpe_pair_counts", "train_bpe", "bpe_segment_udf",
+    "compression_ratio_udf", "sentence_split_udtf",
 ]
 
 # portable regexes (identical semantics in Java regex and RE2)
@@ -643,3 +644,60 @@ def load_bigram_lm(spark, path: str) -> BigramLM:
     return BigramLM(spark.read.parquet(f"{path}/bigrams"),
                     spark.read.parquet(f"{path}/unigrams"),
                     int(meta["total"]), float(meta["alpha"]))
+
+
+def compression_ratio_udf():
+    """Arrow-batched deflate compression ratio of text —
+    ``len(zlib.compress(utf8)) / len(utf8)`` (1.0 for empty text).
+
+    The classic model-free redundancy signal (used alongside the
+    Gopher rules in public pipelines: boilerplate and template spam
+    compress far below prose, random noise above it). zlib is
+    inherently Python-side, so this is a pandas UDF — one Arrow
+    roundtrip, vectorized over each batch; everything around it stays
+    native.
+    """
+    import zlib
+
+    @pandas_udf("double")
+    def ratio(texts: pd.Series) -> pd.Series:
+        def one(t) -> float:
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, 6)) / len(raw)
+        return texts.map(one)
+
+    return ratio
+
+
+def sentence_split_udtf():
+    """Python UDTF (Spark 4 table function): explode a document into
+    (sentence_idx, sentence, n_chars) rows on ``.!?`` boundaries —
+    the §2.10 UDTF surface exhibit. Register and use in SQL as::
+
+        spark.udtf.register("split_sentences", sentence_split_udtf())
+        spark.sql("SELECT d.doc_id, s.* FROM documents d, "
+                  "LATERAL split_sentences(d.text) s")
+
+    For hot paths prefer the native ``split`` + ``posexplode``
+    (chunk_documents) — a UDTF is row-at-a-time Python; it exists for
+    logic too irregular for expressions, and this exhibit keeps the
+    wiring (registration, lateral join, schema contract) tested.
+    """
+    import re as _re
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence string, n_chars int")
+    class SplitSentences:
+        def eval(self, text: str):  # noqa: D401
+            if text is None:
+                return
+            parts = [p.strip()
+                     for p in _re.split(r"(?<=[.!?])\s+", text.strip())]
+            for i, p in enumerate(p for p in parts if p):
+                yield i, p, len(p)
+
+    return SplitSentences

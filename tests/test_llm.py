@@ -1511,3 +1511,37 @@ def test_merge_intervals_drops_null_bounds(spark):
     out = sorted((r["lo"], r["hi"]) for r in
                  merge_intervals(df, "lo", "hi", ["k"]).collect())
     assert out == [(0.0, 5.0), (20.0, 25.0)]
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+    from detanalysis_spark.llm.text import compression_ratio_udf
+    import pyspark.sql.functions as F
+    texts = ["spam spam spam spam spam spam spam spam",
+             "the quick brown fox jumps over the lazy dog", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    r = compression_ratio_udf()
+    got = {x["doc_id"]: x["c"] for x in
+           df.select("doc_id", r(F.col("text")).alias("c")).collect()}
+    for i, t in enumerate(texts):
+        raw = t.encode()
+        want = len(zlib.compress(raw, 6)) / len(raw) if raw else 1.0
+        assert abs(got[i] - want) < 1e-12
+    assert got[0] < got[1]      # repetitive text compresses harder
+
+
+def test_sentence_split_udtf_lateral_join(spark):
+    from detanalysis_spark.llm.text import sentence_split_udtf
+    spark.udtf.register("split_sentences_t", sentence_split_udtf())
+    df = spark.createDataFrame(
+        [(0, "One two. Three! Four?"), (1, "   "), (2, None)],
+        ["doc_id", "text"])
+    df.createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, s.sentence_idx, s.sentence, s.n_chars "
+        "FROM udtf_docs d, LATERAL split_sentences_t(d.text) s "
+        "ORDER BY d.doc_id, s.sentence_idx").collect()
+    got = [(r["doc_id"], r["sentence_idx"], r["sentence"]) for r in rows]
+    assert got == [(0, 0, "One two."), (0, 1, "Three!"), (0, 2, "Four?")]
+    assert all(r["n_chars"] == len(r["sentence"]) for r in rows)
