@@ -1,7 +1,7 @@
 from .histogram import hist1d, hist2d, hist1d_df, bucket_expr
 from .stats import (basic_stats, percentiles, robust_sigma, robust_sigma_expr,
                     passage_fraction_table, trim_outliers, profile_table,
-                    key_skew_profile)
+                    key_skew_profile, rank_normalize)
 from .binning import (equal_width_edges, equal_frequency_edges, ofamp_edges,
                       assign_bin, ntile_bin)
 from .joins import (salted_join, asof_join, range_join_binned,
@@ -28,7 +28,7 @@ __all__ = [
     "log_downsample", "polyval", "cap_per_key", "sessionize",
     "shuffle_key", "deterministic_shuffle", "assign_batches",
     "assign_split", "weighted_sample", "weighted_sample_per_key",
-    "key_skew_profile",
+    "key_skew_profile", "rank_normalize",
     "time_bucket", "build_rollup", "merge_rollups", "finalize_rollup",
     "update_rollup", "read_rollup", "gapfill_buckets",
     "k_anonymity_profile", "suppress_small_groups",

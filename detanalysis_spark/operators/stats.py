@@ -207,3 +207,30 @@ def key_skew_profile(df: DataFrame, key_col: str | Column,
                     # hot-key scales this diagnostic exists for
                     (F.col("cnt").cast("double") * F.col("__k__")
                      / F.col("__n__")).alias("skew")))
+
+
+def rank_normalize(df: DataFrame, score_col: str | Column,
+                   key_cols: Sequence[str] = (),
+                   out_col: str = "score_pct") -> DataFrame:
+    """Percent-rank calibration of a score within each key group:
+    adds ``out_col`` in [0, 1] (0 = group minimum, 1 = group maximum;
+    single-row groups get 0.0, percent_rank's convention).
+
+    The standard normalization before mixing heterogeneous quality
+    signals or applying one global keep-fraction across groups with
+    different score scales (per-language quality thresholds being the
+    canonical case — same motivation as ``adaptive_quality_filter``,
+    but yielding a continuous calibrated score instead of one cut).
+
+    ONE shuffle keyed by ``key_cols``; with no keys the window is a
+    documented single-partition fallback (warns) — always pass keys at
+    corpus scale.
+    """
+    if not key_cols:
+        import warnings
+        warnings.warn("rank_normalize without key_cols runs the window "
+                      "on a single partition — fine for bounded input, "
+                      "not at corpus scale", stacklevel=2)
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]) \
+              .orderBy(_col(score_col).asc())
+    return df.withColumn(out_col, F.percent_rank().over(w))

@@ -1,6 +1,7 @@
 from .tables import (load_table, load_all, register_views, TABLES,
                      normalize_legacy_columns, LEGACY_COLUMN_MAP,
-                     write_bucketed, read_bucketed, write_partitioned)
+                     write_bucketed, read_bucketed, write_partitioned,
+                     table_diff)
 from .files import extract_file_names, load_filterfile
 from .hdf5 import (read_vaex_hdf5, hdf5_row_count, hdf5_to_parquet,
                    load_hdf5)
@@ -10,6 +11,7 @@ from .layout import (zorder_key, zorder_write, file_manifest,
 
 __all__ = ["load_table", "load_all", "register_views", "TABLES",
            "write_bucketed", "read_bucketed", "write_partitioned",
+           "table_diff",
            "normalize_legacy_columns", "LEGACY_COLUMN_MAP",
            "extract_file_names", "load_filterfile",
            "read_vaex_hdf5", "hdf5_row_count", "hdf5_to_parquet",

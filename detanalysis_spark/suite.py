@@ -3603,6 +3603,73 @@ def merged_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("covered")))
 
 
+# ----------------------------------------------------------------------
+# per-group percent-rank score calibration — the continuous companion
+# of adaptive_quality_stats: one window shuffle keyed by language,
+# tie-stable percent_rank identical across engines.
+# ----------------------------------------------------------------------
+@query("rank_normalized_quality", oracle="""
+WITH r AS (SELECT doc_id, lang, n_chars,
+                  percent_rank() OVER (PARTITION BY lang
+                                       ORDER BY n_chars) AS pct
+           FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN pct >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_top,
+       round(avg(pct), 6) AS avg_pct
+FROM r GROUP BY lang
+""")
+def rank_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.stats import rank_normalize
+    docs = load_table(spark, sf_dir, "documents")
+    r = rank_normalize(docs, "n_chars", ["lang"], out_col="pct")
+    return (r.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum((F.col("pct") >= 0.8).cast("long")).alias("n_top"),
+                 F.round(F.avg("pct"), 6).alias("avg_pct")))
+
+
+# ----------------------------------------------------------------------
+# snapshot diff (CDC audit) — events vs a deterministically perturbed
+# next load (drops, updates, inserts); ONE full-outer id-keyed join,
+# null-safe struct change detection.
+# ----------------------------------------------------------------------
+@query("snapshot_diff_counts", oracle="""
+WITH old AS (SELECT event_id, value FROM events),
+new AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN value + 1.0 ELSE value END
+           AS value
+  FROM events WHERE event_id % 13 <> 0
+  UNION ALL
+  SELECT event_id + 1000000000, value FROM events
+  WHERE event_id % 11 = 0),
+j AS (SELECT o.event_id AS oid, n.event_id AS nid,
+             o.value AS ov, n.value AS nv
+      FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id)
+SELECT CASE WHEN oid IS NULL THEN 'added'
+            WHEN nid IS NULL THEN 'removed'
+            WHEN ov IS DISTINCT FROM nv THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY 1
+""")
+def snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import table_diff
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    new = (ev.filter(F.col("event_id") % 13 != 0)
+           .withColumn("value",
+                       F.when(F.col("event_id") % 7 == 0,
+                              F.col("value") + 1.0)
+                       .otherwise(F.col("value")))
+           .unionByName(
+               ev.filter(F.col("event_id") % 11 == 0)
+               .withColumn("event_id",
+                           F.col("event_id") + 1_000_000_000)))
+    d = table_diff(ev, new, "event_id", ["value"])
+    return d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
 # ======================================================================
 # registration order epilogue
 #
@@ -3663,6 +3730,8 @@ _R03_DEMOTED = frozenset({
     "moving_avg_event_value",     # window-frame exhibit; no ref parity op
     "grouped_regression_stats",   # native regr_* exhibit; no ref parity op
     "rollup_order_revenue",       # native grouping-sets exhibit; no ref op
+    "streaming_windowed_stats",   # ST: session + event-count variants stay
+    "training_batch_stats",       # sampling: split/mixture/budget kin stay
 })
 
 

@@ -522,3 +522,22 @@ def test_merge_intervals_chain_through_containment(spark):
         out = merge_intervals(df, "lo", "hi").collect()
     assert [(r["lo"], r["hi"], r["n_merged"]) for r in out] \
         == [(0.0, 12.0, 4)]
+
+
+def test_rank_normalize_per_group(spark):
+    import warnings
+    from detanalysis_spark.operators.stats import rank_normalize
+    rows = [("a", 10.0), ("a", 20.0), ("a", 30.0),
+            ("b", 5.0), ("b", 50.0), ("c", 7.0)]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    out = {(r["k"], r["s"]): r["score_pct"] for r in
+           rank_normalize(df, "s", ["k"]).collect()}
+    assert out[("a", 10.0)] == 0.0
+    assert out[("a", 20.0)] == 0.5
+    assert out[("a", 30.0)] == 1.0
+    assert out[("b", 5.0)] == 0.0 and out[("b", 50.0)] == 1.0
+    assert out[("c", 7.0)] == 0.0          # singleton group
+    with warnings.catch_warnings(record=True) as wlist:
+        warnings.simplefilter("always")
+        rank_normalize(df, "s")
+        assert any("single partition" in str(x.message) for x in wlist)

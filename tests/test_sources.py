@@ -328,3 +328,25 @@ def test_file_manifest_non_numeric_columns_yield_null_stats(spark, tmp_path):
     assert by_col["x"]["min_value"] == 3.5
     # null-stat columns never prune
     assert len(prune_files(pdf, {"name": (0.0, 1.0)})) == 1
+
+
+def test_table_diff_statuses(spark):
+    from detanalysis_spark.sources.tables import table_diff
+    import pandas as pd
+    old = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3, 4],
+                      "v": [10.0, 20.0, None, 40.0]}))
+    new = spark.createDataFrame(
+        pd.DataFrame({"id": [2, 3, 4, 5],
+                      "v": [21.0, None, 40.0, 50.0]}))
+    out = {r["id"]: r["status"] for r in
+           table_diff(old, new, "id", ["v"]).collect()}
+    assert out == {1: "removed", 2: "changed",
+                   3: "unchanged",          # null == null (null-safe)
+                   4: "unchanged", 5: "added"}
+
+    # null -> value reads as changed, not unchanged
+    old2 = spark.createDataFrame(pd.DataFrame({"id": [9], "v": [None]}))
+    new2 = spark.createDataFrame(pd.DataFrame({"id": [9], "v": [1.0]}))
+    assert table_diff(old2, new2, "id", ["v"]) \
+        .first()["status"] == "changed"
