@@ -17,7 +17,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join", "asof_join", "range_join_binned"]
+__all__ = ["salted_join", "asof_join", "range_join_binned",
+           "merge_intervals"]
 
 
 def salted_join(big: DataFrame, small: DataFrame, on: Sequence[str] | str,
@@ -151,6 +152,8 @@ def merge_intervals(df: DataFrame, lo_col: str, hi_col: str,
     """
     from pyspark.sql import Window
 
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
     if not key_cols:
         import warnings
         warnings.warn("merge_intervals without key_cols runs the "

@@ -34,6 +34,8 @@ def k_anonymity_profile(df: DataFrame,
     threshold (singleton rows — the re-identifiable ones). NULL
     quasi-identifier values form their own group, mirroring groupBy
     semantics."""
+    if isinstance(quasi_cols, str):
+        quasi_cols = [quasi_cols]
     if not quasi_cols:
         raise ValueError("k_anonymity_profile needs quasi-identifier columns")
     g = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n"))
@@ -56,6 +58,8 @@ def suppress_small_groups(df: DataFrame, quasi_cols: Sequence[str],
     would silently delete every null-keyed row no matter how large
     its group). The aggregate side is distinct-tuple-sized; AQE
     broadcasts it when small."""
+    if isinstance(quasi_cols, str):
+        quasi_cols = [quasi_cols]
     if k < 1:
         raise ValueError("k must be >= 1")
     big = (df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__n__"))

@@ -56,6 +56,8 @@ def build_rollup(df: DataFrame, ts_col: str, value_col: str,
     """Aggregate a raw batch to rollup rows
     (bucket_us, *keys, n, s, s2, mn, mx): one map-side-combined
     groupBy. All five statistics merge by plain sum/min/max."""
+    if isinstance(keys, str):
+        keys = [keys]
     v = F.col(value_col).cast("double")
     return (df.withColumn("bucket_us", time_bucket(F.col(ts_col), width_us))
             .groupBy("bucket_us", *keys)
@@ -72,6 +74,8 @@ def merge_rollups(*rollups: DataFrame,
     are (bucket × dims) aggregates, so this shuffles the ROLLUPS, not
     the raw history — the cost of absorbing a batch is bounded by the
     aggregate's own size."""
+    if isinstance(keys, str):
+        keys = [keys]
     if not rollups:
         raise ValueError("merge_rollups needs at least one rollup")
     u = rollups[0]
@@ -149,6 +153,10 @@ def gapfill_buckets(rollup: DataFrame, width_us: int,
     (key, bucket) → optional LOCF window partitioned by key. No
     driver-side loops, no Python.
     """
+    if isinstance(keys, str):
+        keys = [keys]
+    if isinstance(locf_cols, str):
+        locf_cols = [locf_cols]
     kc = [F.col(k) for k in keys]
     spine = (rollup.groupBy(*kc)
              .agg(F.min("bucket_us").alias("__lo__"),

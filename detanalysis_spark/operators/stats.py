@@ -222,15 +222,21 @@ def rank_normalize(df: DataFrame, score_col: str | Column,
     canonical case — same motivation as ``adaptive_quality_filter``,
     but yielding a continuous calibrated score instead of one cut).
 
+    Null scores rank LAST (``asc_nulls_last`` — matching ANSI/DuckDB
+    ``ORDER BY score`` semantics, so the oracle contract holds; filter
+    nulls first if they should not consume the top ranks).
+
     ONE shuffle keyed by ``key_cols``; with no keys the window is a
     documented single-partition fallback (warns) — always pass keys at
     corpus scale.
     """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
     if not key_cols:
         import warnings
         warnings.warn("rank_normalize without key_cols runs the window "
                       "on a single partition — fine for bounded input, "
                       "not at corpus scale", stacklevel=2)
     w = Window.partitionBy(*[F.col(k) for k in key_cols]) \
-              .orderBy(_col(score_col).asc())
+              .orderBy(_col(score_col).asc_nulls_last())
     return df.withColumn(out_col, F.percent_rank().over(w))

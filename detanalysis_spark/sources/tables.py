@@ -169,9 +169,14 @@ def table_diff(old: DataFrame, new: DataFrame, id_col: str,
     with zero exchanges. The classic lakehouse "what changed between
     loads" audit without a transaction log.
     """
+    if id_col in ("status", "old_row", "new_row"):
+        raise ValueError(
+            f"id_col {id_col!r} collides with a table_diff output column")
     if compare_cols is None:
         compare_cols = [c for c in old.columns
                         if c != id_col and c in new.columns]
+    elif isinstance(compare_cols, str):
+        compare_cols = [compare_cols]
     cols = list(compare_cols)
     o = old.select(F.col(id_col).alias("__id__"),
                    F.struct(*[F.col(c) for c in cols]).alias("old_row"))

@@ -541,3 +541,63 @@ def test_rank_normalize_per_group(spark):
         warnings.simplefilter("always")
         rank_normalize(df, "s")
         assert any("single partition" in str(x.message) for x in wlist)
+
+
+def test_string_key_normalization_across_new_apis(spark):
+    """A bare string for a Sequence[str] key parameter must mean ONE
+    column, not its characters (the write_partitioned convention)."""
+    import datetime as dt
+    from detanalysis_spark.operators.rollup import (build_rollup,
+                                                    gapfill_buckets,
+                                                    merge_rollups)
+    from detanalysis_spark.operators.joins import merge_intervals
+    from detanalysis_spark.operators.privacy import (
+        k_anonymity_profile, suppress_small_groups)
+    from detanalysis_spark.operators.stats import rank_normalize
+    from detanalysis_spark.sources.tables import table_diff
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame([(t0, "a", 1.0), (t0, "a", 3.0)],
+                               ["ts", "key", "v"])
+    r = build_rollup(df, "ts", "v", keys="key")
+    assert r.count() == 1
+    assert merge_rollups(r, keys="key").count() == 1
+    assert gapfill_buckets(r, 3_600_000_000, keys="key",
+                           locf_cols="s").count() == 1
+
+    iv = spark.createDataFrame([("a", 0.0, 1.0)], ["k", "lo", "hi"])
+    assert merge_intervals(iv, "lo", "hi", "k").count() == 1
+
+    kdf = spark.createDataFrame([("x",), ("x",)], ["qc"])
+    assert k_anonymity_profile(kdf, "qc").first()["k_min"] == 2
+    assert suppress_small_groups(kdf, "qc", 2).count() == 2
+
+    rn = rank_normalize(spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0)], ["lang", "s"]), "s", "lang")
+    assert rn.count() == 2
+
+    d = table_diff(spark.createDataFrame([(1, 2.0)], ["id", "value"]),
+                   spark.createDataFrame([(1, 2.0)], ["id", "value"]),
+                   "id", "value")
+    assert d.first()["status"] == "unchanged"
+
+
+def test_rank_normalize_nulls_rank_last(spark):
+    """Null scores must take the TOP percent-ranks (ANSI ASC = NULLS
+    LAST), matching the DuckDB oracle ordering."""
+    import pandas as pd
+    from detanalysis_spark.operators.stats import rank_normalize
+    df = spark.createDataFrame(pd.DataFrame(
+        {"k": ["a"] * 3, "s": [10.0, None, 20.0]}))
+    out = {r["s"]: r["score_pct"] for r in
+           rank_normalize(df, "s", ["k"]).collect()}
+    assert out[10.0] == 0.0 and out[20.0] == 0.5
+    assert out[None] == 1.0
+
+
+def test_table_diff_rejects_reserved_id(spark):
+    import pytest as _pytest
+    from detanalysis_spark.sources.tables import table_diff
+    df = spark.createDataFrame([(1, 2.0)], ["status", "v"])
+    with _pytest.raises(ValueError, match="collides"):
+        table_diff(df, df, "status")
