@@ -7,6 +7,8 @@ from .binning import (equal_width_edges, equal_frequency_edges, ofamp_edges,
 from .joins import (salted_join, asof_join, range_join_binned,
                     merge_intervals)
 from .privacy import k_anonymity_profile, suppress_small_groups
+from .quality import (not_null, in_range, matches, unique, foreign_key,
+                      check_table)
 from .rollup import (time_bucket, build_rollup, merge_rollups,
                      finalize_rollup, update_rollup, read_rollup,
                      gapfill_buckets)
@@ -32,4 +34,6 @@ __all__ = [
     "time_bucket", "build_rollup", "merge_rollups", "finalize_rollup",
     "update_rollup", "read_rollup", "gapfill_buckets",
     "k_anonymity_profile", "suppress_small_groups",
+    "not_null", "in_range", "matches", "unique", "foreign_key",
+    "check_table",
 ]

@@ -3670,6 +3670,58 @@ def snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
 
 
+# ----------------------------------------------------------------------
+# Deequ-style constraint suite over orders — every scalar check folds
+# into ONE aggregate pass; uniqueness is a group-size aggregate and the
+# customer FK an anti-join (dimension side broadcast). The
+# 150k-price-cap check is deliberately violated so pass AND fail paths
+# are both hash-checked.
+# ----------------------------------------------------------------------
+@query("data_quality_orders", oracle="""
+SELECT 'foreign_key(o_custkey)' AS check,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+         AS n_violations
+UNION ALL
+SELECT 'in_range(o_totalprice,0.0,150000.0)',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders
+        WHERE o_totalprice IS NOT NULL
+          AND (o_totalprice < 0.0 OR o_totalprice > 150000.0))
+UNION ALL
+SELECT 'matches(o_orderpriority)',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders
+        WHERE o_orderpriority IS NOT NULL
+          AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+UNION ALL
+SELECT 'not_null(o_custkey)',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+UNION ALL
+SELECT 'unique(o_orderkey)',
+       (SELECT count(*) FROM orders),
+       (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM
+         (SELECT count(*) AS n FROM orders
+          GROUP BY o_orderkey HAVING count(*) > 1))
+""")
+def data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import (check_table, foreign_key, in_range,
+                                    matches, not_null, unique)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    out = check_table(orders, [
+        not_null("o_custkey"),
+        unique("o_orderkey"),
+        in_range("o_totalprice", 0.0, 150000.0),
+        matches("o_orderpriority", "^[1-5]-"),
+        foreign_key("o_custkey", customer, "c_custkey"),
+    ])
+    return out.select("check", "n_rows", "n_violations")
+
+
 # ======================================================================
 # registration order epilogue
 #
@@ -3732,6 +3784,8 @@ _R03_DEMOTED = frozenset({
     "rollup_order_revenue",       # native grouping-sets exhibit; no ref op
     "streaming_windowed_stats",   # ST: session + event-count variants stay
     "training_batch_stats",       # sampling: split/mixture/budget kin stay
+    "json_props_stats",           # native JSON-path exhibit; SURVEY 2.8
+                                  # records no json/map ops in the ref
 })
 
 

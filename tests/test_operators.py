@@ -601,3 +601,34 @@ def test_table_diff_rejects_reserved_id(spark):
     df = spark.createDataFrame([(1, 2.0)], ["status", "v"])
     with _pytest.raises(ValueError, match="collides"):
         table_diff(df, df, "status")
+
+
+# ----------------------------------------------------------------------
+# Deequ-style data-quality validation
+# ----------------------------------------------------------------------
+def test_check_table_all_check_kinds(spark):
+    import pandas as pd
+    from detanalysis_spark.operators.quality import (
+        check_table, not_null, in_range, matches, unique, foreign_key)
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2, 2, 4],
+        "v": [10.0, None, 500.0, 20.0],
+        "code": ["A-1", "B-2", "zz", None]}))
+    ref = spark.createDataFrame([(1,), (2,)], ["k"])
+    out = {r["check"]: (r["n_violations"], r["passed"]) for r in
+           check_table(df, [
+               not_null("v"),
+               in_range("v", 0.0, 100.0),
+               matches("code", "^[A-Z]-[0-9]$"),
+               unique("id"),
+               foreign_key("id", ref, "k"),
+           ]).collect()}
+    assert out["not_null(v)"] == (1, False)
+    assert out["in_range(v,0.0,100.0)"] == (1, False)   # 500; null ok
+    assert out["matches(code)"] == (1, False)           # zz; null ok
+    assert out["unique(id)"] == (2, False)              # both id=2 rows
+    assert out["foreign_key(id)"] == (1, False)         # id=4 orphan
+    # a clean suite passes
+    clean = check_table(df.filter("id = 1"),
+                        [not_null("id"), unique("id")])
+    assert all(r["passed"] for r in clean.collect())
