@@ -297,6 +297,29 @@ def main() -> int:
         return run
     probe("zorder_manifest_scan", zorder(evr1, "1x"), zorder(evrk, "kx"))
 
+    # inverted-index token-cosine join with frequent-term pruning:
+    # candidate cost is Σ df(term)², so amplified copies would square
+    # without max_df — the cap must keep wall growth ≈ linear
+    def tcos(df):
+        from detanalysis_spark.llm.dedup import token_cosine_pairs
+        return lambda: token_cosine_pairs(
+            df, threshold=0.8, max_df=30).count()
+    probe("token_cosine_maxdf", tcos(docs1), tcos(docsk))
+
+    # Deequ-style constraint suite: scalar checks share ONE aggregate;
+    # uniqueness + FK add bounded jobs — wall ≈ scan cost
+    def dq(df):
+        from detanalysis_spark.operators.quality import (
+            check_table, foreign_key, in_range, not_null, unique)
+        ref = df.select("l_orderkey").distinct()
+        return lambda: check_table(df, [
+            not_null("l_partkey"),
+            in_range("l_quantity", 0.0, 100.0),
+            unique("l_orderkey", "l_linenumber"),
+            foreign_key("l_orderkey", ref),
+        ]).count()
+    probe("data_quality_suite", dq(li1), dq(lik))
+
     print(json.dumps({"probe": results, "multiplier": k}))
     return 0
 
