@@ -505,7 +505,12 @@ def repetition_char_fractions(text: Column, ns: tuple = (2, 3, 4),
             def step(acc: Column, g: Column) -> Column:
                 run = F.when(g == acc["prev"], acc["run"] + 1) \
                        .otherwise(F.lit(1).cast("long"))
-                key = run * F.lit(1_000_000) + chars(g)
+                # clamp the low digits so a pathological >=1e6-char
+                # gram cannot collide into the count field and promote
+                # a longer-but-rarer gram; the decoded coverage stays a
+                # lower bound for such grams
+                key = run * F.lit(1_000_000) \
+                    + F.least(chars(g), F.lit(999_999).cast("long"))
                 return F.struct(
                     g.alias("prev"), run.alias("run"),
                     F.greatest(acc["best"], key).alias("best"))
@@ -578,7 +583,10 @@ def repetition_char_fractions_grouped(df: DataFrame,
     # most-frequent-gram selection (the Gopher rule picks by count,
     # ties toward the larger gram) via the same combined key as the
     # Column form: max(cnt*1e6 + chars), coverage decoded after
-    key = F.col("cnt") * F.lit(1_000_000) + chars
+    # chars clamped below 1e6 so the encoding cannot collide into the
+    # count field (coverage decode is a lower bound for such grams)
+    key = F.col("cnt") * F.lit(1_000_000) \
+        + F.least(chars, F.lit(999_999).cast("long"))
     per_doc = (g.groupBy(id_col).agg(
         F.first("tok_chars").alias("tok_chars"),
         F.coalesce(F.sum(F.col("cnt") * chars), F.lit(0))

@@ -106,7 +106,7 @@ def update_rollup(path: str, batch_rollup: DataFrame,
     driver-side list of a few dates), merge, and dynamically overwrite
     just those partitions. History partitions are never read or
     rewritten. First call bootstraps the table."""
-    import os
+    from ..sources.layout import hadoop_exists
     spark = batch_rollup.sparkSession
 
     def bucket_day(c: Column) -> Column:
@@ -116,7 +116,11 @@ def update_rollup(path: str, batch_rollup: DataFrame,
 
     staged = batch_rollup.withColumn(
         "bucket_day", bucket_day(F.col("bucket_us")))
-    if os.path.isdir(path):
+    # existence probed through the Hadoop FileSystem API, not os.path —
+    # on HDFS/S3 a local-disk check is always false and would silently
+    # skip the merge, overwriting touched partitions with batch-only
+    # statistics
+    if hadoop_exists(spark, path):
         days = [r["bucket_day"] for r in
                 staged.select("bucket_day").distinct().collect()]
         existing = (spark.read.parquet(path)

@@ -39,7 +39,33 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["zorder_key", "zorder_write", "file_manifest", "prune_files",
-           "pruned_parquet", "schema_manifest", "schema_drift"]
+           "pruned_parquet", "schema_manifest", "schema_drift",
+           "hadoop_fs", "hadoop_exists"]
+
+
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any Hadoop-supported URI (local, hdfs://,
+    s3a://, ...) via the JVM gateway — the portable way to probe a lake
+    path; ``os.path`` only sees the driver's local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def hadoop_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — correct on
+    HDFS/S3 where ``os.path.isdir`` is silently always-false."""
+    fs, hpath = hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def _is_local_path(path: str) -> bool:
+    return "://" not in path or path.startswith("file:")
+
+
+def _strip_file_scheme(path: str) -> str:
+    return path[len("file://"):] if path.startswith("file://") else path
 
 
 def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 10,
@@ -106,13 +132,43 @@ def zorder_write(df: DataFrame, cols: Sequence[str], path: str,
        .write.mode(mode).parquet(path))
 
 
-def _list_parquet_files(path: str) -> list[str]:
-    """Shared lake listing: the ``*.parquet`` members of a directory,
-    or the path itself when it IS a parquet file."""
-    files = sorted(
-        f for f in _glob.glob(os.path.join(path, "*.parquet"))
-        + ([path] if path.endswith(".parquet") else [])
-        if os.path.isfile(f))
+def _list_parquet_files(path: str,
+                        spark: SparkSession | None = None) -> list[str]:
+    """Shared lake listing: every ``*.parquet`` under ``path``
+    (RECURSIVE, so Hive-partitioned `key=value/` subdirectory layouts
+    written by ``write_partitioned``/``update_rollup`` are covered), or
+    the path itself when it IS a parquet file.
+
+    Local paths list via glob; any other scheme (hdfs://, s3a://, ...)
+    routes through the Hadoop FileSystem API when a session is
+    supplied. Note the footer readers downstream open files with
+    pyarrow — non-local schemes additionally need a pyarrow-openable
+    filesystem (pyarrow ships s3/gcs/hdfs support when the relevant
+    native libs are present)."""
+    if _is_local_path(path):
+        local = _strip_file_scheme(path)
+        files = sorted(
+            f for f in _glob.glob(os.path.join(local, "**", "*.parquet"),
+                                  recursive=True)
+            + ([local] if local.endswith(".parquet") else [])
+            if os.path.isfile(f))
+    elif spark is None:
+        raise ValueError(
+            f"non-local path {path!r} needs a SparkSession to list "
+            "through the Hadoop FileSystem API")
+    else:
+        fs, hpath = hadoop_fs(spark, path)
+        if not fs.exists(hpath):
+            files = []
+        elif fs.getFileStatus(hpath).isFile():
+            files = [path]
+        else:
+            files, it = [], fs.listFiles(hpath, True)
+            while it.hasNext():
+                p = it.next().getPath().toString()
+                if p.endswith(".parquet"):
+                    files.append(p)
+            files.sort()
     if not files:
         raise FileNotFoundError(f"no parquet files under {path!r}")
     return files
@@ -174,7 +230,7 @@ def file_manifest(spark: SparkSession, path: str,
     stage. Files whose footer lacks castable stats for a column get
     null min/max (= never pruned).
     """
-    base = _files_df(spark, _list_parquet_files(path))
+    base = _files_df(spark, _list_parquet_files(path, spark))
     schema = ("file string, n_rows long, column string, "
               "min_value double, max_value double")
     return base.mapInPandas(_manifest_batches(list(cols)), schema)
@@ -216,7 +272,7 @@ def pruned_parquet(spark: SparkSession, path: str,
         # every file provably empty for the predicate: an EMPTY frame
         # with the table's schema, not a zero-path read error
         return spark.read.parquet(
-            *_list_parquet_files(path)).where(F.lit(False))
+            *_list_parquet_files(path, spark)).where(F.lit(False))
     return spark.read.parquet(*files)
 
 
@@ -237,7 +293,7 @@ def schema_manifest(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(out,
                                columns=["file", "column", "physical_type"])
 
-    base = _files_df(spark, _list_parquet_files(path))
+    base = _files_df(spark, _list_parquet_files(path, spark))
     return base.mapInPandas(read_schemas,
                             "file string, column string, "
                             "physical_type string")

@@ -3236,8 +3236,12 @@ def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.layout import zorder_write, pruned_parquet
     events = load_table(spark, sf_dir, "events") \
         .select("event_id", "user_id", "event_type", "value")
+    # namespaced by PID: two sessions running the suite concurrently
+    # must not race on the write-then-read scratch dataset (one
+    # session's zorder overwrite would delete files under the other's
+    # manifest read)
     path = os.path.join(
-        "/tmp/detanalysis_spark_layout",
+        f"/tmp/detanalysis_spark_layout_{os.getpid()}",
         os.path.basename(os.path.normpath(sf_dir)) + "_events")
     zorder_write(events, ["value", "user_id"], path, n_files=8)
     pruned = pruned_parquet(spark, path, {"value": (20.0, 40.0)})

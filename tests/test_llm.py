@@ -1396,6 +1396,28 @@ def test_repetition_char_fractions_hand_computed(spark):
     assert out[2]["dup_line_frac"] == 0.0
 
 
+def test_repetition_top_gram_key_clamp(spark):
+    # a >=1e6-char gram must not collide into the count field of the
+    # combined (cnt, chars) sort key and displace a more frequent short
+    # gram: unclamped, the giant 1-gram's key 1*1e6 + 1_200_000 beats
+    # "x"'s 2*1e6 + 1 only if chars overflows — clamping at 999_999
+    # keeps frequency strictly dominant
+    from detanalysis_spark.llm.cleaning import (
+        repetition_char_fractions, repetition_char_fractions_grouped)
+    import pyspark.sql.functions as F
+    giant = "a" * 1_200_000
+    text = f"x x {giant}"
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    m = repetition_char_fractions(F.col("text"), ns=(1,), top_ns=(1,))
+    row = df.select(*[v.alias(k) for k, v in m.items()]).collect()[0]
+    tok_chars = 2 * 1 + 1_200_000
+    # top 1-gram is "x" (cnt 2, 1 char each): coverage 2/tok_chars —
+    # NOT the giant token (cnt 1, 1.2e6 chars -> ~1.0 if mispromoted)
+    assert abs(row["top_1gram_char_frac"] - 2 / tok_chars) < 1e-12
+    grp = repetition_char_fractions_grouped(df, n=1).collect()[0]
+    assert abs(grp["top_1gram_char_frac"] - 2 / tok_chars) < 1e-12
+
+
 def test_bigram_lm_save_load_roundtrip(spark, tmp_path):
     from detanalysis_spark.llm.text import (train_bigram_lm,
                                             bigram_logprob_scores,

@@ -302,6 +302,32 @@ def test_schema_manifest_and_drift(spark, tmp_path):
     assert schema_drift(schema_manifest(spark, clean)).empty
 
 
+def test_manifest_recurses_into_partition_subdirs(spark, tmp_path):
+    # Hive-partitioned layouts (key=value/ subdirectories, as written
+    # by write_partitioned/update_rollup) must be listable — the flat
+    # one-level glob used to raise FileNotFoundError on them
+    from detanalysis_spark.sources.layout import (file_manifest,
+                                                  prune_files)
+    p = str(tmp_path / "parts")
+    spark.createDataFrame([(i, i % 3, float(i)) for i in range(30)],
+                          ["id", "bucket", "x"]) \
+         .repartition(3, "bucket").write.partitionBy("bucket").parquet(p)
+    man = file_manifest(spark, p, ["x"])
+    files = {r["file"] for r in man.collect()}
+    assert len(files) >= 3 and all("bucket=" in f for f in files)
+    # pruning over the recursive manifest still sound
+    keep = prune_files(man, {"x": (1000.0, None)})
+    assert keep == []
+
+
+def test_hadoop_exists_probe(spark, tmp_path):
+    from detanalysis_spark.sources.layout import hadoop_exists
+    p = str(tmp_path / "t")
+    assert not hadoop_exists(spark, p)
+    spark.createDataFrame([(1,)], ["id"]).coalesce(1).write.parquet(p)
+    assert hadoop_exists(spark, p)
+
+
 def test_pruned_parquet_empty_result_keeps_schema(spark, tmp_path):
     from detanalysis_spark.sources.layout import pruned_parquet
     p = str(tmp_path / "small")
