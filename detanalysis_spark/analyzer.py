@@ -119,6 +119,11 @@ class Analyzer:
         self._global_filter: Column | None = None
         self._global_filter_desc: list[str] = []
         self._ids_seq = iter(range(1_000_000_000))
+        # temp views registered by _ids_to_predicate, keyed by cut
+        # name: dropped on cut overwrite and on clean() so a long-lived
+        # session doing thousands of mask cuts keeps the catalog (and
+        # the id frames' pinned lineage) bounded
+        self._cut_views: dict[str, list[str]] = {}
 
     # ------------------------------------------------------------------
     # loading (S1-S5)
@@ -163,9 +168,11 @@ class Analyzer:
         return self
 
     def clean(self) -> "Analyzer":
-        """Reload/reset (S5, analyzer.py:526-537): drop cuts, features, filter."""
+        """Reload/reset (S5, analyzer.py:526-537): drop cuts, features,
+        filter, and the temp views mask cuts registered."""
         self._cuts.clear()
         self._features.clear()
+        self._drop_cut_views()
         self.drop_global_filter()
         return self
 
@@ -292,7 +299,16 @@ class Analyzer:
         safe = "".join(ch if ch.isalnum() else "_" for ch in name)
         view = f"__cut_ids_{safe}_{next(self._ids_seq)}__"
         ids.select(EVENT_INDEX).createOrReplaceTempView(view)
+        self._cut_views.setdefault(name, []).append(view)
         return F.expr(f"{EVENT_INDEX} IN (SELECT {EVENT_INDEX} FROM {view})")
+
+    def _drop_cut_views(self, name: str | None = None) -> None:
+        """Unregister the temp views behind mask cuts — ``name``'s on
+        overwrite, or every tracked view on ``clean()``."""
+        names = [name] if name is not None else list(self._cut_views)
+        for n in names:
+            for view in self._cut_views.pop(n, []):
+                self._spark.catalog.dropTempView(view)
 
     def _subset_df(self, df: DataFrame, cut: Any) -> DataFrame:
         """Filtered frame under a polymorphic cut (analyzer.py:204-234)."""
@@ -359,6 +375,9 @@ class Analyzer:
                            metadata={**(metadata or {}), "n_ids": len(id_list)})
             self._cuts[name] = info
             return info
+        # overwriting a mask cut: its previous id views are now
+        # unreachable — drop them so repeated overwrites stay bounded
+        self._drop_cut_views(name)
         col = self._ids_to_predicate(ids, name)
         info = CutInfo(name=name, expression=None, column=col,
                        metadata=dict(metadata or {}))

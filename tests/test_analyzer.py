@@ -90,6 +90,27 @@ def test_mask_cut_from_ids(ana, pdf):
     assert ana.count("c_ids") == len(id_vals)
 
 
+def test_mask_cut_views_stay_bounded(spark, sf_dir):
+    # fresh Analyzer: clean() below must not disturb the shared fixture
+    ana = Analyzer.from_parquet(spark, f"{sf_dir}/events.parquet",
+                                order_by=["event_id"])
+    # overwriting the same mask cut many times (and clean()) must not
+    # accumulate __cut_ids_*__ temp views in the catalog — a long-lived
+    # session doing thousands of mask cuts would otherwise leak catalog
+    # entries and pin every historical id frame's lineage
+    def n_loop_views():
+        return sum(1 for v in spark.catalog.listTables()
+                   if v.name.startswith("__cut_ids_c_loop_"))
+
+    sel = ana.df.filter("event_type = 'view'").select(EVENT_INDEX)
+    for _ in range(25):
+        ana.cut_from_event_ids(sel, "c_loop")
+    assert n_loop_views() == 1             # only the live one remains
+    assert ana.count("c_loop") > 0         # the surviving view works
+    ana.clean()
+    assert n_loop_views() == 0             # clean() drops them all
+
+
 def test_subset_with_dataframe_semi_join(ana):
     sel = ana.df.filter("event_type = 'view'").select(EVENT_INDEX)
     n = ana._subset_df(ana.df, sel).count()
