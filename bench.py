@@ -7,6 +7,17 @@
 Each query is executed to completion (``collect``) — every suite query
 returns a small aggregate, so collect measures the full distributed
 plan without driver-transfer noise.
+
+Regression-grade timing: pass 1 runs every query once (doubling as the
+per-query warm-up — parquet footers cached, code generated, broadcast
+vars built), then the slowest ``TOP_K`` queries are re-run twice more
+and reported as MEDIAN-of-3. Single-shot cold numbers on a shared box
+showed 2-4x swings on unchanged plans between rounds; medians over
+warmed runs are what cross-round comparisons should read. Machine-load
+context (1/5/15-min load averages at start and end, CPU count) is
+recorded alongside so a loaded-box round is identifiable after the
+fact. Full detail (per-run samples, spread) goes to BENCH_DETAIL.json;
+stdout stays compact because the driver records only a ~2000-char tail.
 """
 
 from __future__ import annotations
@@ -15,10 +26,14 @@ import gc
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TOP_K = 20          # slowest queries re-run for median-of-3
+EXTRA_RUNS = 2      # re-runs on top of the pass-1 sample
 
 
 def main() -> int:
@@ -30,34 +45,60 @@ def main() -> int:
     from detanalysis_spark import suite
 
     spark = get_spark("bench")
+    load_start = os.getloadavg()
     # warm up the JVM + parquet footers once so per-query numbers measure
     # the plans, not session startup
     suite.QUERIES["flagship_event_cut_stats"](spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name, fn in suite.QUERIES.items():
+    def run_once(name: str) -> float:
         t0 = time.time()
         try:
-            fn(spark, sf_dir).collect()
+            suite.QUERIES[name](spark, sf_dir).collect()
             dt = time.time() - t0
         except Exception as e:  # noqa: BLE001
             print(f"# bench error in {name}: {e}", file=sys.stderr)
             dt = float("nan")
-        timings[name] = round(dt, 4)
-        total += dt if dt == dt else 0.0
         # release localCheckpoint RDDs / broadcasts pinned by dropped
         # DataFrame refs so earlier queries' executor storage doesn't
         # inflate later ones (GC runs outside the timed window)
         gc.collect()
+        return dt
 
-    # Full per-query detail goes to a sidecar file; the stdout line must
-    # stay compact (the driver records only a ~2000-char stdout tail, and
-    # round-1/2 records were "parsed": null because the full 92-query dict
-    # overflowed it).  Print only the headline + the 10 slowest queries.
+    # pass 1: every query once (cold sample = warm-up for pass 2)
+    samples: dict[str, list[float]] = {}
+    for name in suite.QUERIES:
+        samples[name] = [run_once(name)]
+
+    # pass 2: median-of-3 for the slowest TOP_K (NaN errors excluded)
+    top = sorted((n for n, s in samples.items() if s[0] == s[0]),
+                 key=lambda n: samples[n][0], reverse=True)[:TOP_K]
+    for _ in range(EXTRA_RUNS):
+        for name in top:
+            samples[name].append(run_once(name))
+
+    def reported(s: list[float]) -> float:
+        good = [x for x in s if x == x]
+        return statistics.median(good) if good else float("nan")
+
+    timings = {n: round(reported(s), 4) for n, s in samples.items()}
+    total = sum(v for v in timings.values() if v == v)
+    load_end = os.getloadavg()
+    machine = {
+        "cpus": os.cpu_count(),
+        "load_avg_start": [round(x, 2) for x in load_start],
+        "load_avg_end": [round(x, 2) for x in load_end],
+    }
+
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    spread = {
+        n: {"samples": [round(x, 4) for x in s],
+            "median": timings[n],
+            "spread_pct": round(100.0 * (max(s) - min(s))
+                                / max(timings[n], 1e-9), 1)}
+        for n, s in samples.items() if len(s) > 1 and all(x == x for x in s)
+    }
     with open(detail_path, "w") as f:
         json.dump(
             {
@@ -67,6 +108,12 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "timing_method": f"median-of-{1 + EXTRA_RUNS} for the "
+                                 f"{TOP_K} slowest (warmed), single-shot "
+                                 "(after one suite-wide warm-up pass) "
+                                 "otherwise",
+                "top_query_spread": spread,
+                "machine": machine,
             },
             f,
             indent=1,
@@ -89,6 +136,8 @@ def main() -> int:
                 "queries": {k: round(v, 2) for k, v in top10.items()},
                 "sf": sf,
                 "n_queries": len(timings),
+                "timing": f"median{1 + EXTRA_RUNS}xtop{TOP_K}",
+                "load_avg": [round(x, 2) for x in load_end],
                 "detail": "BENCH_DETAIL.json",
             },
             separators=(",", ":"),
