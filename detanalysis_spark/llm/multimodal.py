@@ -11,9 +11,11 @@ never per row.
 Codecs: this container has no image/audio libraries, but three real
 codecs need none — ``RAW8`` (uint8 row-major) with numpy, ``PNG``
 (8-bit gray/RGB/RGBA, non-interlaced) via stdlib ``zlib`` + numpy
-scanline unfiltering, and ``WAV`` PCM via the stdlib ``wave`` module.
-JPEG/FLAC/etc. still raise ``NotImplementedError`` unless
-PIL/soundfile happen to be importable. Everything after decode —
+scanline unfiltering, and ``WAV`` PCM via the stdlib ``wave`` module —
+plus baseline-sequential ``JPEG`` via the numpy huffman/IDCT codec in
+:mod:`.jpeg` (progressive JPEG and FLAC still raise
+``NotImplementedError`` unless PIL/soundfile happen to be importable).
+Everything after decode —
 bilinear resize, channel stats, PCM frame energy / zero-crossing
 rate, frame sampling — is real numpy.
 """
@@ -250,6 +252,15 @@ def _decode(data: bytes, width: int, height: int, channels: int,
         if img.shape[2] == 1 and channels > 1:
             img = np.repeat(img, channels, axis=2)
         return img
+    if fmt in ("JPEG", "JPG"):
+        from .jpeg import decode_jpeg
+        try:
+            img = decode_jpeg(data)
+            if img.shape[2] == 1 and channels > 1:
+                img = np.repeat(img, channels, axis=2)
+            return img
+        except NotImplementedError:
+            pass  # progressive/12-bit: fall through to PIL below
     try:  # pragma: no cover - libs absent in this environment
         from PIL import Image
         import io
@@ -258,7 +269,8 @@ def _decode(data: bytes, width: int, height: int, channels: int,
     except ImportError:
         raise NotImplementedError(
             f"format {fmt!r}: no image codec available in this "
-            f"environment (RAW8 and PNG are supported natively)")
+            f"environment (RAW8, PNG, and baseline JPEG are supported "
+            f"natively)")
 
 
 def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -1288,6 +1288,65 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("mean_lum"), 6).alias("min_lum")))
 
 
+# ----------------------------------------------------------------------
+# baseline-JPEG multimodal path with an EXACT value oracle: at
+# quality=100 the scaled quant tables are all ones, and a grayscale
+# image whose 8x8 blocks are each constant decodes bit-exactly (DC-only
+# blocks, integer DC, unit quant) — so DuckDB can replay the whole
+# decode as block arithmetic. The stream still exercises the real
+# codec end-to-end: marker/DQT/DHT parsing, huffman entropy decode,
+# DRI/RSTn restarts, IDCT, clipping. Lossy-path accuracy is pytest'd
+# (round-trip RMSE at the quantization-error scale).
+# ----------------------------------------------------------------------
+@query("multimodal_jpeg_stats", oracle="""
+WITH b AS (
+  SELECT doc_id, lang,
+         length(text) % 256 AS b1, (doc_id * 37) % 256 AS b2
+  FROM documents WHERE doc_id < 200),
+m AS (SELECT lang, (b1 + b2) / 2.0 / 255.0 AS mean_lum FROM b)
+SELECT lang, count(*) AS n,
+       round(avg(mean_lum), 6) AS avg_lum,
+       round(min(mean_lum), 6) AS min_lum
+FROM m GROUP BY lang
+""")
+def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    def _planted(b1, b2):
+        import numpy as np
+        from .llm.jpeg import encode_jpeg
+
+        def build(v1: int, v2: int) -> bytes:
+            img = np.empty((8, 16, 1))
+            img[:, :8, 0] = v1 / 255.0
+            img[:, 8:, 0] = v2 / 255.0
+            return encode_jpeg(img, quality=100, restart_interval=1)
+
+        return pd.Series([build(int(a), int(b))
+                          for a, b in zip(b1, b2)])
+
+    # real (non-string) annotations: the module-wide postponed
+    # evaluation would otherwise hand pandas_udf unresolvable strings
+    _planted.__annotations__ = {"b1": pd.Series, "b2": pd.Series,
+                                "return": pd.Series}
+    planted_jpeg = F.pandas_udf(_planted, BinaryType())
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 200")
+    imgs = docs.select(
+        "doc_id", "lang",
+        planted_jpeg(F.length("text") % 256,
+                     (F.col("doc_id") * 37) % 256).alias("payload"),
+        F.lit(16).alias("width"), F.lit(8).alias("height"),
+        F.lit(1).alias("channels"), F.lit("JPEG").alias("format"))
+    feats = _MM.image_features(imgs, "doc_id", out_w=2, out_h=2)
+    return (feats.join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("mean_lum"), 6).alias("avg_lum"),
+                 F.round(F.min("mean_lum"), 6).alias("min_lum")))
+
+
 # ======================================================================
 # Polynomial cut (F-poly): Horner-evaluated chi2-vs-amp style
 # predicate as one native expression (operators/sampling.py:polyval)

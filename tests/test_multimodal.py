@@ -63,8 +63,8 @@ def test_image_features_vs_numpy(images):
 
 def test_unknown_format_raises(spark, images):
     df, _ = images
-    bad = df.withColumn("format", F.lit("JPEG"))
-    with pytest.raises(Exception, match="no image codec|JPEG"):
+    bad = df.withColumn("format", F.lit("TIFF"))
+    with pytest.raises(Exception, match="no image codec|TIFF"):
         M.image_features(bad, "img_id").collect()
 
 
@@ -220,3 +220,100 @@ def test_image_features_png_format(spark):
     assert out["mean_lum"] == pytest.approx(
         float(q.mean(axis=2).mean()), abs=1e-9)
     assert len(out["resized"]) == 4
+
+
+# ----------------------------------------------------------------------
+# baseline JPEG codec (llm/jpeg.py)
+# ----------------------------------------------------------------------
+def _smooth_rgb(h, w, seed=0, noise=0.02):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([xx / w, yy / h, (xx + yy) / (w + h)], axis=2)
+    return np.clip(img + rng.normal(0, noise, img.shape), 0, 1)
+
+
+def test_jpeg_roundtrip_444_and_420():
+    from detanalysis_spark.llm.jpeg import decode_jpeg, encode_jpeg
+    img = _smooth_rgb(24, 33, seed=7, noise=0.01)
+    for q, tol in ((95, 0.02), (75, 0.03)):
+        for sub in (False, True):
+            out = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+            assert out.shape == img.shape
+            rmse = float(np.sqrt(np.mean((out - img) ** 2)))
+            # quantization-error scale, NOT a self-consistency check:
+            # a zigzag/huffman/IDCT bug shows up as rmse >> tol
+            assert rmse < tol + (0.01 if sub else 0.0), (q, sub, rmse)
+
+
+def test_jpeg_grayscale_and_odd_dims():
+    from detanalysis_spark.llm.jpeg import decode_jpeg, encode_jpeg
+    rng = np.random.default_rng(1)
+    g = np.clip(np.outer(np.linspace(0, 1, 17),
+                         np.ones(13))[:, :, None]
+                + rng.normal(0, 0.01, (17, 13, 1)), 0, 1)
+    out = decode_jpeg(encode_jpeg(g, quality=90))
+    assert out.shape == (17, 13, 1)
+    assert float(np.sqrt(np.mean((out - g) ** 2))) < 0.02
+
+
+def test_jpeg_restart_markers():
+    from detanalysis_spark.llm.jpeg import decode_jpeg, encode_jpeg
+    img = _smooth_rgb(40, 56, seed=3)
+    d = encode_jpeg(img, quality=85, restart_interval=4)
+    assert b"\xff\xdd" in d and b"\xff\xd0" in d   # DRI + RST0 present
+    out = decode_jpeg(d)
+    assert float(np.sqrt(np.mean((out - img) ** 2))) < 0.03
+    out2 = decode_jpeg(encode_jpeg(img, quality=85, subsample=True,
+                                   restart_interval=3))
+    assert float(np.sqrt(np.mean((out2 - img) ** 2))) < 0.035
+
+
+def test_jpeg_constant_blocks_exact_at_q100():
+    # quality 100 -> all-ones quant tables; constant 8x8 blocks are
+    # DC-only with integer DC, so the decode is exact to float eps —
+    # the analytic ground truth behind the multimodal_jpeg_stats oracle
+    from detanalysis_spark.llm.jpeg import decode_jpeg, encode_jpeg
+    img = np.zeros((8, 16, 1))
+    img[:, :8, 0] = 37 / 255.0
+    img[:, 8:, 0] = 201 / 255.0
+    out = decode_jpeg(encode_jpeg(img, quality=100, restart_interval=1))
+    np.testing.assert_allclose(out, img, atol=1e-12)
+
+
+def test_jpeg_rejects_non_baseline():
+    from detanalysis_spark.llm.jpeg import decode_jpeg, encode_jpeg
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"NOPE")
+    # flip SOF0 -> SOF2 (progressive): decoder must refuse, not garble
+    d = bytearray(encode_jpeg(_smooth_rgb(8, 8)))
+    i = d.find(b"\xff\xc0")
+    d[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(d))
+
+
+def test_jpeg_vs_pil_reference():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+    from detanalysis_spark.llm.jpeg import decode_jpeg
+    img = (_smooth_rgb(32, 32, seed=9) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    PIL.fromarray(img).save(buf, format="JPEG", quality=90)
+    ours = decode_jpeg(buf.getvalue())
+    ref = np.asarray(PIL.open(io.BytesIO(buf.getvalue())),
+                     dtype=np.float64) / 255.0
+    # same bitstream, two decoders: differences are IDCT rounding only
+    assert float(np.abs(ours - ref).max()) < 0.02
+
+
+def test_image_features_jpeg_format(spark):
+    from detanalysis_spark.llm.jpeg import encode_jpeg
+    img = np.zeros((8, 16, 1))
+    img[:, :8, 0] = 100 / 255.0
+    img[:, 8:, 0] = 50 / 255.0
+    payload = encode_jpeg(img, quality=100)
+    df = spark.createDataFrame(
+        [(3, bytearray(payload), 16, 8, 1, "JPEG")],
+        ["img_id", "payload", "width", "height", "channels", "format"])
+    out = M.image_features(df, "img_id", out_w=2, out_h=2).collect()[0]
+    assert out["mean_lum"] == pytest.approx(150 / 2 / 255.0, abs=1e-9)
