@@ -6,6 +6,7 @@ from .continuous import (read_continuous_stream, rechunk_stream,
                          streaming_dedup_exact, streaming_windowed_counts,
                          streaming_near_dup_hits, streaming_session_counts,
                          stream_to_parquet, streaming_ann_topk,
+                         streaming_ann_topk_microbatch,
                          streaming_rollup_deltas, read_rollup_from_deltas)
 
 __all__ = ["read_continuous_stream", "rechunk_stream",
@@ -13,4 +14,5 @@ __all__ = ["read_continuous_stream", "rechunk_stream",
            "streaming_dedup_exact", "streaming_windowed_counts",
            "streaming_near_dup_hits", "streaming_session_counts",
            "stream_to_parquet", "streaming_ann_topk",
+           "streaming_ann_topk_microbatch",
            "streaming_rollup_deltas", "read_rollup_from_deltas"]

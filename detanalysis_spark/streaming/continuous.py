@@ -379,10 +379,9 @@ def streaming_ann_topk(sdf: DataFrame, ivf, corpus: DataFrame, k: int = 5,
     candidates (~corpus × n_probe/n_centroids structs per probe), and
     complete mode retains every probe ever seen — so this shape is for
     BOUNDED drains (``run_available_now``) or short update-mode runs.
-    For a long-running unbounded probe stream, rank per micro-batch
-    instead: ``stream_to_parquet(..., transform=lambda df, _:
-    ivf.topk(corpus, df, k))`` runs the batch ranking inside
-    ``foreachBatch`` with zero aggregation state.
+    For a long-running unbounded probe stream use
+    :func:`streaming_ann_topk_microbatch`, which runs the batch
+    ranking inside ``foreachBatch`` with zero aggregation state.
 
     Output: (probe_id, rank, neighbor_id, sim) — the same contract as
     ``IVFIndex.topk``.
@@ -415,6 +414,41 @@ def streaming_ann_topk(sdf: DataFrame, ivf, corpus: DataFrame, k: int = 5,
                               (-s["neg_sim"]).alias("sim"))))
     return (topk.select("probe_id", hit.alias("h"))
             .select("probe_id", "h.rank", "h.neighbor_id", "h.sim"))
+
+
+def streaming_ann_topk_microbatch(sdf: DataFrame, ivf, corpus: DataFrame,
+                                  path: str, checkpoint_dir: str,
+                                  k: int = 5, id_col: str = "vec_id",
+                                  vec_col: str = "embedding",
+                                  probe_id_col: str | None = None,
+                                  query_name: str = "ann_topk_mb",
+                                  timeout_sec: int = 300):
+    """Micro-batch streaming ANN ranking with ZERO aggregation state —
+    the long-running-stream counterpart of :func:`streaming_ann_topk`.
+
+    Each micro-batch of probe vectors runs the full BATCH
+    ``IVFIndex.topk`` against the static corpus inside ``foreachBatch``
+    (cell equi-join + per-probe window — windows are legal there
+    because the batch frame is bounded), and the ranked hits land in
+    ``path`` partitioned by ``__batch_id__`` via
+    :func:`stream_to_parquet`'s idempotent dynamic-overwrite sink: a
+    crash-replayed batch overwrites its own partition, exactly-once.
+
+    Unlike the ``collect_list`` shape, per-probe state lives only for
+    the duration of its own micro-batch — an unbounded probe stream
+    runs forever in constant memory. Results: read ``path`` and drop
+    ``__batch_id__`` (each probe appears once, in the batch that
+    carried it). Same (probe_id, rank, neighbor_id, sim) contract as
+    ``IVFIndex.topk``.
+    """
+    def rank_batch(batch_df: DataFrame, _batch_id: int) -> DataFrame:
+        return ivf.topk(corpus, batch_df, k, id_col=id_col,
+                        vec_col=vec_col, probe_id_col=probe_id_col)
+
+    return stream_to_parquet(sdf, path, checkpoint_dir,
+                             transform=rank_batch,
+                             query_name=query_name,
+                             timeout_sec=timeout_sec)
 
 
 def streaming_rollup_deltas(sdf: DataFrame, path: str,

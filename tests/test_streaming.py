@@ -392,6 +392,55 @@ def test_streaming_ann_topk_matches_batch_ivf(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_ann_topk_microbatch_zero_state(spark, tmp_path):
+    """The foreachBatch micro-batch ranker: a two-batch probe drain
+    equals the batch IVFIndex.topk exactly, with zero aggregation
+    state (each batch ranks and lands independently)."""
+    import numpy as np
+    from detanalysis_spark.llm.similarity import IVFIndex
+    from detanalysis_spark.streaming import streaming_ann_topk_microbatch
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 12)) * 10.0
+    vecs = np.vstack([c + 0.1 * rng.standard_normal((20, 12))
+                      for c in centers])
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"])
+    ivf = IVFIndex(n_centroids=4, n_probe=2, seed=2).fit(corpus)
+
+    probes = corpus.filter("vec_id IN (3, 25, 47, 69)")
+    want = sorted((r.probe_id, r.rank, r.neighbor_id)
+                  for r in ivf.topk(corpus, probes, k=4).collect())
+
+    # TWO source files -> maxFilesPerTrigger=1 forces two micro-batches
+    d = str(tmp_path / "probe_stream_mb")
+    probes.filter("vec_id IN (3, 25)").coalesce(1) \
+          .write.mode("overwrite").parquet(f"{d}/a")
+    probes.filter("vec_id IN (47, 69)").coalesce(1) \
+          .write.mode("overwrite").parquet(f"{d}/b")
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding",
+                                     ArrayType(DoubleType()))])
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .option("recursiveFileLookup", "true").parquet(d))
+    out = str(tmp_path / "ann_hits")
+    ck = str(tmp_path / "ann_ck")
+    q = streaming_ann_topk_microbatch(sdf, ivf, corpus, out, ck, k=4)
+    assert q.lastProgress is None or \
+        not q.lastProgress.get("stateOperators")   # zero streaming state
+    got_df = spark.read.parquet(out)
+    assert set(r["__batch_id__"] for r in
+               got_df.select("__batch_id__").distinct().collect()) \
+        == {0, 1}                                   # two batches landed
+    got = sorted((r.probe_id, r.rank, r.neighbor_id)
+                 for r in got_df.collect())
+    assert got == want
+
+
 def test_curate_corpus_stream_matches_batch(spark, tmp_path):
     """Streaming curation (PII → quality → decontaminate → streaming
     exact dedup → split) produces the same surviving TEXT SET as the
