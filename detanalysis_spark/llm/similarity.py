@@ -368,33 +368,11 @@ class IVFIndex:
                .select(vec_col).toPandas())
         X = self._unit_rows(np.stack(pdf[vec_col].to_numpy())
                             .astype(np.float64))
-        k = min(self.n_centroids, X.shape[0])
-        # farthest-point init (deterministic k-means++ analog): greedy
-        # max-min cosine spread avoids the merged-cluster local optima
-        # random seeding is prone to
-        chosen = [0]
-        sims = (X @ X[0])[:, None]
-        for _ in range(k - 1):
-            nxt = int(sims.max(axis=1).argmin())
-            chosen.append(nxt)
-            sims = np.concatenate([sims, (X @ X[nxt])[:, None]], axis=1)
-        C = X[chosen]
-        for _ in range(self.max_iter):
-            sims = X @ C.T                      # (n, k)
-            assign = sims.argmax(axis=1)
-            newC = np.zeros_like(C)
-            for c in range(k):
-                members = X[assign == c]
-                if len(members):
-                    newC[c] = members.sum(axis=0)
-                else:  # re-seed dead cell with the worst-covered point
-                    newC[c] = X[sims.max(axis=1).argmin()]
-            newC = self._unit_rows(newC)
-            if np.allclose(newC, C, atol=1e-9):
-                C = newC
-                break
-            C = newC
-        self.centroids = C
+        # farthest-point init (deterministic k-means++ analog) + Lloyd
+        # with cosine assignment; dead cells re-seed from the
+        # worst-covered point (shared with the cell auto-splitter)
+        self.centroids = _fit_numpy_kmeans(
+            X, min(self.n_centroids, X.shape[0]), self.max_iter)
         return self
 
     def fit_distributed(self, df: DataFrame, vec_col: str = "embedding",
@@ -589,6 +567,130 @@ class IVFIndex:
              .select("probe_id", "probe_vec",
                      F.explode("cells").alias("cell")))
         return self._score_and_rank(c, p, k, exclude_self)
+
+
+def cell_size_profile(df: DataFrame, ivf: "IVFIndex | None" = None,
+                      cluster_col: str | None = None,
+                      vec_col: str = "embedding") -> DataFrame:
+    """Cell-population audit for a clustered embedding corpus:
+    (cell, n, share, skew) where ``skew`` = n / mean-cell-size.
+
+    Why it matters: every cluster-keyed pairwise step (``semantic_dedup``,
+    IVF probing) is bounded by the LARGEST cell — pairs grow as the
+    square of the fat cell, not of the corpus. Run this before a big
+    dedup; cells with skew >> 1 are the 100 TB failure mode. One
+    map-side-combined groupBy over the assignment; k result rows.
+    """
+    if cluster_col is None:
+        if ivf is None:
+            raise ValueError("cell_size_profile needs ivf or cluster_col")
+        df = ivf.with_cell(df, vec_col=vec_col)
+        cluster_col = "ivf_cell"
+    counts = (df.groupBy(F.col(cluster_col).alias("cell"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    tot = counts.agg(F.sum("n").alias("t"), F.count(F.lit(1)).alias("k"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("cell", "n",
+                    (F.col("n") / F.col("t")).alias("share"),
+                    (F.col("n") * F.col("k") / F.col("t")).alias("skew"))
+            .orderBy(F.col("n").desc()))
+
+
+def balance_cells(df: DataFrame, ivf: "IVFIndex",
+                  max_cell_size: int, vec_col: str = "embedding",
+                  id_col: str = "vec_id", out_col: str = "ivf_cell",
+                  sample_per_cell: int = 5_000,
+                  max_rounds: int = 3) -> DataFrame:
+    """Auto-split over-populated IVF cells: re-fit a small spherical
+    k-means WITHIN each cell whose population exceeds
+    ``max_cell_size`` (k = ceil(n / cap)) and reassign its members to
+    the subcells. Returns ``df`` plus ``out_col`` — a balanced cluster
+    id usable as ``semantic_dedup(cluster_col=...)``, which turns that
+    operator's pair bound from (fat cell)² into ≈ cap².
+
+    Scale shape: cell sizes are one tiny aggregate; subquantizer
+    training reads ``sample_per_cell`` rows per fat cell in ONE job
+    (row_number window over only the fat cells' rows); reassignment is
+    one vectorized pandas-UDF pass (per-row matmul against the row's
+    own cell's subcentroids, broadcast as a dict of small matrices).
+    k-means gives no hard cap, so up to ``max_rounds`` split rounds run
+    until every cell fits (data with no internal structure may still
+    exceed the cap — the profile tells you).
+    """
+    assigned = ivf.with_cell(df, vec_col=vec_col, out_col=out_col)
+    # composite ids stay unique across rounds: parent*SUB + sub
+    SUB = 1_000
+    for _ in range(max_rounds):
+        sizes = {int(r["cell"]): int(r["n"])
+                 for r in (assigned.groupBy(F.col(out_col).alias("cell"))
+                           .agg(F.count(F.lit(1)).alias("n")).collect())}
+        fat = {c: n for c, n in sizes.items() if n > max_cell_size}
+        if not fat:
+            break
+        w = Window.partitionBy(out_col).orderBy(id_col)
+        samples = (assigned
+                   .filter(F.col(out_col).isin(list(fat)))
+                   .select(out_col, id_col, vec_col)
+                   .withColumn("__rn__", F.row_number().over(w))
+                   .filter(F.col("__rn__") <= sample_per_cell)
+                   .select(out_col, vec_col).collect())
+        by_cell: dict[int, list] = {}
+        for r in samples:
+            by_cell.setdefault(int(r[out_col]), []).append(r[vec_col])
+        sub_cents: dict[int, np.ndarray] = {}
+        for c, vecs in by_cell.items():
+            k_sub = min(-(-fat[c] // max_cell_size), len(vecs))
+            X = IVFIndex._unit_rows(
+                np.stack([np.asarray(v, dtype=np.float64)
+                          for v in vecs]))
+            sub_cents[c] = _fit_numpy_kmeans(X, k_sub, ivf.max_iter)
+
+        @F.pandas_udf(LongType())
+        def _recell(cells: pd.Series, vecs: pd.Series) -> pd.Series:
+            out = np.empty(len(cells), dtype=np.int64)
+            for i, (c, v) in enumerate(zip(cells, vecs)):
+                C = sub_cents.get(int(c))
+                if C is None:
+                    out[i] = int(c) * SUB
+                else:
+                    x = np.asarray(v, dtype=np.float64)
+                    n = np.linalg.norm(x)
+                    x = x / n if n else x
+                    out[i] = int(c) * SUB + int((C @ x).argmax())
+            return pd.Series(out)
+
+        assigned = assigned.withColumn(
+            out_col, _recell(F.col(out_col), F.col(vec_col)))
+    return assigned
+
+
+def _fit_numpy_kmeans(X: np.ndarray, k: int, max_iter: int) -> np.ndarray:
+    """Driver-side spherical k-means on a sample (farthest-point init +
+    Lloyd with cosine assignment) — shared by IVFIndex.fit's logic and
+    the cell auto-splitter."""
+    k = min(k, X.shape[0])
+    chosen = [0]
+    sims = (X @ X[0])[:, None]
+    for _ in range(k - 1):
+        nxt = int(sims.max(axis=1).argmin())
+        chosen.append(nxt)
+        sims = np.concatenate([sims, (X @ X[nxt])[:, None]], axis=1)
+    C = X[chosen]
+    for _ in range(max_iter):
+        sims = X @ C.T
+        assign = sims.argmax(axis=1)
+        newC = np.zeros_like(C)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                newC[c] = members.sum(axis=0)
+            else:
+                newC[c] = X[sims.max(axis=1).argmin()]
+        newC = IVFIndex._unit_rows(newC)
+        if np.allclose(newC, C, atol=1e-9):
+            return newC
+        C = newC
+    return C
 
 
 def embedding_centroids(df: DataFrame, group_col: str,

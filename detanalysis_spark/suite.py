@@ -3632,17 +3632,26 @@ def repetition_char_frac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # betweens interval cut into O(islands) predicate terms.
 # ----------------------------------------------------------------------
 @query("merged_interval_islands", oracle="""
+-- rn gives the two windows ONE total order: with duplicate (lo, hi)
+-- rows, independent tie-breaking between the running-max frame and the
+-- island counter frame can place a duplicate group's island marker
+-- mid-group and mis-assign islands (observed in DuckDB at 10x
+-- replicated data; Spark evaluates both frames over a single sorted
+-- run and is tie-stable by construction)
 WITH iv AS (
   SELECT event_type AS k, value AS lo, value + 5.0 AS hi
   FROM events WHERE event_id % 10 = 0),
-m AS (SELECT k, lo, hi,
-             max(hi) OVER (PARTITION BY k ORDER BY lo, hi
+o AS (SELECT k, lo, hi,
+             row_number() OVER (PARTITION BY k ORDER BY lo, hi) AS rn
+      FROM iv),
+m AS (SELECT k, lo, hi, rn,
+             max(hi) OVER (PARTITION BY k ORDER BY lo, hi, rn
                            ROWS BETWEEN UNBOUNDED PRECEDING
                            AND 1 PRECEDING) AS pmh
-      FROM iv),
+      FROM o),
 isl AS (SELECT k, lo, hi,
                sum(CASE WHEN pmh IS NULL OR lo > pmh THEN 1 ELSE 0 END)
-                 OVER (PARTITION BY k ORDER BY lo, hi
+                 OVER (PARTITION BY k ORDER BY lo, hi, rn
                        ROWS UNBOUNDED PRECEDING) AS island
         FROM m),
 g AS (SELECT k, island, min(lo) AS lo, max(hi) AS hi, count(*) AS n

@@ -278,6 +278,47 @@ def test_ivf_validates():
         IVFIndex().cell_udf()
 
 
+def test_cell_balance_audit_and_autosplit(spark):
+    """Planted skew: one fat cluster (200 of 230 points, with internal
+    substructure) + 3 small ones. The profile must expose the skew;
+    balance_cells must split the fat cell so the pairwise bound of a
+    cluster-keyed join drops from fat^2 toward cap^2."""
+    from detanalysis_spark.llm.similarity import (IVFIndex,
+                                                  balance_cells,
+                                                  cell_size_profile,
+                                                  semantic_dedup)
+    rng = np.random.default_rng(21)
+    small = [c + 0.1 * rng.standard_normal((10, 16))
+             for c in rng.standard_normal((3, 16)) * 10.0]
+    # fat cluster: 4 sub-lobes around one far-away center (structure
+    # the auto-splitter's inner k-means can find)
+    fc = np.array([40.0] * 16)
+    fat = np.vstack([fc + lobe + 0.1 * rng.standard_normal((50, 16))
+                     for lobe in rng.standard_normal((4, 16)) * 3.0])
+    vecs = np.vstack(small + [fat])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"])
+    ivf = IVFIndex(n_centroids=4, n_probe=1, seed=3).fit(df)
+
+    prof = cell_size_profile(df, ivf=ivf).collect()
+    assert prof[0]["n"] >= 200              # fat cell surfaces first
+    assert prof[0]["skew"] > 3.0            # ~200 / (230/4) ≈ 3.5
+
+    balanced = balance_cells(df, ivf, max_cell_size=80)
+    sizes = sorted(r["n"] for r in
+                   balanced.groupBy("ivf_cell").count()
+                   .withColumnRenamed("count", "n").collect())
+    assert balanced.count() == 230          # no rows lost
+    assert max(sizes) <= 80                 # cap enforced on this data
+    assert len(sizes) >= 6                  # fat cell actually split
+
+    # balanced assignment slots straight into semantic_dedup
+    kept = semantic_dedup(balanced, threshold=0.999999,
+                          cluster_col="ivf_cell")
+    assert kept.count() <= 230
+
+
 # ----------------------------------------------------------------------
 # SemDeDup semantic dedup: keep-lowest-index within cluster among
 # points with cosine >= threshold, vs a numpy replay of the paper rule

@@ -1,0 +1,122 @@
+"""sf1-equivalent oracle gate for the heavy operator families.
+
+There is no driver-generated sf1 dataset, so this tool materializes one
+(~10x sf0.1: 6M lineitem, 1M events, 50k documents, 20k embeddings) by
+replicating the sf0.1 parquet with shifted identities — same value
+distributions, 10x the cardinality — and then runs the standard DuckDB
+value-hash gate (`tools/check_oracles.py`) against it for the
+dedup / text-LM / BPE / cleaning / rollup / embedding families. Both
+engines read the SAME materialized files, so the comparison is exact.
+
+Replication semantics (deterministic, honest at scale):
+- fact tables: primary ids shifted by copy*1e9 (distinct identities,
+  FK columns into dimension tables untouched);
+- documents: doc_id shifted, text suffixed with the COPY index only —
+  within-copy duplicate structure (planted dup groups) is preserved
+  exactly (10x the groups) and copies never merge;
+- embeddings: vec_id shifted, vectors perturbed per copy (no 10-way
+  cosine ties);
+- dimension tables copied as-is.
+
+Excluded families (documented, same reasoning as the sf0.1 gate): the
+O(n^2)-oracle six (minhash/embedding near-dup all-pairs, simhash,
+cluster-pairwise SemDeDup, the near-dedup-bearing capstones) — DuckDB's
+oracle is quadratic there, not the engine; and the doc_id<N bounded
+probes (hashed_classifier, multimodal_jpeg) whose filter pins them to
+copy 0, making a 10x run vacuous.
+
+Usage: python tools/sf1_gate.py [--force-rebuild] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import duckdb
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/detanalysis_sf1x")
+COPIES = 10
+SHIFT = 1_000_000_000
+
+# per-table amplification SQL (c = copy index 0..COPIES-1)
+_AMPLIFY = {
+    "lineitem": "SELECT l_orderkey + c*{S} AS l_orderkey, "
+                "* EXCLUDE (l_orderkey) FROM t, range({K}) r(c)",
+    "orders": "SELECT o_orderkey + c*{S} AS o_orderkey, "
+              "* EXCLUDE (o_orderkey) FROM t, range({K}) r(c)",
+    "events": "SELECT event_id + c*{S} AS event_id, "
+              "user_id + c*{S} AS user_id, "
+              "* EXCLUDE (event_id, user_id) FROM t, range({K}) r(c)",
+    "documents": "SELECT doc_id + c*{S} AS doc_id, "
+                 "text || ' copytoken' || c AS text, "
+                 "* EXCLUDE (doc_id, text) FROM t, range({K}) r(c)",
+    "embeddings": "SELECT vec_id + c*{S} AS vec_id, "
+                  "list_transform(embedding, x -> x + c * 1e-3) "
+                  "AS embedding, "
+                  "* EXCLUDE (vec_id, embedding) FROM t, range({K}) r(c)",
+}
+_COPY_AS_IS = ["region", "nation", "customer", "supplier", "part"]
+
+# heavy families with linear (or output-bound) DuckDB oracles
+GATE_QUERIES = [
+    # exact/normalized/span/line dedup
+    "dedup_exact_documents", "dedup_exact_by_key",
+    "normalized_dedup_groups", "incremental_dedup_stats",
+    "span_dedup_stats", "line_dedup_first_occurrence",
+    # text analysis / LM / BPE
+    "doc_token_stats", "language_id_counts", "text_quality_by_source",
+    "doc_fingerprint_stats", "vocab_top_terms", "tfidf_top_terms",
+    "unigram_nll_scores", "bigram_nll_scores", "bpe_first_merge_pairs",
+    # cleaning
+    "gopher_rule_counts", "repetition_char_frac_stats",
+    "pii_redaction_stats", "boilerplate_removal_stats",
+    "adaptive_quality_stats", "decontamination_stats",
+    # rollups / time
+    "incremental_rollup_stats", "gapfilled_daily_series",
+    "sessionized_event_counts", "merged_interval_islands",
+    "asof_join_purchase_error_lag", "range_join_value_intervals",
+    # embeddings / ANN (linear oracles)
+    "ann_cosine_topk", "ann_ivf_topk", "embedding_centroids_by_label",
+    "embedding_covariance_stats", "embedding_outlier_stats",
+    "embedding_quantization_stats",
+    # sampling / packing
+    "sequence_packing_stats", "token_budget_sample_stats",
+    "split_assignment_counts", "mixture_sample_stats",
+]
+
+
+def materialize(force: bool = False) -> None:
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    for t in _COPY_AS_IS + list(_AMPLIFY):
+        dst = f"{OUT}/{t}.parquet"
+        if os.path.exists(dst) and not force:
+            continue
+        src = f"{SRC}/{t}.parquet"
+        if not os.path.exists(src):
+            continue
+        sql = _AMPLIFY.get(t, "SELECT * FROM t").format(K=COPIES, S=SHIFT)
+        con.execute(f"CREATE OR REPLACE VIEW t AS "
+                    f"SELECT * FROM read_parquet('{src}')")
+        con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
+        print(f"# materialized {t}: {n} rows", file=sys.stderr)
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    materialize(force="--force-rebuild" in sys.argv)
+    env = dict(os.environ, SPARK_GRAFT_ORACLE_SF_DIR=OUT)
+    names = args or GATE_QUERIES
+    return subprocess.call(
+        [sys.executable, os.path.join(HERE, "check_oracles.py"), *names],
+        env=env)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
