@@ -11,9 +11,9 @@ from .similarity import (cosine_similarity, cosine_topk,
                          embedding_outliers,
                          quantize_embeddings, quantization_error)
 from .dedup import (dedup_exact, minhash_signatures, lsh_candidate_pairs,
-                    near_dup_clusters, simhash, ngram_jaccard,
-                    near_dup_pairs, apply_near_dedup, dedup_incremental,
-                    span_dup_stats)
+                    near_dup_clusters, near_dup_clusters_star, simhash,
+                    ngram_jaccard, near_dup_pairs, apply_near_dedup,
+                    dedup_incremental, span_dup_stats)
 from .text import (token_count, bpe_ish_token_count, quality_scores,
                    language_id, doc_fingerprint, tfidf_topk, build_vocab,
                    unigram_logprob_scores, take_token_budget,
@@ -46,7 +46,8 @@ __all__ = [
     "cosine_similarity", "cosine_topk", "RandomHyperplaneLSH", "IVFIndex",
     "semantic_dedup", "embedding_outliers",
     "dedup_exact", "minhash_signatures", "lsh_candidate_pairs",
-    "near_dup_clusters", "simhash", "ngram_jaccard",
+    "near_dup_clusters", "near_dup_clusters_star", "simhash",
+    "ngram_jaccard",
     "token_count", "bpe_ish_token_count", "quality_scores",
     "language_id", "doc_fingerprint", "tfidf_topk", "build_vocab",
     "unigram_logprob_scores", "take_token_budget",

@@ -507,6 +507,69 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20,
     raise RuntimeError(f"near_dup_clusters: no convergence in {max_iter} rounds")
 
 
+def near_dup_clusters_star(pairs: DataFrame,
+                           max_iter: int = 30) -> DataFrame:
+    """Connected components by alternating Large-Star/Small-Star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    ACM SoCC 2014) — same (id, cluster_id = component min) contract as
+    :func:`near_dup_clusters`.
+
+    Large-star hangs every neighbor LARGER than u off the minimum of
+    u's closed neighborhood; small-star re-parents the smaller ones.
+    Each half-round is one groupBy(min) + join + distinct; the edge set
+    it rewrites SHRINKS as components collapse into stars, so later
+    rounds get cheaper — on a planted power-law pair graph this runs
+    ~1.6-2x faster than pointer jumping end-to-end (tools/cc_probe.py),
+    and the advantage grows with skew. Pointer jumping keeps a fixed
+    |V|+|E| per-round shuffle and a monotone label-sum convergence
+    witness, which is easier to reason about under failure/retry —
+    hence it stays the default; choose this variant for very skewed
+    pair graphs (giant dup families) where edge-set collapse pays.
+    """
+    def _large(edges: DataFrame) -> DataFrame:
+        sym = edges.union(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        m = (sym.groupBy("u")
+             .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        return (sym.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct())
+
+    def _small(edges: DataFrame) -> DataFrame:
+        canon = edges.select(F.greatest("u", "v").alias("u"),
+                             F.least("u", "v").alias("v"))
+        m = canon.groupBy("u").agg(F.min("v").alias("m"))
+        nbr = (canon.join(m, "u")
+               .filter(F.col("v") != F.col("m"))
+               .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        return nbr.union(m.select("u", F.col("m").alias("v"))).distinct()
+
+    edges = pairs.select(F.col("id_a").alias("u"),
+                         F.col("id_b").alias("v"))
+    prev = None
+    for _ in range(max_iter):
+        edges = _small(_large(edges)).localCheckpoint(eager=True)
+        # converged when the canonical edge set is stable: count plus
+        # an exact order-insensitive hash-sum (decimal keeps it exact)
+        chk = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
+        ).collect()[0]
+        if prev is not None and (chk["n"], chk["h"]) == prev:
+            break
+        prev = (chk["n"], chk["h"])
+    else:
+        raise RuntimeError(
+            f"near_dup_clusters_star: no convergence in {max_iter} rounds")
+    labels = edges.select(F.col("u").alias("id"),
+                          F.col("v").alias("cluster_id"))
+    roots = (edges.select(F.col("v").alias("id")).distinct()
+             .join(labels.select("id").distinct(), "id", "left_anti")
+             .withColumn("cluster_id", F.col("id")))
+    return labels.union(roots)
+
+
 # ----------------------------------------------------------------------
 # SimHash
 # ----------------------------------------------------------------------

@@ -107,6 +107,23 @@ def test_near_dup_clusters_plain_mode_small(spark):
     assert cl[30] == cl[31] == 30
 
 
+def test_near_dup_clusters_star_agrees_with_pointer_jumping(spark):
+    """Alternating large/small-star CC (the skewed-graph alternative)
+    must produce the identical partition on a chain (diameter worst
+    case) and on a hub-heavy graph (the power-law shape it wins on)."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(200)],
+                                  ["id_a", "id_b"])
+    hub = spark.createDataFrame(
+        [(0, i) for i in range(1, 50)] + [(100, 101), (101, 102)],
+        ["id_a", "id_b"])
+    for pairs in (chain, hub):
+        a = {(r.id, r.cluster_id)
+             for r in D.near_dup_clusters(pairs).collect()}
+        b = {(r.id, r.cluster_id)
+             for r in D.near_dup_clusters_star(pairs).collect()}
+        assert a == b
+
+
 def test_simhash_and_hamming(docs):
     sh = {r.doc_id: r.sh for r in docs.select(
         "doc_id", D.simhash(F.col("text")).alias("sh")).collect()}
