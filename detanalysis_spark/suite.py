@@ -994,6 +994,56 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# streaming micro-batch ANN (zero aggregation state): probes arrive as
+# a 2-file stream, each micro-batch ranks via foreachBatch against the
+# static corpus. n_probe == n_centroids makes the IVF search EXHAUSTIVE
+# and exactly equal to brute-force cosine, so the unbounded-safe
+# streaming path gets a full DuckDB value-hash oracle.
+# ----------------------------------------------------------------------
+@query("streaming_ann_microbatch_topk", oracle="""
+WITH s AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                CAST(p.embedding AS DOUBLE[])) AS sim
+  FROM embeddings c,
+       (SELECT * FROM embeddings WHERE vec_id < 8) p
+  WHERE c.vec_id <> p.vec_id),
+r AS (SELECT probe_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM s)
+SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id,
+       round(sim, 6) AS sim
+FROM r WHERE rank <= 5
+""")
+def streaming_ann_microbatch_topk(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .llm.similarity import IVFIndex
+    from .streaming.continuous import streaming_ann_topk_microbatch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = IVFIndex(n_centroids=4, n_probe=4, seed=2).fit(emb)
+    base = tempfile.mkdtemp(prefix="det_ann_mb_")   # fresh checkpoint
+    probes = emb.filter(F.col("vec_id") < 8)
+    probes.filter(F.col("vec_id") < 4).coalesce(1) \
+          .write.mode("overwrite").parquet(f"{base}/in/a")
+    probes.filter(F.col("vec_id") >= 4).coalesce(1) \
+          .write.mode("overwrite").parquet(f"{base}/in/b")
+    sdf = (spark.readStream.schema(probes.schema)
+           .option("maxFilesPerTrigger", 1)
+           .option("recursiveFileLookup", "true")
+           .parquet(f"{base}/in"))
+    streaming_ann_topk_microbatch(
+        sdf, ivf, emb, f"{base}/out", f"{base}/ck", k=5,
+        query_name="ann_mb_suite")
+    hits = spark.read.parquet(f"{base}/out").drop("__batch_id__")
+    return hits.select("probe_id", "rank", "neighbor_id",
+                       F.round("sim", 6).alias("sim"))
+
+
+# ----------------------------------------------------------------------
 # LSH-bucketed ANN (random hyperplanes): exact cosine only on bucket
 # candidates — the 100 TB path. Seeded/deterministic but not
 # SQL-expressible → rows-only check; recall vs brute force is pytest'd
