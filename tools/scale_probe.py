@@ -320,6 +320,39 @@ def main() -> int:
         ]).count()
     probe("data_quality_suite", dq(li1), dq(lik))
 
+    # IVF cell-balance auto-split: sizes are one aggregate, subquantizer
+    # training reads a BOUNDED sample per fat cell in one job, and
+    # reassignment is one vectorized pass — wall must track corpus size
+    def balance(df):
+        from detanalysis_spark.llm.similarity import (IVFIndex,
+                                                      balance_cells)
+        def run():
+            idx = IVFIndex(n_centroids=4, n_probe=1, seed=7).fit(df)
+            out = balance_cells(df, idx, max_cell_size=max(
+                df.count() // 16, 50), max_rounds=2)
+            return out.groupBy("ivf_cell").count().count()
+        return run
+    probe("ivf_balance_cells", balance(emb1), balance(embk))
+
+    # baseline-JPEG decode through image_features: per-row Arrow-batched
+    # codec work — embarrassingly parallel, wall ≈ linear in rows
+    def jpeg(df):
+        from detanalysis_spark.llm import multimodal as MM
+        from detanalysis_spark.llm.jpeg import encode_jpeg
+        import numpy as np
+        img = np.tile(np.linspace(0.1, 0.9, 16)[None, :, None], (8, 1, 1))
+        payload = bytearray(encode_jpeg(img, quality=90))
+        def run():
+            d = df.limit(2000 * (k if df is docsk else 1)).select(
+                "doc_id",
+                F.lit(payload).alias("payload"),
+                F.lit(16).alias("width"), F.lit(8).alias("height"),
+                F.lit(1).alias("channels"), F.lit("JPEG").alias("format"))
+            return MM.image_features(d, "doc_id", out_w=2, out_h=2) \
+                     .agg(F.count(F.lit(1))).collect()[0][0]
+        return run
+    probe("jpeg_image_features", jpeg(docs1), jpeg(docsk))
+
     print(json.dumps({"probe": results, "multiplier": k}))
     return 0
 
