@@ -3515,6 +3515,58 @@ def incremental_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# STREAMING continuous-aggregate maintenance with a full oracle: the
+# same day-rollup as incremental_rollup_stats, but maintained by the
+# exactly-once streaming delta path (each micro-batch reduced to
+# mergeable sufficient statistics, landed as a batch-id partition;
+# merged at read). Two micro-batches by construction; the result must
+# equal the batch rollup over all events, which DuckDB replays.
+# ----------------------------------------------------------------------
+@query("streaming_rollup_day_stats", oracle="""
+WITH b AS (
+  SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS bucket_us,
+         event_type, CAST(value AS DOUBLE) AS v
+  FROM events),
+r AS (
+  SELECT bucket_us, event_type, count(v) AS n, sum(v) AS s,
+         sum(v * v) AS s2, min(v) AS mn, max(v) AS mx
+  FROM b GROUP BY bucket_us, event_type)
+SELECT bucket_us, event_type, CAST(n AS BIGINT) AS n,
+       round(s / n, 6) AS mean,
+       round(mn, 6) AS mn, round(mx, 6) AS mx
+FROM r
+""")
+def streaming_rollup_day_stats(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators.rollup import finalize_rollup
+    from .streaming.continuous import (read_rollup_from_deltas,
+                                       streaming_rollup_deltas)
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="det_roll_mb_")  # fresh checkpoint
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1) \
+      .write.mode("overwrite").parquet(f"{base}/in/a")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1) \
+      .write.mode("overwrite").parquet(f"{base}/in/b")
+    sdf = (spark.readStream.schema(ev.schema)
+           .option("maxFilesPerTrigger", 1)
+           .option("recursiveFileLookup", "true")
+           .parquet(f"{base}/in"))
+    streaming_rollup_deltas(sdf, f"{base}/out", f"{base}/ck",
+                            ts_col="ts", value_col="value",
+                            keys=("event_type",),
+                            query_name="rollup_mb_suite")
+    fin = finalize_rollup(read_rollup_from_deltas(
+        spark, f"{base}/out", keys=("event_type",)))
+    return fin.select("bucket_us", "event_type", "n",
+                      F.round("mean", 6).alias("mean"),
+                      F.round("mn", 6).alias("mn"),
+                      F.round("mx", 6).alias("mx"))
+
+
+# ----------------------------------------------------------------------
 # gap-filled daily series (time_bucket_gapfill analog) — rare events
 # (value > 250) leave empty days; the dense spine is a JVM-native
 # sequence explode per key, missing days get n=0, and the day-sum is
