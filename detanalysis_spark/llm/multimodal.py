@@ -13,9 +13,9 @@ codecs need none — ``RAW8`` (uint8 row-major) with numpy, ``PNG``
 (8-bit gray/RGB/RGBA, non-interlaced) via stdlib ``zlib`` + numpy
 scanline unfiltering, and ``WAV`` PCM via the stdlib ``wave`` module —
 plus baseline-sequential ``JPEG`` via the numpy huffman/IDCT codec in
-:mod:`.jpeg` (progressive JPEG and FLAC still raise
-``NotImplementedError`` unless PIL/soundfile happen to be importable).
-Everything after decode —
+:mod:`.jpeg` and ``FLAC`` via the numpy Rice/LPC codec in :mod:`.flac`
+(only progressive JPEG still raises ``NotImplementedError`` unless PIL
+happens to be importable). Everything after decode —
 bilinear resize, channel stats, PCM frame energy / zero-crossing
 rate, frame sampling — is real numpy.
 """
@@ -348,12 +348,13 @@ def audio_features(df: DataFrame, id_col: str, frame_samples: int = 256,
                    payload_format: str = "PCM16") -> DataFrame:
     """Audio payload → RMS, zero-crossing rate, per-frame energy.
 
-    ``payload_format``: ``"PCM16"`` (raw int16 little-endian bytes) or
-    ``"WAV"`` (stdlib ``wave`` decode; multi-channel is mixed down to
-    mono before the features). Real numpy DSP either way — no external
-    codec. The trailing partial frame is dropped (rechunk semantics).
+    ``payload_format``: ``"PCM16"`` (raw int16 little-endian bytes),
+    ``"WAV"`` (stdlib ``wave`` decode), or ``"FLAC"`` (the numpy codec
+    in :mod:`.flac`); multi-channel is mixed down to mono before the
+    features. Real numpy DSP either way — no external codec. The
+    trailing partial frame is dropped (rechunk semantics).
     """
-    if payload_format not in ("PCM16", "WAV"):
+    if payload_format not in ("PCM16", "WAV", "FLAC"):
         raise ValueError(f"unsupported payload_format {payload_format!r}")
     schema = audio_features_schema(df.schema[id_col])
 
@@ -363,6 +364,10 @@ def audio_features(df: DataFrame, id_col: str, frame_samples: int = 256,
             for r in pdf.itertuples(index=False):
                 if payload_format == "WAV":
                     x = decode_wav(r.payload)[0].mean(axis=1)
+                elif payload_format == "FLAC":
+                    from .flac import decode_flac
+                    x = decode_flac(r.payload)[0]
+                    x = x.mean(axis=1) if x.size else x.reshape(0)
                 else:
                     buf = r.payload[:len(r.payload) & ~1]  # drop odd tail
                     x = np.frombuffer(buf, dtype="<i2") / 32768.0

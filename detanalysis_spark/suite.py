@@ -1735,6 +1735,66 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# FLAC multimodal path with an EXACT value oracle: FLAC is lossless,
+# so int16 PCM derived from text bytes survives a full encode → frame/
+# subframe/Rice decode round trip bit-exactly — DuckDB replays the PCM
+# derivation directly while Spark runs the real codec end-to-end
+# (CRC-8/16 verified, FIXED-predictor subframes, Rice residuals).
+# ----------------------------------------------------------------------
+@query("multimodal_flac_stats", oracle="""
+WITH c AS (SELECT doc_id, lang,
+                  substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 64) AS t
+           FROM documents),
+s AS (SELECT doc_id, lang,
+             [CASE WHEN 2*i+2 <= len(t)
+                   THEN ord(substr(t, 2*i+1, 1)) + 256 * ord(substr(t, 2*i+2, 1))
+              END for i in range(32)] AS raw
+      FROM c),
+v AS (SELECT doc_id, lang,
+             list_transform(list_filter(raw, x -> x IS NOT NULL),
+                            x -> (CASE WHEN x >= 32768 THEN x - 65536
+                                       ELSE x END) / 32768.0) AS x
+      FROM s)
+SELECT lang, count(*) AS n,
+       round(avg(sqrt(coalesce(list_aggregate(list_transform(x, e -> e * e),
+                                              'sum'), 0.0)
+                      / greatest(len(x), 1))), 6) AS avg_rms
+FROM v GROUP BY lang
+""")
+def multimodal_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    def _planted(texts):
+        import numpy as np
+        from .llm.flac import encode_flac
+
+        def build(t: str) -> bytes:
+            clean = "".join(ch for ch in t if " " <= ch <= "~")[:64]
+            b = clean.encode("ascii")
+            n = len(b) // 2
+            if n == 0:
+                return encode_flac(np.zeros(0), 16000, mode="fixed")
+            v = np.frombuffer(b[:2 * n], dtype="<i2").astype(np.float64)
+            return encode_flac(v / 32768.0, 16000, mode="fixed")
+
+        return pd.Series([build(t) for t in texts])
+
+    _planted.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    planted_flac = F.pandas_udf(_planted, BinaryType())
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", "lang",
+                           planted_flac(F.col("text")).alias("payload"))
+    feats = _MM.audio_features(payloads, "doc_id", frame_samples=8,
+                               payload_format="FLAC")
+    return (feats.join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("rms"), 6).alias("avg_rms")))
+
+
+# ----------------------------------------------------------------------
 # every-Nth downsample (O6, vibration_analyzer.py:397-401): pure modulo
 # filter — no shuffle, pushdown-eligible
 # ----------------------------------------------------------------------

@@ -317,3 +317,107 @@ def test_image_features_jpeg_format(spark):
         ["img_id", "payload", "width", "height", "channels", "format"])
     out = M.image_features(df, "img_id", out_w=2, out_h=2).collect()[0]
     assert out["mean_lum"] == pytest.approx(150 / 2 / 255.0, abs=1e-9)
+
+
+# ----------------------------------------------------------------------
+# FLAC codec (llm/flac.py)
+# ----------------------------------------------------------------------
+def _sine(n, seed=5):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 1, n)
+    return 0.5 * np.sin(2 * np.pi * 440 * t) \
+        + 0.01 * rng.standard_normal(n)
+
+
+def test_flac_roundtrip_lossless_16bit():
+    from detanalysis_spark.llm.flac import decode_flac, encode_flac
+    mono = _sine(5000)
+    q = np.clip(np.round(mono * 32768) / 32768.0, -1, 32767 / 32768)
+    for mode in ("verbatim", "fixed"):
+        x, rate = decode_flac(encode_flac(mono, 16000, mode=mode))
+        assert rate == 16000 and x.shape == (5000, 1)
+        # FLAC is lossless: only the 16-bit quantization remains
+        np.testing.assert_allclose(x[:, 0], q, atol=1e-12), mode
+    # fixed-predictor residual coding must actually compress the sine
+    assert len(encode_flac(mono, 16000, mode="fixed")) < \
+        len(encode_flac(mono, 16000, mode="verbatim"))
+
+
+def test_flac_stereo_and_mid_side():
+    from detanalysis_spark.llm.flac import decode_flac, encode_flac
+    mono = _sine(3000, seed=7)
+    st = np.stack([mono, 0.8 * np.roll(mono, 3)], axis=1)
+    q = np.clip(np.round(st * 32768) / 32768.0, -1, 32767 / 32768)
+    for ms in (False, True):
+        x, _ = decode_flac(encode_flac(st, 44100, mid_side=ms))
+        np.testing.assert_allclose(x, q, atol=1e-12), ms
+
+
+def test_flac_constant_and_empty():
+    from detanalysis_spark.llm.flac import decode_flac, encode_flac
+    x, _ = decode_flac(encode_flac(np.full(4096, 0.25), 8000))
+    assert np.all(x == np.round(0.25 * 32768) / 32768.0)
+    e, rate = decode_flac(encode_flac(np.zeros(0), 16000))
+    assert e.shape[0] == 0 and rate == 16000
+
+
+def test_flac_crc_rejects_corruption():
+    from detanalysis_spark.llm.flac import decode_flac, encode_flac
+    d = bytearray(encode_flac(_sine(1000), 16000))
+    with pytest.raises(ValueError, match="FLAC|fLaC"):
+        decode_flac(b"nope")
+    d[-10] ^= 0x40                  # flip a bit inside the last frame
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(d))
+
+
+def test_flac_lpc_subframe_decode():
+    # the test encoder never emits LPC; hand-assemble an LPC subframe
+    # (order 2, shift 1, coefs [3, -1]) and check _read_subframe against
+    # the spec recurrence a[i] = ((3*a[i-1] - a[i-2]) >> 1) + res[i]
+    from detanalysis_spark.llm import flac as FL
+    rng = np.random.default_rng(3)
+    bps, n, order, shift = 16, 64, 2, 1
+    coef = [3, -1]
+    warm = [100, 120]
+    res = rng.integers(-40, 40, size=n - order)
+    w = FL._BitWriter()
+    w.write(0, 1)                        # padding
+    w.write(32 + order - 1, 6)           # LPC, order 2
+    w.write(0, 1)                        # no wasted bits
+    for v in warm:
+        w.write(v, bps)
+    w.write(15 - 1, 4)                   # precision 15
+    w.write(shift, 5)
+    for c in coef:
+        w.write(c, 15)
+    w.write(0, 2)                        # rice 4-bit
+    w.write(0, 4)                        # partition order 0
+    w.write(6, 4)                        # rice parameter
+    for v in res:
+        z = (int(v) << 1) ^ (int(v) >> 63)
+        w.unary(z >> 6)
+        w.write(z & 63, 6)
+    w.align()
+    out = FL._read_subframe(FL._BitReader(bytes(w.out)), n, bps)
+    want = np.empty(n, dtype=np.int64)
+    want[:order] = warm
+    for i in range(order, n):
+        want[i] = ((3 * want[i - 1] - want[i - 2]) >> shift) \
+            + res[i - order]
+    np.testing.assert_array_equal(out, want)
+
+
+def test_audio_features_flac_format(spark):
+    from detanalysis_spark.llm.flac import encode_flac
+    mono = _sine(2048, seed=9)
+    q = np.round(np.clip(mono, -1, 1) * 32768)
+    q = np.clip(q, -32768, 32767) / 32768.0
+    payload = encode_flac(mono, 16000, mode="fixed")
+    df = spark.createDataFrame([(4, bytearray(payload))],
+                               ["audio_id", "payload"])
+    out = M.audio_features(df, "audio_id", frame_samples=256,
+                           payload_format="FLAC").collect()[0]
+    assert out["rms"] == pytest.approx(
+        float(np.sqrt(np.mean(q ** 2))), rel=1e-9)
+    assert len(out["frame_energy"]) == 8
