@@ -86,6 +86,10 @@ GATE_QUERIES = [
     # sampling / packing
     "sequence_packing_stats", "token_budget_sample_stats",
     "split_assignment_counts", "mixture_sample_stats",
+    # streaming (micro-batch drains) and the full-table FLAC codec path
+    # (multimodal_jpeg_stats is doc_id<200-bounded -> vacuous at 10x)
+    "streaming_rollup_day_stats", "streaming_ann_microbatch_topk",
+    "multimodal_flac_stats",
 ]
 
 
