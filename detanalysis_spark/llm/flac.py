@@ -209,6 +209,13 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     [-1, 1], sample_rate)."""
     if data[:4] != _MAGIC:
         raise ValueError("not a FLAC payload (missing fLaC magic)")
+    try:
+        return _decode_flac(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"FLAC: truncated or corrupt payload ({e})")
+
+
+def _decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     pos = 4
     rate = nch = bps = total = None
     while True:

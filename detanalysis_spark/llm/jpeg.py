@@ -81,6 +81,8 @@ class _BitReader:
         self.acc, self.nbits = 0, 0
 
     def _fill(self) -> None:
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("JPEG: truncated entropy-coded segment")
         b = self.data[self.pos]
         if b == 0xFF:
             nxt = self.data[self.pos + 1]
@@ -162,6 +164,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     (C = 1 grayscale, 3 RGB)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"JPEG: truncated or corrupt payload ({e})")
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}

@@ -1039,8 +1039,12 @@ def streaming_ann_microbatch_topk(spark: SparkSession,
         sdf, ivf, emb, f"{base}/out", f"{base}/ck", k=5,
         query_name="ann_mb_suite")
     hits = spark.read.parquet(f"{base}/out").drop("__batch_id__")
-    return hits.select("probe_id", "rank", "neighbor_id",
+    out = (hits.select("probe_id", "rank", "neighbor_id",
                        F.round("sim", 6).alias("sim"))
+           .localCheckpoint(eager=True))   # detach from the tmp files
+    import shutil
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -3620,10 +3624,14 @@ def streaming_rollup_day_stats(spark: SparkSession,
                             query_name="rollup_mb_suite")
     fin = finalize_rollup(read_rollup_from_deltas(
         spark, f"{base}/out", keys=("event_type",)))
-    return fin.select("bucket_us", "event_type", "n",
+    out = (fin.select("bucket_us", "event_type", "n",
                       F.round("mean", 6).alias("mean"),
                       F.round("mn", 6).alias("mn"),
                       F.round("mx", 6).alias("mx"))
+           .localCheckpoint(eager=True))   # detach from the tmp files
+    import shutil
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 # ----------------------------------------------------------------------
