@@ -1,18 +1,25 @@
-"""Baseline-sequential JPEG (JFIF) codec — stdlib + numpy only.
+"""JPEG (JFIF) codec — stdlib + numpy only.
 
-Decodes SOF0 (baseline DCT, huffman, 8-bit) JPEGs: generic DQT/DHT
-parsing, interleaved-MCU entropy decode with restart-marker support,
-arbitrary per-component sampling factors (4:4:4 / 4:2:2 / 4:2:0
-upsampled by replication), separable matrix IDCT, and JFIF YCbCr → RGB.
-Progressive (SOF2), arithmetic-coded, and 12-bit streams are out of
-scope and raise ``NotImplementedError`` — callers fall back to PIL for
-those (`multimodal._decode`).
+Decodes baseline-sequential (SOF0) AND progressive (SOF2, T.81
+Annex G) 8-bit huffman JPEGs: generic DQT/DHT parsing, interleaved-MCU
+entropy decode with restart-marker support, arbitrary per-component
+sampling factors (4:4:4 / 4:2:2 / 4:2:0 upsampled by replication),
+multi-scan progressive state (DC first/refinement, per-component AC
+spectral-selection bands with EOB-run coding, successive-approximation
+AC refinement with correction bits), separable matrix IDCT, and JFIF
+YCbCr → RGB. Arithmetic-coded, 12-bit, lossless, and hierarchical
+streams are out of scope and raise ``NotImplementedError`` — callers
+fall back to PIL for those (`multimodal._decode`).
 
-The encoder exists for tests/fixtures: 4:4:4 or 4:2:0, a single
-quality-scaled quantization table pair, and *self-describing* canonical
-Huffman tables (fixed-length codes emitted in the DHT segments), so the
-decoder exercises its generic table parser rather than a baked-in
-Annex-K copy. Compression ratio is a non-goal.
+The encoder exists for tests/fixtures: 4:4:4 or 4:2:0, baseline or a
+real progressive scan script (DC successive approximation + AC
+spectral bands + AC refinement), a single quality-scaled quantization
+table pair, and *self-describing* canonical Huffman tables
+(fixed-length codes emitted in the DHT segments), so the decoder
+exercises its generic table parser rather than a baked-in Annex-K
+copy. Both paths quantize identically, so progressive and baseline
+decodes of the same image must agree bit-for-bit — the codec's
+round-trip oracle. Compression ratio is a non-goal.
 
 Reference parity: none — the reference
 (`/root/reference/detanalysis/analyzer.py`) has no image path; this
@@ -175,9 +182,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
-    frame = None          # (w, h, [(cid, hi, vi, tq)])
+    frame = None          # (w, h, [(cid, hi, vi, tq)], progressive)
     restart_interval = 0
-    scan = None           # ([(cid, td, ta)], data_pos)
+    geom = None           # set lazily after SOF
+    coefs: dict[int, np.ndarray] = {}   # cid -> (bh_pad, bw_pad, 64) zigzag
+    saw_scan = False
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -211,7 +220,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = \
                     _build_huffman(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:        # SOF0 baseline
+        elif marker in (0xC0, 0xC2):    # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("JPEG: only 8-bit precision")
@@ -219,82 +228,53 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             for k in range(nc):
                 cid, hv, tq = body[6 + 3 * k:9 + 3 * k]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = (w, h, comps, marker == 0xC2)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG: only baseline SOF0 supported (got SOF{marker & 0x0F})")
+                f"JPEG: only SOF0/SOF2 supported (got SOF{marker & 0x0F})")
         elif marker == 0xDD:        # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:        # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            w, h, comps, progressive = frame
+            if geom is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                geom = (hmax, vmax, mcux, mcuy)
+                for cid, hi, vi, _tq in comps:
+                    coefs[cid] = np.zeros(
+                        (mcuy * vi, mcux * hi, 64), dtype=np.int64)
             ns = body[0]
             sel = [(body[1 + 2 * k], body[2 + 2 * k] >> 4,
                     body[2 + 2 * k] & 0x0F) for k in range(ns)]
-            scan = (sel, pos + 2 + seglen)
-            break
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            approx = body[3 + 2 * ns]
+            ah, al = approx >> 4, approx & 0x0F
+            r = _BitReader(data, pos + 2 + seglen)
+            _decode_scan(r, sel, ss, se, ah, al, progressive, frame,
+                         geom, coefs, huff_dc, huff_ac,
+                         restart_interval)
+            saw_scan = True
+            pos = r.pos
+            continue
         pos += 2 + seglen
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("JPEG: missing SOF/SOS")
-    w, h, comps = frame
-    sel, data_pos = scan
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = {cid: np.zeros((mcuy * vi * 8, mcux * hi * 8))
-              for cid, hi, vi, _tq in comps}
-    comp_by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
-    tabs = {cid: (huff_dc[td], huff_ac[ta]) for cid, td, ta in sel}
-
-    r = _BitReader(data, data_pos)
-    pred = {cid: 0 for cid, _, _ in sel}
-    n_mcu = mcux * mcuy
-    mcu = 0
-    while mcu < n_mcu:
-        try:
-            my, mx = divmod(mcu, mcux)
-            for cid, _td, _ta in sel:
-                hi, vi, tq = comp_by_id[cid]
-                dc_t, ac_t = tabs[cid]
-                for by in range(vi):
-                    for bx in range(hi):
-                        coef = np.zeros(64)
-                        s = _huff_decode(r, dc_t)
-                        diff = _extend(r.bits(s), s) if s else 0
-                        pred[cid] += diff
-                        coef[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(r, ac_t)
-                            run, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if run == 15:      # ZRL
-                                    k += 16
-                                    continue
-                                break              # EOB
-                            k += run
-                            if k > 63:
-                                raise ValueError("JPEG: AC index overflow")
-                            coef[k] = _extend(r.bits(size), size)
-                            k += 1
-                        block = coef[np.argsort(_ZIGZAG)]  # de-zigzag
-                        dq = block.reshape(8, 8) * qt[tq]
-                        px = _A.T @ dq @ _A + 128.0
-                        y0 = (my * vi + by) * 8
-                        x0 = (mx * hi + bx) * 8
-                        planes[cid][y0:y0 + 8, x0:x0 + 8] = px
-            mcu += 1
-            if restart_interval and mcu % restart_interval == 0 \
-                    and mcu < n_mcu:
-                r.restart()
-                pred = {cid: 0 for cid in pred}
-        except _RestartPending:
-            # encoder emitted RSTn earlier than our count (defensive)
-            r.restart()
-            pred = {cid: 0 for cid in pred}
+    w, h, comps, _prog = frame
+    hmax, vmax, mcux, mcuy = geom
+    inv_zig = np.argsort(_ZIGZAG)
     out_planes = []
-    for cid, hi, vi, _tq in comps:
-        p = planes[cid]
+    for cid, hi, vi, tq in comps:
+        bh, bw = coefs[cid].shape[:2]
+        # de-zigzag + dequantize + IDCT the whole component at once
+        blocks = coefs[cid][:, :, inv_zig].astype(np.float64) \
+            .reshape(bh, bw, 8, 8) * qt[tq]
+        px = np.einsum("ux,bcuv,vy->bcxy", _A, blocks, _A) + 128.0
+        p = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         # replicate to full resolution, then crop
         p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         out_planes.append(p[:h, :w])
@@ -309,6 +289,183 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     else:
         raise NotImplementedError("JPEG: only 1- or 3-component frames")
     return np.clip(img, 0.0, 255.0) / 255.0
+
+
+def _decode_scan(r, sel, ss, se, ah, al, progressive, frame, geom,
+                 coefs, huff_dc, huff_ac, restart_interval) -> None:
+    """One entropy-coded scan into the zigzag coefficient arrays.
+
+    Baseline: the single full-band interleaved scan. Progressive
+    (T.81 Annex G): DC scans are interleaved (first pass codes the
+    point-transformed diffs, refinement one bit per block); AC scans
+    are single-component over the component's OWN block grid, first
+    pass with EOB-run coding, refinement with correction bits."""
+    w, h, comps, _prog = frame
+    hmax, vmax, mcux, mcuy = geom
+    comp_by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+
+    def used_blocks(cid):
+        hi, vi, _tq = comp_by_id[cid]
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    if progressive and ss > 0:                       # AC scan
+        if len(sel) != 1:
+            raise ValueError("JPEG: progressive AC scan must be "
+                             "single-component")
+        cid, _td, ta = sel[0]
+        ac_t = huff_ac[ta]
+        arr = coefs[cid]
+        bh, bw = used_blocks(cid)
+        eobrun = 0
+        p1, m1 = 1 << al, -1 << al
+        n_blk = bh * bw
+        bi = 0
+        while bi < n_blk:
+            try:
+                by, bx = divmod(bi, bw)
+                block = arr[by, bx]
+                if ah == 0:                          # AC first pass
+                    if eobrun:
+                        eobrun -= 1
+                    else:
+                        k = ss
+                        while k <= se:
+                            rs = _huff_decode(r, ac_t)
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run < 15:
+                                    eobrun = (1 << run) - 1
+                                    if run:
+                                        eobrun += r.bits(run)
+                                    break
+                                k += 16              # ZRL
+                            else:
+                                k += run
+                                if k > se:
+                                    raise ValueError(
+                                        "JPEG: AC index overflow")
+                                block[k] = _extend(r.bits(size),
+                                                   size) << al
+                                k += 1
+                else:                                # AC refinement
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _huff_decode(r, ac_t)
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run < 15:
+                                    eobrun = (1 << run)
+                                    if run:
+                                        eobrun += r.bits(run)
+                                    break            # tail sweep below
+                                val = 0              # ZRL
+                            else:
+                                if size != 1:
+                                    raise ValueError(
+                                        "JPEG: bad AC refinement size")
+                                val = p1 if r.bits(1) else m1
+                            while k <= se:
+                                if block[k]:
+                                    if r.bits(1) and \
+                                            not (block[k] & p1):
+                                        block[k] += p1 if block[k] > 0 \
+                                            else m1
+                                else:
+                                    if run == 0:
+                                        break
+                                    run -= 1
+                                k += 1
+                            if val and k <= se:
+                                block[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:               # correction sweep
+                            if block[k]:
+                                if r.bits(1) and not (block[k] & p1):
+                                    block[k] += p1 if block[k] > 0 \
+                                        else m1
+                            k += 1
+                        eobrun -= 1
+                bi += 1
+                if restart_interval and bi % restart_interval == 0 \
+                        and bi < n_blk:
+                    r.restart()
+                    eobrun = 0
+            except _RestartPending:
+                r.restart()
+                eobrun = 0
+        return
+
+    if progressive and ss == 0 and se != 0:
+        raise ValueError("JPEG: progressive DC scan must have Se=0")
+    # DC scan (progressive) or the full baseline scan — interleaved
+    # over the scan components; a single-component scan iterates that
+    # component's own (non-padded) block grid per the spec
+    tabs = {}
+    for cid, td, ta in sel:
+        tabs[cid] = (huff_dc.get(td), huff_ac.get(ta))
+    pred = {cid: 0 for cid, _, _ in sel}
+    if len(sel) == 1:
+        only = sel[0][0]
+        bh, bw = used_blocks(only)
+        units = [(only, by, bx) for by in range(bh) for bx in range(bw)]
+        n_mcu = len(units)
+        per_mcu = 1
+    else:
+        n_mcu = mcux * mcuy
+        per_mcu = None
+    mcu = 0
+    while mcu < n_mcu:
+        try:
+            if per_mcu == 1:
+                todo = [units[mcu]]
+            else:
+                my, mx = divmod(mcu, mcux)
+                todo = []
+                for cid, _td, _ta in sel:
+                    hi, vi, _tq = comp_by_id[cid]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            todo.append((cid, my * vi + by,
+                                         mx * hi + bx))
+            for cid, by, bx in todo:
+                block = coefs[cid][by, bx]
+                dc_t, ac_t = tabs[cid]
+                if progressive and ah > 0:           # DC refinement
+                    if r.bits(1):
+                        block[0] |= 1 << al
+                    continue
+                s = _huff_decode(r, dc_t)
+                diff = _extend(r.bits(s), s) if s else 0
+                pred[cid] += diff
+                block[0] = pred[cid] << al
+                if progressive:
+                    continue                         # DC-only scan
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(r, ac_t)
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:                # ZRL
+                            k += 16
+                            continue
+                        break                        # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG: AC index overflow")
+                    block[k] = _extend(r.bits(size), size)
+                    k += 1
+            mcu += 1
+            if restart_interval and mcu % restart_interval == 0 \
+                    and mcu < n_mcu:
+                r.restart()
+                pred = {cid: 0 for cid in pred}
+        except _RestartPending:
+            r.restart()
+            pred = {cid: 0 for cid in pred}
 
 
 # ----------------------------------------------------------------------
@@ -355,13 +512,20 @@ def _mag(v: int) -> tuple[int, int]:
 
 def encode_jpeg(img: np.ndarray, quality: int = 75,
                 subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """Encode (H, W, C) float [0, 1] (C = 1 or 3) → baseline JPEG.
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """Encode (H, W, C) float [0, 1] (C = 1 or 3) → JPEG bytes.
     ``subsample=True`` writes 4:2:0 (exercises the decoder's
     upsampling path); otherwise 4:4:4. ``restart_interval`` > 0 emits a
-    DRI segment and RSTn markers every that-many MCUs (exercises the
-    decoder's restart path). Huffman tables are fixed-length canonical
-    codes declared in the DHT segments."""
+    DRI segment and RSTn markers (baseline + progressive DC scans).
+    ``progressive=True`` writes SOF2 with the full scan shape real
+    encoders use — successive approximation (DC first at Al=1 + DC
+    refinement; AC spectral bands 1-5/6-63 at Al=1 + AC refinement
+    scans with buffered correction bits) — so every progressive decode
+    path is exercised. Identical quantized coefficients either way:
+    decode(progressive) must equal decode(baseline) bit-for-bit.
+    Huffman tables are fixed-length canonical codes declared in the
+    DHT segments."""
     arr = np.clip(np.asarray(img, dtype=np.float64), 0, 1) * 255.0
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -412,57 +576,137 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
     dc_bits, dc_vals, dc_enc = _fixed_tables(dc_syms, 5)
     ac_bits, ac_vals, ac_enc = _fixed_tables(ac_syms, 8)
 
-    bw = _BitWriter()
-    pred = [0] * len(chans)
     inv_zig = np.argsort(_ZIGZAG)  # zz[inv_zig] = natural -> zigzag order
-    mcu_i = 0
-    n_mcu = mcux * mcuy
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_i and mcu_i < n_mcu \
-                    and mcu_i % restart_interval == 0:
-                bw.flush()                      # byte-align with 1-pad
-                bw.out += bytes([0xFF, 0xD0 + (mcu_i // restart_interval
-                                               - 1) % 8])
-                pred = [0] * len(chans)
-            mcu_i += 1
-            for ci, plane in enumerate(planes):
-                hi, vi = sampling[ci]
-                q = qtabs[min(ci, 1)]
-                for by in range(vi):
-                    for bx in range(hi):
-                        y0 = (my * vi + by) * 8
-                        x0 = (mx * hi + bx) * 8
-                        block = plane[y0:y0 + 8, x0:x0 + 8] - 128.0
-                        coef = _A @ block @ _A.T
-                        qc = np.round(coef / q).astype(int)
-                        zz = np.zeros(64, dtype=int)
-                        zz[inv_zig] = qc.ravel()
-                        diff = int(zz[0]) - pred[ci]
-                        pred[ci] = int(zz[0])
-                        s, raw = _mag(diff)
-                        bw.write(*dc_enc[s])
-                        if s:
-                            bw.write(raw, s)
+
+    # quantized zigzag coefficient arrays per component (padded grid) —
+    # shared by the baseline single scan and the progressive sequence
+    carrs = []
+    for ci, plane in enumerate(planes):
+        hi, vi = sampling[ci]
+        q = qtabs[min(ci, 1)]
+        bh, bwid = mcuy * vi, mcux * hi
+        arr = np.zeros((bh, bwid, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bwid):
+                block = plane[by * 8:by * 8 + 8,
+                              bx * 8:bx * 8 + 8] - 128.0
+                qc = np.round((_A @ block @ _A.T) / q).astype(np.int64)
+                arr[by, bx, inv_zig] = qc.ravel()
+        carrs.append(arr)
+
+    def trunc2(v: int) -> int:
+        """Point transform for AC at Al=1: divide by 2 toward zero."""
+        return -((-v) >> 1) if v < 0 else v >> 1
+
+    def emit_dc_scan(bw: _BitWriter, al: int, first: bool) -> None:
+        """Interleaved DC scan over the padded grid: first pass codes
+        diffs of (dc >> al); refinement emits bit ``al`` per block."""
+        pred = [0] * len(chans)
+        mcu_i, n_mcu = 0, mcux * mcuy
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_i and mcu_i < n_mcu \
+                        and mcu_i % restart_interval == 0:
+                    bw.flush()
+                    bw.out += bytes([0xFF, 0xD0 + (mcu_i
+                                     // restart_interval - 1) % 8])
+                    pred = [0] * len(chans)
+                mcu_i += 1
+                for ci in range(len(chans)):
+                    hi, vi = sampling[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            dc = int(carrs[ci][my * vi + by,
+                                               mx * hi + bx, 0])
+                            if first:
+                                v = dc >> al
+                                diff = v - pred[ci]
+                                pred[ci] = v
+                                sz, raw = _mag(diff)
+                                bw.write(*dc_enc[sz])
+                                if sz:
+                                    bw.write(raw, sz)
+                            else:
+                                bw.write((dc >> al) & 1, 1)
+
+    def _maybe_restart(bw: _BitWriter, unit_i: int) -> None:
+        """RSTn between restart intervals — DRI applies to EVERY scan,
+        counted in MCUs (= blocks for non-interleaved AC scans)."""
+        if restart_interval and unit_i \
+                and unit_i % restart_interval == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + (unit_i // restart_interval
+                                           - 1) % 8])
+
+    def emit_ac_block(bw: _BitWriter, vals) -> None:
+        """Run-length + magnitude coding of one block band (baseline
+        AC body and progressive AC first pass share this)."""
+        run = 0
+        for v in vals:
+            v = int(v)
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw.write(*ac_enc[0xF0])
+                run -= 16
+            sz, raw = _mag(v)
+            bw.write(*ac_enc[(run << 4) | sz])
+            bw.write(raw, sz)
+            run = 0
+        if run:
+            bw.write(*ac_enc[0x00])          # EOB (run = this block)
+
+    def emit_ac_refine_scan(bw: _BitWriter, ci: int, ss: int,
+                            se: int) -> None:
+        """Progressive AC refinement (Ah=1, Al=0): newly-significant
+        coefficients (|v| == 1) emit (run<<4)|1 + sign; coefficients
+        already significant at Ah emit buffered correction bits (their
+        low bit), flushed after the next symbol (T.81 G.1.2.3)."""
+        hi, vi = sampling[ci]
+        bh = -(-(-(-h * vi // vmax)) // 8)
+        bwid = -(-(-(-w * hi // hmax)) // 8)
+        bi = 0
+        for by in range(bh):
+            for bx in range(bwid):
+                _maybe_restart(bw, bi)
+                bi += 1
+                block = carrs[ci][by, bx]
+                pending: list[int] = []
+                run = 0
+                for k in range(ss, se + 1):
+                    v = int(block[k])
+                    if trunc2(v) != 0:       # history-nonzero
+                        pending.append(abs(v) & 1)
+                    elif v == 0:
+                        run += 1
+                    else:                    # newly significant, |v|=1
+                        while run >= 16:
+                            bw.write(*ac_enc[0xF0])
+                            for b in pending:
+                                bw.write(b, 1)
+                            pending = []
+                            run -= 16
+                        bw.write(*ac_enc[(run << 4) | 1])
+                        bw.write(1 if v > 0 else 0, 1)
+                        for b in pending:
+                            bw.write(b, 1)
+                        pending = []
                         run = 0
-                        for k in range(1, 64):
-                            v = int(zz[k])
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                bw.write(*ac_enc[0xF0])
-                                run -= 16
-                            s, raw = _mag(v)
-                            bw.write(*ac_enc[(run << 4) | s])
-                            bw.write(raw, s)
-                            run = 0
-                        if run:
-                            bw.write(*ac_enc[0x00])
-    bw.flush()
+                if run or pending:
+                    bw.write(*ac_enc[0x00])  # EOB covering this block
+                    for b in pending:
+                        bw.write(b, 1)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos_seg(comp_sel, ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_sel)])
+        for ci in comp_sel:
+            td = ta = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (td << 4) | ta])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -474,7 +718,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
     for ci in range(len(chans)):
         hi, vi = sampling[ci]
         sof += bytes([ci + 1, (hi << 4) | vi, min(ci, 1)])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
@@ -482,12 +726,75 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
     if len(chans) == 3:
         out += seg(0xC4, bytes([0x01]) + bytes(dc_bits) + dc_vals)
         out += seg(0xC4, bytes([0x11]) + bytes(ac_bits) + ac_vals)
-    sos = bytes([len(chans)])
-    for ci in range(len(chans)):
-        td = ta = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (td << 4) | ta])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
+
+    if not progressive:
+        bw = _BitWriter()
+        pred = [0] * len(chans)
+        mcu_i, n_mcu = 0, mcux * mcuy
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_i and mcu_i < n_mcu \
+                        and mcu_i % restart_interval == 0:
+                    bw.flush()
+                    bw.out += bytes([0xFF, 0xD0 + (mcu_i
+                                     // restart_interval - 1) % 8])
+                    pred = [0] * len(chans)
+                mcu_i += 1
+                for ci in range(len(chans)):
+                    hi, vi = sampling[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            zz = carrs[ci][my * vi + by, mx * hi + bx]
+                            diff = int(zz[0]) - pred[ci]
+                            pred[ci] = int(zz[0])
+                            sz, raw = _mag(diff)
+                            bw.write(*dc_enc[sz])
+                            if sz:
+                                bw.write(raw, sz)
+                            emit_ac_block(bw, zz[1:])
+        bw.flush()
+        out += sos_seg(list(range(len(chans))), 0, 63, 0, 0)
+        out += bw.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # progressive scan sequence: DC first (Al=1) -> DC refine -> per
+    # component AC spectral bands at Al=1 -> AC refinements to Al=0.
+    # Restart markers are only emitted in the interleaved DC scans.
+    bands = [(1, 5), (6, 63)]
+    bw = _BitWriter()
+    emit_dc_scan(bw, al=1, first=True)
+    bw.flush()
+    out += sos_seg(list(range(len(chans))), 0, 0, 0, 1)
     out += bw.out
+    bw = _BitWriter()
+    emit_dc_scan(bw, al=0, first=False)
+    bw.flush()
+    out += sos_seg(list(range(len(chans))), 0, 0, 1, 0)
+    out += bw.out
+    for ci in range(len(chans)):
+        hi, vi = sampling[ci]
+        bh = -(-(-(-h * vi // vmax)) // 8)
+        bwid = -(-(-(-w * hi // hmax)) // 8)
+        for ss, se in bands:
+            bw = _BitWriter()
+            bi = 0
+            for by in range(bh):
+                for bx in range(bwid):
+                    _maybe_restart(bw, bi)
+                    bi += 1
+                    block = carrs[ci][by, bx]
+                    emit_ac_block(
+                        bw, [trunc2(int(v)) for v in block[ss:se + 1]])
+            bw.flush()
+            out += sos_seg([ci], ss, se, 0, 1)
+            out += bw.out
+    for ci in range(len(chans)):
+        for ss, se in bands:
+            bw = _BitWriter()
+            emit_ac_refine_scan(bw, ci, ss, se)
+            bw.flush()
+            out += sos_seg([ci], ss, se, 1, 0)
+            out += bw.out
     out += b"\xff\xd9"
     return bytes(out)

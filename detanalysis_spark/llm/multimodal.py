@@ -12,10 +12,11 @@ Codecs: this container has no image/audio libraries, but three real
 codecs need none — ``RAW8`` (uint8 row-major) with numpy, ``PNG``
 (8-bit gray/RGB/RGBA, non-interlaced) via stdlib ``zlib`` + numpy
 scanline unfiltering, and ``WAV`` PCM via the stdlib ``wave`` module —
-plus baseline-sequential ``JPEG`` via the numpy huffman/IDCT codec in
-:mod:`.jpeg` and ``FLAC`` via the numpy Rice/LPC codec in :mod:`.flac`
-(only progressive JPEG still raises ``NotImplementedError`` unless PIL
-happens to be importable). Everything after decode —
+plus ``JPEG`` — baseline AND progressive — via the numpy
+huffman/IDCT codec in :mod:`.jpeg` and ``FLAC`` via the numpy Rice/LPC
+codec in :mod:`.flac` (only exotic JPEG variants — arithmetic-coded,
+12-bit, lossless — still fall back to PIL when importable). Everything
+after decode —
 bilinear resize, channel stats, PCM frame energy / zero-crossing
 rate, frame sampling — is real numpy.
 """

@@ -280,15 +280,20 @@ def test_jpeg_constant_blocks_exact_at_q100():
     np.testing.assert_allclose(out, img, atol=1e-12)
 
 
-def test_jpeg_rejects_non_baseline():
+def test_jpeg_rejects_unsupported():
     from detanalysis_spark.llm.jpeg import decode_jpeg, encode_jpeg
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"NOPE")
-    # flip SOF0 -> SOF2 (progressive): decoder must refuse, not garble
     d = bytearray(encode_jpeg(_smooth_rgb(8, 8)))
     i = d.find(b"\xff\xc0")
-    d[i + 1] = 0xC2
+    # SOF3 (lossless): genuinely unsupported
+    d[i + 1] = 0xC3
     with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(d))
+    # SOF0 flipped to SOF2 makes the full-band scan an INVALID
+    # progressive DC scan — must refuse, not garble
+    d[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(d))
 
 
@@ -421,3 +426,51 @@ def test_audio_features_flac_format(spark):
     assert out["rms"] == pytest.approx(
         float(np.sqrt(np.mean(q ** 2))), rel=1e-9)
     assert len(out["frame_energy"]) == 8
+
+
+def test_jpeg_progressive_decode_equals_baseline():
+    # both encoder paths quantize identically, so the progressive
+    # multi-scan decode (DC SA + spectral bands + AC refinement) must
+    # reproduce the baseline decode BIT-FOR-BIT; checked across
+    # subsampling, restart markers, dense-AC noise, and odd dims
+    from detanalysis_spark.llm.jpeg import decode_jpeg, encode_jpeg
+    rng = np.random.default_rng(11)
+    cases = [
+        (_smooth_rgb(40, 56, seed=3), dict(quality=85)),
+        (_smooth_rgb(40, 56, seed=3), dict(quality=85, subsample=True)),
+        (_smooth_rgb(40, 56, seed=3), dict(quality=85,
+                                           restart_interval=3)),
+        (rng.random((37, 29, 3)), dict(quality=50)),   # dense AC
+        (rng.random((17, 13, 1)), dict(quality=75)),   # grayscale
+        (rng.random((24, 24, 3)), dict(quality=100)),  # unit quant
+    ]
+    for img, kw in cases:
+        base = decode_jpeg(encode_jpeg(img, **kw))
+        prog = decode_jpeg(encode_jpeg(img, progressive=True, **kw))
+        assert np.array_equal(base, prog), kw
+    d = encode_jpeg(cases[0][0], progressive=True, quality=85)
+    assert b"\xff\xc2" in d                 # really SOF2 multi-scan
+    assert d.count(b"\xff\xda") > 2         # multiple SOS segments
+
+
+def test_jpeg_progressive_constant_blocks_exact():
+    from detanalysis_spark.llm.jpeg import decode_jpeg, encode_jpeg
+    img = np.zeros((8, 16, 1))
+    img[:, :8, 0] = 37 / 255.0
+    img[:, 8:, 0] = 201 / 255.0
+    out = decode_jpeg(encode_jpeg(img, quality=100, progressive=True))
+    np.testing.assert_allclose(out, img, atol=1e-12)
+
+
+def test_jpeg_progressive_vs_pil_reference():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+    from detanalysis_spark.llm.jpeg import decode_jpeg
+    img = (_smooth_rgb(32, 32, seed=9) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    PIL.fromarray(img).save(buf, format="JPEG", quality=90,
+                            progressive=True)
+    ours = decode_jpeg(buf.getvalue())
+    ref = np.asarray(PIL.open(io.BytesIO(buf.getvalue())),
+                     dtype=np.float64) / 255.0
+    assert float(np.abs(ours - ref).max()) < 0.02
