@@ -10,8 +10,9 @@ never per row.
 
 Codecs: this container has no image/audio libraries, but three real
 codecs need none — ``RAW8`` (uint8 row-major) with numpy, ``PNG``
-(8-bit gray/RGB/RGBA, non-interlaced) via stdlib ``zlib`` + numpy
-scanline unfiltering, and ``WAV`` PCM via the stdlib ``wave`` module —
+(8-bit gray/RGB/RGBA, non-interlaced AND Adam7-interlaced) via stdlib
+``zlib`` + numpy scanline unfiltering, and ``WAV`` PCM via the stdlib
+``wave`` module —
 plus ``JPEG`` — baseline AND progressive — via the numpy
 huffman/IDCT codec in :mod:`.jpeg` and ``FLAC`` via the numpy Rice/LPC
 codec in :mod:`.flac` (only exotic JPEG variants — arithmetic-coded,
@@ -83,39 +84,14 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG → float64 (H, W, C) in
-    [0, 1]. Pure stdlib (``zlib``, ``struct``) + numpy: scanline
-    filters None/Sub/Up/Average/Paeth are all unfiltered here — Sub
-    via a mod-256 cumulative sum per byte lane, Up vectorized, and
-    Average/Paeth with the per-pixel recurrence the spec requires."""
-    import struct
-    import zlib
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
-    if data[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload (bad signature)")
-    pos, idat, meta = 8, [], None
-    while pos < len(data):
-        (length,), typ = struct.unpack(">I", data[pos:pos + 4]), \
-            data[pos + 4:pos + 8]
-        body = data[pos + 8:pos + 8 + length]
-        pos += 12 + length
-        if typ == b"IHDR":
-            meta = struct.unpack(">IIBBBBB", body)
-        elif typ == b"IDAT":
-            idat.append(body)
-        elif typ == b"IEND":
-            break
-    if meta is None:
-        raise ValueError("PNG: missing IHDR")
-    w, h, depth, ctype, _comp, _filt, interlace = meta
-    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"PNG: only 8-bit non-interlaced gray/RGB(A) supported "
-            f"(depth={depth}, color_type={ctype}, "
-            f"interlace={interlace})")
-    c = _PNG_CHANNELS[ctype]
-    raw = zlib.decompress(b"".join(idat))
+
+def _png_unfilter(raw: bytes, h: int, w: int, c: int) -> np.ndarray:
+    """Reverse the five scanline filters over one (sub-)image: (h, w*c)
+    uint8. Sub via a mod-256 cumulative sum per byte lane, Up
+    vectorized, Average/Paeth with the per-pixel spec recurrence."""
     stride = w * c
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG: scanline payload size mismatch")
@@ -161,12 +137,70 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"PNG: unknown filter type {ftype}")
         out[y] = rec
         prev = rec
-    return out.reshape(h, w, c) / 255.0
+    return out
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit PNG (non-interlaced OR Adam7-interlaced) →
+    float64 (H, W, C) in [0, 1]. Pure stdlib (``zlib``, ``struct``) +
+    numpy: all five scanline filters unfiltered per (sub-)image, and
+    the seven Adam7 passes scattered back onto their pixel grids."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, idat, meta = 8, [], None
+    while pos < len(data):
+        (length,), typ = struct.unpack(">I", data[pos:pos + 4]), \
+            data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG: missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = meta
+    if depth != 8 or ctype not in _PNG_CHANNELS or interlace > 1:
+        raise NotImplementedError(
+            f"PNG: only 8-bit gray/RGB(A) supported "
+            f"(depth={depth}, color_type={ctype}, "
+            f"interlace={interlace})")
+    c = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        out = _png_unfilter(raw, h, w, c)
+        return out.reshape(h, w, c) / 255.0
+    # Adam7: seven sub-images, each filtered independently; scatter
+    # each pass back onto its (x0::xs, y0::ys) grid
+    img = np.zeros((h, w * c), dtype=np.uint8)
+    off = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = -(-(w - x0) // xs) if w > x0 else 0
+        ph = -(-(h - y0) // ys) if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        nbytes = ph * (pw * c + 1)
+        sub = _png_unfilter(raw[off:off + nbytes], ph, pw, c)
+        off += nbytes
+        sub3 = sub.reshape(ph, pw, c)
+        img3 = img.reshape(h, w, c)
+        img3[y0::ys, x0::xs] = sub3
+    if off != len(raw):
+        raise ValueError("PNG: interlaced payload size mismatch")
+    return img.reshape(h, w, c) / 255.0
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0,
+               interlace: bool = False) -> bytes:
     """Encode (H, W, C) float [0, 1] → 8-bit PNG (for tests/fixtures;
-    ``filter_type`` 0/1/2 applied to every scanline)."""
+    ``filter_type`` 0/1/2 applied to every scanline;
+    ``interlace=True`` writes the Adam7 seven-pass layout, each pass
+    filtered independently)."""
     import struct
     import zlib
 
@@ -174,27 +208,39 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     h, w, c = arr.shape
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
 
-    def filt(y: int) -> bytes:
-        line = arr[y].reshape(-1).astype(np.int16)
-        if filter_type == 1:
-            prev_px = np.concatenate(
-                [np.zeros(c, np.int16), line[:-c]])
-            out = (line - prev_px) & 0xFF
-        elif filter_type == 2:
-            up = (arr[y - 1].reshape(-1).astype(np.int16) if y
-                  else np.zeros_like(line))
-            out = (line - up) & 0xFF
-        else:
-            out = line & 0xFF
-        return out.astype(np.uint8).tobytes()
+    def filter_image(a: np.ndarray) -> bytes:
+        ph, pw = a.shape[:2]
 
-    raw = b"".join(bytes([filter_type]) + filt(y) for y in range(h))
+        def filt(y: int) -> bytes:
+            line = a[y].reshape(-1).astype(np.int16)
+            if filter_type == 1:
+                prev_px = np.concatenate(
+                    [np.zeros(c, np.int16), line[:-c]])
+                out = (line - prev_px) & 0xFF
+            elif filter_type == 2:
+                up = (a[y - 1].reshape(-1).astype(np.int16) if y
+                      else np.zeros_like(line))
+                out = (line - up) & 0xFF
+            else:
+                out = line & 0xFF
+            return out.astype(np.uint8).tobytes()
+
+        return b"".join(bytes([filter_type]) + filt(y)
+                        for y in range(ph))
+
+    if interlace:
+        raw = b"".join(filter_image(arr[y0::ys, x0::xs])
+                       for x0, y0, xs, ys in _ADAM7
+                       if arr[y0::ys, x0::xs].size)
+    else:
+        raw = filter_image(arr)
 
     def chunk(typ: bytes, body: bytes) -> bytes:
         return (struct.pack(">I", len(body)) + typ + body
                 + struct.pack(">I", zlib.crc32(typ + body)))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0,
+                       1 if interlace else 0)
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))

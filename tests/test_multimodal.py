@@ -474,3 +474,27 @@ def test_jpeg_progressive_vs_pil_reference():
     ref = np.asarray(PIL.open(io.BytesIO(buf.getvalue())),
                      dtype=np.float64) / 255.0
     assert float(np.abs(ours - ref).max()) < 0.02
+
+
+def test_png_adam7_interlaced_roundtrip():
+    # Adam7: seven independently-filtered passes scattered back onto
+    # the pixel grid; shapes chosen to exercise empty and 1-wide passes
+    rng = np.random.default_rng(8)
+    for (h, w, c) in ((9, 7, 3), (16, 16, 1), (5, 3, 4), (1, 1, 1)):
+        img = np.round(rng.random((h, w, c)) * 255) / 255.0
+        for ft in (0, 1, 2):
+            data = M.encode_png(img, filter_type=ft, interlace=True)
+            dec = M.decode_png(data)
+            assert dec.shape == (h, w, c)
+            assert np.allclose(dec, img, atol=1e-12), (h, w, c, ft)
+
+
+def test_png_adam7_vs_pil_reference():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+    rng = np.random.default_rng(12)
+    img = (rng.random((13, 11, 3)) * 255).astype(np.uint8)
+    data = M.encode_png(img / 255.0, filter_type=1, interlace=True)
+    ref = np.asarray(PIL.open(io.BytesIO(data)), dtype=np.float64) / 255.0
+    ours = M.decode_png(data)
+    np.testing.assert_allclose(ours, ref, atol=1e-12)
