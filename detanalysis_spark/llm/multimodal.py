@@ -10,9 +10,9 @@ never per row.
 
 Codecs: this container has no image/audio libraries, but three real
 codecs need none — ``RAW8`` (uint8 row-major) with numpy, ``PNG``
-(8-bit gray/RGB/RGBA, non-interlaced AND Adam7-interlaced) via stdlib
-``zlib`` + numpy scanline unfiltering, and ``WAV`` PCM via the stdlib
-``wave`` module —
+(8/16-bit gray/RGB/RGBA, non-interlaced AND Adam7-interlaced) via
+stdlib ``zlib`` + numpy scanline unfiltering, and ``WAV`` PCM via the
+stdlib ``wave`` module —
 plus ``JPEG`` — baseline AND progressive — via the numpy
 huffman/IDCT codec in :mod:`.jpeg` and ``FLAC`` via the numpy Rice/LPC
 codec in :mod:`.flac` (only exotic JPEG variants — arithmetic-coded,
@@ -88,11 +88,15 @@ _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
 
-def _png_unfilter(raw: bytes, h: int, w: int, c: int) -> np.ndarray:
-    """Reverse the five scanline filters over one (sub-)image: (h, w*c)
-    uint8. Sub via a mod-256 cumulative sum per byte lane, Up
+def _png_unfilter(raw: bytes, h: int, w: int, c: int,
+                  sample_bytes: int = 1) -> np.ndarray:
+    """Reverse the five scanline filters over one (sub-)image:
+    (h, w*c*sample_bytes) uint8. Filters reference the previous PIXEL
+    (``bpp = c*sample_bytes`` bytes back, per the spec) regardless of
+    bit depth. Sub via a mod-256 cumulative sum per byte lane, Up
     vectorized, Average/Paeth with the per-pixel spec recurrence."""
-    stride = w * c
+    bpp = c * sample_bytes
+    stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG: scanline payload size mismatch")
     lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
@@ -103,27 +107,27 @@ def _png_unfilter(raw: bytes, h: int, w: int, c: int) -> np.ndarray:
         if ftype == 0:                                   # None
             rec = line.copy()
         elif ftype == 1:                                 # Sub
-            rec = np.cumsum(line.reshape(-1, c), axis=0,
+            rec = np.cumsum(line.reshape(-1, bpp), axis=0,
                             dtype=np.uint64).astype(np.uint8).ravel()
         elif ftype == 2:                                 # Up
             rec = line + prev
         elif ftype == 3:                                 # Average
             rec = np.empty(stride, dtype=np.uint8)
-            left = np.zeros(c, dtype=np.uint16)
-            px = line.reshape(-1, c)
-            up = prev.reshape(-1, c).astype(np.uint16)
-            ro = rec.reshape(-1, c)
+            left = np.zeros(bpp, dtype=np.uint16)
+            px = line.reshape(-1, bpp)
+            up = prev.reshape(-1, bpp).astype(np.uint16)
+            ro = rec.reshape(-1, bpp)
             for x in range(w):
                 left = (px[x] + ((left + up[x]) >> 1)).astype(np.uint8)
                 ro[x] = left
                 left = left.astype(np.uint16)
         elif ftype == 4:                                 # Paeth
             rec = np.empty(stride, dtype=np.uint8)
-            px = line.reshape(-1, c).astype(np.int16)
-            up = prev.reshape(-1, c).astype(np.int16)
-            ro = rec.reshape(-1, c)
-            left = np.zeros(c, dtype=np.int16)
-            ul = np.zeros(c, dtype=np.int16)
+            px = line.reshape(-1, bpp).astype(np.int16)
+            up = prev.reshape(-1, bpp).astype(np.int16)
+            ro = rec.reshape(-1, bpp)
+            left = np.zeros(bpp, dtype=np.int16)
+            ul = np.zeros(bpp, dtype=np.int16)
             for x in range(w):
                 p = left + up[x] - ul
                 pa, pb, pc = (np.abs(p - left), np.abs(p - up[x]),
@@ -165,57 +169,75 @@ def decode_png(data: bytes) -> np.ndarray:
     if meta is None:
         raise ValueError("PNG: missing IHDR")
     w, h, depth, ctype, _comp, _filt, interlace = meta
-    if depth != 8 or ctype not in _PNG_CHANNELS or interlace > 1:
+    if depth not in (8, 16) or ctype not in _PNG_CHANNELS \
+            or interlace > 1:
         raise NotImplementedError(
-            f"PNG: only 8-bit gray/RGB(A) supported "
+            f"PNG: only 8/16-bit gray/RGB(A) supported "
             f"(depth={depth}, color_type={ctype}, "
             f"interlace={interlace})")
     c = _PNG_CHANNELS[ctype]
+    sb = depth // 8
+
+    def to_float(byts: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        if sb == 1:
+            return byts.reshape(ph, pw, c) / 255.0
+        u = byts.reshape(ph, pw, c, 2).astype(np.uint16)
+        return ((u[..., 0] << 8) | u[..., 1]) / 65535.0   # big-endian
+
     raw = zlib.decompress(b"".join(idat))
     if interlace == 0:
-        out = _png_unfilter(raw, h, w, c)
-        return out.reshape(h, w, c) / 255.0
+        out = _png_unfilter(raw, h, w, c, sb)
+        return to_float(out, h, w)
     # Adam7: seven sub-images, each filtered independently; scatter
     # each pass back onto its (x0::xs, y0::ys) grid
-    img = np.zeros((h, w * c), dtype=np.uint8)
+    img = np.zeros((h, w, c))
     off = 0
     for x0, y0, xs, ys in _ADAM7:
         pw = -(-(w - x0) // xs) if w > x0 else 0
         ph = -(-(h - y0) // ys) if h > y0 else 0
         if pw == 0 or ph == 0:
             continue
-        nbytes = ph * (pw * c + 1)
-        sub = _png_unfilter(raw[off:off + nbytes], ph, pw, c)
+        nbytes = ph * (pw * c * sb + 1)
+        sub = _png_unfilter(raw[off:off + nbytes], ph, pw, c, sb)
         off += nbytes
-        sub3 = sub.reshape(ph, pw, c)
-        img3 = img.reshape(h, w, c)
-        img3[y0::ys, x0::xs] = sub3
+        img[y0::ys, x0::xs] = to_float(sub, ph, pw)
     if off != len(raw):
         raise ValueError("PNG: interlaced payload size mismatch")
-    return img.reshape(h, w, c) / 255.0
+    return img
 
 
 def encode_png(img: np.ndarray, filter_type: int = 0,
-               interlace: bool = False) -> bytes:
-    """Encode (H, W, C) float [0, 1] → 8-bit PNG (for tests/fixtures;
-    ``filter_type`` 0/1/2 applied to every scanline;
+               interlace: bool = False, depth: int = 8) -> bytes:
+    """Encode (H, W, C) float [0, 1] → 8- or 16-bit PNG (for
+    tests/fixtures; ``filter_type`` 0/1/2 applied to every scanline;
     ``interlace=True`` writes the Adam7 seven-pass layout, each pass
     filtered independently)."""
     import struct
     import zlib
 
-    arr = np.round(np.clip(img, 0, 1) * 255).astype(np.uint8)
-    h, w, c = arr.shape
+    if depth not in (8, 16):
+        raise ValueError("encode_png depth must be 8 or 16")
+    top = (1 << depth) - 1
+    vals = np.round(np.clip(img, 0, 1) * top).astype(np.uint16)
+    h, w, c = vals.shape
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if depth == 8:
+        arr = vals.astype(np.uint8).reshape(h, w * c)
+    else:                           # big-endian byte planes
+        arr = np.stack([(vals >> 8).astype(np.uint8),
+                        (vals & 0xFF).astype(np.uint8)],
+                       axis=3).reshape(h, w * c * 2)
+    bpp = c * (depth // 8)
+    arr = arr.reshape(h, w, bpp)
 
     def filter_image(a: np.ndarray) -> bytes:
-        ph, pw = a.shape[:2]
+        ph = a.shape[0]
 
         def filt(y: int) -> bytes:
             line = a[y].reshape(-1).astype(np.int16)
             if filter_type == 1:
                 prev_px = np.concatenate(
-                    [np.zeros(c, np.int16), line[:-c]])
+                    [np.zeros(bpp, np.int16), line[:-bpp]])
                 out = (line - prev_px) & 0xFF
             elif filter_type == 2:
                 up = (a[y - 1].reshape(-1).astype(np.int16) if y
@@ -239,7 +261,7 @@ def encode_png(img: np.ndarray, filter_type: int = 0,
         return (struct.pack(">I", len(body)) + typ + body
                 + struct.pack(">I", zlib.crc32(typ + body)))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0,
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
                        1 if interlace else 0)
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw))

@@ -498,3 +498,28 @@ def test_png_adam7_vs_pil_reference():
     ref = np.asarray(PIL.open(io.BytesIO(data)), dtype=np.float64) / 255.0
     ours = M.decode_png(data)
     np.testing.assert_allclose(ours, ref, atol=1e-12)
+
+
+def test_png_16bit_roundtrip():
+    # 16-bit samples: filters reference the previous PIXEL (2c bytes
+    # back), and samples reassemble big-endian — exact on the u16 grid
+    rng = np.random.default_rng(9)
+    for (h, w, c) in ((9, 7, 3), (5, 3, 1)):
+        img = np.round(rng.random((h, w, c)) * 65535) / 65535.0
+        for ft in (0, 1, 2):
+            for il in (False, True):
+                dec = M.decode_png(M.encode_png(
+                    img, filter_type=ft, interlace=il, depth=16))
+                assert dec.shape == (h, w, c)
+                assert np.allclose(dec, img, atol=1e-12), (ft, il)
+
+
+def test_png_16bit_vs_pil_reference():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+    rng = np.random.default_rng(14)
+    img = np.round(rng.random((11, 13, 1)) * 65535) / 65535.0
+    data = M.encode_png(img, filter_type=2, depth=16)
+    ref = np.asarray(PIL.open(io.BytesIO(data)),
+                     dtype=np.float64)[:, :, None] / 65535.0
+    np.testing.assert_allclose(M.decode_png(data), ref, atol=1e-12)
