@@ -78,7 +78,7 @@ def encode_raw8(img: np.ndarray) -> bytes:
 
 # ----------------------------------------------------------------------
 # PNG codec — stdlib zlib + numpy scanline unfiltering (RFC 2083);
-# 8-bit depth, color types 0/2/4/6, non-interlaced
+# 8/16-bit depth, color types 0/2/4/6, non-interlaced + Adam7
 # ----------------------------------------------------------------------
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
@@ -145,7 +145,7 @@ def _png_unfilter(raw: bytes, h: int, w: int, c: int,
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit PNG (non-interlaced OR Adam7-interlaced) →
+    """Decode an 8/16-bit PNG (non-interlaced OR Adam7-interlaced) →
     float64 (H, W, C) in [0, 1]. Pure stdlib (``zlib``, ``struct``) +
     numpy: all five scanline filters unfiltered per (sub-)image, and
     the seven Adam7 passes scattered back onto their pixel grids."""
@@ -272,8 +272,9 @@ def encode_png(img: np.ndarray, filter_type: int = 0,
 # WAV codec — stdlib wave module (PCM 8/16/32-bit)
 # ----------------------------------------------------------------------
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode a PCM WAV payload → (float64 (n_samples, channels) in
-    [-1, 1], sample_rate). Stdlib ``wave`` only."""
+    """Decode a PCM WAV payload (8/16/24/32-bit) → (float64
+    (n_samples, channels) in [-1, 1], sample_rate). Stdlib ``wave``
+    only."""
     import io
     import wave
 
@@ -286,6 +287,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     elif sw == 1:
         x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
              - 128.0) / 128.0
+    elif sw == 3:
+        # 24-bit little-endian: assemble three byte lanes, sign-extend
+        b = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3) \
+            .astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        x = np.where(v >= 1 << 23, v - (1 << 24), v) / 8388608.0
     elif sw == 4:
         x = np.frombuffer(frames, dtype="<i4") / 2147483648.0
     else:

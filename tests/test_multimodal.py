@@ -523,3 +523,20 @@ def test_png_16bit_vs_pil_reference():
     ref = np.asarray(PIL.open(io.BytesIO(data)),
                      dtype=np.float64)[:, :, None] / 65535.0
     np.testing.assert_allclose(M.decode_png(data), ref, atol=1e-12)
+
+
+def test_wav_24bit_decode():
+    import io
+    import wave
+    rng = np.random.default_rng(15)
+    vals = rng.integers(-(1 << 23), 1 << 23, size=500, dtype=np.int64)
+    pcm = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(48000)
+        wf.writeframes(pcm)
+    x, rate = M.decode_wav(buf.getvalue())
+    assert rate == 48000 and x.shape == (500, 1)
+    np.testing.assert_allclose(x[:, 0], vals / 8388608.0, atol=1e-12)
