@@ -1625,3 +1625,10 @@ def test_sentence_split_udtf_lateral_join(spark):
     got = [(r["doc_id"], r["sentence_idx"], r["sentence"]) for r in rows]
     assert got == [(0, 0, "One two."), (0, 1, "Three!"), (0, 2, "Four?")]
     assert all(r["n_chars"] == len(r["sentence"]) for r in rows)
+
+
+def test_near_dup_clusters_star_nonconvergence_raises(spark):
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(64)],
+                                  ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="no convergence"):
+        D.near_dup_clusters_star(pairs, max_iter=1)
