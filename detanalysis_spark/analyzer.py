@@ -368,6 +368,11 @@ class Analyzer:
         Catalyst plans as a semi/existence join.
         """
         self._ensure_ids()
+        # overwriting a mask cut (with either branch): its previous id
+        # views are now unreachable — drop them so repeated overwrites
+        # stay bounded even when a DataFrame cut is replaced by a
+        # literal-list cut of the same name
+        self._drop_cut_views(name)
         if not isinstance(ids, DataFrame):
             id_list = [int(x) for x in ids]
             col = F.col(EVENT_INDEX).isin(id_list)
@@ -375,9 +380,6 @@ class Analyzer:
                            metadata={**(metadata or {}), "n_ids": len(id_list)})
             self._cuts[name] = info
             return info
-        # overwriting a mask cut: its previous id views are now
-        # unreachable — drop them so repeated overwrites stay bounded
-        self._drop_cut_views(name)
         col = self._ids_to_predicate(ids, name)
         info = CutInfo(name=name, expression=None, column=col,
                        metadata=dict(metadata or {}))

@@ -256,8 +256,11 @@ def _decode_flac(data: bytes) -> tuple[np.ndarray, int]:
             blocksize = r.bits(8) + 1
         elif bs_code == 7:
             blocksize = r.bits(16) + 1
-        else:
+        elif bs_code in _BLOCKSIZE_CODES:
             blocksize = _BLOCKSIZE_CODES[bs_code]
+        else:                                        # code 0 is reserved
+            raise ValueError(
+                f"FLAC: reserved blocksize code {bs_code} in frame header")
         if sr_code == 12:
             r.bits(8)
         elif sr_code in (13, 14):
@@ -268,7 +271,13 @@ def _decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         if _crc8(hdr_bytes) != crc8:
             raise ValueError("FLAC: frame header CRC-8 mismatch")
         r.byte += 1
-        frame_bps = _SAMPLE_SIZE_CODES.get(ss_code, bps)
+        if ss_code == 0:                 # "get from STREAMINFO"
+            frame_bps = bps
+        elif ss_code in _SAMPLE_SIZE_CODES:
+            frame_bps = _SAMPLE_SIZE_CODES[ss_code]
+        else:                            # code 3 is reserved
+            raise ValueError(
+                f"FLAC: reserved sample-size code {ss_code} in frame header")
         if ch_code < 8:
             subs = [_read_subframe(r, blocksize, frame_bps)
                     for _ in range(ch_code + 1)]

@@ -88,10 +88,14 @@ class _BitReader:
         self.acc, self.nbits = 0, 0
 
     def _fill(self) -> None:
-        if self.pos + 1 >= len(self.data):
+        if self.pos >= len(self.data):
             raise ValueError("JPEG: truncated entropy-coded segment")
         b = self.data[self.pos]
         if b == 0xFF:
+            # only the marker peek needs a second byte; a plain entropy
+            # byte at EOF (stream without EOI) is still valid
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("JPEG: truncated entropy-coded segment")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -760,7 +764,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
 
     # progressive scan sequence: DC first (Al=1) -> DC refine -> per
     # component AC spectral bands at Al=1 -> AC refinements to Al=0.
-    # Restart markers are only emitted in the interleaved DC scans.
+    # DRI applies to EVERY scan: _maybe_restart emits RSTn in the
+    # interleaved DC scans AND the per-component AC spectral-band /
+    # refinement scans (the decoder depends on this).
     bands = [(1, 5), (6, 63)]
     bw = _BitWriter()
     emit_dc_scan(bw, al=1, first=True)

@@ -329,14 +329,25 @@ def _decode(data: bytes, width: int, height: int, channels: int,
             img = np.repeat(img, channels, axis=2)
         return img
     if fmt in ("JPEG", "JPG"):
-        from .jpeg import decode_jpeg
-        try:
+        # Production preference: PIL/libjpeg (C, ~100x faster) for ALL
+        # JPEG variants when importable; the pure-stdlib decoder is the
+        # hermetic fallback so tests run without image libraries.
+        # tests/test_multimodal.py cross-checks the two pixel-for-pixel
+        # when PIL is present.
+        img = None
+        try:  # pragma: no cover - PIL absent in this environment
+            from PIL import Image
+            import io
+            img = np.asarray(Image.open(io.BytesIO(data)),
+                             dtype=np.float64) / 255.0
+            if img.ndim == 2:
+                img = img[:, :, None]
+        except ImportError:
+            from .jpeg import decode_jpeg
             img = decode_jpeg(data)
-            if img.shape[2] == 1 and channels > 1:
-                img = np.repeat(img, channels, axis=2)
-            return img
-        except NotImplementedError:
-            pass  # progressive/12-bit: fall through to PIL below
+        if img.shape[2] == 1 and channels > 1:
+            img = np.repeat(img, channels, axis=2)
+        return img
     try:  # pragma: no cover - libs absent in this environment
         from PIL import Image
         import io

@@ -311,6 +311,42 @@ def test_jpeg_vs_pil_reference():
     assert float(np.abs(ours - ref).max()) < 0.02
 
 
+def test_decode_prefers_pil_and_matches_stdlib():
+    # Production preference: _decode routes JPEG through PIL/libjpeg
+    # when importable (the ~100x-faster C path); the stdlib decoder is
+    # the hermetic fallback. Both must agree pixel-for-pixel up to
+    # IDCT rounding on the same bitstream.
+    PIL = pytest.importorskip("PIL.Image")
+    from detanalysis_spark.llm.jpeg import decode_jpeg, encode_jpeg
+    img = _smooth_rgb(24, 24, seed=21)
+    for kw in ({"quality": 90}, {"quality": 85, "subsample": True},
+               {"quality": 90, "progressive": True}):
+        payload = encode_jpeg(img, **kw)
+        via_pref = M._decode(payload, 24, 24, 3, "JPEG")
+        via_stdlib = decode_jpeg(payload)
+        assert via_pref.shape == via_stdlib.shape == (24, 24, 3)
+        assert float(np.abs(via_pref - via_stdlib).max()) < 0.02
+
+
+def test_decode_jpeg_stdlib_fallback_without_pil(monkeypatch):
+    # With PIL unimportable, _decode falls back to the stdlib codec
+    # (the path this hermetic container always takes).
+    import builtins
+    real_import = builtins.__import__
+
+    def no_pil(name, *a, **k):
+        if name == "PIL" or name.startswith("PIL."):
+            raise ImportError("PIL blocked for test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_pil)
+    from detanalysis_spark.llm.jpeg import decode_jpeg, encode_jpeg
+    img = _smooth_rgb(16, 16, seed=22)
+    payload = encode_jpeg(img, quality=95)
+    out = M._decode(payload, 16, 16, 3, "JPEG")
+    np.testing.assert_allclose(out, decode_jpeg(payload), atol=1e-12)
+
+
 def test_image_features_jpeg_format(spark):
     from detanalysis_spark.llm.jpeg import encode_jpeg
     img = np.zeros((8, 16, 1))
@@ -374,6 +410,37 @@ def test_flac_crc_rejects_corruption():
     d[-10] ^= 0x40                  # flip a bit inside the last frame
     with pytest.raises(ValueError, match="CRC"):
         decode_flac(bytes(d))
+
+
+def test_flac_reserved_codes_raise_valueerror():
+    # reserved blocksize code 0 / sample-size code 3 must surface as the
+    # documented ValueError, not a raw KeyError / silent STREAMINFO remap
+    from detanalysis_spark.llm.flac import decode_flac, encode_flac
+    d = bytearray(encode_flac(_sine(512), 16000))
+    # frame header starts right after the 4-byte magic + 4-byte metadata
+    # block header + 34-byte STREAMINFO = offset 42; byte 2 of the frame
+    # header packs bs_code(4) | sr_code(4)
+    hdr = 42
+    assert d[hdr] == 0xFF and (d[hdr + 1] >> 2) == 0x3E  # sync check
+    orig = d[hdr + 2]
+    d[hdr + 2] = (0 << 4) | (orig & 0x0F)        # bs_code = 0 (reserved)
+    d[hdr + 5] = _recrc8(bytes(d[hdr:hdr + 5]))
+    with pytest.raises(ValueError, match="reserved blocksize"):
+        decode_flac(bytes(d))
+    d[hdr + 2] = orig
+    orig3 = d[hdr + 3]
+    d[hdr + 3] = (orig3 & 0xF0) | (3 << 1) | (orig3 & 1)  # ss_code = 3
+    # bs_code is 7 here (16-bit blocksize follows), so the header is 7
+    # bytes and the CRC-8 sits at hdr+7 — recompute it so the reserved
+    # sample-size check (which runs after CRC verification) is reached
+    d[hdr + 7] = _recrc8(bytes(d[hdr:hdr + 7]))
+    with pytest.raises(ValueError, match="reserved sample-size"):
+        decode_flac(bytes(d))
+
+
+def _recrc8(hdr_bytes):
+    from detanalysis_spark.llm.flac import _crc8
+    return _crc8(hdr_bytes)
 
 
 def test_flac_lpc_subframe_decode():
