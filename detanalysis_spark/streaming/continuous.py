@@ -90,12 +90,18 @@ def rechunk_stream(sdf: DataFrame, chunk_samples: int,
             buf = np.asarray(buf_list, dtype=np.float64)
         else:
             next_chunk, buf = 0, np.empty(0, dtype=np.float64)
-        parts = [buf]
+        # a large group spans several Arrow batches (10k-row default)
+        # whose relative order is shuffle-arbitrary: collect ALL of the
+        # micro-batch's segments first, then sort by order_col once, so
+        # within-batch concatenation order is deterministic at any
+        # group size (cross-batch order remains arrival order)
+        segs: list = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(order_col)
-            parts.extend(np.asarray(t, dtype=np.float64)
-                         for t in pdf[trace_col])
-        stream = np.concatenate(parts)
+            segs.extend(zip(pdf[order_col].to_numpy(),
+                            (np.asarray(t, dtype=np.float64)
+                             for t in pdf[trace_col])))
+        segs.sort(key=lambda p: p[0])
+        stream = np.concatenate([buf] + [t for _, t in segs])
         n_chunks = stream.size // chunk_samples
         out = pd.DataFrame({
             "channel": [key[0]] * n_chunks,
