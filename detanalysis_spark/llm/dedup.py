@@ -440,10 +440,20 @@ def apply_near_dedup(docs: DataFrame, id_col: str = "doc_id",
 
 
 def near_dup_clusters(pairs: DataFrame, max_iter: int = 20,
-                      accelerate: bool = True) -> DataFrame:
+                      accelerate: bool = True,
+                      method: str = "auto") -> DataFrame:
     """Connected components over (id_a, id_b) edges → (id, cluster_id).
 
-    Iterative min-label propagation with pointer jumping: each round
+    ``method="auto"`` (default) runs the alternating large/small-star
+    algorithm (:func:`near_dup_clusters_star`) — its per-round edge set
+    SHRINKS as components collapse, and tools/cc_probe.py measures it
+    1.6-2x faster than pointer jumping on skewed dup graphs with an
+    identical output partition — unless ``accelerate=False`` explicitly
+    asks for plain min-label propagation. ``method="jump"`` forces the
+    label-propagation path below; ``method="star"`` forces star.
+
+    The jump path: iterative min-label propagation with pointer
+    jumping — each round
     every vertex takes the least of (its label, the minimum label in
     its neighborhood, its label's label). The neighbor-min step alone
     (large-star style) converges in O(component diameter) rounds; the
@@ -459,6 +469,10 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20,
     ``accelerate=False`` restores plain propagation (one shuffle per
     round — marginally cheaper when clusters are known-shallow).
     """
+    if method not in ("auto", "star", "jump"):
+        raise ValueError(f"bad method {method!r} (auto, star, or jump)")
+    if method == "star" or (method == "auto" and accelerate):
+        return near_dup_clusters_star(pairs, max_iter=max_iter)
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
                                  F.col("id_a").alias("dst"))))

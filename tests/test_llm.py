@@ -91,7 +91,7 @@ def test_near_dup_clusters_chain_pointer_jumping(spark):
     exhausts the same budget (VERDICT r2 item 7)."""
     edges = [(i, i + 1) for i in range(1000)]
     pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
-    cl = D.near_dup_clusters(pairs, max_iter=14)
+    cl = D.near_dup_clusters(pairs, max_iter=14, method="jump")
     assert cl.filter(F.col("cluster_id") != 0).count() == 0
     assert cl.count() == 1001
     with pytest.raises(RuntimeError, match="no convergence"):
@@ -118,9 +118,9 @@ def test_near_dup_clusters_star_agrees_with_pointer_jumping(spark):
         ["id_a", "id_b"])
     for pairs in (chain, hub):
         a = {(r.id, r.cluster_id)
-             for r in D.near_dup_clusters(pairs).collect()}
+             for r in D.near_dup_clusters(pairs, method="jump").collect()}
         b = {(r.id, r.cluster_id)
-             for r in D.near_dup_clusters_star(pairs).collect()}
+             for r in D.near_dup_clusters(pairs).collect()}  # default=star
         assert a == b
 
 
