@@ -18,8 +18,15 @@ precomputed offsets (one metadata-only pass collects per-file row
 counts, the same two-pass pattern as ``ensure_event_index``), so ids
 are globally dense and file-order stable without any global sort.
 
-h5py is optional (absent in this container): every entry point raises
-a clear ImportError naming the dependency, and tests gate on it.
+h5py is optional: when importable it is preferred (C-speed reads,
+full format coverage); otherwise the vendored pure-stdlib
+``minihdf5`` reader/writer handles the vaex columnar subset
+(superblock 0/2, v1/v2 object headers, symbol-table and compact-link
+groups, contiguous datasets — verified against the reference's own
+``demos/features.hdf5``), so ingestion works in hermetic
+environments too. vaex string columns (``data`` bytes + ``indices``
+offsets, the layout ``features.hdf5`` uses for ``group_name`` etc.)
+are decoded in either backend.
 """
 
 from __future__ import annotations
@@ -38,14 +45,14 @@ EVENT_INDEX = "__event_index__"
 
 
 def _require_h5py():
+    """h5py when importable (C-speed, full format), else the vendored
+    pure-stdlib reader for the vaex columnar subset."""
     try:
         import h5py  # noqa: F401
         return h5py
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise ImportError(
-            "HDF5 ingestion requires h5py (pip install h5py); the "
-            "engine's query path is Parquet-only — convert once with "
-            "hdf5_to_parquet() on a machine that has it") from e
+    except ImportError:  # pragma: no cover - env-dependent
+        from . import minihdf5
+        return minihdf5
 
 
 def _column_names(h5file) -> list[str]:
@@ -57,17 +64,28 @@ def _column_names(h5file) -> list[str]:
 
 
 def hdf5_row_count(path: str) -> int:
-    """Rows in one vaex-layout file — metadata only (no data read)."""
+    """Rows in one vaex-layout file — metadata only (no data read).
+
+    String columns store a flat byte buffer in ``data`` plus ``n+1``
+    offsets in ``indices``; their logical row count is
+    ``len(indices) - 1``, not the buffer length.
+    """
     h5py = _require_h5py()
     with h5py.File(path, "r") as f:
         cols = _column_names(f)
-        return int(f["table"]["columns"][cols[0]]["data"].shape[0])
+        g = f["table"]["columns"][cols[0]]
+        if "indices" in g:
+            return int(g["indices"].shape[0]) - 1
+        return int(g["data"].shape[0])
 
 
 def read_vaex_hdf5(path: str, columns: Sequence[str] | None = None):
     """One vaex-layout HDF5 file → ``pyarrow.Table`` (column-pruned
-    when ``columns`` is given). Bytes datasets decode as UTF-8 strings;
-    everything else keeps its numpy dtype."""
+    when ``columns`` is given). vaex string columns (flat ``data``
+    byte buffer + ``n+1`` ``indices`` offsets — the layout the
+    reference's ``demos/features.hdf5`` uses for ``group_name``/
+    ``processing_id``) and plain fixed-length bytes datasets both
+    decode as UTF-8 strings; everything else keeps its numpy dtype."""
     h5py = _require_h5py()
     import numpy as np
     import pyarrow as pa
@@ -82,11 +100,18 @@ def read_vaex_hdf5(path: str, columns: Sequence[str] | None = None):
             names = [c for c in names if c in set(columns)]
         arrays, fields = [], []
         for c in names:
-            data = f["table"]["columns"][c]["data"][:]
-            if data.dtype.kind in ("S", "O"):
-                data = np.array(
-                    [v.decode("utf-8") if isinstance(v, bytes) else str(v)
-                     for v in data])
+            g = f["table"]["columns"][c]
+            if "indices" in g:
+                buf = np.asarray(g["data"][:]).tobytes()
+                idx = np.asarray(g["indices"][:], dtype=np.int64)
+                data = np.array([buf[idx[i]:idx[i + 1]].decode("utf-8")
+                                 for i in range(len(idx) - 1)])
+            else:
+                data = g["data"][:]
+                if data.dtype.kind in ("S", "O"):
+                    data = np.array(
+                        [v.decode("utf-8") if isinstance(v, bytes)
+                         else str(v) for v in data])
             arr = pa.array(data)
             arrays.append(arr)
             fields.append(pa.field(c, arr.type))
