@@ -592,16 +592,23 @@ def _simhash_vote_udf(bits: int):
 
     @F.pandas_udf(LongType())
     def _vote(hash_lists: pd.Series) -> pd.Series:
+        # one flat (total_tokens, bits) vote matrix for the whole Arrow
+        # batch + segmented sums (reduceat) — no per-row Python loop
+        lens = np.array([0 if hl is None else len(hl)
+                         for hl in hash_lists], dtype=np.int64)
         out = np.zeros(len(hash_lists), dtype=np.uint64)
-        for i, hl in enumerate(hash_lists):
-            if hl is None or len(hl) == 0:
-                continue
-            h = np.asarray(hl, dtype=np.int64).astype(np.uint64)
-            # (n_tokens, bits) sign votes: bit set iff majority of tokens
-            # have it set
-            votes = ((h[:, None] >> np.arange(bits, dtype=np.uint64)) & 1)
-            maj = votes.sum(axis=0) * 2 > len(h)
-            out[i] = (pow2 * maj).sum()
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate(
+                [np.asarray(hl, dtype=np.int64)
+                 for hl in hash_lists if hl is not None and len(hl) > 0]
+            ).astype(np.uint64)
+            votes = ((flat[:, None] >> np.arange(bits, dtype=np.uint64))
+                     & 1).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            sums = np.add.reduceat(votes, starts, axis=0)
+            maj = sums * 2 > lens[nz, None]
+            out[nz] = (pow2[None, :] * maj).sum(axis=1)
         return pd.Series(out.astype(np.int64))
 
     return _vote

@@ -245,8 +245,18 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
     once. Without ``probes`` the whole corpus is broadcast against
     itself — all-pairs exact, only for modest corpora and oracle
     baselines (``probes`` is ignored when ``lsh`` is given: buckets
-    already bound the candidate space).
+    already bound the candidate space). To make that misuse
+    impossible at scale, the unbounded path refuses corpora above
+    100k rows — pass ``lsh`` or ``probes`` there.
     """
+    if lsh is None and probes is None:
+        n = df.count()
+        if n > 100_000:
+            raise ValueError(
+                f"cosine_near_dup_pairs: all-pairs over {n} rows — "
+                f"this exact path is an oracle baseline; pass lsh= "
+                f"(bucketed candidates) or probes= (bounded product) "
+                f"for corpora above 100k rows")
     probe_df = df if probes is None else probes
     c = probe_df.select(F.col(id_col).alias("id_a"),
                         _unit(F.col(vec_col)).alias("va"))

@@ -238,6 +238,20 @@ def test_cosine_near_dup_exact_and_lsh(spark):
     assert approx == exact           # near-identical vectors always collide
 
 
+def test_cosine_near_dup_unbounded_refuses_large_corpus(spark):
+    # without lsh/probes the all-pairs path is an oracle baseline only;
+    # >100k rows must raise instead of broadcasting the corpus at itself
+    from detanalysis_spark.llm.similarity import cosine_near_dup_pairs
+    big = spark.range(100_001).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"))
+    with pytest.raises(ValueError, match="all-pairs over 100001 rows"):
+        cosine_near_dup_pairs(big, 0.9)
+    # a bounded probe side keeps working at any corpus size
+    assert cosine_near_dup_pairs(
+        big, 0.9, probes=big.filter("vec_id < 3")).count() > 0
+
+
 # ----------------------------------------------------------------------
 # IVF index
 # ----------------------------------------------------------------------

@@ -3,7 +3,11 @@
 1× run. A scale-safe operator should grow ≲ linearly; anything
 superlinear here would be catastrophic at 100 TB.
 
-Usage: python tools/scale_probe.py [multiplier]   (default 10)
+Usage: python tools/scale_probe.py [multiplier] [probe_name ...]
+(default multiplier 10; with probe names given, only those probes run
+— e.g. the 100x spine run:
+  python tools/scale_probe.py 100 ensure_event_index near_dup_pairs \
+      cc_chain semantic_dedup curate_corpus token_cosine_maxdf)
 Prints one JSON line: {"probe": {...}, "multiplier": N}.
 """
 
@@ -47,6 +51,7 @@ def timed(fn):
 
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])
     spark = get_spark("scale-probe")
     li1 = load_table(spark, SF_DIR, "lineitem")
     ev1 = load_table(spark, SF_DIR, "events")
@@ -60,6 +65,8 @@ def main() -> int:
     results = {}
 
     def probe(name, f1, fk):
+        if only and name not in only:
+            return
         t1, n1 = timed(f1)
         tk, nk = timed(fk)
         results[name] = {"t1": t1, "tk": tk,
@@ -185,17 +192,20 @@ def main() -> int:
     probe("ivf_topk", ivf(emb1), ivf(embk))
 
     # connected components on a planted CHAIN — the worst case for
-    # plain label propagation (O(diameter) rounds). Pointer jumping
-    # must make rounds — and wall — grow with log(chain length), so
-    # the k× chain should cost ~log2(k) extra rounds, far below k×.
-    def cc(n):
+    # plain label propagation (O(diameter) rounds). Both the default
+    # star alternation and pointer jumping must make rounds — and
+    # wall — grow with log(chain length), so the k× chain should cost
+    # ~log2(k) extra rounds, far below k×.
+    def cc(n, method):
         def run():
             pairs = spark.range(n).select(
                 F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
-            return D.near_dup_clusters(pairs, max_iter=40).filter(
+            return D.near_dup_clusters(pairs, max_iter=40,
+                                       method=method).filter(
                 F.col("cluster_id") == 0).count()
         return run
-    probe("cc_chain_pointer_jump", cc(1000), cc(1000 * k))
+    probe("cc_chain", cc(1000, "star"), cc(1000 * k, "star"))
+    probe("cc_chain_pointer_jump", cc(1000, "jump"), cc(1000 * k, "jump"))
 
     # one-call curation capstone: the cleaned frame is checkpointed
     # before near-dedup, so the cleaning stack runs ONCE — wall must

@@ -89,7 +89,19 @@ GATE_QUERIES = [
     # streaming (micro-batch drains) and the full-table FLAC codec path
     # (multimodal_jpeg_stats is doc_id<200-bounded -> vacuous at 10x)
     "streaming_rollup_day_stats", "streaming_ann_microbatch_topk",
-    "multimodal_flac_stats",
+    "multimodal_flac_stats", "streaming_psd_stats",
+    # semiauto cut family (round 5): threshold-on-subsample semantics,
+    # binned thresholds, count cuts, interval cuts, master folds —
+    # oracles are single-pass window/agg SQL, linear at any sf
+    "semiauto_sigma_cut", "semiauto_time_binned_cut",
+    "semiauto_ofamp_binned_cut", "semiauto_count_cut",
+    "semiauto_interval_cut", "semiauto_master_combine",
+    "master_randoms_passfrac", "passfrac_trigger_splits",
+    # passage-fraction + vibration/photon ensemble aggregates (round 5)
+    "passage_fraction_counts", "passfrac_sequential_matrix",
+    "vibration_sweep_moments", "vibration_psd_by_channel",
+    "vibration_transfer_functions", "photon_peak_counts",
+    "photon_average_pulses",
 ]
 
 
