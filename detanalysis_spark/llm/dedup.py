@@ -592,21 +592,25 @@ def _simhash_vote_udf(bits: int):
 
     @F.pandas_udf(LongType())
     def _vote(hash_lists: pd.Series) -> pd.Series:
-        # one flat (total_tokens, bits) vote matrix for the whole Arrow
-        # batch + segmented sums (reduceat) — no per-row Python loop
+        # one flat (total_tokens, bits) uint8 vote matrix for the whole
+        # Arrow batch (unpackbits on the little-endian byte view — 1/8
+        # the memory of a shifted-int matrix) + segmented int64 sums
+        # (reduceat) — no per-row Python loop
         lens = np.array([0 if hl is None else len(hl)
                          for hl in hash_lists], dtype=np.int64)
         out = np.zeros(len(hash_lists), dtype=np.uint64)
         nz = lens > 0
         if nz.any():
-            flat = np.concatenate(
+            flat = np.ascontiguousarray(np.concatenate(
                 [np.asarray(hl, dtype=np.int64)
                  for hl in hash_lists if hl is not None and len(hl) > 0]
-            ).astype(np.uint64)
-            votes = ((flat[:, None] >> np.arange(bits, dtype=np.uint64))
-                     & 1).astype(np.int64)
+            ).astype("<u8"))  # explicit little-endian: stable byte view
+            votes = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1,
+                bitorder="little")[:, :bits]
             starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
-            sums = np.add.reduceat(votes, starts, axis=0)
+            sums = np.add.reduceat(votes, starts, axis=0,
+                                   dtype=np.int64)
             maj = sums * 2 > lens[nz, None]
             out[nz] = (pow2[None, :] * maj).sum(axis=1)
         return pd.Series(out.astype(np.int64))
