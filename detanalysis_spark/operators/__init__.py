@@ -12,6 +12,7 @@ from .quality import (not_null, in_range, matches, unique, foreign_key,
 from .rollup import (time_bucket, build_rollup, merge_rollups,
                      finalize_rollup, update_rollup, read_rollup,
                      gapfill_buckets)
+from .sketches import sketch_distinct, split_overlap_audit
 from .sampling import (random_choice, every_nth, log_spaced_indices,
                        log_downsample, polyval, cap_per_key, sessionize,
                        shuffle_key, deterministic_shuffle, assign_batches,
@@ -33,6 +34,7 @@ __all__ = [
     "key_skew_profile", "rank_normalize",
     "time_bucket", "build_rollup", "merge_rollups", "finalize_rollup",
     "update_rollup", "read_rollup", "gapfill_buckets",
+    "sketch_distinct", "split_overlap_audit",
     "k_anonymity_profile", "suppress_small_groups",
     "not_null", "in_range", "matches", "unique", "foreign_key",
     "check_table",

@@ -52,20 +52,42 @@ def time_bucket(ts: Column, width_us: int) -> Column:
 
 def build_rollup(df: DataFrame, ts_col: str, value_col: str,
                  keys: Sequence[str] = (),
-                 width_us: int = 86_400_000_000) -> DataFrame:
+                 width_us: int = 86_400_000_000,
+                 distinct_cols: Sequence[str] = (),
+                 quantile_cols: Sequence[str] = (),
+                 kll_k: int = 2048) -> DataFrame:
     """Aggregate a raw batch to rollup rows
     (bucket_us, *keys, n, s, s2, mn, mx): one map-side-combined
-    groupBy. All five statistics merge by plain sum/min/max."""
+    groupBy. All five statistics merge by plain sum/min/max.
+
+    ``distinct_cols`` adds a mergeable theta sketch per column
+    (``<col>_theta`` binary — distinct counts that merge across
+    batches by union, exact below ~4096 distinct per bucket, ~1%
+    beyond); ``quantile_cols`` adds a KLL double sketch
+    (``<col>_kll``, nominal ``kll_k`` — exact while a bucket holds
+    fewer than ~``kll_k`` rows). Sketches are the only way a
+    continuous aggregate can answer distinct/quantile questions
+    without re-scanning history — plain counts don't merge."""
     if isinstance(keys, str):
         keys = [keys]
+    if isinstance(distinct_cols, str):
+        distinct_cols = [distinct_cols]
+    if isinstance(quantile_cols, str):
+        quantile_cols = [quantile_cols]
     v = F.col(value_col).cast("double")
+    aggs = [F.count(v).alias("n"),
+            F.sum(v).alias("s"),
+            F.sum(v * v).alias("s2"),
+            F.min(v).alias("mn"),
+            F.max(v).alias("mx")]
+    aggs += [F.theta_sketch_agg(c).alias(f"{c}_theta")
+             for c in distinct_cols]
+    aggs += [F.kll_sketch_agg_double(F.col(c).cast("double"),
+                                     F.lit(int(kll_k)))
+             .alias(f"{c}_kll") for c in quantile_cols]
     return (df.withColumn("bucket_us", time_bucket(F.col(ts_col), width_us))
             .groupBy("bucket_us", *keys)
-            .agg(F.count(v).alias("n"),
-                 F.sum(v).alias("s"),
-                 F.sum(v * v).alias("s2"),
-                 F.min(v).alias("mn"),
-                 F.max(v).alias("mx")))
+            .agg(*aggs))
 
 
 def merge_rollups(*rollups: DataFrame,
@@ -81,21 +103,47 @@ def merge_rollups(*rollups: DataFrame,
     u = rollups[0]
     for r in rollups[1:]:
         u = u.unionByName(r)
-    return (u.groupBy("bucket_us", *keys)
-            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"),
-                 F.sum("s2").alias("s2"), F.min("mn").alias("mn"),
-                 F.max("mx").alias("mx")))
+    # sketch columns are self-describing by suffix (build_rollup's
+    # naming contract): theta states union-merge, KLL states
+    # merge-agg — so merge/update keep their signatures no matter
+    # which sketches a rollup carries
+    aggs = [F.sum("n").alias("n"), F.sum("s").alias("s"),
+            F.sum("s2").alias("s2"), F.min("mn").alias("mn"),
+            F.max("mx").alias("mx")]
+    aggs += [F.theta_union_agg(c).alias(c) for c in u.columns
+             if c.endswith("_theta")]
+    aggs += [F.kll_merge_agg_double(c).alias(c) for c in u.columns
+             if c.endswith("_kll")]
+    return u.groupBy("bucket_us", *keys).agg(*aggs)
 
 
-def finalize_rollup(rollup: DataFrame) -> DataFrame:
+def finalize_rollup(rollup: DataFrame,
+                    quantiles: Sequence[float] = (0.5,)) -> DataFrame:
     """Read-time statistics from the sufficient-statistic columns:
     mean = Σx/n, var_pop = max(Σx²/n − mean², 0) (clamped against
-    float round-off), std = sqrt. Everything else passes through."""
+    float round-off), std = sqrt. Sketch columns finalize too: each
+    ``<c>_theta`` adds ``<c>_n_distinct``; each ``<c>_kll`` adds one
+    ``<c>_p<q>`` per requested quantile (the sketch's inclusive-rank
+    rule: the stored value at 1-indexed position ceil(q·n)). The
+    mergeable state columns pass through so the finalized frame can
+    still absorb batches."""
     mean = F.col("s") / F.col("n")
     var = F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
-    return (rollup.withColumn("mean", mean)
-            .withColumn("var_pop", var)
-            .withColumn("std", F.sqrt(var)))
+    out = (rollup.withColumn("mean", mean)
+           .withColumn("var_pop", var)
+           .withColumn("std", F.sqrt(var)))
+    for c in rollup.columns:
+        if c.endswith("_theta"):
+            out = out.withColumn(
+                f"{c[:-6]}_n_distinct",
+                F.theta_sketch_estimate(F.col(c)))
+        elif c.endswith("_kll"):
+            for q in quantiles:
+                out = out.withColumn(
+                    f"{c[:-4]}_p{int(round(q * 100))}",
+                    F.kll_sketch_get_quantile_double(
+                        F.col(c), F.lit(float(q))))
+    return out
 
 
 def update_rollup(path: str, batch_rollup: DataFrame,

@@ -3579,6 +3579,93 @@ def incremental_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Mergeable sketch layer (operators/sketches.py + rollup sketch
+# columns). Theta sketches are EXACT below their nominal 4096 entries
+# and KLL below its nominal k rows per bucket, so at gate scale the
+# estimates hash-match an exact SQL oracle while the same plan stays
+# merge-able (and merely approximate) at any corpus size. The KLL
+# quantile is the sketch's inclusive-rank rule — the stored value at
+# 1-indexed position ceil(q*n) — which the oracle states explicitly
+# via row_number rather than relying on any engine's quantile flavor.
+# ----------------------------------------------------------------------
+@query("theta_split_overlap", oracle="""
+WITH s AS (
+  SELECT DISTINCT event_id % 3 AS split, user_id FROM events),
+cnt AS (SELECT split, count(*) AS n FROM s GROUP BY split),
+pairs AS (
+  SELECT a.split AS sa, b.split AS sb
+  FROM cnt a JOIN cnt b ON a.split < b.split),
+inter AS (
+  SELECT a.split AS sa, b.split AS sb, count(*) AS ni
+  FROM s a JOIN s b ON a.user_id = b.user_id AND a.split < b.split
+  GROUP BY a.split, b.split)
+SELECT p.sa AS split_a, p.sb AS split_b,
+       ca.n AS n_a, cb.n AS n_b,
+       COALESCE(i.ni, 0) AS n_intersection,
+       ca.n + cb.n - COALESCE(i.ni, 0) AS n_union,
+       ca.n - COALESCE(i.ni, 0) AS n_only_a,
+       cb.n - COALESCE(i.ni, 0) AS n_only_b,
+       CAST(COALESCE(i.ni, 0) AS DOUBLE)
+         / (ca.n + cb.n - COALESCE(i.ni, 0)) AS jaccard
+FROM pairs p
+JOIN cnt ca ON ca.split = p.sa
+JOIN cnt cb ON cb.split = p.sb
+LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+""")
+def theta_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test key-leakage audit via theta-sketch algebra: the
+    corpus is scanned once (one sketch per split), the pairwise
+    intersection/union matrix is then algebra over KB-sized sketches —
+    never a distinct-key self-join. Exact below 4096 distinct keys per
+    split (this dataset), ~1% error beyond."""
+    from .operators.sketches import split_overlap_audit
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("split", F.pmod(F.col("event_id"), F.lit(3)))
+    return split_overlap_audit(ev, "split", "user_id")
+
+
+@query("sketch_rollup_day_profile", oracle="""
+WITH base AS (
+  SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS bucket_us,
+         user_id, CAST(value AS DOUBLE) AS v
+  FROM events),
+agg AS (
+  SELECT bucket_us, count(*) AS n,
+         count(DISTINCT user_id) AS n_users
+  FROM base GROUP BY bucket_us),
+med AS (
+  SELECT bucket_us, v AS value_p50 FROM (
+    SELECT bucket_us, v,
+           row_number() OVER (PARTITION BY bucket_us ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY bucket_us) AS cnt
+    FROM base)
+  WHERE rn = CAST(ceil(0.5 * cnt) AS BIGINT))
+SELECT a.bucket_us AS bucket_us, a.n AS n, a.n_users AS n_users,
+       m.value_p50 AS value_p50
+FROM agg a JOIN med m ON m.bucket_us = a.bucket_us
+""")
+def sketch_rollup_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate with sketch columns: two half-batches each
+    build a day rollup carrying a theta sketch (distinct users) and a
+    KLL sketch (value quantiles); the halves MERGE by sketch union —
+    absorbing a batch never re-scans history, which plain
+    count-distinct/percentile rollups cannot do. Estimates are exact
+    at this scale (theta < 4096 distinct/bucket, KLL < 2048
+    rows/bucket) and hash-match the exact oracle."""
+    from .operators.rollup import (build_rollup, merge_rollups,
+                                   finalize_rollup)
+    ev = load_table(spark, sf_dir, "events")
+    kw = dict(distinct_cols=["user_id"], quantile_cols=["value"],
+              kll_k=16384)
+    halves = [build_rollup(ev.filter(F.col("event_id") % 2 == i),
+                           "ts", "value", **kw) for i in (0, 1)]
+    fin = finalize_rollup(merge_rollups(*halves))
+    return fin.select("bucket_us", "n",
+                      F.col("user_id_n_distinct").alias("n_users"),
+                      "value_p50")
+
+
+# ----------------------------------------------------------------------
 # STREAMING continuous-aggregate maintenance with a full oracle: the
 # same day-rollup as incremental_rollup_stats, but maintained by the
 # exactly-once streaming delta path (each micro-batch reduced to

@@ -1,0 +1,119 @@
+"""Mergeable sketch layer: theta/HLL distinct, KLL quantiles, the
+split-overlap audit, and sketch columns through the rollup
+build/merge/update/finalize lifecycle."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from detanalysis_spark.operators import (
+    build_rollup, merge_rollups, finalize_rollup, update_rollup,
+    read_rollup, sketch_distinct, split_overlap_audit,
+)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    # 30 daily buckets, 137 users cycling, overlapping splits
+    return (spark.range(2000).selectExpr(
+        "timestamp_micros(CAST(id*43200000000 % (30*86400000000) AS LONG)) AS ts",
+        "id % 137 AS user_id",
+        "CAST(id % 9 AS DOUBLE) AS value",
+        "CAST(id % 3 AS INT) AS split",
+        "id"))
+
+
+def test_sketch_distinct_exact_below_nominal(spark, frame):
+    got = {r["split"]: r["n_distinct_est"]
+           for r in sketch_distinct(frame, "user_id", by="split").collect()}
+    want = {r["split"]: r["n"]
+            for r in frame.groupBy("split")
+            .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert got == want
+
+
+def test_sketch_distinct_hll_kind(spark, frame):
+    got = sketch_distinct(frame, "user_id", kind="hll").collect()[0]
+    assert got["n_distinct_est"] == 137
+    with pytest.raises(ValueError):
+        sketch_distinct(frame, "user_id", kind="bogus")
+
+
+def test_split_overlap_audit_matches_exact_sets(spark, frame):
+    rows = frame.select("split", "user_id").collect()
+    sets = {}
+    for r in rows:
+        sets.setdefault(r["split"], set()).add(r["user_id"])
+    for r in split_overlap_audit(frame, "split", "user_id").collect():
+        a, b = sets[r["split_a"]], sets[r["split_b"]]
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert r["n_intersection"] == len(a & b)
+        assert r["n_union"] == len(a | b)
+        assert r["n_only_a"] == len(a - b)
+        assert r["n_only_b"] == len(b - a)
+        assert r["jaccard"] == pytest.approx(len(a & b) / len(a | b))
+
+
+def test_theta_estimate_tolerance_past_exact_range(spark):
+    # 50k distinct > nominal 4096: sampling regime, ~1/sqrt(4096) rse
+    df = spark.range(50_000)
+    est = df.agg(F.theta_sketch_estimate(
+        F.theta_sketch_agg("id")).alias("e")).collect()[0]["e"]
+    assert est == pytest.approx(50_000, rel=0.05)
+
+
+def test_kll_quantile_inclusive_rank_rule(spark):
+    # 1..10: value at 1-indexed position ceil(q*n)
+    df = spark.range(1, 11).selectExpr("CAST(id AS DOUBLE) v")
+    for q, want in ((0.25, 3.0), (0.5, 5.0), (0.75, 8.0), (1.0, 10.0)):
+        got = df.agg(F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("v", F.lit(2048)),
+            F.lit(q)).alias("q")).collect()[0]["q"]
+        assert got == want, q
+        assert want == float(math.ceil(q * 10))
+
+
+def test_rollup_sketch_merge_of_halves_equals_whole(spark, frame):
+    kw = dict(distinct_cols=["user_id"], quantile_cols=["value"])
+    halves = [build_rollup(frame.filter(f"id % 2 = {i}"), "ts", "value",
+                           **kw) for i in (0, 1)]
+    merged = finalize_rollup(merge_rollups(*halves),
+                             quantiles=(0.25, 0.5))
+    whole = finalize_rollup(build_rollup(frame, "ts", "value", **kw),
+                            quantiles=(0.25, 0.5))
+    cols = ("n", "user_id_n_distinct", "value_p25", "value_p50")
+    a = {r["bucket_us"]: tuple(r[c] for c in cols)
+         for r in merged.collect()}
+    b = {r["bucket_us"]: tuple(r[c] for c in cols)
+         for r in whole.collect()}
+    assert a == b and len(a) == 30
+
+
+def test_rollup_sketch_estimates_match_exact_groupby(spark, frame):
+    fin = finalize_rollup(
+        build_rollup(frame, "ts", "value", distinct_cols=["user_id"]))
+    got = {r["bucket_us"]: r["user_id_n_distinct"]
+           for r in fin.collect()}
+    day = F.unix_micros(F.col("ts")) - F.pmod(
+        F.unix_micros(F.col("ts")), F.lit(86_400_000_000))
+    want = {r["bucket_us"]: r["nd"] for r in
+            frame.groupBy(day.alias("bucket_us"))
+            .agg(F.countDistinct("user_id").alias("nd")).collect()}
+    assert got == want
+
+
+def test_update_rollup_persists_and_merges_sketches(spark, frame,
+                                                    tmp_path):
+    path = str(tmp_path / "roll")
+    kw = dict(distinct_cols=["user_id"])
+    update_rollup(path, build_rollup(
+        frame.filter("id % 2 = 0"), "ts", "value", **kw))
+    update_rollup(path, build_rollup(
+        frame.filter("id % 2 = 1"), "ts", "value", **kw))
+    got = {r["bucket_us"]: (r["n"], r["user_id_n_distinct"])
+           for r in finalize_rollup(read_rollup(spark, path)).collect()}
+    want = {r["bucket_us"]: (r["n"], r["user_id_n_distinct"])
+            for r in finalize_rollup(build_rollup(
+                frame, "ts", "value", **kw)).collect()}
+    assert got == want
