@@ -42,9 +42,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.1")
 # 1-row x 1-row BNLJ, free at any scale. key_skew_profile_orders
 # broadcasts its single-row totals against the <=top-k head — a
 # 10x1 BNLJ of the same kind (stats.py key_skew_profile).
+# theta_split_overlap self-joins the per-split SKETCH table (one row
+# of a few KB per split — |splits|x|splits| BNLJ over a handful of
+# rows; the corpus itself is scanned once and never joined).
 INTENTIONAL_NESTED_LOOP = {"key_skew_profile_orders",
                            "ann_cosine_topk", "embedding_near_dup_pairs",
-                           "orders_table_profile"}
+                           "orders_table_profile",
+                           "theta_split_overlap"}
 # queries whose un-partitioned window is a documented correctness
 # exhibit, not the scale path (scale path: approx edges + assign_bin)
 DOCUMENTED_EXHIBITS = {"ntile_time_bins"}
