@@ -15,6 +15,7 @@ from .dedup import (dedup_exact, minhash_signatures, lsh_candidate_pairs,
                     ngram_jaccard, near_dup_pairs, apply_near_dedup,
                     dedup_incremental, span_dup_stats)
 from .text import (token_count, bpe_ish_token_count, quality_scores,
+                   quality_struct, with_quality,
                    language_id, doc_fingerprint, tfidf_topk, build_vocab,
                    unigram_logprob_scores, take_token_budget,
                    save_bigram_lm, load_bigram_lm,
@@ -31,6 +32,8 @@ from .classifier import (hashed_token_features, portable_bucket,
 from .pipeline import (CurationConfig, curate_corpus,
                        curate_corpus_stream)
 from .cleaning import (pii_counts, redact_pii, repetition_scores,
+                       repetition_struct, gopher_quality_struct,
+                       gopher_quality_filter,
                        benchmark_ngrams, contamination_overlap,
                        line_frequencies, remove_boilerplate_lines,
                        remove_duplicate_lines, decontaminate,
@@ -39,6 +42,7 @@ from .cleaning import (pii_counts, redact_pii, repetition_scores,
 __all__ = [
     "CurationConfig", "curate_corpus", "curate_corpus_stream",
     "pii_counts", "redact_pii", "repetition_scores",
+    "repetition_struct", "gopher_quality_struct", "gopher_quality_filter",
     "benchmark_ngrams", "contamination_overlap",
     "line_frequencies", "remove_boilerplate_lines",
     "remove_duplicate_lines", "decontaminate",
@@ -49,6 +53,7 @@ __all__ = [
     "near_dup_clusters", "near_dup_clusters_star", "simhash",
     "ngram_jaccard",
     "token_count", "bpe_ish_token_count", "quality_scores",
+    "quality_struct", "with_quality",
     "language_id", "doc_fingerprint", "tfidf_topk", "build_vocab",
     "unigram_logprob_scores", "take_token_budget",
     "pack_documents", "chunk_documents", "normalize_text",

@@ -27,11 +27,13 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "PII_PATTERNS", "pii_counts", "redact_pii",
-    "repetition_scores", "benchmark_ngrams", "contamination_overlap",
+    "repetition_scores", "repetition_struct",
+    "benchmark_ngrams", "contamination_overlap",
     "line_frequencies", "remove_boilerplate_lines",
     "remove_duplicate_lines", "decontaminate",
     "adaptive_quality_filter",
-    "GOPHER_DEFAULTS", "gopher_quality_flags", "gopher_quality_filter",
+    "GOPHER_DEFAULTS", "GOPHER_FIELDS", "gopher_quality_struct",
+    "gopher_quality_flags", "gopher_quality_filter",
     "repetition_char_fractions", "repetition_char_fractions_grouped",
 ]
 
@@ -83,8 +85,10 @@ def _tokens(text: Column) -> Column:
             .otherwise(F.split(F.trim(text), r"\s+"))
 
 
-def repetition_scores(text: Column, n: int = 2) -> dict[str, Column]:
-    """Repetition signals over whitespace tokens, all native array ops:
+def repetition_struct(text: Column, n: int = 2) -> Column:
+    """Repetition signals over whitespace tokens as ONE struct Column
+    (``dup_token_ratio``, ``dup_ngram_ratio``, ``max_token_ratio``),
+    all native array ops:
 
     - ``dup_token_ratio``: ``1 - distinct_tokens / tokens`` (0 for
       empty text).
@@ -118,7 +122,17 @@ def repetition_scores(text: Column, n: int = 2) -> dict[str, Column]:
                         dup_ngram.alias("dup_ngram_ratio"),
                         max_tok.alias("max_token_ratio"))
 
-    s = F.transform(F.array(_tokens(text)), per_row)[0]
+    return F.transform(F.array(_tokens(text)), per_row)[0]
+
+
+def repetition_scores(text: Column, n: int = 2) -> dict[str, Column]:
+    """Per-signal view of :func:`repetition_struct` — each entry embeds
+    its own copy of the struct (one tokenization AND one full signal
+    evaluation per selected entry). Predicates referencing several
+    signals should bind the struct once instead:
+    ``F.get(F.transform(F.array(repetition_struct(c)), lambda r: ...), 0)``.
+    """
+    s = repetition_struct(text, n)
     return {"dup_token_ratio": s["dup_token_ratio"],
             "dup_ngram_ratio": s["dup_ngram_ratio"],
             "max_token_ratio": s["max_token_ratio"]}
@@ -343,73 +357,100 @@ GOPHER_DEFAULTS = {
 }
 
 
-def gopher_quality_flags(text: Column, **overrides) -> dict[str, Column]:
-    """The Gopher rule set as named boolean Columns plus ``gopher_pass``
-    (their conjunction). Words are whitespace tokens; lines split on
-    newline; bullets are ``-``/``*`` after left-trim; the ellipsis
-    forms are ``...`` and ``…``. Identical arithmetic is expressible in
-    ANSI SQL, so the whole gate is oracle-checkable.
+GOPHER_FIELDS = ("word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+                 "bullet_ratio_ok", "ellipsis_ratio_ok", "alpha_ratio_ok",
+                 "stopword_ok", "gopher_pass")
+
+
+def gopher_quality_struct(text: Column, **overrides) -> Column:
+    """The Gopher rule set as ONE struct Column of boolean flags plus
+    ``gopher_pass`` (their conjunction), tokenizing each row exactly
+    once. Words are whitespace tokens; lines split on newline; bullets
+    are ``-``/``*`` after left-trim; the ellipsis forms are ``...`` and
+    ``…``. Identical arithmetic is expressible in ANSI SQL, so the
+    whole gate is oracle-checkable.
+
+    The token and line arrays are bound as lambda variables (the
+    ``language_id`` one-element-array trick) so every rule shares one
+    tokenization — Catalyst's subexpression elimination skips
+    lambda-containing expressions, so spelling each rule with its own
+    ``split`` copy re-tokenizes per rule AND multiplies plan
+    analysis/codegen time. Select the struct once and expand
+    (``.select(g.alias("g")).select("g.*")``); per-flag access goes
+    through :func:`gopher_quality_flags`.
     """
     from .text import LANG_STOPWORDS, _tokens
 
     p = {**GOPHER_DEFAULTS, **overrides}
-    tk = F.filter(_tokens(text), lambda t: F.length(t) > 0)
-    n_words = F.size(tk)
-    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
-
-    mean_len = F.aggregate(F.transform(tk, F.length), F.lit(0),
-                           lambda a, x: a + x).cast("double") / safe_words
-
     n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
     n_ellipsis = (F.length(text)
                   - F.length(F.regexp_replace(text, r"\.\.\.", ""))) \
         / F.lit(3) \
         + (F.length(text) - F.length(F.regexp_replace(text, "…", "")))
-    symbol_ratio = (n_hash + n_ellipsis).cast("double") / safe_words
+    base = F.struct(
+        F.filter(_tokens(text), lambda t: F.length(t) > 0).alias("tk"),
+        F.filter(F.split(text, "\n"),
+                 lambda ln: F.length(F.trim(ln)) > 0).alias("lines"),
+        (n_hash + n_ellipsis).alias("n_symbols"))
 
-    lines = F.filter(F.split(text, "\n"),
-                     lambda ln: F.length(F.trim(ln)) > 0)
-    n_lines = F.size(lines)
-    safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
-    bullet_ratio = F.size(F.filter(
-        lines, lambda ln: F.ltrim(ln).startswith("-")
-        | F.ltrim(ln).startswith("*"))).cast("double") / safe_lines
-    ellipsis_ratio = F.size(F.filter(
-        lines, lambda ln: F.rtrim(ln).endswith("...")
-        | F.rtrim(ln).endswith("…"))).cast("double") / safe_lines
+    def mk(r: Column) -> Column:
+        tk, lines = r["tk"], r["lines"]
+        n_words = F.size(tk)
+        safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+        mean_len = F.aggregate(F.transform(tk, F.length), F.lit(0),
+                               lambda a, x: a + x).cast("double") \
+            / safe_words
+        symbol_ratio = r["n_symbols"].cast("double") / safe_words
+        n_lines = F.size(lines)
+        safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+        bullet_ratio = F.size(F.filter(
+            lines, lambda ln: F.ltrim(ln).startswith("-")
+            | F.ltrim(ln).startswith("*"))).cast("double") / safe_lines
+        ellipsis_ratio = F.size(F.filter(
+            lines, lambda ln: F.rtrim(ln).endswith("...")
+            | F.rtrim(ln).endswith("…"))).cast("double") / safe_lines
+        alpha_ratio = F.size(F.filter(
+            tk, lambda t: t.rlike("[A-Za-z]"))).cast("double") / safe_words
+        stops = sorted(LANG_STOPWORDS["en"])
+        low = F.transform(tk, F.lower)
+        stop_hits = F.size(F.filter(
+            F.array([F.lit(s) for s in stops]),
+            lambda s: F.array_contains(low, s)))
 
-    alpha_ratio = F.size(F.filter(
-        tk, lambda t: t.rlike("[A-Za-z]"))).cast("double") / safe_words
+        flags = {
+            "word_count_ok": (n_words >= p["min_words"])
+            & (n_words <= p["max_words"]),
+            "mean_word_len_ok": (mean_len >= p["min_mean_word_len"])
+            & (mean_len <= p["max_mean_word_len"]),
+            "symbol_ratio_ok": symbol_ratio <= p["max_symbol_ratio"],
+            "bullet_ratio_ok": bullet_ratio <= p["max_bullet_ratio"],
+            "ellipsis_ratio_ok": ellipsis_ratio <= p["max_ellipsis_ratio"],
+            "alpha_ratio_ok": alpha_ratio >= p["min_alpha_ratio"],
+            "stopword_ok": stop_hits >= p["min_stop_hits"],
+        }
+        acc = F.lit(True)
+        for c in flags.values():
+            acc = acc & c
+        flags["gopher_pass"] = acc
+        return F.struct(*[flags[k].alias(k) for k in GOPHER_FIELDS])
 
-    stops = sorted(LANG_STOPWORDS["en"])
-    low = F.transform(tk, F.lower)
-    stop_hits = F.size(F.filter(
-        F.array([F.lit(s) for s in stops]),
-        lambda s: F.array_contains(low, s)))
+    return F.get(F.transform(F.array(base), mk), 0)
 
-    flags = {
-        "word_count_ok": (n_words >= p["min_words"])
-        & (n_words <= p["max_words"]),
-        "mean_word_len_ok": (mean_len >= p["min_mean_word_len"])
-        & (mean_len <= p["max_mean_word_len"]),
-        "symbol_ratio_ok": symbol_ratio <= p["max_symbol_ratio"],
-        "bullet_ratio_ok": bullet_ratio <= p["max_bullet_ratio"],
-        "ellipsis_ratio_ok": ellipsis_ratio <= p["max_ellipsis_ratio"],
-        "alpha_ratio_ok": alpha_ratio >= p["min_alpha_ratio"],
-        "stopword_ok": stop_hits >= p["min_stop_hits"],
-    }
-    acc = F.lit(True)
-    for c in flags.values():
-        acc = acc & c
-    flags["gopher_pass"] = acc
-    return flags
+
+def gopher_quality_flags(text: Column, **overrides) -> dict[str, Column]:
+    """Per-flag view of :func:`gopher_quality_struct` — each entry is
+    one field of the struct (one tokenization per selected flag). For
+    all-flags projections select the struct itself once and expand."""
+    g = gopher_quality_struct(text, **overrides)
+    return {k: g[k] for k in GOPHER_FIELDS}
 
 
 def gopher_quality_filter(df: DataFrame, text_col: str = "text",
                           **overrides) -> DataFrame:
-    """Rows passing every Gopher rule — one shuffle-free projection."""
-    flags = gopher_quality_flags(F.col(text_col), **overrides)
-    return df.filter(flags["gopher_pass"])
+    """Rows passing every Gopher rule — one shuffle-free projection;
+    the single ``gopher_pass`` predicate tokenizes each row once."""
+    g = gopher_quality_struct(F.col(text_col), **overrides)
+    return df.filter(g["gopher_pass"])
 
 
 def repetition_char_fractions(text: Column, ns: tuple = (2, 3, 4),

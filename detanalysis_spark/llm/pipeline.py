@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from .cleaning import (decontaminate, redact_pii,
                        remove_boilerplate_lines, remove_duplicate_lines,
-                       repetition_scores)
+                       repetition_struct)
 from .dedup import apply_near_dedup, dedup_exact
 from .text import language_id, normalize_text, token_count
 
@@ -59,6 +59,20 @@ class CurationConfig:
     keep_by: str | None = None                 # near-dedup survivor rule
     split_fractions: dict | None = None        # None = skip split stamp
     split_seed: int = 0
+
+
+def _quality_pred(cfg: CurationConfig) -> "F.Column":
+    """The min-token + repetition quality gate as one predicate Column.
+    The repetition struct is bound as a lambda variable so both
+    repetition signals share ONE tokenization and signal evaluation per
+    row (per-signal dict access would embed — and re-evaluate — the
+    whole struct per gate; Catalyst CSE skips lambda-bearing trees)."""
+    text = F.col(cfg.text_col)
+    rep_ok = F.get(F.transform(
+        F.array(repetition_struct(text)),
+        lambda r: (r["dup_token_ratio"] <= cfg.max_dup_token_ratio)
+        & (r["max_token_ratio"] <= cfg.max_token_ratio)), 0)
+    return (token_count(text) >= cfg.min_tokens) & rep_ok
 
 
 def curate_corpus(docs: DataFrame, config: CurationConfig | None = None,
@@ -108,14 +122,9 @@ def curate_corpus(docs: DataFrame, config: CurationConfig | None = None,
     # differed in exactly the stripped content
     out = out.withColumn("__norm__", normalize_text(F.col(cfg.text_col)))
 
-    # one conjunctive filter node: common-subexpression elimination can
-    # share the tokenization across the three gates
-    n_tok = token_count(F.col(cfg.text_col))
-    rep = repetition_scores(F.col(cfg.text_col))
-    out = out.filter(
-        (n_tok >= cfg.min_tokens)
-        & (rep["dup_token_ratio"] <= cfg.max_dup_token_ratio)
-        & (rep["max_token_ratio"] <= cfg.max_token_ratio))
+    # one conjunctive filter node; the repetition struct is bound once
+    # per row so both gates share one tokenization + signal evaluation
+    out = out.filter(_quality_pred(cfg))
     out = tick("quality", out)
 
     if cfg.languages is not None:
@@ -207,12 +216,7 @@ def curate_corpus_stream(sdf: DataFrame,
     out = sdf.withColumn(cfg.text_col, redact_pii(F.col(cfg.text_col)))
     out = out.withColumn("__norm__", normalize_text(F.col(cfg.text_col)))
 
-    n_tok = token_count(F.col(cfg.text_col))
-    rep = repetition_scores(F.col(cfg.text_col))
-    out = out.filter(
-        (n_tok >= cfg.min_tokens)
-        & (rep["dup_token_ratio"] <= cfg.max_dup_token_ratio)
-        & (rep["max_token_ratio"] <= cfg.max_token_ratio))
+    out = out.filter(_quality_pred(cfg))
 
     if cfg.languages is not None:
         out = out.filter(

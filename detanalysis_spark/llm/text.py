@@ -20,6 +20,7 @@ from pyspark.sql.types import ArrayType, StringType
 
 __all__ = [
     "token_count", "bpe_ish_token_count", "quality_scores",
+    "quality_struct", "with_quality", "QUALITY_FIELDS",
     "language_id", "LANG_STOPWORDS", "doc_fingerprint",
     "winnow_fingerprints", "normalize_text", "chunk_text",
     "chunk_documents", "pack_documents",
@@ -57,35 +58,75 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
 
 
+QUALITY_FIELDS = ("n_chars", "n_tokens", "mean_token_len", "punct_ratio",
+                  "digit_ratio", "upper_ratio", "stopword_ratio")
+
+
+def quality_struct(text: Column) -> Column:
+    """All :func:`quality_scores` signals as ONE struct Column,
+    tokenizing each row exactly once.
+
+    The token array is bound as a lambda variable (one-element array
+    transform, same trick as ``language_id``) before any signal
+    references it. This matters twice over: Catalyst's subexpression
+    elimination skips lambda-containing expressions, so a projection
+    that embeds the ``split`` per signal re-tokenizes every row once
+    per signal — and the duplicated tree also multiplies
+    analysis/codegen time on the driver. Select the struct in one
+    projection and expand its fields in a second
+    (``.select(quality_struct(c).alias("q")).select("q.*")``);
+    CollapseProject keeps the two apart because the alias is non-cheap
+    and multiply referenced.
+    """
+    base = F.struct(text.alias("t"), _tokens(text).alias("tk"))
+
+    def mk(r: Column) -> Column:
+        t, tk = r["t"], r["tk"]
+        n_chars = F.length(t)
+        n_toks = F.when(F.length(F.trim(t)) == 0, F.lit(0)) \
+                  .otherwise(F.size(tk))
+        safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+        safe_toks = F.greatest(n_toks, F.lit(1)).cast("double")
+        n_of = lambda cls: (  # noqa: E731
+            n_chars - F.length(F.regexp_replace(t, cls, "")))
+        stop_hits = F.size(F.filter(
+            F.transform(tk, F.lower),
+            lambda w: w.isin(*sorted(LANG_STOPWORDS["en"]))))
+        mean_len = F.aggregate(F.transform(tk, F.length), F.lit(0),
+                               lambda a, x: a + x).cast("double") / safe_toks
+        return F.struct(
+            n_chars.alias("n_chars"),
+            n_toks.alias("n_tokens"),
+            mean_len.alias("mean_token_len"),
+            (n_of(_PUNCT_CLASS) / safe_chars).alias("punct_ratio"),
+            (n_of(r"[0-9]") / safe_chars).alias("digit_ratio"),
+            (n_of(r"[A-Z]") / safe_chars).alias("upper_ratio"),
+            (stop_hits / safe_toks).alias("stopword_ratio"))
+
+    return F.get(F.transform(F.array(base), mk), 0)
+
+
+def with_quality(text: Column, build) -> Column:
+    """Bind the quality struct once per row and apply ``build(q)`` —
+    the shape for predicates that reference several signals
+    (``with_quality(c, lambda q: (q["digit_ratio"] < .2) & ...)``);
+    each ``quality_struct(...)[k]`` access would otherwise embed (and
+    re-evaluate) the whole struct per signal."""
+    return F.get(F.transform(F.array(quality_struct(text)), build), 0)
+
+
 def quality_scores(text: Column) -> dict[str, Column]:
     """Heuristic document-quality signals as a dict of named Columns.
 
     length / punctuation / digit / stopword ratios per the standard
-    quality-filter recipe (C4/Gopher-style rules). Callers select the
-    signals they need; everything is a native expression.
+    quality-filter recipe (C4/Gopher-style rules). Each entry is a
+    field of :func:`quality_struct` — fine for selecting one signal;
+    multi-signal projections should select the struct itself once (see
+    ``quality_struct``) and multi-signal predicates should go through
+    :func:`with_quality`.
     """
-    toks = _tokens(text)
-    n_chars = F.length(text)
-    n_toks = token_count(text)
-    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
-    safe_toks = F.greatest(n_toks, F.lit(1)).cast("double")
-    n_of = lambda cls: (  # noqa: E731
-        n_chars - F.length(F.regexp_replace(text, cls, "")))
-    stop_hits = F.size(F.filter(
-        F.transform(toks, F.lower),
-        lambda t: t.isin(*sorted(LANG_STOPWORDS["en"]))))
-    return {
-        "n_chars": n_chars,
-        "n_tokens": n_toks,
-        "mean_token_len": F.aggregate(F.transform(toks, F.length),
-                                      F.lit(0),
-                                      lambda a, x: a + x).cast("double")
-                          / safe_toks,
-        "punct_ratio": n_of(_PUNCT_CLASS) / safe_chars,
-        "digit_ratio": n_of(r"[0-9]") / safe_chars,
-        "upper_ratio": n_of(r"[A-Z]") / safe_chars,
-        "stopword_ratio": stop_hits / safe_toks,
-    }
+    qs = quality_struct(text)
+    return {k: qs[k] for k in QUALITY_FIELDS}
 
 
 # deliberately tiny, deterministic profiles — language ID here is an

@@ -895,13 +895,15 @@ FROM q GROUP BY source
 """)
 def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    q = _TX.quality_scores(F.col("text"))
+    q = _TX.quality_struct(F.col("text"))
     return (docs
-            .select("source",
-                    q["mean_token_len"].alias("mtl"),
-                    q["stopword_ratio"].alias("swr"),
-                    q["digit_ratio"].alias("dgr"),
+            .select("source", q.alias("q"),
                     _TX.bpe_ish_token_count(F.col("text")).alias("bpe"))
+            .select("source",
+                    F.col("q.mean_token_len").alias("mtl"),
+                    F.col("q.stopword_ratio").alias("swr"),
+                    F.col("q.digit_ratio").alias("dgr"),
+                    "bpe")
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.round(F.avg("mtl"), 6).alias("avg_token_len"),
@@ -1683,15 +1685,16 @@ FROM uniq GROUP BY source
 """)
 def training_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.dedup import dedup_exact
-    from .llm.text import language_id, quality_scores, token_count
+    from .llm.text import language_id, token_count, with_quality
 
     docs = load_table(spark, sf_dir, "documents")
-    qs = quality_scores(F.col("text"))
     kept = (docs
             .filter(language_id(F.col("text")) == "en")
-            .filter((qs["stopword_ratio"] > 0.04)
-                    & (qs["digit_ratio"] < 0.2)
-                    & (qs["n_tokens"] >= 5)))
+            .filter(with_quality(
+                F.col("text"),
+                lambda q: (q["stopword_ratio"] > 0.04)
+                & (q["digit_ratio"] < 0.2)
+                & (q["n_tokens"] >= 5))))
     uniq = dedup_exact(kept, ["text"], "doc_id")
     return (uniq.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -2200,11 +2203,12 @@ FROM s GROUP BY lang
 def repetition_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents") \
         .filter(F.length(F.trim(F.col("text"))) > 0)
-    s = _CL.repetition_scores(F.col("text"), n=2)
+    s = _CL.repetition_struct(F.col("text"), n=2)
     return (docs
-            .select("lang", s["dup_token_ratio"].alias("dup_tok"),
-                    s["dup_ngram_ratio"].alias("dup_gram"),
-                    s["max_token_ratio"].alias("max_tok"))
+            .select("lang", s.alias("r"))
+            .select("lang", F.col("r.dup_token_ratio").alias("dup_tok"),
+                    F.col("r.dup_ngram_ratio").alias("dup_gram"),
+                    F.col("r.max_token_ratio").alias("max_tok"))
             .groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.round(F.avg("dup_tok"), 6).alias("avg_dup_token_ratio"),
@@ -3523,11 +3527,14 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
 FROM f
 """)
 def gopher_rule_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .llm.cleaning import gopher_quality_flags
+    from .llm.cleaning import gopher_quality_struct
     docs = load_table(spark, sf_dir, "documents")
-    flags = gopher_quality_flags(F.col("text"), min_words=30)
-    one = lambda c: F.sum(flags[c].cast("int")).cast("long")  # noqa: E731
-    return docs.agg(
+    # struct selected once, expanded in a second projection: each row
+    # is tokenized once for all eight flags (see gopher_quality_struct)
+    g = docs.select(
+        gopher_quality_struct(F.col("text"), min_words=30).alias("g"))
+    one = lambda c: F.sum(F.col(f"g.{c}").cast("int")).cast("long")  # noqa: E731
+    return g.agg(
         F.count(F.lit(1)).alias("n_docs"),
         one("word_count_ok").alias("n_word_count"),
         one("mean_word_len_ok").alias("n_mean_len"),
