@@ -76,6 +76,30 @@ def main() -> int:
         for name in top:
             samples[name].append(run_once(name))
 
+    # exec-only pass: re-collect the SAME DataFrame object for each top
+    # query. Spark caches the analyzed/optimized plan on the DataFrame,
+    # so for a pure-lazy query this isolates distributed execution from
+    # per-query plan build + Catalyst analysis/codegen — the
+    # steady-state number a production pipeline (build once, run per
+    # batch) actually pays. Example split (gopher_rule_counts, sf0.1):
+    # 0.42 s Python plan build + 0.96 s analysis/codegen vs 0.05 s
+    # execution. CAVEAT: queries whose builder runs eager stages
+    # (checkpoints, scalar thresholds, layout writes, streaming drains)
+    # did that work during fn(); their exec_only covers only the
+    # returned final plan and is a LOWER bound, not the full exec cost.
+    exec_only: dict[str, float] = {}
+    for name in top:
+        try:
+            df = suite.QUERIES[name](spark, sf_dir)
+            df.collect()  # analyze + codegen this exact DataFrame
+            t0 = time.time()
+            df.collect()
+            exec_only[name] = round(time.time() - t0, 4)
+        except Exception as e:  # noqa: BLE001
+            print(f"# bench exec-only error in {name}: {e}",
+                  file=sys.stderr)
+        gc.collect()
+
     def reported(s: list[float]) -> float:
         good = [x for x in s if x == x]
         return statistics.median(good) if good else float("nan")
@@ -113,6 +137,7 @@ def main() -> int:
                                  "(after one suite-wide warm-up pass) "
                                  "otherwise",
                 "top_query_spread": spread,
+                "exec_only": exec_only,
                 "machine": machine,
             },
             f,
