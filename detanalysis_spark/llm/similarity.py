@@ -3,10 +3,12 @@
 Two paths, per the standard ANN playbook:
 
 - **Brute-force cosine top-k** — the correctness baseline. The probe
-  set is broadcast; cosine is a native ``zip_with``/``aggregate`` fold
-  (JVM-side, no Python); ranking is a window partitioned by probe.
-  Cost is one full corpus scan per probe batch — exact, and the right
-  tool when the probe set is small.
+  set is broadcast; cosine is one BLAS batch op per Arrow block
+  (:func:`dot_rows`; the native ``zip_with``/``aggregate`` fold is
+  kept for scalar use — HOFs evaluate interpreted, ~100× slower per
+  pair); ranking is a window partitioned by probe. Cost is one full
+  corpus scan per probe batch — exact, and the right tool when the
+  probe set is small.
 - **Random-hyperplane LSH** — the scale path. Each vector gets L
   b-bit signatures (sign of projections onto seeded random
   hyperplanes); candidates are corpus rows sharing a (table, bucket)
@@ -37,6 +39,31 @@ def _as_double(vec: Column) -> Column:
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot_rows(a: Column, b: Column) -> Column:
+    """Row-wise dot product of two ``array<double>`` columns as ONE
+    numpy matrix op per Arrow batch (``np.einsum`` over the stacked
+    batch) — the vectorized scorer for pair tables.
+
+    Higher-order-function folds (:func:`_dot`) are interpreted
+    per-element on the JVM (HOFs are outside whole-stage codegen), so
+    scoring a candidate-pair table that way costs ~100× more per pair
+    than a BLAS batch; every bucketed/cell-keyed refine join uses this
+    instead. Exact float64 like the fold, differing only in summation
+    order (BLAS pairwise vs sequential) — bounded by the usual 1-ulp
+    reassociation error."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot_udf(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        if len(xa) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(xa.to_numpy())
+        B = np.stack(xb.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return _dot_udf(a, b)
 
 
 def _norm(a: Column) -> Column:
@@ -84,7 +111,7 @@ def cosine_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
     pairs = c.join(F.broadcast(p))
     if exclude_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("probe_id"))
-    sim = _dot(F.col("vec"), F.col("probe_vec"))
+    sim = dot_rows(F.col("vec"), F.col("probe_vec"))
     scored = pairs.select("probe_id", "neighbor_id", sim.alias("sim"))
     w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(),
                                                F.col("neighbor_id").asc())
@@ -219,7 +246,8 @@ class RandomHyperplaneLSH:
                           _unit(F.col(vec_col)).alias("probe_vec"))
         scored = (cand.join(c, "neighbor_id").join(F.broadcast(p), "probe_id")
                   .select("probe_id", "neighbor_id",
-                          _dot(F.col("vec"), F.col("probe_vec")).alias("sim")))
+                          dot_rows(F.col("vec"),
+                                   F.col("probe_vec")).alias("sim")))
         w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(),
                                                    F.col("neighbor_id").asc())
         return (scored.withColumn("rank", F.row_number().over(w))
@@ -263,18 +291,60 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
     d = df.select(F.col(id_col).alias("id_b"),
                   _unit(F.col(vec_col)).alias("vb"))
     if lsh is None:
-        # broadcast the (small) probe side; the corpus side streams
-        pairs = d.join(F.broadcast(c), F.col("id_a") < F.col("id_b"))
-    else:
-        bb = lsh.explode_buckets(lsh.with_buckets(df, vec_col),
-                                 id_col=id_col)
-        cand = (bb.withColumnRenamed(id_col, "id_a")
-                .join(bb.withColumnRenamed(id_col, "id_b"),
-                      ["table", "bucket"])
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b").distinct())
-        pairs = cand.join(c, "id_a").join(d, "id_b")
-    sim = _dot(F.col("va"), F.col("vb"))
+        # exact bounded-probe scoring as one BLAS matmul per
+        # (corpus-block × probe-chunk): the probe matrix — small by
+        # contract (the all-pairs guard above, or a caller-bounded
+        # ``probes`` slice; the previous shape broadcast the same rows)
+        # — is collected once, the corpus streams through mapInPandas,
+        # and only pairs above threshold are ever materialized. This
+        # replaces a per-pair interpreted zip_with/aggregate fold
+        # (~100× slower than the batch matmul) AND skips building the
+        # |probes|×|corpus| joined pair rows entirely.
+        pm = c.toPandas()
+        id_type = df.schema[id_col].dataType.simpleString()
+        out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+        if len(pm) == 0:
+            return df.sparkSession.createDataFrame([], out_schema)
+        P = np.stack(pm["va"].to_numpy())
+        if P.size > 50_000_000:
+            raise ValueError(
+                f"cosine_near_dup_pairs: probe matrix {P.shape} too "
+                f"large to hold per task — pass lsh= for this scale")
+        ids_a = pm["id_a"].to_numpy()
+        thr = float(threshold)
+        BLK = 2048  # bounds each score block to ≤ 32 MB
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf["vb"].to_numpy())
+                ids_b = pdf["id_b"].to_numpy()
+                for i in range(0, len(ids_b), BLK):
+                    Xi, bi_ids = X[i:i + BLK], ids_b[i:i + BLK]
+                    for j in range(0, len(ids_a), BLK):
+                        S = Xi @ P[j:j + BLK].T
+                        ai_ids = ids_a[j:j + BLK]
+                        mask = (S >= thr) \
+                            & (ai_ids[None, :] < bi_ids[:, None])
+                        bi, ai = np.nonzero(mask)
+                        if len(bi):
+                            yield pd.DataFrame(
+                                {"id_a": ai_ids[ai],
+                                 "id_b": bi_ids[bi],
+                                 "cosine": S[bi, ai]})
+
+        return d.mapInPandas(gen, out_schema)
+
+    bb = lsh.explode_buckets(lsh.with_buckets(df, vec_col),
+                             id_col=id_col)
+    cand = (bb.withColumnRenamed(id_col, "id_a")
+            .join(bb.withColumnRenamed(id_col, "id_b"),
+                  ["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    pairs = cand.join(c, "id_a").join(d, "id_b")
+    sim = dot_rows(F.col("va"), F.col("vb"))
     return (pairs.select("id_a", "id_b", sim.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
 
@@ -323,7 +393,8 @@ def semantic_dedup(df: DataFrame, threshold: float,
                   _unit(F.col(vec_col)).alias("vb"))
     dropped = (a.join(b, "__c__")
                .filter(F.col("id_a") < F.col("id_b"))
-               .filter(_dot(F.col("va"), F.col("vb")) >= F.lit(threshold))
+               .filter(dot_rows(F.col("va"), F.col("vb"))
+                       >= F.lit(threshold))
                .select(F.col("id_b").alias(id_col))
                .distinct())
     # select the caller's columns: the ivf path's helper ivf_cell
@@ -520,7 +591,7 @@ class IVFIndex:
             pairs = pairs.filter(F.col("neighbor_id") != F.col("probe_id"))
         scored = pairs.select(
             "probe_id", "neighbor_id",
-            _dot(F.col("vec"), F.col("probe_vec")).alias("sim"))
+            dot_rows(F.col("vec"), F.col("probe_vec")).alias("sim"))
         w = Window.partitionBy("probe_id").orderBy(
             F.col("sim").desc(), F.col("neighbor_id").asc())
         return (scored.withColumn("rank", F.row_number().over(w))
