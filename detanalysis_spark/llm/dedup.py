@@ -534,11 +534,11 @@ def near_dup_clusters_star(pairs: DataFrame,
     it rewrites SHRINKS as components collapse into stars, so later
     rounds get cheaper — on a planted power-law pair graph this runs
     ~1.6-2x faster than pointer jumping end-to-end (tools/cc_probe.py),
-    and the advantage grows with skew. Pointer jumping keeps a fixed
-    |V|+|E| per-round shuffle and a monotone label-sum convergence
-    witness, which is easier to reason about under failure/retry —
-    hence it stays the default; choose this variant for very skewed
-    pair graphs (giant dup families) where edge-set collapse pays.
+    and the advantage grows with skew; this IS the default path of
+    :func:`near_dup_clusters` (``method="auto"``). Pointer jumping
+    keeps a fixed |V|+|E| per-round shuffle and a monotone label-sum
+    convergence witness, which is easier to reason about under
+    failure/retry — ``method="jump"`` opts into it.
     """
     def _large(edges: DataFrame) -> DataFrame:
         sym = edges.union(edges.select(F.col("v").alias("u"),

@@ -338,11 +338,18 @@ def _decode(data: bytes, width: int, height: int, channels: int,
         try:  # pragma: no cover - PIL absent in this environment
             from PIL import Image
             import io
-            img = np.asarray(Image.open(io.BytesIO(data)),
-                             dtype=np.float64) / 255.0
-            if img.ndim == 2:
-                img = img[:, :, None]
+            try:
+                img = np.asarray(Image.open(io.BytesIO(data)),
+                                 dtype=np.float64) / 255.0
+                if img.ndim == 2:
+                    img = img[:, :, None]
+            except Exception:
+                # PIL rejected the payload (e.g. entropy stream ending
+                # without EOI) — the stdlib decoder may still accept it
+                img = None
         except ImportError:
+            pass
+        if img is None:
             from .jpeg import decode_jpeg
             img = decode_jpeg(data)
         if img.shape[2] == 1 and channels > 1:

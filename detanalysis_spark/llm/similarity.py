@@ -52,16 +52,35 @@ def dot_rows(a: Column, b: Column) -> Column:
     than a BLAS batch; every bucketed/cell-keyed refine join uses this
     instead. Exact float64 like the fold, differing only in summation
     order (BLAS pairwise vs sequential) — bounded by the usual 1-ulp
-    reassociation error."""
+    reassociation error. Null or length-mismatched vector pairs score
+    null (NaN → Arrow null on return), matching the fold's null-padding
+    semantics, instead of crashing the stack fast path."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _dot_udf(xa: pd.Series, xb: pd.Series) -> pd.Series:
-        if len(xa) == 0:
+        n = len(xa)
+        if n == 0:
             return pd.Series([], dtype="float64")
-        A = np.stack(xa.to_numpy())
-        B = np.stack(xb.to_numpy())
-        return pd.Series(np.einsum("ij,ij->i", A, B))
+        va, vb = xa.to_numpy(), xb.to_numpy()
+        try:
+            A = np.stack(va).astype(np.float64, copy=False)
+            B = np.stack(vb).astype(np.float64, copy=False)
+            if A.shape == B.shape and A.ndim == 2:
+                return pd.Series(np.einsum("ij,ij->i", A, B))
+        except (ValueError, TypeError):
+            pass  # nulls or ragged lengths in this batch: row-wise path
+        out = np.full(n, np.nan)
+        for i in range(n):
+            p, q = va[i], vb[i]
+            if p is None or q is None or len(p) != len(q):
+                continue
+            try:
+                out[i] = np.asarray(p, dtype=np.float64) @ \
+                    np.asarray(q, dtype=np.float64)
+            except (ValueError, TypeError):
+                pass  # null element inside the array → null, like the fold
+        return pd.Series(out)
 
     return _dot_udf(a, b)
 
@@ -278,13 +297,15 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
     100k rows — pass ``lsh`` or ``probes`` there.
     """
     if lsh is None and probes is None:
-        n = df.count()
+        # limit+count bounds the guard scan: stop at the first 100k+1
+        # rows instead of counting the whole corpus
+        n = df.limit(100_001).count()
         if n > 100_000:
             raise ValueError(
-                f"cosine_near_dup_pairs: all-pairs over {n} rows — "
-                f"this exact path is an oracle baseline; pass lsh= "
-                f"(bucketed candidates) or probes= (bounded product) "
-                f"for corpora above 100k rows")
+                "cosine_near_dup_pairs: all-pairs over >100000 rows — "
+                "this exact path is an oracle baseline; pass lsh= "
+                "(bucketed candidates) or probes= (bounded product) "
+                "for corpora above 100k rows")
     probe_df = df if probes is None else probes
     c = probe_df.select(F.col(id_col).alias("id_a"),
                         _unit(F.col(vec_col)).alias("va"))
@@ -300,16 +321,24 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
         # replaces a per-pair interpreted zip_with/aggregate fold
         # (~100× slower than the batch matmul) AND skips building the
         # |probes|×|corpus| joined pair rows entirely.
-        pm = c.toPandas()
+        pm = c.filter(F.col("va").isNotNull()).toPandas()
         id_type = df.schema[id_col].dataType.simpleString()
         out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
         if len(pm) == 0:
             return df.sparkSession.createDataFrame([], out_schema)
-        P = np.stack(pm["va"].to_numpy())
-        if P.size > 50_000_000:
+        # size-guard BEFORE materializing the matrix (len × dim is
+        # known from the collected rows); null probes are dropped above
+        # and off-dimension probes below — the fold scored any
+        # length-mismatched pair null, i.e. below threshold.
+        lens = pm["va"].map(len).to_numpy()
+        dim = int(np.bincount(lens).argmax())
+        if len(pm) * dim > 50_000_000:
             raise ValueError(
-                f"cosine_near_dup_pairs: probe matrix {P.shape} too "
-                f"large to hold per task — pass lsh= for this scale")
+                f"cosine_near_dup_pairs: probe matrix "
+                f"({len(pm)}, {dim}) too large to hold per task — "
+                f"pass lsh= for this scale")
+        pm = pm[lens == dim]
+        P = np.stack(pm["va"].to_numpy()).astype(np.float64, copy=False)
         ids_a = pm["id_a"].to_numpy()
         thr = float(threshold)
         BLK = 2048  # bounds each score block to ≤ 32 MB
@@ -318,7 +347,16 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                X = np.stack(pdf["vb"].to_numpy())
+                # drop null / off-dimension corpus vectors (the fold
+                # scored those pairs null → below threshold)
+                ok = pdf["vb"].map(
+                    lambda v: v is not None and len(v) == dim)
+                if not ok.all():
+                    pdf = pdf[ok]
+                    if len(pdf) == 0:
+                        continue
+                X = np.stack(pdf["vb"].to_numpy()).astype(
+                    np.float64, copy=False)
                 ids_b = pdf["id_b"].to_numpy()
                 for i in range(0, len(ids_b), BLK):
                     Xi, bi_ids = X[i:i + BLK], ids_b[i:i + BLK]

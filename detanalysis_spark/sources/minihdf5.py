@@ -138,7 +138,9 @@ class _Writable:
     def create_dataset(self, name: str, data=None,
                        dtype=None) -> "_WDataset":
         arr = np.asarray(data, dtype=dtype)
-        if arr.dtype == object:
+        if arr.dtype.kind in ("O", "U"):
+            # h5py accepts plain str lists; numpy gives them '<U' (not
+            # object) dtype, so match on kind and encode to bytes
             arr = np.array([v.encode() if isinstance(v, str) else v
                             for v in arr.ravel()]).reshape(arr.shape)
         d = _WDataset(arr)

@@ -245,11 +245,35 @@ def test_cosine_near_dup_unbounded_refuses_large_corpus(spark):
     big = spark.range(100_001).select(
         F.col("id").alias("vec_id"),
         F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"))
-    with pytest.raises(ValueError, match="all-pairs over 100001 rows"):
+    with pytest.raises(ValueError, match="all-pairs over >100000 rows"):
         cosine_near_dup_pairs(big, 0.9)
     # a bounded probe side keeps working at any corpus size
     assert cosine_near_dup_pairs(
         big, 0.9, probes=big.filter("vec_id < 3")).count() > 0
+
+
+def test_cosine_near_dup_null_and_ragged_rows(spark):
+    # null / length-mismatched embeddings score null (excluded by the
+    # threshold), matching the zip_with fold's null padding — they must
+    # not crash the np.stack fast path (exact scorer OR dot_rows)
+    from detanalysis_spark.llm.similarity import (cosine_near_dup_pairs,
+                                                  dot_rows)
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [1.0, 1e-4, 0.0]),
+            (2, None), (3, [1.0, 0.0]), (4, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b)
+           for r in cosine_near_dup_pairs(df, 0.95).collect()}
+    assert got == {(0, 1)}
+    # dot_rows: per-row fallback nulls exactly the invalid rows
+    pairs = df.alias("a").crossJoin(df.alias("b")) \
+        .select(F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"),
+                dot_rows(F.col("a.embedding"), F.col("b.embedding"))
+                .alias("dot"))
+    out = {(r.ia, r.ib): r.dot for r in pairs.collect()}
+    assert out[(0, 1)] == pytest.approx(1.0)
+    assert out[(0, 2)] is None and out[(2, 2)] is None   # null vec
+    assert out[(0, 3)] is None and out[(3, 0)] is None   # ragged pair
+    assert out[(3, 3)] == pytest.approx(1.0)             # equal-len odd dim
 
 
 # ----------------------------------------------------------------------

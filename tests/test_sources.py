@@ -226,6 +226,18 @@ def test_minihdf5_snod_split_many_columns(tmp_path):
                 cols[f"c{i:02d}"]["data"][:], np.full(5, i))
 
 
+def test_minihdf5_str_list_dataset(tmp_path):
+    # h5py accepts plain str lists; numpy types them '<U' (not object),
+    # so the encode branch must match on dtype KIND or close() blows up
+    from detanalysis_spark.sources import minihdf5 as MH
+    p = str(tmp_path / "strs.hdf5")
+    with MH.File(p, "w") as f:
+        f.create_group("g").create_dataset("data", data=["t0", "tag1"])
+    with MH.File(p, "r") as f:
+        np.testing.assert_array_equal(f["g"]["data"][:],
+                                      np.array([b"t0", b"tag1"]))
+
+
 def test_minihdf5_rejects_non_hdf5(tmp_path):
     from detanalysis_spark.sources import minihdf5 as MH
     p = tmp_path / "bogus.hdf5"

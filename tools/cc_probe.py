@@ -71,7 +71,7 @@ def main() -> int:
                         ("chain1000", chain_pairs(spark, 1000))):
         pairs = pairs.localCheckpoint(eager=True)   # exclude gen cost
         t0 = time.time()
-        a = canon(near_dup_clusters(pairs, max_iter=40))
+        a = canon(near_dup_clusters(pairs, max_iter=40, method="jump"))
         t_pj = round(time.time() - t0, 2)
         t0 = time.time()
         b = canon(near_dup_clusters_star(pairs, max_iter=40))
