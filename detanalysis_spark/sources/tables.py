@@ -59,9 +59,27 @@ def _timestamp_cols(path: str) -> tuple[list[str], list[str]]:
     return nano, ntz
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table with timestamp normalization."""
+_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               cache: bool = True) -> DataFrame:
+    """Load one synthetic table with timestamp normalization.
+
+    The resolved DataFrame is memoized per (session, path): every
+    suite query starts with 1-3 ``load_table`` calls, and re-running
+    ``spark.read.parquet`` costs a JVM file listing + footer schema
+    read + re-analysis of the rebase projection each time — pure
+    driver-side fixed cost at any scale. DataFrames are immutable, so
+    sharing one plan object across queries is safe; the parquet file
+    listing is captured at first load, which is exactly right for the
+    read-only corpus dirs this loader serves (pass ``cache=False`` for
+    a directory whose contents mutate within a session).
+    """
     path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, path)
+    if cache and key in _DF_CACHE:
+        return _DF_CACHE[key]
     nano_cols, ntz_cols = _timestamp_cols(path)
     # nanosAsLong is set once at session build (session.py _DEFAULTS) —
     # never mutated here (racy under concurrent use)
@@ -73,6 +91,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # NTZ wall-clock -> LTZ with epoch == wall-clock-as-UTC (tz-free)
         df = df.withColumn(c, F.timestamp_micros(F.expr(
             f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{c}`)")))
+    if cache:
+        _DF_CACHE[key] = df
     return df
 
 

@@ -119,6 +119,19 @@ def test_write_partitioned_prunes(spark, sf_dir, tmp_path):
     assert one.count() == want
 
 
+def test_load_table_memoizes_per_session(spark, sf_dir):
+    # every suite query starts with load_table calls; re-resolving the
+    # parquet relation is pure driver fixed cost, so the DataFrame is
+    # memoized per (session, path). cache=False bypasses.
+    from detanalysis_spark.sources.tables import load_table
+    a = load_table(spark, sf_dir, "events")
+    b = load_table(spark, sf_dir, "events")
+    assert a is b
+    c = load_table(spark, sf_dir, "events", cache=False)
+    assert c is not a
+    assert c.schema == a.schema
+
+
 def test_load_table_rebases_naive_timestamps(spark, tmp_path):
     """Tz-naive parquet timestamps (micros NTZ — the testdata layout as
     of round 2) load as LTZ whose internal epoch equals the
