@@ -9,6 +9,12 @@ Usage: python tools/scale_probe.py [multiplier] [probe_name ...]
   python tools/scale_probe.py 100 ensure_event_index near_dup_pairs \
       cc_chain semantic_dedup curate_corpus token_cosine_maxdf)
 Prints one JSON line: {"probe": {...}, "multiplier": N}.
+
+Measurement hygiene: at large multipliers run ONE probe per process
+(`for p in ...; do python tools/scale_probe.py 100 $p; done`) — a
+long-lived probe session accumulates JVM/GC state from earlier 100×
+runs that inflates later 1× timings (observed: curate_corpus t1 62.9 s
+in a combined run vs 10.3 s isolated), corrupting the ratios.
 """
 
 from __future__ import annotations

@@ -102,6 +102,22 @@ GATE_QUERIES = [
     "vibration_sweep_moments", "vibration_psd_by_channel",
     "vibration_transfer_functions", "photon_peak_counts",
     "photon_average_pulses",
+    # TPC-H-family joins/aggs + table profiles (round 5): all
+    # order-insensitive single-pass aggregations or
+    # deterministically-tie-broken windows — linear oracles at any sf.
+    # (theta/HLL sketch queries stay out: their exact-mode bound
+    # [4096 entries] is exceeded at 10x cardinality, so the sketch
+    # legitimately goes approximate while the SQL oracle stays exact.)
+    "tpch_q1_pricing_summary", "join_revenue_by_nation",
+    "broadcast_part_revenue", "salted_join_brand_revenue",
+    "rollup_order_revenue", "pivot_priority_by_status",
+    "describe_events", "orders_table_profile", "data_quality_orders",
+    "k_anonymity_events", "percentile_quantity_by_flag",
+    "robust_sigma_by_event_type", "hist1d_event_value",
+    "hist1d_mean_quantity", "hist2d_quantity_discount",
+    "trimmed_price_stats", "grouped_regression_stats",
+    "moving_avg_event_value", "every_nth_downsample",
+    "json_props_stats", "topk_orders_per_priority", "ntile_time_bins",
 ]
 
 
