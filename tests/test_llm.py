@@ -120,8 +120,30 @@ def test_near_dup_clusters_star_agrees_with_pointer_jumping(spark):
         a = {(r.id, r.cluster_id)
              for r in D.near_dup_clusters(pairs, method="jump").collect()}
         b = {(r.id, r.cluster_id)
-             for r in D.near_dup_clusters(pairs).collect()}  # default=star
-        assert a == b
+             for r in D.near_dup_clusters(
+                 pairs, method="star").collect()}
+        # default = bounded driver union-find fast path (small graph)
+        c = {(r.id, r.cluster_id)
+             for r in D.near_dup_clusters(pairs).collect()}
+        # forcing the bound to 0 re-enters the distributed star path
+        d = {(r.id, r.cluster_id)
+             for r in D.near_dup_clusters(
+                 pairs, driver_max_edges=0).collect()}
+        assert a == b == c == d
+
+
+def test_near_dup_clusters_driver_fastpath_bound(spark):
+    # a pair table larger than driver_max_edges must fall through to
+    # the distributed path and still produce the identical partition
+    edges = [(i, i + 1) for i in range(300)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    small = {(r.id, r.cluster_id)
+             for r in D.near_dup_clusters(
+                 pairs, driver_max_edges=100).collect()}   # 300 > 100
+    fast = {(r.id, r.cluster_id)
+            for r in D.near_dup_clusters(pairs).collect()}
+    assert small == fast
+    assert {c for _, c in fast} == {0}
 
 
 def test_simhash_and_hamming(docs):
