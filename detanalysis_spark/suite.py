@@ -4244,6 +4244,8 @@ _REWRITTEN_R05 = (
     "gopher_rule_counts", "repetition_quality_stats",
     "repetition_char_frac_stats", "adaptive_quality_stats",
     "streaming_ann_microbatch_topk",
+    # default CC path gained the bounded driver union-find fast path
+    "near_dup_cluster_sizes",
 )
 
 
