@@ -632,7 +632,16 @@ def near_dup_clusters_star(pairs: DataFrame,
     roots = (edges.select(F.col("v").alias("id")).distinct()
              .join(labels.select("id").distinct(), "id", "left_anti")
              .withColumn("cluster_id", F.col("id")))
-    return labels.union(roots)
+    out = labels.union(roots)
+    # vertices whose component collapsed out of the edge set entirely
+    # (self-loop-only nodes: star rewrites drop u==v edges) are their
+    # own singleton clusters — the jump/union-find paths keep them, so
+    # the star contract must too
+    verts = (pairs.select(F.col("id_a").alias("id"))
+             .union(pairs.select(F.col("id_b").alias("id"))).distinct())
+    lost = (verts.join(out.select("id"), "id", "left_anti")
+            .withColumn("cluster_id", F.col("id")))
+    return out.union(lost)
 
 
 # ----------------------------------------------------------------------

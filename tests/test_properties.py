@@ -351,3 +351,46 @@ def test_token_cosine_matches_counter_cosine(spark, texts):
                 assert abs(got[(i, j)] - want) < 1e-12, (i, j)
             else:
                 assert (i, j) not in got, (i, j)
+
+
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)),
+    min_size=0, max_size=60))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_match_reference_unionfind(spark, edges):
+    """Both distributed CC paths (star, pointer-jump) and the bounded
+    driver fast path produce the partition of an independent
+    reference union-find on arbitrary random graphs — including
+    self-loops, duplicate edges, and reversed duplicates."""
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], ["id_a", "id_b"])
+
+    # reference: textbook union-find, min element as representative
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in (edges or [(0, 0)]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    want = {(x, find(x)) for x in parent}
+
+    fast = {(r.id, r.cluster_id)
+            for r in D.near_dup_clusters(pairs).collect()}
+    star = {(r.id, r.cluster_id)
+            for r in D.near_dup_clusters(
+                pairs, driver_max_edges=0).collect()}
+    jump = {(r.id, r.cluster_id)
+            for r in D.near_dup_clusters(
+                pairs, method="jump", max_iter=40).collect()}
+    assert fast == want
+    assert star == want
+    assert jump == want
