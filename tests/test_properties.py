@@ -394,3 +394,66 @@ def test_connected_components_match_reference_unionfind(spark, edges):
     assert fast == want
     assert star == want
     assert jump == want
+
+
+@given(rows=st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.lists(
+            st.floats(-10, 10, allow_nan=False), min_size=0, max_size=6)),
+        st.one_of(st.none(), st.lists(
+            st.floats(-10, 10, allow_nan=False), min_size=0, max_size=6))),
+    min_size=1, max_size=40))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dot_rows_matches_numpy_with_nulls_and_ragged(spark, rows):
+    """dot_rows (BLAS fast path + row-wise fallback) equals a per-row
+    numpy dot on arbitrary batches mixing null vectors and ragged
+    lengths — invalid pairs score null, valid pairs are exact."""
+    from detanalysis_spark.llm.similarity import dot_rows
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
+        "i long, a array<double>, b array<double>")
+    got = {r.i: r.d for r in df.select(
+        "i", dot_rows(F.col("a"), F.col("b")).alias("d")).collect()}
+    for i, (a, b) in enumerate(rows):
+        if a is None or b is None or len(a) != len(b):
+            assert got[i] is None, i
+        else:
+            want = float(np.dot(a, b)) if a else 0.0
+            assert got[i] == pytest.approx(want, abs=1e-9), i
+
+
+@given(data=st.data())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_matches_pandas_property(spark, data):
+    """asof_join (union-window shape) equals pandas merge_asof on
+    random frames — right (key, time) pairs kept unique so the
+    backward match is well-defined in both engines."""
+    import pandas as pd
+    from detanalysis_spark.operators.joins import asof_join
+
+    lt = data.draw(st.lists(
+        st.tuples(st.sampled_from("ab"), st.integers(0, 50)),
+        min_size=1, max_size=30))
+    rt = data.draw(st.lists(
+        st.tuples(st.sampled_from("ab"), st.integers(0, 50)),
+        min_size=1, max_size=15, unique=True))
+    tol = data.draw(st.one_of(st.none(), st.integers(1, 20)))
+
+    left = pd.DataFrame({"k": [k for k, _ in lt],
+                         "t": pd.array([t for _, t in lt], "int64"),
+                         "x": pd.array(range(len(lt)), "int64")})
+    right = pd.DataFrame({"k": [k for k, _ in rt],
+                          "t": pd.array([t for _, t in rt], "int64"),
+                          "v": pd.array(range(len(rt)), "int64")})
+    got = asof_join(spark.createDataFrame(left),
+                    spark.createDataFrame(right),
+                    on="t", by="k", tolerance=tol).toPandas() \
+        .sort_values("x", ignore_index=True)
+    want = pd.merge_asof(left.sort_values(["t", "x"]),
+                         right.sort_values("t"), on="t", by="k",
+                         direction="backward", tolerance=tol) \
+        .sort_values("x", ignore_index=True)
+    assert list(got.v.fillna(-1)) == list(want.v.fillna(-1))
