@@ -457,3 +457,32 @@ def test_asof_join_matches_pandas_property(spark, data):
                          direction="backward", tolerance=tol) \
         .sort_values("x", ignore_index=True)
     assert list(got.v.fillna(-1)) == list(want.v.fillna(-1))
+
+
+@given(data=st.data())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_range_join_binned_matches_bruteforce_property(spark, data):
+    """Binned point-in-interval join equals the brute-force O(n·m)
+    answer on random inputs — including points exactly on lo/hi
+    (half-open [lo, hi)), zero-width and inverted intervals, and
+    negative coordinates that exercise floor-division bin ids."""
+    from detanalysis_spark.operators.joins import range_join_binned
+
+    pts = data.draw(st.lists(st.integers(-20, 20),
+                             min_size=1, max_size=25))
+    ivs = data.draw(st.lists(st.tuples(st.integers(-20, 20),
+                                       st.integers(-20, 20)),
+                             min_size=1, max_size=12))
+    width = data.draw(st.sampled_from([1.0, 3.0, 7.5]))
+
+    p = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(pts)], ["pid", "x"])
+    iv = spark.createDataFrame(
+        [(j, float(lo), float(hi)) for j, (lo, hi) in enumerate(ivs)],
+        ["iid", "lo", "hi"])
+    got = {(r.pid, r.iid) for r in range_join_binned(
+        p, iv, "x", "lo", "hi", bin_width=width).collect()}
+    want = {(i, j) for i, v in enumerate(pts)
+            for j, (lo, hi) in enumerate(ivs) if lo <= v < hi}
+    assert got == want
