@@ -486,3 +486,70 @@ def test_range_join_binned_matches_bruteforce_property(spark, data):
     want = {(i, j) for i, v in enumerate(pts)
             for j, (lo, hi) in enumerate(ivs) if lo <= v < hi}
     assert got == want
+
+
+@given(data=st.data())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_intervals_matches_reference_sweep(spark, data):
+    """merge_intervals equals a reference sort+sweep per key on random
+    interval sets — overlapping, touching (lo == running hi merges),
+    nested, duplicated, and null-bound rows (dropped)."""
+    from detanalysis_spark.operators.joins import merge_intervals
+
+    ivs = data.draw(st.lists(
+        st.tuples(st.sampled_from("ab"),
+                  st.one_of(st.none(), st.integers(0, 30)),
+                  st.one_of(st.none(), st.integers(0, 30))),
+        min_size=1, max_size=25))
+    rows = [(k, None if lo is None else float(lo),
+             None if hi is None else float(max(lo, hi))
+             if lo is not None and hi is not None else
+             (None if hi is None else float(hi)))
+            for k, lo, hi in ivs]
+    df = spark.createDataFrame(rows, "k string, lo double, hi double")
+    got = {(r.k, r.lo, r.hi, r.n_merged) for r in
+           merge_intervals(df, "lo", "hi", ["k"]).collect()}
+
+    want = set()
+    for key in {k for k, *_ in rows}:
+        ks = sorted([(lo, hi) for k, lo, hi in rows
+                     if k == key and lo is not None and hi is not None])
+        i = 0
+        while i < len(ks):
+            lo, hi, n = ks[i][0], ks[i][1], 1
+            j = i + 1
+            while j < len(ks) and ks[j][0] <= hi:
+                hi = max(hi, ks[j][1]); n += 1; j += 1
+            want.add((key, lo, hi, n))
+            i = j
+    assert got == want
+
+
+@given(data=st.data())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_documents_matches_reference_cumsum(spark, data):
+    """pack_documents (window cumsum) equals the greedy reference:
+    pack_id = floor(tokens-before / budget), offset = remainder —
+    per stream, in order, including zero-token docs and docs larger
+    than the budget."""
+    from detanalysis_spark.llm.text import pack_documents
+
+    docs = data.draw(st.lists(
+        st.tuples(st.sampled_from("xy"), st.integers(0, 12)),
+        min_size=1, max_size=25))
+    budget = data.draw(st.sampled_from([1, 4, 9]))
+    rows = [(i, k, n) for i, (k, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n long")
+    got = {r.doc_id: (r.pack_id, r.pack_offset) for r in pack_documents(
+        df, "n", budget, order_col="doc_id",
+        partition_cols=["src"]).collect()}
+
+    for key in "xy":
+        cum = 0
+        for i, k, n in rows:
+            if k != key:
+                continue
+            assert got[i] == (cum // budget, cum % budget), i
+            cum += n
