@@ -553,3 +553,57 @@ def test_pack_documents_matches_reference_cumsum(spark, data):
                 continue
             assert got[i] == (cum // budget, cum % budget), i
             cum += n
+
+
+@given(data=st.data())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_take_token_budget_matches_greedy_prefix(spark, data):
+    """take_token_budget keeps exactly the greedy per-stream prefix:
+    a doc survives iff the tokens BEFORE it total less than the
+    budget (overshoot by at most one doc), in order, per stream."""
+    from detanalysis_spark.llm.text import take_token_budget
+
+    docs = data.draw(st.lists(
+        st.tuples(st.sampled_from("xy"), st.integers(0, 12)),
+        min_size=1, max_size=25))
+    budget = data.draw(st.sampled_from([1, 5, 11]))
+    rows = [(i, k, n) for i, (k, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n long")
+    got = {r.doc_id for r in take_token_budget(
+        df, "n", budget, order_col="doc_id",
+        partition_cols=["src"]).collect()}
+
+    want = set()
+    for key in "xy":
+        cum = 0
+        for i, k, n in rows:
+            if k != key:
+                continue
+            if cum < budget:
+                want.add(i)
+            cum += n
+    assert got == want
+
+
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=60,
+                    unique=True),
+       seed=st.integers(0, 3))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_assign_split_total_deterministic_and_stable(spark, ids, seed):
+    """Every row gets exactly one split from the declared set; the
+    assignment is a pure function of (seed, id) — identical across
+    repeated runs and under repartitioning."""
+    from detanalysis_spark.operators.sampling import assign_split
+
+    fr = {"train": 0.7, "val": 0.2, "test": 0.1}
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    a = {r.doc_id: r.split for r in
+         assign_split(df, "doc_id", fr, seed=seed).collect()}
+    b = {r.doc_id: r.split for r in
+         assign_split(df.repartition(7), "doc_id", fr,
+                      seed=seed).collect()}
+    assert set(a) == set(ids)
+    assert all(v in fr for v in a.values())
+    assert a == b
