@@ -607,3 +607,47 @@ def test_assign_split_total_deterministic_and_stable(spark, ids, seed):
     assert set(a) == set(ids)
     assert all(v in fr for v in a.values())
     assert a == b
+
+
+@given(words=st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=4),
+    min_size=1, max_size=30),
+    num_merges=st.integers(1, 6))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_train_bpe_matches_reference(spark, words, num_merges):
+    """train_bpe equals a reference Python BPE on random corpora: same
+    merge sequence under the documented tie-break (count desc, a asc,
+    b asc), same left-to-right non-overlapping merge scan, same
+    min_freq early stop."""
+    from collections import Counter
+    from detanalysis_spark.llm.text import BPE_EOW, train_bpe
+
+    df = spark.createDataFrame([(" ".join(words),)], ["text"])
+    got, _ = train_bpe(df, num_merges, min_freq=2)
+
+    wf = Counter(words)
+    syms = {w: [*w, BPE_EOW] for w in wf}
+    want = []
+    for _ in range(num_merges):
+        counts = Counter()
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += wf[w]
+        if not counts:
+            break
+        best = min(counts.items(),
+                   key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if best[1] < 2:
+            break
+        (a, b), _n = best
+        want.append((a, b))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(s[i]); i += 1
+            syms[w] = out
+    assert got == want
