@@ -79,10 +79,11 @@ def redact_pii(text: Column, kinds: list[str] | None = None,
 # repetition / quality gates (Gopher-style)
 # ---------------------------------------------------------------------------
 def _tokens(text: Column) -> Column:
-    # split("") yields [""], not [] — treat blank text as zero tokens
-    return F.when(F.length(F.trim(text)) == 0,
-                  F.array().cast("array<string>")) \
-            .otherwise(F.split(F.trim(text), r"\s+"))
+    # split on \s+ then drop empty boundary tokens — Python
+    # str.split() semantics (same fix as llm/text._tokens: SQL trim
+    # strips only ' ', so trim-then-split kept phantom empty tokens
+    # around leading/trailing newlines/tabs)
+    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
 
 
 def repetition_struct(text: Column, n: int = 2) -> Column:

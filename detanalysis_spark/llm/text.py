@@ -39,13 +39,19 @@ _PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}<>/@#$%^&*_+=~`|\\-]"
 
 
 def _tokens(text: Column) -> Column:
-    return F.split(F.trim(text), _WS)
+    # split on \s+ then drop empty boundary tokens — Python
+    # str.split() semantics. The previous trim-then-split shape kept
+    # phantom empty tokens whenever the text started or ended with
+    # NON-SPACE whitespace (SQL trim strips only ' ': split('\na b\n')
+    # gave ['', 'a', 'b', ''] → 4 "tokens"), inflating every
+    # token-derived signal for such docs; caught by the
+    # quality-struct-vs-Python-reference hypothesis property.
+    return F.filter(F.split(text, _WS), lambda x: x != "")
 
 
 def token_count(text: Column) -> Column:
     """Whitespace token count; 0 for empty/blank text."""
-    return F.when(F.length(F.trim(text)) == 0, F.lit(0)) \
-            .otherwise(F.size(_tokens(text)))
+    return F.size(_tokens(text))
 
 
 def bpe_ish_token_count(text: Column) -> Column:
@@ -83,8 +89,7 @@ def quality_struct(text: Column) -> Column:
     def mk(r: Column) -> Column:
         t, tk = r["t"], r["tk"]
         n_chars = F.length(t)
-        n_toks = F.when(F.length(F.trim(t)) == 0, F.lit(0)) \
-                  .otherwise(F.size(tk))
+        n_toks = F.size(tk)   # _tokens already drops empty tokens
         safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
         safe_toks = F.greatest(n_toks, F.lit(1)).cast("double")
         n_of = lambda cls: (  # noqa: E731
@@ -168,7 +173,10 @@ def language_id(text: Column) -> Column:
 def doc_fingerprint(text: Column) -> Column:
     """Whitespace/case-insensitive content fingerprint (md5 of the
     normalized text) — the exact-dedup key for sloppily-copied docs."""
-    norm = F.lower(F.regexp_replace(F.trim(text), _WS, " "))
+    # collapse whitespace runs FIRST, then trim: SQL trim strips only
+    # ' ', so trimming before collapsing left boundary newlines/tabs
+    # as leading/trailing spaces in the key
+    norm = F.lower(F.trim(F.regexp_replace(text, _WS, " ")))
     return F.md5(norm.cast("binary"))
 
 

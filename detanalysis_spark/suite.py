@@ -493,7 +493,7 @@ def time_binned_count_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("doc_token_stats", oracle=r"""
 SELECT source,
        count(*) AS n_docs,
-       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+       CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source
 """)
@@ -822,7 +822,7 @@ def dedup_exact_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
   SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
                                 for i in range(1, len(toks)-1)]) AS sh
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
         FROM documents))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(len(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -845,7 +845,7 @@ def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH RECURSIVE t AS (
   SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
                                 for i in range(1, len(toks)-1)]) AS sh
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
         FROM documents)),
 p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -877,7 +877,7 @@ def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("text_quality_by_source", oracle=r"""
 WITH q AS (
   SELECT source,
-         string_split_regex(trim(text), '\s+') AS toks,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
          len(text) AS n_chars,
          len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bpe,
          len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS digits
@@ -927,7 +927,7 @@ WITH s AS (
              ['est','et','la','le','les','pas','que','une'], t))) AS s_fr,
          len(list_filter(low, t -> list_contains(
              ['el','es','la','los','no','que','una','y'], t))) AS s_es
-  FROM (SELECT lang, list_transform(string_split_regex(trim(text), '\s+'),
+  FROM (SELECT lang, list_transform(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
                                     t -> lower(t)) AS low
         FROM documents))
 SELECT true_lang,
@@ -953,7 +953,7 @@ def language_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 @query("doc_fingerprint_stats", oracle=r"""
 SELECT lang, count(*) AS n_docs,
-       count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))))
+       count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
          AS n_distinct_fp
 FROM documents GROUP BY lang
 """)
@@ -1649,8 +1649,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("training_pipeline_stats", oracle=r"""
 WITH f AS (
   SELECT doc_id, source, text,
-         string_split_regex(trim(text), '\s+') AS toks,
-         list_transform(string_split_regex(trim(text), '\s+'),
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+         list_transform(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
                         t -> lower(t)) AS low,
          len(text) AS n_chars
   FROM documents),
@@ -1908,7 +1908,7 @@ def normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 @query("chunked_documents_stats", oracle=r"""
 WITH t AS (SELECT doc_id, source,
-                  string_split_regex(trim(text), '\s+') AS toks
+                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
            FROM documents),
 c AS (SELECT doc_id, source,
              [array_to_string(toks[i:i+49], ' ')
@@ -1917,7 +1917,7 @@ c AS (SELECT doc_id, source,
 e AS (SELECT source, unnest(chunks) AS chunk_text FROM c)
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_chunks,
-       CAST(sum(len(string_split_regex(trim(chunk_text), '\s+')))
+       CAST(sum(len(list_filter(string_split_regex(chunk_text, '\s+'), x -> x <> '')))
             AS BIGINT) AS total_chunk_tokens
 FROM e GROUP BY source
 """)
@@ -2179,7 +2179,7 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 @query("repetition_quality_stats", oracle=r"""
 WITH t AS (
-  SELECT lang, string_split_regex(trim(text), '\s+') AS toks
+  SELECT lang, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
   FROM documents WHERE len(trim(text)) > 0),
 s AS (
   SELECT lang,
@@ -2229,7 +2229,7 @@ WITH g AS (
          list_distinct([array_to_string(toks[i:i+2], ' ')
                         for i in range(1, len(toks)-1)]) AS grams
   FROM (SELECT doc_id, source,
-               string_split_regex(trim(text), '\s+') AS toks
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
         FROM documents)),
 b AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 25 = 0),
 d AS (SELECT doc_id, source, grams FROM g WHERE doc_id % 25 <> 0),
@@ -2264,7 +2264,7 @@ def decontamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sequence_packing_stats", oracle=r"""
 WITH d AS (
   SELECT doc_id, source,
-         len(string_split_regex(trim(text), '\s+')) AS n_tok
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok
   FROM documents WHERE len(trim(text)) > 0),
 p AS (
   SELECT source, n_tok,
@@ -2362,7 +2362,7 @@ def approx_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 @query("span_dedup_stats", oracle=r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
 pos AS (
   SELECT doc_id, unnest([array_to_string(t[i:i+4], ' ')
                          for i in range(1, len(t)-3)]) AS gram
@@ -2403,7 +2403,7 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("tfidf_top_terms", oracle=r"""
 WITH tf AS (
   SELECT doc_id, term, count(*) AS tf FROM (
-    SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+    SELECT doc_id, lower(unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS term
     FROM documents) WHERE len(term) > 0 GROUP BY doc_id, term),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 n AS (SELECT count(*) AS N FROM documents),
@@ -2458,7 +2458,7 @@ def training_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("unigram_nll_scores", oracle=r"""
 WITH tf AS (
   SELECT doc_id, term, count(*) AS tf FROM (
-    SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+    SELECT doc_id, lower(unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS term
     FROM documents) WHERE len(term) > 0 GROUP BY doc_id, term),
 ctf AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term),
 tot AS (SELECT sum(ctf) AS T FROM ctf)
@@ -2598,7 +2598,7 @@ def hist1d_mean_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("vocab_top_terms", oracle=r"""
 WITH tf AS (
   SELECT doc_id, term, count(*) AS tf FROM (
-    SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+    SELECT doc_id, lower(unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS term
     FROM documents) WHERE len(term) > 0 GROUP BY doc_id, term),
 stats AS (SELECT term, sum(tf) AS ctf, count(*) AS df FROM tf GROUP BY term),
 ranked AS (
@@ -2725,7 +2725,7 @@ def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("token_budget_sample_stats", oracle=r"""
 WITH d AS (
   SELECT doc_id, source,
-         len(string_split_regex(trim(text), '\s+')) AS n_tok
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok
   FROM documents WHERE len(trim(text)) > 0),
 p AS (
   SELECT doc_id, source, n_tok,
@@ -2800,7 +2800,7 @@ WITH red AS (
            '[PII]', 'g') AS t
   FROM documents WHERE doc_id % 25 <> 0),
 tok AS (
-  SELECT *, string_split_regex(trim(t), '\s+') AS toks FROM red
+  SELECT *, list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS toks FROM red
   WHERE len(trim(t)) > 0),
 q AS (
   SELECT * FROM tok
@@ -2812,7 +2812,7 @@ q AS (
 bg AS (
   SELECT DISTINCT unnest([array_to_string(btoks[i:i+2], ' ')
                           for i in range(1, len(btoks)-1)]) AS gram
-  FROM (SELECT string_split_regex(trim(text), '\s+') AS btoks
+  FROM (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS btoks
         FROM documents WHERE doc_id % 25 = 0)),
 dg AS (
   SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
@@ -2968,7 +2968,7 @@ def moving_avg_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("bpe_first_merge_pairs", oracle=r"""
 WITH wf AS (
   SELECT word, count(*) AS freq
-  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+  FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word
         FROM documents)
   WHERE length(word) > 0 GROUP BY word),
 ch AS (
@@ -3160,8 +3160,8 @@ def incremental_append_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("line_dedup_first_occurrence", oracle=r"""
 WITH w AS (
   SELECT doc_id,
-         unnest(string_split_regex(trim(text), '\s+')) AS word,
-         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) - 1
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word,
+         generate_subscripts(list_filter(string_split_regex(text, '\s+'), x -> x <> ''), 1) - 1
            AS pos
   FROM documents),
 f AS (SELECT word, min(doc_id * 1000000 + pos) AS fk FROM w GROUP BY word),
@@ -3266,7 +3266,7 @@ WITH q AS (
   SELECT d.doc_id, d.lang, d.n_chars, e.label,
          CAST(e.embedding AS DOUBLE[]) AS emb
   FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-  WHERE len(string_split_regex(trim(d.text), '\s+')) >= 5
+  WHERE len(list_filter(string_split_regex(d.text, '\s+'), x -> x <> '')) >= 5
     AND length(trim(d.text)) > 0)
 SELECT x.lang, x.label,
        CAST(count(*) AS BIGINT) AS n_kept,
@@ -3328,7 +3328,7 @@ def adaptive_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("bigram_nll_scores", oracle=r"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(list_transform(string_split_regex(trim(text), '\s+'),
+         list_filter(list_transform(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
                                     t -> lower(t)),
                      t -> len(t) > 0) AS tk
   FROM documents),
@@ -3441,7 +3441,7 @@ def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH tf AS (
   SELECT doc_id, term, count(*) AS tf FROM (
     SELECT doc_id,
-           lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+           lower(unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS term
     FROM documents WHERE doc_id < 300) WHERE len(term) > 0
   GROUP BY doc_id, term),
 b AS (SELECT doc_id, tf,
@@ -3470,7 +3470,7 @@ def hashed_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("gopher_rule_counts", oracle=r"""
 WITH t AS (
   SELECT doc_id, text,
-         list_filter(string_split_regex(trim(text), '\s+'),
+         list_filter(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
                      w -> len(w) > 0) AS tk,
          list_filter(string_split(text, chr(10)),
                      l -> len(trim(l)) > 0) AS ln
@@ -3894,7 +3894,7 @@ def k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH tf AS (
   SELECT doc_id, term, count(*) AS tf FROM (
     SELECT doc_id,
-           lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+           lower(unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS term
     FROM documents WHERE doc_id < 100) WHERE len(term) > 0
   GROUP BY doc_id, term),
 n AS (SELECT doc_id, sqrt(sum(tf * tf)) AS nrm FROM tf GROUP BY doc_id),
@@ -3925,7 +3925,7 @@ def token_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("repetition_char_frac_stats", oracle=r"""
 WITH toks AS (
   SELECT doc_id, lang,
-         list_filter(list_transform(string_split_regex(trim(text), '\s+'),
+         list_filter(list_transform(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
                                     t -> lower(t)),
                      t -> len(t) > 0) AS tk
   FROM documents),

@@ -651,3 +651,41 @@ def test_train_bpe_matches_reference(spark, words, num_merges):
                     out.append(s[i]); i += 1
             syms[w] = out
     assert got == want
+
+
+@given(texts=st.lists(
+    st.text(alphabet="abcTHE the.,;!?09 \t\n'\"-()", min_size=0,
+            max_size=60),
+    min_size=1, max_size=20))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_quality_struct_matches_python_reference(spark, texts):
+    """The bound-lambda quality struct (this round's rewrite) equals a
+    plain Python reference on arbitrary ASCII text — whitespace runs,
+    empty/blank docs, punctuation clusters, stopword casing."""
+    import re
+    from detanalysis_spark.llm.text import (LANG_STOPWORDS,
+                                            quality_struct)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    got = {r.i: r.q.asDict() for r in df.select(
+        "i", quality_struct(F.col("text")).alias("q")).collect()}
+
+    punct = re.compile(r"[.,;:!?'\"()\[\]{}<>/@#$%^&*_+=~`|\\-]")
+    stops = set(LANG_STOPWORDS["en"])
+    for i, t in enumerate(texts):
+        toks = re.split(r"\s+", t.strip()) if t.strip() else []
+        n_tok = len(toks)
+        want = {
+            "n_chars": len(t),
+            "n_tokens": n_tok,
+            "mean_token_len": sum(map(len, toks)) / max(n_tok, 1),
+            "punct_ratio": len(punct.findall(t)) / max(len(t), 1),
+            "digit_ratio": len(re.findall(r"[0-9]", t)) / max(len(t), 1),
+            "upper_ratio": len(re.findall(r"[A-Z]", t)) / max(len(t), 1),
+            "stopword_ratio":
+                sum(w.lower() in stops for w in toks) / max(n_tok, 1),
+        }
+        for k, v in want.items():
+            assert got[i][k] == pytest.approx(v, abs=1e-12), (i, k, t)
