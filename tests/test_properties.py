@@ -689,3 +689,68 @@ def test_quality_struct_matches_python_reference(spark, texts):
         }
         for k, v in want.items():
             assert got[i][k] == pytest.approx(v, abs=1e-12), (i, k, t)
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab x\n\t", min_size=0, max_size=40),
+    min_size=1, max_size=15),
+    n=st.sampled_from([2, 3]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_repetition_struct_matches_python_reference(spark, texts, n):
+    """dup-token / dup-ngram / max-token ratios equal a Counter-based
+    reference under str.split() tokenization — repeated runs,
+    whitespace-only docs, fewer-than-n-token docs."""
+    from collections import Counter
+    from detanalysis_spark.llm.cleaning import repetition_struct
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    got = {r.i: r.q.asDict() for r in df.select(
+        "i", repetition_struct(F.col("text"), n=n).alias("q")).collect()}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        grams = [" ".join(toks[j:j + n])
+                 for j in range(max(len(toks) - n + 1, 0))]
+        want = {
+            "dup_token_ratio":
+                1 - len(set(toks)) / len(toks) if toks else 0.0,
+            "dup_ngram_ratio":
+                1 - len(set(grams)) / len(grams) if grams else 0.0,
+            "max_token_ratio":
+                max(Counter(toks).values()) / len(toks) if toks else 0.0,
+        }
+        for key, v in want.items():
+            assert got[i][key] == pytest.approx(v, abs=1e-12), (i, key, t)
+
+
+@given(texts=st.lists(st.text(alphabet="abc", min_size=0, max_size=30),
+                      min_size=1, max_size=10),
+       k=st.sampled_from([3, 5]), w=st.sampled_from([2, 4]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_winnow_fingerprints_matches_windowed_min_reference(
+        spark, texts, k, w):
+    """Winnowing equals the reference window-min-then-distinct over
+    the SAME k-gram hash array (computed natively, so the property
+    isolates the windowing/dedup logic) — short docs collapse to a
+    single gram/window by contract."""
+    from detanalysis_spark.llm.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(
+            F.length("text") - (k - 1), F.lit(1))),
+        lambda i: F.col("text").substr(i, F.lit(k)))
+    rows = df.select(
+        "i",
+        F.transform(grams, lambda g: F.xxhash64(g)).alias("hashes"),
+        winnow_fingerprints(F.col("text"), k=k, w=w).alias("fp")
+    ).collect()
+    for r in rows:
+        hs = r.hashes
+        mins = [min(hs[j:j + w])
+                for j in range(max(len(hs) - w + 1, 1))]
+        want = sorted(set(mins))
+        assert sorted(r.fp) == want, (r.i, texts[r.i])
