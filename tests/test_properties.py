@@ -754,3 +754,27 @@ def test_winnow_fingerprints_matches_windowed_min_reference(
                 for j in range(max(len(hs) - w + 1, 1))]
         want = sorted(set(mins))
         assert sorted(r.fp) == want, (r.i, texts[r.i])
+
+
+@given(vals=st.lists(st.floats(-1e6, 1e6, allow_nan=False,
+                               allow_infinity=False),
+                     min_size=1, max_size=50),
+       qs=st.lists(st.floats(0, 100), min_size=1, max_size=4))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_exact_percentiles_match_numpy(spark, vals, qs):
+    """Exact-mode percentiles equal np.percentile (linear
+    interpolation) for arbitrary data and quantiles — the definition
+    the semiauto threshold semantics depend on (SURVEY hard part 1)."""
+    from detanalysis_spark.operators.stats import (percentiles,
+                                                   robust_sigma)
+    df = spark.createDataFrame([(float(v),) for v in vals], ["x"])
+    got = percentiles(df, "x", qs, exact=True)
+    want = np.percentile(vals, qs)
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-12, abs=1e-9), (qs, vals)
+    med, sig = robust_sigma(df, "x")
+    p = np.percentile(vals, [15.865, 50.0, 84.135])
+    assert med == pytest.approx(p[1], rel=1e-12, abs=1e-9)
+    assert sig == pytest.approx(
+        (abs(p[0] - p[1]) + abs(p[1] - p[2])) / 2, rel=1e-12, abs=1e-9)
