@@ -475,16 +475,22 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20,
                       method: str = "auto",
                       driver_max_edges: int = 200_000) -> DataFrame:
     """Connected components over (id_a, id_b) edges → (id, cluster_id).
+    EAGER under the default ``method="auto"``: it runs one bounded
+    ``limit(driver_max_edges + 1).collect()`` probe job at CALL time
+    (not at first action), and when the table exceeds the bound the
+    pair plan is evaluated again by the distributed run — callers with
+    an expensive un-checkpointed upstream should either checkpoint the
+    pairs first (as :func:`apply_near_dedup` does) or pass
+    ``driver_max_edges=0`` to stay fully lazy/distributed.
 
-    ``method="auto"`` (default) first tries a BOUNDED driver fast
-    path: one ``limit(driver_max_edges + 1).collect()`` job; if the
-    pair table fits, union-find on the driver (microseconds, ≤ ~3 MB)
-    replaces several distributed rounds — the same small-side economics
-    as broadcasting a join. Near-dup pair tables are tiny relative to
-    the corpus (they hold only candidate duplicates), so this is the
-    common case; identical (id, cluster_id = component min) output
-    either way, and anything larger falls through to the distributed
-    star path. Set ``driver_max_edges=0`` to force distributed.
+    ``method="auto"`` first tries that BOUNDED driver fast path: if
+    the pair table fits, union-find on the driver (microseconds,
+    ≤ ~3 MB) replaces several distributed rounds — the same small-side
+    economics as broadcasting a join. Near-dup pair tables are tiny
+    relative to the corpus (they hold only candidate duplicates), so
+    this is the common case; identical (id, cluster_id = component
+    min) output either way, and anything larger falls through to the
+    distributed star path.
 
     Past the bound, ``method="auto"`` runs the alternating
     large/small-star algorithm (:func:`near_dup_clusters_star`) — its

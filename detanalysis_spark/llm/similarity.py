@@ -326,51 +326,63 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
         out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
         if len(pm) == 0:
             return df.sparkSession.createDataFrame([], out_schema)
-        # size-guard BEFORE materializing the matrix (len × dim is
-        # known from the collected rows); null probes are dropped above
-        # and off-dimension probes below — the fold scored any
-        # length-mismatched pair null, i.e. below threshold.
+        # size-guard BEFORE materializing the matrices (total elements
+        # are known from the collected rows). Null probes are dropped
+        # above (the fold scored null-vector pairs null → below
+        # threshold); mixed-dimension probes are grouped by length and
+        # each group gets its own matmul against the same-length corpus
+        # rows — the fold scored length-MISMATCHED pairs null but DID
+        # score same-length minority-dimension pairs, so those must
+        # survive here too.
         lens = pm["va"].map(len).to_numpy()
-        dim = int(np.bincount(lens).argmax())
-        if len(pm) * dim > 50_000_000:
+        if int(lens.sum()) > 10_000_000:
             raise ValueError(
-                f"cosine_near_dup_pairs: probe matrix "
-                f"({len(pm)}, {dim}) too large to hold per task — "
-                f"pass lsh= for this scale")
-        pm = pm[lens == dim]
-        P = np.stack(pm["va"].to_numpy()).astype(np.float64, copy=False)
-        ids_a = pm["id_a"].to_numpy()
+                f"cosine_near_dup_pairs: probe matrix too large to "
+                f"hold per executor ({len(pm)} rows, {int(lens.sum())} "
+                f"elements > 10M) — pass lsh= for this scale")
+        groups = []
+        for dim in np.unique(lens):
+            sub = pm[lens == dim]
+            groups.append((int(dim),
+                           np.stack(sub["va"].to_numpy()).astype(
+                               np.float64, copy=False),
+                           sub["id_a"].to_numpy()))
+        # ship the probe matrices as an explicit broadcast: one
+        # torrent-distributed copy per executor instead of a closure
+        # capture serialized with (and held by) every task
+        bc = df.sparkSession.sparkContext.broadcast(groups)
         thr = float(threshold)
         BLK = 2048  # bounds each score block to ≤ 32 MB
 
         def gen(batches):
+            grps = bc.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                # drop null / off-dimension corpus vectors (the fold
-                # scored those pairs null → below threshold)
-                ok = pdf["vb"].map(
-                    lambda v: v is not None and len(v) == dim)
-                if not ok.all():
-                    pdf = pdf[ok]
-                    if len(pdf) == 0:
+                # null corpus vectors score null under the fold →
+                # below threshold; -1 never matches a probe dimension
+                blens = pdf["vb"].map(
+                    lambda v: -1 if v is None else len(v)).to_numpy()
+                for dim, P, ids_a in grps:
+                    sel = pdf[blens == dim]
+                    if len(sel) == 0:
                         continue
-                X = np.stack(pdf["vb"].to_numpy()).astype(
-                    np.float64, copy=False)
-                ids_b = pdf["id_b"].to_numpy()
-                for i in range(0, len(ids_b), BLK):
-                    Xi, bi_ids = X[i:i + BLK], ids_b[i:i + BLK]
-                    for j in range(0, len(ids_a), BLK):
-                        S = Xi @ P[j:j + BLK].T
-                        ai_ids = ids_a[j:j + BLK]
-                        mask = (S >= thr) \
-                            & (ai_ids[None, :] < bi_ids[:, None])
-                        bi, ai = np.nonzero(mask)
-                        if len(bi):
-                            yield pd.DataFrame(
-                                {"id_a": ai_ids[ai],
-                                 "id_b": bi_ids[bi],
-                                 "cosine": S[bi, ai]})
+                    X = np.stack(sel["vb"].to_numpy()).astype(
+                        np.float64, copy=False)
+                    ids_b = sel["id_b"].to_numpy()
+                    for i in range(0, len(ids_b), BLK):
+                        Xi, bi_ids = X[i:i + BLK], ids_b[i:i + BLK]
+                        for j in range(0, len(ids_a), BLK):
+                            S = Xi @ P[j:j + BLK].T
+                            ai_ids = ids_a[j:j + BLK]
+                            mask = (S >= thr) \
+                                & (ai_ids[None, :] < bi_ids[:, None])
+                            bi, ai = np.nonzero(mask)
+                            if len(bi):
+                                yield pd.DataFrame(
+                                    {"id_a": ai_ids[ai],
+                                     "id_b": bi_ids[bi],
+                                     "cosine": S[bi, ai]})
 
         return d.mapInPandas(gen, out_schema)
 

@@ -78,8 +78,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     """
     path = f"{sf_dir}/{name}.parquet"
     key = (spark.sparkContext.applicationId, path)
-    if cache and key in _DF_CACHE:
-        return _DF_CACHE[key]
+    if cache:
+        # evict entries from previous sessions: a restarted process
+        # gets a new applicationId, and stale keys would otherwise pin
+        # dead DataFrame plans (and their captured file listings)
+        # forever in this module-global
+        stale = [k for k in _DF_CACHE if k[0] != key[0]]
+        for k in stale:
+            del _DF_CACHE[k]
+        if key in _DF_CACHE:
+            return _DF_CACHE[key]
     nano_cols, ntz_cols = _timestamp_cols(path)
     # nanosAsLong is set once at session build (session.py _DEFAULTS) —
     # never mutated here (racy under concurrent use)

@@ -298,6 +298,40 @@ def test_cosine_near_dup_null_and_ragged_rows(spark):
     assert out[(3, 3)] == pytest.approx(1.0)             # equal-len odd dim
 
 
+def test_cosine_near_dup_mixed_dimension_groups(spark):
+    # same-length MINORITY-dimension pairs must be scored — the
+    # zip_with fold nulls only length-MISMATCHED pairs, so the exact
+    # path runs one matmul per dimension group instead of keeping only
+    # the majority dimension
+    from detanalysis_spark.llm.similarity import cosine_near_dup_pairs
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [1.0, 1e-4, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (10, [1.0, 1e-4]), (11, [1.0, 0.0]), (12, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b)
+           for r in cosine_near_dup_pairs(df, 0.95).collect()}
+    assert got == {(0, 1), (10, 11)}   # cross-dimension pairs stay null
+    # an explicit probe slice spanning both dimensions scores both
+    got2 = {(r.id_a, r.id_b)
+            for r in cosine_near_dup_pairs(
+                df, 0.95, probes=df.filter("vec_id in (0, 10)")).collect()}
+    assert got2 == {(0, 1), (10, 11)}
+
+
+def test_cosine_near_dup_probe_matrix_guard(spark):
+    # the per-executor probe-matrix bound counts TOTAL elements across
+    # dimension groups and fires before any matrix is materialized
+    from detanalysis_spark.llm.similarity import cosine_near_dup_pairs
+    corpus = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"))
+    fat = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array_repeat(F.lit(1.0), 100_000).alias("embedding"))
+    with pytest.raises(ValueError, match="probe matrix too large"):
+        cosine_near_dup_pairs(corpus, 0.9, probes=fat)
+
+
 # ----------------------------------------------------------------------
 # IVF index
 # ----------------------------------------------------------------------

@@ -132,6 +132,18 @@ def test_load_table_memoizes_per_session(spark, sf_dir):
     assert c.schema == a.schema
 
 
+def test_load_table_evicts_stale_session_entries(spark, sf_dir):
+    # keys from a previous (restarted) session pin dead plans forever;
+    # access evicts every entry whose applicationId isn't current
+    from detanalysis_spark.sources.tables import _DF_CACHE, load_table
+    a = load_table(spark, sf_dir, "events")
+    stale = ("app-from-a-previous-process", "/some/path.parquet")
+    _DF_CACHE[stale] = a
+    b = load_table(spark, sf_dir, "events")
+    assert b is a
+    assert stale not in _DF_CACHE
+
+
 def test_load_table_rebases_naive_timestamps(spark, tmp_path):
     """Tz-naive parquet timestamps (micros NTZ — the testdata layout as
     of round 2) load as LTZ whose internal epoch equals the
