@@ -4226,37 +4226,56 @@ _R04_GRADED = frozenset({
     "training_batch_stats", "uneven_bins_extendedprice", "union_all_scan",
 })
 
-_DRIVER_GRADED = _R02_GRADED | _R03_GRADED | _R04_GRADED
+_R05_GRADED = frozenset({
+    "adaptive_quality_stats", "ann_ivf_topk",
+    "anti_join_customers_no_orders", "approx_percentile_profile",
+    "array_baseline_centered_mean", "array_energy_by_label",
+    "box_cut_counts", "broadcast_part_revenue",
+    "curated_corpus_exact_stats", "curated_corpus_stats",
+    "cut_algebra_xor", "dedup_exact_documents", "distinct_event_types",
+    "doc_token_stats", "embedding_near_dup_pairs",
+    "flagship_event_cut_stats", "global_filter_algebra",
+    "gopher_rule_counts", "grouped_spectrum_fits", "hist1d_event_value",
+    "hist2d_quantity_discount", "join_revenue_by_nation",
+    "lowpass_kernel_embeddings", "near_dup_cluster_sizes",
+    "ntile_time_bins", "passage_fraction_counts",
+    "passfrac_sequential_matrix", "percentile_quantity_by_flag",
+    "repetition_char_frac_stats", "repetition_quality_stats",
+    "robust_sigma_by_event_type", "semantic_curation_stats",
+    "semantic_dedup_stats", "semi_join_high_value", "semiauto_count_cut",
+    "semiauto_interval_cut", "semiauto_master_combine",
+    "semiauto_ofamp_binned_cut", "semiauto_sigma_cut",
+    "semiauto_time_binned_cut", "sketch_rollup_day_profile",
+    "streaming_ann_microbatch_topk", "streaming_psd_stats",
+    "theta_split_overlap", "time_binned_count_exclusion",
+    "topk_orders_per_priority", "tpch_q1_pricing_summary",
+    "training_pipeline_stats", "uneven_bins_extendedprice",
+    "union_all_scan",
+})
+
+_DRIVER_GRADED = _R02_GRADED | _R03_GRADED | _R04_GRADED | _R05_GRADED
 _WINDOW = 50
 
 
-# Queries whose IMPLEMENTATION materially changed in round 5 (the
-# bound-lambda quality/gopher/repetition structs, the vectorized
-# BLAS cosine scoring paths, the star-CC default, the pipeline
-# refactors): their official green grades predate the rewrite, so they
-# must re-enter the grading window ahead of untouched filler —
-# otherwise a rewrite regression would ship while the record shows
-# green.
-_REWRITTEN_R05 = (
-    "embedding_near_dup_pairs", "semantic_dedup_stats",
-    "semantic_curation_stats", "ann_ivf_topk",
-    "training_pipeline_stats", "curated_corpus_exact_stats",
-    "gopher_rule_counts", "repetition_quality_stats",
-    "repetition_char_frac_stats", "adaptive_quality_stats",
-    "streaming_ann_microbatch_topk",
-    # default CC path gained the bounded driver union-find fast path
-    "near_dup_cluster_sizes",
+# Queries whose IMPLEMENTATION materially changed in round 6: their
+# official green grades predate the rewrite, so they must re-enter the
+# grading window ahead of untouched filler — otherwise a rewrite
+# regression would ship while the record shows green.
+_REWRITTEN_R06 = (
+    # cosine_near_dup_pairs exact path: per-dimension-group matmuls +
+    # broadcast probe matrices (ADVICE r5 medium fix)
+    "embedding_near_dup_pairs",
 )
 
 
 def _reorder_registry() -> None:
     # tier1: ANY query with no official driver grade — oracled (full
     # hash gate) or rows-only (the no-SQL-oracle tier) — plus new
-    # round-5 registrations. These MUST land inside the 50-slot window
-    # so union coverage reaches 128/128.
+    # round-6 registrations. These MUST land inside the 50-slot window
+    # so union coverage stays complete.
     tier1 = [n for n in QUERIES if n not in _DRIVER_GRADED]
-    # tier1b: graded green before their round-5 rewrite — re-grade now.
-    tier1b = [n for n in _REWRITTEN_R05 if n in QUERIES and n not in tier1]
+    # tier1b: graded green before their round-6 rewrite — re-grade now.
+    tier1b = [n for n in _REWRITTEN_R06 if n in QUERIES and n not in tier1]
     # tier2..: already-green filler; oldest grades (r02) re-checked
     # first so official records stay fresh.
     resit = set(tier1) | set(tier1b)
@@ -4266,11 +4285,14 @@ def _reorder_registry() -> None:
     tier4 = [n for n in QUERIES
              if n in _R04_GRADED
              and n not in _R02_GRADED | _R03_GRADED | resit]
-    ordered = tier1 + tier1b + tier2 + tier3 + tier4
+    tier5 = [n for n in QUERIES
+             if n in _R05_GRADED
+             and n not in _R02_GRADED | _R03_GRADED | _R04_GRADED | resit]
+    ordered = tier1 + tier1b + tier2 + tier3 + tier4 + tier5
     assert sorted(ordered) == sorted(QUERIES)
     assert len(tier1) + len(tier1b) <= _WINDOW, (
         f"{len(tier1)} never-driver-graded + {len(tier1b)} "
-        f"round-5-rewritten queries exceed the {_WINDOW}-slot grading "
+        f"round-6-rewritten queries exceed the {_WINDOW}-slot grading "
         f"window; demote or swap before shipping")
     for d in (QUERIES,):
         items = {n: d[n] for n in ordered}
