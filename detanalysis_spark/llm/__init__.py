@@ -25,6 +25,8 @@ from .text import (token_count, bpe_ish_token_count, quality_scores,
                    bpe_segment_udf)
 from .multimodal import (decode_raw8, encode_raw8, resize_bilinear,
                          image_features, audio_features, frame_sample_udf)
+from .bloom import (Bloom, bloom_indices, build_bloom,
+                    dedup_incremental_bloom, optimal_bloom_params)
 from .classifier import (hashed_token_features, portable_bucket,
                          hashed_embedding,
                          score_hashed_linear, train_linear_probe,
@@ -59,6 +61,8 @@ __all__ = [
     "pack_documents", "chunk_documents", "normalize_text",
     "word_frequencies", "bpe_pair_counts", "train_bpe", "bpe_segment_udf",
     "near_dup_pairs", "apply_near_dedup", "dedup_incremental",
+    "Bloom", "bloom_indices", "build_bloom", "dedup_incremental_bloom",
+    "optimal_bloom_params",
     "span_dup_stats", "quantize_embeddings", "quantization_error",
     "decode_raw8", "encode_raw8", "resize_bilinear",
     "image_features", "audio_features", "frame_sample_udf",

@@ -2541,6 +2541,43 @@ def incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Bloom-prefiltered incremental dedup — the corpus hashes build a
+# 2^18-bit Bloom filter (one pass + bounded bitmap merge); the new
+# batch is screened by k native bit probes, definite-new rows skip the
+# anti-join entirely, and only filter-accepted rows (true dups + the
+# ~fp sliver) pay the exact hash anti-join. No false negatives means
+# the result EQUALS the plain anti-join — which is exactly what this
+# full value-hash oracle checks.
+# ----------------------------------------------------------------------
+@query("bloom_incremental_dedup_stats", oracle="""
+WITH seen AS (
+  SELECT md5(concat(text)) AS h FROM documents WHERE doc_id % 3 <> 0),
+batch AS (
+  SELECT * FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY md5(concat(text))
+                              ORDER BY doc_id) AS rn,
+           md5(concat(text)) AS h
+    FROM documents WHERE doc_id % 2 = 0)
+  WHERE rn = 1 AND h NOT IN (SELECT h FROM seen))
+SELECT source, CAST(count(*) AS BIGINT) AS n_new,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM batch GROUP BY source
+""")
+def bloom_incremental_dedup_stats(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from .llm.bloom import dedup_incremental_bloom
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    kept = dedup_incremental_bloom(batch, seen, ["text"], "doc_id",
+                                   m_bits=1 << 18, k=5)
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_new"),
+                 F.sum(F.col("doc_id")).alias("sum_ids")))
+
+
+# ----------------------------------------------------------------------
 # percentile outlier trim — two-pass: exact [p1, p99] band from one
 # aggregate, then a pushdown BETWEEN filter; summary stats after trim
 # ----------------------------------------------------------------------

@@ -1,0 +1,140 @@
+"""Bloom-filter membership screen (llm/bloom.py).
+
+Properties pinned here:
+- NO false negatives: every inserted value tests positive (the
+  property the exact incremental-dedup shortcut depends on).
+- native literal path == broadcast pandas-UDF path, value for value.
+- python replay of the bit layout matches the JVM build (same
+  xxhash64 family both sides by construction; this pins the
+  words-packing arithmetic).
+- merge(bloom(A), bloom(B)) == bloom(A ∪ B) bit-for-bit.
+- dedup_incremental_bloom == dedup_incremental row-for-row.
+- save/load round-trip; sizing maths; oversize-literal guard.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from detanalysis_spark.llm.bloom import (Bloom, bloom_indices, build_bloom,
+                                         dedup_incremental_bloom,
+                                         optimal_bloom_params)
+
+
+def _values(n, salt=""):
+    return [f"doc-{salt}{i:05d}" for i in range(n)]
+
+
+def _df(spark, vals, start_id=0):
+    return spark.createDataFrame(
+        [(start_id + i, v) for i, v in enumerate(vals)], "id long, v string")
+
+
+def test_no_false_negatives_and_fp_bound(spark):
+    ins = _values(500, "in")
+    bl = build_bloom(_df(spark, ins), "v", m_bits=1 << 14, k=5)
+    got = (_df(spark, ins)
+           .select(bl.contains("v").alias("hit"))
+           .groupBy().agg(F.sum(F.col("hit").cast("int")).alias("s"))
+           .collect()[0].s)
+    assert got == 500                     # no false negatives, ever
+    # disjoint probes: fp rate should sit near fill**k (loose 5x bound)
+    probe = _values(2000, "out")
+    hits = (_df(spark, probe)
+            .select(bl.contains("v").alias("hit"))
+            .groupBy().agg(F.sum(F.col("hit").cast("int")).alias("s"))
+            .collect()[0].s)
+    assert hits / 2000.0 <= max(5 * bl.fp_rate(), 0.02)
+
+
+def test_native_and_udf_paths_agree(spark):
+    ins = _values(300)
+    bl = build_bloom(_df(spark, ins), "v", m_bits=1 << 12, k=4)
+    probe = _df(spark, _values(400, "mix") + ins[:50], start_id=0)
+    rows = probe.select(
+        "id",
+        bl.contains("v").alias("native"),
+        bl.contains_udf("v", spark).alias("udf")).collect()
+    assert all(r.native == r.udf for r in rows)
+    assert sum(r.native for r in rows) >= 50
+
+
+def test_bit_layout_matches_python_replay(spark):
+    # compute the k indices via the same native expression, then set
+    # bits in pure python — the words must equal the distributed build
+    ins = _values(200, "bits")
+    df = _df(spark, ins)
+    m, k = 1 << 12, 3
+    bl = build_bloom(df, "v", m_bits=m, k=k)
+    idx_rows = df.select(bloom_indices("v", m, k).alias("bi")).collect()
+    words = np.zeros(m // 64, dtype=np.uint64)
+    for r in idx_rows:
+        for i in r.bi:
+            words[i >> 6] |= np.uint64(1) << np.uint64(i & 63)
+    assert np.array_equal(np.ascontiguousarray(bl.words).view(np.uint64),
+                          words)
+
+
+def test_merge_equals_union_build(spark):
+    a, b = _values(150, "a"), _values(150, "b")
+    kw = dict(m_bits=1 << 12, k=4)
+    bl_a = build_bloom(_df(spark, a), "v", **kw)
+    bl_b = build_bloom(_df(spark, b), "v", **kw)
+    bl_ab = build_bloom(_df(spark, a + b), "v", **kw)
+    merged = bl_a.merge(bl_b)
+    assert np.array_equal(merged.words, bl_ab.words)
+    with pytest.raises(ValueError, match="mismatched"):
+        bl_a.merge(build_bloom(_df(spark, b), "v", m_bits=1 << 13, k=4))
+
+
+def test_dedup_incremental_bloom_equals_exact(spark, sf_dir):
+    from detanalysis_spark.llm.dedup import dedup_incremental
+    from detanalysis_spark.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    want = {tuple(r) for r in dedup_incremental(
+        batch, corpus, ["text"], "doc_id").collect()}
+    got = {tuple(r) for r in dedup_incremental_bloom(
+        batch, corpus, ["text"], "doc_id", m_bits=1 << 14, k=5).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_dedup_incremental_bloom_prebuilt_and_large_filter(spark):
+    from detanalysis_spark.llm.dedup import content_hash
+    seen_vals = _values(300, "seen")
+    new_vals = _values(100, "new") + seen_vals[:40]
+    seen = _df(spark, seen_vals)
+    new = _df(spark, new_vals, start_id=1000)
+    # oversized filter routes membership through the broadcast UDF path
+    big = build_bloom(
+        seen.select(content_hash("v").alias("__h__")), "__h__",
+        m_bits=1 << 22, k=3)
+    with pytest.raises(ValueError, match="too large"):
+        big.contains("v")
+    out = dedup_incremental_bloom(new, seen, ["v"], "id", bloom=big)
+    vals = {r.v for r in out.collect()}
+    assert vals == set(_values(100, "new"))
+
+
+def test_save_load_round_trip(spark, tmp_path):
+    bl = build_bloom(_df(spark, _values(100)), "v", m_bits=1 << 12, k=4)
+    p = str(tmp_path / "bloom.parquet")
+    bl.save(spark, p)
+    back = Bloom.load(spark, p)
+    assert (back.m_bits, back.k) == (bl.m_bits, bl.k)
+    assert np.array_equal(back.words, bl.words)
+
+
+def test_optimal_params_and_guards():
+    m, k = optimal_bloom_params(1_000_000, 0.01)
+    assert m % 64 == 0
+    assert 9_500_000 <= m <= 9_700_000      # ≈ 9.585 bits/item at 1%
+    assert k in (6, 7)
+    with pytest.raises(ValueError):
+        optimal_bloom_params(0)
+    with pytest.raises(ValueError):
+        optimal_bloom_params(10, 1.5)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        import detanalysis_spark.llm.bloom as B
+        B.build_bloom(None, "v", m_bits=100)
