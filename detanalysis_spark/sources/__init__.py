@@ -3,6 +3,8 @@ from .tables import (load_table, load_all, register_views, TABLES,
                      write_bucketed, read_bucketed, write_partitioned,
                      table_diff)
 from .files import extract_file_names, load_filterfile
+from .textio import (read_jsonl, read_jsonl_quarantine, write_jsonl,
+                     read_csv_corpus)
 from .hdf5 import (read_vaex_hdf5, hdf5_row_count, hdf5_to_parquet,
                    load_hdf5)
 from .layout import (zorder_key, zorder_write, file_manifest,
@@ -14,6 +16,8 @@ __all__ = ["load_table", "load_all", "register_views", "TABLES",
            "table_diff",
            "normalize_legacy_columns", "LEGACY_COLUMN_MAP",
            "extract_file_names", "load_filterfile",
+           "read_jsonl", "read_jsonl_quarantine", "write_jsonl",
+           "read_csv_corpus",
            "read_vaex_hdf5", "hdf5_row_count", "hdf5_to_parquet",
            "load_hdf5",
            "zorder_key", "zorder_write", "file_manifest",

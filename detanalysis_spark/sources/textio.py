@@ -1,0 +1,124 @@
+"""JSONL / CSV corpus ingestion with corrupt-record quarantine.
+
+Web-scale training corpora arrive as (usually compressed) JSONL or CSV
+— Common Crawl derivatives, RedPajama-style dumps, vendor exports —
+not parquet. These readers wrap Spark's native sources with the
+settings that matter at 100 TB:
+
+- **Explicit schema, never inference**: ``inferSchema``/sampled JSON
+  inference scans the input an extra time before the real read — at
+  corpus scale that doubles the most expensive pass of the pipeline.
+- **Corrupt rows are data, not exceptions**: a billion-line crawl WILL
+  contain truncated records, encoding damage, and schema drift. The
+  JSONL reader parses ``spark.read.text`` lines through native
+  ``from_json`` (same Jackson parse as the json source, whole-stage
+  codegen) so the RAW LINE survives next to the parse result — the
+  quarantine split is then a plain filter, with none of the
+  ``_corrupt_record``-requires-cache ceremony of the built-in source,
+  and no second read.
+- **Compression transparency with a documented trap**: Spark decodes
+  ``.gz`` per file but gzip is NOT splittable — one task per file, so
+  a single 500 GB ``.jsonl.gz`` serializes the whole read. Prefer many
+  shards (the writers here shard by partition) or a splittable codec.
+
+The CSV path uses the native reader (quoting/escaping state machines
+don't decompose line-by-line) with PERMISSIVE mode and a retained
+corrupt-record column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+__all__ = ["read_jsonl", "read_jsonl_quarantine", "write_jsonl",
+           "read_csv_corpus"]
+
+_RAW = "__raw__"
+
+
+def read_jsonl_quarantine(spark: SparkSession, path: str,
+                          schema: StructType | str
+                          ) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine) from JSON-lines files under ``path``.
+
+    ``good`` carries exactly the schema's columns; ``quarantine`` is
+    one ``line string`` column holding every non-blank line that
+    failed to parse. PERMISSIVE ``from_json`` yields all-NULL structs
+    for malformed input (indistinguishable from ``{}``), so the
+    corrupt-record column rides INSIDE the parse schema — malformed
+    lines surface there, well-formed ones leave it null. Both frames
+    share ONE text scan plan — no cache, no second read; blank lines
+    are dropped from both sides. An explicit ``schema`` (DDL string or
+    StructType) is required by design: inference would add a full
+    extra pass over the corpus.
+    """
+    ddl = schema if isinstance(schema, str) else ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    parse_schema = f"{ddl}, __corrupt__ string"
+    lines = (spark.read.text(path)
+             .filter(F.trim(F.col("value")) != "")
+             .select(F.from_json(
+                 F.col("value"), parse_schema,
+                 {"mode": "PERMISSIVE",
+                  "columnNameOfCorruptRecord": "__corrupt__"})
+                 .alias("__j__")))
+    good = (lines.filter(F.col("__j__.__corrupt__").isNull())
+            .select("__j__.*").drop("__corrupt__"))
+    bad = (lines.filter(F.col("__j__.__corrupt__").isNotNull())
+           .select(F.col("__j__.__corrupt__").alias("line")))
+    return good, bad
+
+
+def read_jsonl(spark: SparkSession, path: str,
+               schema: StructType | str) -> DataFrame:
+    """Parsed rows only (quarantine silently dropped) — see
+    :func:`read_jsonl_quarantine` when bad lines must be audited."""
+    good, _ = read_jsonl_quarantine(spark, path, schema)
+    return good
+
+
+def write_jsonl(df: DataFrame, path: str,
+                compression: str | None = None,
+                mode: str = "overwrite") -> None:
+    """Shard ``df`` as JSON-lines text files (one shard per partition
+    — many shards is the point: a monolithic ``.gz`` is unsplittable
+    on read). ``compression`` passes through to the text writer
+    (``gzip``, ``bzip2``, ...)."""
+    out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    w = out.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+
+
+def read_csv_corpus(spark: SparkSession, path: str,
+                    schema: StructType | str, header: bool = True,
+                    **options) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine) from CSV files under ``path`` via the native
+    reader (quote/escape state machines don't decompose line-by-line,
+    so the text-scan trick of the JSONL path doesn't apply here).
+
+    The corrupt-record column rides in the schema (PERMISSIVE mode);
+    the malformed frame keeps the raw record as ``line`` ALONGSIDE the
+    partially-parsed data columns (PERMISSIVE fills the fields it
+    could parse — useful for auditing, and Spark's analyzer rejects a
+    CSV plan whose only referenced column is the corrupt record, so
+    the quarantine must project data columns anyway).
+    """
+    if isinstance(schema, str):
+        full = f"{schema}, __corrupt__ string"
+    else:
+        full = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                         for f in schema.fields) + ", __corrupt__ string"
+    df = (spark.read
+          .options(header=str(header).lower(), mode="PERMISSIVE",
+                   columnNameOfCorruptRecord="__corrupt__", **options)
+          .schema(full)
+          .csv(path))
+    data_cols = [c for c in df.columns if c != "__corrupt__"]
+    good = df.filter(F.col("__corrupt__").isNull()).select(*data_cols)
+    bad = (df.filter(F.col("__corrupt__").isNotNull())
+           .select(F.col("__corrupt__").alias("line"), *data_cols))
+    return good, bad

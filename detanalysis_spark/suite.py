@@ -2578,6 +2578,55 @@ def bloom_incremental_dedup_stats(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# JSONL corpus ingest round trip — documents shard out as gzip JSONL
+# (the arrival format of web-scale corpora), three corrupt lines are
+# planted, and the quarantining reader recovers every valid row
+# exactly (full value-hash oracle over the original table) while
+# counting the corrupt lines — all from ONE text-scan plan, no
+# inference pass, no cache ceremony.
+# ----------------------------------------------------------------------
+@query("jsonl_ingest_stats", oracle="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_id
+FROM documents GROUP BY lang
+UNION ALL
+SELECT '__corrupt__', CAST(3 AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+""")
+def jsonl_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .sources.textio import read_jsonl_quarantine, write_jsonl
+    docs = load_table(spark, sf_dir, "documents")
+    # PID-namespaced scratch: concurrent suite runs must not race on
+    # the write-then-read dataset
+    path = os.path.join(
+        f"/tmp/detanalysis_spark_textio_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)) + "_docs_jsonl")
+    write_jsonl(docs, path, compression="gzip")
+    spark.createDataFrame(
+        [("{\"doc_id\": 1, \"text\": truncated",),
+         ("plain text noise — not json",),
+         ("[1, 2",)], "value string") \
+        .write.mode("append").option("compression", "gzip").text(path)
+    good, bad = read_jsonl_quarantine(
+        spark, path,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    stats = (good.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_chars").alias("total_chars"),
+                  F.min("doc_id").alias("min_id")))
+    corrupt = (bad.agg(F.count(F.lit(1)).alias("n_docs"))
+               .select(F.lit("__corrupt__").alias("lang"),
+                       F.col("n_docs"),
+                       F.lit(None).cast("long").alias("total_chars"),
+                       F.lit(None).cast("long").alias("min_id")))
+    return stats.unionByName(corrupt)
+
+
+# ----------------------------------------------------------------------
 # percentile outlier trim — two-pass: exact [p1, p99] band from one
 # aggregate, then a pushdown BETWEEN filter; summary stats after trim
 # ----------------------------------------------------------------------

@@ -494,3 +494,68 @@ def test_table_diff_statuses(spark):
     new2 = spark.createDataFrame(pd.DataFrame({"id": [9], "v": [1.0]}))
     assert table_diff(old2, new2, "id", ["v"]) \
         .first()["status"] == "changed"
+
+
+# ----------------------------------------------------------------------
+# textio: JSONL / CSV corpus ingestion with corrupt-record quarantine
+# ----------------------------------------------------------------------
+def test_jsonl_round_trip_with_quarantine(spark, sf_dir, tmp_path):
+    from detanalysis_spark.sources import (read_jsonl_quarantine,
+                                           write_jsonl)
+    from detanalysis_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path, compression="gzip")
+    # plant corrupt + blank lines in a separate gzip shard
+    spark.createDataFrame(
+        [("{truncated",), ("not json",), ("",), ("   ",)],
+        "value string").write.mode("append") \
+        .option("compression", "gzip").text(path)
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    good, bad = read_jsonl_quarantine(spark, path, ddl)
+    assert {tuple(r) for r in good.collect()} \
+        == {tuple(r) for r in docs.collect()}       # exact round trip
+    assert sorted(r.line for r in bad.collect()) \
+        == ["not json", "{truncated"]               # blanks on neither side
+
+
+def test_jsonl_all_null_object_is_not_corrupt(spark, tmp_path):
+    # "{}" parses to an all-null row — it must land in GOOD (the
+    # corrupt-record column distinguishes it from malformed input)
+    from detanalysis_spark.sources import read_jsonl_quarantine
+    path = str(tmp_path / "j")
+    spark.createDataFrame([('{}',), ('{"a": 1}',), ('{bad',)],
+                          "value string").write.text(path)
+    good, bad = read_jsonl_quarantine(spark, path, "a long")
+    got = sorted((r.a for r in good.collect()),
+                 key=lambda x: (x is None, x))
+    assert got == [1, None]                 # "{}" is good, all-null
+    assert [r.line for r in bad.collect()] == ["{bad"]
+
+
+def test_csv_corpus_quarantine_partial_parse(spark, tmp_path):
+    from detanalysis_spark.sources import read_csv_corpus
+    path = str(tmp_path / "csv")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string") \
+        .coalesce(1).write.option("header", "true").csv(path)
+    import os
+    with open(os.path.join(path, "extra.csv"), "w") as f:
+        f.write("id,s\nnotanint,x\n3,ok\n")
+    good, bad = read_csv_corpus(spark, path, "id int, s string")
+    assert sorted(tuple(r) for r in good.collect()) \
+        == [(1, "a"), (2, "b"), (3, "ok")]
+    b = bad.collect()
+    assert len(b) == 1 and b[0].line == "notanint,x"
+    assert b[0].id is None and b[0].s == "x"        # partial parse kept
+
+
+def test_write_jsonl_compression_and_sharding(spark, tmp_path):
+    import os
+    from detanalysis_spark.sources import write_jsonl
+    df = spark.range(100).repartition(4) \
+        .select(F.col("id"), F.lit("x").alias("s"))
+    path = str(tmp_path / "shards")
+    write_jsonl(df, path, compression="gzip")
+    parts = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert len(parts) == 4                          # shard per partition
+    assert all(f.endswith(".gz") for f in parts)    # codec honored
