@@ -35,6 +35,8 @@ __all__ = [
     "GOPHER_DEFAULTS", "GOPHER_FIELDS", "gopher_quality_struct",
     "gopher_quality_flags", "gopher_quality_filter",
     "repetition_char_fractions", "repetition_char_fractions_grouped",
+    "SECOND_LEVEL_SUFFIXES", "url_host", "registered_domain",
+    "domain_blocklist_filter", "domain_profile",
 ]
 
 # ---------------------------------------------------------------------------
@@ -644,3 +646,97 @@ def repetition_char_fractions_grouped(df: DataFrame,
         (top.cast("double") / safe).alias(f"top_{n}gram_char_frac"),
         ((F.col("__total__") - F.col("__firsts__")).cast("double")
          / safe).alias(f"dup_{n}gram_char_frac"))
+
+
+# ---------------------------------------------------------------------------
+# URL / domain curation (C4 & RefinedWeb-style provenance filtering)
+# ---------------------------------------------------------------------------
+# Web-corpus pipelines gate documents on WHERE they came from before
+# any content signal: drop blocklisted domains (C4 used a ~1M-domain
+# badlist), cap per-domain volume (RefinedWeb), and report provenance
+# mixes. Everything here is a native projection (parse_url + array
+# ops — whole-stage codegen); the blocklist applies as a broadcast
+# anti-join keyed by registered domain, so the corpus NEVER shuffles
+# for a gate.
+
+# second-level public suffixes for the registered-domain heuristic —
+# the common ccTLD families; a full Public Suffix List can be passed
+# via extra_suffixes where precision matters
+SECOND_LEVEL_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "com.tw", "com.sg", "co.za", "com.ar",
+)
+
+
+def url_host(url: Column | str) -> Column:
+    """Lower-cased host of a URL (native ``parse_url``; NULL when the
+    value doesn't parse as a URL — quarantine, don't crash)."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.try_parse_url(u, F.lit("HOST")))
+
+
+def registered_domain(host: Column | str,
+                      extra_suffixes: tuple[str, ...] = ()
+                      ) -> Column:
+    """eTLD+1 from a host: the last two labels, or the last three when
+    the trailing pair is a known second-level public suffix (co.uk
+    etc. — ``SECOND_LEVEL_SUFFIXES`` + ``extra_suffixes``; a heuristic
+    subset of the PSL, documented as such). Hosts with ≤ 2 labels pass
+    through; NULL stays NULL."""
+    h = F.col(host) if isinstance(host, str) else host
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2),
+                        F.element_at(parts, -1))
+    last3 = F.concat_ws(".", F.element_at(parts, -3),
+                        F.element_at(parts, -2), F.element_at(parts, -1))
+    suffixes = list(SECOND_LEVEL_SUFFIXES) + list(extra_suffixes)
+    return (F.when(h.isNull(), F.lit(None).cast("string"))
+            .when(n <= 2, h)
+            .when(last2.isin(suffixes), last3)
+            .otherwise(last2))
+
+
+def domain_blocklist_filter(df: DataFrame, url_col: str,
+                            blocked: DataFrame | list[str],
+                            extra_suffixes: tuple[str, ...] = ()
+                            ) -> DataFrame:
+    """Drop rows whose REGISTERED domain is blocklisted.
+
+    ``blocked`` is a 1-column frame of registered domains (broadcast
+    anti-join — the corpus side never shuffles) or a small in-memory
+    list (pure ``isin`` projection, no join at all). Rows whose URL
+    fails to parse are KEPT (provenance gates drop known-bad, not
+    unknown — chain a quarantine filter if unparseable means reject).
+    """
+    dom = registered_domain(url_host(F.col(url_col)), extra_suffixes)
+    if isinstance(blocked, list):
+        return df.filter(dom.isNull() | ~dom.isin([b.lower()
+                                                   for b in blocked]))
+    bl = blocked.select(
+        F.lower(F.col(blocked.columns[0])).alias("__blocked_dom__"))
+    return (df.withColumn("__dom__", dom)
+            .join(F.broadcast(bl),
+                  F.col("__dom__") == F.col("__blocked_dom__"),
+                  "left_anti")
+            .drop("__dom__"))
+
+
+def domain_profile(df: DataFrame, url_col: str,
+                   extra_suffixes: tuple[str, ...] = ()) -> DataFrame:
+    """Per-registered-domain corpus profile: docs, share, distinct
+    hosts — one map-side-combined aggregate (the thing you read before
+    choosing per-domain caps). Unparseable URLs group under NULL."""
+    host = url_host(F.col(url_col))
+    dom = registered_domain(host, extra_suffixes)
+    out = (df.select(host.alias("__host__"), dom.alias("domain"))
+           .groupBy("domain")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.count_distinct("__host__").alias("n_hosts")))
+    # share via a one-row total cross join (broadcast) — NOT a global
+    # window, which would single-partition the domain table
+    total = out.agg(F.sum("n_docs").alias("__total__"))
+    return (out.crossJoin(F.broadcast(total))
+            .select("domain", "n_docs", "n_hosts",
+                    (F.col("n_docs") / F.col("__total__")).alias("share")))

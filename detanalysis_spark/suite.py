@@ -2627,6 +2627,48 @@ def jsonl_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# URL/domain provenance curation — deterministic URLs derived from
+# documents, parsed back through native parse_url, registered-domain
+# (eTLD+1) extraction incl. second-level suffixes (co.uk), a domain
+# blocklist gate (pure projection for the literal list — corpus never
+# shuffles), and a per-domain profile. The oracle derives the domains
+# arithmetically, so the engine's URL parsing is what's under test.
+# ----------------------------------------------------------------------
+@query("domain_curation_stats", oracle="""
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) || source ||
+         (CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END) AS host,
+         source ||
+         (CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END) AS domain
+  FROM documents),
+f AS (SELECT * FROM u WHERE domain NOT IN ('src0.co.uk', 'src1.com')),
+g AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+      FROM f GROUP BY domain)
+SELECT domain, n_docs, n_hosts,
+       round(n_docs / (SELECT sum(n_docs) FROM g), 6) AS share
+FROM g
+""")
+def domain_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.cleaning import domain_blocklist_filter, domain_profile
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.lit("/doc/"), F.col("doc_id"))
+    tagged = docs.withColumn("url", url)
+    kept = domain_blocklist_filter(tagged, "url",
+                                   ["src0.co.uk", "src1.com"])
+    prof = domain_profile(kept, "url")
+    return prof.select("domain", "n_docs", "n_hosts",
+                       F.round("share", 6).alias("share"))
+
+
+# ----------------------------------------------------------------------
 # percentile outlier trim — two-pass: exact [p1, p99] band from one
 # aggregate, then a pushdown BETWEEN filter; summary stats after trim
 # ----------------------------------------------------------------------

@@ -1726,3 +1726,59 @@ def test_near_dup_clusters_star_nonconvergence_raises(spark):
                                   ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="no convergence"):
         D.near_dup_clusters_star(pairs, max_iter=1)
+
+
+# ----------------------------------------------------------------------
+# URL / domain provenance curation (llm/cleaning.py)
+# ----------------------------------------------------------------------
+def test_url_host_and_registered_domain(spark):
+    from detanalysis_spark.llm.cleaning import registered_domain, url_host
+    rows = [(1, "https://www.example.com/a?q=1"),
+            (2, "http://news.bbc.co.uk/path"),
+            (3, "https://sub.deep.blog.org.uk/x"),   # suffix mid-host: last3
+            (4, "https://plain.org/"),
+            (5, "not a url at all"),                 # unparseable -> NULL
+            (6, None),
+            (7, "https://EXAMPLE.com/upper"),        # lower-cased
+            (8, "ftp://files.example.com/f"),
+            (9, "https://localhost/x")]              # single label passes
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: (r.h, r.d) for r in df.select(
+        "id", url_host("url").alias("h"),
+        registered_domain(url_host("url")).alias("d")).collect()}
+    assert got[1] == ("www.example.com", "example.com")
+    assert got[2] == ("news.bbc.co.uk", "bbc.co.uk")
+    assert got[3] == ("sub.deep.blog.org.uk", "blog.org.uk")
+    assert got[4] == ("plain.org", "plain.org")
+    assert got[5] == (None, None)
+    assert got[6] == (None, None)
+    assert got[7] == ("example.com", "example.com")
+    assert got[8] == ("files.example.com", "example.com")
+    assert got[9] == ("localhost", "localhost")
+
+
+def test_domain_blocklist_filter_list_and_frame(spark):
+    from detanalysis_spark.llm.cleaning import domain_blocklist_filter
+    rows = [(1, "https://a.example.com/x"), (2, "https://b.kept.org/y"),
+            (3, "https://Example.COM/z"),            # case-insensitive
+            (4, "garbage"), (5, None)]               # unparseable kept
+    df = spark.createDataFrame(rows, "id long, url string")
+    kept = domain_blocklist_filter(df, "url", ["EXAMPLE.com"])
+    assert sorted(r.id for r in kept.collect()) == [2, 4, 5]
+    bl = spark.createDataFrame([("example.com",)], "d string")
+    kept2 = domain_blocklist_filter(df, "url", bl)
+    assert sorted(r.id for r in kept2.collect()) == [2, 4, 5]
+
+
+def test_domain_profile_counts_hosts_share(spark):
+    from detanalysis_spark.llm.cleaning import domain_profile
+    rows = [(1, "https://a.x.com/"), (2, "https://b.x.com/"),
+            (3, "https://a.x.com/2"), (4, "https://y.org/"),
+            (5, "nope")]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.domain: (r.n_docs, r.n_hosts, r.share)
+           for r in domain_profile(df, "url").collect()}
+    assert got["x.com"][:2] == (3, 2)
+    assert got["y.org"][:2] == (1, 1)
+    assert got[None][:2] == (1, 0)                   # quarantine bucket
+    assert abs(sum(v[2] for v in got.values()) - 1.0) < 1e-12
