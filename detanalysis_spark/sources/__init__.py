@@ -9,7 +9,7 @@ from .hdf5 import (read_vaex_hdf5, hdf5_row_count, hdf5_to_parquet,
                    load_hdf5)
 from .layout import (zorder_key, zorder_write, file_manifest,
                      prune_files, pruned_parquet, schema_manifest,
-                     schema_drift)
+                     schema_drift, compact_parquet_dir)
 
 __all__ = ["load_table", "load_all", "register_views", "TABLES",
            "write_bucketed", "read_bucketed", "write_partitioned",
@@ -21,4 +21,5 @@ __all__ = ["load_table", "load_all", "register_views", "TABLES",
            "read_vaex_hdf5", "hdf5_row_count", "hdf5_to_parquet",
            "load_hdf5",
            "zorder_key", "zorder_write", "file_manifest",
-           "prune_files", "pruned_parquet", "schema_manifest", "schema_drift"]
+           "prune_files", "pruned_parquet", "schema_manifest", "schema_drift",
+           "compact_parquet_dir"]

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["zorder_key", "zorder_write", "file_manifest", "prune_files",
            "pruned_parquet", "schema_manifest", "schema_drift",
-           "hadoop_fs", "hadoop_exists"]
+           "hadoop_fs", "hadoop_exists", "compact_parquet_dir"]
 
 
 def hadoop_fs(spark: SparkSession, path: str):
@@ -314,3 +314,73 @@ def schema_drift(manifest: DataFrame) -> pd.DataFrame:
     drift = g[(g["n_files"] != total) | (g["types"].map(len) > 1)]
     return drift.reset_index()[["column", "n_files", "n_files_total",
                                 "types"]]
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction
+# ---------------------------------------------------------------------------
+def compact_parquet_dir(spark: SparkSession, path: str,
+                        target_file_bytes: int = 128 * 1024 * 1024,
+                        partition_cols: Sequence[str] | str | None = None,
+                        shuffle: bool = False) -> dict:
+    """Rewrite a parquet directory's many small files into
+    ``ceil(total_bytes / target_file_bytes)`` right-sized ones.
+
+    The small-files problem is a first-order 100 TB cost: a streaming
+    sink or over-parallel write leaves thousands of KB-scale files, and
+    every later scan pays per-file scheduling + footer + open costs
+    that dwarf the data. Compaction here is shuffle-FREE by default:
+    ``coalesce(n_out)`` merges input splits in place (each output task
+    reads several small files and writes one), which is exactly the
+    access pattern compaction wants; pass ``shuffle=True`` for a
+    ``repartition`` when output-size balance matters more than the
+    extra exchange. Flat directories only unless ``partition_cols`` is
+    given, in which case the rewrite hash-clusters rows by partition
+    value (one file per value per holding task) and re-writes the Hive
+    layout with dynamic ``partitionBy``.
+
+    The swap is write-to-sibling-then-rename (original preserved at
+    ``<path>.__compact_bak__`` until the rename lands, then deleted),
+    through the Hadoop FileSystem API so HDFS/S3 paths behave.
+    Returns ``{"files_before", "files_after", "bytes", "n_out"}``.
+    """
+    files = _list_parquet_files(path, spark)
+    if partition_cols is None and any(
+            "=" in os.path.basename(os.path.dirname(f)) for f in files):
+        raise ValueError(
+            f"compact_parquet_dir: {path!r} looks Hive-partitioned "
+            "(key=value subdirectories) — pass partition_cols to "
+            "preserve the layout")
+    if _is_local_path(path):
+        total = sum(os.path.getsize(_strip_file_scheme(f)) for f in files)
+    else:
+        fs, _ = hadoop_fs(spark, path)
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        total = sum(fs.getFileStatus(jvm_path(f)).getLen() for f in files)
+    n_out = max(1, -(-total // int(target_file_bytes)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    bak = path.rstrip("/") + ".__compact_bak__"
+    if partition_cols is not None:
+        pcols = ([partition_cols] if isinstance(partition_cols, str)
+                 else list(partition_cols))
+        w = (df.repartition(int(n_out), *[F.col(c) for c in pcols])
+             .write.partitionBy(*pcols))
+    elif shuffle:
+        w = df.repartition(int(n_out)).write
+    else:
+        w = df.coalesce(int(n_out)).write
+    w.mode("overwrite").parquet(tmp)
+    fs, src = hadoop_fs(spark, path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    if not fs.rename(src, jvm_path(bak)):
+        raise IOError(f"compact_parquet_dir: could not move {path!r} aside")
+    if not fs.rename(jvm_path(tmp), src):
+        # roll back: put the original layout back before failing
+        fs.rename(jvm_path(bak), src)
+        raise IOError(f"compact_parquet_dir: rename {tmp!r} -> {path!r} "
+                      "failed; original restored")
+    fs.delete(jvm_path(bak), True)
+    after = len(_list_parquet_files(path, spark))
+    return {"files_before": len(files), "files_after": after,
+            "bytes": int(total), "n_out": int(n_out)}

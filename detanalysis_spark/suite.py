@@ -2669,6 +2669,41 @@ def domain_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# small-file compaction — events scatter out as 32 tiny parquet files
+# (a streaming sink's signature failure mode), compact_parquet_dir
+# bin-packs them shuffle-free (coalesce merges input splits in place),
+# and the layout-invariant aggregate proves content preservation
+# against the original table.
+# ----------------------------------------------------------------------
+@query("compacted_scan_stats", oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id
+FROM events GROUP BY event_type
+""")
+def compacted_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .sources.layout import compact_parquet_dir
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_id", "event_type", "value")
+    path = os.path.join(
+        f"/tmp/detanalysis_spark_textio_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)) + "_events_small")
+    ev.repartition(32).write.mode("overwrite").parquet(path)
+    stats = compact_parquet_dir(spark, path, target_file_bytes=64 << 20)
+    assert stats["files_after"] < stats["files_before"]
+    return (spark.read.parquet(path)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(cents(F.col("value"))).alias("value_cents"),
+                 F.min("event_id").alias("min_id"),
+                 F.max("event_id").alias("max_id")))
+
+
+# ----------------------------------------------------------------------
 # percentile outlier trim — two-pass: exact [p1, p99] band from one
 # aggregate, then a pushdown BETWEEN filter; summary stats after trim
 # ----------------------------------------------------------------------

@@ -559,3 +559,31 @@ def test_write_jsonl_compression_and_sharding(spark, tmp_path):
     parts = [f for f in os.listdir(path) if f.startswith("part-")]
     assert len(parts) == 4                          # shard per partition
     assert all(f.endswith(".gz") for f in parts)    # codec honored
+
+
+def test_compact_parquet_dir_flat_and_hive(spark, tmp_path):
+    from detanalysis_spark.sources import compact_parquet_dir
+    import os
+    p = str(tmp_path / "many")
+    spark.range(20000).select(F.col("id"), (F.col("id") % 7).alias("g")) \
+        .repartition(30).write.parquet(p)
+    before = {tuple(r) for r in spark.read.parquet(p).collect()}
+    stats = compact_parquet_dir(spark, p, target_file_bytes=1 << 20)
+    assert stats["files_before"] == 30 and stats["files_after"] == 1
+    assert {tuple(r) for r in spark.read.parquet(p).collect()} == before
+    assert not os.path.exists(p + ".__compact_bak__")   # swap cleaned up
+
+    hive = str(tmp_path / "hive")
+    spark.range(5000).select(F.col("id"), (F.col("id") % 3).alias("g")) \
+        .repartition(12).write.partitionBy("g").parquet(hive)
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        compact_parquet_dir(spark, hive)                # layout guard
+    st = compact_parquet_dir(spark, hive, partition_cols="g")
+    assert st["files_after"] <= 3 < st["files_before"]  # 1 file/value
+    back = spark.read.parquet(hive)
+    assert back.count() == 5000
+    assert dict(back.groupBy("g").count().collect()
+                [0].asDict()) is not None               # layout readable
+    plan = back.filter(F.col("g") == 1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan                   # pruning survives
