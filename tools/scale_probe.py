@@ -369,6 +369,37 @@ def main() -> int:
         return run
     probe("jpeg_image_features", jpeg(docs1), jpeg(docsk))
 
+    # Bloom-prefiltered incremental dedup: corpus build is one linear
+    # pass + bounded bitmap merge; the batch screen is a projection,
+    # and only filter-accepted rows pay the anti-join — wall must
+    # track corpus size, never batch × corpus
+    def bloom(df):
+        from detanalysis_spark.llm.bloom import dedup_incremental_bloom
+        def run():
+            seen = df.filter(F.col("doc_id") % 3 != 0)
+            batch = df.filter(F.col("doc_id") % 2 == 0)
+            return dedup_incremental_bloom(
+                batch, seen, ["text"], "doc_id",
+                m_bits=1 << 20, k=5).count()
+        return run
+    probe("bloom_incremental_dedup", bloom(docs1), bloom(docsk))
+
+    # JSONL ingest round trip: shard out as text, parse back through
+    # from_json with quarantine — pure per-row codec work, linear
+    def jsonl(df, tag):
+        from detanalysis_spark.sources.textio import (
+            read_jsonl_quarantine, write_jsonl)
+        def run():
+            path = f"/tmp/det_probe_jsonl_{os.getpid()}_{tag}"
+            write_jsonl(df.select("doc_id", "text", "lang", "source"),
+                        path)
+            good, _ = read_jsonl_quarantine(
+                spark, path,
+                "doc_id long, text string, lang string, source string")
+            return good.count()
+        return run
+    probe("jsonl_round_trip", jsonl(docs1, "1"), jsonl(docsk, "k"))
+
     print(json.dumps({"probe": results, "multiplier": k}))
     return 0
 

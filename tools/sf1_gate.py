@@ -118,6 +118,10 @@ GATE_QUERIES = [
     "trimmed_price_stats", "grouped_regression_stats",
     "moving_avg_event_value", "every_nth_downsample",
     "json_props_stats", "topk_orders_per_priority", "ntile_time_bins",
+    # round 6: bloom prefilter dedup, jsonl ingest round trip, URL
+    # provenance gates, small-file compaction — all linear oracles
+    "bloom_incremental_dedup_stats", "jsonl_ingest_stats",
+    "domain_curation_stats", "compacted_scan_stats",
 ]
 
 
