@@ -37,6 +37,7 @@ __all__ = [
     "repetition_char_fractions", "repetition_char_fractions_grouped",
     "SECOND_LEVEL_SUFFIXES", "url_host", "registered_domain",
     "domain_blocklist_filter", "domain_profile",
+    "strip_html",
 ]
 
 # ---------------------------------------------------------------------------
@@ -740,3 +741,41 @@ def domain_profile(df: DataFrame, url_col: str,
     return (out.crossJoin(F.broadcast(total))
             .select("domain", "n_docs", "n_hosts",
                     (F.col("n_docs") / F.col("__total__")).alias("share")))
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (WET-style)
+# ---------------------------------------------------------------------------
+# Raw crawl payloads are HTML; every text-quality signal downstream
+# assumes prose. This is the standard cheap extraction (the WET-file
+# transform): drop non-content blocks, strip tags, decode the common
+# entities, collapse whitespace — one native regexp_replace chain,
+# shuffle-free, whole-stage codegen. It is NOT a DOM parser (no
+# readability scoring, no layout awareness); patterns stay in the
+# regex subset Java and RE2 share so SQL oracles can replay them.
+
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+    ("&amp;", "&"),          # LAST: &amp;lt; must become &lt;, not <
+)
+
+
+def strip_html(col: Column | str) -> Column:
+    """Visible text of an HTML fragment (native expression chain).
+
+    Order matters and is part of the contract: (1) remove
+    script/style/comment blocks WITH their contents, (2) break tags
+    that imply line structure into spaces, (3) strip remaining tags,
+    (4) decode the common entities (&amp; last so double-escapes
+    resolve one level, same as a single-pass decoder), (5) collapse
+    whitespace runs and trim.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?i)<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -4,7 +4,7 @@ from .tables import (load_table, load_all, register_views, TABLES,
                      table_diff)
 from .files import extract_file_names, load_filterfile
 from .textio import (read_jsonl, read_jsonl_quarantine, write_jsonl,
-                     read_csv_corpus)
+                     read_csv_corpus, stream_jsonl_quarantine)
 from .hdf5 import (read_vaex_hdf5, hdf5_row_count, hdf5_to_parquet,
                    load_hdf5)
 from .layout import (zorder_key, zorder_write, file_manifest,
@@ -17,7 +17,7 @@ __all__ = ["load_table", "load_all", "register_views", "TABLES",
            "normalize_legacy_columns", "LEGACY_COLUMN_MAP",
            "extract_file_names", "load_filterfile",
            "read_jsonl", "read_jsonl_quarantine", "write_jsonl",
-           "read_csv_corpus",
+           "read_csv_corpus", "stream_jsonl_quarantine",
            "read_vaex_hdf5", "hdf5_row_count", "hdf5_to_parquet",
            "load_hdf5",
            "zorder_key", "zorder_write", "file_manifest",

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 __all__ = ["read_jsonl", "read_jsonl_quarantine", "write_jsonl",
-           "read_csv_corpus"]
+           "read_csv_corpus", "stream_jsonl_quarantine"]
 
 _RAW = "__raw__"
 
@@ -54,21 +54,47 @@ def read_jsonl_quarantine(spark: SparkSession, path: str,
     StructType) is required by design: inference would add a full
     extra pass over the corpus.
     """
+    return _parse_jsonl_lines(spark.read.text(path), schema)
+
+
+def _parse_jsonl_lines(lines: DataFrame, schema: StructType | str
+                       ) -> tuple[DataFrame, DataFrame]:
+    """(good, bad) from a one-column ``value string`` frame of raw
+    lines — pure projections/filters, so the SAME code path serves
+    batch reads and Structured Streaming sources."""
     ddl = schema if isinstance(schema, str) else ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
     parse_schema = f"{ddl}, __corrupt__ string"
-    lines = (spark.read.text(path)
-             .filter(F.trim(F.col("value")) != "")
-             .select(F.from_json(
-                 F.col("value"), parse_schema,
-                 {"mode": "PERMISSIVE",
-                  "columnNameOfCorruptRecord": "__corrupt__"})
-                 .alias("__j__")))
-    good = (lines.filter(F.col("__j__.__corrupt__").isNull())
+    parsed = (lines
+              .filter(F.trim(F.col("value")) != "")
+              .select(F.from_json(
+                  F.col("value"), parse_schema,
+                  {"mode": "PERMISSIVE",
+                   "columnNameOfCorruptRecord": "__corrupt__"})
+                  .alias("__j__")))
+    good = (parsed.filter(F.col("__j__.__corrupt__").isNull())
             .select("__j__.*").drop("__corrupt__"))
-    bad = (lines.filter(F.col("__j__.__corrupt__").isNotNull())
+    bad = (parsed.filter(F.col("__j__.__corrupt__").isNotNull())
            .select(F.col("__j__.__corrupt__").alias("line")))
     return good, bad
+
+
+def stream_jsonl_quarantine(spark: SparkSession, path: str,
+                            schema: StructType | str,
+                            max_files_per_trigger: int | None = None
+                            ) -> tuple[DataFrame, DataFrame]:
+    """Streaming twin of :func:`read_jsonl_quarantine`: an unbounded
+    (good, quarantine) pair over JSONL files landing under ``path`` —
+    the continuous-ingest front door (each micro-batch picks up newly
+    arrived shards; downstream dedup/curation stages compose because
+    the parse is stateless). Same parse plan as the batch reader by
+    construction (:func:`_parse_jsonl_lines` is projections/filters
+    only), so batch == streaming row-for-row on the same files.
+    """
+    r = spark.readStream
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return _parse_jsonl_lines(r.text(path), schema)
 
 
 def read_jsonl(spark: SparkSession, path: str,

@@ -2704,6 +2704,59 @@ def compacted_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# HTML → text extraction (WET-style) — documents wrapped in a markup
+# shell (script/style/comment blocks, heading, entities), stripped
+# back through the native regexp chain. The oracle replays the SAME
+# pipeline in DuckDB (RE2), so Java-regex/RE2 parity of every pattern
+# is what's under test; parity holds for ANY text content by
+# construction since both sides transform identically.
+# ----------------------------------------------------------------------
+@query("html_extraction_stats", oracle=r"""
+WITH h AS (
+  SELECT doc_id, lang,
+         '<HTML><head><script type="x">var hidden = "<p>x</p>";'
+         || '</script><STYLE>p { color: red; }</STYLE></head><body><h1>'
+         || source || '</h1><!-- note --><p>' || text
+         || ' &amp; more&nbsp;&lt;end&gt;</p></body></HTML>' AS html
+  FROM documents),
+s AS (
+  SELECT doc_id, lang, trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        html,
+        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+        '(?i)<[^>]*>', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+      '&amp;', '&'),
+    '\s+', ' ', 'g')) AS t
+  FROM h)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(t)) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_distinct
+FROM s GROUP BY lang
+""")
+def html_extraction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.cleaning import strip_html
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<HTML><head><script type="x">var hidden = "<p>x</p>";'
+              '</script><STYLE>p { color: red; }</STYLE></head>'
+              '<body><h1>'),
+        F.col("source"),
+        F.lit('</h1><!-- note --><p>'),
+        F.col("text"),
+        F.lit(' &amp; more&nbsp;&lt;end&gt;</p></body></HTML>'))
+    stripped = docs.select("lang", strip_html(html).alias("t"))
+    return (stripped.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("t")).alias("total_chars"),
+                 F.count_distinct("t").alias("n_distinct")))
+
+
+# ----------------------------------------------------------------------
 # percentile outlier trim — two-pass: exact [p1, p99] band from one
 # aggregate, then a pushdown BETWEEN filter; summary stats after trim
 # ----------------------------------------------------------------------

@@ -1782,3 +1782,32 @@ def test_domain_profile_counts_hosts_share(spark):
     assert got["y.org"][:2] == (1, 1)
     assert got[None][:2] == (1, 0)                   # quarantine bucket
     assert abs(sum(v[2] for v in got.values()) - 1.0) < 1e-12
+
+
+def test_strip_html_extraction(spark):
+    from detanalysis_spark.llm.cleaning import strip_html
+    cases = [
+        # script/style/comment contents vanish; tags become spaces
+        ('<html><head><script>var x = "<p>hidden</p>";</script>'
+         '<style>p { color: red; }</style></head>'
+         '<body><h1>Title</h1><!-- note --><p>Hello <b>world</b></p>'
+         '</body></html>',
+         "Title Hello world"),
+        # entities, incl. one-level double-escape (&amp;lt; -> &lt;)
+        ("A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end "
+         "&amp;lt;keep&amp;gt;",
+         "A & B <tag> \"q\" 's' end &lt;keep&gt;"),
+        # multi-line script (DOTALL) + whitespace collapse
+        ("<script>\nline1\nline2\n</script>  text\n\n  more\t here",
+         "text more here"),
+        # tag case-insensitivity
+        ("<SCRIPT>x</SCRIPT><P>ok</P>", "ok"),
+        # no markup: trimmed/collapsed passthrough
+        ("  plain   text  ", "plain text"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "id long, html string")
+    got = {r.id: r.t for r in
+           df.select("id", strip_html("html").alias("t")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)

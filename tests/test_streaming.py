@@ -541,3 +541,30 @@ def test_streaming_rollup_deltas_exactly_once(spark, tmp_path):
     want = {(r["bucket_us"],): (r["n"], r["s"], r["mn"], r["mx"])
             for r in batch_equiv.collect()}
     assert merged() == want
+
+
+def test_stream_jsonl_quarantine_equals_batch(spark, tmp_path):
+    # the streaming JSONL front door shares the batch reader's parse
+    # plan (pure projections/filters), so draining the stream must
+    # reproduce the batch split row-for-row — good AND quarantine
+    from detanalysis_spark.sources.textio import (read_jsonl_quarantine,
+                                                  stream_jsonl_quarantine)
+    from detanalysis_spark.streaming.continuous import run_available_now
+    path = str(tmp_path / "jl")
+    rows = [(i, f"text {i}", "en") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    from detanalysis_spark.sources.textio import write_jsonl
+    write_jsonl(df, path)
+    spark.createDataFrame([("{nope",), ("garbage",), ("  ",)],
+                          "value string") \
+        .write.mode("append").text(path)
+    ddl = "doc_id long, text string, lang string"
+    bg, bb = read_jsonl_quarantine(spark, path, ddl)
+    sg, sb = stream_jsonl_quarantine(spark, path, ddl,
+                                     max_files_per_trigger=1)
+    got_g = run_available_now(sg, "jl_good", output_mode="append")
+    got_b = run_available_now(sb, "jl_bad", output_mode="append")
+    assert {tuple(r) for r in got_g.collect()} \
+        == {tuple(r) for r in bg.collect()}
+    assert sorted(r.line for r in got_b.collect()) \
+        == sorted(r.line for r in bb.collect()) == ["garbage", "{nope"]

@@ -48,7 +48,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.1")
 INTENTIONAL_NESTED_LOOP = {"key_skew_profile_orders",
                            "ann_cosine_topk", "embedding_near_dup_pairs",
                            "orders_table_profile",
-                           "theta_split_overlap"}
+                           "theta_split_overlap",
+                           # domain_profile's share: the bounded
+                           # domain-count table cross-joins ONE
+                           # broadcast total row (cleaning.py) — a
+                           # nx1 BNLJ over the aggregate output, free
+                           # at any corpus size
+                           "domain_curation_stats"}
 # queries whose un-partitioned window is a documented correctness
 # exhibit, not the scale path (scale path: approx edges + assign_bin)
 DOCUMENTED_EXHIBITS = {"ntile_time_bins"}
