@@ -778,3 +778,81 @@ def test_exact_percentiles_match_numpy(spark, vals, qs):
     assert med == pytest.approx(p[1], rel=1e-12, abs=1e-9)
     assert sig == pytest.approx(
         (abs(p[0] - p[1]) + abs(p[1] - p[2])) / 2, rel=1e-12, abs=1e-9)
+
+
+# ----------------------------------------------------------------------
+# registered_domain vs a python replay of the eTLD+1 rule
+# ----------------------------------------------------------------------
+_LABEL = st.text(alphabet="abcxyz019", min_size=1, max_size=6)
+
+
+def _py_registered_domain(host, suffixes):
+    if host is None:
+        return None
+    parts = host.split(".")
+    if len(parts) <= 2:
+        return host
+    last2 = ".".join(parts[-2:])
+    if last2 in suffixes:
+        return ".".join(parts[-3:])
+    return last2
+
+
+@given(hosts=st.lists(
+    st.one_of(st.none(),
+              st.lists(_LABEL, min_size=1, max_size=5).map(".".join),
+              st.lists(_LABEL, min_size=1, max_size=3)
+              .map(lambda ls: ".".join(ls + ["co", "uk"]))),
+    min_size=1, max_size=25))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_registered_domain_matches_python_reference(spark, hosts):
+    from detanalysis_spark.llm.cleaning import (SECOND_LEVEL_SUFFIXES,
+                                                registered_domain)
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "i long, host string")
+    got = {r.i: r.d for r in df.select(
+        "i", registered_domain("host").alias("d")).collect()}
+    sfx = set(SECOND_LEVEL_SUFFIXES)
+    for i, h in enumerate(hosts):
+        assert got[i] == _py_registered_domain(h, sfx), (h, got[i])
+
+
+# ----------------------------------------------------------------------
+# strip_html vs a python re replay of the exact documented chain
+# ----------------------------------------------------------------------
+def _py_strip_html(s):
+    import re
+    out = re.sub(r"(?is)<script[^>]*>.*?</script>", " ", s)
+    out = re.sub(r"(?is)<style[^>]*>.*?</style>", " ", out)
+    out = re.sub(r"(?s)<!--.*?-->", " ", out)
+    out = re.sub(r"(?i)<[^>]*>", " ", out)
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+                    ("&amp;", "&")):
+        out = out.replace(ent, ch)
+    return re.sub(r"\s+", " ", out).strip()
+
+
+_HTMLISH = st.lists(st.sampled_from(
+    ["plain", "words here", "<p>", "</p>", "<script>", "</script>",
+     "<style>", "</style>", "<!--", "-->", "<b attr='x'>", "&amp;",
+     "&lt;", "&nbsp;", "a & b", "<", ">", "  ", "\n", "\t",
+     "<SCRIPT>", "</SCRIPT>", "x=1;"]), min_size=0, max_size=20) \
+    .map(" ".join)
+
+
+@given(docs=st.lists(_HTMLISH, min_size=1, max_size=20))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_strip_html_matches_python_reference(spark, docs):
+    # the chain is order-sensitive (script blocks before generic tags,
+    # &amp; decoded last); the python replay pins Java-regex semantics
+    # against re's on adversarial tag-soup compositions
+    from detanalysis_spark.llm.cleaning import strip_html
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "i long, html string")
+    got = {r.i: r.t for r in df.select(
+        "i", strip_html("html").alias("t")).collect()}
+    for i, d in enumerate(docs):
+        assert got[i] == _py_strip_html(d), (d, got[i])
