@@ -35,6 +35,8 @@ from pyspark.sql.types import (ArrayType, BinaryType, DoubleType,
                                StructField, StructType)
 
 __all__ = [
+    "ahash_array", "dhash_array", "image_phash", "phash_bands",
+    "image_near_dup_pairs",
     "IMAGE_META_FIELDS", "AUDIO_META_FIELDS", "decode_raw8",
     "encode_raw8", "decode_png", "encode_png", "decode_wav",
     "encode_wav", "resize_bilinear", "image_features_schema",
@@ -500,3 +502,115 @@ def frame_sample_udf(frame_bytes: int, every: int):
         return payloads.map(
             lambda d: sample_frames(d, frame_bytes, every))
     return _sample
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (near-dup for image corpora)
+# ---------------------------------------------------------------------------
+# LAION-style image dedup: a 64-bit perceptual hash per image (aHash:
+# luminance-above-mean bits over an 8x8 thumbnail; dHash: horizontal
+# gradient sign over an 8x(8+1) thumbnail), then near-dup candidates
+# from BAND-exact bucket joins — by pigeonhole, two hashes within
+# hamming distance h share at least one of b bands whenever b > h, so
+# the default 8 bands GUARANTEE recall up to hamming 7 while the join
+# stays keyed by (band, bucket) and never goes all-pairs. Hamming
+# verification is native bit_count(a ^ b). The hash itself is the only
+# Python step (Arrow-batched, reuses the multimodal decode stack);
+# banding, bucketing, joining, and verification are all JVM-side.
+
+def ahash_array(lum: np.ndarray) -> int:
+    """64-bit aHash of an 8x8 luminance array: bit (r*8+c) set when
+    the pixel EXCEEDS the mean (ties -> 0)."""
+    bits = (lum.ravel() > lum.mean()).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum()
+               .astype(np.uint64).view(np.int64))
+
+
+def dhash_array(lum9: np.ndarray) -> int:
+    """64-bit dHash of an 8x9 luminance array: bit (r*8+c) set when
+    pixel[r, c+1] > pixel[r, c] (horizontal gradient sign)."""
+    bits = (lum9[:, 1:] > lum9[:, :-1]).ravel().astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum()
+               .astype(np.uint64).view(np.int64))
+
+
+def image_phash(df: DataFrame, id_col: str, method: str = "ahash",
+                payload_col: str = "payload") -> DataFrame:
+    """(id, phash long) per image — decode → luminance → 8x8 (aHash)
+    or 8x9 (dHash) bilinear thumbnail → 64-bit hash. Same Arrow-batched
+    decode stack as :func:`image_features`; images already at the
+    thumbnail size skip the resize, so the hash is exactly the pixel
+    rule (SQL-replayable for RAW8 fixtures)."""
+    if method not in ("ahash", "dhash"):
+        raise ValueError(f"image_phash: unknown method {method!r}")
+    w, h = (9, 8) if method == "dhash" else (8, 8)
+    hash_fn = dhash_array if method == "dhash" else ahash_array
+    id_field = df.schema[id_col]
+    schema = StructType([id_field, StructField("phash", LongType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for r in pdf.itertuples(index=False):
+                img = _decode(r.payload, r.width, r.height, r.channels,
+                              r.format)
+                lum = img.mean(axis=2)
+                if lum.shape != (h, w):
+                    lum = resize_bilinear(
+                        img, w, h).mean(axis=2)
+                ids.append(getattr(r, id_col))
+                hashes.append(hash_fn(lum))
+            yield pd.DataFrame({id_col: ids, "phash": hashes})
+
+    cols = [id_col, payload_col, "width", "height", "channels", "format"]
+    sel = df.select(*cols).withColumnRenamed(payload_col, "payload")
+    return sel.mapInPandas(run, schema)
+
+
+def phash_bands(hashes: DataFrame, id_col: str, hash_col: str = "phash",
+                bands: int = 8) -> DataFrame:
+    """Explode each 64-bit hash into ``bands`` fixed-width band
+    buckets → (id, band, bucket) — all native (shiftrightunsigned +
+    mask), the LSH side input of :func:`image_near_dup_pairs`."""
+    if 64 % bands != 0:
+        raise ValueError("phash_bands: bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    pieces = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftrightunsigned(F.col(hash_col), b * width)
+                 .bitwiseAND(F.lit(mask)).alias("bucket"))
+        for b in range(bands)])
+    return (hashes.select(id_col, F.explode(pieces).alias("p"))
+            .select(id_col, "p.band", "p.bucket"))
+
+
+def image_near_dup_pairs(df: DataFrame, id_col: str,
+                         max_hamming: int = 6, bands: int = 8,
+                         method: str = "ahash",
+                         payload_col: str = "payload") -> DataFrame:
+    """(id_a < id_b, hamming) image pairs with perceptual-hash hamming
+    distance ≤ ``max_hamming``.
+
+    Recall guarantee: exact for ``max_hamming < bands`` (pigeonhole —
+    some band must match); probabilistic above. The candidate join is
+    keyed by (band, bucket), so cost tracks colliding pairs, never n².
+    """
+    from .dedup import hamming_distance
+    hashes = image_phash(df, id_col, method=method,
+                         payload_col=payload_col)
+    bb = phash_bands(hashes, id_col, bands=bands)
+    cand = (bb.withColumnRenamed(id_col, "id_a")
+            .join(bb.withColumnRenamed(id_col, "id_b"),
+                  ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    ha = hashes.select(F.col(id_col).alias("id_a"),
+                       F.col("phash").alias("__ha__"))
+    hb = hashes.select(F.col(id_col).alias("id_b"),
+                       F.col("phash").alias("__hb__"))
+    return (cand.join(ha, "id_a").join(hb, "id_b")
+            .select("id_a", "id_b",
+                    hamming_distance(F.col("__ha__"), F.col("__hb__"))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= int(max_hamming)))

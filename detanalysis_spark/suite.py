@@ -2757,6 +2757,53 @@ def html_extraction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# perceptual image hashing — deterministic 8x8 RAW8 images derived
+# from doc_id run through the real decode → aHash → band-bucket path;
+# the oracle replays the pixel rule arithmetically (bit i set when
+# pixel_i exceeds the image mean; 4 x 16-bit bands), so the decode,
+# hash packing, and shiftrightunsigned band extraction are under test.
+# ----------------------------------------------------------------------
+@query("image_phash_band_stats", oracle="""
+WITH px AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+         CAST((doc_id*31 + i) % 256 AS DOUBLE) AS p
+  FROM documents, range(64) r(i)),
+m AS (SELECT doc_id, avg(p) AS mu FROM px GROUP BY doc_id),
+bits AS (SELECT px.doc_id, i, CASE WHEN p > mu THEN 1 ELSE 0 END AS b
+         FROM px JOIN m USING (doc_id)),
+bands AS (SELECT doc_id, i // 16 AS band,
+                 CAST(sum(b * (CAST(1 AS BIGINT) << (i % 16))) AS BIGINT)
+                   AS bucket
+          FROM bits GROUP BY doc_id, i // 16)
+SELECT CAST(band AS INT) AS band,
+       CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets,
+       CAST(sum(bucket) AS BIGINT) AS sum_buckets
+FROM bands GROUP BY band
+""")
+def image_phash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .llm.multimodal import image_phash, phash_bands
+
+    def _mk(ids):
+        return ids.map(lambda d: bytes(
+            [(int(d) * 31 + i) % 256 for i in range(64)]))
+    _mk.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    mk_payload = F.pandas_udf(_mk, "binary")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = docs.select(
+        "doc_id", mk_payload("doc_id").alias("payload"),
+        F.lit(8).alias("width"), F.lit(8).alias("height"),
+        F.lit(1).alias("channels"), F.lit("RAW8").alias("format"))
+    hashes = image_phash(imgs, "doc_id")
+    bb = phash_bands(hashes, "doc_id", bands=4)
+    return (bb.groupBy("band")
+            .agg(F.count_distinct("bucket").alias("n_buckets"),
+                 F.sum("bucket").alias("sum_buckets")))
+
+
+# ----------------------------------------------------------------------
 # percentile outlier trim — two-pass: exact [p1, p99] band from one
 # aggregate, then a pushdown BETWEEN filter; summary stats after trim
 # ----------------------------------------------------------------------

@@ -122,7 +122,7 @@ GATE_QUERIES = [
     # provenance gates, small-file compaction — all linear oracles
     "bloom_incremental_dedup_stats", "jsonl_ingest_stats",
     "domain_curation_stats", "compacted_scan_stats",
-    "html_extraction_stats",
+    "html_extraction_stats", "image_phash_band_stats",
 ]
 
 
