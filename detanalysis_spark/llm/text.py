@@ -19,6 +19,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
 __all__ = [
+    "bm25_scores",
     "token_count", "bpe_ish_token_count", "quality_scores",
     "quality_struct", "with_quality", "QUALITY_FIELDS",
     "language_id", "LANG_STOPWORDS", "doc_fingerprint",
@@ -750,3 +751,70 @@ def sentence_split_udtf():
                 yield i, p, len(p)
 
     return SplitSentences
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (Robertson & Zaragoza 2009; Lucene-style idf)
+# ---------------------------------------------------------------------------
+def bm25_scores(docs, queries, id_col: str = "doc_id",
+                text_col: str = "text", query_id_col: str = "query_id",
+                query_text_col: str = "query_text",
+                k1: float = 1.2, b: float = 0.75,
+                max_df: int | None = None, topk: int | None = None):
+    """BM25 scores for every (query, doc) pair sharing a term →
+    (query_id, doc_id, score). EAGER: one tiny corpus-stats job runs
+    at call time so N and avgdl push into the plan as literals.
+
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)) — the Lucene-style
+    always-positive form. Query-side term multiplicity is ignored
+    (classic BM25); terms are the same lowercased whitespace tokens as
+    :func:`term_frequencies`, so scores line up with the TF-IDF stack.
+
+    Scale shape: one term-keyed equi-join between the (small,
+    broadcastable) query-term table and the corpus term index — cost
+    tracks postings touched (Σ df over query terms), never |queries| ×
+    |corpus|. ``max_df`` drops ultra-common terms from scoring (the
+    stop-word pruning a retrieval index does anyway — scores then
+    exclude those terms' small contributions). ``topk`` keeps the best
+    k docs per query via one rank window over the scored pairs
+    (deterministic tie-break: higher score, then lower doc id).
+
+    The retrieval-shaped use in a curation pipeline: query =
+    benchmark prompt, hits = training docs to audit/decontaminate —
+    complementing the exact n-gram `decontaminate` screen with a
+    bag-of-words one.
+    """
+    from pyspark.sql import Window
+
+    tf = term_frequencies(docs, id_col, text_col)
+    stats = (tf.groupBy(id_col).agg(F.sum("tf").alias("__dl__")))
+    row = (stats.agg(F.count(F.lit(1)).alias("n"),
+                     F.avg("__dl__").alias("avgdl")).collect()[0])
+    n_docs, avgdl = int(row.n), float(row.avgdl or 0.0)
+    if n_docs == 0:
+        return queries.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, score double")
+    dfreq = document_frequencies(tf, id_col)
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= int(max_df))
+    qterms = (queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(F.transform(
+            _tokens(F.col(query_text_col)), lambda t: F.lower(t))))
+        .alias("term"))
+        .filter(F.length("term") > 0))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    norm = F.col("tf") * (k1 + 1.0) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("__dl__") / avgdl))
+    scored = (qterms
+              .join(tf.join(dfreq, "term").join(stats, id_col), "term")
+              .groupBy(query_id_col, id_col)
+              .agg(F.sum(idf * norm).alias("score")))
+    if topk is not None:
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("score").desc(), F.col(id_col).asc())
+        scored = (scored.withColumn("__rk__", F.row_number().over(w))
+                  .filter(F.col("__rk__") <= int(topk)).drop("__rk__"))
+    return scored

@@ -2804,6 +2804,54 @@ def image_phash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# BM25 retrieval scoring — three bag-of-words queries against a
+# bounded document corpus; term-keyed postings join (cost tracks
+# postings touched, never |queries|x|corpus|); Lucene-style idf. The
+# oracle replays the full formula, so tokenization, the corpus-stats
+# literals (N, avgdl), and the scoring join are all under test.
+# ----------------------------------------------------------------------
+@query("bm25_retrieval_scores", oracle=r"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, lower(unnest(list_filter(
+           string_split_regex(text, '\s+'), x -> x <> ''))) AS term
+    FROM d) WHERE len(term) > 0 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, query_text) AS (VALUES (0, 'spark join order'),
+                                   (1, 'hash merge sort'),
+                                   (2, 'window agg stream')),
+qt AS (SELECT DISTINCT query_id, lower(unnest(list_filter(
+           string_split_regex(query_text, '\s+'), x -> x <> ''))) AS term
+       FROM q),
+s AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum(ln(1 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)))
+           AS score
+  FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+          JOIN dl USING (doc_id), st
+  GROUP BY qt.query_id, tf.doc_id)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       round(score, 6) AS score
+FROM s
+""")
+def bm25_retrieval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.text import bm25_scores
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 300)
+    queries = spark.createDataFrame(
+        [(0, "spark join order"), (1, "hash merge sort"),
+         (2, "window agg stream")], "query_id long, query_text string")
+    out = bm25_scores(docs, queries)
+    return out.select("query_id", "doc_id",
+                      F.round("score", 6).alias("score"))
+
+
+# ----------------------------------------------------------------------
 # percentile outlier trim — two-pass: exact [p1, p99] band from one
 # aggregate, then a pushdown BETWEEN filter; summary stats after trim
 # ----------------------------------------------------------------------

@@ -1811,3 +1811,53 @@ def test_strip_html_extraction(spark):
            df.select("id", strip_html("html").alias("t")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_bm25_matches_python_reference(spark):
+    from collections import Counter
+    import math
+    from detanalysis_spark.llm.text import bm25_scores
+    docs = [(0, "the cat sat on the mat"),
+            (1, "the dog chased the cat"),
+            (2, "dogs and cats living together"),
+            (3, "a completely unrelated sentence about spark"),
+            (4, "")]                                   # empty: no terms
+    queries = [(10, "the cat"), (11, "spark dog"), (12, "zzz-nohit")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, query_text string")
+    got = {(r.query_id, r.doc_id): r.score
+           for r in bm25_scores(ddf, qdf).collect()}
+
+    k1, b = 1.2, 0.75
+    toks = {i: [w.lower() for w in t.split() if w] for i, t in docs}
+    tf = {i: Counter(ts) for i, ts in toks.items() if ts}
+    N = len(tf)                                        # docs WITH terms
+    avgdl = sum(len(toks[i]) for i in tf) / N
+    dfreq = Counter(t for c in tf.values() for t in c)
+    want = {}
+    for qid, qt in queries:
+        for t in set(w.lower() for w in qt.split()):
+            for d, c in tf.items():
+                if t not in c:
+                    continue
+                idf = math.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                dl = len(toks[d])
+                s = idf * c[t] * (k1 + 1) / (
+                    c[t] + k1 * (1 - b + b * dl / avgdl))
+                want[(qid, d)] = want.get((qid, d), 0.0) + s
+    assert set(got) == set(want)                       # no-hit query absent
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+    assert not any(q == 12 for q, _ in got)
+
+    # topk keeps the best k per query with deterministic tie-break
+    top = bm25_scores(ddf, qdf, topk=1).collect()
+    by_q = {r.query_id: r.doc_id for r in top}
+    assert by_q[10] == max(
+        (q for q in want if q[0] == 10),
+        key=lambda k: (want[k], -k[1]))[1]
+    # max_df prunes ultra-common terms ("the" has df 2 here)
+    pruned = {(r.query_id, r.doc_id): r.score
+              for r in bm25_scores(ddf, qdf, max_df=1).collect()}
+    assert all(s <= got[k] + 1e-12 for k, s in pruned.items())
+    assert (11, 3) in pruned                           # "spark": df == 1
