@@ -20,6 +20,8 @@ SimHash uses one vectorized pandas UDF for the per-bit majority vote
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -34,7 +36,8 @@ __all__ = [
     "simhash", "hamming_distance", "token_cosine_pairs",
     "positional_ngrams", "duplicated_spans", "span_dup_stats",
     "dedup_incremental", "lsh_candidate_pairs_between",
-    "apply_near_dedup",
+    "apply_near_dedup", "temperature_fractions",
+    "temperature_mixture_sample",
 ]
 
 
@@ -770,3 +773,45 @@ def token_cosine_pairs(docs: DataFrame, id_col: str = "doc_id",
                         / (F.col("__na__") * F.col("__nb__")))
             .filter(F.col("sim") >= float(threshold))
             .select("id_a", "id_b", "sim"))
+
+
+def temperature_fractions(counts: dict, alpha: float = 0.7) -> dict:
+    """Downsample-only keep-fractions realizing a temperature-α
+    mixture (mT5-style α-sampling, Xue et al. 2021): target share
+    q_s ∝ n_s^α, realized by keeping fraction (n_min/n_s)^(1-α) of
+    stratum s — the smallest stratum keeps EXACTLY 1.0 (pow(1, x) is
+    exact), larger strata shed rows; no stratum ever upsamples.
+    α=1 keeps everything (natural mixture); α→0 caps every stratum at
+    the smallest one (uniform mixture)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("temperature_fractions: alpha must be in (0, 1]")
+    if not counts:
+        return {}
+    n_min = min(counts.values())
+    # 1.0 - alpha (not a pre-simplified constant): the SQL oracle
+    # writes the same expression so both engines round identically
+    return {s: math.pow(n_min / n, 1.0 - alpha)
+            for s, n in counts.items()}
+
+
+def temperature_mixture_sample(df: DataFrame, strata_col: str,
+                               id_col: str, alpha: float = 0.7,
+                               modulus: int = 10_000) -> DataFrame:
+    """Rebalance a multi-source/multi-language corpus to a
+    temperature-α mixture. EAGER: one per-stratum count aggregate runs
+    at call time (strata tables are tiny — languages, sources), then
+    the keep rule is the deterministic pmod-ticket predicate
+    ``pmod(id, modulus) < floor(fraction·modulus)`` — row-local,
+    reproducible across runs and partitionings, pushdown-eligible,
+    and exactly replayable by a SQL oracle. The corpus never shuffles.
+    """
+    counts = {r[0]: r[1]
+              for r in df.groupBy(strata_col).count().collect()}
+    fracs = temperature_fractions(counts, alpha)
+    ticket = F.pmod(F.col(id_col), F.lit(int(modulus)))
+    expr = F.lit(False)
+    for stratum, frac in fracs.items():
+        thr = int(math.floor(frac * modulus))
+        expr = F.when(F.col(strata_col) == stratum,
+                      ticket < thr).otherwise(expr)
+    return df.filter(expr)

@@ -2852,6 +2852,37 @@ def bm25_retrieval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# temperature-α mixture rebalancing (mT5-style α-sampling) — the
+# skewed lang distribution (en ~4x fr) downsamples toward n^α shares;
+# the smallest stratum keeps exactly everything, the keep rule is the
+# deterministic pmod ticket (row-local, pushdown-eligible), and the
+# oracle replays count → fraction → floor-threshold → predicate in
+# SQL with the identical expression shapes.
+# ----------------------------------------------------------------------
+@query("temperature_mixture_stats", oracle="""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+mn AS (SELECT min(n) AS nmin FROM c),
+f AS (SELECT lang,
+             CAST(floor(pow(CAST(nmin AS DOUBLE) / n, 1.0 - 0.7) * 10000)
+                  AS BIGINT) AS thr
+      FROM c, mn),
+kept AS (SELECT d.doc_id, d.lang
+         FROM documents d JOIN f USING (lang)
+         WHERE d.doc_id % 10000 < f.thr)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM kept GROUP BY lang
+""")
+def temperature_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.dedup import temperature_mixture_sample
+    docs = load_table(spark, sf_dir, "documents")
+    kept = temperature_mixture_sample(docs, "lang", "doc_id", alpha=0.7)
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("doc_id").alias("sum_ids")))
+
+
+# ----------------------------------------------------------------------
 # percentile outlier trim — two-pass: exact [p1, p99] band from one
 # aggregate, then a pushdown BETWEEN filter; summary stats after trim
 # ----------------------------------------------------------------------

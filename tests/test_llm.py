@@ -1861,3 +1861,33 @@ def test_bm25_matches_python_reference(spark):
               for r in bm25_scores(ddf, qdf, max_df=1).collect()}
     assert all(s <= got[k] + 1e-12 for k, s in pruned.items())
     assert (11, 3) in pruned                           # "spark": df == 1
+
+
+def test_temperature_mixture_sampling(spark):
+    import math
+    from detanalysis_spark.llm.dedup import (temperature_fractions,
+                                             temperature_mixture_sample)
+    # fractions: smallest stratum exactly 1.0; alpha=1 keeps all
+    fr = temperature_fractions({"en": 800, "fr": 100, "de": 200}, 0.5)
+    assert fr["fr"] == 1.0
+    assert fr["en"] == pytest.approx(math.sqrt(100 / 800))
+    assert temperature_fractions({"a": 5, "b": 9}, 1.0) \
+        == {"a": 1.0, "b": 1.0}
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_fractions({"a": 1}, 0.0)
+
+    # sampled shares approach the n^alpha target on a skewed corpus
+    rows = [(i, "big" if i % 10 < 9 else "small") for i in range(20000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_mixture_sample(df, "lang", "doc_id", alpha=0.5)
+    got = {r.lang: r.n for r in
+           kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["small"] == 2000                      # min stratum intact
+    want_big = math.floor(math.pow(2000 / 18000, 0.5) * 10000)  # per 10k
+    # pmod tickets 0..9999 appear ~equally among big ids; keep rule is
+    # exact per ticket so expected kept = want_big * (18000/10000)
+    assert abs(got["big"] - want_big * 1.8) <= 18    # ticket granularity
+    # deterministic: re-running yields the identical sample
+    kept2 = temperature_mixture_sample(df, "lang", "doc_id", alpha=0.5)
+    assert sorted(r.doc_id for r in kept.collect()) \
+        == sorted(r.doc_id for r in kept2.collect())

@@ -123,7 +123,7 @@ GATE_QUERIES = [
     "bloom_incremental_dedup_stats", "jsonl_ingest_stats",
     "domain_curation_stats", "compacted_scan_stats",
     "html_extraction_stats", "image_phash_band_stats",
-    "bm25_retrieval_scores",
+    "bm25_retrieval_scores", "temperature_mixture_stats",
 ]
 
 
