@@ -36,7 +36,8 @@ from pyspark.sql.types import (ArrayType, BinaryType, DoubleType,
 
 __all__ = [
     "ahash_array", "dhash_array", "image_phash", "phash_bands",
-    "image_near_dup_pairs",
+    "image_near_dup_pairs", "audio_fingerprint_array",
+    "audio_fingerprint", "audio_near_dup_pairs",
     "IMAGE_META_FIELDS", "AUDIO_META_FIELDS", "decode_raw8",
     "encode_raw8", "decode_png", "encode_png", "decode_wav",
     "encode_wav", "resize_bilinear", "image_features_schema",
@@ -612,5 +613,115 @@ def image_near_dup_pairs(df: DataFrame, id_col: str,
     return (cand.join(ha, "id_a").join(hb, "id_b")
             .select("id_a", "id_b",
                     hamming_distance(F.col("__ha__"), F.col("__hb__"))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= int(max_hamming)))
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprinting (near-dup for audio corpora)
+# ---------------------------------------------------------------------------
+# The audio twin of the image perceptual hash: a 64-bit spectral-sign
+# fingerprint per clip (Haitsma-Kalker-style bits: the sign of the
+# band-energy difference along time and frequency is famously robust
+# to volume, codec loss, and light noise), then the SAME banded
+# near-dup machinery as image hashes. 32 log-spaced FFT band energies
+# over 32 frames reduce to a (time, freq)-delta sign grid; the 64 most
+# central grid cells pack into the hash. All numpy inside one
+# Arrow-batched pass; banding/joining/verification reuse phash_bands.
+
+def audio_fingerprint_array(x: np.ndarray, frame_samples: int = 256,
+                            n_bands: int = 9, n_frames: int = 9) -> int:
+    """64-bit Haitsma-Kalker-style fingerprint of a mono float signal:
+    the clip is energy-pooled onto a fixed (n_frames x n_bands)
+    spectrogram grid (log-spaced bands), and bit (t*(n_bands-1)+b) is
+    the sign of the (time, frequency) double delta
+    E[t+1,b+1] - E[t+1,b] - (E[t,b+1] - E[t,b]) — 8x8 = 64 bits with
+    the 9x9 defaults. Zero-length / constant clips hash to 0."""
+    if x.size < 2 * frame_samples:
+        return 0
+    nf = x.size // frame_samples
+    fr = x[:nf * frame_samples].reshape(nf, frame_samples)
+    spec = np.abs(np.fft.rfft(fr, axis=1)) ** 2      # (nf, bins)
+    bins = spec.shape[1] - 1
+    # log-spaced band edges over [1, bins] (skip DC)
+    edges = np.unique(np.round(np.logspace(
+        0, np.log10(bins), n_bands + 1)).astype(int))
+    while len(edges) < n_bands + 1:                  # tiny-frame fallback
+        edges = np.append(edges, edges[-1] + 1)
+    band_e = np.add.reduceat(spec[:, 1:], edges[:-1] - 1, axis=1)
+    band_e = band_e[:, :n_bands]
+    # pool frames onto a fixed n_frames grid (mean per cell)
+    idx = np.linspace(0, nf, n_frames + 1).astype(int)
+    pooled = np.stack([band_e[idx[i]:max(idx[i + 1], idx[i] + 1)]
+                       .mean(axis=0) for i in range(n_frames)])
+    d = np.diff(pooled, axis=1)                      # freq delta
+    dd = np.diff(d, axis=0)                          # time delta
+    bits = (dd > 0).ravel().astype(np.uint64)[:64]
+    if bits.size < 64:
+        bits = np.pad(bits, (0, 64 - bits.size))
+    return int((bits << np.arange(64, dtype=np.uint64)).sum()
+               .astype(np.uint64).view(np.int64))
+
+
+def audio_fingerprint(df: DataFrame, id_col: str,
+                      payload_col: str = "payload",
+                      payload_format: str = "PCM16",
+                      frame_samples: int = 256) -> DataFrame:
+    """(id, fingerprint long) per audio payload — same decode surface
+    as :func:`audio_features` (PCM16 / WAV / FLAC, mono mixdown)."""
+    if payload_format not in ("PCM16", "WAV", "FLAC"):
+        raise ValueError(f"unsupported payload_format {payload_format!r}")
+    id_field = df.schema[id_col]
+    schema = StructType([id_field, StructField("fingerprint", LongType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for r in pdf.itertuples(index=False):
+                if payload_format == "WAV":
+                    x = decode_wav(r.payload)[0].mean(axis=1)
+                elif payload_format == "FLAC":
+                    from .flac import decode_flac
+                    x = decode_flac(r.payload)[0]
+                    x = x.mean(axis=1) if x.size else x.reshape(0)
+                else:
+                    buf = r.payload[:len(r.payload) & ~1]
+                    x = np.frombuffer(buf, dtype="<i2") / 32768.0
+                ids.append(getattr(r, id_col))
+                fps.append(audio_fingerprint_array(
+                    np.asarray(x, dtype=np.float64), frame_samples))
+            yield pd.DataFrame({id_col: ids, "fingerprint": fps})
+
+    sel = df.select(id_col, payload_col) \
+            .withColumnRenamed(payload_col, "payload")
+    return sel.mapInPandas(run, schema)
+
+
+def audio_near_dup_pairs(df: DataFrame, id_col: str,
+                         max_hamming: int = 8, bands: int = 16,
+                         payload_col: str = "payload",
+                         payload_format: str = "PCM16",
+                         frame_samples: int = 256) -> DataFrame:
+    """(id_a < id_b, hamming) audio pairs with fingerprint hamming
+    ≤ ``max_hamming`` — exact recall for ``max_hamming < bands``
+    (pigeonhole, default 16 4-bit bands ⇒ guaranteed ≤15), candidates
+    from (band, bucket) equi-joins, never all-pairs."""
+    from .dedup import hamming_distance
+    fps = audio_fingerprint(df, id_col, payload_col=payload_col,
+                            payload_format=payload_format,
+                            frame_samples=frame_samples)
+    bb = phash_bands(fps, id_col, hash_col="fingerprint", bands=bands)
+    cand = (bb.withColumnRenamed(id_col, "id_a")
+            .join(bb.withColumnRenamed(id_col, "id_b"),
+                  ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    fa = fps.select(F.col(id_col).alias("id_a"),
+                    F.col("fingerprint").alias("__fa__"))
+    fb = fps.select(F.col(id_col).alias("id_b"),
+                    F.col("fingerprint").alias("__fb__"))
+    return (cand.join(fa, "id_a").join(fb, "id_b")
+            .select("id_a", "id_b",
+                    hamming_distance(F.col("__fa__"), F.col("__fb__"))
                     .alias("hamming"))
             .filter(F.col("hamming") <= int(max_hamming)))

@@ -2883,6 +2883,51 @@ def temperature_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# audio fingerprint near-dup screen — deterministic tone mixes derived
+# from doc_id (one pair planted as a volume-scaled copy per 50 ids),
+# Haitsma-Kalker spectral-sign fingerprints, banded near-dup pairs.
+# Rows-only (FFT is not SQL-expressible); the numeric contract is
+# pytest-pinned against a numpy replay in tests/test_multimodal.py.
+# ----------------------------------------------------------------------
+@query("audio_fingerprint_pairs")
+def audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .llm.multimodal import audio_near_dup_pairs
+
+    def _mk(ids):
+        import numpy as np
+
+        def tone(d):
+            d = int(d)
+            base = d - d % 50                 # ids in a 50-block share
+            t = np.arange(4096) / 16000.0     # the same tone recipe...
+            x = (0.3 * np.sin(2 * np.pi * (200 + 37.0 * base) * t)
+                 + 0.2 * np.sin(2 * np.pi * (900 + 53.0 * base) * t))
+            # ...but only id%50==1 is a true (quieter) copy of %50==0;
+            # other ids detune by their offset -> distinct fingerprints
+            off = d % 50
+            if off == 0:
+                return x
+            if off == 1:
+                return 0.5 * x
+            return (0.3 * np.sin(2 * np.pi *
+                                 (200 + 37.0 * base + 11.0 * off) * t)
+                    + 0.2 * np.sin(2 * np.pi *
+                                   (900 + 53.0 * base + 7.0 * off) * t))
+        return ids.map(lambda d: bytes(
+            (np.clip(tone(d), -1, 1) * 32767).astype("<i2").tobytes()))
+    _mk.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    mk_payload = F.pandas_udf(_mk, "binary")
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 300).select("doc_id")
+    clips = docs.select("doc_id", mk_payload("doc_id").alias("payload"))
+    pairs = audio_near_dup_pairs(clips, "doc_id", max_hamming=2)
+    return pairs.orderBy("id_a", "id_b")
+
+
+# ----------------------------------------------------------------------
 # percentile outlier trim — two-pass: exact [p1, p99] band from one
 # aggregate, then a pushdown BETWEEN filter; summary stats after trim
 # ----------------------------------------------------------------------

@@ -677,3 +677,56 @@ def test_phash_bands_reassemble(spark):
         assert back[i] & (2**64 - 1) == v & (2**64 - 1)
     with pytest.raises(ValueError, match="divide 64"):
         phash_bands(hashes, "id", bands=5)
+
+
+# ----------------------------------------------------------------------
+# audio fingerprinting (Haitsma-Kalker-style spectral-sign bits)
+# ----------------------------------------------------------------------
+def _pcm16_df(spark, signals):
+    rows = [(i, bytearray((np.clip(x, -1, 1) * 32767)
+                          .astype("<i2").tobytes()))
+            for i, x in enumerate(signals)]
+    return spark.createDataFrame(rows, "clip_id long, payload binary")
+
+
+def _tone_mix(seed, n=8192):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000.0
+    x = np.zeros(n)
+    for _ in range(4):
+        f = rng.uniform(100, 6000)
+        x += rng.uniform(0.1, 0.3) * np.sin(2 * np.pi * f * t)
+    return x
+
+
+def test_audio_fingerprint_matches_python_replay(spark):
+    from detanalysis_spark.llm.multimodal import (audio_fingerprint,
+                                                  audio_fingerprint_array)
+    sigs = [_tone_mix(s) for s in range(5)] + [np.zeros(100)]
+    df = _pcm16_df(spark, sigs)
+    got = {r.clip_id: r.fingerprint
+           for r in audio_fingerprint(df, "clip_id").collect()}
+    for i, x in enumerate(sigs):
+        q = np.frombuffer((np.clip(x, -1, 1) * 32767)
+                          .astype("<i2").tobytes(), dtype="<i2") / 32768.0
+        assert got[i] == audio_fingerprint_array(q.astype(np.float64))
+    assert got[5] == 0                       # too short -> sentinel 0
+
+
+def test_audio_fingerprint_robust_to_volume_and_noise(spark):
+    from detanalysis_spark.llm.multimodal import (audio_fingerprint_array,
+                                                  audio_near_dup_pairs)
+    base = _tone_mix(99)
+    quiet = 0.5 * base                       # volume change
+    rng = np.random.default_rng(7)
+    noisy = base + 0.002 * rng.standard_normal(base.size)
+    others = [_tone_mix(200 + s) for s in range(6)]
+    # volume scaling preserves every energy-delta SIGN -> identical bits
+    f0 = audio_fingerprint_array(base)
+    assert audio_fingerprint_array(quiet) == f0
+    df = _pcm16_df(spark, [base, noisy] + others)
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in audio_near_dup_pairs(df, "clip_id",
+                                           max_hamming=8).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 8
+    assert all(a == 0 and b == 1 for (a, b) in pairs), pairs
