@@ -231,18 +231,33 @@ def build_bloom(df: DataFrame, col: Column | str,
     words = np.zeros(m_words, dtype=np.uint64)
     for row in parts.collect():
         words |= np.frombuffer(bytes(row.bitmap), dtype="<u8")
-    return Bloom(m_bits, k, words.view(np.int64))
+    bl = Bloom(m_bits, k, words.view(np.int64))
+    if bl.fill_ratio() > 0.5:
+        import warnings
+        warnings.warn(
+            f"build_bloom: filter is {bl.fill_ratio():.0%} full "
+            f"(fp_rate ≈ {bl.fp_rate():.2f}) — undersized for this "
+            f"corpus; size with optimal_bloom_params(n_items, fp)",
+            stacklevel=2)
+    return bl
 
 
 def dedup_incremental_bloom(new_docs: DataFrame, seen: DataFrame,
                             cols: list[str], id_col: str,
                             bloom: Bloom | None = None,
-                            m_bits: int = 1 << 20, k: int = 5,
+                            m_bits: int | None = None, k: int = 5,
+                            fp_rate: float = 0.01,
                             seen_is_hashes: bool = False) -> DataFrame:
     """Exact incremental dedup with a Bloom prefilter. EAGER when
-    ``bloom`` is None (the corpus-side build job runs at call time —
-    pass a prebuilt/loaded filter to stay lazy and to amortize the
-    build across batches).
+    ``bloom`` is None (a corpus count + the build job run at call
+    time — pass a prebuilt/loaded filter to stay lazy and to amortize
+    the build across batches).
+
+    With ``m_bits`` unset the filter is SIZED FROM THE CORPUS
+    (``optimal_bloom_params(count(seen), fp_rate)``, one cheap count
+    job) — a fixed default would silently saturate on a large corpus,
+    making every row pay both the probes and the full anti-join.
+    Explicit ``m_bits``/``k`` override the sizing.
 
     Output is row-for-row EQUAL to :func:`detanalysis_spark.llm.dedup.
     dedup_incremental` (within-batch keep-min-id collapse, then drop
@@ -259,6 +274,9 @@ def dedup_incremental_bloom(new_docs: DataFrame, seen: DataFrame,
               if seen_is_hashes
               else seen.select(content_hash(*cols).alias("__h__")))
     if bloom is None:
+        if m_bits is None:
+            n = max(1, seen_h.count())
+            m_bits, k = optimal_bloom_params(n, fp_rate)
         bloom = build_bloom(seen_h, "__h__", m_bits=m_bits, k=k)
     test = bloom.test(F.col("__h__"), new_docs.sparkSession)
     definite_new = batch.filter(~test)

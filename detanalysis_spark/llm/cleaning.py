@@ -672,9 +672,15 @@ SECOND_LEVEL_SUFFIXES: tuple[str, ...] = (
 
 def url_host(url: Column | str) -> Column:
     """Lower-cased host of a URL (native ``parse_url``; NULL when the
-    value doesn't parse as a URL — quarantine, don't crash)."""
+    value doesn't parse as a URL — quarantine, don't crash). Trailing
+    dots are stripped (an FQDN root label like ``example.com.`` is the
+    SAME host — left in place it would make :func:`registered_domain`
+    return ``com.`` and let a dotted hostname walk through the domain
+    blocklist); an all-dot / empty host normalizes to NULL."""
     u = F.col(url) if isinstance(url, str) else url
-    return F.lower(F.try_parse_url(u, F.lit("HOST")))
+    h = F.regexp_replace(
+        F.lower(F.try_parse_url(u, F.lit("HOST"))), r"\.+$", "")
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
 
 
 def registered_domain(host: Column | str,

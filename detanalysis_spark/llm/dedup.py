@@ -804,12 +804,19 @@ def temperature_mixture_sample(df: DataFrame, strata_col: str,
     ``pmod(id, modulus) < floor(fraction·modulus)`` — row-local,
     reproducible across runs and partitionings, pushdown-eligible,
     and exactly replayable by a SQL oracle. The corpus never shuffles.
+    Rows with a NULL stratum are kept whole and excluded from the
+    fraction computation (they must not set n_min).
     """
     counts = {r[0]: r[1]
               for r in df.groupBy(strata_col).count().collect()}
+    # NULL strata are kept whole and MUST NOT participate in n_min: a
+    # single stray NULL row would otherwise set n_min=1 and shed ~all
+    # of every real stratum, while the NULL row itself (never equal to
+    # any stratum literal) silently vanished
+    counts.pop(None, None)
     fracs = temperature_fractions(counts, alpha)
     ticket = F.pmod(F.col(id_col), F.lit(int(modulus)))
-    expr = F.lit(False)
+    expr = F.col(strata_col).isNull()
     for stratum, frac in fracs.items():
         thr = int(math.floor(frac * modulus))
         expr = F.when(F.col(strata_col) == stratum,

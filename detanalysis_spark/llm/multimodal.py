@@ -596,10 +596,15 @@ def image_near_dup_pairs(df: DataFrame, id_col: str,
     Recall guarantee: exact for ``max_hamming < bands`` (pigeonhole —
     some band must match); probabilistic above. The candidate join is
     keyed by (band, bucket), so cost tracks colliding pairs, never n².
+    EAGER: the hash table feeds three plan subtrees (bands + both join
+    sides) and Spark has no cross-subtree CSE, so it is checkpointed
+    at call time — each image decodes and hashes exactly ONCE instead
+    of three times (the dominant Python cost at corpus scale).
     """
     from .dedup import hamming_distance
     hashes = image_phash(df, id_col, method=method,
-                         payload_col=payload_col)
+                         payload_col=payload_col) \
+        .localCheckpoint(eager=True)
     bb = phash_bands(hashes, id_col, bands=bands)
     cand = (bb.withColumnRenamed(id_col, "id_a")
             .join(bb.withColumnRenamed(id_col, "id_b"),
@@ -637,17 +642,28 @@ def audio_fingerprint_array(x: np.ndarray, frame_samples: int = 256,
     the sign of the (time, frequency) double delta
     E[t+1,b+1] - E[t+1,b] - (E[t,b+1] - E[t,b]) — 8x8 = 64 bits with
     the 9x9 defaults. Zero-length / constant clips hash to 0."""
+    if frame_samples // 2 < n_bands + 1:
+        raise ValueError(
+            f"audio_fingerprint_array: frame_samples={frame_samples} "
+            f"gives {frame_samples // 2} usable FFT bins — need at "
+            f"least n_bands+1={n_bands + 1} (frame_samples >= "
+            f"{2 * (n_bands + 1)})")
     if x.size < 2 * frame_samples:
         return 0
     nf = x.size // frame_samples
     fr = x[:nf * frame_samples].reshape(nf, frame_samples)
     spec = np.abs(np.fft.rfft(fr, axis=1)) ** 2      # (nf, bins)
     bins = spec.shape[1] - 1
-    # log-spaced band edges over [1, bins] (skip DC)
+    # log-spaced band edges over [1, bins] (skip DC); if rounding
+    # collapses edges, refill with the smallest unused bins — always
+    # possible since bins >= n_bands+1 by the guard above, and every
+    # edge stays within [1, bins] so reduceat indices are in range
     edges = np.unique(np.round(np.logspace(
         0, np.log10(bins), n_bands + 1)).astype(int))
-    while len(edges) < n_bands + 1:                  # tiny-frame fallback
-        edges = np.append(edges, edges[-1] + 1)
+    if len(edges) < n_bands + 1:
+        unused = np.setdiff1d(np.arange(1, bins + 1), edges)
+        edges = np.sort(np.append(
+            edges, unused[:n_bands + 1 - len(edges)]))
     band_e = np.add.reduceat(spec[:, 1:], edges[:-1] - 1, axis=1)
     band_e = band_e[:, :n_bands]
     # pool frames onto a fixed n_frames grid (mean per cell)
@@ -705,11 +721,15 @@ def audio_near_dup_pairs(df: DataFrame, id_col: str,
     """(id_a < id_b, hamming) audio pairs with fingerprint hamming
     ≤ ``max_hamming`` — exact recall for ``max_hamming < bands``
     (pigeonhole, default 16 4-bit bands ⇒ guaranteed ≤15), candidates
-    from (band, bucket) equi-joins, never all-pairs."""
+    from (band, bucket) equi-joins, never all-pairs. EAGER: the
+    fingerprint table is checkpointed at call time so each clip
+    decodes and fingerprints exactly once across the three consuming
+    subtrees (same rationale as :func:`image_near_dup_pairs`)."""
     from .dedup import hamming_distance
     fps = audio_fingerprint(df, id_col, payload_col=payload_col,
                             payload_format=payload_format,
-                            frame_samples=frame_samples)
+                            frame_samples=frame_samples) \
+        .localCheckpoint(eager=True)
     bb = phash_bands(fps, id_col, hash_col="fingerprint", bands=bands)
     cand = (bb.withColumnRenamed(id_col, "id_a")
             .join(bb.withColumnRenamed(id_col, "id_b"),

@@ -793,8 +793,13 @@ def bm25_scores(docs, queries, id_col: str = "doc_id",
                      F.avg("__dl__").alias("avgdl")).collect()[0])
     n_docs, avgdl = int(row.n), float(row.avgdl or 0.0)
     if n_docs == 0:
+        # schema must match the non-empty path exactly (real id types,
+        # not hardcoded long) or a downstream unionByName breaks only
+        # in the empty-corpus corner
+        qt = queries.schema[query_id_col].dataType.simpleString()
+        dt = docs.schema[id_col].dataType.simpleString()
         return queries.sparkSession.createDataFrame(
-            [], f"{query_id_col} long, {id_col} long, score double")
+            [], f"{query_id_col} {qt}, {id_col} {dt}, score double")
     dfreq = document_frequencies(tf, id_col)
     if max_df is not None:
         dfreq = dfreq.filter(F.col("df") <= int(max_df))

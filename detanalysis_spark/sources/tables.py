@@ -79,13 +79,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     path = f"{sf_dir}/{name}.parquet"
     key = (spark.sparkContext.applicationId, path)
     if cache:
-        # evict entries from previous sessions: a restarted process
-        # gets a new applicationId, and stale keys would otherwise pin
-        # dead DataFrame plans (and their captured file listings)
-        # forever in this module-global
-        stale = [k for k in _DF_CACHE if k[0] != key[0]]
-        for k in stale:
-            del _DF_CACHE[k]
+        # evict other-session entries only past a size cap: restarted
+        # processes must not pin dead plans forever, but two LIVE
+        # sessions alternating in one process (parallel fixtures, A/B
+        # harnesses) must not thrash each other's memoization — the
+        # cap comfortably holds every table for a handful of sessions
+        if len(_DF_CACHE) > 64:
+            stale = [k for k in _DF_CACHE if k[0] != key[0]]
+            for k in stale:
+                del _DF_CACHE[k]
         if key in _DF_CACHE:
             return _DF_CACHE[key]
     nano_cols, ntz_cols = _timestamp_cols(path)

@@ -64,18 +64,29 @@ def _parse_jsonl_lines(lines: DataFrame, schema: StructType | str
     batch reads and Structured Streaming sources."""
     ddl = schema if isinstance(schema, str) else ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    if "__corrupt__" in ddl:
+        raise ValueError(
+            "read_jsonl: the schema may not contain a __corrupt__ "
+            "column (reserved for the corrupt-record sentinel)")
     parse_schema = f"{ddl}, __corrupt__ string"
     parsed = (lines
               .filter(F.trim(F.col("value")) != "")
-              .select(F.from_json(
-                  F.col("value"), parse_schema,
-                  {"mode": "PERMISSIVE",
-                   "columnNameOfCorruptRecord": "__corrupt__"})
-                  .alias("__j__")))
-    good = (parsed.filter(F.col("__j__.__corrupt__").isNull())
+              .select(F.col("value"),
+                      F.from_json(
+                          F.col("value"), parse_schema,
+                          {"mode": "PERMISSIVE",
+                           "columnNameOfCorruptRecord": "__corrupt__"})
+                      .alias("__j__")))
+    # malformed input puts the WHOLE raw line in the sentinel field; a
+    # VALID row whose JSON happens to carry a "__corrupt__" key fills
+    # it with that key's value instead — only the exact-raw-line match
+    # is a parse failure, so such rows stay good (the stray key is
+    # simply not in the caller's schema)
+    is_bad = (F.col("__j__.__corrupt__").isNotNull()
+              & (F.col("__j__.__corrupt__") == F.col("value")))
+    good = (parsed.filter(~is_bad)
             .select("__j__.*").drop("__corrupt__"))
-    bad = (parsed.filter(F.col("__j__.__corrupt__").isNotNull())
-           .select(F.col("__j__.__corrupt__").alias("line")))
+    bad = parsed.filter(is_bad).select(F.col("value").alias("line"))
     return good, bad
 
 

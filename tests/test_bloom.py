@@ -138,3 +138,23 @@ def test_optimal_params_and_guards():
     with pytest.raises(ValueError, match="multiple of 64"):
         import detanalysis_spark.llm.bloom as B
         B.build_bloom(None, "v", m_bits=100)
+
+
+def test_bloom_autosize_and_saturation_warning(spark):
+    # dedup_incremental_bloom with m_bits unset sizes the filter from
+    # the corpus; an explicitly undersized build warns about fill
+    import warnings
+    from detanalysis_spark.llm.dedup import dedup_incremental
+    seen = _df(spark, _values(400, "s"))
+    new = _df(spark, _values(80, "n") + _values(400, "s")[:30],
+              start_id=5000)
+    want = {tuple(r) for r in dedup_incremental(
+        new, seen, ["v"], "id").collect()}
+    got = {tuple(r) for r in dedup_incremental_bloom(
+        new, seen, ["v"], "id").collect()}          # auto-sized
+    assert got == want
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        build_bloom(_df(spark, _values(3000, "big")), "v",
+                    m_bits=256, k=4)                # hopelessly small
+    assert any("undersized" in str(x.message) for x in w)

@@ -1891,3 +1891,33 @@ def test_temperature_mixture_sampling(spark):
     kept2 = temperature_mixture_sample(df, "lang", "doc_id", alpha=0.5)
     assert sorted(r.doc_id for r in kept.collect()) \
         == sorted(r.doc_id for r in kept2.collect())
+
+
+def test_temperature_mixture_null_stratum_kept(spark):
+    # regression (round-6 review): ONE NULL-stratum row must neither
+    # set n_min (shedding ~all real rows) nor vanish itself
+    from detanalysis_spark.llm.dedup import temperature_mixture_sample
+    rows = [(i, "en") for i in range(10_000)] + [(10_000, None)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_mixture_sample(df, "lang", "doc_id", alpha=0.7)
+    got = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    by = {r.lang: r.n for r in got}
+    assert by["en"] == 10_000               # single stratum: kept whole
+    assert by[None] == 1                    # NULL rows pass through
+
+
+def test_url_host_trailing_dot_cannot_bypass_blocklist(spark):
+    # regression (round-6 review): 'example.com.' is the same host —
+    # un-normalized it made registered_domain return 'com.' and walked
+    # through the blocklist
+    from detanalysis_spark.llm.cleaning import (domain_blocklist_filter,
+                                                registered_domain,
+                                                url_host)
+    rows = [(1, "https://example.com./x"), (2, "https://example.com/x"),
+            (3, "https://ok.org/y")]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r.d for r in df.select("id", registered_domain(
+        url_host("url")).alias("d")).collect()}
+    assert got[1] == got[2] == "example.com"
+    kept = domain_blocklist_filter(df, "url", ["example.com"])
+    assert sorted(r.id for r in kept.collect()) == [3]

@@ -730,3 +730,15 @@ def test_audio_fingerprint_robust_to_volume_and_noise(spark):
                                            max_hamming=8).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] <= 8
     assert all(a == 0 and b == 1 for (a, b) in pairs), pairs
+
+
+def test_audio_fingerprint_tiny_frame_guard():
+    # regression (round-6 review): frame_samples too small for the
+    # band count must raise a clear ValueError, not IndexError inside
+    # np.add.reduceat on every Spark task
+    from detanalysis_spark.llm.multimodal import audio_fingerprint_array
+    x = np.sin(np.arange(4096) / 10.0)
+    with pytest.raises(ValueError, match="frame_samples"):
+        audio_fingerprint_array(x, frame_samples=16)
+    # smallest legal frame still fingerprints
+    assert isinstance(audio_fingerprint_array(x, frame_samples=20), int)

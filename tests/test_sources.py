@@ -133,15 +133,23 @@ def test_load_table_memoizes_per_session(spark, sf_dir):
 
 
 def test_load_table_evicts_stale_session_entries(spark, sf_dir):
-    # keys from a previous (restarted) session pin dead plans forever;
-    # access evicts every entry whose applicationId isn't current
+    # keys from previous (restarted) sessions must not pin dead plans
+    # forever — but eviction only kicks in past a size cap, so two
+    # LIVE sessions in one process don't thrash each other's cache
     from detanalysis_spark.sources.tables import _DF_CACHE, load_table
     a = load_table(spark, sf_dir, "events")
-    stale = ("app-from-a-previous-process", "/some/path.parquet")
-    _DF_CACHE[stale] = a
+    few = ("other-live-session", "/some/path.parquet")
+    _DF_CACHE[few] = a
     b = load_table(spark, sf_dir, "events")
     assert b is a
-    assert stale not in _DF_CACHE
+    assert few in _DF_CACHE                 # below cap: no eviction
+    stale = [(f"dead-app-{i}", f"/p{i}.parquet") for i in range(70)]
+    for k in stale:
+        _DF_CACHE[k] = a
+    c = load_table(spark, sf_dir, "events")
+    assert c is a
+    assert not any(k in _DF_CACHE for k in stale)   # past cap: purged
+    assert few not in _DF_CACHE
 
 
 def test_load_table_rebases_naive_timestamps(spark, tmp_path):
@@ -587,3 +595,19 @@ def test_compact_parquet_dir_flat_and_hive(spark, tmp_path):
     plan = back.filter(F.col("g") == 1) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan                   # pruning survives
+
+
+def test_jsonl_corrupt_key_collision_stays_good(spark, tmp_path):
+    # regression (round-6 review): a VALID row whose JSON carries a
+    # literal "__corrupt__" key must not be quarantined — only rows
+    # where the sentinel holds the whole raw line are parse failures
+    from detanalysis_spark.sources import read_jsonl_quarantine
+    path = str(tmp_path / "jk")
+    spark.createDataFrame(
+        [('{"a": 1, "__corrupt__": "x"}',), ('{"a": 2}',), ('{bad',)],
+        "value string").write.text(path)
+    good, bad = read_jsonl_quarantine(spark, path, "a long")
+    assert sorted(r.a for r in good.collect()) == [1, 2]
+    assert [r.line for r in bad.collect()] == ["{bad"]
+    with pytest.raises(ValueError, match="reserved"):
+        read_jsonl_quarantine(spark, path, "a long, __corrupt__ string")
