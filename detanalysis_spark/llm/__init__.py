@@ -7,8 +7,8 @@ generation, no all-pairs, no driver-side loops).
 """
 
 from .similarity import (cosine_similarity, cosine_topk,
-                         RandomHyperplaneLSH, IVFIndex, semantic_dedup,
-                         embedding_outliers,
+                         RandomHyperplaneLSH, IVFIndex, PQCodebook,
+                         semantic_dedup, embedding_outliers,
                          quantize_embeddings, quantization_error)
 from .dedup import (dedup_exact, minhash_signatures, lsh_candidate_pairs,
                     near_dup_clusters, near_dup_clusters_star, simhash,
@@ -50,6 +50,7 @@ __all__ = [
     "remove_duplicate_lines", "decontaminate",
     "adaptive_quality_filter",
     "cosine_similarity", "cosine_topk", "RandomHyperplaneLSH", "IVFIndex",
+    "PQCodebook",
     "semantic_dedup", "embedding_outliers",
     "dedup_exact", "minhash_signatures", "lsh_candidate_pairs",
     "near_dup_clusters", "near_dup_clusters_star", "simhash",

@@ -1041,3 +1041,221 @@ def quantization_error(df: DataFrame, vec_col: str = "embedding",
     cos = F.try_divide(_dot(orig, deq), _norm(orig) * _norm(deq))
     return (qdf.withColumn("max_abs_err", err)
             .withColumn("cos_sim", cos))
+
+
+# ---------------------------------------------------------------------------
+# product quantization (Jégou, Douze & Schmid, "Product Quantization
+# for Nearest Neighbor Search", IEEE TPAMI 2011) — the memory-scale
+# path for ANN: m subspace codebooks of 256 centroids compress each
+# vector to m BYTES (32× smaller than float32 at dim=64, m=8), and
+# asymmetric-distance (ADC) scoring ranks candidates from one small
+# per-probe lookup table without ever reconstructing the corpus.
+# At 100 TB of raw embeddings the PQ-coded corpus is the difference
+# between an index that fits in cluster memory and one that doesn't.
+# ---------------------------------------------------------------------------
+def _fit_euclidean_kmeans(X: np.ndarray, k: int,
+                          max_iter: int, seed: int) -> np.ndarray:
+    """Plain-L2 Lloyd on a sample (PQ quantizes subvector GEOMETRY, so
+    euclidean — not spherical — k-means; deterministic seeded init from
+    distinct sample rows, dead cells re-seed from the worst-fit point).
+    """
+    k = min(k, X.shape[0])
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(X.shape[0], size=k, replace=False)].copy()
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) \
+            if X.shape[0] * k * X.shape[1] <= 50_000_000 else None
+        if d2 is None:   # blockwise for big samples
+            d2 = np.empty((X.shape[0], k))
+            for j in range(k):
+                d2[:, j] = ((X - C[j]) ** 2).sum(axis=1)
+        assign = d2.argmin(axis=1)
+        newC = C.copy()
+        worst = d2.min(axis=1).argmax()
+        for c in range(k):
+            members = X[assign == c]
+            newC[c] = members.mean(axis=0) if len(members) else X[worst]
+        if np.allclose(newC, C, atol=1e-12):
+            return newC
+        C = newC
+    return C
+
+
+class PQCodebook:
+    """Product quantizer: the vector splits into ``m`` contiguous
+    subvectors, each quantized by its own ``k``-centroid codebook;
+    a vector's code is the ``m`` centroid ids (one byte each at the
+    ``k=256`` default).
+
+    ``normalize=True`` (default) unit-normalizes before encoding, so
+    ADC's L2² ranking equals cosine ranking (L2² = 2 − 2·cos on unit
+    vectors) and results line up with the cosine ANN stack. Training
+    is driver-side on a deterministic sample (codebooks, like the IVF
+    coarse quantizer, need only a sketch of the distribution);
+    encoding is a vectorized pandas UDF (one distance matmul per
+    subspace per Arrow batch); ADC search broadcasts a per-probe
+    (m × k) table — 8 KB at the defaults — and scores each coded row
+    with ``m`` table lookups, no reconstruction, no shuffle beyond the
+    final bounded top-k.
+    """
+
+    def __init__(self, m: int = 8, k: int = 256, seed: int = 42,
+                 max_iter: int = 25, normalize: bool = True):
+        if k > 65536:
+            raise ValueError("PQCodebook: k above 65536 is pointless "
+                             "(codes store as shorts)")
+        self.m, self.k, self.seed = int(m), int(k), int(seed)
+        self.max_iter, self.normalize = int(max_iter), bool(normalize)
+        self.codebooks: np.ndarray | None = None  # (m, k, dim//m)
+
+    # -- training -----------------------------------------------------
+    def fit(self, df: DataFrame, vec_col: str = "embedding",
+            id_col: str = "vec_id",
+            sample_size: int = 100_000) -> "PQCodebook":
+        pdf = (df.orderBy(id_col).limit(sample_size)
+               .select(vec_col).toPandas())
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        if self.normalize:
+            X = IVFIndex._unit_rows(X)
+        dim = X.shape[1]
+        if dim % self.m != 0:
+            raise ValueError(
+                f"PQCodebook: dim {dim} not divisible by m={self.m}")
+        sub = dim // self.m
+        self.codebooks = np.stack([
+            _fit_euclidean_kmeans(
+                np.ascontiguousarray(X[:, s * sub:(s + 1) * sub]),
+                self.k, self.max_iter, self.seed + s)
+            for s in range(self.m)])
+        return self
+
+    def _require_fit(self) -> np.ndarray:
+        if self.codebooks is None:
+            raise RuntimeError("call fit() first")
+        return self.codebooks
+
+    # -- encode / decode ----------------------------------------------
+    def encode(self, df: DataFrame, vec_col: str = "embedding",
+               code_col: str = "pq_code") -> DataFrame:
+        """Append ``code_col`` (array<int>, length m, values < k) —
+        per-row projection, no shuffle."""
+        cb = self._require_fit()
+        norm = self.normalize
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(cb)
+
+        def _enc(vecs: pd.Series) -> pd.Series:
+            C = bc.value
+            m, k, sub = C.shape
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            X = np.stack(vecs.to_numpy()).astype(np.float64)
+            if norm:
+                X = IVFIndex._unit_rows(X)
+            codes = np.empty((X.shape[0], m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * sub:(s + 1) * sub]
+                # argmin ||x - c||² = argmax x·c − ||c||²/2
+                scores = Xs @ C[s].T - 0.5 * (C[s] ** 2).sum(axis=1)
+                codes[:, s] = scores.argmax(axis=1)
+            return pd.Series(list(codes))
+
+        _enc.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+        enc = F.pandas_udf(_enc, "array<int>")
+        return df.withColumn(code_col, enc(F.col(vec_col)))
+
+    def decode_rows(self, codes: np.ndarray) -> np.ndarray:
+        """Reconstruct (n, dim) float vectors from (n, m) int codes —
+        the audit surface for quantization error."""
+        cb = self._require_fit()
+        m, k, sub = cb.shape
+        return np.concatenate(
+            [cb[s][codes[:, s]] for s in range(m)], axis=1)
+
+    # -- ADC search -----------------------------------------------------
+    def adc_topk(self, coded: DataFrame, probes: DataFrame, k: int = 10,
+                 id_col: str = "vec_id", code_col: str = "pq_code",
+                 probe_id_col: str = "probe_id",
+                 vec_col: str = "embedding",
+                 max_probes: int = 10_000) -> DataFrame:
+        """Asymmetric-distance top-k: (probe_id, vec_id, approx_dist)
+        with the k SMALLEST approximate L2² per probe (== cosine
+        ranking when ``normalize``). Probes collect to the driver
+        (bounded by ``max_probes``), their (m × k) distance tables
+        broadcast, and each Arrow batch of codes scores via m table
+        lookups; per-batch top-k bounds the final exact rank window to
+        ``batches × k`` rows per probe.
+        """
+        cb = self._require_fit()
+        pm = probes.select(probe_id_col, vec_col).toPandas()
+        if len(pm) > max_probes:
+            raise ValueError(
+                f"adc_topk: {len(pm)} probes exceed max_probes="
+                f"{max_probes} — chunk the probe set")
+        if len(pm) == 0:
+            pid_t = probes.schema[probe_id_col].dataType.simpleString()
+            id_t = coded.schema[id_col].dataType.simpleString()
+            return coded.sparkSession.createDataFrame(
+                [], f"{probe_id_col} {pid_t}, {id_col} {id_t}, "
+                    f"approx_dist double")
+        Q = np.stack(pm[vec_col].to_numpy()).astype(np.float64)
+        if self.normalize:
+            Q = IVFIndex._unit_rows(Q)
+        m, kk, sub = cb.shape
+        # tables[p, s, c] = ||q_p[s] - cb[s, c]||²
+        tables = np.stack([
+            ((Q[:, s * sub:(s + 1) * sub][:, None, :]
+              - cb[s][None, :, :]) ** 2).sum(axis=2)
+            for s in range(m)], axis=1)          # (P, m, k)
+        pids = pm[probe_id_col].to_numpy()
+        spark = coded.sparkSession
+        bc = spark.sparkContext.broadcast((tables, pids))
+        topk = int(k)
+        pid_t = probes.schema[probe_id_col].dataType.simpleString()
+        id_t = coded.schema[id_col].dataType.simpleString()
+        out_schema = (f"{probe_id_col} {pid_t}, {id_col} {id_t}, "
+                      f"approx_dist double")
+
+        def gen(batches):
+            T, ids_p = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = np.stack(pdf[code_col].to_numpy()).astype(np.int64)
+                ids_v = pdf[id_col].to_numpy()
+                n = len(ids_v)
+                for p in range(len(ids_p)):
+                    # sum of m table lookups per row
+                    d = T[p][np.arange(m)[None, :],
+                             codes].sum(axis=1)    # (n,)
+                    take = min(topk, n)
+                    part = np.argpartition(d, take - 1)[:take]
+                    yield pd.DataFrame({
+                        probe_id_col: np.repeat(ids_p[p], take),
+                        id_col: ids_v[part],
+                        "approx_dist": d[part]})
+
+        cand = coded.select(id_col, code_col).mapInPandas(gen, out_schema)
+        w = Window.partitionBy(probe_id_col).orderBy(
+            F.col("approx_dist").asc(), F.col(id_col).asc())
+        return (cand.withColumn("__rk__", F.row_number().over(w))
+                .filter(F.col("__rk__") <= topk).drop("__rk__"))
+
+    # -- persistence ----------------------------------------------------
+    def save(self, spark, path: str) -> None:
+        cb = self._require_fit()
+        m, k, sub = cb.shape
+        spark.createDataFrame(
+            [(int(m), int(k), int(sub), int(self.seed),
+              bool(self.normalize),
+              bytearray(cb.astype("<f8").tobytes()))],
+            "m int, k int, sub int, seed int, normalize boolean, "
+            "data binary").write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "PQCodebook":
+        r = spark.read.parquet(path).collect()[0]
+        pq = cls(m=r.m, k=r.k, seed=r.seed, normalize=r.normalize)
+        pq.codebooks = np.frombuffer(
+            bytes(r.data), dtype="<f8").reshape(r.m, r.k, r.sub).copy()
+        return pq

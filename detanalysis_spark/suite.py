@@ -2928,6 +2928,41 @@ def audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# product quantization, exact mode — with k >= corpus size every
+# distinct subvector becomes its own centroid, so the ADC distance is
+# exactly the squared L2 between unit vectors (= 2 − 2·cos) and the
+# full cosine oracle applies: the same n_probe=all trick that oracles
+# ann_ivf_topk. The real engine path (fit → encode → broadcast
+# distance tables → table-lookup scoring → top-k) runs end to end.
+# ----------------------------------------------------------------------
+@query("pq_adc_exact_topk", oracle="""
+WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+s AS (
+  SELECT p.vec_id AS probe_id, c.vec_id,
+         2.0 - 2.0 * list_cosine_similarity(
+             CAST(c.embedding AS DOUBLE[]),
+             CAST(p.embedding AS DOUBLE[])) AS dist
+  FROM c, (SELECT * FROM c WHERE vec_id < 3) p),
+r AS (SELECT probe_id, vec_id, dist,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY dist ASC, vec_id ASC) AS rk
+      FROM s)
+SELECT probe_id, vec_id, round(dist, 6) AS approx_dist
+FROM r WHERE rk <= 5
+""")
+def pq_adc_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.similarity import PQCodebook
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 400")
+    pq = PQCodebook(m=8, k=512, seed=7).fit(emb, sample_size=1000)
+    coded = pq.encode(emb)
+    probes = emb.filter("vec_id < 3") \
+        .withColumnRenamed("vec_id", "probe_id")
+    out = pq.adc_topk(coded, probes, k=5)
+    return out.select("probe_id", "vec_id",
+                      F.round("approx_dist", 6).alias("approx_dist"))
+
+
+# ----------------------------------------------------------------------
 # percentile outlier trim — two-pass: exact [p1, p99] band from one
 # aggregate, then a pushdown BETWEEN filter; summary stats after trim
 # ----------------------------------------------------------------------
