@@ -104,3 +104,30 @@ def test_pq_save_load_and_guards(spark, tmp_path):
     out = pq.adc_topk(pq.encode(df), empty, k=2)
     assert out.columns == ["probe_id", "vec_id", "approx_dist"]
     assert out.count() == 0
+
+
+def test_pq_composes_with_ivf_cells(spark):
+    # IVF-PQ shape: coarse cells bound the candidate set, PQ codes
+    # rank inside it — the composition must return the same neighbors
+    # as PQ alone when every cell is probed
+    from detanalysis_spark.llm.similarity import IVFIndex
+    X = _clustered(n_clusters=4, per=30, dim=32, spread=0.02)
+    df = _emb_df(spark, X)
+    ivf = IVFIndex(n_centroids=4, n_probe=4, seed=3).fit(df)
+    pq = PQCodebook(m=4, k=32, seed=5).fit(df)
+    coded = pq.encode(ivf.with_cell(df))
+    probes = _emb_df(spark, X[::30] + 0.005, start=0) \
+        .withColumnRenamed("vec_id", "probe_id")
+    full = {(r.probe_id, r.vec_id)
+            for r in pq.adc_topk(coded, probes, k=5).collect()}
+    # restrict each probe to its own cell (clusters are separated, so
+    # the true neighbors all live there)
+    probe_cells = {r.probe_id: r.ivf_cell for r in ivf.with_cell(
+        probes).select("probe_id", "ivf_cell").collect()}
+    per_cell = set()
+    for pid, cell in probe_cells.items():
+        sub = coded.filter(F.col("ivf_cell") == int(cell))
+        one = probes.filter(F.col("probe_id") == pid)
+        per_cell |= {(r.probe_id, r.vec_id)
+                     for r in pq.adc_topk(sub, one, k=5).collect()}
+    assert per_cell == full

@@ -400,6 +400,20 @@ def main() -> int:
         return run
     probe("jsonl_round_trip", jsonl(docs1, "1"), jsonl(docsk, "k"))
 
+    # PQ encode + ADC search: encode is one matmul per subspace per
+    # Arrow batch (pure projection), ADC streams the coded corpus
+    # against broadcast tables — both must track corpus size linearly
+    def pq_path(df):
+        from detanalysis_spark.llm.similarity import PQCodebook
+        def run():
+            pq = PQCodebook(m=8, k=64, seed=3).fit(df)
+            coded = pq.encode(df)
+            probes = df.filter(F.col("vec_id") < 4) \
+                .withColumnRenamed("vec_id", "probe_id")
+            return pq.adc_topk(coded, probes, k=10).count()
+        return run
+    probe("pq_encode_adc", pq_path(emb1), pq_path(embk))
+
     print(json.dumps({"probe": results, "multiplier": k}))
     return 0
 
