@@ -36,7 +36,8 @@ __all__ = [
     "simhash", "hamming_distance", "token_cosine_pairs",
     "positional_ngrams", "duplicated_spans", "span_dup_stats",
     "dedup_incremental", "lsh_candidate_pairs_between",
-    "apply_near_dedup", "temperature_fractions",
+    "apply_near_dedup", "simhash_near_dup_pairs",
+    "temperature_fractions",
     "temperature_mixture_sample",
 ]
 
@@ -773,6 +774,53 @@ def token_cosine_pairs(docs: DataFrame, id_col: str = "doc_id",
                         / (F.col("__na__") * F.col("__nb__")))
             .filter(F.col("sim") >= float(threshold))
             .select("id_a", "id_b", "sim"))
+
+
+def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           max_hamming: int = 3,
+                           bands: int = 8) -> DataFrame:
+    """(id_a < id_b, hamming) pairs with SimHash hamming distance
+    ≤ ``max_hamming`` — the order-sensitive complement to MinHash
+    near-dup (SimHash weights token frequency and is cheap enough to
+    fingerprint everything; MinHash's shingle Jaccard catches
+    reorderings SimHash misses).
+
+    Candidates come from BAND-exact bucket equi-joins over the 64-bit
+    fingerprint split into ``bands`` fixed-width pieces: by pigeonhole
+    two hashes within hamming h share at least one band whenever
+    bands > h, so the default 8 bands make recall EXACT for
+    ``max_hamming ≤ 7`` — and the join stays keyed by (band, bucket),
+    never all-pairs. Verification is native ``bit_count(a ^ b)``.
+    EAGER: the fingerprint table feeds three plan subtrees (bands +
+    both verify sides) and is checkpointed at call time so each text
+    is tokenized and voted exactly once.
+    """
+    if 64 % bands != 0:
+        raise ValueError("simhash_near_dup_pairs: bands must divide 64")
+    sh = (docs.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+          .localCheckpoint(eager=True))
+    width = 64 // bands
+    mask = (1 << width) - 1
+    pieces = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftrightunsigned(F.col("sh"), b * width)
+                 .bitwiseAND(F.lit(mask)).alias("bucket"))
+        for b in range(bands)])
+    bb = (sh.select(id_col, F.explode(pieces).alias("p"))
+          .select(id_col, "p.band", "p.bucket"))
+    cand = (bb.withColumnRenamed(id_col, "id_a")
+            .join(bb.withColumnRenamed(id_col, "id_b"),
+                  ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    ha = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("__a__"))
+    hb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("__b__"))
+    return (cand.join(ha, "id_a").join(hb, "id_b")
+            .select("id_a", "id_b",
+                    hamming_distance(F.col("__a__"), F.col("__b__"))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= int(max_hamming)))
 
 
 def temperature_fractions(counts: dict, alpha: float = 0.7) -> dict:

@@ -35,8 +35,6 @@ from pyspark.sql.types import StructType
 __all__ = ["read_jsonl", "read_jsonl_quarantine", "write_jsonl",
            "read_csv_corpus", "stream_jsonl_quarantine"]
 
-_RAW = "__raw__"
-
 
 def read_jsonl_quarantine(spark: SparkSession, path: str,
                           schema: StructType | str

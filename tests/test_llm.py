@@ -1921,3 +1921,35 @@ def test_url_host_trailing_dot_cannot_bypass_blocklist(spark):
     assert got[1] == got[2] == "example.com"
     kept = domain_blocklist_filter(df, "url", ["example.com"])
     assert sorted(r.id for r in kept.collect()) == [3]
+
+
+def test_simhash_near_dup_pairs_banded(spark):
+    from detanalysis_spark.llm.dedup import (hamming_distance, simhash,
+                                             simhash_near_dup_pairs)
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the quiet green forest before nightfall")
+    near = base.replace("quiet", "silent")          # one-token edit
+    rng_words = ["alpha bravo charlie delta echo foxtrot golf hotel",
+                 "one two three four five six seven eight nine ten",
+                 "spark join order window agg scan filter merge sort",
+                 "lorem ipsum dolor sit amet consectetur adipiscing"]
+    rows = [(0, base), (1, near)] + [(10 + i, w * 3)
+                                     for i, w in enumerate(rng_words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_near_dup_pairs(df, max_hamming=7).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 7
+    # pigeonhole exactness below the band count: banded result equals
+    # the brute-force hamming filter on this corpus
+    sh = df.select("doc_id", simhash(F.col("text")).alias("sh"))
+    brute = {(r.a, r.b): r.h for r in
+             sh.alias("x").crossJoin(sh.alias("y"))
+             .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+             .select(F.col("x.doc_id").alias("a"),
+                     F.col("y.doc_id").alias("b"),
+                     hamming_distance(F.col("x.sh"),
+                                      F.col("y.sh")).alias("h"))
+             .filter(F.col("h") <= 7).collect()}
+    assert pairs == brute
+    with pytest.raises(ValueError, match="divide 64"):
+        simhash_near_dup_pairs(df, bands=5)
