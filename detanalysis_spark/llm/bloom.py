@@ -162,7 +162,10 @@ class Bloom:
     def fill_ratio(self) -> float:
         """Fraction of set bits; theoretical fp_rate ≈ fill**k."""
         u = np.ascontiguousarray(self.words).view(np.uint64)
-        set_bits = int(np.unpackbits(u.view(np.uint8)).sum())
+        if hasattr(np, "bitwise_count"):      # numpy 2: per-word popcount
+            set_bits = int(np.bitwise_count(u).sum())
+        else:                                 # fallback: 8x uint8 expand
+            set_bits = int(np.unpackbits(u.view(np.uint8)).sum())
         return set_bits / float(self.m_bits)
 
     def fp_rate(self) -> float:
@@ -232,12 +235,17 @@ def build_bloom(df: DataFrame, col: Column | str,
     for row in parts.collect():
         words |= np.frombuffer(bytes(row.bitmap), dtype="<u8")
     bl = Bloom(m_bits, k, words.view(np.int64))
-    if bl.fill_ratio() > 0.5:
+    # a correctly-sized filter sits near fill = 1 - e^(-k·n/m) ≈ 0.52
+    # at the optimal k (= m/n·ln2), so the undersize alarm needs
+    # headroom above that operating point; computed ONCE (popcount
+    # over the whole bitmap is not free on multi-GB filters)
+    fill = bl.fill_ratio()
+    if fill > 0.6:
         import warnings
         warnings.warn(
-            f"build_bloom: filter is {bl.fill_ratio():.0%} full "
-            f"(fp_rate ≈ {bl.fp_rate():.2f}) — undersized for this "
-            f"corpus; size with optimal_bloom_params(n_items, fp)",
+            f"build_bloom: filter is {fill:.0%} full (fp_rate ≈ "
+            f"{fill ** k:.2f}) — undersized for this corpus; size "
+            f"with optimal_bloom_params(n_items, fp)",
             stacklevel=2)
     return bl
 

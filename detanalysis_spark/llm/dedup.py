@@ -36,7 +36,7 @@ __all__ = [
     "simhash", "hamming_distance", "token_cosine_pairs",
     "positional_ngrams", "duplicated_spans", "span_dup_stats",
     "dedup_incremental", "lsh_candidate_pairs_between",
-    "apply_near_dedup", "simhash_near_dup_pairs",
+    "apply_near_dedup", "hash_band_explode", "simhash_near_dup_pairs",
     "temperature_fractions",
     "temperature_mixture_sample",
 ]
@@ -776,6 +776,26 @@ def token_cosine_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "sim"))
 
 
+def hash_band_explode(hashes: DataFrame, id_col: str,
+                      hash_col: str, bands: int) -> DataFrame:
+    """Explode a 64-bit hash column into ``bands`` fixed-width band
+    buckets → (id, band, bucket), all native (shiftrightunsigned +
+    mask) — the shared LSH banding kernel behind SimHash text
+    near-dup, perceptual image-hash near-dup, and audio-fingerprint
+    near-dup (``llm.multimodal.phash_bands`` delegates here)."""
+    if 64 % bands != 0:
+        raise ValueError("hash_band_explode: bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    pieces = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftrightunsigned(F.col(hash_col), b * width)
+                 .bitwiseAND(F.lit(mask)).alias("bucket"))
+        for b in range(bands)])
+    return (hashes.select(id_col, F.explode(pieces).alias("p"))
+            .select(id_col, "p.band", "p.bucket"))
+
+
 def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
                            max_hamming: int = 3,
@@ -796,19 +816,9 @@ def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
     both verify sides) and is checkpointed at call time so each text
     is tokenized and voted exactly once.
     """
-    if 64 % bands != 0:
-        raise ValueError("simhash_near_dup_pairs: bands must divide 64")
     sh = (docs.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
           .localCheckpoint(eager=True))
-    width = 64 // bands
-    mask = (1 << width) - 1
-    pieces = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.shiftrightunsigned(F.col("sh"), b * width)
-                 .bitwiseAND(F.lit(mask)).alias("bucket"))
-        for b in range(bands)])
-    bb = (sh.select(id_col, F.explode(pieces).alias("p"))
-          .select(id_col, "p.band", "p.bucket"))
+    bb = hash_band_explode(sh, id_col, hash_col="sh", bands=bands)
     cand = (bb.withColumnRenamed(id_col, "id_a")
             .join(bb.withColumnRenamed(id_col, "id_b"),
                   ["band", "bucket"])

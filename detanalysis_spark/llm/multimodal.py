@@ -571,19 +571,11 @@ def image_phash(df: DataFrame, id_col: str, method: str = "ahash",
 def phash_bands(hashes: DataFrame, id_col: str, hash_col: str = "phash",
                 bands: int = 8) -> DataFrame:
     """Explode each 64-bit hash into ``bands`` fixed-width band
-    buckets → (id, band, bucket) — all native (shiftrightunsigned +
-    mask), the LSH side input of :func:`image_near_dup_pairs`."""
-    if 64 % bands != 0:
-        raise ValueError("phash_bands: bands must divide 64")
-    width = 64 // bands
-    mask = (1 << width) - 1
-    pieces = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.shiftrightunsigned(F.col(hash_col), b * width)
-                 .bitwiseAND(F.lit(mask)).alias("bucket"))
-        for b in range(bands)])
-    return (hashes.select(id_col, F.explode(pieces).alias("p"))
-            .select(id_col, "p.band", "p.bucket"))
+    buckets → (id, band, bucket) — delegates to the shared banding
+    kernel (:func:`detanalysis_spark.llm.dedup.hash_band_explode`, all
+    native), the LSH side input of :func:`image_near_dup_pairs`."""
+    from .dedup import hash_band_explode
+    return hash_band_explode(hashes, id_col, hash_col, bands)
 
 
 def image_near_dup_pairs(df: DataFrame, id_col: str,
@@ -687,6 +679,14 @@ def audio_fingerprint(df: DataFrame, id_col: str,
     as :func:`audio_features` (PCM16 / WAV / FLAC, mono mixdown)."""
     if payload_format not in ("PCM16", "WAV", "FLAC"):
         raise ValueError(f"unsupported payload_format {payload_format!r}")
+    # pure-config error: fail on the DRIVER at plan-build time, not as
+    # a retried PythonException inside every task at action time (the
+    # in-array check stays for direct audio_fingerprint_array callers)
+    if int(frame_samples) // 2 < 10:          # n_bands=9 ⇒ ≥10 bins
+        raise ValueError(
+            f"audio_fingerprint: frame_samples={frame_samples} gives "
+            f"{int(frame_samples) // 2} usable FFT bins — need at "
+            f"least 10 (frame_samples >= 20)")
     id_field = df.schema[id_col]
     schema = StructType([id_field, StructField("fingerprint", LongType())])
 

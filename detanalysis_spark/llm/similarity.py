@@ -1224,16 +1224,27 @@ class PQCodebook:
                 codes = np.stack(pdf[code_col].to_numpy()).astype(np.int64)
                 ids_v = pdf[id_col].to_numpy()
                 n = len(ids_v)
+                take = min(topk, n)
+                sel = np.arange(m)[None, :]
+                out_p, out_i, out_d = [], [], []
                 for p in range(len(ids_p)):
                     # sum of m table lookups per row
-                    d = T[p][np.arange(m)[None, :],
-                             codes].sum(axis=1)    # (n,)
-                    take = min(topk, n)
-                    part = np.argpartition(d, take - 1)[:take]
-                    yield pd.DataFrame({
-                        probe_id_col: np.repeat(ids_p[p], take),
-                        id_col: ids_v[part],
-                        "approx_dist": d[part]})
+                    d = T[p][sel, codes].sum(axis=1)    # (n,)
+                    # deterministic in-batch tie-break by id: PQ makes
+                    # exact distance ties COMMON (same-code rows), and
+                    # an argpartition cut would keep an arbitrary,
+                    # partitioning-dependent subset that the final
+                    # (dist, id) window could never repair
+                    part = np.lexsort((ids_v, d))[:take]
+                    out_p.append(np.repeat(ids_p[p], take))
+                    out_i.append(ids_v[part])
+                    out_d.append(d[part])
+                # ONE frame per input batch: a yield per probe would
+                # pay pandas/Arrow batch overhead x |probes|
+                yield pd.DataFrame({
+                    probe_id_col: np.concatenate(out_p),
+                    id_col: np.concatenate(out_i),
+                    "approx_dist": np.concatenate(out_d)})
 
         cand = coded.select(id_col, code_col).mapInPandas(gen, out_schema)
         w = Window.partitionBy(probe_id_col).orderBy(

@@ -36,6 +36,23 @@ __all__ = ["read_jsonl", "read_jsonl_quarantine", "write_jsonl",
            "read_csv_corpus", "stream_jsonl_quarantine"]
 
 
+def _top_level_ddl_names(ddl: str) -> list[str]:
+    """First token of each depth-0 comma-separated DDL field (tracks
+    <...> nesting so struct members don't count as columns)."""
+    names, depth, start = [], 0, 0
+    for i, ch in enumerate(ddl + ","):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            piece = ddl[start:i].strip()
+            if piece:
+                names.append(piece.split()[0].strip("`"))
+            start = i + 1
+    return names
+
+
 def read_jsonl_quarantine(spark: SparkSession, path: str,
                           schema: StructType | str
                           ) -> tuple[DataFrame, DataFrame]:
@@ -60,12 +77,20 @@ def _parse_jsonl_lines(lines: DataFrame, schema: StructType | str
     """(good, bad) from a one-column ``value string`` frame of raw
     lines — pure projections/filters, so the SAME code path serves
     batch reads and Structured Streaming sources."""
-    ddl = schema if isinstance(schema, str) else ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
-    if "__corrupt__" in ddl:
+    if isinstance(schema, str):
+        ddl = schema
+        top_names = _top_level_ddl_names(schema)
+    else:
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in schema.fields)
+        top_names = list(schema.fieldNames())
+    # only a TOP-LEVEL column collides with columnNameOfCorruptRecord;
+    # nested struct fields named __corrupt__ are legal
+    if "__corrupt__" in top_names:
         raise ValueError(
-            "read_jsonl: the schema may not contain a __corrupt__ "
-            "column (reserved for the corrupt-record sentinel)")
+            "read_jsonl: the schema may not contain a top-level "
+            "__corrupt__ column (reserved for the corrupt-record "
+            "sentinel)")
     parse_schema = f"{ddl}, __corrupt__ string"
     parsed = (lines
               .filter(F.trim(F.col("value")) != "")

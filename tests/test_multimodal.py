@@ -742,3 +742,15 @@ def test_audio_fingerprint_tiny_frame_guard():
         audio_fingerprint_array(x, frame_samples=16)
     # smallest legal frame still fingerprints
     assert isinstance(audio_fingerprint_array(x, frame_samples=20), int)
+
+
+def test_audio_fingerprint_driver_side_config_guard(spark):
+    # the frame_samples config error must surface at plan-BUILD time
+    # on the driver, not as retried task failures at action time
+    from detanalysis_spark.llm.multimodal import (audio_fingerprint,
+                                                  audio_near_dup_pairs)
+    df = _pcm16_df(spark, [np.zeros(64)])
+    with pytest.raises(ValueError, match="frame_samples"):
+        audio_fingerprint(df, "clip_id", frame_samples=16)
+    with pytest.raises(ValueError, match="frame_samples"):
+        audio_near_dup_pairs(df, "clip_id", frame_samples=16)

@@ -611,3 +611,19 @@ def test_jsonl_corrupt_key_collision_stays_good(spark, tmp_path):
     assert [r.line for r in bad.collect()] == ["{bad"]
     with pytest.raises(ValueError, match="reserved"):
         read_jsonl_quarantine(spark, path, "a long, __corrupt__ string")
+
+
+def test_jsonl_sentinel_guard_is_top_level_only(spark, tmp_path):
+    # nested struct members named __corrupt__ are legal; only a
+    # TOP-LEVEL column collides with the corrupt-record sentinel
+    from detanalysis_spark.sources import read_jsonl_quarantine
+    path = str(tmp_path / "nested")
+    spark.createDataFrame(
+        [('{"a": 1, "meta": {"__corrupt__": "x"}}',), ('{bad',)],
+        "value string").write.text(path)
+    good, bad = read_jsonl_quarantine(
+        spark, path, "a long, meta struct<__corrupt__: string>")
+    rows = good.collect()
+    assert len(rows) == 1 and rows[0].a == 1
+    assert rows[0].meta.__getattr__("__corrupt__") == "x"
+    assert [r.line for r in bad.collect()] == ["{bad"]
