@@ -856,3 +856,102 @@ def test_strip_html_matches_python_reference(spark, docs):
         "i", strip_html("html").alias("t")).collect()}
     for i, d in enumerate(docs):
         assert got[i] == _py_strip_html(d), (d, got[i])
+
+
+# ----------------------------------------------------------------------
+# Bloom filter: no false negatives + merge == union-build, over
+# generated value sets (shrinkable)
+# ----------------------------------------------------------------------
+_VAL = st.text(alphabet="abcdef0123456789-", min_size=1, max_size=12)
+
+
+@given(ins=st.lists(_VAL, min_size=1, max_size=60, unique=True),
+       split=st.integers(1, 59))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bloom_no_false_negatives_and_merge_property(spark, ins, split):
+    from detanalysis_spark.llm.bloom import build_bloom
+    split = min(split, len(ins))
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(ins)],
+                               "id long, v string")
+    bl = build_bloom(df, "v", m_bits=1 << 10, k=3)
+    hits = df.select(bl.contains("v").alias("h")).collect()
+    assert all(r.h for r in hits)            # membership NEVER misses
+    a = build_bloom(df.filter(F.col("id") < split), "v",
+                    m_bits=1 << 10, k=3)
+    b = build_bloom(df.filter(F.col("id") >= split), "v",
+                    m_bits=1 << 10, k=3)
+    assert np.array_equal(a.merge(b).words, bl.words)
+
+
+# ----------------------------------------------------------------------
+# temperature fractions: closed-form invariants
+# ----------------------------------------------------------------------
+@given(counts=st.dictionaries(st.text(alphabet="xyz", min_size=1,
+                                      max_size=3),
+                              st.integers(1, 10_000),
+                              min_size=1, max_size=6),
+       alpha=st.floats(0.05, 1.0))
+@settings(max_examples=30, deadline=None)
+def test_temperature_fractions_invariants(counts, alpha):
+    import math
+    from detanalysis_spark.llm.dedup import temperature_fractions
+    fr = temperature_fractions(counts, alpha)
+    n_min = min(counts.values())
+    assert fr[min(counts, key=counts.get)] == 1.0       # smallest whole
+    for s, n in counts.items():
+        assert 0.0 < fr[s] <= 1.0
+        assert fr[s] == math.pow(n_min / n, 1.0 - alpha)
+    # kept shares follow the n^alpha law: kept_s = n_s * fr_s
+    # proportional to n_s^alpha
+    kept = {s: counts[s] * fr[s] for s in counts}
+    base = next(iter(counts))
+    for s in counts:
+        lhs = kept[s] / kept[base]
+        rhs = (counts[s] / counts[base]) ** alpha
+        assert abs(lhs - rhs) < 1e-9 * max(1.0, rhs)
+
+
+# ----------------------------------------------------------------------
+# BM25 vs an independent python reference over generated corpora
+# ----------------------------------------------------------------------
+_WORD = st.sampled_from(["cat", "dog", "fox", "spark", "joins", "the"])
+_DOC = st.lists(_WORD, min_size=0, max_size=8).map(" ".join)
+
+
+@given(docs=st.lists(_DOC, min_size=1, max_size=12),
+       qs=st.lists(_DOC, min_size=1, max_size=3))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bm25_matches_reference_property(spark, docs, qs):
+    import math
+    from collections import Counter
+    from detanalysis_spark.llm.text import bm25_scores
+    ddf = spark.createDataFrame(list(enumerate(docs)),
+                                "doc_id long, text string")
+    qdf = spark.createDataFrame([(100 + i, q) for i, q in enumerate(qs)],
+                                "query_id long, query_text string")
+    got = {(r.query_id, r.doc_id): r.score
+           for r in bm25_scores(ddf, qdf).collect()}
+    k1, b = 1.2, 0.75
+    toks = {i: t.split() for i, t in enumerate(docs)}
+    tf = {i: Counter(ts) for i, ts in toks.items() if ts}
+    if not tf:
+        assert got == {}
+        return
+    N = len(tf)
+    avgdl = sum(len(toks[i]) for i in tf) / N
+    dfreq = Counter(t for c in tf.values() for t in c)
+    want = {}
+    for qi, q in enumerate(qs):
+        for t in set(q.split()):
+            for d, c in tf.items():
+                if t in c:
+                    idf = math.log(1 + (N - dfreq[t] + 0.5)
+                                   / (dfreq[t] + 0.5))
+                    s = idf * c[t] * (k1 + 1) / (
+                        c[t] + k1 * (1 - b + b * len(toks[d]) / avgdl))
+                    want[(100 + qi, d)] = want.get((100 + qi, d), 0) + s
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == pytest.approx(want[key], rel=1e-12)
