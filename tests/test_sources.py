@@ -625,5 +625,5 @@ def test_jsonl_sentinel_guard_is_top_level_only(spark, tmp_path):
         spark, path, "a long, meta struct<__corrupt__: string>")
     rows = good.collect()
     assert len(rows) == 1 and rows[0].a == 1
-    assert rows[0].meta.__getattr__("__corrupt__") == "x"
+    assert rows[0].meta["__corrupt__"] == "x"
     assert [r.line for r in bad.collect()] == ["{bad"]
