@@ -2963,6 +2963,80 @@ def pq_adc_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# ORC interchange round trip — the other major lake columnar format
+# (Spark-native, splittable, predicate-pushdown capable): orders write
+# out as zlib ORC, read back with a pushed-down filter, and the
+# aggregate holds a full value-hash oracle against the original table.
+# ----------------------------------------------------------------------
+@query("orc_ingest_stats", oracle="""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders WHERE o_totalprice > 1000.0
+GROUP BY o_orderstatus
+""")
+def orc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    path = os.path.join(
+        f"/tmp/detanalysis_spark_textio_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)) + "_orders_orc")
+    orders.write.mode("overwrite").option("compression", "zlib").orc(path)
+    back = spark.read.orc(path).filter(F.col("o_totalprice") > 1000.0)
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(cents(F.col("o_totalprice"))).alias("total_cents"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key")))
+
+
+# ----------------------------------------------------------------------
+# interval-overlap join (interval × interval) — value windows derived
+# from two event slices; the engine's bin-exploded equi-join (no
+# BroadcastNestedLoop) must produce exactly the pairs the oracle's
+# brute-force inequality join does. Excluded from the sf1 gate: the
+# ORACLE is quadratic (the engine is not).
+# ----------------------------------------------------------------------
+@query("interval_overlap_stats", oracle="""
+WITH l AS (SELECT event_id AS lid, value AS llo, value + 20.0 AS lhi
+           FROM events WHERE event_id % 97 = 0),
+r AS (SELECT event_id AS rid, value AS rlo, value + 15.0 AS rhi
+      FROM events WHERE event_id % 89 = 1),
+p AS (SELECT lid, rid,
+             least(lhi, rhi) - greatest(llo, rlo) AS ov
+      FROM l JOIN r ON llo < rhi AND rlo < lhi)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(lid) AS BIGINT) AS sum_lid,
+       CAST(sum(rid) AS BIGINT) AS sum_rid,
+       CAST(sum(CAST(round(ov*100) AS BIGINT)) AS BIGINT)
+         AS overlap_cents
+FROM p
+""")
+def interval_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import interval_overlap_join
+    ev = load_table(spark, sf_dir, "events")
+    left = (ev.filter(F.col("event_id") % 97 == 0)
+            .select(F.col("event_id").alias("lid"),
+                    F.col("value").alias("llo"),
+                    (F.col("value") + 20.0).alias("lhi")))
+    right = (ev.filter(F.col("event_id") % 89 == 1)
+             .select(F.col("event_id").alias("rid"),
+                     F.col("value").alias("rlo"),
+                     (F.col("value") + 15.0).alias("rhi")))
+    pairs = interval_overlap_join(left, right, "llo", "lhi",
+                                  "rlo", "rhi", bin_width=25.0)
+    ov = F.least(F.col("lhi"), F.col("rhi")) \
+        - F.greatest(F.col("llo"), F.col("rlo"))
+    return (pairs.agg(F.count(F.lit(1)).alias("n_pairs"),
+                      F.sum("lid").alias("sum_lid"),
+                      F.sum("rid").alias("sum_rid"),
+                      F.sum(cents(ov)).alias("overlap_cents")))
+
+
+# ----------------------------------------------------------------------
 # percentile outlier trim — two-pass: exact [p1, p99] band from one
 # aggregate, then a pushdown BETWEEN filter; summary stats after trim
 # ----------------------------------------------------------------------

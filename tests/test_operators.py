@@ -632,3 +632,37 @@ def test_check_table_all_check_kinds(spark):
     clean = check_table(df.filter("id = 1"),
                         [not_null("id"), unique("id")])
     assert all(r["passed"] for r in clean.collect())
+
+
+def test_interval_overlap_join_vs_brute_force(spark):
+    # binned interval-overlap join equals the brute-force inequality
+    # join on random intervals, for both half-open and closed
+    # semantics, and never plans a nested loop
+    import numpy as np
+    from detanalysis_spark.operators.joins import interval_overlap_join
+    rng = np.random.default_rng(17)
+    lv = [(i, float(lo), float(lo + rng.uniform(0.1, 8)))
+          for i, lo in enumerate(rng.uniform(0, 50, 60))]
+    rv = [(100 + i, float(lo), float(lo + rng.uniform(0.1, 8)))
+          for i, lo in enumerate(rng.uniform(0, 50, 60))]
+    left = spark.createDataFrame(lv, "lid long, llo double, lhi double")
+    right = spark.createDataFrame(rv, "rid long, rlo double, rhi double")
+    for half_open in (True, False):
+        got = {(r.lid, r.rid) for r in interval_overlap_join(
+            left, right, "llo", "lhi", "rlo", "rhi",
+            bin_width=4.0, half_open=half_open).collect()}
+        if half_open:
+            want = {(a[0], b[0]) for a in lv for b in rv
+                    if a[1] < b[2] and b[1] < a[2]}
+        else:
+            want = {(a[0], b[0]) for a in lv for b in rv
+                    if a[1] <= b[2] and b[1] <= a[2]}
+        assert got == want and len(want) > 0
+    plan = interval_overlap_join(
+        left, right, "llo", "lhi", "rlo", "rhi", bin_width=4.0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    with pytest.raises(ValueError, match="bin_width"):
+        interval_overlap_join(left, right, "llo", "lhi", "rlo", "rhi", 0)
+    with pytest.raises(ValueError, match="colliding"):
+        interval_overlap_join(left, left, "llo", "lhi", "llo", "lhi", 1)

@@ -627,3 +627,20 @@ def test_jsonl_sentinel_guard_is_top_level_only(spark, tmp_path):
     assert len(rows) == 1 and rows[0].a == 1
     assert rows[0].meta["__corrupt__"] == "x"
     assert [r.line for r in bad.collect()] == ["{bad"]
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    # the other major lake columnar format: content round-trips and
+    # the filter reaches the ORC scan as a pushed predicate
+    from detanalysis_spark.sources import load_table
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    path = str(tmp_path / "orders_orc")
+    orders.write.option("compression", "zlib").orc(path)
+    back = spark.read.orc(path)
+    assert {tuple(r) for r in back.collect()} \
+        == {tuple(r) for r in orders.collect()}
+    plan = back.filter(F.col("o_totalprice") > 1000.0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_totalprice" in \
+        plan.split("PushedFilters")[1][:120]
