@@ -138,10 +138,12 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
                           half_open: bool = True) -> DataFrame:
     """Interval-overlap join (both sides are intervals) without a
     nested loop: each side is exploded across the fixed-width bins its
-    interval touches, joined on the bin id, exact-overlap filtered,
-    then DEDUPLICATED on the pre-join rows (a pair overlapping n
-    shared bins would otherwise appear n times) via a distinct over
-    all output columns.
+    interval touches, joined on the bin id, and exact-overlap filtered.
+    A pair sharing n bins is emitted ONCE — not via a distinct (an
+    extra shuffle that would also collapse genuinely duplicate input
+    rows) but by keeping only the pair's CANONICAL bin, the one
+    containing ``max(l_lo, r_lo)``: every overlapping pair shares
+    exactly that bin, so multiplicity of duplicate inputs survives.
 
     Overlap is ``l_lo < r_hi AND r_lo < l_hi`` for half-open [lo, hi)
     intervals (the default; set ``half_open=False`` for closed
@@ -170,10 +172,11 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
         cond = (lo_l < hi_r) & (lo_r < hi_l)
     else:
         cond = (lo_l <= hi_r) & (lo_r <= hi_l)
+    canonical = F.col("__bin__") == F.floor(
+        F.greatest(lo_l, lo_r) / bin_width).cast("long")
     return (lb.join(rb, "__bin__")
-            .filter(cond)
-            .drop("__bin__")
-            .distinct())
+            .filter(cond & canonical)
+            .drop("__bin__"))
 
 
 def merge_intervals(df: DataFrame, lo_col: str, hi_col: str,

@@ -662,6 +662,14 @@ def test_interval_overlap_join_vs_brute_force(spark):
         left, right, "llo", "lhi", "rlo", "rhi", bin_width=4.0) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+    # duplicate input rows keep their multiplicity (the canonical-bin
+    # rule dedups shared-bin pair copies WITHOUT a distinct)
+    dup_left = left.limit(1).union(left.limit(1))
+    hit = interval_overlap_join(dup_left, right, "llo", "lhi",
+                                "rlo", "rhi", bin_width=4.0)
+    one = interval_overlap_join(left.limit(1), right, "llo", "lhi",
+                                "rlo", "rhi", bin_width=4.0)
+    assert hit.count() == 2 * one.count() > 0
     with pytest.raises(ValueError, match="bin_width"):
         interval_overlap_join(left, right, "llo", "lhi", "rlo", "rhi", 0)
     with pytest.raises(ValueError, match="colliding"):
