@@ -19,7 +19,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
 __all__ = [
-    "bm25_scores",
+    "bm25_scores", "doc_term_pmi",
     "token_count", "bpe_ish_token_count", "quality_scores",
     "quality_struct", "with_quality", "QUALITY_FIELDS",
     "language_id", "LANG_STOPWORDS", "doc_fingerprint",
@@ -823,3 +823,54 @@ def bm25_scores(docs, queries, id_col: str = "doc_id",
         scored = (scored.withColumn("__rk__", F.row_number().over(w))
                   .filter(F.col("__rk__") <= int(topk)).drop("__rk__"))
     return scored
+
+
+# ---------------------------------------------------------------------------
+# document-level term co-occurrence + PMI (Church & Hanks 1990)
+# ---------------------------------------------------------------------------
+def doc_term_pmi(docs, vocab, id_col: str = "doc_id",
+                 text_col: str = "text", min_docs: int = 1):
+    """Pointwise mutual information over DOCUMENT-level co-occurrence:
+    (term_a < term_b, n_ab, n_a, n_b, pmi) for vocabulary-term pairs
+    appearing together in at least ``min_docs`` documents, with
+    pmi = ln(N·n_ab / (n_a·n_b)) — the association signal behind
+    phrase promotion and topic seeding. EAGER: one corpus count job
+    (N rides as a literal, same pattern as :func:`bm25_scores`).
+
+    ``vocab`` is a 1-column DataFrame of terms (e.g. from
+    :func:`build_vocab`) and is BROADCAST into the token filter, so
+    the corpus never shuffles to discard out-of-vocabulary tokens;
+    per-document distinct vocab terms are bounded by |vocab|, the
+    pair join is keyed by document id, and the pair aggregate is
+    map-side combined. Nothing is ever all-pairs across documents.
+    """
+    n_docs = docs.count()
+    if n_docs == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "term_a string, term_b string, n_ab long, n_a long, "
+                "n_b long, pmi double")
+    v = vocab.select(F.col(vocab.columns[0]).alias("term"))
+    toks = (docs.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(F.array_distinct(F.transform(
+            _tokens(F.col(text_col)), lambda t: F.lower(t))))
+        .alias("term"))
+        .filter(F.length("term") > 0)
+        .join(F.broadcast(v), "term"))
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
+    a = toks.select("__id__", F.col("term").alias("term_a"))
+    b = toks.select("__id__", F.col("term").alias("term_b"))
+    co = (a.join(b, "__id__")
+          .filter(F.col("term_a") < F.col("term_b"))
+          .groupBy("term_a", "term_b")
+          .agg(F.count(F.lit(1)).alias("n_ab"))
+          .filter(F.col("n_ab") >= int(min_docs)))
+    ca = cnt.select(F.col("term").alias("term_a"),
+                    F.col("n_t").alias("n_a"))
+    cb = cnt.select(F.col("term").alias("term_b"),
+                    F.col("n_t").alias("n_b"))
+    pmi = F.log((F.col("n_ab").cast("double") * float(n_docs))
+                / (F.col("n_a") * F.col("n_b")))
+    return (co.join(ca, "term_a").join(cb, "term_b")
+            .select("term_a", "term_b", "n_ab", "n_a", "n_b",
+                    pmi.alias("pmi")))

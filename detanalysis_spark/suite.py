@@ -3037,6 +3037,46 @@ def interval_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# document-level term PMI — association mining over a broadcast
+# vocabulary (per-doc distinct vocab terms, doc-keyed pair join,
+# map-side-combined pair counts; N rides as an eager literal). The
+# oracle replays tokenize → vocab filter → co-occurrence → ln PMI.
+# ----------------------------------------------------------------------
+@query("term_pmi_stats", oracle=r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, lower(unnest(list_filter(
+           string_split_regex(text, '\s+'), x -> x <> ''))) AS term
+    FROM documents)
+  WHERE term IN ('table','value','fast','scan',
+                 'window','agg','spark','hash')),
+n AS (SELECT count(*) AS N FROM documents),
+cnt AS (SELECT term, count(*) AS n_t FROM toks GROUP BY term),
+co AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+       FROM toks a JOIN toks b
+         ON a.doc_id = b.doc_id AND a.term < b.term
+       GROUP BY a.term, b.term),
+f AS (SELECT * FROM co WHERE n_ab >= 10)
+SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(ca.n_t AS BIGINT) AS n_a, CAST(cb.n_t AS BIGINT) AS n_b,
+       round(ln((CAST(n_ab AS DOUBLE) * N) / (ca.n_t * cb.n_t)), 6)
+         AS pmi
+FROM f JOIN cnt ca ON term_a = ca.term
+       JOIN cnt cb ON term_b = cb.term, n
+""")
+def term_pmi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.text import doc_term_pmi
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = spark.createDataFrame(
+        [(w,) for w in ("table", "value", "fast", "scan",
+                        "window", "agg", "spark", "hash")],
+        "term string")
+    out = doc_term_pmi(docs, vocab, min_docs=10)
+    return out.select("term_a", "term_b", "n_ab", "n_a", "n_b",
+                      F.round("pmi", 6).alias("pmi"))
+
+
+# ----------------------------------------------------------------------
 # percentile outlier trim — two-pass: exact [p1, p99] band from one
 # aggregate, then a pushdown BETWEEN filter; summary stats after trim
 # ----------------------------------------------------------------------

@@ -1953,3 +1953,38 @@ def test_simhash_near_dup_pairs_banded(spark):
     assert pairs == brute
     with pytest.raises(ValueError, match="divide 64"):
         simhash_near_dup_pairs(df, bands=5)
+
+
+def test_doc_term_pmi_matches_python_reference(spark):
+    import math
+    from collections import Counter
+    from detanalysis_spark.llm.text import doc_term_pmi
+    docs = [(0, "cat dog"), (1, "cat dog bird"), (2, "cat fish"),
+            (3, "dog"), (4, "bird fish cat cat"), (5, "nothing here")]
+    vocab_words = ["cat", "dog", "bird", "fish"]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    vdf = spark.createDataFrame([(w,) for w in vocab_words], "term string")
+    got = {(r.term_a, r.term_b): (r.n_ab, r.n_a, r.n_b, r.pmi)
+           for r in doc_term_pmi(ddf, vdf).collect()}
+    N = len(docs)
+    present = {i: set(t.split()) & set(vocab_words) for i, t in docs}
+    n_t = Counter(t for s in present.values() for t in s)
+    want = Counter()
+    for s in present.values():
+        for a in s:
+            for b in s:
+                if a < b:
+                    want[(a, b)] += 1
+    assert set(got) == set(want)
+    for k, n_ab in want.items():
+        a, b = k
+        assert got[k][0] == n_ab
+        assert got[k][1] == n_t[a] and got[k][2] == n_t[b]
+        assert got[k][3] == pytest.approx(
+            math.log(n_ab * N / (n_t[a] * n_t[b])), rel=1e-12)
+    # min_docs prunes; empty corpus keeps the schema
+    assert doc_term_pmi(ddf, vdf, min_docs=3).count() == 0
+    empty = doc_term_pmi(ddf.filter("doc_id < 0"), vdf)
+    assert empty.columns == ["term_a", "term_b", "n_ab",
+                             "n_a", "n_b", "pmi"]
+    assert empty.count() == 0

@@ -124,7 +124,7 @@ GATE_QUERIES = [
     "domain_curation_stats", "compacted_scan_stats",
     "html_extraction_stats", "image_phash_band_stats",
     "bm25_retrieval_scores", "temperature_mixture_stats",
-    "pq_adc_exact_topk", "orc_ingest_stats",
+    "pq_adc_exact_topk", "orc_ingest_stats", "term_pmi_stats",
 ]
 
 
