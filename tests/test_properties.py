@@ -955,3 +955,29 @@ def test_bm25_matches_reference_property(spark, docs, qs):
     assert set(got) == set(want)
     for key in want:
         assert got[key] == pytest.approx(want[key], rel=1e-12)
+
+
+# ----------------------------------------------------------------------
+# interval-overlap join == brute force over generated intervals
+# ----------------------------------------------------------------------
+_IVL = st.tuples(st.floats(0, 40, allow_nan=False),
+                 st.floats(0.1, 12, allow_nan=False))
+
+
+@given(ls=st.lists(_IVL, min_size=1, max_size=20),
+       rs=st.lists(_IVL, min_size=1, max_size=20),
+       bw=st.sampled_from([1.0, 3.0, 7.5]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_interval_overlap_join_matches_brute_force(spark, ls, rs, bw):
+    from detanalysis_spark.operators.joins import interval_overlap_join
+    lv = [(i, lo, lo + w) for i, (lo, w) in enumerate(ls)]
+    rv = [(100 + i, lo, lo + w) for i, (lo, w) in enumerate(rs)]
+    left = spark.createDataFrame(lv, "lid long, llo double, lhi double")
+    right = spark.createDataFrame(rv, "rid long, rlo double, rhi double")
+    got = sorted((r.lid, r.rid) for r in interval_overlap_join(
+        left, right, "llo", "lhi", "rlo", "rhi",
+        bin_width=bw).collect())
+    want = sorted((a[0], b[0]) for a in lv for b in rv
+                  if a[1] < b[2] and b[1] < a[2])
+    assert got == want
