@@ -17,13 +17,13 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["random_choice", "every_nth", "log_spaced_indices", "cap_per_key",
            "log_downsample", "polyval", "sessionize",
            "shuffle_key", "deterministic_shuffle", "assign_batches",
-           "assign_split"]
+           "assign_split", "exact_stratified_sample"]
 
 
 def random_choice(df: DataFrame, n: int, cut: Column | None = None,
@@ -172,6 +172,28 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
             .orderBy(F.col("__aes_key__").desc())
             .limit(int(n))
             .drop("__aes_key__"))
+
+
+def exact_stratified_sample(df: DataFrame, strata_col: str,
+                            n_per_stratum: int, id_col: str,
+                            seed: int = 0) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (fewer only when a
+    stratum is smaller), chosen by the seeded md5 shuffle key — the
+    eval-set carve: "500 docs per language, reproducibly, forever".
+
+    Fraction-based sampling (`stratified_sample_mod`,
+    `temperature_mixture_sample`) gives EXPECTED counts; benchmark
+    and eval sets need exact ones. One shuffle keyed by the stratum
+    (rank window over the deterministic key, tie-broken by id); the
+    inclusion rule is engine-portable, so a SQL oracle re-derives the
+    identical sample.
+    """
+    key = shuffle_key(F.col(id_col), seed)
+    w = Window.partitionBy(strata_col).orderBy(key.asc(),
+                                               F.col(id_col).asc())
+    return (df.withColumn("__rk__", F.row_number().over(w))
+            .filter(F.col("__rk__") <= int(n_per_stratum))
+            .drop("__rk__"))
 
 
 def weighted_sample_per_key(df: DataFrame, key_cols: Sequence[str],

@@ -3077,6 +3077,36 @@ def term_pmi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# exact-count stratified eval carve — exactly 20 docs per language
+# chosen by the seeded md5 shuffle key (engine-portable inclusion:
+# the oracle re-derives the identical sample row for row).
+# ----------------------------------------------------------------------
+@query("exact_stratified_sample_stats", oracle="""
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(concat('11:', CAST(doc_id AS VARCHAR))) ASC,
+                    doc_id ASC) AS rk
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM r WHERE rk <= 20 GROUP BY lang
+""")
+def exact_stratified_sample_stats(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from .operators.sampling import exact_stratified_sample
+    docs = load_table(spark, sf_dir, "documents")
+    picked = exact_stratified_sample(docs, "lang", 20, "doc_id", seed=11)
+    return (picked.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.sum(F.col("n_chars").cast("long"))
+                 .alias("total_chars")))
+
+
+# ----------------------------------------------------------------------
 # percentile outlier trim — two-pass: exact [p1, p99] band from one
 # aggregate, then a pushdown BETWEEN filter; summary stats after trim
 # ----------------------------------------------------------------------

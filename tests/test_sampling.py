@@ -208,3 +208,28 @@ def test_weighted_sample_per_key_matches_global_rule(spark):
     # groups smaller than n return everything
     small = spark.createDataFrame([(1, "x", 2.0)], "id long, src string, w double")
     assert weighted_sample_per_key(small, "src", "id", "w", 5).count() == 1
+
+
+def test_exact_stratified_sample(spark):
+    import hashlib
+    from detanalysis_spark.operators.sampling import exact_stratified_sample
+    rows = [(i, "big" if i % 5 else "small") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = exact_stratified_sample(df, "lang", 10, "doc_id", seed=3)
+    by = {}
+    for r in got.collect():
+        by.setdefault(r.lang, []).append(r.doc_id)
+    assert len(by["big"]) == 10 and len(by["small"]) == 10   # EXACT n
+    # python replay of the inclusion rule: first 10 by md5('3:<id>')
+    def key(i):
+        return hashlib.md5(f"3:{i}".encode()).hexdigest()
+    for lang in ("big", "small"):
+        ids = [i for i, l in rows if l == lang]
+        want = sorted(sorted(ids, key=lambda i: (key(i), i))[:10])
+        assert sorted(by[lang]) == want
+    # small strata return whole; determinism across calls
+    tiny = df.filter("doc_id < 7")
+    assert exact_stratified_sample(tiny, "lang", 10, "doc_id").count() == 7
+    again = {r.doc_id for r in exact_stratified_sample(
+        df, "lang", 10, "doc_id", seed=3).collect()}
+    assert again == set(by["big"]) | set(by["small"])

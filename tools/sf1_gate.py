@@ -125,6 +125,7 @@ GATE_QUERIES = [
     "html_extraction_stats", "image_phash_band_stats",
     "bm25_retrieval_scores", "temperature_mixture_stats",
     "pq_adc_exact_topk", "orc_ingest_stats", "term_pmi_stats",
+    "exact_stratified_sample_stats",
 ]
 
 
