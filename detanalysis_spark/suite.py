@@ -2883,13 +2883,44 @@ def temperature_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
-# audio fingerprint near-dup screen — deterministic tone mixes derived
-# from doc_id (one pair planted as a volume-scaled copy per 50 ids),
-# Haitsma-Kalker spectral-sign fingerprints, banded near-dup pairs.
-# Rows-only (FFT is not SQL-expressible); the numeric contract is
-# pytest-pinned against a numpy replay in tests/test_multimodal.py.
+# audio fingerprint near-dup screen — CONSTRUCTIBLE clips: each clip is
+# 9 frames of 9 exact-bin sinusoids whose per-(frame, band) energies
+# are the 2D prefix-sum of a designed ±1 grid, so the Haitsma-Kalker
+# double-delta sign (the fingerprint bit at t*8+b) equals the designed
+# bit exactly — integer-period bins have zero spectral leakage and the
+# ±0.5 energy margin dwarfs int16 quantization noise (~1e-4). The real
+# decode → FFT → log-band pool → sign → band-bucket LSH path runs end
+# to end; the oracle replays the designed bit rule and counts bit
+# disagreements per pair (hamming ≤ 2 < 16 bands ⇒ pigeonhole-exact
+# recall, so banding cannot change the pair set). One planted quieter
+# copy per 50-block (offset 1 = offset 0's bits with bit 5 flipped,
+# played at 0.7x volume) pins hamming-1 pairs; volume invariance of
+# the sign rule is exercised for real, not just asserted.
 # ----------------------------------------------------------------------
-@query("audio_fingerprint_pairs")
+@query("audio_fingerprint_pairs", oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+bits AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+         CASE WHEN doc_id % 50 = 1 AND i = 5
+              THEN 1 - (CASE WHEN ((doc_id - 1) * 167 + i * 97
+                                   + (doc_id - 1) * i * 59) % 311 < 124
+                        THEN 1 ELSE 0 END)
+              ELSE (CASE WHEN ((CASE WHEN doc_id % 50 <= 1
+                                THEN doc_id - doc_id % 50
+                                ELSE doc_id END) * (167 + i * 59)
+                               + i * 97) % 311 < 124
+                    THEN 1 ELSE 0 END)
+         END AS b
+  FROM ids, range(64) r(i)),
+ham AS (
+  SELECT ba.doc_id AS id_a, bb.doc_id AS id_b,
+         sum(CASE WHEN ba.b <> bb.b THEN 1 ELSE 0 END) AS hamming
+  FROM bits ba JOIN bits bb
+    ON ba.i = bb.i AND ba.doc_id < bb.doc_id
+  GROUP BY ba.doc_id, bb.doc_id)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM ham WHERE hamming <= 2
+""")
 def audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
@@ -2897,26 +2928,31 @@ def audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _mk(ids):
         import numpy as np
+        kbins = [1, 2, 3, 5, 9, 15, 25, 44, 75]  # first FFT bin of each
+        n = np.arange(256)                       # log band (256-pt frame)
 
-        def tone(d):
+        def clip(d):
             d = int(d)
-            base = d - d % 50                 # ids in a 50-block share
-            t = np.arange(4096) / 16000.0     # the same tone recipe...
-            x = (0.3 * np.sin(2 * np.pi * (200 + 37.0 * base) * t)
-                 + 0.2 * np.sin(2 * np.pi * (900 + 53.0 * base) * t))
-            # ...but only id%50==1 is a true (quieter) copy of %50==0;
-            # other ids detune by their offset -> distinct fingerprints
             off = d % 50
-            if off == 0:
-                return x
+            k = d - off if off <= 1 else d
+            # modulus 311 > max id (no residue-class aliasing between
+            # distinct ids) and a k*i cross-term (per-doc step, so one
+            # doc's pattern is not a rotation of another's)
+            bits = np.array([((k * 167 + i * 97 + k * i * 59) % 311) < 124
+                             for i in range(64)])
             if off == 1:
-                return 0.5 * x
-            return (0.3 * np.sin(2 * np.pi *
-                                 (200 + 37.0 * base + 11.0 * off) * t)
-                    + 0.2 * np.sin(2 * np.pi *
-                                   (900 + 53.0 * base + 7.0 * off) * t))
-        return ids.map(lambda d: bytes(
-            (np.clip(tone(d), -1, 1) * 32767).astype("<i2").tobytes()))
+                bits[5] = ~bits[5]
+            V = np.where(bits.reshape(8, 8), 1.0, -1.0)
+            P = np.zeros((9, 9))
+            P[1:, 1:] = V.cumsum(0).cumsum(1)    # E[t,b]: ΔtΔb E = V
+            A = np.sqrt(0.5 * (P + 100.0) / 16384.0)
+            x = np.concatenate(
+                [sum(A[t, b] * np.sin(2 * np.pi * kbins[b] * n / 256.0)
+                     for b in range(9)) for t in range(9)])
+            if off == 1:
+                x = 0.7 * x                      # planted quieter copy
+            return (x * 32767).astype("<i2").tobytes()
+        return ids.map(clip)
     _mk.__annotations__ = {"ids": pd.Series, "return": pd.Series}
     mk_payload = F.pandas_udf(_mk, "binary")
 
@@ -2924,7 +2960,9 @@ def audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 300).select("doc_id")
     clips = docs.select("doc_id", mk_payload("doc_id").alias("payload"))
     pairs = audio_near_dup_pairs(clips, "doc_id", max_hamming=2)
-    return pairs.orderBy("id_a", "id_b")
+    return pairs.select("id_a", "id_b",
+                        F.col("hamming").cast("int").alias("hamming")) \
+                .orderBy("id_a", "id_b")
 
 
 # ----------------------------------------------------------------------

@@ -732,6 +732,49 @@ def test_audio_fingerprint_robust_to_volume_and_noise(spark):
     assert all(a == 0 and b == 1 for (a, b) in pairs), pairs
 
 
+def test_audio_fingerprint_constructible_bits_exact():
+    # the suite's audio_fingerprint_pairs oracle rests on this claim:
+    # a clip built as 9 frames of 9 exact-bin sinusoids whose band
+    # energies are the 2D prefix-sum of a designed ±1 grid fingerprints
+    # to EXACTLY the designed 64 bits (zero leakage at integer-period
+    # bins; the ±0.5 energy margin dwarfs int16 quantization). Full
+    # replay of the suite construction for a spread of ids, including
+    # a planted 0.7x-volume copy (offset 1: bit 5 flipped).
+    from detanalysis_spark.llm.multimodal import audio_fingerprint_array
+    kbins = [1, 2, 3, 5, 9, 15, 25, 44, 75]
+    n = np.arange(256)
+
+    def designed_bits(d):
+        off = d % 50
+        k = d - off if off <= 1 else d
+        b = np.array([((k * 167 + i * 97 + k * i * 59) % 311) < 124
+                      for i in range(64)])
+        if off == 1:
+            b[5] = ~b[5]
+        return b
+
+    for d in (0, 1, 2, 50, 51, 137, 146, 225, 299):
+        bits = designed_bits(d)
+        V = np.where(bits.reshape(8, 8), 1.0, -1.0)
+        P = np.zeros((9, 9))
+        P[1:, 1:] = V.cumsum(0).cumsum(1)
+        A = np.sqrt(0.5 * (P + 100.0) / 16384.0)
+        x = np.concatenate(
+            [sum(A[t, b] * np.sin(2 * np.pi * kbins[b] * n / 256.0)
+                 for b in range(9)) for t in range(9)])
+        if d % 50 == 1:
+            x = 0.7 * x
+        pcm = np.frombuffer((x * 32767).astype("<i2").tobytes(),
+                            dtype="<i2") / 32768.0
+        fp = audio_fingerprint_array(pcm.astype(np.float64))
+        want = int((bits.astype(np.uint64)
+                    << np.arange(64, dtype=np.uint64)).sum()
+                   .astype(np.uint64).view(np.int64))
+        assert fp == want, f"id {d}: designed bits not reproduced"
+    # the planted pair is hamming-1 by construction
+    assert (designed_bits(0) != designed_bits(1)).sum() == 1
+
+
 def test_audio_fingerprint_tiny_frame_guard():
     # regression (round-6 review): frame_samples too small for the
     # band count must raise a clear ValueError, not IndexError inside
