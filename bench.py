@@ -45,7 +45,28 @@ def main() -> int:
     from detanalysis_spark import suite
 
     spark = get_spark("bench")
+
+    # Load guard (VERDICT r7 #3: a +30% noise artifact shipped as the
+    # official number because the box was already at load 11.7 when the
+    # timed pass started). Wait — up to SPARK_GRAFT_BENCH_MAX_WAIT
+    # seconds — for the 1-minute load to drop below the threshold
+    # before timing; never abort (the driver needs a BENCH line), but
+    # record the guard outcome so a still-loaded run is flagged in the
+    # artifact instead of silently poisoning the cross-round series.
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "600"))
+    waited = 0.0
+    while os.getloadavg()[0] > max_load and waited < max_wait:
+        print(f"# bench load guard: load {os.getloadavg()[0]:.1f} > "
+              f"{max_load}, waiting ({waited:.0f}s)", file=sys.stderr)
+        time.sleep(30.0)
+        waited += 30.0
     load_start = os.getloadavg()
+    load_guard = {
+        "threshold": max_load,
+        "waited_sec": round(waited, 1),
+        "quiet": load_start[0] <= max_load,
+    }
     # warm up the JVM + parquet footers once so per-query numbers measure
     # the plans, not session startup
     suite.QUERIES["flagship_event_cut_stats"](spark, sf_dir).collect()
@@ -111,6 +132,7 @@ def main() -> int:
         "cpus": os.cpu_count(),
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in load_end],
+        "load_guard": load_guard,
     }
 
     detail_path = os.path.join(
@@ -163,6 +185,7 @@ def main() -> int:
                 "n_queries": len(timings),
                 "timing": f"median{1 + EXTRA_RUNS}xtop{TOP_K}",
                 "load_avg": [round(x, 2) for x in load_end],
+                "load_guard_quiet": load_guard["quiet"],
                 "detail": "BENCH_DETAIL.json",
             },
             separators=(",", ":"),

@@ -636,26 +636,42 @@ class Analyzer:
     # ------------------------------------------------------------------
     def hist(self, feature: str, cut: Any = None, shape: int = 64,
              limits: Any = "minmax", what: str = "count(*)",
-             normalize: bool = False):
+             normalize: bool = False, plot: bool = False, **plot_kw):
         """1-D histogram of a feature under an optional cut — the data
-        half of the reference's ``hist`` (analyzer.py:579-662), without
-        the matplotlib render, including its ``what`` binned-statistic
-        grammar (:595) and ``normalize`` density option (:586).
-        Returns ``(values, edges)`` numpy arrays from one distributed
-        pass."""
+        half of the reference's ``hist`` (analyzer.py:579-662),
+        including its ``what`` binned-statistic grammar (:595) and
+        ``normalize`` density option (:586). Returns ``(values,
+        edges)`` numpy arrays from one distributed pass; with
+        ``plot=True`` (and matplotlib installed) renders via
+        :func:`detanalysis_spark.plotting.hist` and returns
+        ``(fig, ax)`` — the reference's draw half."""
         from .operators.histogram import hist1d
-        return hist1d(self._subset_df(self.df, cut), feature,
-                      shape=shape, limits=limits, what=what,
-                      normalize=normalize)
+        values, edges = hist1d(self._subset_df(self.df, cut), feature,
+                               shape=shape, limits=limits, what=what,
+                               normalize=normalize)
+        if plot:
+            from . import plotting
+            plot_kw.setdefault("xlabel", feature)
+            return plotting.hist([(values, edges)], **plot_kw)
+        return values, edges
 
     def heatmap(self, feature_x: str, feature_y: str, cut: Any = None,
                 shape: int | Sequence[int] = 64, limits_x: Any = "minmax",
-                limits_y: Any = "minmax"):
+                limits_y: Any = "minmax", plot: bool = False, **plot_kw):
         """2-D histogram grid — the data half of ``heatmap``
-        (analyzer.py:664-716). Returns ``(grid, x_edges, y_edges)``."""
+        (analyzer.py:664-716). Returns ``(grid, x_edges, y_edges)``;
+        with ``plot=True`` renders via
+        :func:`detanalysis_spark.plotting.heatmap` → ``(fig, ax)``."""
         from .operators.histogram import hist2d
-        return hist2d(self._subset_df(self.df, cut), feature_x, feature_y,
-                      shape=shape, limits_x=limits_x, limits_y=limits_y)
+        grid, xe, ye = hist2d(self._subset_df(self.df, cut),
+                              feature_x, feature_y, shape=shape,
+                              limits_x=limits_x, limits_y=limits_y)
+        if plot:
+            from . import plotting
+            plot_kw.setdefault("xlabel", feature_x)
+            plot_kw.setdefault("ylabel", feature_y)
+            return plotting.heatmap(grid, xe, ye, **plot_kw)
+        return grid, xe, ye
 
     def passage_fraction(self, cut: Any, base_cut: Any = None) -> float:
         """A8: fraction of (base-cut) rows passing ``cut`` — one agg of
@@ -669,16 +685,24 @@ class Analyzer:
     # headless analogs of the reference's interactive/plot surface
     # ------------------------------------------------------------------
     def scatter(self, feature_x: str, feature_y: str, cut: Any = None,
-                max_points: int = 20000, seed: int = 42) -> DataFrame:
+                max_points: int = 20000, seed: int = 42,
+                plot: bool = False, **plot_kw):
         """Reference ``scatter`` (analyzer.py:717-810) headless analog:
         the (x, y) point frame behind the scatter plot, seeded-sampled
         down to ``max_points`` before any collection (the reference
         samples before plotting for the same reason, analyzer.py:
-        770-771)."""
+        770-771). With ``plot=True`` renders the sampled frame via
+        :func:`detanalysis_spark.plotting.scatter` → ``(fig, ax)``."""
         df = self._subset_df(self.df, cut)
-        pts = df.select(F.expr(feature_x).alias("x"),
-                        F.expr(feature_y).alias("y"))
-        return pts.orderBy(F.rand(seed)).limit(int(max_points))
+        pts = (df.select(F.expr(feature_x).alias("x"),
+                         F.expr(feature_y).alias("y"))
+               .orderBy(F.rand(seed)).limit(int(max_points)))
+        if plot:
+            from . import plotting
+            plot_kw.setdefault("xlabel", feature_x)
+            plot_kw.setdefault("ylabel", feature_y)
+            return plotting.scatter(pts, **plot_kw)
+        return pts
 
     def plot_traces(self, channels: Sequence[str] | None,
                     raw_path: "str | DataFrame", cut: Any = None,

@@ -33,6 +33,8 @@ from .classifier import (hashed_token_features, portable_bucket,
                          save_probe, load_probe)
 from .pipeline import (CurationConfig, curate_corpus,
                        curate_corpus_stream)
+from .psl import (PslRules, load_psl, default_psl, public_suffix_py,
+                  registered_domain_py, registered_domain_psl)
 from .cleaning import (pii_counts, redact_pii, repetition_scores,
                        repetition_struct, gopher_quality_struct,
                        gopher_quality_filter,
@@ -71,4 +73,6 @@ __all__ = [
     "score_hashed_linear", "train_linear_probe", "hashed_embedding",
     "save_probe", "load_probe", "save_bigram_lm", "load_bigram_lm",
     "compression_ratio_udf", "sentence_split_udtf",
+    "PslRules", "load_psl", "default_psl", "public_suffix_py",
+    "registered_domain_py", "registered_domain_psl",
 ]

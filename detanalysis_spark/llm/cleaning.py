@@ -690,7 +690,15 @@ def registered_domain(host: Column | str,
     the trailing pair is a known second-level public suffix (co.uk
     etc. — ``SECOND_LEVEL_SUFFIXES`` + ``extra_suffixes``; a heuristic
     subset of the PSL, documented as such). Hosts with ≤ 2 labels pass
-    through; NULL stays NULL."""
+    through; NULL stays NULL.
+
+    This is the pure-``Column`` HEURISTIC path (no joins, usable
+    inside any projection). The exact Public Suffix List path —
+    wildcards, exceptions, longest-match — is
+    :func:`detanalysis_spark.llm.psl.registered_domain_psl`, a
+    DataFrame transform (chained broadcast joins), and is what
+    :func:`domain_blocklist_filter` / :func:`domain_profile` use by
+    default."""
     h = F.col(host) if isinstance(host, str) else host
     parts = F.split(h, r"\.")
     n = F.size(parts)
@@ -705,39 +713,71 @@ def registered_domain(host: Column | str,
             .otherwise(last2))
 
 
+def _with_registered_domain(df: DataFrame, url_col: str, out_col: str,
+                            extra_suffixes: tuple[str, ...],
+                            use_psl: bool, psl_path: str | None
+                            ) -> DataFrame:
+    """Append host (``__host__``) + registered domain (``out_col``).
+
+    Default path is the exact Public Suffix List matcher
+    (:func:`detanalysis_spark.llm.psl.registered_domain_psl` — chained
+    broadcast joins, corpus never shuffles; vendored snapshot unless a
+    full list is given via ``psl_path``). ``use_psl=False`` falls back
+    to the heuristic :func:`registered_domain` projection."""
+    work = df.withColumn("__host__", url_host(F.col(url_col)))
+    if use_psl:
+        from . import psl as _psl
+        return _psl.registered_domain_psl(work, "__host__",
+                                          out_col=out_col,
+                                          psl_path=psl_path)
+    return work.withColumn(
+        out_col, registered_domain(F.col("__host__"), extra_suffixes))
+
+
 def domain_blocklist_filter(df: DataFrame, url_col: str,
                             blocked: DataFrame | list[str],
-                            extra_suffixes: tuple[str, ...] = ()
-                            ) -> DataFrame:
+                            extra_suffixes: tuple[str, ...] = (),
+                            use_psl: bool = True,
+                            psl_path: str | None = None) -> DataFrame:
     """Drop rows whose REGISTERED domain is blocklisted.
 
     ``blocked`` is a 1-column frame of registered domains (broadcast
     anti-join — the corpus side never shuffles) or a small in-memory
-    list (pure ``isin`` projection, no join at all). Rows whose URL
-    fails to parse are KEPT (provenance gates drop known-bad, not
-    unknown — chain a quarantine filter if unparseable means reject).
+    list (pure filter, no extra join). Rows whose URL fails to parse
+    are KEPT (provenance gates drop known-bad, not unknown — chain a
+    quarantine filter if unparseable means reject).
+
+    Registered domains come from the exact PSL path by default
+    (snapshot; pass ``psl_path=`` for a full downloaded list);
+    ``use_psl=False`` selects the bounded-suffix heuristic.
     """
-    dom = registered_domain(url_host(F.col(url_col)), extra_suffixes)
+    cols = df.columns
+    work = _with_registered_domain(df, url_col, "__dom__",
+                                   extra_suffixes, use_psl, psl_path)
+    dom = F.col("__dom__")
     if isinstance(blocked, list):
-        return df.filter(dom.isNull() | ~dom.isin([b.lower()
-                                                   for b in blocked]))
+        return work.filter(
+            dom.isNull() | ~dom.isin([b.lower() for b in blocked])) \
+            .select(*cols)
     bl = blocked.select(
         F.lower(F.col(blocked.columns[0])).alias("__blocked_dom__"))
-    return (df.withColumn("__dom__", dom)
-            .join(F.broadcast(bl),
-                  F.col("__dom__") == F.col("__blocked_dom__"),
-                  "left_anti")
-            .drop("__dom__"))
+    return (work.join(F.broadcast(bl),
+                      dom == F.col("__blocked_dom__"), "left_anti")
+            .select(*cols))
 
 
 def domain_profile(df: DataFrame, url_col: str,
-                   extra_suffixes: tuple[str, ...] = ()) -> DataFrame:
+                   extra_suffixes: tuple[str, ...] = (),
+                   use_psl: bool = True,
+                   psl_path: str | None = None) -> DataFrame:
     """Per-registered-domain corpus profile: docs, share, distinct
     hosts — one map-side-combined aggregate (the thing you read before
-    choosing per-domain caps). Unparseable URLs group under NULL."""
-    host = url_host(F.col(url_col))
-    dom = registered_domain(host, extra_suffixes)
-    out = (df.select(host.alias("__host__"), dom.alias("domain"))
+    choosing per-domain caps). Unparseable URLs group under NULL.
+    Domains via the exact PSL path by default (see
+    :func:`domain_blocklist_filter`)."""
+    work = _with_registered_domain(df, url_col, "domain",
+                                   extra_suffixes, use_psl, psl_path)
+    out = (work.select("__host__", "domain")
            .groupBy("domain")
            .agg(F.count(F.lit(1)).alias("n_docs"),
                 F.count_distinct("__host__").alias("n_hosts")))

@@ -169,6 +169,12 @@ def registered_domain_psl(df: DataFrame, host_col: str,
     precedence projection — no corpus-side shuffle, no Python in the
     row path.  Invalid hosts (NULL, empty label, bare public suffix)
     yield NULL, matching :func:`registered_domain_py` exactly.
+
+    Exactness holds only RELATIVE TO THE SUPPLIED RULE LIST: the
+    default vendored snapshot is a documented subset (~800 rules) of
+    the ~10k-rule real PSL, so ccTLD families absent from it fall back
+    to the implicit ``*`` rule.  Production deployments should pass a
+    full downloaded ``public_suffix_list.dat`` via ``psl_path=``.
     """
     if psl_path is not None:
         rules = load_psl(psl_path, include_private=include_private)
@@ -232,7 +238,10 @@ def registered_domain_psl(df: DataFrame, host_col: str,
         depth_terms.append(F.when(cond, F.lit(d)).otherwise(F.lit(1)))
     if len(depth_terms) > 1:
         ps_depth = F.greatest(*depth_terms)
-    for d, c in sorted(exc_flags, reverse=True):
+    # ascending, so the DEEPEST exception's when() wraps outermost —
+    # per the spec the most-labels exception rule prevails (matters
+    # only for hand-built rule sets; the real PSL nests no exceptions)
+    for d, c in sorted(exc_flags):
         ps_depth = F.when(F.col(c).isNotNull(), F.lit(d - 1)) \
                     .otherwise(ps_depth)
 

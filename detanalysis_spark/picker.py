@@ -127,19 +127,32 @@ class TracePicker:
     # returns plot-ready data, never renders
     # ------------------------------------------------------------------
     def plot_picking_scatter(self, cut: Column | str | None = None,
-                             max_points: int = 20000,
-                             seed: int = 42) -> DataFrame:
+                             max_points: int = 20000, seed: int = 42,
+                             render: bool = False, **plot_kw):
         """scatterplotter.py plot_picking_scatter analog: the (x, y)
         scatter frame behind the picker, seeded-sampled down to
         ``max_points`` BEFORE collection (the reference draws every
-        point; at scale that is the plot-thinning rule O7)."""
+        point; at scale that is the plot-thinning rule O7).
+        ``render=True`` (matplotlib installed) draws the sampled frame
+        via :func:`detanalysis_spark.plotting.scatter`."""
         df = self._df if cut is None else self._df.filter(
             F.expr(cut) if isinstance(cut, str) else cut)
-        pts = df.select(self._x.alias("x"), self._y.alias("y"))
-        return pts.orderBy(F.rand(seed)).limit(int(max_points))
+        pts = (df.select(self._x.alias("x"), self._y.alias("y"))
+               .orderBy(F.rand(seed)).limit(int(max_points)))
+        if render:
+            from . import plotting
+            return plotting.scatter(pts, **plot_kw)
+        return pts
 
     def plot_picked_events(self, x: float, y: float, n: int = 1,
-                           **kw) -> DataFrame:
+                           render: bool = False, fs: float = 1.25e6,
+                           plot_kw: dict | None = None, **kw):
         """scatterplotter.py plot_picked_events analog: the picked
-        events' traces (``pick_traces`` result, plot-ready)."""
-        return self.pick_traces(x, y, n=n, **kw)
+        events' traces (``pick_traces`` result, plot-ready).
+        ``render=True`` (matplotlib installed) draws them vs time via
+        :func:`detanalysis_spark.plotting.traces`."""
+        out = self.pick_traces(x, y, n=n, fs=fs, **kw)
+        if render:
+            from . import plotting
+            return plotting.traces(out, fs=fs, **(plot_kw or {}))
+        return out

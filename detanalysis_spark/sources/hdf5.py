@@ -32,6 +32,7 @@ are decoded in either backend.
 from __future__ import annotations
 
 import os
+import re
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,7 +40,8 @@ from pyspark.sql import DataFrame, SparkSession
 from .files import extract_file_names
 
 __all__ = ["read_vaex_hdf5", "hdf5_row_count", "hdf5_to_parquet",
-           "load_hdf5"]
+           "load_hdf5", "read_trace_hdf5", "trace_hdf5_to_parquet",
+           "load_trace_hdf5"]
 
 EVENT_INDEX = "__event_index__"
 
@@ -178,6 +180,166 @@ def _convert_files(spark: SparkSession, work: list, out_dir: str,
                                         columns, compression))
            .collect())
     return sorted(out)
+
+
+
+# ----------------------------------------------------------------------
+# generic events-as-datasets trace layout → trace parquet schema
+# ----------------------------------------------------------------------
+# The reference fetches raw waveforms from instrument HDF5 through
+# pytesio's ``H5Reader.read_many_events``
+# (/root/reference/detanalysis/analyzer.py:1030-1046) — an
+# instrument-specific raw format. The public-knowledge shape of such
+# files is "events as datasets": each event's waveform is its own
+# numeric dataset, grouped by channel (``/<channel>/event_<N>`` 1-D)
+# or stored as one ``(n_chan, n_samp)`` 2-D dataset per event. This
+# walker ingests ANY file of that family into the engine's trace
+# parquet schema (``series_number long, event_number long, channel
+# string, trace array<double>`` — the table every S7/S8/J2 fetch and
+# F-arr kernel reads), after which raw access is a broadcast key join
+# instead of a driver-side file read.
+#
+# Conventions (documented, deterministic):
+# - event_number: the trailing integer in the dataset name
+#   (``event_42`` → 42); datasets without one enumerate in walk order
+#   per channel.
+# - channel (1-D datasets): the innermost enclosing group name, or
+#   ``ch0`` for root-level datasets. (2-D datasets): the ``channels``
+#   argument, else ``ch0..ch{n-1}``.
+# - series_number: ``series_number`` argument, else the trailing
+#   integer in the file basename, else the file's position in the
+#   sorted file list.
+_TRAILING_INT = re.compile(r"(\d+)\s*$")
+
+
+def _walk_datasets(group, prefix: str = ""):
+    """Yield ``(path, dataset)`` for every dataset under ``group``
+    (both h5py and minihdf5 expose ``keys`` on groups only)."""
+    for name in sorted(group.keys()):
+        node = group[name]
+        if hasattr(node, "keys"):
+            yield from _walk_datasets(node, f"{prefix}{name}/")
+        else:
+            yield prefix + name, node
+
+
+def read_trace_hdf5(path: str, channels: Sequence[str] | None = None,
+                    series_number: int | None = None):
+    """One events-as-datasets HDF5 file → ``pyarrow.Table`` in the
+    trace parquet schema. Non-numeric and >2-D datasets are skipped;
+    vaex-layout files are rejected (use :func:`read_vaex_hdf5`)."""
+    h5py = _require_h5py()
+    import numpy as np
+    import pyarrow as pa
+
+    if series_number is None:
+        m = _TRAILING_INT.search(
+            os.path.splitext(os.path.basename(path))[0])
+        series_number = int(m.group(1)) if m else 0
+
+    series, events, chans, traces = [], [], [], []
+    seq: dict[str, int] = {}
+
+    def emit(evt, chan, arr):
+        series.append(int(series_number))
+        events.append(int(evt))
+        chans.append(str(chan))
+        traces.append(np.asarray(arr, dtype=np.float64))
+
+    def next_seq(chan) -> int:
+        seq[chan] = seq.get(chan, -1) + 1
+        return seq[chan]
+
+    with h5py.File(path, "r") as f:
+        if "table" in f and "columns" in f["table"]:
+            raise ValueError(
+                f"{path} is a vaex-layout file — use read_vaex_hdf5 / "
+                "hdf5_to_parquet for feature tables")
+        for dpath, ds in _walk_datasets(f):
+            dtype = np.dtype(ds.dtype)
+            if dtype.kind not in "iuf":
+                continue
+            parts = dpath.split("/")
+            m = _TRAILING_INT.search(parts[-1])
+            shape = tuple(ds.shape)
+            if len(shape) == 1:
+                chan = parts[-2] if len(parts) > 1 else "ch0"
+                evt = int(m.group(1)) if m else next_seq(chan)
+                emit(evt, chan, ds[:])
+            elif len(shape) == 2:
+                evt = int(m.group(1)) if m else next_seq("__2d__")
+                data = ds[:]
+                for i in range(shape[0]):
+                    chan = channels[i] if channels is not None \
+                        and i < len(channels) else f"ch{i}"
+                    emit(evt, chan, data[i])
+            # >2-D: not a trace family this walker claims; skip
+
+    return pa.Table.from_arrays(
+        [pa.array(series, pa.int64()), pa.array(events, pa.int64()),
+         pa.array(chans, pa.string()),
+         pa.array([t.tolist() for t in traces],
+                  pa.list_(pa.float64()))],
+        names=["series_number", "event_number", "channel", "trace"])
+
+
+def _convert_one_trace(path: str, out_dir: str, channels,
+                       series_number, compression: str) -> str:
+    import pyarrow.parquet as pq
+
+    table = read_trace_hdf5(path, channels=channels,
+                            series_number=series_number)
+    base = os.path.splitext(os.path.basename(path))[0]
+    out_path = os.path.join(out_dir, f"{base}.parquet")
+    pq.write_table(table, out_path, compression=compression)
+    return out_path
+
+
+def trace_hdf5_to_parquet(spark: SparkSession, paths, out_dir: str,
+                          series=None,
+                          channels: Sequence[str] | None = None,
+                          compression: str = "snappy") -> list[str]:
+    """Convert events-as-datasets HDF5 file(s)/dir(s) → one trace
+    parquet file each under ``out_dir``; returns sorted output paths.
+
+    Fans out one Spark task per file (embarrassingly parallel — no
+    waveform touches the driver). Files without a trailing integer in
+    their basename get their sorted-list position as series_number,
+    keeping (series_number, event_number) keys unique across files.
+    """
+    _require_h5py()
+    files = extract_file_names(paths, series=series, ext=".hdf5")
+    os.makedirs(out_dir, exist_ok=True)
+    work = []
+    for i, p in enumerate(files):
+        base = os.path.splitext(os.path.basename(p))[0]
+        m = _TRAILING_INT.search(base)
+        work.append((p, int(m.group(1)) if m else i))
+    sc = spark.sparkContext
+    out = (sc.parallelize(work, len(work))
+           .map(lambda ps: _convert_one_trace(ps[0], out_dir, channels,
+                                              ps[1], compression))
+           .collect())
+    return sorted(out)
+
+
+def load_trace_hdf5(spark: SparkSession, paths, out_dir: str,
+                    series=None,
+                    channels: Sequence[str] | None = None) -> DataFrame:
+    """One-call convenience: convert stale/missing twins, then open the
+    trace table parquet (same mtime-twin rule as :func:`load_hdf5`)."""
+    _require_h5py()
+    files = extract_file_names(paths, series=series, ext=".hdf5")
+    twins = [os.path.join(out_dir,
+                          os.path.splitext(os.path.basename(p))[0]
+                          + ".parquet")
+             for p in files]
+    stale = [p for p, twin in zip(files, twins)
+             if not os.path.exists(twin)
+             or os.path.getmtime(twin) < os.path.getmtime(p)]
+    if stale:
+        trace_hdf5_to_parquet(spark, stale, out_dir, channels=channels)
+    return spark.read.parquet(*twins)
 
 
 def load_hdf5(spark: SparkSession, paths, out_dir: str, series=None,

@@ -1050,6 +1050,124 @@ def streaming_ann_microbatch_topk(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# streaming stateful ANN (complete-mode aggregation state): the same
+# exhaustive-IVF trick (n_probe == n_centroids ⇒ identical to
+# brute-force cosine) gives the collect_list-ranked STATEFUL streaming
+# path (streaming_ann_topk) a full DuckDB value-hash oracle — the
+# microbatch query above covers the zero-state foreachBatch twin.
+# ----------------------------------------------------------------------
+@query("streaming_ann_state_topk", oracle="""
+WITH s AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                CAST(p.embedding AS DOUBLE[])) AS sim
+  FROM embeddings c,
+       (SELECT * FROM embeddings
+        WHERE vec_id >= 8 AND vec_id < 16) p
+  WHERE c.vec_id <> p.vec_id),
+r AS (SELECT probe_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM s)
+SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id,
+       round(sim, 6) AS sim
+FROM r WHERE rank <= 5
+""")
+def streaming_ann_state_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from .llm.similarity import IVFIndex
+    from .streaming.continuous import run_available_now, streaming_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = IVFIndex(n_centroids=4, n_probe=4, seed=2).fit(emb)
+    base = tempfile.mkdtemp(prefix="det_ann_state_")
+    probes = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+    probes.coalesce(1).write.mode("overwrite").parquet(f"{base}/in")
+    sdf = (spark.readStream.schema(probes.schema)
+           .option("maxFilesPerTrigger", 1).parquet(f"{base}/in"))
+    got = run_available_now(
+        streaming_ann_topk(sdf, ivf, emb, k=5),
+        f"ann_state_suite_{os.getpid()}", output_mode="complete",
+        shuffle_partitions=8)
+    out = (got.select("probe_id", "rank", "neighbor_id",
+                      F.round("sim", 6).alias("sim"))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+# ----------------------------------------------------------------------
+# streaming near-dup screen + exact verify: odd-id documents stream in
+# against the even-id corpus's precomputed LSH band buckets; the drain
+# emits flagged ids (append-mode dropDuplicates state), which then gate
+# a candidates-only exact-Jaccard verify. Output depends on the DRAINED
+# id set (a missed stream hit drops a row → hash mismatch), while the
+# all-pairs SQL oracle stays exact because planted near-dups sit at
+# jaccard ≥ 0.96 where 16-band/4-row LSH recall is 1 - ~1e-15.
+# ----------------------------------------------------------------------
+@query("streaming_near_dup_screen_stats", oracle=r"""
+WITH t AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks)-1)]) AS sh
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS toks
+        FROM documents)),
+p AS (
+  SELECT o.doc_id AS doc_id,
+         len(list_intersect(o.sh, e.sh))::DOUBLE /
+         len(list_distinct(list_concat(o.sh, e.sh))) AS j
+  FROM t o JOIN t e
+    ON o.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+  WHERE len(list_intersect(o.sh, e.sh))::DOUBLE /
+        len(list_distinct(list_concat(o.sh, e.sh))) >= 0.5)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       round(max(j), 6) AS max_jaccard
+FROM p GROUP BY doc_id
+""")
+def streaming_near_dup_screen_stats(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.continuous import (run_available_now,
+                                       streaming_near_dup_hits)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    stream_docs = docs.filter(F.col("doc_id") % 2 == 1)
+
+    corpus_sigs = _DD.minhash_signatures(corpus).localCheckpoint(
+        eager=True)   # sign the static side once, reused by screen+verify
+    buckets = _DD.lsh_band_buckets(corpus_sigs, "doc_id", "minhash", 16, 4)
+
+    base = tempfile.mkdtemp(prefix="det_nd_screen_")
+    stream_docs.coalesce(2).write.mode("overwrite").parquet(f"{base}/in")
+    sdf = (spark.readStream.schema(stream_docs.schema)
+           .option("maxFilesPerTrigger", 1).parquet(f"{base}/in"))
+    hits = run_available_now(
+        streaming_near_dup_hits(sdf, buckets),
+        f"nd_screen_suite_{os.getpid()}", output_mode="append",
+        shuffle_partitions=8).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+
+    # candidates-only exact verify (batch), gated on the drained ids —
+    # never all-pairs: |flagged| × bucket-colliding corpus docs
+    cand = _DD.lsh_candidate_pairs_between(
+        _DD.minhash_signatures(stream_docs).withColumnRenamed(
+            "doc_id", "id"),
+        corpus_sigs.withColumnRenamed("doc_id", "id"), "id")
+    ver = _DD.verify_candidates(docs, cand, "doc_id", threshold=0.5)
+    return (ver.join(hits, ver["id_a"] == hits["doc_id"], "left_semi")
+            .groupBy(F.col("id_a").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_matches"),
+                 F.round(F.max("jaccard"), 6).alias("max_jaccard")))
+
+
+# ----------------------------------------------------------------------
 # LSH-bucketed ANN (random hyperplanes): exact cosine only on bucket
 # candidates — the 100 TB path. Seeded/deterministic but not
 # SQL-expressible → rows-only check; recall vs brute force is pytest'd
@@ -4857,7 +4975,37 @@ _R05_GRADED = frozenset({
     "union_all_scan",
 })
 
-_DRIVER_GRADED = _R02_GRADED | _R03_GRADED | _R04_GRADED | _R05_GRADED
+# Rounds 6 AND 7 graded the identical window (the r6-close rotation
+# bug VERDICT r7 flagged: this set was missing from _DRIVER_GRADED, so
+# r7's tier1 re-selected r6's exact 50). One set records both.
+_R06_GRADED = frozenset({
+    "anti_join_customers_no_orders", "array_baseline_centered_mean",
+    "array_energy_by_label", "audio_fingerprint_pairs",
+    "bloom_incremental_dedup_stats", "bm25_retrieval_scores",
+    "box_cut_counts", "broadcast_part_revenue", "compacted_scan_stats",
+    "cut_algebra_xor", "dedup_exact_by_key", "dedup_exact_documents",
+    "distinct_event_types", "doc_token_stats", "domain_curation_stats",
+    "embedding_near_dup_pairs", "exact_stratified_sample_stats",
+    "flagship_event_cut_stats", "global_filter_algebra",
+    "hist1d_event_value", "hist2d_quantity_discount",
+    "html_extraction_stats", "image_phash_band_stats",
+    "interval_overlap_stats", "join_revenue_by_nation",
+    "jsonl_ingest_stats", "lowpass_kernel_embeddings",
+    "near_dup_cluster_sizes", "near_dup_pairs_minhash",
+    "ntile_time_bins", "orc_ingest_stats", "passage_fraction_counts",
+    "passfrac_sequential_matrix", "percentile_quantity_by_flag",
+    "pq_adc_exact_topk", "robust_sigma_by_event_type",
+    "semi_join_high_value", "semiauto_count_cut",
+    "semiauto_interval_cut", "semiauto_master_combine",
+    "semiauto_ofamp_binned_cut", "semiauto_sigma_cut",
+    "semiauto_time_binned_cut", "temperature_mixture_stats",
+    "term_pmi_stats", "time_binned_count_exclusion",
+    "topk_orders_per_priority", "tpch_q1_pricing_summary",
+    "uneven_bins_extendedprice", "union_all_scan",
+})
+
+_DRIVER_GRADED = (_R02_GRADED | _R03_GRADED | _R04_GRADED
+                  | _R05_GRADED | _R06_GRADED)
 _WINDOW = 50
 
 
@@ -4871,6 +5019,13 @@ _REWRITTEN_R06 = (
     "embedding_near_dup_pairs",
 )
 
+# Round-8 rewrites: re-grade ahead of untouched filler.
+_REWRITTEN_R08 = (
+    # provenance gates now route registered-domain through the exact
+    # PSL matcher (llm/psl.py) instead of the bounded heuristic
+    "domain_curation_stats",
+)
+
 
 def _reorder_registry() -> None:
     # tier1: ANY query with no official driver grade — oracled (full
@@ -4878,25 +5033,29 @@ def _reorder_registry() -> None:
     # round-6 registrations. These MUST land inside the 50-slot window
     # so union coverage stays complete.
     tier1 = [n for n in QUERIES if n not in _DRIVER_GRADED]
-    # tier1b: graded green before their round-6 rewrite — re-grade now.
-    tier1b = [n for n in _REWRITTEN_R06 if n in QUERIES and n not in tier1]
+    # tier1b: graded green before their latest rewrite — re-grade now.
+    # (_REWRITTEN_R06 entries were re-graded in the r06/r07 window, so
+    # only still-pending rewrites stay here.)
+    rewritten = [n for n in _REWRITTEN_R06 if n not in _R06_GRADED]
+    rewritten += list(_REWRITTEN_R08)
+    tier1b = [n for n in rewritten if n in QUERIES and n not in tier1]
     # tier2..: already-green filler; oldest grades (r02) re-checked
     # first so official records stay fresh.
     resit = set(tier1) | set(tier1b)
-    tier2 = [n for n in QUERIES if n in _R02_GRADED and n not in resit]
-    tier3 = [n for n in QUERIES
-             if n in _R03_GRADED and n not in _R02_GRADED | resit]
-    tier4 = [n for n in QUERIES
-             if n in _R04_GRADED
-             and n not in _R02_GRADED | _R03_GRADED | resit]
-    tier5 = [n for n in QUERIES
-             if n in _R05_GRADED
-             and n not in _R02_GRADED | _R03_GRADED | _R04_GRADED | resit]
-    ordered = tier1 + tier1b + tier2 + tier3 + tier4 + tier5
+    # staleness = the LATEST round a query was graded in (a query
+    # re-graded in the r6/r7 window is fresh even if first graded in
+    # r2); stalest grades refresh first.
+    rounds = [(2, _R02_GRADED), (3, _R03_GRADED), (4, _R04_GRADED),
+              (5, _R05_GRADED), (6, _R06_GRADED)]
+    latest = {n: max((r for r, s in rounds if n in s), default=0)
+              for n in QUERIES}
+    filler = sorted((n for n in QUERIES if n not in resit),
+                    key=lambda n: (latest[n], list(QUERIES).index(n)))
+    ordered = tier1 + tier1b + filler
     assert sorted(ordered) == sorted(QUERIES)
     assert len(tier1) + len(tier1b) <= _WINDOW, (
         f"{len(tier1)} never-driver-graded + {len(tier1b)} "
-        f"round-6-rewritten queries exceed the {_WINDOW}-slot grading "
+        f"rewritten queries exceed the {_WINDOW}-slot grading "
         f"window; demote or swap before shipping")
     for d in (QUERIES,):
         items = {n: d[n] for n in ordered}

@@ -508,20 +508,37 @@ class VibrationAnalyzer:
                 f"no cached {kind} result — call calc_{kind.replace('tf', 'transfer_function')}() first")
         return hits[-1]
 
-    def plot_psd(self) -> DataFrame:
+    def plot_psd(self, render: bool = False, **plot_kw):
         """vibration_analyzer.py plot_psd analog: the cached PSD frame
-        (frequency_hz, channel, psd, asd_variance)."""
-        return self._cached("psd")
+        (frequency_hz, channel, psd, asd_variance). ``render=True``
+        (matplotlib installed) draws it via
+        :func:`detanalysis_spark.plotting.psd` → ``(fig, ax)``."""
+        cached = self._cached("psd")
+        if render:
+            from . import plotting
+            return plotting.psd(cached, **plot_kw)
+        return cached
 
-    def plot_transfer_function(self) -> DataFrame:
+    def plot_transfer_function(self, render: bool = False, **plot_kw):
         """plot_transfer_function analog: the cached TF frame
-        (magnitude + 1σ per method/pair)."""
-        return self._cached("tf")
+        (magnitude + 1σ per method/pair). ``render=True`` draws via
+        :func:`detanalysis_spark.plotting.transfer_function`."""
+        cached = self._cached("tf")
+        if render:
+            from . import plotting
+            return plotting.transfer_function(cached, **plot_kw)
+        return cached
 
-    def plot_transfer_function_phase(self) -> DataFrame:
+    def plot_transfer_function_phase(self, render: bool = False,
+                                     **plot_kw):
         """plot_transfer_function_phase analog: the cached TF frame
-        with phase = atan2(im, re) appended per row."""
+        with phase = atan2(im, re) appended per row. ``render=True``
+        draws via
+        :func:`detanalysis_spark.plotting.transfer_function_phase`."""
         tf = self._cached("tf")
+        if render:
+            from . import plotting
+            return plotting.transfer_function_phase(tf, **plot_kw)
         if "tf_im" in tf.columns:
             return tf.withColumn("phase_rad",
                                  F.atan2(F.col("tf_im"), F.col("tf_re")))

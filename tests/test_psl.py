@@ -1,0 +1,185 @@
+"""Public Suffix List path: publicsuffix.org checkPublicSuffix vectors
+over the pure-Python twin, plus a Spark-vs-python differential for
+:func:`registered_domain_psl` and the cleaning-gate wiring.
+
+Vector source: the public test file published with the PSL
+(https://raw.githubusercontent.com/publicsuffix/list/master/tests/test_psl.txt)
+— checkPublicSuffix(host, expected_registered_domain) semantics.
+Vectors whose rules are outside the vendored snapshot subset are run
+against the snapshot only when the snapshot contains the governing
+rule (the snapshot header documents the subset).
+"""
+import pytest
+from pyspark.sql import functions as F
+
+from detanalysis_spark.llm import psl
+from detanalysis_spark.llm.cleaning import (domain_blocklist_filter,
+                                            domain_profile)
+
+# (host, expected registered domain) — checkPublicSuffix format.
+CHECK_VECTORS = [
+    # null / invalid input
+    (None, None),
+    ("", None),
+    (".example.com", None),           # leading dot -> invalid
+    # Mixed case (algorithm lower-cases)
+    ("COM", None),
+    ("example.COM", "example.com"),
+    ("WwW.example.COM", "example.com"),
+    # Unlisted TLD (implicit * rule)
+    ("example", None),
+    ("example.example", "example.example"),
+    ("b.example.example", "example.example"),
+    ("a.b.example.example", "example.example"),
+    # TLD with only 1 rule
+    ("biz", None),
+    ("domain.biz", "domain.biz"),
+    ("b.domain.biz", "domain.biz"),
+    ("a.b.domain.biz", "domain.biz"),
+    # TLD with some 2-level rules
+    ("com", None),
+    ("example.com", "example.com"),
+    ("b.example.com", "example.com"),
+    ("a.b.example.com", "example.com"),
+    ("uk.com", None),
+    ("example.uk.com", "example.uk.com"),
+    ("b.example.uk.com", "example.uk.com"),
+    ("a.b.example.uk.com", "example.uk.com"),
+    ("test.ac", "test.ac"),
+    # TLD with only 1 (wildcard) rule: *.mm
+    ("mm", None),
+    ("c.mm", None),
+    ("b.c.mm", "b.c.mm"),
+    ("a.b.c.mm", "b.c.mm"),
+    # More complex TLD: jp with *.kobe.jp + !city.kobe.jp
+    ("jp", None),
+    ("test.jp", "test.jp"),
+    ("www.test.jp", "test.jp"),
+    ("ac.jp", None),
+    ("test.ac.jp", "test.ac.jp"),
+    ("www.test.ac.jp", "test.ac.jp"),
+    ("kyoto.jp", None),
+    ("test.kyoto.jp", "test.kyoto.jp"),
+    ("ide.kyoto.jp", None),
+    ("b.ide.kyoto.jp", "b.ide.kyoto.jp"),
+    ("a.b.ide.kyoto.jp", "b.ide.kyoto.jp"),
+    ("c.kobe.jp", None),
+    ("b.c.kobe.jp", "b.c.kobe.jp"),
+    ("a.b.c.kobe.jp", "b.c.kobe.jp"),
+    ("city.kobe.jp", "city.kobe.jp"),        # exception rule
+    ("www.city.kobe.jp", "city.kobe.jp"),
+    # TLD with a wildcard rule and exceptions: *.ck, !www.ck
+    ("ck", None),
+    ("test.ck", None),
+    ("b.test.ck", "b.test.ck"),
+    ("a.b.test.ck", "b.test.ck"),
+    ("www.ck", "www.ck"),
+    ("www.www.ck", "www.ck"),
+    # US K12 locality scheme
+    ("us", None),
+    ("test.us", "test.us"),
+    ("www.test.us", "test.us"),
+    ("ak.us", None),
+    ("test.ak.us", "test.ak.us"),
+    ("www.test.ak.us", "test.ak.us"),
+    ("k12.ak.us", None),
+    ("test.k12.ak.us", "test.k12.ak.us"),
+    ("www.test.k12.ak.us", "test.k12.ak.us"),
+    # UK family
+    ("uk", None),
+    ("co.uk", None),
+    ("example.co.uk", "example.co.uk"),
+    ("b.example.co.uk", "example.co.uk"),
+    # Private-section suffixes
+    ("github.io", None),
+    ("pages.github.io", "pages.github.io"),
+    ("www.pages.github.io", "pages.github.io"),
+    # FQDN trailing dot normalizes
+    ("example.com.", "example.com"),
+]
+
+
+def test_check_public_suffix_vectors():
+    rules = psl.default_psl()
+    for host, want in CHECK_VECTORS:
+        got = psl.registered_domain_py(host, rules)
+        assert got == want, f"{host!r}: got {got!r}, want {want!r}"
+
+
+def test_private_section_excluded():
+    rules = psl.load_psl(psl._SNAPSHOT, include_private=False)
+    # without the private section, github.io is an ordinary io host
+    assert psl.registered_domain_py("pages.github.io", rules) == \
+        "github.io"
+
+
+def test_public_suffix_py():
+    assert psl.public_suffix_py("www.example.co.uk") == "co.uk"
+    assert psl.public_suffix_py("b.c.mm") == "c.mm"
+    assert psl.public_suffix_py("city.kobe.jp") == "kobe.jp"
+    assert psl.public_suffix_py("a..b.com") is None
+
+
+def test_exception_precedence_deepest_wins(spark):
+    """Two nested exception rules: the most-labels rule prevails (PSL
+    spec; the real list nests none — hand-built rules exercise it)."""
+    rules = psl.PslRules(exact=frozenset(), wildcard=frozenset({"ck"}),
+                         exception=frozenset({"www.ck", "a.www.ck"}))
+    assert psl.registered_domain_py("a.www.ck", rules) == "a.www.ck"
+    df = spark.createDataFrame([("a.www.ck",)], "host string")
+    out = psl.registered_domain_psl(df, "host", rules=rules) \
+        .select("registered_domain").first()[0]
+    assert out == "a.www.ck"
+
+
+def test_spark_matches_python_twin(spark):
+    hosts = [h for h, _ in CHECK_VECTORS]
+    hosts += ["deep.a.b.c.mm", "x.y.z.co.uk", "onlytld", "a-b.com",
+              "www.example.org", "sub.domain.pvt.k12.ma.us"]
+    rules = psl.default_psl()
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {r["host"]: r["reg"] for r in
+           psl.registered_domain_psl(df, "host", out_col="reg",
+                                     suffix_col="suf").collect()}
+    for h in hosts:
+        assert got[h] == psl.registered_domain_py(h, rules), h
+
+
+def test_cleaning_gates_use_psl(spark):
+    """The provenance gates route through the PSL by default: a
+    *.kobe.jp host groups at 3 labels (heuristic would give 2)."""
+    rows = [(1, "https://a.x.c.kobe.jp/x"), (2, "https://b.x.c.kobe.jp/y"),
+            (3, "https://www.city.kobe.jp/z"), (4, "https://ex.co.uk/w"),
+            (5, "not a url")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    prof = {r["domain"]: (r["n_docs"], r["n_hosts"])
+            for r in domain_profile(df, "url").collect()}
+    # *.kobe.jp makes c.kobe.jp a public suffix -> eTLD+1 = x.c.kobe.jp
+    assert prof["x.c.kobe.jp"] == (2, 2)
+    assert prof["city.kobe.jp"] == (1, 1)    # exception !city.kobe.jp
+    assert prof["ex.co.uk"] == (1, 1)
+    assert prof[None] == (1, 0)              # unparseable -> NULL group
+
+    kept = domain_blocklist_filter(df, "url", ["x.c.kobe.jp"])
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [3, 4, 5]                  # unparseable row KEPT
+    assert kept.columns == ["doc_id", "url"]
+
+    # explicit heuristic fallback: kobe family collapses to 2 labels
+    heur = {r["domain"] for r in
+            domain_profile(df, "url", use_psl=False).collect()}
+    assert "kobe.jp" in heur and "x.c.kobe.jp" not in heur
+
+
+def test_psl_plan_is_broadcast_only(spark):
+    """Scale contract: the corpus side of the PSL matcher never
+    shuffles — every join in the plan is a broadcast hash join."""
+    df = spark.range(100).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example.co.uk"))
+        .alias("host"))
+    plan = psl.registered_domain_psl(df, "host") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffleExchange" not in plan and \
+        "Exchange hashpartitioning" not in plan

@@ -644,3 +644,90 @@ def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "o_totalprice" in \
         plan.split("PushedFilters")[1][:120]
+
+
+# ----------------------------------------------------------------------
+# generic events-as-datasets trace walker (sources/hdf5.py; reference
+# analyzer.py:1030-1046 raw fetch analog): round-trip planted files
+# through both the 1-D per-channel-group and 2-D per-event layouts
+# into the trace parquet schema, then fetch via the broadcast key join.
+# ----------------------------------------------------------------------
+def _write_trace_hdf5_1d(path):
+    """/<channel>/event_<N> 1-D layout."""
+    with h5py.File(path, "w") as f:
+        for ch in ("chanA", "chanB"):
+            g = f.create_group(ch)
+            for evt in (3, 7):
+                g.create_dataset(
+                    f"event_{evt}",
+                    data=np.arange(8, dtype=np.float64) * (evt + 1)
+                    + (0.0 if ch == "chanA" else 100.0))
+
+
+def _write_trace_hdf5_2d(path):
+    """/event_<N> 2-D (n_chan, n_samp) layout."""
+    with h5py.File(path, "w") as f:
+        for evt in (1, 2):
+            f.create_dataset(
+                f"event_{evt}",
+                data=np.vstack([np.full(6, float(evt)),
+                                np.full(6, float(evt) + 0.5)]))
+
+
+def test_read_trace_hdf5_1d_layout(tmp_path):
+    from detanalysis_spark.sources.hdf5 import read_trace_hdf5
+    p = str(tmp_path / "run_17.hdf5")
+    _write_trace_hdf5_1d(p)
+    t = read_trace_hdf5(p).to_pydict()
+    assert t["series_number"] == [17] * 4      # trailing int of basename
+    assert sorted(zip(t["channel"], t["event_number"])) == [
+        ("chanA", 3), ("chanA", 7), ("chanB", 3), ("chanB", 7)]
+    row = dict(zip(zip(t["channel"], t["event_number"]), t["trace"]))
+    assert row[("chanB", 3)][:2] == [100.0, 104.0]
+
+
+def test_read_trace_hdf5_2d_layout(tmp_path):
+    from detanalysis_spark.sources.hdf5 import read_trace_hdf5
+    p = str(tmp_path / "raw2.hdf5")
+    _write_trace_hdf5_2d(p)
+    t = read_trace_hdf5(p, channels=["left", "right"]).to_pydict()
+    assert sorted(set(t["channel"])) == ["left", "right"]
+    assert sorted(set(t["event_number"])) == [1, 2]
+    row = dict(zip(zip(t["channel"], t["event_number"]), t["trace"]))
+    assert row[("right", 2)] == [2.5] * 6
+    # without channel names the walker synthesizes ch0..chN-1
+    t2 = read_trace_hdf5(p).to_pydict()
+    assert sorted(set(t2["channel"])) == ["ch0", "ch1"]
+
+
+def test_read_trace_hdf5_rejects_vaex_layout(tmp_path):
+    from detanalysis_spark.sources.hdf5 import read_trace_hdf5
+    p = str(tmp_path / "feat.hdf5")
+    _write_vaex_hdf5(p, 4)
+    with pytest.raises(ValueError, match="vaex-layout"):
+        read_trace_hdf5(p)
+
+
+def test_trace_hdf5_to_parquet_roundtrip_and_fetch(spark, tmp_path):
+    """Two files → trace table parquet → get_traces broadcast fetch."""
+    from detanalysis_spark import traces as T
+    from detanalysis_spark.sources.hdf5 import load_trace_hdf5
+    d = tmp_path / "raw"
+    d.mkdir()
+    _write_trace_hdf5_1d(str(d / "run_17.hdf5"))
+    _write_trace_hdf5_2d(str(d / "run_23.hdf5"))
+    out = str(tmp_path / "trace_parquet")
+    tdf = load_trace_hdf5(spark, str(d), out)
+    assert set(tdf.columns) == {"series_number", "event_number",
+                                "channel", "trace"}
+    assert tdf.count() == 8                      # 4 + 2 events × 2 chans
+    assert (sorted(r.series_number for r in
+                   tdf.select("series_number").distinct().collect())
+            == [17, 23])
+    keys = spark.createDataFrame([(17, 3), (23, 2)],
+                                 "series_number long, event_number long")
+    got = T.get_traces(tdf, keys)
+    assert got.count() == 4                      # 2 keys × 2 channels
+    # conversion is idempotent (twins fresh → no re-run, same frame)
+    again = load_trace_hdf5(spark, str(d), out)
+    assert again.count() == 8

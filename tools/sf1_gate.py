@@ -126,7 +126,49 @@ GATE_QUERIES = [
     "bm25_retrieval_scores", "temperature_mixture_stats",
     "pq_adc_exact_topk", "orc_ingest_stats", "term_pmi_stats",
     "exact_stratified_sample_stats",
+    # round 8 widening (VERDICT r7 #4): every remaining linear-oracle
+    # family. Cut algebra / masks / selections over events+lineitem:
+    "flagship_event_cut_stats", "box_cut_counts", "cut_algebra_xor",
+    "global_filter_algebra", "saved_selection_counts",
+    "semi_join_high_value", "anti_join_customers_no_orders",
+    "polynomial_cut_counts", "time_binned_count_exclusion",
+    "eqfreq_binned_passfrac", "uneven_bins_extendedprice",
+    "union_all_scan", "incremental_append_ids", "distinct_event_types",
+    # array kernels + picker point lookup:
+    "array_baseline_centered_mean", "array_energy_by_label",
+    "nearest_event_pick",
+    # text / sampling / capstones with exact (window) dedup only:
+    "chunked_documents_stats", "domain_cap_counts",
+    "rank_normalized_quality", "repetition_quality_stats",
+    "weighted_sample_stats", "training_batch_stats",
+    "training_pipeline_stats", "curated_corpus_exact_stats",
+    # multimodal full-table codec paths (jpeg stays out: doc_id<200):
+    "multimodal_image_stats", "multimodal_audio_stats",
+    # layout / profile / diff:
+    "key_skew_profile_orders", "manifest_pruned_scan",
+    "snapshot_diff_counts",
+    # streaming drains (all bounded availableNow, linear state):
+    "streaming_event_counts", "streaming_session_stats",
+    "streaming_windowed_stats", "streaming_ann_state_topk",
 ]
+# Still excluded, and why (the full residue — everything else gates):
+# - quadratic DuckDB oracles (the engine is banded/bucketed; the
+#   oracle is all-pairs): near_dup_pairs_minhash,
+#   near_dup_cluster_sizes, embedding_near_dup_pairs,
+#   semantic_dedup_stats, semantic_curation_stats,
+#   streaming_near_dup_screen_stats, interval_overlap_stats (overlap
+#   pair count itself grows ~quadratically under value-range-preserving
+#   amplification);
+# - bounded probes pinned to copy 0 (vacuous at 10x): token_cosine
+#   (doc_id<100), audio_fingerprint_pairs (doc_id<300),
+#   hashed_classifier_scores, multimodal_jpeg_stats (doc_id<200);
+# - sketch exact-mode bound (4096) exceeded at 10x — sketch goes
+#   legitimately approximate while SQL stays exact:
+#   theta_split_overlap, sketch_rollup_day_profile;
+# - no SQL oracle by design (rows-only tier): ann_lsh_topk,
+#   approx_percentile_profile, curated_corpus_stats,
+#   grouped_spectrum_fits, lowpass_kernel_embeddings, photon_fft_dpdi,
+#   simhash_candidate_distances.
 
 
 def materialize(force: bool = False) -> None:
