@@ -3150,6 +3150,73 @@ def orc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# events-as-datasets HDF5 trace ingest round trip — the raw-DAQ file
+# family (reference analyzer.py:1030-1046 fetches these through
+# pytesio). Two files are planted from `events` rows with
+# deterministic per-sample arithmetic (trace[i] = value + i, chanB
+# offset +100), walked into the trace parquet schema by
+# trace_hdf5_to_parquet (one Spark task per file), and aggregated per
+# (series, channel) — the SQL oracle replays the construction
+# arithmetic, so the walker's (series, event, channel, trace) mapping
+# and sample payloads are what is under test.
+# ----------------------------------------------------------------------
+@query("trace_hdf5_ingest_stats", oracle="""
+WITH e AS (SELECT event_id, round(value, 3) AS v FROM events
+           WHERE event_id < 64),
+x AS (SELECT event_id % 2 + 1 AS series_number, event_id,
+             chan, CASE WHEN chan = 'chanB' THEN v + 100.0 ELSE v END
+               AS base
+      FROM e, unnest(['chanA', 'chanB']) AS t(chan))
+SELECT CAST(series_number AS BIGINT) AS series_number, chan AS channel,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_ids,
+       CAST(sum(CAST(round((16 * base + 120) * 1000) AS BIGINT))
+            AS BIGINT) AS sum_trace_milli
+FROM x GROUP BY series_number, chan
+""")
+def trace_hdf5_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from .sources.hdf5 import _require_h5py, load_trace_hdf5
+    h5py = _require_h5py()
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 64)
+          .select("event_id", F.round("value", 3).alias("v"))
+          .collect())                      # bounded: < 64 rows
+    base = os.path.join(
+        f"/tmp/detanalysis_spark_textio_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)) + "_trace_h5")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    for s in (1, 2):
+        with h5py.File(os.path.join(base, f"series_{s}.hdf5"), "w") as f:
+            ga = f.create_group("chanA")
+            gb = f.create_group("chanB")
+            for r in ev:
+                if r.event_id % 2 + 1 != s:
+                    continue
+                ga.create_dataset(
+                    f"event_{r.event_id}",
+                    data=[r.v + i for i in range(16)], dtype="float64")
+                gb.create_dataset(
+                    f"event_{r.event_id}",
+                    data=[r.v + 100.0 + i for i in range(16)],
+                    dtype="float64")
+    tdf = load_trace_hdf5(spark, base, os.path.join(base, "pq"))
+    out = (tdf.groupBy("series_number", "channel")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum("event_number").alias("sum_event_ids"),
+                F.sum(F.round(F.aggregate(
+                    "trace", F.lit(0.0), lambda a, x: a + x) * 1000)
+                    .cast("long")).alias("sum_trace_milli"))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+# ----------------------------------------------------------------------
 # interval-overlap join (interval × interval) — value windows derived
 # from two event slices; the engine's bin-exploded equi-join (no
 # BroadcastNestedLoop) must produce exactly the pairs the oracle's
