@@ -35,7 +35,10 @@ from .pipeline import (CurationConfig, curate_corpus,
                        curate_corpus_stream)
 from .psl import (PslRules, load_psl, default_psl, public_suffix_py,
                   registered_domain_py, registered_domain_psl)
-from .cleaning import (pii_counts, redact_pii, repetition_scores,
+from .cleaning import (with_registered_domain, url_host,
+                       registered_domain,
+                       domain_blocklist_filter, domain_profile,
+                       pii_counts, redact_pii, repetition_scores,
                        repetition_struct, gopher_quality_struct,
                        gopher_quality_filter,
                        benchmark_ngrams, contamination_overlap,
@@ -75,4 +78,6 @@ __all__ = [
     "compression_ratio_udf", "sentence_split_udtf",
     "PslRules", "load_psl", "default_psl", "public_suffix_py",
     "registered_domain_py", "registered_domain_psl",
+    "with_registered_domain", "url_host", "registered_domain",
+    "domain_blocklist_filter", "domain_profile",
 ]

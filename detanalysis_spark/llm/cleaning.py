@@ -713,32 +713,39 @@ def registered_domain(host: Column | str,
             .otherwise(last2))
 
 
-def _with_registered_domain(df: DataFrame, url_col: str, out_col: str,
-                            extra_suffixes: tuple[str, ...],
-                            use_psl: bool, psl_path: str | None
-                            ) -> DataFrame:
-    """Append host (``__host__``) + registered domain (``out_col``).
+def with_registered_domain(df: DataFrame, url_col: str,
+                           out_col: str = "registered_domain",
+                           host_col: str = "__host__",
+                           extra_suffixes: tuple[str, ...] = (),
+                           use_psl: bool = True,
+                           psl_path: str | None = None) -> DataFrame:
+    """Append host (``host_col``) + registered domain (``out_col``).
 
     Default path is the exact Public Suffix List matcher
     (:func:`detanalysis_spark.llm.psl.registered_domain_psl` — chained
     broadcast joins, corpus never shuffles; vendored snapshot unless a
     full list is given via ``psl_path``). ``use_psl=False`` falls back
-    to the heuristic :func:`registered_domain` projection."""
-    work = df.withColumn("__host__", url_host(F.col(url_col)))
+    to the heuristic :func:`registered_domain` projection.
+
+    When a pipeline applies several provenance gates, call this ONCE
+    and pass ``domain_col=out_col`` to each gate — the gates then skip
+    rebuilding the matcher plan."""
+    work = df.withColumn(host_col, url_host(F.col(url_col)))
     if use_psl:
         from . import psl as _psl
-        return _psl.registered_domain_psl(work, "__host__",
+        return _psl.registered_domain_psl(work, host_col,
                                           out_col=out_col,
                                           psl_path=psl_path)
     return work.withColumn(
-        out_col, registered_domain(F.col("__host__"), extra_suffixes))
+        out_col, registered_domain(F.col(host_col), extra_suffixes))
 
 
 def domain_blocklist_filter(df: DataFrame, url_col: str,
                             blocked: DataFrame | list[str],
                             extra_suffixes: tuple[str, ...] = (),
                             use_psl: bool = True,
-                            psl_path: str | None = None) -> DataFrame:
+                            psl_path: str | None = None,
+                            domain_col: str | None = None) -> DataFrame:
     """Drop rows whose REGISTERED domain is blocklisted.
 
     ``blocked`` is a 1-column frame of registered domains (broadcast
@@ -749,12 +756,19 @@ def domain_blocklist_filter(df: DataFrame, url_col: str,
 
     Registered domains come from the exact PSL path by default
     (snapshot; pass ``psl_path=`` for a full downloaded list);
-    ``use_psl=False`` selects the bounded-suffix heuristic.
+    ``use_psl=False`` selects the bounded-suffix heuristic;
+    ``domain_col`` names an ALREADY-computed registered-domain column
+    (from :func:`with_registered_domain`) to reuse instead.
     """
     cols = df.columns
-    work = _with_registered_domain(df, url_col, "__dom__",
-                                   extra_suffixes, use_psl, psl_path)
-    dom = F.col("__dom__")
+    if domain_col is not None:
+        work, dom = df, F.col(domain_col)
+    else:
+        work = with_registered_domain(df, url_col, "__dom__",
+                                      extra_suffixes=extra_suffixes,
+                                      use_psl=use_psl,
+                                      psl_path=psl_path)
+        dom = F.col("__dom__")
     if isinstance(blocked, list):
         return work.filter(
             dom.isNull() | ~dom.isin([b.lower() for b in blocked])) \
@@ -769,14 +783,26 @@ def domain_blocklist_filter(df: DataFrame, url_col: str,
 def domain_profile(df: DataFrame, url_col: str,
                    extra_suffixes: tuple[str, ...] = (),
                    use_psl: bool = True,
-                   psl_path: str | None = None) -> DataFrame:
+                   psl_path: str | None = None,
+                   domain_col: str | None = None,
+                   host_col: str | None = None) -> DataFrame:
     """Per-registered-domain corpus profile: docs, share, distinct
     hosts — one map-side-combined aggregate (the thing you read before
     choosing per-domain caps). Unparseable URLs group under NULL.
-    Domains via the exact PSL path by default (see
+    Domains via the exact PSL path by default; ``domain_col`` (+
+    ``host_col``) reuse precomputed columns (see
     :func:`domain_blocklist_filter`)."""
-    work = _with_registered_domain(df, url_col, "domain",
-                                   extra_suffixes, use_psl, psl_path)
+    if domain_col is not None:
+        hc = host_col or "__host__"
+        work = df if hc in df.columns else \
+            df.withColumn(hc, url_host(F.col(url_col)))
+        work = work.select(F.col(hc).alias("__host__"),
+                           F.col(domain_col).alias("domain"))
+    else:
+        work = with_registered_domain(df, url_col, "domain",
+                                      extra_suffixes=extra_suffixes,
+                                      use_psl=use_psl,
+                                      psl_path=psl_path)
     out = (work.select("__host__", "domain")
            .groupBy("domain")
            .agg(F.count(F.lit(1)).alias("n_docs"),

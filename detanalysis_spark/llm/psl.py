@@ -196,43 +196,53 @@ def registered_domain_psl(df: DataFrame, host_col: str,
             F.slice(F.col("__psl_parts__"),
                     F.col("__psl_n__") - F.lit(d) + 1, d), ".")
 
-    def by_depth(sufs) -> dict[int, list[str]]:
-        out: dict[int, list[str]] = {}
-        for s in sufs:
-            out.setdefault(s.count(".") + 1, []).append(s)
-        return out
+    # ONE rule table per candidate depth, all three rule types merged
+    # as flag columns (exact / wildcard-base / exception) — so the
+    # chain length is max rule depth (~5 for the real PSL), not
+    # rule-types × depths. A wildcard BASE of depth bd matches the
+    # depth-bd candidate but implies a public suffix one label deeper.
+    merged: dict[int, dict[str, list[bool]]] = {}
 
-    flags: list[tuple[int, str]] = []          # (depth, matched col)
+    def put(s: str, d: int, kind: int) -> None:
+        ent = merged.setdefault(d, {}).setdefault(s, [False] * 3)
+        ent[kind] = True
+
+    for s in rules.exact:
+        d = s.count(".") + 1
+        if d > 1:      # depth-1 exact rules behave like the '*' default
+            put(s, d, 0)
+    for s in rules.wildcard:
+        put(s, s.count(".") + 1, 1)
+    for s in rules.exception:
+        put(s, s.count(".") + 1, 2)
+
+    flags: list[tuple[int, str]] = []          # (match depth, col)
     exc_flags: list[tuple[int, str]] = []      # (rule depth, col)
 
-    def join_table(sufs: list[str], colname: str, d: int) -> None:
-        nonlocal work
-        tbl = spark.createDataFrame([(s,) for s in sorted(set(sufs))],
-                                    f"{colname} string")
-        work = work.withColumn(f"__psl_c{d}__",
-                               F.when(F.col("__psl_n__") >= d, cand(d)))
-        work = work.join(F.broadcast(tbl),
-                         work[f"__psl_c{d}__"] == tbl[colname], "left")
+    for d in sorted(merged):
+        tbl = spark.createDataFrame(
+            [(s, *fl) for s, fl in sorted(merged[d].items())],
+            f"__psl_s{d}__ string, __psl_e{d}__ boolean, "
+            f"__psl_w{d}__ boolean, __psl_x{d}__ boolean")
+        work = (work.withColumn(
+                    f"__psl_c{d}__",
+                    F.when(F.col("__psl_n__") >= d, cand(d)))
+                .join(F.broadcast(tbl),
+                      F.col(f"__psl_c{d}__") == F.col(f"__psl_s{d}__"),
+                      "left"))
+        if any(fl[0] for fl in merged[d].values()):
+            flags.append((d, f"__psl_e{d}__"))
+        if any(fl[1] for fl in merged[d].values()):
+            flags.append((d + 1, f"__psl_w{d}__"))  # base match ⇒ d+1
+        if any(fl[2] for fl in merged[d].values()):
+            exc_flags.append((d, f"__psl_x{d}__"))
 
-    for d, sufs in sorted(by_depth(rules.exact).items()):
-        if d == 1:
-            continue   # depth-1 exact rules behave like the '*' default
-        join_table(sufs, f"__psl_e{d}__", d)
-        flags.append((d, f"__psl_e{d}__"))
-    for bd, sufs in sorted(by_depth(rules.wildcard).items()):
-        join_table(sufs, f"__psl_w{bd}__", bd)
-        flags.append((bd + 1, f"__psl_w{bd}__"))   # base match ⇒ d+1
-    for d, sufs in sorted(by_depth(rules.exception).items()):
-        join_table(sufs, f"__psl_x{d}__", d)
-        exc_flags.append((d, f"__psl_x{d}__"))
-
-    # precedence: exception (deepest first) ⇒ depth rule_d - 1;
-    # else max matched depth (wildcard needs one MORE host label);
-    # else the implicit '*' rule (depth 1)
+    # precedence: exception ⇒ depth rule_d - 1; else max matched depth
+    # (wildcard needs one MORE host label); else the implicit '*' rule
     ps_depth = F.lit(1)
     depth_terms = [F.lit(1)]
     for d, c in flags:
-        cond = F.col(c).isNotNull()
+        cond = F.col(c)
         if c.startswith("__psl_w"):
             cond = cond & (F.col("__psl_n__") >= d)
         depth_terms.append(F.when(cond, F.lit(d)).otherwise(F.lit(1)))
@@ -242,8 +252,7 @@ def registered_domain_psl(df: DataFrame, host_col: str,
     # per the spec the most-labels exception rule prevails (matters
     # only for hand-built rule sets; the real PSL nests no exceptions)
     for d, c in sorted(exc_flags):
-        ps_depth = F.when(F.col(c).isNotNull(), F.lit(d - 1)) \
-                    .otherwise(ps_depth)
+        ps_depth = F.when(F.col(c), F.lit(d - 1)).otherwise(ps_depth)
 
     nn = F.col("__psl_n__")
     ps = F.when(F.col("__psl_ok__") & (ps_depth > 0) & (nn >= ps_depth),

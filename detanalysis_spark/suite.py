@@ -2769,7 +2769,8 @@ SELECT domain, n_docs, n_hosts,
 FROM g
 """)
 def domain_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .llm.cleaning import domain_blocklist_filter, domain_profile
+    from .llm.cleaning import (domain_blocklist_filter, domain_profile,
+                               with_registered_domain)
     docs = load_table(spark, sf_dir, "documents")
     url = F.concat(
         F.lit("https://"),
@@ -2779,9 +2780,13 @@ def domain_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.lit(".co.uk")).otherwise(F.lit(".com")),
         F.lit("/doc/"), F.col("doc_id"))
     tagged = docs.withColumn("url", url)
-    kept = domain_blocklist_filter(tagged, "url",
-                                   ["src0.co.uk", "src1.com"])
-    prof = domain_profile(kept, "url")
+    # run the PSL matcher ONCE; both gates reuse the column
+    dom = with_registered_domain(tagged, "url", out_col="__dom__")
+    kept = domain_blocklist_filter(dom.select(*tagged.columns,
+                                              "__host__", "__dom__"),
+                                   "url", ["src0.co.uk", "src1.com"],
+                                   domain_col="__dom__")
+    prof = domain_profile(kept, "url", domain_col="__dom__")
     return prof.select("domain", "n_docs", "n_hosts",
                        F.round("share", 6).alias("share"))
 
