@@ -36,6 +36,7 @@ from .pipeline import (CurationConfig, curate_corpus,
 from .psl import (PslRules, load_psl, default_psl, public_suffix_py,
                   registered_domain_py, registered_domain_psl)
 from .cleaning import (with_registered_domain, url_host,
+                       normalize_url, TRACKING_PARAMS,
                        registered_domain,
                        domain_blocklist_filter, domain_profile,
                        pii_counts, redact_pii, repetition_scores,
@@ -80,4 +81,5 @@ __all__ = [
     "registered_domain_py", "registered_domain_psl",
     "with_registered_domain", "url_host", "registered_domain",
     "domain_blocklist_filter", "domain_profile",
+    "normalize_url", "TRACKING_PARAMS",
 ]

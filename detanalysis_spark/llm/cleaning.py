@@ -683,6 +683,71 @@ def url_host(url: Column | str) -> Column:
     return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
 
 
+# query parameters that carry tracking state, not content identity —
+# the standard strip set of crawl-dedup canonicalizers
+TRACKING_PARAMS: tuple[str, ...] = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid",
+    "ref", "referrer",
+)
+
+
+def normalize_url(url: Column | str,
+                  strip_params: tuple[str, ...] = TRACKING_PARAMS,
+                  sort_query: bool = True) -> Column:
+    """Canonical form of a URL — the dedup key for crawl frontiers and
+    URL-level exact dedup (two fetches of the same resource must
+    canonicalize identically before content ever downloads).
+
+    Native expression chain (``try_parse_url`` + array ops — one
+    whole-stage-codegen projection, no UDF, no shuffle):
+
+    - scheme and host lower-cased; trailing host dots stripped;
+    - default ports removed (``:80`` for http, ``:443`` for https);
+    - fragment dropped;
+    - tracking query params (``strip_params``) removed; remaining
+      params sorted (``sort_query=True``) so param order doesn't split
+      identities; an emptied query drops its ``?``;
+    - path defaulting to ``/``, duplicate slashes collapsed, trailing
+      slash trimmed off non-root paths.
+
+    Unparseable URLs (no scheme/host) normalize to NULL — quarantine,
+    don't crash.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url(u, F.lit("HOST"))), r"\.+$", "")
+    # HOST excludes the port; take it from AUTHORITY
+    auth = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    default_port = ((scheme == "http") & (port == "80")) | \
+        ((scheme == "https") & (port == "443"))
+    port_part = F.when((port == "") | default_port, F.lit("")) \
+        .otherwise(F.concat(F.lit(":"), port))
+
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.when(path == "", F.lit("/")) \
+        .otherwise(F.regexp_replace(path, r"(.)/$", "$1"))
+
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    params = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda p: (p != "") & ~F.lower(
+            F.regexp_extract(p, r"^([^=]*)", 1)).isin(
+            [s.lower() for s in strip_params]))
+    if sort_query:
+        params = F.array_sort(params)
+    qpart = F.when(F.size(params) > 0,
+                   F.concat(F.lit("?"), F.array_join(params, "&"))) \
+        .otherwise(F.lit(""))
+
+    ok = scheme.isNotNull() & host.isNotNull() & (host != "")
+    return F.when(ok, F.concat(scheme, F.lit("://"), host, port_part,
+                               path, qpart))
+
+
 def registered_domain(host: Column | str,
                       extra_suffixes: tuple[str, ...] = ()
                       ) -> Column:

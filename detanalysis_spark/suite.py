@@ -2792,6 +2792,57 @@ def domain_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# URL canonicalization — four deterministic messy variants per page
+# (scheme/host case + default port + trailing slash, duplicate
+# slashes + tracking params, unsorted query + fragment) built from
+# documents; normalize_url must collapse the first three onto one
+# canonical identity per page and keep the real-query variant
+# distinct. The oracle derives the canonical strings arithmetically,
+# so the engine's parse + rebuild chain is what's under test —
+# min_canonical pins the exact output formatting, not just counts.
+# ----------------------------------------------------------------------
+@query("url_normalization_stats", oracle="""
+WITH c AS (
+  SELECT doc_id, source,
+         'https://' || source || '.com/d/' ||
+         CAST(doc_id // 4 AS VARCHAR) ||
+         (CASE WHEN doc_id % 4 = 3 THEN '?a=1&b=2' ELSE '' END)
+           AS canonical
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+       CAST(sum(CASE WHEN canonical LIKE '%?%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_with_query,
+       min(canonical) AS min_canonical
+FROM c GROUP BY source
+""")
+def url_normalization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.cleaning import normalize_url
+    docs = load_table(spark, sf_dir, "documents")
+    page = (F.col("doc_id") / 4).cast("long").cast("string")
+    v = F.col("doc_id") % 4
+    url = (F.when(v == 0, F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".com/d/"),
+                page))
+           .when(v == 1, F.concat(
+                F.lit("HTTPS://"), F.upper(F.col("source")),
+                F.lit(".COM:443/d/"), page, F.lit("/")))
+           .when(v == 2, F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".com//d//"),
+                page, F.lit("?utm_source=x&ref=y")))
+           .otherwise(F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".com/d/"),
+                page, F.lit("?b=2&a=1#sec"))))
+    tagged = docs.withColumn("canonical", normalize_url(url))
+    return (tagged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.count_distinct("canonical").alias("n_canonical"),
+                 F.sum(F.col("canonical").contains("?").cast("long"))
+                 .alias("n_with_query"),
+                 F.min("canonical").alias("min_canonical")))
+
+
+# ----------------------------------------------------------------------
 # small-file compaction — events scatter out as 32 tiny parquet files
 # (a streaming sink's signature failure mode), compact_parquet_dir
 # bin-packs them shuffle-free (coalesce merges input splits in place),

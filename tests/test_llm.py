@@ -1988,3 +1988,32 @@ def test_doc_term_pmi_matches_python_reference(spark):
     assert empty.columns == ["term_a", "term_b", "n_ab",
                              "n_a", "n_b", "pmi"]
     assert empty.count() == 0
+
+
+def test_normalize_url_canonicalization(spark):
+    """Scheme/host case, default ports, dup slashes, trailing slash,
+    tracking params, query sort, fragments — plus quarantine-to-NULL
+    for unparseable values."""
+    from detanalysis_spark.llm.cleaning import normalize_url
+    cases = {
+        "HTTP://WWW.Example.COM:80//a//b/?utm_source=x&b=2&a=1#frag":
+            "http://www.example.com/a/b?a=1&b=2",
+        "https://example.com:443/": "https://example.com/",
+        "https://example.com": "https://example.com/",
+        "http://example.com:8080/p/": "http://example.com:8080/p",
+        "https://example.com./x?gclid=9": "https://example.com/x",
+        "not a url": None,
+        "https://example.com/p?a=1&a=0":
+            "https://example.com/p?a=0&a=1",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {r.u: r.n for r in
+           df.select("u", normalize_url("u").alias("n")).collect()}
+    for u, want in cases.items():
+        assert got[u] == want, u
+    # param stripping is configurable; sort can be disabled
+    df2 = spark.createDataFrame(
+        [("https://e.com/p?b=2&a=1&sid=9",)], "u string")
+    keep = df2.select(normalize_url(
+        "u", strip_params=("sid",), sort_query=False).alias("n")).first().n
+    assert keep == "https://e.com/p?b=2&a=1"
