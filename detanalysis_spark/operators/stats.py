@@ -107,14 +107,31 @@ def passage_fraction_table(df: DataFrame, cut_cols: Sequence[Column],
 
 def trim_outliers(df: DataFrame, expression: str | Column,
                   lo_pct: float = 1.0, hi_pct: float = 99.0,
-                  exact: bool = True) -> DataFrame:
+                  exact: bool = True, lazy: bool = True) -> DataFrame:
     """Keep rows with ``lo_pct <= percentile_rank(x) <= hi_pct`` — the
-    standard two-pass outlier trim (one tiny percentile aggregate, then
-    a pushdown-eligible BETWEEN filter; nothing but two scalars crosses
-    to the driver). ``exact=False`` switches to the sketch percentiles
-    for the 100 TB path."""
-    lo, hi = percentiles(df, expression, [lo_pct, hi_pct], exact=exact)
-    return df.filter(_col(expression).between(lo, hi))
+    standard two-pass outlier trim. ``exact=False`` switches to the
+    sketch percentiles for the 100 TB path.
+
+    ``lazy=True`` (default) keeps it ONE plan: the 1-row percentile
+    band broadcast-cross-joins the table and the BETWEEN applies as a
+    post-scan filter — no eager driver job, composable inside larger
+    lazy pipelines. ``lazy=False`` collects the two scalars first and
+    filters on LITERALS, which parquet row-group statistics can skip
+    on — worth the extra driver round trip when the trim is the FIRST
+    gate over a huge scan and selectivity is high."""
+    col = _col(expression)
+    if not lazy:
+        lo, hi = percentiles(df, expression, [lo_pct, hi_pct],
+                             exact=exact)
+        return df.filter(col.between(lo, hi))
+    fracs = F.lit([lo_pct / 100.0, hi_pct / 100.0])
+    agg = F.percentile(col, fracs) if exact \
+        else F.percentile_approx(col, fracs, F.lit(10000))
+    band = df.agg(agg[0].alias("__trim_lo__"), agg[1].alias("__trim_hi__"))
+    out = (df.crossJoin(F.broadcast(band))
+           .filter(col.between(F.col("__trim_lo__"),
+                               F.col("__trim_hi__"))))
+    return out.drop("__trim_lo__", "__trim_hi__")
 
 
 def profile_table(df: DataFrame, cols: Sequence[str] | None = None,
