@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 __all__ = ["read_jsonl", "read_jsonl_quarantine", "write_jsonl",
-           "read_csv_corpus", "stream_jsonl_quarantine"]
+           "read_csv_corpus", "stream_jsonl_quarantine",
+           "read_wet", "write_wet"]
 
 
 def _top_level_ddl_names(ddl: str) -> list[str]:
@@ -147,6 +148,94 @@ def write_jsonl(df: DataFrame, path: str,
     on read). ``compression`` passes through to the text writer
     (``gzip``, ``bzip2``, ...)."""
     out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    w = out.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+
+
+def read_wet(spark: SparkSession, path: str,
+             record_types: tuple[str, ...] = ("conversion",)
+             ) -> DataFrame:
+    """WARC/WET record reader (ISO 28500 / the Common Crawl text
+    format) → one row per record:
+    ``(source_file, warc_type, target_uri, warc_date, content_length,
+    payload)``.
+
+    Spark-first shape: each file is read WHOLE (``wholetext`` — WET
+    shards are single-member gzip, one task per file either way), then
+    records split on the ``WARC/1.0`` version line, exploded, and
+    headers extracted — entirely native ``split`` / ``explode`` /
+    ``regexp_extract`` projections, no Python in the row path. The
+    leading ``warcinfo`` record and any type outside ``record_types``
+    are filtered out (pass ``record_types=None`` to keep everything).
+
+    Framing caveat (documented, inherent to the text-mode parse): the
+    payload is delimited by the headers' blank line and the next
+    version line rather than by byte-exact ``Content-Length``
+    accounting, so a payload containing a line that IS ``WARC/1.0``
+    would over-split. Crawl text payloads don't contain WARC framing
+    in practice; byte-exact framing of arbitrary binary WARCs would
+    need the ``binaryFile`` + ``mapInPandas`` path. The parsed
+    ``Content-Length`` header is returned so callers can audit
+    (``length(payload) <> content_length`` flags suspect records).
+    """
+    raw = (spark.read.text(path, wholetext=True)
+           .select(F.input_file_name().alias("source_file"), "value"))
+    rec = F.explode(F.slice(
+        F.split(F.col("value"), r"(?m)^WARC/\d+\.\d+\r?\n"),
+        2, 2_147_483_646)).alias("rec")
+    recs = raw.select("source_file", rec)
+    header = F.regexp_extract(F.col("rec"),
+                              r"(?s)^(.*?)\r?\n\r?\n", 1)
+    payload = F.regexp_replace(
+        F.regexp_replace(F.col("rec"), r"(?s)^.*?\r?\n\r?\n", ""),
+        r"(?s)\r?\n\r?\n$", "")
+
+    def h(name: str):
+        return F.regexp_extract(header,
+                                rf"(?im)^{name}:\s*(.*?)\r?$", 1)
+
+    out = recs.select(
+        "source_file",
+        F.lower(h("WARC-Type")).alias("warc_type"),
+        h("WARC-Target-URI").alias("target_uri"),
+        h("WARC-Date").alias("warc_date"),
+        h("Content-Length").try_cast("long").alias("content_length"),
+        payload.alias("payload"))
+    if record_types is not None:
+        out = out.filter(F.col("warc_type").isin(
+            [t.lower() for t in record_types]))
+    return out
+
+
+def write_wet(df: DataFrame, path: str, uri_col: str, payload_col: str,
+              date: str = "2026-01-01T00:00:00Z",
+              compression: str | None = None,
+              mode: str = "overwrite") -> None:
+    """Shard ``df`` as WET-style conversion records (one shard per
+    partition; a ``warcinfo`` record heads each shard, like real WET
+    files). The inverse of :func:`read_wet` for round trips and for
+    feeding WET-consuming tools."""
+    # each record ends with one blank line: the trailing "\n" here plus
+    # the text writer's row terminator — read_wet strips exactly that
+    rec = F.concat(
+        F.lit("WARC/1.0\n"),
+        F.lit("WARC-Type: conversion\n"),
+        F.lit("WARC-Target-URI: "), F.col(uri_col), F.lit("\n"),
+        F.lit(f"WARC-Date: {date}\n"),
+        F.lit("Content-Length: "),
+        F.length(F.col(payload_col)).cast("string"), F.lit("\n\n"),
+        F.col(payload_col), F.lit("\n"))
+    info = "software: detanalysis_spark"
+    head = ("WARC/1.0\nWARC-Type: warcinfo\n"
+            f"WARC-Date: {date}\nContent-Length: {len(info)}\n\n"
+            f"{info}\n")
+    body = df.select(rec.alias("value"))
+    # prepend the warcinfo header per partition via one tiny union —
+    # records are self-delimiting, placement within the shard is free
+    out = body.sparkSession.createDataFrame([(head,)], "value string") \
+        .unionByName(body)
     w = out.write.mode(mode)
     if compression:
         w = w.option("compression", compression)

@@ -2792,6 +2792,50 @@ def domain_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# WET (WARC conversion) ingest round trip — documents shard out as
+# WET-style records (the Common Crawl text arrival format, ISO
+# 28500), read_wet splits/parses them natively (wholetext → record
+# split → header regexes, no Python in the row path), the warcinfo
+# preamble records are filtered by type, and the per-source stats
+# must reproduce the original table exactly (payload chars AND the
+# parsed Content-Length header must agree).
+# ----------------------------------------------------------------------
+@query("wet_ingest_stats", oracle="""
+SELECT source, CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(length(text)) AS BIGINT) AS payload_chars,
+       CAST(sum(length(text)) AS BIGINT) AS header_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_id
+FROM documents GROUP BY source
+""")
+def wet_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from .sources.textio import read_wet, write_wet
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        f"/tmp/detanalysis_spark_textio_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)) + "_docs_wet")
+    shutil.rmtree(path, ignore_errors=True)
+    tagged = docs.withColumn(
+        "uri", F.concat(F.lit("https://"), F.col("source"),
+                        F.lit(".example/d/"), F.col("doc_id")))
+    write_wet(tagged.coalesce(4), path, "uri", "text",
+              compression="gzip")
+    recs = read_wet(spark, path)     # warcinfo filtered by default
+    src = F.regexp_extract("target_uri", r"^https://([^.]+)\.example", 1)
+    doc_id = F.regexp_extract("target_uri", r"/d/(\d+)$", 1).cast("long")
+    return (recs.select(src.alias("source"), doc_id.alias("doc_id"),
+                        F.length("payload").alias("pc"),
+                        "content_length")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_records"),
+                 F.sum("pc").alias("payload_chars"),
+                 F.sum("content_length").alias("header_chars"),
+                 F.min("doc_id").alias("min_id")))
+
+
+# ----------------------------------------------------------------------
 # URL canonicalization — four deterministic messy variants per page
 # (scheme/host case + default port + trailing slash, duplicate
 # slashes + tracking params, unsorted query + fragment) built from

@@ -731,3 +731,58 @@ def test_trace_hdf5_to_parquet_roundtrip_and_fetch(spark, tmp_path):
     # conversion is idempotent (twins fresh → no re-run, same frame)
     again = load_trace_hdf5(spark, str(d), out)
     assert again.count() == 8
+
+
+# ----------------------------------------------------------------------
+# WET (WARC conversion) record reader/writer (sources/textio.py) —
+# round trip, warcinfo filtering, header parsing, framing edge cases
+# ----------------------------------------------------------------------
+def test_wet_round_trip(spark, tmp_path):
+    from detanalysis_spark.sources.textio import read_wet, write_wet
+    df = spark.createDataFrame(
+        [(1, "https://a.com/1", "hello world"),
+         (2, "https://a.com/2", "x  y	z with  tab and  spaces"),
+         (3, "https://b.com/3", "")],            # empty payload
+        "doc_id long, uri string, text string")
+    p = str(tmp_path / "wet")
+    write_wet(df.coalesce(2), p, "uri", "text", compression="gzip")
+
+    got = {r.target_uri: r for r in read_wet(spark, p).collect()}
+    assert len(got) == 3                          # warcinfo filtered
+    assert got["https://a.com/1"].payload == "hello world"
+    assert got["https://a.com/1"].content_length == 11
+    assert got["https://a.com/1"].warc_type == "conversion"
+    assert got["https://b.com/3"].payload == ""
+    assert got["https://b.com/3"].content_length == 0
+    # payload-length audit column agrees with the header everywhere
+    from pyspark.sql import functions as F
+    bad = read_wet(spark, p).filter(
+        F.length("payload") != F.col("content_length")).count()
+    assert bad == 0
+
+    allrec = {r.warc_type for r in
+              read_wet(spark, p, record_types=None).collect()}
+    assert allrec == {"conversion", "warcinfo"}
+
+
+def test_wet_parses_crlf_and_extra_headers(spark, tmp_path):
+    """Real WET files use CRLF line ends and carry headers we don't
+    model — both must parse; unknown headers are ignored."""
+    raw = ("WARC/1.0\r\nWARC-Type: conversion\r\n"
+           "WARC-Target-URI: https://c.com/x\r\n"
+           "WARC-Date: 2024-05-01T00:00:00Z\r\n"
+           "WARC-Record-ID: <urn:uuid:0000>\r\n"
+           "WARC-Identified-Content-Language: eng\r\n"
+           "Content-Type: text/plain\r\n"
+           "Content-Length: 9\r\n\r\n"
+           "some text\r\n\r\n")
+    d = tmp_path / "crlf"
+    d.mkdir()
+    (d / "f.warc.wet").write_text(raw, encoding="utf-8")
+    from detanalysis_spark.sources.textio import read_wet
+    r = read_wet(spark, str(d)).collect()
+    assert len(r) == 1
+    assert r[0].target_uri == "https://c.com/x"
+    assert r[0].payload == "some text"
+    assert r[0].content_length == 9
+    assert r[0].warc_date == "2024-05-01T00:00:00Z"

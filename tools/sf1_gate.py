@@ -150,9 +150,11 @@ GATE_QUERIES = [
     # streaming drains (all bounded availableNow, linear state):
     "streaming_event_counts", "streaming_session_stats",
     "streaming_windowed_stats", "streaming_ann_state_topk",
-    # round 8 additions: URL canonicalization + the events-as-datasets
-    # HDF5 trace walker round trip (both arithmetic-constructed, linear)
+    # round 8 additions: URL canonicalization, the events-as-datasets
+    # HDF5 trace walker round trip, and the WET record reader round
+    # trip (all arithmetic-constructed, linear)
     "url_normalization_stats", "trace_hdf5_ingest_stats",
+    "wet_ingest_stats",
 ]
 # Still excluded, and why (the full residue — everything else gates):
 # - quadratic DuckDB oracles (the engine is banded/bucketed; the
