@@ -482,6 +482,10 @@ class IVFIndex:
         self.n_centroids, self.n_probe = n_centroids, n_probe
         self.seed, self.max_iter = seed, max_iter
         self.centroids: np.ndarray | None = None  # (k, dim), unit rows
+        # absorb() maintenance state: per-cell running raw means +
+        # counts over every absorbed batch (None until first absorb)
+        self.cell_counts: np.ndarray | None = None
+        self.cell_means: np.ndarray | None = None
 
     @staticmethod
     def _unit_rows(mat: np.ndarray) -> np.ndarray:
@@ -545,6 +549,65 @@ class IVFIndex:
             raise RuntimeError("call fit() first")
         return self.centroids
 
+    def absorb(self, df: DataFrame, vec_col: str = "embedding"
+               ) -> "IVFIndex":
+        """Index MAINTENANCE: update centroids from a new vector batch
+        without refitting — the companion of :meth:`write_corpus`'s
+        incremental append.
+
+        One mini-batch spherical-k-means M-step over mergeable per-cell
+        sufficient statistics: assign the batch (per-row projection),
+        aggregate per-cell ``(count, Σx)`` in ONE map-side-combined
+        pass (``posexplode → groupBy``), blend with the running
+        per-cell counts accumulated by previous ``absorb`` calls
+        (``new_mean = (N·c + Σx) / (N + n)``), and re-project to the
+        unit sphere. Cells the batch never hits keep their centroid.
+
+        Counts start at zero after ``fit`` (the sample sketched the
+        distribution; the first absorbed batch IS the corpus statistic)
+        and persist through :meth:`save`/:meth:`load`, so absorbing a
+        stream of batches is associative: absorb(A) then absorb(B)
+        equals absorb(A ∪ B) exactly.
+
+        At 100 TB: only the k×dim centroid table and k counts return
+        to the driver; the batch is read once. Re-run
+        :meth:`fit_distributed` instead when drift is so large that
+        ASSIGNMENTS of old data would change materially — absorb
+        updates the quantizer, not historical cell placement.
+        """
+        C = self._require_fit()
+        k, dim = C.shape
+        if self.cell_counts is None:
+            self.cell_counts = np.zeros(k, dtype=np.int64)
+            self.cell_means = np.zeros((k, dim))
+        assigned = self.with_cell(df.select(vec_col), vec_col)
+        vd = _as_double(F.col(vec_col))
+        stats = (assigned.select(F.col("ivf_cell").alias("cell"),
+                                 F.posexplode(vd).alias("pos", "x"))
+                 .groupBy("cell", "pos")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("x").alias("s"))
+                 .collect())
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        for r in stats:
+            sums[int(r["cell"]), int(r["pos"])] = r["s"]
+            counts[int(r["cell"])] = r["n"]     # same n for every pos
+        # blend RAW running means (associative exactly); centroids are
+        # their unit projections — normalizing the blend input instead
+        # would break absorb(A); absorb(B) == absorb(A ∪ B)
+        hit = counts > 0
+        denom = (self.cell_counts[hit] + counts[hit])[:, None]
+        self.cell_means[hit] = (
+            self.cell_counts[hit][:, None] * self.cell_means[hit]
+            + sums[hit]) / denom
+        self.cell_counts = self.cell_counts + counts
+        newC = C.copy()
+        seen = self.cell_counts > 0
+        newC[seen] = self.cell_means[seen]
+        self.centroids = self._unit_rows(newC)
+        return self
+
     def save(self, spark, path: str) -> None:
         """Persist the trained quantizer as a tiny parquet table
         (cell, pos, value) plus the index config — an index trained
@@ -554,6 +617,14 @@ class IVFIndex:
                 for c, row in enumerate(C) for p, v in enumerate(row)]
         meta = [(-1, -1, float(self.n_centroids)),
                 (-1, -2, float(self.n_probe))]
+        if self.cell_counts is not None:
+            # absorb() maintenance state: counts at pos -3, raw means
+            # at pos offset 1_000_000 (disjoint from centroid rows)
+            meta += [(int(c), -3, float(n))
+                     for c, n in enumerate(self.cell_counts)]
+            rows += [(int(c), 1_000_000 + int(p), float(v))
+                     for c, row in enumerate(self.cell_means)
+                     for p, v in enumerate(row)]
         spark.createDataFrame(rows + meta,
                               "cell int, pos int, value double") \
             .coalesce(1).write.mode("overwrite").parquet(path)
@@ -566,7 +637,8 @@ class IVFIndex:
         rows = spark.read.parquet(path).collect()
         meta = {r["pos"]: r["value"] for r in rows if r["cell"] == -1}
         k = int(meta[-1])
-        data = [r for r in rows if r["cell"] >= 0]
+        data = [r for r in rows if r["cell"] >= 0 and 0 <= r["pos"]
+                < 1_000_000]
         dim = max(r["pos"] for r in data) + 1
         C = np.zeros((k, dim))
         for r in data:
@@ -575,6 +647,16 @@ class IVFIndex:
                   n_probe=int(n_probe if n_probe is not None
                               else meta[-2]))
         idx.centroids = C
+        cnt = [r for r in rows if r["cell"] >= 0 and r["pos"] == -3]
+        if cnt:
+            idx.cell_counts = np.zeros(k, dtype=np.int64)
+            idx.cell_means = np.zeros((k, dim))
+            for r in cnt:
+                idx.cell_counts[r["cell"]] = int(r["value"])
+            for r in rows:
+                if r["cell"] >= 0 and r["pos"] >= 1_000_000:
+                    idx.cell_means[r["cell"],
+                                   r["pos"] - 1_000_000] = r["value"]
         return idx
 
     def cell_udf(self, n_cells: int = 1):

@@ -2792,6 +2792,60 @@ def domain_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# IVF index MAINTENANCE — absorb() updates centroids from a vector
+# batch via one mergeable per-cell (count, Σx) aggregate, no refit.
+# Hand-set one-hot centroids make the cell assignment SQL-expressible
+# (argmax over the first 4 embedding components, first-index
+# tie-break = numpy argmax), so the maintained state — per-cell
+# counts and the unit-projected running means — gets a full DuckDB
+# value-hash oracle. The engine path (assign → posexplode → groupBy)
+# is exactly the 100 TB maintenance pass.
+# ----------------------------------------------------------------------
+@query("ivf_absorb_centroid_stats", oracle="""
+WITH a AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+c AS (
+  SELECT emb,
+         CASE greatest(emb[1], emb[2], emb[3], emb[4])
+              WHEN emb[1] THEN 0 WHEN emb[2] THEN 1
+              WHEN emb[3] THEN 2 ELSE 3 END AS cell
+  FROM a),
+m AS (
+  SELECT cell, pos, avg(x) AS mean, count(*) AS n
+  FROM (SELECT cell, unnest(emb) AS x,
+               generate_subscripts(emb, 1) AS pos
+        FROM c)
+  GROUP BY cell, pos),
+nrm AS (SELECT cell, sqrt(sum(mean * mean)) AS nv FROM m GROUP BY cell)
+SELECT CAST(m.cell AS BIGINT) AS cell, CAST(m.pos - 1 AS INT) AS pos,
+       CAST(m.n AS BIGINT) AS n_absorbed,
+       round(m.mean / nrm.nv, 6) AS centroid_value
+FROM m JOIN nrm ON m.cell = nrm.cell
+""")
+def ivf_absorb_centroid_stats(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from .llm.similarity import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    ivf = IVFIndex(n_centroids=4, n_probe=1)
+    C = np.zeros((4, dim))
+    for i in range(4):
+        C[i, i] = 1.0       # one-hot quantizer: cell = argmax emb[0:4]
+    ivf.centroids = C
+    ivf.absorb(emb)
+    rows = [(int(c), int(p), int(ivf.cell_counts[c]),
+             round(float(v), 6))
+            for c in range(4) if ivf.cell_counts[c] > 0
+            for p, v in enumerate(ivf.centroids[c])]
+    return spark.createDataFrame(
+        rows, "cell long, pos int, n_absorbed long, "
+              "centroid_value double")
+
+
+# ----------------------------------------------------------------------
 # WET (WARC conversion) ingest round trip — documents shard out as
 # WET-style records (the Common Crawl text arrival format, ISO
 # 28500), read_wet splits/parses them natively (wholetext → record

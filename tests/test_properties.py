@@ -981,3 +981,57 @@ def test_interval_overlap_join_matches_brute_force(spark, ls, rs, bw):
     want = sorted((a[0], b[0]) for a in lv for b in rv
                   if a[1] < b[2] and b[1] < a[2])
     assert got == want
+
+
+# ----------------------------------------------------------------------
+# PSL matcher: Spark plan == pure-Python spec implementation on
+# generated hosts (labels drawn from snapshot rule fragments + noise,
+# so wildcard/exception/second-level paths are all reachable)
+# ----------------------------------------------------------------------
+_PSL_LABELS = ["com", "uk", "co", "jp", "kobe", "city", "ck", "www",
+               "example", "a", "b", "io", "github", "us", "ak", "k12",
+               "mm", "c", "xn--p1ai"]
+
+
+@given(hosts=st.lists(
+    st.lists(st.sampled_from(_PSL_LABELS), min_size=1, max_size=5)
+    .map(".".join), min_size=1, max_size=24))
+@settings(**SETTINGS)
+def test_psl_spark_matches_python_spec(spark, hosts):
+    from detanalysis_spark.llm import psl
+    rules = psl.default_psl()
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {r["host"]: r["reg"] for r in
+           psl.registered_domain_psl(df, "host", out_col="reg")
+           .collect()}
+    for h in set(hosts):
+        assert got[h] == psl.registered_domain_py(h, rules), h
+
+
+# ----------------------------------------------------------------------
+# normalize_url: idempotence (canonicalizing a canonical URL is a
+# no-op) and tracking-param insensitivity on generated URLs
+# ----------------------------------------------------------------------
+@given(us=st.lists(st.tuples(
+    st.sampled_from(["http", "https", "HTTP", "HttpS"]),
+    st.sampled_from(["a.com", "WWW.B.org", "x.co.uk", "h.io."]),
+    st.sampled_from(["", "/", "/p", "//p//q/", "/p/q/r/"]),
+    st.sampled_from(["", "b=2&a=1", "utm_source=t&k=v", "gclid=1",
+                     "z=9&utm_medium=m&a"]),
+    st.sampled_from(["", "#frag", "#a/b"])), min_size=1, max_size=16))
+@settings(**SETTINGS)
+def test_normalize_url_idempotent(spark, us):
+    from detanalysis_spark.llm.cleaning import normalize_url
+    urls = [f"{s}://{h}{p}{'?' + q if q else ''}{f}"
+            for s, h, p, q, f in us]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(normalize_url("u").alias("n"))
+    twice = once.select(F.col("n").alias("u")) \
+        .select(normalize_url("u").alias("n"))
+    a = [r.n for r in once.collect()]
+    b = [r.n for r in twice.collect()]
+    assert a == b
+    # canonical output never carries fragments or tracking params
+    for n in a:
+        assert n is not None
+        assert "#" not in n and "utm_" not in n and "gclid" not in n

@@ -154,7 +154,7 @@ GATE_QUERIES = [
     # HDF5 trace walker round trip, and the WET record reader round
     # trip (all arithmetic-constructed, linear)
     "url_normalization_stats", "trace_hdf5_ingest_stats",
-    "wet_ingest_stats",
+    "wet_ingest_stats", "ivf_absorb_centroid_stats",
 ]
 # Still excluded, and why (the full residue — everything else gates):
 # - quadratic DuckDB oracles (the engine is banded/bucketed; the
