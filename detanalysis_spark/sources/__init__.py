@@ -3,7 +3,7 @@ from .tables import (load_table, load_all, register_views, TABLES,
                      write_bucketed, read_bucketed, write_partitioned,
                      table_diff)
 from .files import extract_file_names, load_filterfile
-from .textio import (read_wet, write_wet,
+from .textio import (read_wet, write_wet, stream_wet,
                      read_jsonl, read_jsonl_quarantine, write_jsonl,
                      read_csv_corpus, stream_jsonl_quarantine)
 from .hdf5 import (read_vaex_hdf5, hdf5_row_count, hdf5_to_parquet,
@@ -18,7 +18,7 @@ __all__ = ["load_table", "load_all", "register_views", "TABLES",
            "normalize_legacy_columns", "LEGACY_COLUMN_MAP",
            "extract_file_names", "load_filterfile",
            "read_jsonl", "read_jsonl_quarantine", "write_jsonl",
-           "read_wet", "write_wet",
+           "read_wet", "write_wet", "stream_wet",
            "read_csv_corpus", "stream_jsonl_quarantine",
            "read_vaex_hdf5", "hdf5_row_count", "hdf5_to_parquet",
            "load_hdf5",

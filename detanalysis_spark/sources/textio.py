@@ -34,7 +34,7 @@ from pyspark.sql.types import StructType
 
 __all__ = ["read_jsonl", "read_jsonl_quarantine", "write_jsonl",
            "read_csv_corpus", "stream_jsonl_quarantine",
-           "read_wet", "write_wet"]
+           "read_wet", "write_wet", "stream_wet"]
 
 
 def _top_level_ddl_names(ddl: str) -> list[str]:
@@ -182,6 +182,14 @@ def read_wet(spark: SparkSession, path: str,
     """
     raw = (spark.read.text(path, wholetext=True)
            .select(F.input_file_name().alias("source_file"), "value"))
+    return _parse_wet_files(raw, record_types)
+
+
+def _parse_wet_files(raw: DataFrame,
+                     record_types: tuple[str, ...] | None) -> DataFrame:
+    """Shared WET parse plan (projections/filters only, so the batch
+    and streaming readers are row-identical by construction).
+    ``raw``: (source_file, value) with value = one whole file."""
     rec = F.explode(F.slice(
         F.split(F.col("value"), r"(?m)^WARC/\d+\.\d+\r?\n"),
         2, 2_147_483_646)).alias("rec")
@@ -207,6 +215,52 @@ def read_wet(spark: SparkSession, path: str,
         out = out.filter(F.col("warc_type").isin(
             [t.lower() for t in record_types]))
     return out
+
+
+def stream_wet(spark: SparkSession, path: str,
+               record_types: tuple[str, ...] = ("conversion",),
+               max_files_per_trigger: int | None = None,
+               glob: str = "*") -> DataFrame:
+    """Streaming twin of :func:`read_wet`: an unbounded record frame
+    over WET shards landing under ``path`` — the continuous crawl
+    front door.
+
+    The streaming text source has no ``wholetext`` mode (it emits
+    lines, destroying record framing), so shards arrive through the
+    ``binaryFile`` source — one row per file — and a tiny Arrow-batched
+    UDF gunzips/decodes each file to text (per FILE, not per record:
+    the only Python in the path, unavoidable because gzip isn't a SQL
+    expression). Record split + header parse are then the SAME
+    projections-only plan as the batch reader, so batch == streaming
+    row-for-row on the same files. Downstream curation/dedup stages
+    compose (all stateless per record)."""
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    r = spark.readStream.format("binaryFile") \
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary") \
+        .option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
+
+    # no type hints: PEP-563 stringifies them under this module's
+    # `from __future__ import annotations`, which pandas_udf rejects
+    @F.pandas_udf(StringType())
+    def _decode(content):
+        import gzip
+        out = []
+        for b in content:
+            bb = bytes(b)
+            if bb[:2] == b"\x1f\x8b":
+                bb = gzip.decompress(bb)
+            out.append(bb.decode("utf-8", errors="replace"))
+        return pd.Series(out)
+
+    raw = (r.load(path)
+           .select(F.col("path").alias("source_file"),
+                   _decode(F.col("content")).alias("value")))
+    return _parse_wet_files(raw, record_types)
 
 
 def write_wet(df: DataFrame, path: str, uri_col: str, payload_col: str,

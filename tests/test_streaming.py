@@ -568,3 +568,26 @@ def test_stream_jsonl_quarantine_equals_batch(spark, tmp_path):
         == {tuple(r) for r in bg.collect()}
     assert sorted(r.line for r in got_b.collect()) \
         == sorted(r.line for r in bb.collect()) == ["garbage", "{nope"]
+
+
+def test_stream_wet_matches_batch(spark, tmp_path):
+    """The streaming WET reader drains to exactly the batch reader's
+    rows on the same shards (shared projections-only parse)."""
+    from detanalysis_spark.sources.textio import (read_wet, stream_wet,
+                                                  write_wet)
+    from detanalysis_spark.streaming.continuous import run_available_now
+
+    df = spark.createDataFrame(
+        [(i, f"https://s.com/{i}", f"payload text number {i}")
+         for i in range(9)], "doc_id long, uri string, text string")
+    p = str(tmp_path / "wet_stream")
+    write_wet(df.coalesce(3), p, "uri", "text", compression="gzip")
+
+    batch = sorted((r.target_uri, r.payload, r.content_length)
+                   for r in read_wet(spark, p).collect())
+    got = run_available_now(
+        stream_wet(spark, p, max_files_per_trigger=1),
+        "wet_stream_t", output_mode="append", shuffle_partitions=4)
+    stream = sorted((r.target_uri, r.payload, r.content_length)
+                    for r in got.collect())
+    assert stream == batch and len(batch) == 9
