@@ -11,6 +11,7 @@ from .similarity import (cosine_similarity, cosine_topk,
                          semantic_dedup, embedding_outliers,
                          quantize_embeddings, quantization_error)
 from .dedup import (dedup_exact, minhash_signatures, lsh_candidate_pairs,
+                    lsh_plan, lsh_collision_probability,
                     near_dup_clusters, near_dup_clusters_star, simhash,
                     ngram_jaccard, near_dup_pairs, apply_near_dedup,
                     dedup_incremental, span_dup_stats)
@@ -59,6 +60,7 @@ __all__ = [
     "PQCodebook",
     "semantic_dedup", "embedding_outliers",
     "dedup_exact", "minhash_signatures", "lsh_candidate_pairs",
+    "lsh_plan", "lsh_collision_probability",
     "near_dup_clusters", "near_dup_clusters_star", "simhash",
     "ngram_jaccard",
     "token_count", "bpe_ish_token_count", "quality_scores",

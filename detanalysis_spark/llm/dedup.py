@@ -250,6 +250,50 @@ def lsh_band_buckets(df: DataFrame, id_col: str, sig_col: str = "minhash",
         F.posexplode(band_hashes).alias("band", "bucket"))
 
 
+def lsh_collision_probability(jaccard: float, bands: int,
+                              rows_per_band: int) -> float:
+    """P(≥1 shared band bucket) for a pair at similarity ``jaccard``
+    under (bands, rows) MinHash LSH — the S-curve
+    ``1 - (1 - j^r)^b`` (Broder / Mining of Massive Datasets ch.3)."""
+    return 1.0 - (1.0 - jaccard ** rows_per_band) ** bands
+
+
+def lsh_plan(threshold: float, num_hashes: int = 64,
+             fn_weight: float = 1.0, fp_weight: float = 1.0
+             ) -> tuple[int, int]:
+    """Pick ``(bands, rows_per_band)`` for a target Jaccard
+    ``threshold`` — the knob every near-dup deployment has to set.
+
+    Among factorizations ``b·r = num_hashes``, minimizes the S-curve's
+    integrated error around the threshold: false-negative mass
+    ``∫ₜ¹ (1 - P(j)) dj`` (true dups the screen misses — weighted by
+    ``fn_weight``) plus false-positive mass ``∫₀ᵗ P(j) dj`` (pairs the
+    exact-Jaccard verify stage must reject — ``fp_weight``; raise it
+    when verification dominates cost, raise ``fn_weight`` when recall
+    is contractual). Driver-side arithmetic over ≤ a few dozen
+    factorizations — call once, pass the result to
+    ``minhash_signatures`` / ``lsh_band_buckets`` / ``near_dup_pairs``.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best, best_cost = None, float("inf")
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        n = 512                                    # trapezoid grid
+        fn = sum((1.0 - lsh_collision_probability(
+            threshold + (1.0 - threshold) * (i + 0.5) / n, b, r))
+            for i in range(n)) * (1.0 - threshold) / n
+        fp = sum(lsh_collision_probability(
+            threshold * (i + 0.5) / n, b, r)
+            for i in range(n)) * threshold / n
+        cost = fn_weight * fn + fp_weight * fp
+        if cost < best_cost:
+            best, best_cost = (b, r), cost
+    return best
+
+
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
                         sig_col: str = "minhash", bands: int = 16,
                         rows_per_band: int = 4,

@@ -2017,3 +2017,26 @@ def test_normalize_url_canonicalization(spark):
     keep = df2.select(normalize_url(
         "u", strip_params=("sid",), sort_query=False).alias("n")).first().n
     assert keep == "https://e.com/p?b=2&a=1"
+
+
+def test_lsh_plan_s_curve():
+    """Planner picks (bands, rows) whose S-curve midpoint tracks the
+    threshold; the known (1/b)^(1/r) ≈ t rule of thumb holds."""
+    from detanalysis_spark.llm.dedup import (lsh_collision_probability,
+                                             lsh_plan)
+    import pytest as _pt
+    for t in (0.3, 0.5, 0.7, 0.9):
+        b, r = lsh_plan(t, num_hashes=64)
+        assert b * r == 64
+        mid = (1.0 / b) ** (1.0 / r)     # j where P ≈ 0.63
+        assert abs(mid - t) < 0.25
+        # the curve discriminates: well above t nearly always
+        # collides, well below nearly never
+        assert lsh_collision_probability(min(t + 0.25, 0.99), b, r) \
+            > lsh_collision_probability(max(t - 0.25, 0.01), b, r) + 0.3
+    # recall-heavy weighting shifts toward MORE bands (catches lower j)
+    b_rec, r_rec = lsh_plan(0.7, 64, fn_weight=10.0)
+    b_bal, _ = lsh_plan(0.7, 64)
+    assert b_rec >= b_bal
+    with _pt.raises(ValueError):
+        lsh_plan(1.5)
