@@ -54,7 +54,12 @@ INTENTIONAL_NESTED_LOOP = {"key_skew_profile_orders",
                            # broadcast total row (cleaning.py) — a
                            # nx1 BNLJ over the aggregate output, free
                            # at any corpus size
-                           "domain_curation_stats"}
+                           "domain_curation_stats",
+                           # trim_outliers lazy band: the table
+                           # cross-joins ONE broadcast percentile row
+                           # (stats.py trim_outliers) — nx1 BNLJ
+                           # whose broadcast side is always 1 row
+                           "trimmed_price_stats"}
 # queries whose un-partitioned window is a documented correctness
 # exhibit, not the scale path (scale path: approx edges + assign_bin)
 DOCUMENTED_EXHIBITS = {"ntile_time_bins"}
