@@ -1035,3 +1035,35 @@ def test_normalize_url_idempotent(spark, us):
     for n in a:
         assert n is not None
         assert "#" not in n and "utm_" not in n and "gclid" not in n
+
+
+# ----------------------------------------------------------------------
+# WET record framing: write_wet → read_wet is the identity on payloads
+# (multi-line, blank-line, trailing-newline payloads included) as long
+# as no payload LINE is itself a WARC version line — the documented
+# text-mode framing caveat.
+# ----------------------------------------------------------------------
+_WET_CHARS = st.text(
+    alphabet=st.sampled_from(list("ab XY.!\n\t-:/=")), max_size=60)
+
+
+@given(payloads=st.lists(
+    _WET_CHARS.filter(
+        lambda s: not any(ln.startswith("WARC/")
+                          for ln in s.split("\n"))),
+    min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_wet_round_trip_property(spark, tmp_path_factory, payloads):
+    from detanalysis_spark.sources.textio import read_wet, write_wet
+    d = str(tmp_path_factory.mktemp("wet_prop"))
+    df = spark.createDataFrame(
+        [(i, f"https://h.test/{i}", p) for i, p in enumerate(payloads)],
+        "doc_id long, uri string, text string")
+    write_wet(df.coalesce(1), d, "uri", "text")
+    got = {r.target_uri: (r.payload, r.content_length)
+           for r in read_wet(spark, d).collect()}
+    assert len(got) == len(payloads)
+    for i, p in enumerate(payloads):
+        pay, n = got[f"https://h.test/{i}"]
+        assert pay == p, (i, repr(p), repr(pay))
+        assert n == len(p)
