@@ -565,9 +565,14 @@ class IVFIndex:
 
         Counts start at zero after ``fit`` (the sample sketched the
         distribution; the first absorbed batch IS the corpus statistic)
-        and persist through :meth:`save`/:meth:`load`, so absorbing a
-        stream of batches is associative: absorb(A) then absorb(B)
-        equals absorb(A ∪ B) exactly.
+        and persist through :meth:`save`/:meth:`load`. The per-cell
+        blend itself is associative (raw running means), so absorb(A)
+        then absorb(B) equals absorb(A ∪ B) **given stable
+        assignments** — batch B is assigned against the centroids
+        already moved by A, so exact order-independence breaks
+        whenever that movement flips an argmax assignment (the usual
+        mini-batch k-means caveat; small for the tiny per-batch drift
+        this maintenance path is meant for).
 
         At 100 TB: only the k×dim centroid table and k counts return
         to the driver; the batch is read once. Re-run
@@ -593,9 +598,10 @@ class IVFIndex:
         for r in stats:
             sums[int(r["cell"]), int(r["pos"])] = r["s"]
             counts[int(r["cell"])] = r["n"]     # same n for every pos
-        # blend RAW running means (associative exactly); centroids are
-        # their unit projections — normalizing the blend input instead
-        # would break absorb(A); absorb(B) == absorb(A ∪ B)
+        # blend RAW running means (the blend step is associative);
+        # centroids are their unit projections — normalizing the blend
+        # input instead would lose even assignment-stable equality of
+        # absorb(A); absorb(B) with absorb(A ∪ B)
         hit = counts > 0
         denom = (self.cell_counts[hit] + counts[hit])[:, None]
         self.cell_means[hit] = (

@@ -298,7 +298,9 @@ def _convert_one_trace(path: str, out_dir: str, channels,
 def trace_hdf5_to_parquet(spark: SparkSession, paths, out_dir: str,
                           series=None,
                           channels: Sequence[str] | None = None,
-                          compression: str = "snappy") -> list[str]:
+                          compression: str = "snappy",
+                          fallback_index: dict[str, int] | None = None
+                          ) -> list[str]:
     """Convert events-as-datasets HDF5 file(s)/dir(s) → one trace
     parquet file each under ``out_dir``; returns sorted output paths.
 
@@ -306,6 +308,10 @@ def trace_hdf5_to_parquet(spark: SparkSession, paths, out_dir: str,
     waveform touches the driver). Files without a trailing integer in
     their basename get their sorted-list position as series_number,
     keeping (series_number, event_number) keys unique across files.
+    ``fallback_index`` overrides that position per path — callers
+    converting a SUBSET (incremental reconversion) pass positions from
+    the full sorted file list so series numbers stay stable across
+    partial runs instead of being renumbered 0..len(subset)-1.
     """
     _require_h5py()
     files = extract_file_names(paths, series=series, ext=".hdf5")
@@ -314,7 +320,8 @@ def trace_hdf5_to_parquet(spark: SparkSession, paths, out_dir: str,
     for i, p in enumerate(files):
         base = os.path.splitext(os.path.basename(p))[0]
         m = _TRAILING_INT.search(base)
-        work.append((p, int(m.group(1)) if m else i))
+        pos = (fallback_index or {}).get(p, i)
+        work.append((p, int(m.group(1)) if m else pos))
     sc = spark.sparkContext
     out = (sc.parallelize(work, len(work))
            .map(lambda ps: _convert_one_trace(ps[0], out_dir, channels,
@@ -327,9 +334,17 @@ def load_trace_hdf5(spark: SparkSession, paths, out_dir: str,
                     series=None,
                     channels: Sequence[str] | None = None) -> DataFrame:
     """One-call convenience: convert stale/missing twins, then open the
-    trace table parquet (same mtime-twin rule as :func:`load_hdf5`)."""
+    trace table parquet (same mtime-twin rule as :func:`load_hdf5`).
+
+    Reconverting a stale SUBSET keeps series numbers stable: the
+    positional fallback for basenames without a trailing integer is
+    the file's index in the FULL sorted list (passed through
+    ``fallback_index``), not its index within the stale subset — so
+    (series_number, event_number) keys never shift or collide across
+    incremental runs."""
     _require_h5py()
     files = extract_file_names(paths, series=series, ext=".hdf5")
+    positions = {p: i for i, p in enumerate(files)}
     twins = [os.path.join(out_dir,
                           os.path.splitext(os.path.basename(p))[0]
                           + ".parquet")
@@ -338,7 +353,8 @@ def load_trace_hdf5(spark: SparkSession, paths, out_dir: str,
              if not os.path.exists(twin)
              or os.path.getmtime(twin) < os.path.getmtime(p)]
     if stale:
-        trace_hdf5_to_parquet(spark, stale, out_dir, channels=channels)
+        trace_hdf5_to_parquet(spark, stale, out_dir, channels=channels,
+                              fallback_index=positions)
     return spark.read.parquet(*twins)
 
 

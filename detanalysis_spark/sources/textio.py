@@ -178,7 +178,8 @@ def read_wet(spark: SparkSession, path: str,
     in practice; byte-exact framing of arbitrary binary WARCs would
     need the ``binaryFile`` + ``mapInPandas`` path. The parsed
     ``Content-Length`` header is returned so callers can audit
-    (``length(payload) <> content_length`` flags suspect records).
+    (``octet_length(payload) <> content_length`` flags suspect records
+    — octet_length, because the header counts UTF-8 BYTES, not chars).
     """
     raw = (spark.read.text(path, wholetext=True)
            .select(F.input_file_name().alias("source_file"), "value"))
@@ -268,9 +269,13 @@ def write_wet(df: DataFrame, path: str, uri_col: str, payload_col: str,
               compression: str | None = None,
               mode: str = "overwrite") -> None:
     """Shard ``df`` as WET-style conversion records (one shard per
-    partition; a ``warcinfo`` record heads each shard, like real WET
-    files). The inverse of :func:`read_wet` for round trips and for
-    feeding WET-consuming tools."""
+    partition) plus ONE ``warcinfo`` record for the dataset — it lands
+    in its own (single-row) shard rather than heading every shard as
+    real crawler output does; records are self-delimiting so
+    :func:`read_wet` and warcio-style readers parse either shape, but
+    a consumer that REQUIRES a per-shard warcinfo header must
+    post-process. The inverse of :func:`read_wet` for round trips and
+    for feeding WET-consuming tools."""
     # each record ends with one blank line: the trailing "\n" here plus
     # the text writer's row terminator — read_wet strips exactly that
     rec = F.concat(
@@ -279,15 +284,19 @@ def write_wet(df: DataFrame, path: str, uri_col: str, payload_col: str,
         F.lit("WARC-Target-URI: "), F.col(uri_col), F.lit("\n"),
         F.lit(f"WARC-Date: {date}\n"),
         F.lit("Content-Length: "),
-        F.length(F.col(payload_col)).cast("string"), F.lit("\n\n"),
+        # ISO 28500 Content-Length is OCTETS of the payload block, not
+        # characters — octet_length counts UTF-8 bytes so non-ASCII
+        # payloads frame correctly for byte-exact consumers (warcio)
+        F.octet_length(F.col(payload_col)).cast("string"), F.lit("\n\n"),
         F.col(payload_col), F.lit("\n"))
     info = "software: detanalysis_spark"
     head = ("WARC/1.0\nWARC-Type: warcinfo\n"
             f"WARC-Date: {date}\nContent-Length: {len(info)}\n\n"
             f"{info}\n")
     body = df.select(rec.alias("value"))
-    # prepend the warcinfo header per partition via one tiny union —
-    # records are self-delimiting, placement within the shard is free
+    # one warcinfo record for the whole dataset via a tiny union —
+    # records are self-delimiting, placement within/among shards is
+    # free for parsers (see docstring for the per-shard-header caveat)
     out = body.sparkSession.createDataFrame([(head,)], "value string") \
         .unionByName(body)
     w = out.write.mode(mode)

@@ -2852,12 +2852,13 @@ def ivf_absorb_centroid_stats(spark: SparkSession,
 # split → header regexes, no Python in the row path), the warcinfo
 # preamble records are filtered by type, and the per-source stats
 # must reproduce the original table exactly (payload chars AND the
-# parsed Content-Length header must agree).
+# parsed Content-Length header, in OCTETS per ISO 28500, must agree
+# with DuckDB's strlen = UTF-8 byte count).
 # ----------------------------------------------------------------------
 @query("wet_ingest_stats", oracle="""
 SELECT source, CAST(count(*) AS BIGINT) AS n_records,
        CAST(sum(length(text)) AS BIGINT) AS payload_chars,
-       CAST(sum(length(text)) AS BIGINT) AS header_chars,
+       CAST(sum(strlen(text)) AS BIGINT) AS header_octets,
        CAST(min(doc_id) AS BIGINT) AS min_id
 FROM documents GROUP BY source
 """)
@@ -2885,7 +2886,7 @@ def wet_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_records"),
                  F.sum("pc").alias("payload_chars"),
-                 F.sum("content_length").alias("header_chars"),
+                 F.sum("content_length").alias("header_octets"),
                  F.min("doc_id").alias("min_id")))
 
 

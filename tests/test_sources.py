@@ -742,22 +742,29 @@ def test_wet_round_trip(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "https://a.com/1", "hello world"),
          (2, "https://a.com/2", "x  y	z with  tab and  spaces"),
-         (3, "https://b.com/3", "")],            # empty payload
+         (3, "https://b.com/3", ""),             # empty payload
+         (4, "https://c.com/4", "héllo wörld ü")],  # non-ASCII UTF-8
         "doc_id long, uri string, text string")
     p = str(tmp_path / "wet")
     write_wet(df.coalesce(2), p, "uri", "text", compression="gzip")
 
     got = {r.target_uri: r for r in read_wet(spark, p).collect()}
-    assert len(got) == 3                          # warcinfo filtered
+    assert len(got) == 4                          # warcinfo filtered
     assert got["https://a.com/1"].payload == "hello world"
     assert got["https://a.com/1"].content_length == 11
     assert got["https://a.com/1"].warc_type == "conversion"
     assert got["https://b.com/3"].payload == ""
     assert got["https://b.com/3"].content_length == 0
-    # payload-length audit column agrees with the header everywhere
+    # ISO 28500 Content-Length is OCTETS: the non-ASCII payload is 13
+    # chars but 16 UTF-8 bytes, and the header must carry the bytes
+    assert got["https://c.com/4"].payload == "héllo wörld ü"
+    assert got["https://c.com/4"].content_length == \
+        len("héllo wörld ü".encode("utf-8"))
+    # payload-OCTET audit column agrees with the header everywhere
+    # (octet_length, not length — the header counts bytes, not chars)
     from pyspark.sql import functions as F
     bad = read_wet(spark, p).filter(
-        F.length("payload") != F.col("content_length")).count()
+        F.octet_length("payload") != F.col("content_length")).count()
     assert bad == 0
 
     allrec = {r.warc_type for r in
