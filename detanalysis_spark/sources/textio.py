@@ -221,7 +221,8 @@ def _parse_wet_files(raw: DataFrame,
 def stream_wet(spark: SparkSession, path: str,
                record_types: tuple[str, ...] = ("conversion",),
                max_files_per_trigger: int | None = None,
-               glob: str = "*") -> DataFrame:
+               glob: str = "*",
+               max_shard_bytes: int = 4 << 30) -> DataFrame:
     """Streaming twin of :func:`read_wet`: an unbounded record frame
     over WET shards landing under ``path`` — the continuous crawl
     front door.
@@ -234,7 +235,19 @@ def stream_wet(spark: SparkSession, path: str,
     expression). Record split + header parse are then the SAME
     projections-only plan as the batch reader, so batch == streaming
     row-for-row on the same files. Downstream curation/dedup stages
-    compose (all stateless per record)."""
+    compose (all stateless per record).
+
+    Memory bound (documented, per ISO 28500's unsplittable gzip
+    members): each task holds ONE decompressed shard in memory while
+    decoding. Common Crawl WET shards are ~150–400 MB compressed /
+    ~3-4× that decompressed, so executors need headroom for
+    (cores-per-executor × max shard) bytes. ``max_shard_bytes`` guards
+    the pathological shard (a crawl bug, a gzip bomb, a mis-dropped
+    monolithic dump): decompression streams in chunks and ABORTS with
+    the offending path as soon as the cap is crossed — a clear
+    resource error instead of an executor OOM that kills co-resident
+    tasks. Default 4 GiB (~10× a normal WET shard); raise it, or
+    re-shard the input, for legitimately bigger files."""
     import pandas as pd
     from pyspark.sql.types import StringType
 
@@ -245,22 +258,47 @@ def stream_wet(spark: SparkSession, path: str,
     if max_files_per_trigger is not None:
         r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
 
+    cap = int(max_shard_bytes)
+
     # no type hints: PEP-563 stringifies them under this module's
     # `from __future__ import annotations`, which pandas_udf rejects
     @F.pandas_udf(StringType())
-    def _decode(content):
+    def _decode(paths, content):
         import gzip
+        import io
         out = []
-        for b in content:
+        for p, b in zip(paths, content):
             bb = bytes(b)
             if bb[:2] == b"\x1f\x8b":
-                bb = gzip.decompress(bb)
+                # stream-decompress in bounded chunks so an over-cap
+                # shard aborts after ~cap bytes, not after buffering
+                # the whole bomb
+                chunks, total = [], 0
+                with gzip.GzipFile(fileobj=io.BytesIO(bb)) as gz:
+                    while True:
+                        chunk = gz.read(16 << 20)
+                        if not chunk:
+                            break
+                        total += len(chunk)
+                        if total > cap:
+                            raise ValueError(
+                                f"stream_wet: shard {p} decompresses "
+                                f"past max_shard_bytes={cap} bytes; "
+                                "re-shard the input or raise the cap")
+                        chunks.append(chunk)
+                bb = b"".join(chunks)
+            elif len(bb) > cap:
+                raise ValueError(
+                    f"stream_wet: shard {p} is {len(bb)} bytes, past "
+                    f"max_shard_bytes={cap}; re-shard the input or "
+                    "raise the cap")
             out.append(bb.decode("utf-8", errors="replace"))
         return pd.Series(out)
 
     raw = (r.load(path)
            .select(F.col("path").alias("source_file"),
-                   _decode(F.col("content")).alias("value")))
+                   _decode(F.col("path"), F.col("content"))
+                   .alias("value")))
     return _parse_wet_files(raw, record_types)
 
 

@@ -240,7 +240,8 @@ def streaming_near_dup_hits(sdf: DataFrame, corpus_buckets: DataFrame,
                             id_col: str = "doc_id",
                             text_col: str = "text",
                             num_hashes: int = 64, bands: int = 16,
-                            shingle_n: int = 3) -> DataFrame:
+                            shingle_n: int = 3,
+                            emit: str = "ids") -> DataFrame:
     """Streaming near-dup SCREEN against a static corpus: each
     micro-batch's documents are MinHash-signed and joined against the
     corpus's precomputed LSH band buckets; a doc id is emitted when it
@@ -262,13 +263,33 @@ def streaming_near_dup_hits(sdf: DataFrame, corpus_buckets: DataFrame,
     ``llm.dedup.lsh_band_buckets`` over the existing corpus's
     signatures (same num_hashes/bands family — REQUIRED for bucket
     keys to be comparable).
+
+    ``emit="ids"`` (default) outputs distinct flagged ``id_col`` rows;
+    ``emit="pairs"`` outputs distinct (``id_col``, ``corpus_id``)
+    CANDIDATE PAIRS — the exact set a batch
+    ``lsh_candidate_pairs_between`` on the same signatures would
+    produce, so a downstream exact-Jaccard verify can consume the
+    drain directly without RE-SIGNING the stream side (the signatures
+    were already computed in the drain; signing twice doubles the
+    dominant cost of the screen at scale). Pair mode keys the
+    dropDuplicates state by pair, which is bounded by the OUTPUT
+    candidate set, not the stream size.
     """
     from ..llm.dedup import lsh_band_buckets, minhash_signatures
 
+    if emit not in ("ids", "pairs"):
+        raise ValueError(f"emit must be 'ids' or 'pairs', got {emit!r}")
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(sdf.select(id_col, text_col), text_col,
                               num_hashes, shingle_n, id_col=id_col)
     bb = lsh_band_buckets(sigs, id_col, "minhash", bands, rows_per_band)
+    if emit == "pairs":
+        corp = (corpus_buckets
+                .withColumnRenamed(id_col, "corpus_id")
+                .select("corpus_id", "band", "bucket"))
+        return (bb.join(corp, ["band", "bucket"])
+                .select(id_col, "corpus_id")
+                .dropDuplicates([id_col, "corpus_id"]))
     return (bb.join(corpus_buckets.select("band", "bucket").distinct(),
                     ["band", "bucket"])
             .select(id_col).dropDuplicates([id_col]))

@@ -1102,9 +1102,11 @@ def streaming_ann_state_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 # streaming near-dup screen + exact verify: odd-id documents stream in
 # against the even-id corpus's precomputed LSH band buckets; the drain
-# emits flagged ids (append-mode dropDuplicates state), which then gate
-# a candidates-only exact-Jaccard verify. Output depends on the DRAINED
-# id set (a missed stream hit drops a row → hash mismatch), while the
+# emits candidate (stream, corpus) PAIRS (append-mode dropDuplicates
+# state) — the stream side is signed exactly once, in the drain — and
+# the batch exact-Jaccard verify consumes the drained pairs directly.
+# Output depends on the DRAINED pair set
+# (a missed stream hit drops a row → hash mismatch), while the
 # all-pairs SQL oracle stays exact because planted near-dups sit at
 # jaccard ≥ 0.96 where 16-band/4-row LSH recall is 1 - ~1e-15.
 # ----------------------------------------------------------------------
@@ -1140,29 +1142,33 @@ def streaming_near_dup_screen_stats(spark: SparkSession,
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     stream_docs = docs.filter(F.col("doc_id") % 2 == 1)
 
-    corpus_sigs = _DD.minhash_signatures(corpus).localCheckpoint(
-        eager=True)   # sign the static side once, reused by screen+verify
-    buckets = _DD.lsh_band_buckets(corpus_sigs, "doc_id", "minhash", 16, 4)
+    corpus_sigs = _DD.minhash_signatures(corpus)
+    buckets = _DD.lsh_band_buckets(corpus_sigs, "doc_id", "minhash",
+                                   16, 4).localCheckpoint(eager=True)
+    # the bucket table is materialized once and probed by every
+    # micro-batch of the drain (stream-static join)
 
     base = tempfile.mkdtemp(prefix="det_nd_screen_")
     stream_docs.coalesce(2).write.mode("overwrite").parquet(f"{base}/in")
     sdf = (spark.readStream.schema(stream_docs.schema)
            .option("maxFilesPerTrigger", 1).parquet(f"{base}/in"))
-    hits = run_available_now(
-        streaming_near_dup_hits(sdf, buckets),
+    # the drain emits CANDIDATE PAIRS (stream id, corpus id) — the
+    # stream side is MinHash-signed exactly once, inside the drain;
+    # the batch verify below consumes the drained pairs directly
+    # instead of re-signing the stream docs (signing is the dominant
+    # screen cost at scale; one minhash_signatures call per side)
+    pairs = run_available_now(
+        streaming_near_dup_hits(sdf, buckets, emit="pairs"),
         f"nd_screen_suite_{os.getpid()}", output_mode="append",
         shuffle_partitions=8).localCheckpoint(eager=True)
     shutil.rmtree(base, ignore_errors=True)
 
-    # candidates-only exact verify (batch), gated on the drained ids —
-    # never all-pairs: |flagged| × bucket-colliding corpus docs
-    cand = _DD.lsh_candidate_pairs_between(
-        _DD.minhash_signatures(stream_docs).withColumnRenamed(
-            "doc_id", "id"),
-        corpus_sigs.withColumnRenamed("doc_id", "id"), "id")
+    # candidates-only exact verify (batch), gated on the drained
+    # pairs — never all-pairs: |flagged| × bucket-colliding corpus docs
+    cand = pairs.select(F.col("doc_id").alias("id_a"),
+                        F.col("corpus_id").alias("id_b"))
     ver = _DD.verify_candidates(docs, cand, "doc_id", threshold=0.5)
-    return (ver.join(hits, ver["id_a"] == hits["doc_id"], "left_semi")
-            .groupBy(F.col("id_a").alias("doc_id"))
+    return (ver.groupBy(F.col("id_a").alias("doc_id"))
             .agg(F.count(F.lit(1)).alias("n_matches"),
                  F.round(F.max("jaccard"), 6).alias("max_jaccard")))
 

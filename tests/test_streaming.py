@@ -247,6 +247,22 @@ def test_streaming_near_dup_hits_matches_batch(spark, tmp_path):
     assert sorted(r.doc_id for r in got) == expect
     assert expect == [0, 2]   # the two planted near-dups
 
+    # emit="pairs" must reproduce the batch cross-corpus candidate
+    # PAIR set exactly (same signatures → same band buckets), so a
+    # downstream verify can consume the drain without re-signing
+    expect_pairs = sorted(
+        (r.id_a, r.id_b) for r in lsh_candidate_pairs_between(
+            minhash_signatures(batch_new, "text", 64, 3,
+                               id_col="doc_id")
+            .withColumnRenamed("doc_id", "id"),
+            sigs.withColumnRenamed("doc_id", "id"), "id").collect())
+    got_pairs = run_available_now(
+        streaming_near_dup_hits(sdf, buckets, emit="pairs"),
+        "ndscreen_t2", output_mode="append").collect()
+    assert sorted((r.doc_id, r.corpus_id) for r in got_pairs) \
+        == expect_pairs
+    assert expect_pairs == [(0, 100), (2, 101)]
+
 
 def test_streaming_session_counts(spark, tmp_path):
     """Native session_window sessionization agrees with the planted
@@ -591,3 +607,39 @@ def test_stream_wet_matches_batch(spark, tmp_path):
     stream = sorted((r.target_uri, r.payload, r.content_length)
                     for r in got.collect())
     assert stream == batch and len(batch) == 9
+
+
+def test_stream_wet_shard_size_guard(spark, tmp_path):
+    """An over-cap shard must abort with a clear resource error naming
+    the file (NOT an executor OOM), for gzipped and plain shards; a
+    cap above the decompressed size passes untouched."""
+    import pytest
+    from detanalysis_spark.sources.textio import stream_wet, write_wet
+    from detanalysis_spark.streaming.continuous import run_available_now
+
+    df = spark.createDataFrame(
+        [(1, "https://s.com/big", "x" * 100_000)],
+        "doc_id long, uri string, text string")
+    p = str(tmp_path / "wet_guard")
+    write_wet(df.coalesce(1), p, "uri", "text", compression="gzip")
+
+    # cap below the ~100 KB decompressed shard → abort, path in message
+    with pytest.raises(Exception, match="max_shard_bytes"):
+        run_available_now(
+            stream_wet(spark, p, max_shard_bytes=50_000),
+            "wet_guard_t1", output_mode="append", shuffle_partitions=2
+        ).collect()
+    # generous cap → full drain
+    ok = run_available_now(
+        stream_wet(spark, p, max_shard_bytes=10_000_000),
+        "wet_guard_t2", output_mode="append", shuffle_partitions=2)
+    assert ok.count() == 1
+
+    # uncompressed over-cap shard hits the plain-bytes branch
+    p2 = str(tmp_path / "wet_guard_plain")
+    write_wet(df.coalesce(1), p2, "uri", "text")
+    with pytest.raises(Exception, match="max_shard_bytes"):
+        run_available_now(
+            stream_wet(spark, p2, max_shard_bytes=50_000),
+            "wet_guard_t3", output_mode="append", shuffle_partitions=2
+        ).collect()
