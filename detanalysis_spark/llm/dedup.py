@@ -732,10 +732,18 @@ def _simhash_vote_udf(bits: int):
     return _vote
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
+def simhash(text: Column, bits: int = 64, token_hash=None) -> Column:
     """SimHash fingerprint (long): per-token xxhash64 stays JVM-side;
-    only the per-bit majority vote runs in a vectorized pandas UDF."""
-    token_hashes = F.transform(_tokens(text), lambda t: F.xxhash64(t))
+    only the per-bit majority vote runs in a vectorized pandas UDF.
+
+    ``token_hash`` (Column → Column) replaces xxhash64 as the
+    per-token hash — e.g. ``lambda t: t.cast("long")`` over numeric
+    tokens pins the bit pattern so the majority vote is replayable by
+    any SQL engine (for three tokens a, b, c the fingerprint is
+    exactly the bitwise median ``(a&b)|(a&c)|(b&c)`` — the oracle
+    hook). The vote kernel is identical either way."""
+    hash_fn = token_hash or (lambda t: F.xxhash64(t))
+    token_hashes = F.transform(_tokens(text), hash_fn)
     return _simhash_vote_udf(bits)(token_hashes)
 
 

@@ -148,8 +148,21 @@ class RandomHyperplaneLSH:
     """
 
     def __init__(self, dim: int, bits: int = 16, tables: int = 4,
-                 seed: int = 42):
+                 seed: int = 42, planes: "np.ndarray | None" = None):
         self.dim, self.bits, self.tables, self.seed = dim, bits, tables, seed
+        if planes is not None:
+            # explicit hyperplanes (tables, bits, dim) — lets callers
+            # pin a deterministic projection (e.g. axis-aligned planes
+            # make the bucket id a plain sign-bit sum any SQL engine
+            # can replay — the oracle hook); the bucketing/probe/topk
+            # machinery is identical either way
+            planes = np.asarray(planes, dtype=np.float64)
+            if planes.shape != (tables, bits, dim):
+                raise ValueError(
+                    f"planes shape {planes.shape} != "
+                    f"{(tables, bits, dim)}")
+            self._planes = planes
+            return
         rng = np.random.default_rng(seed)
         # (tables, bits, dim) — regenerated identically from the seed on
         # every executor via closure capture (a few KB, broadcast-safe)

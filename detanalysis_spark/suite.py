@@ -1174,34 +1174,100 @@ def streaming_near_dup_screen_stats(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
-# LSH-bucketed ANN (random hyperplanes): exact cosine only on bucket
-# candidates — the 100 TB path. Seeded/deterministic but not
-# SQL-expressible → rows-only check; recall vs brute force is pytest'd
+# LSH-bucketed ANN (hyperplane sign projection): exact cosine only on
+# bucket candidates — the 100 TB path. The hyperplanes are pinned to
+# the first 6 coordinate axes, so the bucket id is a plain sign-bit
+# sum the oracle replays in SQL (Σ (v[j]>0)·2^j); the signature UDF,
+# bucket equi-join, and windowed top-k are the exact code path the
+# seeded-random configuration uses (recall of that configuration vs
+# brute force stays pytest'd).
 # ----------------------------------------------------------------------
-@query("ann_lsh_topk")
+# 6 sign bits → 64 buckets: selective enough to prove the bucket join
+# prunes (≈1/64 of the corpus scored per probe), dense enough that
+# every probe ranks a real top-5 at sf0.01's 500 vectors
+_LSH_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(6))
+
+
+@query("ann_lsh_topk", oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {_LSH_BUCKET_SQL} AS bucket
+  FROM embeddings),
+s AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                CAST(p.embedding AS DOUBLE[])) AS sim
+  FROM b c JOIN b p ON c.bucket = p.bucket
+  WHERE p.vec_id < 8 AND c.vec_id <> p.vec_id),
+r AS (SELECT probe_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM s)
+SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id,
+       round(sim, 6) AS sim
+FROM r WHERE rank <= 5
+""")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
     emb = load_table(spark, sf_dir, "embeddings")
-    lsh = _RHP(dim=64, bits=12, tables=8)
+    planes = np.zeros((1, 6, 64))
+    planes[0, np.arange(6), np.arange(6)] = 1.0   # axis-aligned
+    lsh = _RHP(dim=64, bits=6, tables=1, planes=planes)
     ap = lsh.topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
     return ap.select("probe_id", "rank", "neighbor_id",
                      F.round("sim", 6).alias("sim"))
 
 
 # ----------------------------------------------------------------------
-# SimHash + native hamming distance on the near-dup candidates
-# (pandas_udf bit-vote → rows-only; numerics pytest'd)
+# SimHash + native hamming distance over planted candidate pairs. The
+# per-token hash is pinned to the token's own numeric value (three
+# decimal tokens per doc derived from doc_id), so the pandas-UDF
+# majority vote must reproduce the bitwise 3-way median
+# (a&b)|(a&c)|(b&c) — a full SQL oracle THROUGH the vote kernel and
+# the native popcount, including the fingerprint VALUES (a single
+# flipped vote bit shifts a hamming distance → hash mismatch). The
+# xxhash64-hashed production configuration rides the same kernel and
+# keeps its numpy-differential pytest.
 # ----------------------------------------------------------------------
-@query("simhash_candidate_distances")
+@query("simhash_candidate_distances", oracle="""
+WITH s AS (
+  SELECT doc_id,
+         ((doc_id*7+1) & (doc_id*13+5))
+         | ((doc_id*7+1) & (doc_id*31+11))
+         | ((doc_id*13+5) & (doc_id*31+11)) AS sh
+  FROM documents),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sha, b.sh AS shb
+  FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 2 = 0)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+FROM p
+""")
 def simhash_candidate_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = _DD.minhash_signatures(docs.select("doc_id", "text"))
-    cand = _DD.lsh_candidate_pairs(sigs, "doc_id")
-    sh = docs.select("doc_id", _DD.simhash(F.col("text")).alias("sh"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    toks = docs.select(
+        "doc_id",
+        F.concat_ws(" ",
+                    (F.col("doc_id") * 7 + 1).cast("string"),
+                    (F.col("doc_id") * 13 + 5).cast("string"),
+                    (F.col("doc_id") * 31 + 11).cast("string"))
+        .alias("text"))
+    sh = toks.select(
+        "doc_id",
+        _DD.simhash(F.col("text"),
+                    token_hash=lambda t: t.cast("long")).alias("sh"))
+    cand = (docs.filter(F.col("doc_id") % 2 == 0)
+            .select(F.col("doc_id").alias("id_a"),
+                    (F.col("doc_id") + 1).alias("id_b"))
+            .join(docs.select(F.col("doc_id").alias("id_b")), "id_b"))
     return (cand
-            .join(sh.withColumnRenamed("doc_id", "id_a")
-                    .withColumnRenamed("sh", "sh_a"), "id_a")
-            .join(sh.withColumnRenamed("doc_id", "id_b")
-                    .withColumnRenamed("sh", "sh_b"), "id_b")
+            .join(sh.select(F.col("doc_id").alias("id_a"),
+                            F.col("sh").alias("sh_a")), "id_a")
+            .join(sh.select(F.col("doc_id").alias("id_b"),
+                            F.col("sh").alias("sh_b")), "id_b")
             .select("id_a", "id_b",
                     _DD.hamming_distance(F.col("sh_a"), F.col("sh_b"))
                     .alias("hamming")))
@@ -1380,23 +1446,87 @@ def photon_average_pulses(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-bin FFT ensemble stats + dPdI application (A15) — pandas_udf FFT
 # → rows-only; numerics pytest'd vs numpy (tests/test_photon.py)
 # ----------------------------------------------------------------------
-@query("photon_fft_dpdi")
+# Planted-sinusoid construction: trace(vec_id) = a·cos(2πkn/64)
+# + c·sin(2πkn/64) + b with k = peak+1 and dyadic a/b/c derived from
+# vec_id, sampled over n = 0..63 at fs = 64 Hz so the 1/√(n·fs)
+# normalization is exactly 1/64. The DFT is then closed-form — bin 0
+# carries b, bin k carries (a/2, −c/2), every other bin is zero — so
+# the ensemble means/stds and the dPdI complex multiply + error
+# propagation are plain SQL aggregates over the same planted values:
+# a full value-hash oracle THROUGH the numpy-rfft pandas UDF, the
+# explode/groupBy ensemble, and apply_dpdi (a wrong FFT bin, vote, or
+# propagation constant shifts a rounded value → mismatch). The
+# arbitrary-waveform path keeps its analytic pytest fixtures.
+# round(x,6) + 0.0 normalizes the −0.0 that rounding the FFT's ~1e−13
+# zero-bin noise can produce (IEEE: −0.0 + 0.0 = +0.0) so both engines
+# hash identical bytes.
+@query("photon_fft_dpdi", oracle="""
+WITH r AS (
+  SELECT vec_id, vec_id % 4 AS peak,
+         (CAST(vec_id % 16 AS DOUBLE) + 1) / 8 AS a,
+         (CAST(vec_id % 8  AS DOUBLE) - 3) / 4 AS b,
+         (CAST(vec_id % 12 AS DOUBLE) - 5) / 8 AS c
+  FROM embeddings),
+g AS (
+  SELECT peak, count(*) AS m,
+         avg(a) AS ma, avg(b) AS mb, avg(c) AS mc,
+         stddev_pop(a) AS sa, stddev_pop(b) AS sb, stddev_pop(c) AS sc
+  FROM r GROUP BY peak),
+stats AS (
+  SELECT peak, bin,
+         CASE WHEN bin = 0 THEN mb
+              WHEN bin = peak + 1 THEN ma / 2 ELSE 0 END AS mean_re,
+         CASE WHEN bin = peak + 1 THEN -mc / 2 ELSE 0 END AS mean_im,
+         CASE WHEN bin = 0 THEN sb / sqrt(m)
+              WHEN bin = peak + 1 THEN sa / 2 / sqrt(m)
+              ELSE 0 END AS std_re,
+         CASE WHEN bin = peak + 1 THEN sc / 2 / sqrt(m)
+              ELSE 0 END AS std_im
+  FROM g CROSS JOIN (SELECT CAST(j AS INT) AS bin
+                     FROM range(33) t(j))),
+d AS (
+  SELECT CAST(j AS INT) AS bin,
+         1.0 + j * 0.1 AS d_re, 0.5 - j * 0.01 AS d_im,
+         0.01 AS e_re, 0.02 AS e_im,
+         sqrt((1.0 + j*0.1)*(1.0 + j*0.1)
+              + (0.5 - j*0.01)*(0.5 - j*0.01)) AS mag
+  FROM range(33) t(j))
+SELECT CAST(s.peak AS BIGINT) AS peak, s.bin AS bin,
+       round(mean_re*d_re - mean_im*d_im, 6) + 0.0 AS mean_p_re,
+       round(mean_re*d_im + mean_im*d_re, 6) + 0.0 AS mean_p_im,
+       round(sqrt((mean_re*e_re)*(mean_re*e_re)
+                  + (std_re*mag)*(std_re*mag)), 6) + 0.0 AS std_p_re,
+       round(sqrt((mean_im*e_im)*(mean_im*e_im)
+                  + (std_im*mag)*(std_im*mag)), 6) + 0.0 AS std_p_im
+FROM stats s JOIN d ON s.bin = d.bin
+""")
 def photon_fft_dpdi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
-    stats = _P.fft_ensemble_stats(
-        emb.select(F.col("label").alias("peak"),
-                   F.col("vec").alias("trace")), fs=1000.0)
+    import math
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    a = ((F.col("vec_id") % 16).cast("double") + 1) / 8
+    b = ((F.col("vec_id") % 8).cast("double") - 3) / 4
+    c = ((F.col("vec_id") % 12).cast("double") - 5) / 8
+    k = (F.col("vec_id") % 4 + 1).cast("double")
+    w = F.lit(2.0 * math.pi / 64.0)
+    trace = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda n: a * F.cos(w * k * n.cast("double"))
+        + c * F.sin(w * k * n.cast("double")) + b)
+    traces = emb.select((F.col("vec_id") % 4).alias("peak"),
+                        trace.alias("trace"))
+    stats = _P.fft_ensemble_stats(traces, fs=64.0)
     dpdi = spark.range(33).select(
         F.col("id").alias("freq_index"),
         (1.0 + F.col("id") * 0.1).alias("value_real"),
         (0.5 - F.col("id") * 0.01).alias("value_imag"),
         F.lit(0.01).alias("err_real"), F.lit(0.02).alias("err_imag"))
     out = _P.apply_dpdi(stats, dpdi)
+    z = F.lit(0.0)
     return out.select("peak", "bin",
-                      F.round("mean_p_re", 6).alias("mean_p_re"),
-                      F.round("mean_p_im", 6).alias("mean_p_im"),
-                      F.round("std_p_re", 6).alias("std_p_re"),
-                      F.round("std_p_im", 6).alias("std_p_im"))
+                      (F.round("mean_p_re", 6) + z).alias("mean_p_re"),
+                      (F.round("mean_p_im", 6) + z).alias("mean_p_im"),
+                      (F.round("std_p_re", 6) + z).alias("std_p_re"),
+                      (F.round("std_p_im", 6) + z).alias("std_p_im"))
 
 
 # ======================================================================
