@@ -788,8 +788,10 @@ def with_registered_domain(df: DataFrame, url_col: str,
 
     Default path is the exact Public Suffix List matcher
     (:func:`detanalysis_spark.llm.psl.registered_domain_psl` — chained
-    broadcast joins, corpus never shuffles; vendored snapshot unless a
-    full list is given via ``psl_path``). ``use_psl=False`` falls back
+    broadcast joins, corpus never shuffles; resolves the rule list
+    via ``psl.psl_source()`` — $DETANALYSIS_PSL_PATH, an installed
+    complete list from ``tools/fetch_psl.py``, else the vendored
+    snapshot — unless ``psl_path`` overrides). ``use_psl=False`` falls back
     to the heuristic :func:`registered_domain` projection.
 
     When a pipeline applies several provenance gates, call this ONCE
@@ -820,7 +822,7 @@ def domain_blocklist_filter(df: DataFrame, url_col: str,
     quarantine filter if unparseable means reject).
 
     Registered domains come from the exact PSL path by default
-    (snapshot; pass ``psl_path=`` for a full downloaded list);
+    (``psl.psl_source()`` resolution; ``psl_path=`` overrides);
     ``use_psl=False`` selects the bounded-suffix heuristic;
     ``domain_col`` names an ALREADY-computed registered-domain column
     (from :func:`with_registered_domain`) to reuse instead.

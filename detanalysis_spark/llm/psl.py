@@ -47,6 +47,12 @@ __all__ = [
 
 _SNAPSHOT = os.path.join(os.path.dirname(__file__), "data",
                          "public_suffix_snapshot.dat")
+# a COMPLETE downloaded list installed by ``tools/fetch_psl.py``
+# (kept out of version control; ~240 KB, refreshed per deployment)
+_FULL = os.path.join(os.path.dirname(__file__), "data",
+                     "public_suffix_list.dat")
+# environment override — points default_psl() at any PSL-format file
+_ENV = "DETANALYSIS_PSL_PATH"
 
 
 @dataclass(frozen=True)
@@ -99,10 +105,38 @@ def load_psl(path: str, include_private: bool = True) -> PslRules:
                     frozenset(exception))
 
 
-@lru_cache(maxsize=4)
+def psl_source() -> str:
+    """Path of the rule file :func:`default_psl` resolves to, in
+    priority order: ``$DETANALYSIS_PSL_PATH`` (any PSL-format file) →
+    an installed complete list (``tools/fetch_psl.py`` writes
+    ``data/public_suffix_list.dat``) → the vendored snapshot."""
+    env = os.environ.get(_ENV)
+    if env:
+        return env
+    if os.path.exists(_FULL):
+        return _FULL
+    return _SNAPSHOT
+
+
+@lru_cache(maxsize=8)
+def _load_cached(path: str, include_private: bool) -> PslRules:
+    return load_psl(path, include_private=include_private)
+
+
 def default_psl(include_private: bool = True) -> PslRules:
-    """The vendored snapshot (module data, parsed once per process)."""
-    return load_psl(_SNAPSHOT, include_private=include_private)
+    """The default rule set (parsed once per (path, flag) per process)
+    — see :func:`psl_source` for the resolution order.
+
+    The vendored snapshot fallback covers the wildcard/exception TLDs,
+    the US locality scheme, and the second-level families of ~140
+    ccTLD registries (~1,800 rules), but it is NOT the complete
+    ~10k-rule list: registry-specific families outside it fall back to
+    the implicit ``*`` rule (plain one-label gTLDs are unaffected —
+    a depth-1 exact rule and the ``*`` default behave identically).
+    Deployments curating real web data should run ``python
+    tools/fetch_psl.py`` once (or set ``$DETANALYSIS_PSL_PATH``) so
+    this resolves to the complete publicsuffix.org list."""
+    return _load_cached(psl_source(), include_private)
 
 
 # ---------------------------------------------------------------------------
@@ -170,11 +204,13 @@ def registered_domain_psl(df: DataFrame, host_col: str,
     row path.  Invalid hosts (NULL, empty label, bare public suffix)
     yield NULL, matching :func:`registered_domain_py` exactly.
 
-    Exactness holds only RELATIVE TO THE SUPPLIED RULE LIST: the
-    default vendored snapshot is a documented subset (~800 rules) of
-    the ~10k-rule real PSL, so ccTLD families absent from it fall back
-    to the implicit ``*`` rule.  Production deployments should pass a
-    full downloaded ``public_suffix_list.dat`` via ``psl_path=``.
+    Exactness holds RELATIVE TO THE RESOLVED RULE LIST (see
+    :func:`psl_source`): with a complete downloaded list installed
+    (``tools/fetch_psl.py`` / ``$DETANALYSIS_PSL_PATH``) the result is
+    exact against publicsuffix.org; the vendored-snapshot fallback
+    (~1,800 rules covering ~140 registries' multi-label families) lets
+    families outside it fall back to the implicit ``*`` rule.
+    ``psl_path=`` overrides per call.
     """
     if psl_path is not None:
         rules = load_psl(psl_path, include_private=include_private)

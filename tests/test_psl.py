@@ -183,3 +183,89 @@ def test_psl_plan_is_broadcast_only(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffleExchange" not in plan and \
         "Exchange hashpartitioning" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-9 snapshot expansion: vectors through newly-added ccTLD
+# families (wildcards *.bd/*.jm/*.fk, FR sectoral, Crown-dependency
+# 3-label rules, LatAm/African/Asian registry families)
+# ---------------------------------------------------------------------------
+EXPANSION_VECTORS = [
+    ("gouv.fr", None),
+    ("impots.gouv.fr", "impots.gouv.fr"),
+    ("www.impots.gouv.fr", "impots.gouv.fr"),
+    ("bd", None),                         # *.bd: every 2nd level is a PS
+    ("com.bd", None),
+    ("example.com.bd", "example.com.bd"),
+    ("a.example.com.bd", "example.com.bd"),
+    ("jm", None),                         # *.jm
+    ("com.jm", None),
+    ("shop.com.jm", "shop.com.jm"),
+    ("fk", None),                         # *.fk
+    ("co.fk", None),
+    ("x.co.fk", "x.co.fk"),
+    ("ltd.co.im", None),                  # 3-label exact rule
+    ("foo.ltd.co.im", "foo.ltd.co.im"),
+    ("co.im", None),
+    ("bar.co.im", "bar.co.im"),
+    ("gob.mx", None),
+    ("sat.gob.mx", "sat.gob.mx"),
+    ("gob.pe", None),
+    ("x.gob.pe", "x.gob.pe"),
+    ("e12.ve", None),
+    ("school.e12.ve", "school.e12.ve"),
+    ("co.tz", None),
+    ("biz.co.tz", "biz.co.tz"),
+    ("gouv.sn", None),
+    ("minsante.gouv.sn", "minsante.gouv.sn"),
+    ("ekloges.cy", None),
+    ("x.ekloges.cy", "x.ekloges.cy"),
+    ("2000.hu", None),
+    ("a.2000.hu", "a.2000.hu"),
+    ("on.ca", None),
+    ("toronto.on.ca", "toronto.on.ca"),
+    ("qc.ca", None),
+    ("ville.qc.ca", "ville.qc.ca"),
+    # flat ccTLD stays label+tld even after the expansion
+    ("example.de", "example.de"),
+    ("www.example.de", "example.de"),
+]
+
+
+def test_expansion_vectors():
+    rules = psl.default_psl()
+    for host, want in EXPANSION_VECTORS:
+        got = psl.registered_domain_py(host, rules)
+        assert got == want, f"{host!r}: got {got!r}, want {want!r}"
+
+
+def test_snapshot_scale():
+    """The expanded snapshot carries the multi-label rule mass that
+    actually changes eTLD+1 (plain one-label TLDs are behaviorally
+    identical to the implicit '*' rule, so their absence is free)."""
+    rules = psl.load_psl(psl._SNAPSHOT)
+    multi = [s for s in rules.exact if "." in s]
+    assert len(multi) >= 1200
+    assert len(rules.wildcard) >= 15
+    assert len(rules.exception) >= 8
+    assert rules.max_depth >= 4          # ltd.co.im + k12.ak.us depth
+
+
+def test_psl_source_resolution(tmp_path, monkeypatch):
+    """default_psl() resolution order: $DETANALYSIS_PSL_PATH beats the
+    installed/vendored lists, and the matcher actually uses it."""
+    monkeypatch.delenv(psl._ENV, raising=False)
+    assert psl.psl_source() in (psl._FULL, psl._SNAPSHOT)
+
+    custom = tmp_path / "tiny_psl.dat"
+    custom.write_text("// ===BEGIN ICANN DOMAINS===\n"
+                      "zz\nco.zz\n"
+                      "// ===END ICANN DOMAINS===\n")
+    monkeypatch.setenv(psl._ENV, str(custom))
+    assert psl.psl_source() == str(custom)
+    rules = psl.default_psl()
+    assert psl.registered_domain_py("a.b.co.zz", rules) == "b.co.zz"
+    # families from the snapshot are gone under the override — proof
+    # the env list is really what's loaded
+    assert psl.registered_domain_py("b.example.co.uk", rules) \
+        == "co.uk"
