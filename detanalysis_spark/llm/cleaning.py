@@ -89,7 +89,8 @@ def _tokens(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda x: x != "")
 
 
-def repetition_struct(text: Column, n: int = 2) -> Column:
+def repetition_struct(text: Column, n: int = 2,
+                      include_ngram: bool = True) -> Column:
     """Repetition signals over whitespace tokens as ONE struct Column
     (``dup_token_ratio``, ``dup_ngram_ratio``, ``max_token_ratio``),
     all native array ops:
@@ -103,24 +104,56 @@ def repetition_struct(text: Column, n: int = 2) -> Column:
 
     The token array is bound once per row via a one-element array
     transform (the same trick as ``word_shingles``) so the regex split
-    is not re-evaluated per lambda element.
+    is not re-evaluated per lambda element. ``include_ngram=False``
+    pins ``dup_ngram_ratio`` to 0.0 (same schema) and skips the gram
+    construction — the n-gram signal is the most expensive of the
+    three, so gates that don't read it shouldn't pay for it.
     """
     def per_row(tk: Column) -> Column:
         n_tok = F.size(tk)
         n_gram = F.greatest(n_tok - (n - 1), F.lit(0))
-        grams = F.when(n_gram >= 1, F.transform(
-            F.sequence(F.lit(1), n_gram),
-            lambda i: F.concat_ws(" ", F.slice(tk, i, n)))) \
-            .otherwise(F.array().cast("array<string>"))
+        if not include_ngram:
+            grams = F.array().cast("array<string>")
+        elif n == 2:
+            # bigram fast path: one zip_with pass (pairs each token
+            # with its successor) instead of per-index slice+concat
+            grams = F.when(n_gram >= 1, F.zip_with(
+                F.slice(tk, 1, F.greatest(n_tok - 1, F.lit(0))),
+                F.slice(tk, 2, F.greatest(n_tok - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b))) \
+                .otherwise(F.array().cast("array<string>"))
+        else:
+            grams = F.when(n_gram >= 1, F.transform(
+                F.sequence(F.lit(1), n_gram),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, n)))) \
+                .otherwise(F.array().cast("array<string>"))
         dup_tok = F.when(n_tok > 0,
                          1.0 - F.size(F.array_distinct(tk)) / n_tok) \
             .otherwise(F.lit(0.0))
-        dup_ngram = F.when(n_gram > 0,
-                           1.0 - F.size(F.array_distinct(grams)) / n_gram) \
+        dup_ngram = F.lit(0.0) if not include_ngram else \
+            F.when(n_gram > 0,
+                   1.0 - F.size(F.array_distinct(grams)) / n_gram) \
             .otherwise(F.lit(0.0))
-        max_tok = F.when(n_tok > 0, F.array_max(F.transform(
-            F.array_distinct(tk),
-            lambda t: F.size(F.filter(tk, lambda x: x == t)))) / n_tok) \
+        # max frequency == longest equal-run in the SORTED token array:
+        # O(n log n) sort + one linear fold, instead of the quadratic
+        # distinct×filter scan (O(distinct·n) per row — ruinous for
+        # long documents: a 100k-token doc costs ~10^10 comparisons
+        # that way, ~10^6 this way). Same value exactly.
+        st = F.array_sort(tk)
+        best_run = F.aggregate(
+            st,
+            F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                     F.lit(0).alias("best")),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                 .otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1)
+                     .otherwise(F.lit(1))).alias("best")),
+            lambda acc: acc["best"])
+        max_tok = F.when(n_tok > 0, best_run / n_tok) \
             .otherwise(F.lit(0.0))
         return F.struct(dup_tok.alias("dup_token_ratio"),
                         dup_ngram.alias("dup_ngram_ratio"),
@@ -295,12 +328,25 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   n: int = 5, max_hits: int = 0) -> DataFrame:
     """Drop corpus documents that share more than ``max_hits`` word
-    ``n``-grams with the benchmark — the filtering counterpart of
-    ``contamination_overlap`` (same broadcast shape: the corpus never
-    shuffles; contaminated ids feed one left-anti join)."""
+    ``n``-grams with the benchmark.
+
+    Unlike the auditing :func:`contamination_overlap` (which must
+    return a row for EVERY document, hits or not), the filter only
+    needs ids whose hit count exceeds ``max_hits`` — so the exploded
+    gram rows INNER-join the broadcast benchmark set and non-hits die
+    map-side, before the shuffle. The per-doc hit count then
+    aggregates only HIT rows (bounded by contamination volume, not
+    corpus × grams-per-doc), and the surviving ids feed one left-anti
+    join. The corpus itself never shuffles."""
     grams = benchmark_ngrams(bench, text_col, n)
-    ov = contamination_overlap(docs, grams, id_col, text_col, n)
-    bad = ov.filter(F.col("n_hits") > max_hits).select(id_col)
+    from .dedup import word_shingles
+    hits = (docs.select(F.col(id_col),
+                        F.explode(word_shingles(F.col(text_col), n))
+                        .alias("gram"))
+            .join(F.broadcast(grams.select("gram")), "gram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    bad = hits.filter(F.col("n_hits") > max_hits).select(id_col)
     return docs.join(bad, id_col, "left_anti")
 
 

@@ -68,8 +68,11 @@ def _quality_pred(cfg: CurationConfig) -> "F.Column":
     row (per-signal dict access would embed — and re-evaluate — the
     whole struct per gate; Catalyst CSE skips lambda-bearing trees)."""
     text = F.col(cfg.text_col)
+    # include_ngram=False: the gate reads only dup_token_ratio and
+    # max_token_ratio, so the (most expensive) n-gram construction is
+    # skipped entirely
     rep_ok = F.get(F.transform(
-        F.array(repetition_struct(text)),
+        F.array(repetition_struct(text, include_ngram=False)),
         lambda r: (r["dup_token_ratio"] <= cfg.max_dup_token_ratio)
         & (r["max_token_ratio"] <= cfg.max_token_ratio)), 0)
     return (token_count(text) >= cfg.min_tokens) & rep_ok
@@ -133,6 +136,14 @@ def curate_corpus(docs: DataFrame, config: CurationConfig | None = None,
         out = tick("language", out)
 
     if cfg.bench is not None:
+        # barrier: decontaminate consumes the cleaned frame TWICE (the
+        # gram-explode side and the anti-join side); without a
+        # materialization the whole upstream cleaning stack (PII
+        # regexes + quality signals) re-evaluates for each subtree.
+        # Same reasoning as the near-dedup checkpoint below — executor
+        # local storage for the cleaned corpus is the standard trade
+        # at scale (or write it to parquet between stages).
+        out = out.localCheckpoint(eager=True)
         out = decontaminate(out, cfg.bench, id_col=cfg.id_col,
                             text_col=cfg.text_col,
                             n=cfg.decontaminate_ngram)
