@@ -414,6 +414,24 @@ def main() -> int:
         return run
     probe("pq_encode_adc", pq_path(emb1), pq_path(embk))
 
+    # interval-overlap join: bin-exploded equi-join with canonical-bin
+    # dedup (no BroadcastNestedLoop). Interval positions derive from
+    # the shifted event_id, so amplified copies occupy disjoint ranges
+    # — the OUTPUT grows linearly and the wall must track it, not the
+    # cross product of bin populations
+    def iovl(df):
+        from detanalysis_spark.operators.joins import \
+            interval_overlap_join
+        lo = F.col("event_id").cast("double")
+        left = df.select(lo.alias("l_lo"),
+                         (lo + F.col("value") % 50 + 1).alias("l_hi"))
+        right = df.select((lo + F.col("value") % 20).alias("r_lo"),
+                          (lo + F.col("value") % 20 + 30).alias("r_hi"))
+        return lambda: interval_overlap_join(
+            left, right, "l_lo", "l_hi", "r_lo", "r_hi",
+            bin_width=32.0).count()
+    probe("interval_overlap_join", iovl(ev1), iovl(evk))
+
     print(json.dumps({"probe": results, "multiplier": k}))
     return 0
 
