@@ -53,19 +53,33 @@ def main() -> int:
     # before timing; never abort (the driver needs a BENCH line), but
     # record the guard outcome so a still-loaded run is flagged in the
     # artifact instead of silently poisoning the cross-round series.
+    # VERDICT r8 #2: r8 passed a 1-min-only guard (1-min 3.21) while
+    # the 5-/15-min averages were 10.25/15.05 — the box was still
+    # draining work and the suite wall rode it. The guard now demands
+    # the 1-minute average below the threshold AND the 5-minute
+    # average below 1.5x it (the 5-min trails a just-ended burst, so
+    # its bar is slightly looser but still excludes a draining box).
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4"))
     max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "600"))
+
+    def loaded() -> bool:
+        l1, l5, _ = os.getloadavg()
+        return l1 > max_load or l5 > max_load * 1.5
+
     waited = 0.0
-    while os.getloadavg()[0] > max_load and waited < max_wait:
-        print(f"# bench load guard: load {os.getloadavg()[0]:.1f} > "
-              f"{max_load}, waiting ({waited:.0f}s)", file=sys.stderr)
+    while loaded() and waited < max_wait:
+        l1, l5, l15 = os.getloadavg()
+        print(f"# bench load guard: load {l1:.1f}/{l5:.1f}/{l15:.1f} "
+              f"(need 1-min<={max_load}, 5-min<={max_load * 1.5}), "
+              f"waiting ({waited:.0f}s)", file=sys.stderr)
         time.sleep(30.0)
         waited += 30.0
     load_start = os.getloadavg()
     load_guard = {
         "threshold": max_load,
+        "threshold_5min": max_load * 1.5,
         "waited_sec": round(waited, 1),
-        "quiet": load_start[0] <= max_load,
+        "quiet": not loaded(),
     }
     # warm up the JVM + parquet footers once so per-query numbers measure
     # the plans, not session startup

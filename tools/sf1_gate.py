@@ -155,6 +155,10 @@ GATE_QUERIES = [
     # trip (all arithmetic-constructed, linear)
     "url_normalization_stats", "trace_hdf5_ingest_stats",
     "wet_ingest_stats", "ivf_absorb_centroid_stats",
+    # round 9: the three constructible-oracle upgrades (all linear —
+    # axis-plane LSH buckets, planted-token simhash, planted-sinusoid
+    # FFT ensemble)
+    "ann_lsh_topk", "simhash_candidate_distances", "photon_fft_dpdi",
 ]
 # Still excluded, and why (the full residue — everything else gates):
 # - quadratic DuckDB oracles (the engine is banded/bucketed; the
@@ -170,10 +174,10 @@ GATE_QUERIES = [
 # - sketch exact-mode bound (4096) exceeded at 10x — sketch goes
 #   legitimately approximate while SQL stays exact:
 #   theta_split_overlap, sketch_rollup_day_profile;
-# - no SQL oracle by design (rows-only tier): ann_lsh_topk,
-#   approx_percentile_profile, curated_corpus_stats,
-#   grouped_spectrum_fits, lowpass_kernel_embeddings, photon_fft_dpdi,
-#   simhash_candidate_distances.
+# - no SQL oracle by design (rows-only tier, 4 after the round-9
+#   constructible-oracle upgrades): approx_percentile_profile,
+#   curated_corpus_stats, grouped_spectrum_fits,
+#   lowpass_kernel_embeddings.
 
 
 def materialize(force: bool = False) -> None:
