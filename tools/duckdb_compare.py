@@ -42,6 +42,7 @@ QUADRATIC_ORACLES = {
     "embedding_near_dup_pairs", "ann_cosine_topk", "ann_ivf_topk",
     "semantic_dedup_stats",     # within-cluster all-pairs NOT EXISTS
     "semantic_curation_stats",  # same NOT EXISTS shape on the gated set
+    "streaming_near_dup_screen_stats",  # all-pairs stream×corpus oracle
 }
 
 
