@@ -3940,13 +3940,92 @@ def curated_corpus_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 # one-call curation pipeline (capstone): normalize → PII → quality →
 # decontaminate → exact dedup → MinHash near-dedup → split, one lazy
-# plan. Near-dedup's LSH makes it non-SQL-expressible → rows-only;
-# every individual stage has its own oracle-verified query above and
-# the deterministic composition is value-hash-checked by
-# curated_corpus_exact_stats; the composition is also pytest'd on
-# planted data (tests/test_llm.py).
+# plan. FULL oracle (upgraded round 9 from rows-only): the exact
+# pipeline replays CTE-for-CTE as in curated_corpus_exact_stats, and
+# the MinHash near-dedup leg replays as all-pairs exact Jaccard (the
+# LSH layer's recall argument: this corpus's true >= 0.5 pairs sit at
+# planted jaccard >= 0.96, where 16-band/4-row miss probability is
+# ~1e-15 — the same argument that oracles near_dup_pairs_minhash and
+# near_dup_cluster_sizes) + recursive-CTE connected components +
+# keep-cluster-minimum. A missed LSH hit, a wrong cluster label, or a
+# wrong keep rule changes (split, lang) counts → hash mismatch.
 # ----------------------------------------------------------------------
-@query("curated_corpus_stats")
+@query("curated_corpus_stats", oracle=r"""
+WITH RECURSIVE red AS (
+  SELECT doc_id, lang, n_chars,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+                 '[PII]', 'g'),
+               '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[PII]', 'g'),
+             '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '[PII]', 'g'),
+           '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}',
+           '[PII]', 'g') AS t
+  FROM documents WHERE doc_id % 25 <> 0),
+tok AS (
+  SELECT *, list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS toks FROM red
+  WHERE len(trim(t)) > 0),
+q AS (
+  SELECT * FROM tok
+  WHERE len(toks) >= 5
+    AND 1 - len(list_distinct(toks))::DOUBLE / len(toks) <= 0.6
+    AND list_max(list_transform(list_distinct(toks),
+          x -> len(list_filter(toks, y -> y = x))))::DOUBLE
+        / len(toks) <= 0.3),
+bg AS (
+  SELECT DISTINCT unnest([array_to_string(btoks[i:i+2], ' ')
+                          for i in range(1, len(btoks)-1)]) AS gram
+  FROM (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS btoks
+        FROM documents WHERE doc_id % 25 = 0)),
+dg AS (
+  SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+                         for i in range(1, len(toks)-1)]) AS gram
+  FROM q),
+bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (gram)),
+dc AS (SELECT q.* FROM q LEFT JOIN bad ON q.doc_id = bad.doc_id
+       WHERE bad.doc_id IS NULL),
+nm AS (
+  SELECT *, trim(regexp_replace(regexp_replace(lower(t),
+             '[.,;:!?''"()\[\]{}<>/@#$%^&*_+=~`|\\-]', '', 'g'),
+             '\s+', ' ', 'g')) AS norm
+  FROM dc),
+dd AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY norm
+                                              ORDER BY doc_id) AS rn
+                 FROM nm)
+  WHERE rn = 1),
+sh2 AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks)-1)]) AS sh
+  FROM dd),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b, id_a FROM p),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+lbl AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+keep AS (
+  SELECT dd.* FROM dd LEFT JOIN lbl ON dd.doc_id = lbl.id
+  WHERE lbl.id IS NULL OR lbl.cluster_id = dd.doc_id),
+sp AS (
+  SELECT lang, n_chars,
+         CASE WHEN substr(md5(concat('11:', CAST(doc_id AS VARCHAR))),
+                          1, 8) < 'e6666666'
+              THEN 'train' ELSE 'val' END AS split
+  FROM keep)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM sp GROUP BY split, lang
+""")
 def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.pipeline import CurationConfig, curate_corpus
     docs = load_table(spark, sf_dir, "documents")

@@ -43,6 +43,7 @@ QUADRATIC_ORACLES = {
     "semantic_dedup_stats",     # within-cluster all-pairs NOT EXISTS
     "semantic_curation_stats",  # same NOT EXISTS shape on the gated set
     "streaming_near_dup_screen_stats",  # all-pairs stream×corpus oracle
+    "curated_corpus_stats",     # all-pairs near-dedup leg
 }
 
 

@@ -165,7 +165,8 @@ GATE_QUERIES = [
 #   oracle is all-pairs): near_dup_pairs_minhash,
 #   near_dup_cluster_sizes, embedding_near_dup_pairs,
 #   semantic_dedup_stats, semantic_curation_stats,
-#   streaming_near_dup_screen_stats, interval_overlap_stats (overlap
+#   streaming_near_dup_screen_stats, curated_corpus_stats (round-9
+#   oracle: all-pairs near-dedup leg), interval_overlap_stats (overlap
 #   pair count itself grows ~quadratically under value-range-preserving
 #   amplification);
 # - bounded probes pinned to copy 0 (vacuous at 10x): token_cosine
@@ -174,10 +175,9 @@ GATE_QUERIES = [
 # - sketch exact-mode bound (4096) exceeded at 10x — sketch goes
 #   legitimately approximate while SQL stays exact:
 #   theta_split_overlap, sketch_rollup_day_profile;
-# - no SQL oracle by design (rows-only tier, 4 after the round-9
+# - no SQL oracle by design (rows-only tier, 3 after the round-9
 #   constructible-oracle upgrades): approx_percentile_profile,
-#   curated_corpus_stats, grouped_spectrum_fits,
-#   lowpass_kernel_embeddings.
+#   grouped_spectrum_fits, lowpass_kernel_embeddings.
 
 
 def materialize(force: bool = False) -> None:
