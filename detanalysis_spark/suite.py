@@ -770,14 +770,57 @@ def array_energy_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # numpy oracle (tests/test_traces.py); rows-only check here exercises
 # the Arrow batch path end-to-end on real parquet input
 # ----------------------------------------------------------------------
-@query("lowpass_kernel_embeddings")
+# Planted-sinusoid construction (same move as photon_fft_dpdi):
+# trace(vec_id) = a·cos(2πkn/64) + b over n = 0..63 at fs = 1024 Hz,
+# cutoff 128 Hz, so rfftfreq's d = 1/1024 is exactly representable and
+# f_k/fc = 0.125·k is dyadic — the zero-phase Butterworth gain
+# g = 1/(1 + (0.125k)^4) is the same double in both engines. The
+# filtered trace is closed-form (y[n] = b + a·g·cos(2πkn/64)), so the
+# UDF's rfft → gain → irfft round trip, first/middle samples, the
+# energy integral Σy/fs, and the L2 sum Σy² (= 64b² + 32(a·g)² by
+# orthogonality) all get exact SQL values. round+0.0 normalizes the
+# −0.0 that rounding FFT noise can produce. The value set depends only
+# on vec_id mod lcm(16,8,5)=80, so sf0.01 already exercises every
+# distinct row this oracle can produce.
+@query("lowpass_kernel_embeddings", oracle="""
+WITH r AS (
+  SELECT vec_id,
+         (CAST(vec_id % 16 AS DOUBLE) + 1) / 8 AS a,
+         (CAST(vec_id % 8  AS DOUBLE) - 3) / 4 AS b,
+         CAST(vec_id % 5 + 1 AS DOUBLE) AS k
+  FROM embeddings),
+g AS (
+  SELECT vec_id, a, b, k,
+         1.0 / (1.0 + pow(0.125 * k, 4)) AS gain
+  FROM r)
+SELECT vec_id,
+       round(a * gain + b, 6) + 0.0 AS y0,
+       round(b + a * gain * (CASE WHEN CAST(k AS INT) % 2 = 0
+                                  THEN 1.0 ELSE -1.0 END), 6) + 0.0
+         AS y_mid,
+       round(64 * b / 1024, 6) + 0.0 AS lp_energy,
+       round(64 * b * b + 32 * (a * gain) * (a * gain), 6) + 0.0 AS l2
+FROM g
+""")
 def lowpass_kernel_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
-    lp = _T.lowpass_filter_udf(1000.0, 100.0)(F.col("vec"))
+    import math
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    a = ((F.col("vec_id") % 16).cast("double") + 1) / 8
+    b = ((F.col("vec_id") % 8).cast("double") - 3) / 4
+    k = (F.col("vec_id") % 5 + 1).cast("double")
+    w = F.lit(2.0 * math.pi / 64.0)
+    trace = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda n: a * F.cos(w * k * n.cast("double")) + b)
+    lp = _T.lowpass_filter_udf(1024.0, 128.0)(trace)
+    z = F.lit(0.0)
+    l2 = F.aggregate(lp, F.lit(0.0), lambda acc, x: acc + x * x)
     return emb.select(
         "vec_id",
-        F.round(F.element_at(lp, 1), 6).alias("y0"),
-        F.round(_T.trace_energy(lp, 1000.0), 6).alias("lp_energy"))
+        (F.round(F.element_at(lp, 1), 6) + z).alias("y0"),
+        (F.round(F.element_at(lp, 33), 6) + z).alias("y_mid"),
+        (F.round(_T.trace_energy(lp, 1024.0), 6) + z).alias("lp_energy"),
+        (F.round(l2, 6) + z).alias("l2"))
 
 
 # ======================================================================

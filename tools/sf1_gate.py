@@ -159,6 +159,7 @@ GATE_QUERIES = [
     # axis-plane LSH buckets, planted-token simhash, planted-sinusoid
     # FFT ensemble)
     "ann_lsh_topk", "simhash_candidate_distances", "photon_fft_dpdi",
+    "lowpass_kernel_embeddings",
 ]
 # Still excluded, and why (the full residue — everything else gates):
 # - quadratic DuckDB oracles (the engine is banded/bucketed; the
@@ -175,9 +176,9 @@ GATE_QUERIES = [
 # - sketch exact-mode bound (4096) exceeded at 10x — sketch goes
 #   legitimately approximate while SQL stays exact:
 #   theta_split_overlap, sketch_rollup_day_profile;
-# - no SQL oracle by design (rows-only tier, 3 after the round-9
-#   constructible-oracle upgrades): approx_percentile_profile,
-#   grouped_spectrum_fits, lowpass_kernel_embeddings.
+# - no SQL oracle by design (rows-only tier, 2 after the round-9
+#   constructible-oracle upgrades): approx_percentile_profile (sketch
+#   is not DuckDB's sketch), grouped_spectrum_fits (iterative LM fit).
 
 
 def materialize(force: bool = False) -> None:
