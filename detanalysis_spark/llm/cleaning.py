@@ -459,8 +459,14 @@ def gopher_quality_struct(text: Column, **overrides) -> Column:
         ellipsis_ratio = F.size(F.filter(
             lines, lambda ln: F.rtrim(ln).endswith("...")
             | F.rtrim(ln).endswith("…"))).cast("double") / safe_lines
+        # "contains an ASCII letter" without a per-token regex engine:
+        # deleting [a-z] from the lowercased token shortens it iff a
+        # letter was present — exactly rlike('[A-Za-z]'), but translate
+        # is a charmap pass (the regex was the struct's hottest signal)
+        alpha = "abcdefghijklmnopqrstuvwxyz"
         alpha_ratio = F.size(F.filter(
-            tk, lambda t: t.rlike("[A-Za-z]"))).cast("double") / safe_words
+            tk, lambda t: F.length(F.translate(F.lower(t), alpha, ""))
+            < F.length(t))).cast("double") / safe_words
         stops = sorted(LANG_STOPWORDS["en"])
         low = F.transform(tk, F.lower)
         stop_hits = F.size(F.filter(
