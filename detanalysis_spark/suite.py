@@ -5544,6 +5544,19 @@ _REWRITTEN_R08 = (
     "domain_curation_stats",
 )
 
+# Round-9 rewrites: constructible-oracle upgrades (new planted inputs
+# AND new oracles), the WET octet-length/header_octets schema change,
+# the drained-pairs streaming verify, the curation hot-path rebuild
+# (sorted-run max_token_ratio, hits-only decontaminate, cleaning
+# barrier), the doubled PSL rule set, and the translate alpha check.
+_REWRITTEN_R09 = (
+    "ann_lsh_topk", "simhash_candidate_distances", "photon_fft_dpdi",
+    "lowpass_kernel_embeddings", "curated_corpus_stats",
+    "wet_ingest_stats", "streaming_near_dup_screen_stats",
+    "curated_corpus_exact_stats", "domain_curation_stats",
+    "repetition_quality_stats", "gopher_rule_counts",
+)
+
 
 def _reorder_registry() -> None:
     # tier1: ANY query with no official driver grade — oracled (full
@@ -5558,6 +5571,8 @@ def _reorder_registry() -> None:
                  if _LATEST_GRADE.get(n, 0) < 6]
     rewritten += [n for n in _REWRITTEN_R08
                   if _LATEST_GRADE.get(n, 0) < 8]
+    rewritten += [n for n in _REWRITTEN_R09
+                  if _LATEST_GRADE.get(n, 0) < 9]
     tier1b = [n for n in rewritten if n in QUERIES and n not in tier1]
     # tier2..: already-green filler; staleness = the LATEST round a
     # query was graded in (straight from the CORRECTNESS artifacts);
