@@ -37,7 +37,8 @@ __all__ = [
     "repetition_char_fractions", "repetition_char_fractions_grouped",
     "SECOND_LEVEL_SUFFIXES", "url_host", "registered_domain",
     "domain_blocklist_filter", "domain_profile",
-    "strip_html",
+    "strip_html", "strip_invisible", "nfc_normalize",
+    "INVISIBLE_CLASS",
 ]
 
 # ---------------------------------------------------------------------------
@@ -970,3 +971,53 @@ def strip_html(col: Column | str) -> Column:
     for ent, ch in _HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# Unicode hygiene — NFC canonicalization + invisible-character strip
+# ---------------------------------------------------------------------------
+# Control chars (C0 minus tab/newline/CR, DEL, C1), soft hyphen,
+# zero-width family, word joiner, BOM-as-ZWNBSP. Written with
+# \\x{...} escapes that parse identically in Java regex (Spark) and
+# RE2 (DuckDB) so SQL oracles can replay the exact pattern string.
+INVISIBLE_CLASS = ("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+                   "\\x{0080}-\\x{009F}\\x{00AD}"
+                   "\\x{200B}-\\x{200D}\\x{2060}\\x{FEFF}]")
+
+
+def strip_invisible(text: Column) -> Column:
+    """Remove control / zero-width / soft-hyphen characters — the
+    invisible payload real crawls carry (copy-paste artifacts, BOMs
+    mid-document, SHY-hyphenated words, zero-width joiners used for
+    fingerprinting). Tab/newline/CR survive (they are structure, and
+    line-level operators depend on them). Pure native projection;
+    the class constant is RE2-compatible so oracles replay it.
+    """
+    return F.regexp_replace(text, INVISIBLE_CLASS, "")
+
+
+def nfc_normalize(text: Column) -> Column:
+    """Unicode NFC canonicalization as an Arrow-batched pandas UDF
+    (canonical composition: ``e + COMBINING ACUTE`` becomes the single
+    code point ``\u00e9``) — without it, exact/normalized dedup treats
+    canonically-equal crawl texts as distinct and token statistics
+    drift between sources that differ only in encoder behavior.
+
+    Python in the row path is unavoidable here (Spark has no native
+    normalizer expression) but the kernel is a tight C loop
+    (``unicodedata.normalize``) over Arrow batches, embarrassingly
+    parallel, no shuffle. NFC (not NFKC) on purpose: canonical
+    equivalence only — ligatures/fullwidth forms are CONTENT and
+    survive; fold them in a separate explicit step if a pipeline
+    wants K-compatibility. DuckDB's ``nfc_normalize`` computes the
+    same form, so the operator is fully oracle-checkable.
+    """
+    # no type hints: PEP-563 stringifies them under this module's
+    # `from __future__ import annotations`, which pandas_udf rejects
+    @F.pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+        return s.map(lambda t: unicodedata.normalize("NFC", t)
+                     if t is not None else None)
+
+    return _nfc(text)

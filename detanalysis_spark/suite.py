@@ -3070,6 +3070,68 @@ def wet_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Unicode hygiene (NEW round 9) — planted per-doc markers: combining
+# sequences that NFC must compose (e+U+0301 → é, A+U+030A → Å) and a
+# zero-width space that strip_invisible must remove. The engine runs
+# strip_invisible (native regex, identical RE2 pattern string in the
+# oracle) then the nfc_normalize pandas UDF; DuckDB replays with its
+# own regexp_replace + nfc_normalize — an independent Unicode
+# implementation, so a normalization or class-membership bug on either
+# side breaks the value hash.
+# ----------------------------------------------------------------------
+from .llm.cleaning import INVISIBLE_CLASS as _INVIS  # noqa: E402
+
+
+@query("unicode_cleaning_stats", oracle=f"""
+WITH m AS (
+  SELECT source, doc_id,
+         text || CASE CAST(doc_id % 4 AS INT)
+                 WHEN 1 THEN ' cafe' || chr(769)
+                 WHEN 2 THEN chr(8203) || 'zw'
+                 WHEN 3 THEN ' A' || chr(778)
+                 ELSE '' END AS raw
+  FROM documents),
+s AS (
+  SELECT source, raw,
+         regexp_replace(raw, '{_INVIS}', '', 'g') AS stripped
+  FROM m),
+c AS (
+  SELECT source, raw, stripped,
+         nfc_normalize(stripped) AS clean
+  FROM s)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN stripped <> raw THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stripped,
+       CAST(sum(CASE WHEN clean <> stripped THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_composed,
+       CAST(sum(length(raw)) AS BIGINT) AS chars_raw,
+       CAST(sum(length(clean)) AS BIGINT) AS chars_clean
+FROM c GROUP BY source
+""")
+def unicode_cleaning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.cleaning import nfc_normalize, strip_invisible
+    docs = load_table(spark, sf_dir, "documents")
+    v = (F.col("doc_id") % 4).cast("int")
+    marker = (F.when(v == 1, F.lit(" cafe\u0301"))
+              .when(v == 2, F.lit("\u200bzw"))
+              .when(v == 3, F.lit(" A\u030a"))
+              .otherwise(F.lit("")))
+    raw = F.concat(F.col("text"), marker)
+    work = docs.select("source", raw.alias("raw"))
+    work = work.withColumn("stripped", strip_invisible(F.col("raw")))
+    work = work.withColumn("clean", nfc_normalize(F.col("stripped")))
+    return (work.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("stripped") != F.col("raw"))
+                       .cast("long")).alias("n_stripped"),
+                 F.sum((F.col("clean") != F.col("stripped"))
+                       .cast("long")).alias("n_composed"),
+                 F.sum(F.length("raw")).alias("chars_raw"),
+                 F.sum(F.length("clean")).alias("chars_clean")))
+
+
+# ----------------------------------------------------------------------
 # URL canonicalization — four deterministic messy variants per page
 # (scheme/host case + default port + trailing slash, duplicate
 # slashes + tracking params, unsorted query + fragment) built from

@@ -2040,3 +2040,54 @@ def test_lsh_plan_s_curve():
     assert b_rec >= b_bal
     with _pt.raises(ValueError):
         lsh_plan(1.5)
+
+
+# ----------------------------------------------------------------------
+# Unicode hygiene: NFC normalization + invisible-char strip (round 9)
+# ----------------------------------------------------------------------
+def test_nfc_and_strip_invisible(spark):
+    import re
+    import unicodedata
+    from pyspark.sql import functions as F
+    from detanalysis_spark.llm.cleaning import (nfc_normalize,
+                                                strip_invisible)
+
+    rows = [
+        "cafe\u0301 composed",          # e + combining acute -> \u00e9
+        "A\u030a ring",                 # A + combining ring -> \u00c5
+        "caf\u00e9 already nfc",
+        "zero\u200bwidth\u200cjoin\u200d",
+        "soft\u00adhyphen and bom \ufeff here",
+        "ctrl\x07bell\x1besc",
+        "tab\tand\nnewline survive",
+        "a\u0300\u0316 multi marks",
+        "\ufb01 ligature stays (NFC, not NFKC)",
+        "",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(rows)],
+                               "i long, t string")
+    got = {r.i: (r.s, r.c) for r in df.select(
+        "i", strip_invisible(F.col("t")).alias("s"),
+        nfc_normalize(strip_invisible(F.col("t"))).alias("c")).collect()}
+
+    # the python twin of INVISIBLE_CLASS (python re has no \x{...},
+    # so the class is rebuilt with \uXXXX escapes)
+    pat = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f"
+                     "\u0080-\u009f\u00ad\u200b-\u200d"
+                     "\u2060\ufeff]")
+    for i, s in enumerate(rows):
+        stripped = pat.sub("", s)
+        assert got[i][0] == stripped, (i, ascii(s), ascii(got[i][0]))
+        assert got[i][1] == unicodedata.normalize("NFC", stripped), \
+            (i, ascii(got[i][1]))
+    # tab/newline survive the strip
+    assert got[6][0] == rows[6]
+    # NFC is idempotent
+    twice = df.select(nfc_normalize(nfc_normalize(F.col("t"))).alias("c"),
+                      nfc_normalize(F.col("t")).alias("c1"))
+    assert all(r.c == r.c1 for r in twice.collect())
+    # NULL passes through
+    nul = spark.createDataFrame([(None,)], "t string").select(
+        nfc_normalize(F.col("t")).alias("c"),
+        strip_invisible(F.col("t")).alias("s")).collect()[0]
+    assert nul.c is None and nul.s is None
