@@ -38,7 +38,7 @@ __all__ = [
     "SECOND_LEVEL_SUFFIXES", "url_host", "registered_domain",
     "domain_blocklist_filter", "domain_profile",
     "strip_html", "strip_invisible", "nfc_normalize",
-    "INVISIBLE_CLASS",
+    "INVISIBLE_CLASS", "fix_mojibake",
 ]
 
 # ---------------------------------------------------------------------------
@@ -1021,3 +1021,42 @@ def nfc_normalize(text: Column) -> Column:
                      if t is not None else None)
 
     return _nfc(text)
+
+
+def fix_mojibake(text: Column) -> Column:
+    """Repair the classic crawl mojibake: UTF-8 bytes decoded as
+    Latin-1/CP1252 upstream ("caf\u00c3\u00a9" for "caf\u00e9").
+
+    Conservative single-pass rule: re-encode the string as
+    Latin-1/CP1252 and, if the bytes decode as STRICT UTF-8 to a
+    SHORTER string, take the repair — multi-byte UTF-8 sequences
+    mis-decoded always shrink when re-decoded, while plain ASCII and
+    genuine Latin-1 text round-trip unchanged or fail strict UTF-8
+    and pass through untouched. (A documented heuristic, not full
+    ftfy: text that legitimately spells a mojibake byte pattern will
+    be "repaired"; at crawl scale that trade is standard.) Arrow-
+    batched pandas UDF — no shuffle, embarrassingly parallel; pure
+    stdlib codecs.
+    """
+    # no type hints: PEP-563 stringifies them under this module's
+    # `from __future__ import annotations`, which pandas_udf rejects
+    @F.pandas_udf("string")
+    def _fix(s):
+        def one(t):
+            if t is None:
+                return None
+            try:
+                # cp1252 first (superset of printable latin-1 in real
+                # crawls); fall back to latin-1 for C1 bytes cp1252
+                # leaves undefined
+                try:
+                    b = t.encode("cp1252")
+                except UnicodeEncodeError:
+                    b = t.encode("latin-1")
+                fixed = b.decode("utf-8")
+                return fixed if len(fixed) < len(t) else t
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return t
+        return s.map(one)
+
+    return _fix(text)

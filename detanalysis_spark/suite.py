@@ -3132,6 +3132,57 @@ def unicode_cleaning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Mojibake repair (NEW round 9) — planted UTF-8-decoded-as-Latin-1
+# corruption ("caf\u00e9" carried as chr(195)||chr(169)); the
+# engine's fix_mojibake re-encodes and strict-decodes per row, the
+# oracle replays the planted construction arithmetically (corrupt
+# marker in, repaired marker out), so a wrong repair OR a
+# false-positive repair of the clean ASCII body flips counts/char
+# sums -> hash mismatch.
+# ----------------------------------------------------------------------
+@query("mojibake_repair_stats", oracle="""
+WITH m AS (
+  SELECT source, doc_id,
+         text || CASE CAST(doc_id % 3 AS INT)
+                 WHEN 1 THEN ' caf' || chr(195) || chr(169)
+                 WHEN 2 THEN ' na' || chr(195) || chr(175) || 've '
+                      || 'r' || chr(195) || chr(169) || 'sum'
+                      || chr(195) || chr(169)
+                 ELSE '' END AS raw,
+         text || CASE CAST(doc_id % 3 AS INT)
+                 WHEN 1 THEN ' caf' || chr(233)
+                 WHEN 2 THEN ' na' || chr(239) || 've '
+                      || 'r' || chr(233) || 'sum' || chr(233)
+                 ELSE '' END AS fixed
+  FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN fixed <> raw THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repaired,
+       CAST(sum(length(raw)) AS BIGINT) AS chars_raw,
+       CAST(sum(length(fixed)) AS BIGINT) AS chars_fixed
+FROM m GROUP BY source
+""")
+def mojibake_repair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.cleaning import fix_mojibake
+    docs = load_table(spark, sf_dir, "documents")
+    v = (F.col("doc_id") % 3).cast("int")
+    mark = (F.when(v == 1, F.lit(" caf\u00c3\u00a9"))
+            .when(v == 2, F.lit(
+                " na\u00c3\u00afve r\u00c3\u00a9sum\u00c3\u00a9"))
+            .otherwise(F.lit("")))
+    raw = F.concat(F.col("text"), mark)
+    work = docs.select("source", raw.alias("raw")) \
+               .withColumn("fixed", fix_mojibake(F.col("raw")))
+    return (work.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("fixed") != F.col("raw"))
+                       .cast("long")).alias("n_repaired"),
+                 F.sum(F.length("raw")).alias("chars_raw"),
+                 F.sum(F.length("fixed")).alias("chars_fixed")))
+
+
+# ----------------------------------------------------------------------
 # URL canonicalization — four deterministic messy variants per page
 # (scheme/host case + default port + trailing slash, duplicate
 # slashes + tracking params, unsorted query + fragment) built from

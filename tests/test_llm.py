@@ -2091,3 +2091,30 @@ def test_nfc_and_strip_invisible(spark):
         nfc_normalize(F.col("t")).alias("c"),
         strip_invisible(F.col("t")).alias("s")).collect()[0]
     assert nul.c is None and nul.s is None
+
+
+def test_fix_mojibake(spark):
+    from pyspark.sql import functions as F
+    from detanalysis_spark.llm.cleaning import fix_mojibake
+
+    good = ["caf\u00e9 and na\u00efve", "\U0001f600 emoji ok",
+            "plain ascii", "r\u00e9sum\u00e9"]
+    rows = []
+    for i, g in enumerate(good[:2]):
+        rows.append((i, g.encode("utf-8").decode("latin-1"), g))
+    # clean ASCII must pass through untouched
+    rows.append((2, "plain ascii", "plain ascii"))
+    # genuine Latin-1 text (not mojibake) must NOT be "repaired"
+    rows.append((3, "r\u00e9sum\u00e9", "r\u00e9sum\u00e9"))
+    # cp1252 flavor (curly quote in the corrupted bytes)
+    q = "it\u2019s fine"
+    rows.append((4, q.encode("utf-8").decode("cp1252"), q))
+    df = spark.createDataFrame([(i, r) for i, r, _ in rows],
+                               "i long, t string")
+    got = {r.i: r.f for r in df.select(
+        "i", fix_mojibake(F.col("t")).alias("f")).collect()}
+    for i, _, want in rows:
+        assert got[i] == want, (i, ascii(got[i]), ascii(want))
+    nul = spark.createDataFrame([(None,)], "t string").select(
+        fix_mojibake(F.col("t")).alias("f")).collect()[0]
+    assert nul.f is None

@@ -159,7 +159,7 @@ GATE_QUERIES = [
     # axis-plane LSH buckets, planted-token simhash, planted-sinusoid
     # FFT ensemble)
     "ann_lsh_topk", "simhash_candidate_distances", "photon_fft_dpdi",
-    "lowpass_kernel_embeddings", "unicode_cleaning_stats",
+    "lowpass_kernel_embeddings", "unicode_cleaning_stats", "mojibake_repair_stats",
 ]
 # Still excluded, and why (the full residue — everything else gates):
 # - quadratic DuckDB oracles (the engine is banded/bucketed; the
