@@ -39,6 +39,7 @@ __all__ = [
     "apply_near_dedup", "hash_band_explode", "simhash_near_dup_pairs",
     "temperature_fractions",
     "temperature_mixture_sample",
+    "jaccard_index_pairs", "containment_pairs",
 ]
 
 
@@ -826,6 +827,126 @@ def token_cosine_pairs(docs: DataFrame, id_col: str = "doc_id",
                         / (F.col("__na__") * F.col("__nb__")))
             .filter(F.col("sim") >= float(threshold))
             .select("id_a", "id_b", "sim"))
+
+
+def _shingle_cooccurrence(docs: DataFrame, id_col: str, text_col: str,
+                          shingle_n: int, shingle_fn,
+                          max_df: int | None,
+                          pair_filter=None) -> DataFrame:
+    """Shared inverted-index kernel behind :func:`jaccard_index_pairs`
+    and :func:`containment_pairs`: (id_a, id_b, co, sz_a, sz_b) with
+    id_a < id_b, where ``co`` = |A ∩ B| over distinct shingle sets and
+    ``sz_*`` are the set sizes.
+
+    Plan shape: shingle each doc once (native lambda exprs), attach
+    the SET SIZE to every exploded (gram, id) posting so the pair
+    aggregate carries both sizes for free — no join back to a per-doc
+    sizes frame (two fewer shuffles than the norm-join layout of
+    :func:`token_cosine_pairs`, whose tf weights can't ride the
+    postings the same way). The gram-keyed self-join emits one row per
+    shared gram; a single map-side-combined aggregate folds them to
+    per-pair intersection counts. Shingle sets are distinct by
+    construction, so the fold is exactly |A ∩ B|.
+
+    Scale: cost is Σ_gram df(gram)² — ``max_df`` drops grams shared by
+    more than that many docs from candidate generation (frequency
+    pruning, the standard similarity-join guard: a shingle in >max_df
+    docs is boilerplate, and pairs sharing ONLY such grams are the
+    recall traded away). The df aggregate also drops df == 1 grams,
+    which cannot form a pair. ``pair_filter``, when given, prunes pair
+    rows BEFORE the pair shuffle (e.g. the Jaccard size-ratio bound).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("__id__"),
+        shingle_fn(F.col(text_col), shingle_n).alias("__sh__"))
+    posts = sh.select("__id__", F.size("__sh__").alias("__sz__"),
+                      F.explode("__sh__").alias("__gram__"))
+    if max_df is not None:
+        dfreq = posts.groupBy("__gram__").agg(
+            F.count(F.lit(1)).alias("__df__"))
+        posts = (posts.join(
+            dfreq.filter((F.col("__df__") > 1)
+                         & (F.col("__df__") <= int(max_df)))
+                 .select("__gram__"), "__gram__"))
+    a = posts.select("__gram__", F.col("__id__").alias("id_a"),
+                     F.col("__sz__").alias("sz_a"))
+    b = posts.select("__gram__", F.col("__id__").alias("id_b"),
+                     F.col("__sz__").alias("sz_b"))
+    joined = a.join(b, "__gram__").filter(F.col("id_a") < F.col("id_b"))
+    if pair_filter is not None:
+        joined = joined.filter(pair_filter)
+    return (joined
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("co"),
+                 F.first("sz_a").alias("sz_a"),
+                 F.first("sz_b").alias("sz_b")))
+
+
+def jaccard_index_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", threshold: float = 0.5,
+                        shingle_n: int = 3, shingle_fn=word_shingles,
+                        max_df: int | None = None) -> DataFrame:
+    """EXACT n-gram-Jaccard similarity join via an inverted shingle
+    index — (id_a, id_b, jaccard) for every pair with Jaccard >=
+    ``threshold`` (id_a < id_b), no MinHash approximation and no
+    all-pairs product.
+
+    The deterministic sibling of :func:`near_dup_pairs` (reference
+    analog: the same near-dup semantics detanalysis expresses through
+    its cut pipeline, `/root/reference/detanalysis/analyzer.py` cut
+    registration): use THIS when every qualifying pair must be found
+    (contracts, eval-set audits), and the MinHash path when a ~1e-8
+    miss probability is acceptable and the corpus is shingle-heavy.
+
+    Jaccard = co / (|A| + |B| - co) by inclusion–exclusion, so the
+    pair aggregate already carries everything — one gram-keyed shuffle
+    plus one pair-keyed aggregate, total.
+
+    Scale: Jaccard >= t forces t·max(|A|,|B|) <= min(|A|,|B|); that
+    size-ratio bound is applied to posting pairs BEFORE the pair
+    shuffle (PPJoin-style length filter), and ``max_df`` prunes
+    boilerplate grams (see :func:`_shingle_cooccurrence`).
+    """
+    t = float(threshold)
+    size_bound = (F.least("sz_a", "sz_b")
+                  >= t * F.greatest("sz_a", "sz_b")) if t > 0 else None
+    co = _shingle_cooccurrence(docs, id_col, text_col, shingle_n,
+                               shingle_fn, max_df, size_bound)
+    jac = F.col("co") / (F.col("sz_a") + F.col("sz_b") - F.col("co"))
+    return (co.select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= t))
+
+
+def containment_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", threshold: float = 0.9,
+                      shingle_n: int = 3, shingle_fn=word_shingles,
+                      max_df: int | None = None,
+                      min_shingles: int = 1) -> DataFrame:
+    """Near-SUPERSET detection: (id_a, id_b, containment) for pairs
+    where the SMALLER shingle set is >= ``threshold`` contained in the
+    larger — containment C = |A ∩ B| / min(|A|, |B|) (id_a < id_b).
+
+    Jaccard misses quote-inclusion: a document embedded whole inside a
+    10× larger one has containment 1.0 but Jaccard ~0.1. Training-data
+    curation needs the asymmetric measure to catch wrapped/expanded
+    duplicates (the standard containment variant of the resemblance
+    sketch, Broder's original formulation).
+
+    No size-ratio prune is valid here (a tiny set can be fully
+    contained in a huge one — that's the signal), so the only
+    candidate pruning is ``max_df``; expect Σ df² cost to be the real
+    bound at scale and set ``max_df`` for web-scale corpora.
+    ``min_shingles`` drops sets smaller than that from BOTH sides
+    (a 1-shingle doc is "contained" in anything sharing the shingle).
+    """
+    t = float(threshold)
+    m = int(min_shingles)
+    guard = (F.least("sz_a", "sz_b") >= m) if m > 1 else None
+    co = _shingle_cooccurrence(docs, id_col, text_col, shingle_n,
+                               shingle_fn, max_df, guard)
+    cont = F.col("co") / F.least("sz_a", "sz_b")
+    return (co.select("id_a", "id_b", cont.alias("containment"))
+            .filter(F.col("containment") >= t))
 
 
 def hash_band_explode(hashes: DataFrame, id_col: str,

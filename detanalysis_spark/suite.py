@@ -915,6 +915,88 @@ def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# EXACT n-gram-Jaccard similarity join (inverted shingle index, NEW
+# round 9) vs the same all-pairs SQL oracle family as the MinHash
+# path — but here the Spark side guarantees every qualifying pair
+# (llm/dedup.py:jaccard_index_pairs): gram-keyed postings self-join
+# with the PPJoin size-ratio bound applied before the pair shuffle,
+# never an all-pairs product and never a signature miss. Threshold
+# 0.4 (vs the MinHash query's 0.5) so the two queries pin different
+# cut surfaces of the same corpus.
+# ----------------------------------------------------------------------
+@query("jaccard_pairs_exact", oracle=r"""
+WITH t AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks)-1)]) AS sh
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+             6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE len(a.sh) >= 1 AND len(b.sh) >= 1
+  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4
+""")
+def jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _DD.jaccard_index_pairs(docs, "doc_id", "text",
+                                    threshold=0.4)
+    return pairs.select("id_a", "id_b",
+                        F.round("jaccard", 6).alias("jaccard"))
+
+
+# ----------------------------------------------------------------------
+# Containment (near-superset) pairs (NEW round 9) — Broder's
+# asymmetric resemblance: |A ∩ B| / min(|A|,|B|). Jaccard is blind to
+# quote-inclusion (a doc embedded in a 10x larger one scores ~0.1), so
+# curation needs this measure to catch wrapped/expanded duplicates.
+# The corpus plants one wrapper per doc_id % 7 == 0 (prologue + full
+# text + epilogue): the wrapped original's trigram set survives intact
+# inside the wrapper, so containment is exactly 1.0 — and the oracle
+# computes all-pairs containment over the SAME constructed corpus, so
+# any false pair or missed real near-superset among the base docs also
+# flips the hash.
+# ----------------------------------------------------------------------
+@query("containment_superset_pairs", oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         'wrapper prologue preamble ' || text ||
+         ' epilogue appendix wrapper'
+  FROM documents WHERE doc_id % 7 = 0),
+t AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks)-1)]) AS sh
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM corpus))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             least(len(a.sh), len(b.sh)), 6) AS containment
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE least(len(a.sh), len(b.sh)) >= 2
+  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+      least(len(a.sh), len(b.sh)) >= 0.9
+""")
+def containment_superset_pairs(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = (docs.filter(F.col("doc_id") % 7 == 0)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.concat(F.lit("wrapper prologue preamble "),
+                                F.col("text"),
+                                F.lit(" epilogue appendix wrapper"))
+                       .alias("text")))
+    corpus = docs.select("doc_id", "text").unionByName(wrapped)
+    pairs = _DD.containment_pairs(corpus, "doc_id", "text",
+                                  threshold=0.9, min_shingles=2)
+    return pairs.select("id_a", "id_b",
+                        F.round("containment", 6).alias("containment"))
+
+
+# ----------------------------------------------------------------------
 # text quality signals (llm/text.py) — portable-regex parity with RE2
 # ----------------------------------------------------------------------
 @query("text_quality_by_source", oracle=r"""

@@ -1519,6 +1519,104 @@ def test_token_cosine_pairs_max_df_prunes_common_terms(spark):
     assert abs(pruned[(0, 2)] - 2 / 3) < 1e-12
 
 
+def test_jaccard_index_pairs_matches_brute_force(spark):
+    """Inverted-index exact Jaccard join == brute-force set Jaccard on
+    every qualifying pair (and ONLY those) — the no-miss contract the
+    MinHash path can't make."""
+    from detanalysis_spark.llm.dedup import (jaccard_index_pairs,
+                                             word_shingles)
+    base = "the quick brown fox jumps over the lazy dog sits"
+    rows = [(0, base), (1, base), (2, base + " with an extra tail"),
+            (3, "completely different words about spark and shuffles"),
+            (4, "short text"), (5, "short text")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def sh(t, n=3):
+        tk = t.split()
+        return {" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+
+    want = {}
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1:]:
+            a, b = sh(ta), sh(tb)
+            u = len(a | b)
+            j = len(a & b) / u if u else 0.0
+            if j >= 0.4:
+                want[(ia, ib)] = j
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           jaccard_index_pairs(df, threshold=0.4).collect()}
+    # docs 4/5 have EMPTY trigram sets (2 tokens): no posting, no pair
+    want.pop((4, 5), None)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_jaccard_index_pairs_size_bound_is_lossless(spark):
+    """The pre-shuffle size-ratio prune never drops a qualifying pair:
+    threshold=0 (bound off) and threshold filter applied after must
+    agree with the bounded plan at the same threshold."""
+    from detanalysis_spark.llm.dedup import jaccard_index_pairs
+    rows = [(i, f"w{i} common one two three four five six seven")
+            for i in range(6)] + [(10, "one two three"), (11, "one two")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    unbounded = {(r.id_a, r.id_b): r.jaccard for r in
+                 jaccard_index_pairs(df, threshold=0.0).collect()
+                 if r.jaccard >= 0.5}
+    bounded = {(r.id_a, r.id_b): r.jaccard for r in
+               jaccard_index_pairs(df, threshold=0.5).collect()}
+    assert bounded == unbounded
+
+
+def test_jaccard_index_pairs_max_df_prunes(spark):
+    from detanalysis_spark.llm.dedup import jaccard_index_pairs
+    # every doc shares the same boilerplate trigram; only 0/1 really dup
+    rows = [(0, "alpha beta gamma x0 y0"), (1, "alpha beta gamma x0 y0"),
+            (2, "alpha beta gamma p q"), (3, "alpha beta gamma r s")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = {(r.id_a, r.id_b) for r in
+            jaccard_index_pairs(df, threshold=0.15).collect()}
+    assert (0, 1) in full and (2, 3) in full
+    pruned = {(r.id_a, r.id_b) for r in
+              jaccard_index_pairs(df, threshold=0.15, max_df=2).collect()}
+    assert (0, 1) in pruned            # true dup survives (rare grams)
+    assert (2, 3) not in pruned        # boilerplate-only link pruned
+
+
+def test_containment_pairs_catches_quote_inclusion(spark):
+    """A doc wholly quoted inside a 5x larger one: containment 1.0,
+    Jaccard far below any useful threshold — the asymmetric measure is
+    the point."""
+    from detanalysis_spark.llm.dedup import (containment_pairs,
+                                             jaccard_index_pairs)
+    quoted = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"filler{i}" for i in range(24))
+    rows = [(0, quoted), (1, filler + " " + quoted),
+            (2, "nothing in common with the others at all here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cont = {(r.id_a, r.id_b): r.containment for r in
+            containment_pairs(df, threshold=0.9).collect()}
+    assert abs(cont[(0, 1)] - 1.0) < 1e-12
+    assert (0, 2) not in cont and (1, 2) not in cont
+    jac = {(r.id_a, r.id_b) for r in
+           jaccard_index_pairs(df, threshold=0.4).collect()}
+    assert (0, 1) not in jac           # Jaccard blind to the inclusion
+
+
+def test_containment_pairs_min_shingles_guard(spark):
+    from detanalysis_spark.llm.dedup import containment_pairs
+    rows = [(0, "one two three"),                  # 1 trigram
+            (1, "one two three and much more text here okay")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b) for r in
+           containment_pairs(df, threshold=0.9).collect()}
+    assert (0, 1) in got               # default keeps it (documented)
+    guarded = {(r.id_a, r.id_b) for r in
+               containment_pairs(df, threshold=0.9,
+                                 min_shingles=2).collect()}
+    assert (0, 1) not in guarded
+
+
 def test_repetition_char_fractions_hand_computed(spark):
     from detanalysis_spark.llm.cleaning import repetition_char_fractions
     import pyspark.sql.functions as F
