@@ -32,7 +32,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sketch_distinct", "split_overlap_audit"]
+__all__ = ["sketch_distinct", "split_overlap_audit", "heavy_hitters"]
 
 
 def sketch_distinct(df: DataFrame, key_col: str,
@@ -102,3 +102,68 @@ def split_overlap_audit(df: DataFrame, split_col: str,
             .withColumn("jaccard",
                         F.col("n_intersection").cast("double")
                         / F.col("n_union")))
+
+
+def heavy_hitters(df: DataFrame, col: str, phi: float,
+                  capacity: int | None = None,
+                  broadcast_candidates: bool = True) -> DataFrame:
+    """EXACT φ-heavy-hitters in two passes — every value of ``col``
+    whose frequency strictly exceeds ``phi``·N, with its exact count
+    and frequency, and NO shuffle of the long tail.
+
+    The plain formulation (groupBy(col).count() then filter) shuffles
+    one row per DISTINCT value — at web scale the token/URL/host tail
+    is billions of keys that exist only to be discarded. Here:
+
+    Pass 1 (candidates): per-partition mergeable Misra–Gries
+    summaries with ``capacity`` counters (default ceil(1/φ)),
+    Arrow-batched: each batch is pre-aggregated with value_counts,
+    then MG-merged (sum counters; if over capacity, subtract the
+    (capacity+1)-th largest and keep the positive ones — the
+    Agarwal et al. mergeable-summaries rule). A value dropped by
+    every partition has global count ≤ N/(capacity+1) < φ·N, so the
+    union of survivors is a SUPERSET of the true heavy hitters:
+    ≤ capacity candidates per partition, no false negatives.
+
+    Pass 2 (exact): semi-join the input against the (distinct,
+    broadcast) candidate set — the tail is filtered map-side and
+    never shuffles — then an exact map-side-combined count of
+    candidates only, filtered to > φ·N.
+
+    Two scans of the input trade for tail-free shuffles — the right
+    trade whenever distinct(col) ≫ 1/φ (always, for tokens). N is
+    one eager count() on the driver (a bounded scalar, same pattern
+    as the suite's threshold builders).
+    """
+    if not (0.0 < float(phi) < 1.0):
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    import math as _math
+    k = int(capacity) if capacity is not None \
+        else int(_math.ceil(1.0 / float(phi)))
+    if k < 1:
+        raise ValueError(f"capacity must be >= 1, got {k}")
+    sel = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+    schema = sel.schema
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf["v"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {key: n - cut for key, n in counters.items()
+                            if n > cut}
+        import pandas as pd
+        yield pd.DataFrame({"v": list(counters.keys())})
+
+    cand = sel.mapInPandas(mg_partition, schema).distinct()
+    if broadcast_candidates:
+        cand = F.broadcast(cand)
+    n_total = sel.count()
+    exact = (sel.join(cand, "v", "left_semi")
+             .groupBy("v").agg(F.count(F.lit(1)).alias("count"))
+             .filter(F.col("count") > float(phi) * n_total))
+    return exact.select(F.col("v").alias(col), "count",
+                        (F.col("count") / F.lit(float(n_total)))
+                        .alias("freq"))

@@ -3006,6 +3006,62 @@ def jsonl_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# CSV corpus ingest round trip (NEW round 9) — documents shard out
+# through the native CSV writer (quoteAll exercises the quote/escape
+# state machine), two malformed lines are planted (type mismatch,
+# unclosed quote), and the PERMISSIVE quarantining reader
+# (sources/textio.py:read_csv_corpus) recovers every valid row exactly
+# — text_chars pins the text round trip itself, not just row counts.
+# ----------------------------------------------------------------------
+@query("csv_ingest_stats", oracle="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(length(text)) AS BIGINT) AS text_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_id
+FROM documents GROUP BY lang
+UNION ALL
+SELECT '__corrupt__', CAST(2 AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+""")
+def csv_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .sources.textio import read_csv_corpus
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        f"/tmp/detanalysis_spark_textio_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)) + "_docs_csv")
+    (docs.select("doc_id", "text", "lang", "source", "n_chars")
+         .write.mode("overwrite").option("header", "false")
+         .option("quoteAll", "true").csv(path))
+    spark.createDataFrame(
+        [('notanumber,"free text",en,src0,12',),
+         ('"unclosed quote here,en,src1,5',)], "value string") \
+        .write.mode("append").text(path)
+    good, bad = read_csv_corpus(
+        spark, path,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long", header=False)
+    stats = (good.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_chars").alias("total_chars"),
+                  F.sum(F.length("text")).alias("text_chars"),
+                  F.min("doc_id").alias("min_id")))
+    # the count must also reference a DATA column: Spark disallows CSV
+    # plans whose only referenced column is the corrupt record
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN); line is never null in `bad`
+    corrupt = (bad.agg(F.count(F.coalesce(
+                   F.col("line"), F.col("doc_id").cast("string")))
+                   .alias("n_docs"))
+               .select(F.lit("__corrupt__").alias("lang"),
+                       F.col("n_docs"),
+                       F.lit(None).cast("long").alias("total_chars"),
+                       F.lit(None).cast("long").alias("text_chars"),
+                       F.lit(None).cast("long").alias("min_id")))
+    return stats.unionByName(corrupt)
+
+
+# ----------------------------------------------------------------------
 # URL/domain provenance curation — deterministic URLs derived from
 # documents, parsed back through native parse_url, registered-domain
 # (eTLD+1) extraction incl. second-level suffixes (co.uk), a domain
@@ -5026,6 +5082,39 @@ def theta_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev = ev.withColumn("split", F.pmod(F.col("event_id"), F.lit(3)))
     return split_overlap_audit(ev, "split", "user_id")
+
+
+# ----------------------------------------------------------------------
+# EXACT φ-heavy-hitters (NEW round 9) — two-pass Misra–Gries candidate
+# generation + exact recount (operators/sketches.py:heavy_hitters).
+# The oracle is the plain groupBy-HAVING formulation; the Spark plan
+# under test never shuffles the token tail (per-partition MG summaries
+# → broadcast semi-join → candidate-only count). A single false
+# negative (MG dropping a real heavy hitter) or miscount flips the
+# hash.
+# ----------------------------------------------------------------------
+@query("heavy_hitter_tokens", oracle=r"""
+WITH t AS (
+  SELECT lower(u.x) AS tok
+  FROM documents,
+       unnest(list_filter(string_split_regex(text, '\s+'),
+                          x -> x <> '')) AS u(x)),
+n AS (SELECT count(*) AS n FROM t)
+SELECT tok, CAST(count(*) AS BIGINT) AS count,
+       round(count(*) / (SELECT n FROM n), 6) AS freq
+FROM t GROUP BY tok
+HAVING count(*) > 0.003 * (SELECT n FROM n)
+""")
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import heavy_hitters
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select(F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+                .alias("tok"))
+            .filter(F.col("tok") != ""))
+    hh = heavy_hitters(toks, "tok", 0.003)
+    return hh.select("tok", F.col("count"),
+                     F.round("freq", 6).alias("freq"))
 
 
 @query("sketch_rollup_day_profile", oracle="""

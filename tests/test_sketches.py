@@ -117,3 +117,62 @@ def test_update_rollup_persists_and_merges_sketches(spark, frame,
             for r in finalize_rollup(build_rollup(
                 frame, "ts", "value", **kw)).collect()}
     assert got == want
+
+
+def test_heavy_hitters_exact_vs_full_groupby(spark):
+    """Two-pass MG + recount == exact groupBy-count filter, on a
+    skewed planted stream split across many partitions."""
+    from detanalysis_spark.operators.sketches import heavy_hitters
+    rows = (["hot"] * 400 + ["warm"] * 120 +
+            [f"tail{i}" for i in range(480)])
+    df = spark.createDataFrame([(v,) for v in rows], ["tok"]) \
+              .repartition(16)
+    phi = 0.05                      # threshold: > 50 of 1000
+    got = {r.tok: (r["count"], r.freq)
+           for r in heavy_hitters(df, "tok", phi).collect()}
+    assert set(got) == {"hot", "warm"}
+    assert got["hot"][0] == 400 and got["warm"][0] == 120
+    assert abs(got["hot"][1] - 0.4) < 1e-12
+
+
+def test_heavy_hitters_threshold_is_strict(spark):
+    from detanalysis_spark.operators.sketches import heavy_hitters
+    # "edge" hits exactly phi*N: strictly-greater must exclude it
+    rows = ["edge"] * 10 + [f"t{i}" for i in range(90)]
+    df = spark.createDataFrame([(v,) for v in rows], ["tok"])
+    got = {r.tok for r in heavy_hitters(df, "tok", 0.10).collect()}
+    assert got == set()
+    got2 = {r.tok for r in heavy_hitters(df, "tok", 0.099).collect()}
+    assert got2 == {"edge"}
+
+
+def test_heavy_hitters_no_false_negatives_tiny_capacity(spark):
+    """Adversarial: capacity far below the distinct count and the
+    heavy item scattered across partitions — MG union must still
+    surface it (the N/(k+1) undercount bound)."""
+    from detanalysis_spark.operators.sketches import heavy_hitters
+    rows = ["needle"] * 300 + [f"noise{i % 700}" for i in range(700)]
+    df = spark.createDataFrame([(v,) for v in rows], ["tok"]) \
+              .repartition(32)
+    got = {r.tok: r["count"] for r in
+           heavy_hitters(df, "tok", 0.25, capacity=4).collect()}
+    assert got == {"needle": 300}
+
+
+def test_heavy_hitters_nulls_and_numeric_column(spark):
+    from detanalysis_spark.operators.sketches import heavy_hitters
+    rows = [(7,)] * 60 + [(None,)] * 50 + [(i,) for i in range(40)]
+    df = spark.createDataFrame(rows, "k: int")
+    got = {r.k: r["count"] for r in
+           heavy_hitters(df, "k", 0.3).collect()}
+    # N = 100 non-null (nulls excluded); 7 appears 60 + 1 (in range(40))
+    assert got == {7: 61}
+
+
+def test_heavy_hitters_rejects_bad_phi(spark):
+    from detanalysis_spark.operators.sketches import heavy_hitters
+    df = spark.createDataFrame([("a",)], ["tok"])
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "tok", 0.0)
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "tok", 1.5)
