@@ -1371,3 +1371,158 @@ class PQCodebook:
         pq.codebooks = np.frombuffer(
             bytes(r.data), dtype="<f8").reshape(r.m, r.k, r.sub).copy()
         return pq
+
+
+def knn_graph(df: DataFrame, k: int, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              block_col: str | None = None,
+              max_block_rows: int = 200_000) -> DataFrame:
+    """k-nearest-neighbor GRAPH over an embedding corpus — exact top-k
+    cosine neighbors for EVERY row → (id, rank, neighbor_id, cosine),
+    rank 1..k with deterministic ties (cosine desc, neighbor id asc).
+    The build step behind SemDeDup-style pruning, graph-ANN seeding,
+    and label propagation; distinct from :func:`cosine_topk`, which
+    ranks a SMALL probe set against the corpus — here every row is a
+    probe, so the all-pairs product must be broken up by construction.
+
+    Two tiers, same contract split as the rest of this module:
+
+    - ``block_col`` given (the 100 TB path): neighbors are searched
+      WITHIN blocks — IVF cell (``IVFIndex.with_cell``), cluster id,
+      language, any partitioner. One ``applyInPandas`` group per
+      block: unit-normalize once, one BLAS gram chunk per 2048 rows
+      (bounds the score matrix to ≤ ~3 GB only if the block itself is
+      huge — hence ``max_block_rows``, raise-don't-spill; split fat
+      cells first with :func:`balance_cells`). The only shuffle is the
+      hash exchange on ``block_col``; nothing crosses blocks, so
+      recall at block boundaries is the partitioner's property, as
+      with every cell-probed ANN.
+    - no ``block_col`` (exact tier / oracle baseline): the corpus is
+      collected ONCE into a broadcast matrix (same 10M-element guard
+      as ``cosine_near_dup_pairs``) and the corpus streams through it
+      with ``mapInPandas`` — distributed over the stream side, exact
+      GLOBAL top-k per row, for corpora small enough to broadcast.
+
+    Null vectors are dropped from both roles (they can't score);
+    within a block, neighbors are searched among SAME-DIMENSION
+    vectors (mixed-dimension groups score no cross pairs, matching the
+    null-on-mismatch fold semantics elsewhere).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    kk = int(k)
+    sel_cols = [F.col(id_col).alias("__kid__"),
+                _as_double(F.col(vec_col)).alias("__kv__")]
+    if block_col is not None:
+        sel_cols.append(F.col(block_col).alias("__kblk__"))
+    base = df.select(*sel_cols).filter(F.col("__kv__").isNotNull())
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (f"id {id_type}, rank int, neighbor_id {id_type}, "
+                  f"cosine double")
+
+    def _topk_rows(ids, X, ids_nbr, Xn, self_mask_fn):
+        """ids/X: probe rows; ids_nbr/Xn: candidate rows (unit)."""
+        out = []
+        BLK = 2048
+        for i in range(0, len(ids), BLK):
+            S = X[i:i + BLK] @ Xn.T
+            pids = ids[i:i + BLK]
+            mask = self_mask_fn(pids)
+            if mask is not None:
+                S[mask] = -np.inf
+            kcap = min(kk, S.shape[1] - (0 if mask is None else 1))
+            if kcap <= 0:
+                continue
+            # deterministic: sort candidates by (-cos, neighbor id)
+            order = np.lexsort((np.broadcast_to(ids_nbr, S.shape),
+                                -S), axis=-1)[:, :kcap]
+            rows = np.repeat(np.arange(S.shape[0]), kcap)
+            cols = order.ravel()
+            sims = S[rows, cols]
+            keep = np.isfinite(sims)
+            out.append(pd.DataFrame({
+                "id": np.repeat(pids, kcap)[keep],
+                "rank": np.tile(np.arange(1, kcap + 1),
+                                S.shape[0])[keep],
+                "neighbor_id": ids_nbr[cols][keep],
+                "cosine": sims[keep]}))
+        return out
+
+    if block_col is None:
+        pm = base.toPandas()
+        if len(pm) == 0:
+            return df.sparkSession.createDataFrame([], out_schema)
+        lens = pm["__kv__"].map(len).to_numpy()
+        if int(lens.sum()) > 10_000_000:
+            raise ValueError(
+                f"knn_graph: corpus matrix too large to broadcast "
+                f"({len(pm)} rows, {int(lens.sum())} elements > 10M) "
+                f"— pass block_col= (e.g. an IVF cell) at this scale")
+        groups = []
+        for dim in np.unique(lens):
+            sub = pm[lens == dim]
+            M = np.stack(sub["__kv__"].to_numpy()).astype(np.float64,
+                                                          copy=False)
+            nrm = np.linalg.norm(M, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            groups.append((int(dim), M / nrm,
+                           sub["__kid__"].to_numpy()))
+        bc = df.sparkSession.sparkContext.broadcast(groups)
+
+        def gen(batches):
+            grps = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                blens = pdf["__kv__"].map(
+                    lambda v: -1 if v is None else len(v)).to_numpy()
+                for dim, P, nbr_ids in grps:
+                    sub = pdf[blens == dim]
+                    if len(sub) == 0:
+                        continue
+                    X = np.stack(sub["__kv__"].to_numpy()).astype(
+                        np.float64, copy=False)
+                    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+                    nrm[nrm == 0] = 1.0
+                    X = X / nrm
+                    ids = sub["__kid__"].to_numpy()
+
+                    def self_mask(pids, _nbr=nbr_ids):
+                        return pids[:, None] == _nbr[None, :]
+
+                    yield from _topk_rows(ids, X, nbr_ids, P,
+                                          self_mask)
+
+        return base.mapInPandas(gen, out_schema)
+
+    def per_block(pdf):
+        if len(pdf) > max_block_rows:
+            raise ValueError(
+                f"knn_graph: block of {len(pdf)} rows exceeds "
+                f"max_block_rows={max_block_rows} — split fat cells "
+                f"(balance_cells) or raise the bound explicitly")
+        out = []
+        lens = pdf["__kv__"].map(len).to_numpy()
+        for dim in np.unique(lens):
+            sub = pdf[lens == dim]
+            if len(sub) < 2:
+                continue
+            M = np.stack(sub["__kv__"].to_numpy()).astype(np.float64,
+                                                          copy=False)
+            nrm = np.linalg.norm(M, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            M = M / nrm
+            ids = sub["__kid__"].to_numpy()
+
+            def self_mask(pids, _ids=ids):
+                return pids[:, None] == _ids[None, :]
+
+            out.extend(_topk_rows(ids, M, ids, M, self_mask))
+        if not out:
+            return pd.DataFrame(
+                {"id": [], "rank": [], "neighbor_id": [],
+                 "cosine": []})
+        return pd.concat(out, ignore_index=True)
+
+    return base.groupBy("__kblk__").applyInPandas(per_block,
+                                                  out_schema)

@@ -1121,6 +1121,38 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# kNN-graph build (NEW round 9) — exact top-k neighbors for EVERY row,
+# blocked by label (the IVF-cell-shaped partitioner at toy scale):
+# llm/similarity.py:knn_graph, one applyInPandas gram chunk per block,
+# no cross-block pairs, the only shuffle a hash exchange on the block
+# key. The oracle replays the label-blocked ranking with DuckDB's own
+# cosine — ranks, ids, and rounded scores all hash.
+# ----------------------------------------------------------------------
+@query("knn_graph_label_blocks", oracle="""
+WITH s AS (
+  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id),
+r AS (SELECT id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY sim DESC, neighbor_id ASC)
+               AS rank
+      FROM s)
+SELECT id, CAST(rank AS INT) AS rank, neighbor_id,
+       round(sim, 6) AS cosine
+FROM r WHERE rank <= 3
+""")
+def knn_graph_label_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.similarity import knn_graph
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = knn_graph(emb, k=3, block_col="label")
+    return g.select("id", "rank", "neighbor_id",
+                    F.round("cosine", 6).alias("cosine"))
+
+
+# ----------------------------------------------------------------------
 # streaming micro-batch ANN (zero aggregation state): probes arrive as
 # a 2-file stream, each micro-batch ranks via foreachBatch against the
 # static corpus. n_probe == n_centroids makes the IVF search EXHAUSTIVE
@@ -3404,6 +3436,64 @@ def compacted_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(cents(F.col("value"))).alias("value_cents"),
                  F.min("event_id").alias("min_id"),
                  F.max("event_id").alias("max_id")))
+
+
+# ----------------------------------------------------------------------
+# Copy-on-write keyed upsert / MERGE (NEW round 9) — orders land in a
+# bucket-partitioned COW table (sources/layout.py:cow_write), a
+# deterministic update batch (price bump + status flip on key%10==3,
+# brand-new keys on key%100==7) merges in via upsert_parquet — only
+# the touched bucket directories rewrite — and the post-merge table
+# aggregates by status. The oracle replays MERGE semantics
+# relationally (anti-join + union), so a lost update, a surviving
+# superseded row, or a dropped untouched bucket all flip the hash.
+# ----------------------------------------------------------------------
+@query("upsert_merge_stats", oracle="""
+WITH upd AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 100 = 7),
+merged AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+  UNION ALL SELECT * FROM upd)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM merged GROUP BY o_orderstatus
+""")
+def upsert_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .sources.layout import cow_write, read_cow, upsert_parquet
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    path = os.path.join(
+        f"/tmp/detanalysis_spark_textio_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)) + "_orders_cow")
+    cow_write(orders, path, "o_orderkey", num_buckets=8)
+    upd = (orders.filter(F.col("o_orderkey") % 10 == 3)
+           .select("o_orderkey", F.lit("U").alias("o_orderstatus"),
+                   (F.col("o_totalprice") + 1000.0)
+                   .alias("o_totalprice")))
+    ins = (orders.filter(F.col("o_orderkey") % 100 == 7)
+           .select((F.col("o_orderkey") + 10_000_000)
+                   .alias("o_orderkey"),
+                   F.lit("N").alias("o_orderstatus"),
+                   F.col("o_totalprice")))
+    upsert_parquet(spark, path, upd.unionByName(ins))
+    return (read_cow(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(cents(F.col("o_totalprice")))
+                 .alias("price_cents"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key")))
 
 
 # ----------------------------------------------------------------------

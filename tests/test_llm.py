@@ -2216,3 +2216,82 @@ def test_fix_mojibake(spark):
     nul = spark.createDataFrame([(None,)], "t string").select(
         fix_mojibake(F.col("t")).alias("f")).collect()[0]
     assert nul.f is None
+
+
+def _np_knn(vecs, ids, k):
+    import numpy as np
+    M = np.asarray(vecs, dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    want = {}
+    for i, pid in enumerate(ids):
+        cand = [(-S[i, j], ids[j]) for j in range(len(ids)) if j != i]
+        cand.sort()
+        want[pid] = [(r + 1, nid, -negs)
+                     for r, (negs, nid) in enumerate(cand[:k])]
+    return want
+
+
+def test_knn_graph_unblocked_matches_numpy(spark):
+    from detanalysis_spark.llm.similarity import knn_graph
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(12, 8)).tolist()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>").repartition(4)
+    got = {}
+    for r in knn_graph(df, k=3).collect():
+        got.setdefault(r.id, []).append((r["rank"], r.neighbor_id,
+                                         r.cosine))
+    want = _np_knn(vecs, list(range(12)), 3)
+    assert set(got) == set(want)
+    for pid in want:
+        got[pid].sort()
+        for (gr, gn, gc), (wr, wn, wc) in zip(got[pid], want[pid]):
+            assert (gr, gn) == (wr, wn)
+            assert abs(gc - wc) < 1e-9
+
+
+def test_knn_graph_blocked_matches_per_block_numpy(spark):
+    from detanalysis_spark.llm.similarity import knn_graph
+    rng = np.random.default_rng(11)
+    rows, want = [], {}
+    for blk in range(3):
+        vecs = rng.normal(size=(6, 5)).tolist()
+        ids = [blk * 100 + i for i in range(6)]
+        rows += [(i, v, blk) for i, v in zip(ids, vecs)]
+        want.update(_np_knn(vecs, ids, 2))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell int") \
+        .repartition(5)
+    got = {}
+    for r in knn_graph(df, k=2, block_col="cell").collect():
+        got.setdefault(r.id, []).append((r["rank"], r.neighbor_id))
+    assert set(got) == set(want)
+    for pid in want:
+        assert sorted(got[pid]) == [(r, n) for r, n, _ in want[pid]]
+    # no edge crosses a block
+    for pid, nbrs in got.items():
+        assert all(pid // 100 == n // 100 for _, n in nbrs)
+
+
+def test_knn_graph_k_exceeds_block_and_singleton(spark):
+    from detanalysis_spark.llm.similarity import knn_graph
+    rows = [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0),
+            (2, [0.0, 1.0], 1)]                     # block 1 singleton
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell int")
+    got = {(r.id, r["rank"], r.neighbor_id)
+           for r in knn_graph(df, k=5, block_col="cell").collect()}
+    assert got == {(0, 1, 1), (1, 1, 0)}   # singleton emits nothing
+
+
+def test_knn_graph_null_vectors_dropped_and_guards(spark):
+    from detanalysis_spark.llm.similarity import knn_graph
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<double>")
+    got = {r.id for r in knn_graph(df, k=1).collect()}
+    assert got == {0, 2}
+    with pytest.raises(ValueError):
+        knn_graph(df, k=0)

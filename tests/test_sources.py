@@ -793,3 +793,83 @@ def test_wet_parses_crlf_and_extra_headers(spark, tmp_path):
     assert r[0].payload == "some text"
     assert r[0].content_length == 9
     assert r[0].warc_date == "2024-05-01T00:00:00Z"
+
+
+# ----------------------------------------------------------------------
+# copy-on-write keyed upsert (sources/layout.py)
+# ----------------------------------------------------------------------
+def test_cow_upsert_merge_semantics(spark, tmp_path):
+    from detanalysis_spark.sources.layout import (cow_write, read_cow,
+                                                  upsert_parquet)
+    path = str(tmp_path / "cow")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 1.0 * i) for i in range(50)],
+        "k long, s string, x double")
+    cow_write(base, path, "k", num_buckets=8)
+    ups = spark.createDataFrame(
+        [(3, "UPDATED", -3.0), (7, "UPDATED", -7.0),
+         (100, "NEW", 100.0)],
+        "k long, s string, x double")
+    stats = upsert_parquet(spark, path, ups)
+    assert stats["n_buckets"] == 8
+    assert 1 <= len(stats["buckets_touched"]) <= 3
+    got = {r.k: (r.s, r.x) for r in read_cow(spark, path).collect()}
+    assert len(got) == 51
+    assert got[3] == ("UPDATED", -3.0) and got[7] == ("UPDATED", -7.0)
+    assert got[100] == ("NEW", 100.0)
+    assert got[4] == ("v4", 4.0)
+
+
+def test_cow_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    import glob
+    import os
+    from detanalysis_spark.sources.layout import cow_write, upsert_parquet
+    path = str(tmp_path / "cow2")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(200)], "k long, v long")
+    cow_write(base, path, "k", num_buckets=16)
+    before = {f: os.path.getmtime(f) for f in
+              glob.glob(f"{path}/__bucket__=*/*.parquet")}
+    ups = spark.createDataFrame([(5, -1), (6, -2)], "k long, v long")
+    stats = upsert_parquet(spark, path, ups)
+    touched = set(stats["buckets_touched"])
+    after = {f: os.path.getmtime(f) for f in
+             glob.glob(f"{path}/__bucket__=*/*.parquet")}
+    untouched_before = {f: t for f, t in before.items()
+                        if int(f.split("__bucket__=")[1].split("/")[0])
+                        not in touched}
+    # untouched bucket files: same paths, same mtimes — never rewritten
+    for f, t in untouched_before.items():
+        assert after.get(f) == t
+    # no leftover temp/backup dirs
+    assert not glob.glob(f"{path}.__cow_tmp__")
+    assert not glob.glob(f"{path}/.__bucket__*__cow_bak__")
+
+
+def test_cow_read_prunes_by_bucket_filter(spark, tmp_path):
+    from detanalysis_spark.sources.layout import (_bucket_expr,
+                                                  cow_write, read_cow)
+    path = str(tmp_path / "cow3")
+    base = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(100)], "k long, s string")
+    cow_write(base, path, "k", num_buckets=8)
+    df = read_cow(spark, path, drop_bucket=False)
+    probe = spark.createDataFrame([(42,)], "k long") \
+        .select(_bucket_expr(["k"], 8).alias("b")).first().b
+    hit = df.filter((F.col("__bucket__") == probe) & (F.col("k") == 42))
+    assert hit.count() == 1
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    # directory-partition pruning: only 1 of 8 partition dirs scanned
+    assert "__bucket__" in plan
+
+
+def test_cow_upsert_empty_updates_is_noop(spark, tmp_path):
+    from detanalysis_spark.sources.layout import (cow_write, read_cow,
+                                                  upsert_parquet)
+    path = str(tmp_path / "cow4")
+    base = spark.createDataFrame([(1, "a")], "k long, s string")
+    cow_write(base, path, "k", num_buckets=4)
+    empty = spark.createDataFrame([], "k long, s string")
+    stats = upsert_parquet(spark, path, empty)
+    assert stats["buckets_touched"] == []
+    assert read_cow(spark, path).count() == 1
