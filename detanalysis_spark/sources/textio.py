@@ -34,7 +34,8 @@ from pyspark.sql.types import StructType
 
 __all__ = ["read_jsonl", "read_jsonl_quarantine", "write_jsonl",
            "read_csv_corpus", "stream_jsonl_quarantine",
-           "read_wet", "write_wet", "stream_wet"]
+           "read_wet", "write_wet", "stream_wet",
+           "read_warc", "write_warc", "stream_warc"]
 
 
 def _top_level_ddl_names(ddl: str) -> list[str]:
@@ -218,24 +219,19 @@ def _parse_wet_files(raw: DataFrame,
     return out
 
 
-def stream_wet(spark: SparkSession, path: str,
-               record_types: tuple[str, ...] = ("conversion",),
-               max_files_per_trigger: int | None = None,
-               glob: str = "*",
-               max_shard_bytes: int = 4 << 30) -> DataFrame:
-    """Streaming twin of :func:`read_wet`: an unbounded record frame
-    over WET shards landing under ``path`` — the continuous crawl
-    front door.
+def _stream_shard_text(spark: SparkSession, path: str, glob: str,
+                       max_files_per_trigger: int | None,
+                       max_shard_bytes: int, who: str) -> DataFrame:
+    """Shared streaming shard decoder behind :func:`stream_wet` and
+    :func:`stream_warc`: an unbounded (source_file, value) frame with
+    value = one whole decompressed shard as text.
 
     The streaming text source has no ``wholetext`` mode (it emits
     lines, destroying record framing), so shards arrive through the
     ``binaryFile`` source — one row per file — and a tiny Arrow-batched
     UDF gunzips/decodes each file to text (per FILE, not per record:
     the only Python in the path, unavoidable because gzip isn't a SQL
-    expression). Record split + header parse are then the SAME
-    projections-only plan as the batch reader, so batch == streaming
-    row-for-row on the same files. Downstream curation/dedup stages
-    compose (all stateless per record).
+    expression).
 
     Memory bound (documented, per ISO 28500's unsplittable gzip
     members): each task holds ONE decompressed shard in memory while
@@ -282,24 +278,56 @@ def stream_wet(spark: SparkSession, path: str,
                         total += len(chunk)
                         if total > cap:
                             raise ValueError(
-                                f"stream_wet: shard {p} decompresses "
+                                f"{who}: shard {p} decompresses "
                                 f"past max_shard_bytes={cap} bytes; "
                                 "re-shard the input or raise the cap")
                         chunks.append(chunk)
                 bb = b"".join(chunks)
             elif len(bb) > cap:
                 raise ValueError(
-                    f"stream_wet: shard {p} is {len(bb)} bytes, past "
+                    f"{who}: shard {p} is {len(bb)} bytes, past "
                     f"max_shard_bytes={cap}; re-shard the input or "
                     "raise the cap")
             out.append(bb.decode("utf-8", errors="replace"))
         return pd.Series(out)
 
-    raw = (r.load(path)
-           .select(F.col("path").alias("source_file"),
-                   _decode(F.col("path"), F.col("content"))
-                   .alias("value")))
+    return (r.load(path)
+            .select(F.col("path").alias("source_file"),
+                    _decode(F.col("path"), F.col("content"))
+                    .alias("value")))
+
+
+def stream_wet(spark: SparkSession, path: str,
+               record_types: tuple[str, ...] = ("conversion",),
+               max_files_per_trigger: int | None = None,
+               glob: str = "*",
+               max_shard_bytes: int = 4 << 30) -> DataFrame:
+    """Streaming twin of :func:`read_wet`: an unbounded record frame
+    over WET shards landing under ``path`` — the continuous crawl
+    front door. Shards decode per file (see
+    :func:`_stream_shard_text` for the memory bound and the
+    ``max_shard_bytes`` guard); record split + header parse are then
+    the SAME projections-only plan as the batch reader, so batch ==
+    streaming row-for-row on the same files. Downstream curation/dedup
+    stages compose (all stateless per record)."""
+    raw = _stream_shard_text(spark, path, glob, max_files_per_trigger,
+                             max_shard_bytes, "stream_wet")
     return _parse_wet_files(raw, record_types)
+
+
+def stream_warc(spark: SparkSession, path: str,
+                record_types: tuple[str, ...] = ("response",),
+                max_files_per_trigger: int | None = None,
+                glob: str = "*",
+                max_shard_bytes: int = 4 << 30) -> DataFrame:
+    """Streaming twin of :func:`read_warc` — unbounded full-WARC
+    response records (HTTP envelope parsed off) over shards landing
+    under ``path``. Same decode bound as :func:`stream_wet`; same
+    batch == streaming row-parity by construction
+    (:func:`_parse_warc_files` is projections/filters only)."""
+    raw = _stream_shard_text(spark, path, glob, max_files_per_trigger,
+                             max_shard_bytes, "stream_warc")
+    return _parse_warc_files(raw, record_types)
 
 
 def write_wet(df: DataFrame, path: str, uri_col: str, payload_col: str,
@@ -335,6 +363,122 @@ def write_wet(df: DataFrame, path: str, uri_col: str, payload_col: str,
     # one warcinfo record for the whole dataset via a tiny union —
     # records are self-delimiting, placement within/among shards is
     # free for parsers (see docstring for the per-shard-header caveat)
+    out = body.sparkSession.createDataFrame([(head,)], "value string") \
+        .unionByName(body)
+    w = out.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+
+
+def read_warc(spark: SparkSession, path: str,
+              record_types: tuple[str, ...] = ("response",)
+              ) -> DataFrame:
+    """Full-WARC reader (ISO 28500 response/request records, the raw
+    Common Crawl format upstream of WET): the WET record machinery
+    plus the HTTP envelope parse → one row per record:
+    ``(source_file, warc_type, target_uri, warc_date, record_id,
+    content_length, http_status, http_content_type, body)``.
+
+    A ``response`` record's payload is an HTTP message — status line,
+    headers, blank line, entity body. All three pieces come out as
+    native projections: status code and Content-Type from the header
+    block, ``body`` with the HTTP envelope stripped. Records whose
+    payload carries no HTTP envelope (``warcinfo``, ``metadata``,
+    WET-style ``conversion``) pass through with null status/type and
+    ``body`` = payload, so ``record_types=None`` reads mixed archives.
+
+    Same text-mode framing caveat as :func:`read_wet` (records split
+    on version lines, not byte-exact Content-Length): correct for
+    text-bodied crawls; byte-exact binary WARCs need the
+    ``binaryFile`` + ``mapInPandas`` path.
+    """
+    raw = (spark.read.text(path, wholetext=True)
+           .select(F.input_file_name().alias("source_file"), "value"))
+    return _parse_warc_files(raw, record_types)
+
+
+def _parse_warc_files(raw: DataFrame,
+                      record_types: tuple[str, ...] | None) -> DataFrame:
+    rec = F.explode(F.slice(
+        F.split(F.col("value"), r"(?m)^WARC/\d+\.\d+\r?\n"),
+        2, 2_147_483_646)).alias("rec")
+    recs = raw.select("source_file", rec)
+    header = F.regexp_extract(F.col("rec"),
+                              r"(?s)^(.*?)\r?\n\r?\n", 1)
+    payload = F.regexp_replace(
+        F.regexp_replace(F.col("rec"), r"(?s)^.*?\r?\n\r?\n", ""),
+        r"(?s)\r?\n\r?\n$", "")
+
+    def h(name: str):
+        return F.regexp_extract(header,
+                                rf"(?im)^{name}:\s*(.*?)\r?$", 1)
+
+    http_head = F.regexp_extract(
+        payload, r"(?s)^(HTTP/\d+(?:\.\d+)?[^\r\n]*\r?\n.*?)\r?\n\r?\n",
+        1)
+    has_http = http_head != ""
+    status = F.when(has_http, F.regexp_extract(
+        http_head, r"^HTTP/\d+(?:\.\d+)?\s+(\d{3})", 1)
+        .try_cast("int"))
+    ctype = F.when(has_http, F.regexp_extract(
+        http_head, r"(?im)^Content-Type:\s*(.*?)\r?$", 1))
+    body = F.when(has_http, F.regexp_replace(
+        payload, r"(?s)^HTTP/\d+(?:\.\d+)?[^\r\n]*\r?\n.*?\r?\n\r?\n",
+        "")).otherwise(payload)
+    out = recs.select(
+        "source_file",
+        F.lower(h("WARC-Type")).alias("warc_type"),
+        h("WARC-Target-URI").alias("target_uri"),
+        h("WARC-Date").alias("warc_date"),
+        h("WARC-Record-ID").alias("record_id"),
+        h("Content-Length").try_cast("long").alias("content_length"),
+        status.alias("http_status"),
+        ctype.alias("http_content_type"),
+        body.alias("body"))
+    if record_types is not None:
+        out = out.filter(F.col("warc_type").isin(
+            [t.lower() for t in record_types]))
+    return out
+
+
+def write_warc(df: DataFrame, path: str, uri_col: str, body_col: str,
+               status_col: str | None = None,
+               content_type: str = "text/html",
+               date: str = "2026-01-01T00:00:00Z",
+               compression: str | None = None,
+               mode: str = "overwrite") -> None:
+    """Shard ``df`` as WARC ``response`` records with a synthesized
+    HTTP/1.1 envelope (status line from ``status_col`` or 200,
+    Content-Type, byte-exact HTTP Content-Length) — the inverse of
+    :func:`read_warc` for round trips and WARC-consuming tools. One
+    ``warcinfo`` record heads the DATASET, not each shard (same
+    placement caveat as :func:`write_wet`). WARC Content-Length covers
+    the whole HTTP message in OCTETS, as ISO 28500 requires."""
+    status = (F.col(status_col).cast("string") if status_col
+              else F.lit("200"))
+    http = F.concat(
+        F.lit("HTTP/1.1 "), status, F.lit(" OK\n"),
+        F.lit(f"Content-Type: {content_type}\n"),
+        F.lit("Content-Length: "),
+        F.octet_length(F.col(body_col)).cast("string"),
+        F.lit("\n\n"), F.col(body_col))
+    rec = F.concat(
+        F.lit("WARC/1.0\n"),
+        F.lit("WARC-Type: response\n"),
+        F.lit("WARC-Target-URI: "), F.col(uri_col), F.lit("\n"),
+        F.lit(f"WARC-Date: {date}\n"),
+        F.lit("WARC-Record-ID: <urn:uuid:"),
+        F.md5(F.concat(F.col(uri_col), F.lit(" "),
+                       F.col(body_col))), F.lit(">\n"),
+        F.lit("Content-Length: "),
+        F.octet_length(http).cast("string"), F.lit("\n\n"),
+        http, F.lit("\n"))
+    info = "software: detanalysis_spark"
+    head = ("WARC/1.0\nWARC-Type: warcinfo\n"
+            f"WARC-Date: {date}\nContent-Length: {len(info)}\n\n"
+            f"{info}\n")
+    body = df.select(rec.alias("value"))
     out = body.sparkSession.createDataFrame([(head,)], "value string") \
         .unionByName(body)
     w = out.write.mode(mode)

@@ -3240,6 +3240,71 @@ def wet_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Full-WARC response ingest round trip (NEW round 9) — documents wrap
+# as HTTP responses inside WARC response records (write_warc:
+# status line, Content-Type, byte-exact HTTP Content-Length), then
+# read_warc parses WARC headers AND the HTTP envelope back out. The
+# oracle rebuilds the exact HTTP message per doc in SQL and takes its
+# strlen (octets), so the status-line parse, the envelope strip, and
+# the double Content-Length accounting (WARC over HTTP) are all under
+# the hash.
+# ----------------------------------------------------------------------
+@query("warc_ingest_stats", oracle="""
+WITH m AS (
+  SELECT source, doc_id,
+         '<p>' || text || '</p>' AS body,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 200
+              WHEN 1 THEN 404 ELSE 301 END AS status
+  FROM documents),
+h AS (
+  SELECT source, doc_id, body, status,
+         'HTTP/1.1 ' || status || ' OK' || chr(10) ||
+         'Content-Type: text/html' || chr(10) ||
+         'Content-Length: ' || strlen(body) || chr(10) || chr(10) ||
+         body AS msg
+  FROM m)
+SELECT source, CAST(status AS INT) AS http_status,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(length(body)) AS BIGINT) AS body_chars,
+       CAST(sum(strlen(msg)) AS BIGINT) AS msg_octets,
+       CAST(min(doc_id) AS BIGINT) AS min_id
+FROM h GROUP BY source, status
+""")
+def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from .sources.textio import read_warc, write_warc
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        f"/tmp/detanalysis_spark_textio_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)) + "_docs_warc")
+    shutil.rmtree(path, ignore_errors=True)
+    v = (F.col("doc_id") % 3).cast("int")
+    tagged = docs.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example/d/"), F.col("doc_id")).alias("uri"),
+        F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+        .alias("html"),
+        (F.when(v == 0, 200).when(v == 1, 404).otherwise(301))
+        .alias("code"))
+    write_warc(tagged.coalesce(4), path, "uri", "html",
+               status_col="code", compression="gzip")
+    recs = read_warc(spark, path)    # warcinfo filtered by default
+    src = F.regexp_extract("target_uri", r"^https://([^.]+)\.example", 1)
+    doc_id = F.regexp_extract("target_uri", r"/d/(\d+)$", 1).cast("long")
+    return (recs.select(src.alias("source"), "http_status",
+                        doc_id.alias("doc_id"),
+                        F.length("body").alias("bc"),
+                        "content_length")
+            .groupBy("source", "http_status")
+            .agg(F.count(F.lit(1)).alias("n_records"),
+                 F.sum("bc").alias("body_chars"),
+                 F.sum("content_length").alias("msg_octets"),
+                 F.min("doc_id").alias("min_id")))
+
+
+# ----------------------------------------------------------------------
 # Unicode hygiene (NEW round 9) — planted per-doc markers: combining
 # sequences that NFC must compose (e+U+0301 → é, A+U+030A → Å) and a
 # zero-width space that strip_invisible must remove. The engine runs

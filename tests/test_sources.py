@@ -873,3 +873,64 @@ def test_cow_upsert_empty_updates_is_noop(spark, tmp_path):
     stats = upsert_parquet(spark, path, empty)
     assert stats["buckets_touched"] == []
     assert read_cow(spark, path).count() == 1
+
+
+# ----------------------------------------------------------------------
+# full-WARC response records (sources/textio.py read_warc/write_warc)
+# ----------------------------------------------------------------------
+def test_warc_response_round_trip(spark, tmp_path):
+    from detanalysis_spark.sources.textio import read_warc, write_warc
+    df = spark.createDataFrame(
+        [(1, "https://a.com/1", "<p>hello world</p>", 200),
+         (2, "https://a.com/2", "body with\n\nblank line inside", 404),
+         (3, "https://b.com/3", "", 200),             # empty body
+         (4, "https://c.com/4", "héllo ü", 301)],     # non-ASCII
+        "doc_id long, uri string, html string, code int")
+    p = str(tmp_path / "warc")
+    write_warc(df.coalesce(2), p, "uri", "html", status_col="code",
+               compression="gzip")
+    got = {r.target_uri: r for r in read_warc(spark, p).collect()}
+    assert len(got) == 4                              # warcinfo filtered
+    assert got["https://a.com/1"].body == "<p>hello world</p>"
+    assert got["https://a.com/1"].http_status == 200
+    assert got["https://a.com/1"].http_content_type == "text/html"
+    assert got["https://a.com/1"].warc_type == "response"
+    assert got["https://a.com/1"].record_id.startswith("<urn:uuid:")
+    # a body containing its own blank line survives the envelope strip
+    assert got["https://a.com/2"].body == \
+        "body with\n\nblank line inside"
+    assert got["https://a.com/2"].http_status == 404
+    assert got["https://b.com/3"].body == ""
+    assert got["https://c.com/4"].body == "héllo ü"
+    # WARC Content-Length covers the whole HTTP message in octets
+    r4 = got["https://c.com/4"]
+    assert r4.content_length > len("héllo ü".encode("utf-8"))
+
+
+def test_warc_mixed_records_and_non_http_passthrough(spark, tmp_path):
+    raw = ("WARC/1.0\r\nWARC-Type: response\r\n"
+           "WARC-Target-URI: https://x.com/\r\n"
+           "WARC-Date: 2024-05-01T00:00:00Z\r\n"
+           "Content-Length: 78\r\n\r\n"
+           "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n"
+           "Content-Length: 6\r\n\r\n"
+           "<i>x</i>\r\n\r\n"
+           "WARC/1.0\r\nWARC-Type: metadata\r\n"
+           "WARC-Target-URI: https://x.com/\r\n"
+           "Content-Length: 10\r\n\r\n"
+           "plain meta\r\n\r\n")
+    d = tmp_path / "mixedwarc"
+    d.mkdir()
+    (d / "f.warc").write_text(raw, encoding="utf-8")
+    from detanalysis_spark.sources.textio import read_warc
+    resp = read_warc(spark, str(d)).collect()
+    assert len(resp) == 1
+    assert resp[0].http_status == 200
+    assert resp[0].http_content_type == "text/html; charset=UTF-8"
+    assert resp[0].body == "<i>x</i>"
+    everything = read_warc(spark, str(d), record_types=None).collect()
+    assert {r.warc_type for r in everything} == {"response", "metadata"}
+    meta = next(r for r in everything if r.warc_type == "metadata")
+    # no HTTP envelope: body is the raw payload, status/type null
+    assert meta.body == "plain meta"
+    assert meta.http_status is None and meta.http_content_type is None

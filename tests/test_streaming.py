@@ -643,3 +643,32 @@ def test_stream_wet_shard_size_guard(spark, tmp_path):
             stream_wet(spark, p2, max_shard_bytes=50_000),
             "wet_guard_t3", output_mode="append", shuffle_partitions=2
         ).collect()
+
+
+def test_stream_warc_matches_batch(spark, tmp_path):
+    """The streaming full-WARC reader drains to exactly the batch
+    reader's rows (shared projections-only parse incl. the HTTP
+    envelope strip)."""
+    from detanalysis_spark.sources.textio import (read_warc,
+                                                  stream_warc,
+                                                  write_warc)
+    from detanalysis_spark.streaming.continuous import run_available_now
+
+    df = spark.createDataFrame(
+        [(i, f"https://s.com/{i}", f"<p>body {i}</p>", 200 + i % 2)
+         for i in range(9)],
+        "doc_id long, uri string, html string, code int")
+    p = str(tmp_path / "warc_stream")
+    write_warc(df.coalesce(3), p, "uri", "html", status_col="code",
+               compression="gzip")
+
+    batch = sorted((r.target_uri, r.body, r.http_status,
+                    r.content_length)
+                   for r in read_warc(spark, p).collect())
+    got = run_available_now(
+        stream_warc(spark, p, max_files_per_trigger=1),
+        "warc_stream_t", output_mode="append", shuffle_partitions=4)
+    stream = sorted((r.target_uri, r.body, r.http_status,
+                     r.content_length)
+                    for r in got.collect())
+    assert stream == batch and len(batch) == 9
