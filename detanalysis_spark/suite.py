@@ -948,6 +948,38 @@ def jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# PPJoin prefix-filtered exact Jaccard (NEW round 9) — the same
+# no-miss contract as jaccard_pairs_exact but candidates come from
+# each doc's rarest |X|-⌈t|X|⌉+1 grams only (llm/dedup.py
+# _jaccard_prefix_filtered, Bayardo et al. WWW'07). Same all-pairs
+# oracle family at a different threshold: a prefix-lemma bug (one
+# gram too few indexed) silently drops pairs and flips the hash.
+# ----------------------------------------------------------------------
+@query("jaccard_pairs_prefix_filtered", oracle=r"""
+WITH t AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks)-1)]) AS sh
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+             6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE len(a.sh) >= 1 AND len(b.sh) >= 1
+  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+""")
+def jaccard_pairs_prefix_filtered(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _DD.jaccard_index_pairs(docs, "doc_id", "text",
+                                    threshold=0.6, prefix_filter=True)
+    return pairs.select("id_a", "id_b",
+                        F.round("jaccard", 6).alias("jaccard"))
+
+
+# ----------------------------------------------------------------------
 # Containment (near-superset) pairs (NEW round 9) — Broder's
 # asymmetric resemblance: |A ∩ B| / min(|A|,|B|). Jaccard is blind to
 # quote-inclusion (a doc embedded in a 10x larger one scores ~0.1), so
@@ -5237,6 +5269,45 @@ def theta_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev = ev.withColumn("split", F.pmod(F.col("event_id"), F.lit(3)))
     return split_overlap_audit(ev, "split", "user_id")
+
+
+# ----------------------------------------------------------------------
+# Fuzzy (edit-distance) join (NEW round 9) — SymSpell
+# deletion-neighborhood blocking + native levenshtein verify
+# (operators/joins.py:fuzzy_join): the vocabulary is the part table's
+# distinct leading color words, the right side a deterministic typo of
+# each (3rd char dropped / 'x' appended). The oracle is the all-pairs
+# levenshtein filter, so a lossy blocking key (the SymSpell guarantee
+# broken) or an edit-distance disagreement flips the hash.
+# ----------------------------------------------------------------------
+@query("fuzzy_join_typos", oracle="""
+WITH w AS (
+  SELECT DISTINCT u.x AS word
+  FROM part, unnest(string_split(p_name, ' ')) u(x)),
+t AS (
+  SELECT DISTINCT CASE WHEN strlen(word) > 4
+              THEN substr(word, 1, 2) || substr(word, 4, strlen(word))
+              ELSE word || 'x' END AS typo
+  FROM w)
+SELECT w.word, t.typo,
+       CAST(levenshtein(w.word, t.typo) AS INT) AS edit_distance
+FROM w, t
+WHERE levenshtein(w.word, t.typo) <= 1
+""")
+def fuzzy_join_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import fuzzy_join
+    part = load_table(spark, sf_dir, "part")
+    words = part.select(F.explode(F.split(F.col("p_name"), " "))
+                        .alias("word")).distinct()
+    typo = (F.when(F.length("word") > 4,
+                   F.concat(F.substring("word", 1, 2),
+                            F.expr("substring(word, 4)")))
+            .otherwise(F.concat(F.col("word"), F.lit("x"))))
+    typos = words.select(typo.alias("typo")).distinct()
+    fj = fuzzy_join(words, typos, "word", "typo", max_distance=1)
+    return fj.select("word", "typo",
+                     F.col("edit_distance").cast("int")
+                     .alias("edit_distance"))
 
 
 # ----------------------------------------------------------------------

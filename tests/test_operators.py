@@ -674,3 +674,74 @@ def test_interval_overlap_join_vs_brute_force(spark):
         interval_overlap_join(left, right, "llo", "lhi", "rlo", "rhi", 0)
     with pytest.raises(ValueError, match="colliding"):
         interval_overlap_join(left, left, "llo", "lhi", "llo", "lhi", 1)
+
+
+# ----------------------------------------------------------------------
+# fuzzy (edit-distance) join via SymSpell deletion neighborhoods
+# ----------------------------------------------------------------------
+def test_delete_neighborhood_matches_python(spark):
+    from detanalysis_spark.operators.joins import delete_neighborhood
+    import itertools
+
+    def py_nbhd(s, d):
+        out = {s}
+        frontier = {s}
+        for _ in range(d):
+            nxt = set()
+            for v in frontier:
+                for i in range(len(v)):
+                    nxt.add(v[:i] + v[i + 1:])
+            out |= nxt
+            frontier = nxt
+        return out
+
+    for s, d in [("abc", 1), ("abc", 2), ("a", 1), ("", 1),
+                 ("hello", 2)]:
+        got = set(spark.createDataFrame([(s,)], "s string").select(
+            delete_neighborhood(F.col("s"), d).alias("n")).first().n)
+        assert got == py_nbhd(s, d), (s, d)
+    # null -> empty (joins nothing)
+    got = spark.createDataFrame([(None,)], "s string").select(
+        delete_neighborhood(F.col("s"), 1).alias("n")).first().n
+    assert got == []
+
+
+def test_fuzzy_join_matches_brute_force(spark):
+    """SymSpell blocking is lossless: equals all-pairs levenshtein
+    filter at d=1 and d=2 on a vocabulary with typos."""
+    from detanalysis_spark.operators.joins import fuzzy_join
+    words = ["grey", "gray", "green", "greet", "great", "spark",
+             "spank", "shark", "alpha", "alpna", "alphaa", "beta"]
+    typos = ["gery", "grean", "spak", "sparky", "alpha", "betaa",
+             "gamma"]
+    L = spark.createDataFrame([(w,) for w in words], ["word"])
+    R = spark.createDataFrame([(w,) for w in typos], ["typo"])
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    for d in (1, 2):
+        want = {(a, b, lev(a, b)) for a in words for b in typos
+                if lev(a, b) <= d}
+        got = {(r.word, r.typo, r.edit_distance) for r in
+               fuzzy_join(L, R, "word", "typo",
+                          max_distance=d).collect()}
+        assert got == want, f"d={d}"
+
+
+def test_fuzzy_join_same_column_name_and_duplicates(spark):
+    from detanalysis_spark.operators.joins import fuzzy_join
+    # duplicate rows collapse to distinct value pairs; same col name
+    # gets a _right suffix
+    L = spark.createDataFrame([("cat",), ("cat",)], ["w"])
+    R = spark.createDataFrame([("cut",), ("cut",)], ["w"])
+    rows = fuzzy_join(L, R, "w", "w", max_distance=1).collect()
+    assert len(rows) == 1
+    assert rows[0].w == "cat" and rows[0].w_right == "cut"
+    assert rows[0].edit_distance == 1
