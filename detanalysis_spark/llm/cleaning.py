@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "PII_PATTERNS", "pii_counts", "redact_pii",
+    "CARD_CANDIDATE_PATTERN", "luhn_valid", "credit_card_count",
     "repetition_scores", "repetition_struct",
     "benchmark_ngrams", "contamination_overlap",
     "line_frequencies", "remove_boilerplate_lines",
@@ -1060,3 +1061,50 @@ def fix_mojibake(text: Column) -> Column:
         return s.map(one)
 
     return _fix(text)
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated payment-card detection — digit-run regexes alone
+# drown in false positives (timestamps, ids, phone numbers); the Luhn
+# checksum is the standard validation gate (public ISO/IEC 7812), and
+# it folds entirely into native expressions: no UDF, no explode.
+# ---------------------------------------------------------------------------
+# 13-19 digits with optional single space/dash separators between them
+CARD_CANDIDATE_PATTERN = r"[0-9](?:[ -]?[0-9]){12,18}"
+
+
+def luhn_valid(digits: Column) -> Column:
+    """True when a pure-digit string passes the Luhn checksum —
+    double every second digit from the RIGHT, subtract 9 when the
+    double exceeds 9, sum divisible by 10. One native aggregate over
+    the char positions (the digit string is bound via reverse so
+    position parity is right-anchored)."""
+    rev = F.reverse(digits)
+
+    def term(i: Column) -> Column:
+        d = rev.substr(i, F.lit(1)).cast("int")
+        dbl = d * 2
+        return F.when(i % 2 == 0,
+                      F.when(dbl > 9, dbl - 9).otherwise(dbl)) \
+                .otherwise(d)
+
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.length(digits)), F.lit(0),
+        lambda acc, i: acc + term(i))
+    return (F.length(digits) >= 13) & (total % 10 == 0)
+
+
+def credit_card_count(text: Column) -> Column:
+    """Count of Luhn-VALID payment-card numbers in the text (plain or
+    space/dash-separated groups). The candidate regex stays wide and
+    the checksum does the precision work — the standard two-stage PII
+    card detector, all in whole-stage codegen:
+    ``regexp_extract_all → strip separators → Luhn filter → size``.
+    Route docs with a nonzero count to quarantine/redaction; a
+    separator-format-preserving redact can then target exactly the
+    validated matches."""
+    cands = F.regexp_extract_all(text, F.lit(CARD_CANDIDATE_PATTERN),
+                                 F.lit(0))
+    digits = F.transform(
+        cands, lambda c: F.regexp_replace(c, "[ -]", ""))
+    return F.size(F.filter(digits, luhn_valid))

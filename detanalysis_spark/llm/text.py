@@ -31,6 +31,7 @@ __all__ = [
     "bigram_logprob_scores", "save_bigram_lm", "load_bigram_lm",
     "word_frequencies", "bpe_pair_counts", "train_bpe", "bpe_segment_udf",
     "compression_ratio_udf", "sentence_split_udtf",
+    "SCRIPT_CLASSES", "script_counts", "dominant_script",
 ]
 
 # portable regexes (identical semantics in Java regex and RE2)
@@ -874,3 +875,67 @@ def doc_term_pmi(docs, vocab, id_col: str = "doc_id",
     return (co.join(ca, "term_a").join(cb, "term_b")
             .select("term_a", "term_b", "n_ab", "n_a", "n_b",
                     pmi.alias("pmi")))
+
+
+# ----------------------------------------------------------------------
+# writing-system (script) detection — the character-level complement
+# to the stopword language ID: Latin-stopword models are blind to
+# mixed-script spam, transliteration, and CJK/Cyrillic content that a
+# curation pipeline must route to per-script tokenizers and filters.
+# Class constants stay inside the regex subset Java regex and RE2
+# parse identically (the INVISIBLE_CLASS precedent), so SQL oracles
+# replay them verbatim.
+# ----------------------------------------------------------------------
+SCRIPT_CLASSES: dict[str, str] = {
+    # Basic Latin letters + Latin-1/Extended ranges
+    "latin": "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cyrillic": "[\\x{0400}-\\x{04FF}]",
+    "greek": "[\\x{0370}-\\x{03FF}]",
+    # Han + kana + hangul (the CJK content a Latin tokenizer mangles)
+    "cjk": ("[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}"
+            "\\x{AC00}-\\x{D7AF}]"),
+    "arabic": "[\\x{0600}-\\x{06FF}]",
+    "hebrew": "[\\x{0590}-\\x{05FF}]",
+    "digit": "[0-9]",
+}
+
+# deterministic argmax order (ties break toward the earlier name)
+_SCRIPT_ORDER = ("latin", "cyrillic", "greek", "cjk", "arabic",
+                 "hebrew")
+
+
+def script_counts(text: Column) -> Column:
+    """Per-script character counts as one struct column — counted as
+    ``length(text) − length(regexp_replace(text, class, ''))``, a pure
+    projection (no explode, no UDF): 8 native regex passes per row,
+    constant work per character. Fields: each ``SCRIPT_CLASSES`` key
+    plus ``total`` (all chars) and ``other`` (chars in no class)."""
+    total = F.length(text)
+    fields = [total.alias("total")]
+    classified = F.lit(0)
+    for name, cls in SCRIPT_CLASSES.items():
+        cnt = total - F.length(F.regexp_replace(text, cls, ""))
+        fields.append(cnt.alias(name))
+        classified = classified + cnt
+    fields.append((total - classified).alias("other"))
+    return F.struct(*fields)
+
+
+def dominant_script(text: Column, min_ratio: float = 0.3) -> Column:
+    """Name of the writing system covering the largest share of the
+    text's LETTER-CLASS characters (digits/other excluded from the
+    vote), or ``'unknown'`` when no script reaches ``min_ratio`` of
+    the total length — short/numeric/garbage rows shouldn't claim a
+    script. Ties break by the fixed ``_SCRIPT_ORDER``. Native
+    greatest/when chain over :func:`script_counts`."""
+    sc = script_counts(text)
+    best = F.greatest(*[sc[n] for n in _SCRIPT_ORDER])
+    expr = F.lit("unknown")
+    # reversed so the EARLIEST order entry wins ties (last when() to
+    # match wraps outermost)
+    for name in reversed(_SCRIPT_ORDER):
+        expr = F.when(
+            (sc[name] == best)
+            & (sc[name] >= F.lit(float(min_ratio)) * sc["total"])
+            & (sc[name] > 0), F.lit(name)).otherwise(expr)
+    return expr

@@ -3347,6 +3347,142 @@ def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # side breaks the value hash.
 # ----------------------------------------------------------------------
 from .llm.cleaning import INVISIBLE_CLASS as _INVIS  # noqa: E402
+from .llm.text import SCRIPT_CLASSES as _SCRIPTS  # noqa: E402
+
+
+# ----------------------------------------------------------------------
+# Luhn-validated payment-card PII (NEW round 9) — planted card
+# numbers (plain, dash-separated, and a checksum-invalid twin) over
+# the corpus; the engine's two-stage detector (wide candidate regex →
+# native Luhn checksum fold, llm/cleaning.py:credit_card_count) must
+# count exactly the valid ones. The oracle re-implements Luhn as a
+# DuckDB list comprehension — an independent checksum evaluation, so
+# a parity/doubling/length-gate bug on either side flips the hash.
+# ----------------------------------------------------------------------
+@query("pii_card_luhn_stats", oracle=r"""
+WITH m AS (
+  SELECT source, doc_id,
+         text || CASE CAST(doc_id % 4 AS INT)
+                 WHEN 1 THEN ' card 4111111111111111 ok'
+                 WHEN 2 THEN ' card 4111-1111-1111-1111 ok'
+                 WHEN 3 THEN ' bad 4111111111111112 no'
+                 ELSE '' END AS t
+  FROM documents),
+c AS (
+  SELECT source, doc_id,
+         len(list_filter(
+           list_transform(
+             regexp_extract_all(t, '[0-9](?:[ -]?[0-9]){12,18}'),
+             c -> regexp_replace(c, '[ -]', '', 'g')),
+           d -> strlen(d) >= 13 AND
+                list_sum([CASE WHEN i % 2 = 0 THEN
+                            CASE WHEN 2*CAST(substring(reverse(d), i, 1) AS INT) > 9
+                                 THEN 2*CAST(substring(reverse(d), i, 1) AS INT) - 9
+                                 ELSE 2*CAST(substring(reverse(d), i, 1) AS INT) END
+                          ELSE CAST(substring(reverse(d), i, 1) AS INT) END
+                          for i in range(1, strlen(d)+1)]) % 10 = 0))
+           AS n_cards
+  FROM m)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_cards) AS BIGINT) AS total_cards,
+       CAST(sum(CASE WHEN n_cards > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_cards
+FROM c GROUP BY source
+""")
+def pii_card_luhn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.cleaning import credit_card_count
+    docs = load_table(spark, sf_dir, "documents")
+    v = (F.col("doc_id") % 4).cast("int")
+    mark = (F.when(v == 1, F.lit(" card 4111111111111111 ok"))
+            .when(v == 2, F.lit(" card 4111-1111-1111-1111 ok"))
+            .when(v == 3, F.lit(" bad 4111111111111112 no"))
+            .otherwise(F.lit("")))
+    work = docs.select(
+        "source",
+        credit_card_count(F.concat(F.col("text"), mark))
+        .alias("n_cards"))
+    return (work.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("n_cards").cast("long"))
+                 .alias("total_cards"),
+                 F.sum((F.col("n_cards") > 0).cast("long"))
+                 .alias("docs_with_cards")))
+
+
+# ----------------------------------------------------------------------
+# Writing-system (script) detection (NEW round 9) — four planted
+# script variants (Cyrillic / CJK / Greek / digits-only) over the
+# Latin base corpus; the engine's dominant_script votes over native
+# per-class regex counts (llm/text.py:SCRIPT_CLASSES — the same
+# portable class strings are interpolated into the oracle, where RE2
+# evaluates them independently) and the oracle replays the argmax +
+# min-ratio + tie chain as a CASE. A class-range bug, a vote-order
+# difference, or a min_ratio boundary slip flips the hash.
+# ----------------------------------------------------------------------
+@query("script_detection_stats", oracle=f"""
+WITH m AS (
+  SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
+         WHEN 1 THEN 'Привет мир это тестовый текст для скрипта'
+         WHEN 2 THEN '你好世界这是脚本检测的测试文本'
+         WHEN 3 THEN 'Γειά σου Κόσμε αυτό είναι ένα δοκιμαστικό κείμενο'
+         WHEN 4 THEN '0123 4567 89'
+         ELSE text END AS t
+  FROM documents),
+c AS (
+  SELECT doc_id, length(t) AS total,
+         length(t) - length(regexp_replace(t, '{_SCRIPTS["latin"]}', '', 'g')) AS latin,
+         length(t) - length(regexp_replace(t, '{_SCRIPTS["cyrillic"]}', '', 'g')) AS cyrillic,
+         length(t) - length(regexp_replace(t, '{_SCRIPTS["greek"]}', '', 'g')) AS greek,
+         length(t) - length(regexp_replace(t, '{_SCRIPTS["cjk"]}', '', 'g')) AS cjk,
+         length(t) - length(regexp_replace(t, '{_SCRIPTS["arabic"]}', '', 'g')) AS arabic,
+         length(t) - length(regexp_replace(t, '{_SCRIPTS["hebrew"]}', '', 'g')) AS hebrew
+  FROM m),
+d AS (
+  SELECT doc_id, total,
+         latin + cyrillic + greek + cjk + arabic + hebrew AS letters,
+         CASE
+           WHEN latin = greatest(latin, cyrillic, greek, cjk, arabic, hebrew)
+                AND latin >= 0.3 * total AND latin > 0 THEN 'latin'
+           WHEN cyrillic = greatest(latin, cyrillic, greek, cjk, arabic, hebrew)
+                AND cyrillic >= 0.3 * total AND cyrillic > 0 THEN 'cyrillic'
+           WHEN greek = greatest(latin, cyrillic, greek, cjk, arabic, hebrew)
+                AND greek >= 0.3 * total AND greek > 0 THEN 'greek'
+           WHEN cjk = greatest(latin, cyrillic, greek, cjk, arabic, hebrew)
+                AND cjk >= 0.3 * total AND cjk > 0 THEN 'cjk'
+           WHEN arabic = greatest(latin, cyrillic, greek, cjk, arabic, hebrew)
+                AND arabic >= 0.3 * total AND arabic > 0 THEN 'arabic'
+           WHEN hebrew = greatest(latin, cyrillic, greek, cjk, arabic, hebrew)
+                AND hebrew >= 0.3 * total AND hebrew > 0 THEN 'hebrew'
+           ELSE 'unknown' END AS script
+  FROM c)
+SELECT script, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(total) AS BIGINT) AS total_chars,
+       CAST(sum(letters) AS BIGINT) AS letter_chars
+FROM d GROUP BY script
+""")
+def script_detection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.text import dominant_script, script_counts
+    docs = load_table(spark, sf_dir, "documents")
+    v = (F.col("doc_id") % 5).cast("int")
+    t = (F.when(v == 1, F.lit(
+            "Привет мир это тестовый текст для скрипта"))
+         .when(v == 2, F.lit("你好世界这是脚本检测的测试文本"))
+         .when(v == 3, F.lit(
+            "Γειά σου Κόσμε αυτό είναι ένα δοκιμαστικό κείμενο"))
+         .when(v == 4, F.lit("0123 4567 89"))
+         .otherwise(F.col("text")))
+    work = docs.select(t.alias("t")) \
+        .select(dominant_script(F.col("t")).alias("script"),
+                script_counts(F.col("t")).alias("sc")) \
+        .select("script", F.col("sc.total").alias("total"),
+                (F.col("sc.latin") + F.col("sc.cyrillic")
+                 + F.col("sc.greek") + F.col("sc.cjk")
+                 + F.col("sc.arabic") + F.col("sc.hebrew"))
+                .alias("letters"))
+    return (work.groupBy("script")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("total").alias("total_chars"),
+                 F.sum("letters").alias("letter_chars")))
 
 
 @query("unicode_cleaning_stats", oracle=f"""

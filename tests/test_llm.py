@@ -2338,3 +2338,85 @@ def test_jaccard_prefix_filter_indexes_fewer_postings(spark):
     assert sz - math.ceil(0.8 * sz) + 1 == 5
     with pytest.raises(ValueError):
         jaccard_index_pairs(df, threshold=0.0, prefix_filter=True)
+
+
+def test_script_counts_match_python(spark):
+    import re
+    from detanalysis_spark.llm.text import SCRIPT_CLASSES, script_counts
+    rows = [(0, "Hello world"),                       # latin
+            (1, "Привет мир hello"),                  # cyrillic + latin
+            (2, "你好世界 こんにちは 안녕"),              # han+kana+hangul
+            (3, "Γειά σου Κόσμε"),                    # greek
+            (4, "مرحبا بالعالم"),                     # arabic
+            (5, "שלום עולם"),                         # hebrew
+            (6, "1234 5678"), (7, "")]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {r.i: r.sc.asDict() for r in
+           df.select("i", script_counts(F.col("t")).alias("sc"))
+             .collect()}
+    # python replay with the re module's \u ranges
+    py_cls = {k: v.replace("\\x{", "\\u{").replace("}", "}")
+              for k, v in SCRIPT_CLASSES.items()}
+
+    def py_count(t, cls):
+        # convert \x{ABCD} to python \uABCD
+        pat = re.sub(r"\\x\{([0-9A-Fa-f]+)\}",
+                     lambda m: chr(int(m.group(1), 16)), cls)
+        return len(re.findall(pat, t))
+
+    for i, t in rows:
+        for name, cls in SCRIPT_CLASSES.items():
+            assert got[i][name] == py_count(t, cls), (i, name)
+        assert got[i]["total"] == len(t)
+
+
+def test_dominant_script_and_unknown(spark):
+    from detanalysis_spark.llm.text import dominant_script
+    rows = [(0, "Hello big world of text"),
+            (1, "Привет мир и еще текст здесь"),
+            (2, "你好世界你好世界你好"),
+            (3, "1234 5678 ---"),                # no letters: unknown
+            (4, "Прив hello"),                   # 4 cyr vs 5 latin
+            (5, "")]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {r.i: r.s for r in
+           df.select("i", dominant_script(F.col("t")).alias("s"))
+             .collect()}
+    assert got[0] == "latin"
+    assert got[1] == "cyrillic"
+    assert got[2] == "cjk"
+    assert got[3] == "unknown"
+    assert got[4] == "latin"
+    assert got[5] == "unknown"
+
+
+def test_luhn_valid_known_vectors(spark):
+    from detanalysis_spark.llm.cleaning import luhn_valid
+    rows = [("4111111111111111", True),     # classic valid test PAN
+            ("4111111111111112", False),    # checksum off by one
+            ("5500005555555559", True),
+            ("378282246310005", True),      # 15-digit amex shape
+            ("1234567890123", False),
+            ("79927398713", False)]         # valid Luhn but < 13 digits
+    df = spark.createDataFrame(rows, ["d", "want"])
+    got = df.select("d", "want",
+                    luhn_valid(F.col("d")).alias("ok")).collect()
+    for r in got:
+        assert r.ok == r.want, r.d
+
+
+def test_credit_card_count_formats_and_false_positives(spark):
+    from detanalysis_spark.llm.cleaning import credit_card_count
+    rows = [
+        (0, "pay with 4111111111111111 now", 1),
+        (1, "pay with 4111-1111-1111-1111 now", 1),
+        (2, "pay with 4111 1111 1111 1111 now", 1),
+        (3, "fake 4111111111111112 number", 0),     # fails Luhn
+        (4, "ts 20260816013000123 id 99999", 0),    # digit noise
+        (5, "two: 4111111111111111 and 5500005555555559", 2),
+        (6, "", 0)]
+    df = spark.createDataFrame(rows, ["i", "t", "want"])
+    got = df.select("i", "want",
+                    credit_card_count(F.col("t")).alias("n")).collect()
+    for r in got:
+        assert r.n == r.want, r.i
