@@ -160,6 +160,12 @@ GATE_QUERIES = [
     # FFT ensemble)
     "ann_lsh_topk", "simhash_candidate_distances", "photon_fft_dpdi",
     "lowpass_kernel_embeddings", "unicode_cleaning_stats", "mojibake_repair_stats",
+    # round 9 session additions: two-pass heavy hitters, CSV/WARC
+    # ingest round trips, COW MERGE replay, script detection, Luhn
+    # card PII — all linear oracles
+    "heavy_hitter_tokens", "csv_ingest_stats", "warc_ingest_stats",
+    "upsert_merge_stats", "script_detection_stats",
+    "pii_card_luhn_stats",
 ]
 # Still excluded, and why (the full residue — everything else gates):
 # - quadratic DuckDB oracles (the engine is banded/bucketed; the
@@ -169,10 +175,15 @@ GATE_QUERIES = [
 #   streaming_near_dup_screen_stats, curated_corpus_stats (round-9
 #   oracle: all-pairs near-dedup leg), interval_overlap_stats (overlap
 #   pair count itself grows ~quadratically under value-range-preserving
-#   amplification);
+#   amplification), jaccard_pairs_exact / jaccard_pairs_prefix_filtered
+#   / containment_superset_pairs (all-pairs shingle oracles),
+#   knn_graph_label_blocks (label-blocked pair oracle grows ~100x under
+#   10x blocks);
 # - bounded probes pinned to copy 0 (vacuous at 10x): token_cosine
 #   (doc_id<100), audio_fingerprint_pairs (doc_id<300),
 #   hashed_classifier_scores, multimodal_jpeg_stats (doc_id<200);
+# - fuzzy_join_typos: vocabulary comes from part (copied as-is), so a
+#   10x run is literally the same data — vacuous, not risky;
 # - sketch exact-mode bound (4096) exceeded at 10x — sketch goes
 #   legitimately approximate while SQL stays exact:
 #   theta_split_overlap, sketch_rollup_day_profile;
