@@ -40,6 +40,7 @@ __all__ = [
     "temperature_fractions",
     "temperature_mixture_sample",
     "jaccard_index_pairs", "containment_pairs",
+    "sorted_neighborhood_pairs",
 ]
 
 
@@ -1117,3 +1118,55 @@ def temperature_mixture_sample(df: DataFrame, strata_col: str,
         expr = F.when(F.col(strata_col) == stratum,
                       ticket < thr).otherwise(expr)
     return df.filter(expr)
+
+
+def sorted_neighborhood_pairs(df: DataFrame, id_col: str,
+                              key_col: str, window: int = 5
+                              ) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo's classic
+    merge/purge method): rows are ordered by a blocking key and every
+    pair within ``window`` positions becomes a candidate —
+    (id_a, id_b, key_a, key_b, rank_gap), ties on the key broken by
+    id so the order (and the oracle's) is total.
+
+    The complement of equality blocking (exact/LSH buckets): typo'd or
+    near-miss keys that land in DIFFERENT buckets still sort next to
+    each other. Chain a verifier (``fuzzy_join``-style levenshtein,
+    :func:`ngram_jaccard`) over the candidates.
+
+    Scale shape: the global order comes from the two-pass
+    range-exchange rank (``ensure_event_index`` — per-partition
+    offsets, no single-partition window); candidates join on
+    neighborhood BUCKETS (rank // window, each row probing its own and
+    the previous bucket), so the join is an equi-join emitting
+    O(n·window) rows, never a rank-band theta-join.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    from ..analyzer import ensure_event_index
+    w = int(window)
+    sel = df.select(F.col(id_col).alias("__id__"),
+                    F.col(key_col).alias("__key__")) \
+            .filter(F.col("__key__").isNotNull())
+    ranked = ensure_event_index(sel, order_by=["__key__", "__id__"],
+                                out_col="__rank__")
+    bkt = F.floor(F.col("__rank__") / w)
+    a = ranked.select(F.col("__id__").alias("id_a"),
+                      F.col("__key__").alias("key_a"),
+                      F.col("__rank__").alias("ra"),
+                      bkt.alias("__b__"))
+    # each LEFT row probes its own bucket and the next one: every pair
+    # within w-1 positions spans at most two adjacent buckets
+    a2 = a.withColumn("__probe__",
+                      F.explode(F.array(F.col("__b__"),
+                                        F.col("__b__") + 1))) \
+          .drop("__b__")
+    b = ranked.select(F.col("__id__").alias("id_b"),
+                      F.col("__key__").alias("key_b"),
+                      F.col("__rank__").alias("rb"),
+                      bkt.alias("__probe__"))
+    return (a2.join(b, "__probe__")
+            .filter((F.col("rb") - F.col("ra") >= 1)
+                    & (F.col("rb") - F.col("ra") <= w - 1))
+            .select("id_a", "id_b", "key_a", "key_b",
+                    (F.col("rb") - F.col("ra")).alias("rank_gap")))

@@ -5408,6 +5408,45 @@ def theta_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Sorted-neighborhood blocking (NEW round 9) — Hernández & Stolfo's
+# merge/purge candidate generator (llm/dedup.py:
+# sorted_neighborhood_pairs): documents ordered by (n_chars, doc_id),
+# every pair within 2 positions becomes a candidate. The engine ranks
+# via the two-pass range-exchange id (no single-partition window) and
+# joins on neighborhood buckets; the oracle replays with a plain
+# row_number + rank-band join — any rank disagreement (range-partition
+# boundary bug, tie-break slip) flips counts and gap sums.
+# ----------------------------------------------------------------------
+@query("sorted_neighborhood_stats", oracle="""
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+  FROM documents),
+p AS (
+  SELECT a.lang AS lang, b.rk - a.rk AS gap,
+         abs(a.n_chars - b.n_chars) AS d
+  FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 2)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(d) AS BIGINT) AS char_gap_sum,
+       CAST(sum(gap) AS BIGINT) AS rank_gap_sum
+FROM p GROUP BY lang
+""")
+def sorted_neighborhood_stats(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from .llm.dedup import sorted_neighborhood_pairs
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = sorted_neighborhood_pairs(docs, "doc_id", "n_chars",
+                                      window=3)
+    lang = docs.select(F.col("doc_id").alias("id_a"), "lang")
+    return (pairs.join(lang, "id_a")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(F.abs(F.col("key_a") - F.col("key_b")))
+                 .alias("char_gap_sum"),
+                 F.sum("rank_gap").alias("rank_gap_sum")))
+
+
+# ----------------------------------------------------------------------
 # Fuzzy (edit-distance) join (NEW round 9) — SymSpell
 # deletion-neighborhood blocking + native levenshtein verify
 # (operators/joins.py:fuzzy_join): the vocabulary is the part table's

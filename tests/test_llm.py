@@ -2420,3 +2420,35 @@ def test_credit_card_count_formats_and_false_positives(spark):
                     credit_card_count(F.col("t")).alias("n")).collect()
     for r in got:
         assert r.n == r.want, r.i
+
+
+def test_sorted_neighborhood_pairs_matches_window_replay(spark):
+    from detanalysis_spark.llm.dedup import sorted_neighborhood_pairs
+    rows = [(i, k) for i, k in
+            [(0, "alpha"), (1, "alpah"), (2, "beta"), (3, "betta"),
+             (4, "gamma"), (5, "alpha"), (6, "zeta"), (7, None)]]
+    df = spark.createDataFrame(rows, ["rid", "key"]).repartition(4)
+    for w in (2, 3, 4):
+        got = {(r.id_a, r.id_b, r.rank_gap) for r in
+               sorted_neighborhood_pairs(df, "rid", "key",
+                                         window=w).collect()}
+        # python replay: sort by (key, id), pairs within w-1 positions
+        order = sorted((k, i) for i, k in rows if k is not None)
+        want = {(order[a][1], order[b][1], b - a)
+                for a in range(len(order))
+                for b in range(a + 1, min(a + w, len(order)))}
+        assert got == want, f"w={w}"
+
+
+def test_sorted_neighborhood_catches_cross_bucket_typos(spark):
+    """The pair (alpah, alpha) sorts adjacent though equality/hash
+    blocking would separate them — the method's point."""
+    from detanalysis_spark.llm.dedup import sorted_neighborhood_pairs
+    df = spark.createDataFrame(
+        [(0, "alpha"), (1, "alpah"), (2, "omega")], ["rid", "key"])
+    got = {(r.key_a, r.key_b) for r in
+           sorted_neighborhood_pairs(df, "rid", "key",
+                                     window=2).collect()}
+    assert ("alpah", "alpha") in got
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "rid", "key", window=1)

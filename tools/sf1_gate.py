@@ -165,7 +165,7 @@ GATE_QUERIES = [
     # card PII — all linear oracles
     "heavy_hitter_tokens", "csv_ingest_stats", "warc_ingest_stats",
     "upsert_merge_stats", "script_detection_stats",
-    "pii_card_luhn_stats",
+    "pii_card_luhn_stats", "sorted_neighborhood_stats",
 ]
 # Still excluded, and why (the full residue — everything else gates):
 # - quadratic DuckDB oracles (the engine is banded/bucketed; the
