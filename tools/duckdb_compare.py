@@ -44,6 +44,11 @@ QUADRATIC_ORACLES = {
     "semantic_curation_stats",  # same NOT EXISTS shape on the gated set
     "streaming_near_dup_screen_stats",  # all-pairs stream×corpus oracle
     "curated_corpus_stats",     # all-pairs near-dedup leg
+    "jaccard_pairs_exact",      # all-pairs shingle Jaccard oracle
+    "jaccard_pairs_prefix_filtered",
+    "containment_superset_pairs",
+    "knn_graph_label_blocks",   # label-blocked all-pairs cosine oracle
+    "fuzzy_join_typos",         # all-pairs levenshtein oracle
 }
 
 

@@ -54,6 +54,7 @@ FAMILIES = [
     ("domain_curation_stats", True, "psl_parity"),
     ("near_dup_pairs_minhash", True, "lsh_parity"),
     # context rows (not in the verdict's core six)
+    ("heavy_hitter_tokens", False, "oracle"),
     ("language_id_counts", False, "oracle"),
     ("text_quality_by_source", False, "oracle"),
     ("tfidf_top_terms", False, "oracle"),
