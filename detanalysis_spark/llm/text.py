@@ -32,6 +32,7 @@ __all__ = [
     "word_frequencies", "bpe_pair_counts", "train_bpe", "bpe_segment_udf",
     "compression_ratio_udf", "sentence_split_udtf",
     "SCRIPT_CLASSES", "script_counts", "dominant_script",
+    "zipf_fit",
 ]
 
 # portable regexes (identical semantics in Java regex and RE2)
@@ -939,3 +940,43 @@ def dominant_script(text: Column, min_ratio: float = 0.3) -> Column:
             & (sc[name] >= F.lit(float(min_ratio)) * sc["total"])
             & (sc[name] > 0), F.lit(name)).otherwise(expr)
     return expr
+
+
+def zipf_fit(df, text_col: str = "text",
+             max_rank: int | None = None,
+             min_count: int = 1):
+    """Zipf's-law fit of the corpus word-frequency distribution: one
+    row ``(n_types, n_tokens, zipf_slope, zipf_r2)`` where the slope
+    is the least-squares fit of log(freq) on log(rank) (Zipf's law
+    predicts ≈ −1; a much flatter slope flags templated/generated
+    text, a steeper one flags boilerplate domination — a standard
+    corpus-health diagnostic).
+
+    Plan: ONE word-count aggregate (map-side combined), rank by
+    frequency (ties broken by term so the order — and any SQL
+    replay — is total), then the closed-form regression via native
+    ``regr_slope``/``regr_r2`` sufficient-statistic aggregates: two
+    aggregates and one window total, no iteration, no driver math.
+    ``max_rank`` fits only the head (the tail's integer plateaus bias
+    the slope; 1000 is a common choice).
+
+    Scale note: the rank window runs over the VOCABULARY table, not
+    the corpus — bounded, but at web scale the noise-token tail can
+    still be huge; set ``min_count`` (drops the tail BEFORE the
+    window, a plain filter on the aggregate) and ``max_rank`` so the
+    single-partition rank sees only the head it fits.
+    """
+    wf = word_frequencies(df, text_col)
+    if int(min_count) > 1:
+        wf = wf.filter(F.col("freq") >= int(min_count))
+    w = Window.orderBy(F.col("freq").desc(), F.col("word").asc())
+    ranked = wf.withColumn("rank", F.row_number().over(w))
+    if max_rank is not None:
+        ranked = ranked.filter(F.col("rank") <= int(max_rank))
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("freq").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("freq").alias("n_tokens"),
+        F.round(F.regr_slope(ly, lx), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(ly, lx), 6).alias("zipf_r2"))

@@ -32,7 +32,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sketch_distinct", "split_overlap_audit", "heavy_hitters"]
+__all__ = ["sketch_distinct", "split_overlap_audit", "heavy_hitters",
+           "cm_sketch", "cm_merge", "cm_lookup"]
 
 
 def sketch_distinct(df: DataFrame, key_col: str,
@@ -167,3 +168,76 @@ def heavy_hitters(df: DataFrame, col: str, phi: float,
     return exact.select(F.col("v").alias(col), "count",
                         (F.col("count") / F.lit(float(n_total)))
                         .alias("freq"))
+
+
+def cm_sketch(df: DataFrame, col: str, width: int = 2048,
+              depth: int = 4) -> DataFrame:
+    """Count-min sketch of value FREQUENCIES as a mergeable
+    ``(depth, bucket, count)`` frame of at most depth×width rows —
+    the frequency-estimation complement of the distinct-count
+    sketches above (Cormode & Muthukrishnan 2005).
+
+    One pass, fully native: each row explodes into ``depth`` hash
+    rows (``xxhash64(d, value) % width``) and a map-side-combined
+    aggregate folds them — the shuffle carries ≤ depth×width rows per
+    partition no matter the corpus size. The result frame is the
+    mergeable state: persist it, union sketches from other
+    batches/days, and re-aggregate with :func:`cm_merge` — counts add
+    exactly, so merge introduces NO additional error beyond the
+    sketches' own collisions.
+
+    Estimation error: point lookups (:func:`cm_lookup`) never
+    UNDERestimate; overestimate ≤ 2N/width with probability
+    1−(1/2)^depth (the standard bound). Below ~width distinct values
+    the sketch is near-exact (collisions only by hash accident),
+    mirroring the theta-sketch exactness window the oracle suite
+    leans on.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
+    v = F.col(col).cast("string")
+    rows = df.filter(v.isNotNull()).select(
+        F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1)))
+        .alias("depth"),
+        v.alias("__v__"))
+    bucket = F.pmod(F.xxhash64(F.col("depth"), F.col("__v__")),
+                    F.lit(int(width)))
+    return (rows.select("depth", bucket.alias("bucket"))
+            .groupBy("depth", "bucket")
+            .agg(F.count(F.lit(1)).alias("count")))
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the SAME (width, depth):
+    union + re-aggregate. Exactly additive — merging never adds error."""
+    if not sketches:
+        raise ValueError("cm_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (out.groupBy("depth", "bucket")
+            .agg(F.sum("count").alias("count")))
+
+
+def cm_lookup(sketch: DataFrame, probes: DataFrame, col: str,
+              width: int = 2048, depth: int = 4) -> DataFrame:
+    """Point-frequency estimates for ``probes[col]`` values against a
+    :func:`cm_sketch` frame → (col, est_count). The estimate is the
+    MIN over depths of the value's bucket counts (absent buckets count
+    0, which only happens when the true count is 0). Never
+    underestimates. The probe side explodes into depth rows and joins
+    the ≤ depth×width-row sketch — broadcast-sized by construction."""
+    v = F.col(col).cast("string")
+    pr = (probes.filter(v.isNotNull())
+          .select(v.alias("__v__")).distinct()
+          .select("__v__",
+                  F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1)))
+                  .alias("depth")))
+    pr = pr.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("depth"), F.col("__v__")),
+                         F.lit(int(width))))
+    joined = pr.join(F.broadcast(sketch), ["depth", "bucket"], "left") \
+               .withColumn("count", F.coalesce(F.col("count"), F.lit(0)))
+    return (joined.groupBy("__v__")
+            .agg(F.min("count").alias("est_count"))
+            .select(F.col("__v__").alias(col), "est_count"))

@@ -5408,6 +5408,64 @@ def theta_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Count-min frequency sketch (NEW round 9) — the frequency complement
+# of the theta/HLL distinct sketches (operators/sketches.py:
+# cm_sketch/cm_merge/cm_lookup): two half-corpus sketches MERGE (an
+# exactly-additive union — the mergeability that makes sketches the
+# 100 TB answer) and point lookups run against the merged state. With
+# ~8 distinct event types against width 2048 the sketch sits deep in
+# its exactness window (same argument as the theta queries), so the
+# plain GROUP BY oracle hash-matches — a bucketing or merge bug
+# surfaces as an overestimate and flips it.
+# ----------------------------------------------------------------------
+@query("cm_sketch_event_counts", oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS est_count
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type
+""")
+def cm_sketch_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import cm_lookup, cm_merge, cm_sketch
+    ev = load_table(spark, sf_dir, "events")
+    sk1 = cm_sketch(ev.filter(F.col("event_id") % 2 == 0),
+                    "event_type")
+    sk2 = cm_sketch(ev.filter(F.col("event_id") % 2 == 1),
+                    "event_type")
+    merged = cm_merge(sk1, sk2)
+    probes = ev.select("event_type").distinct()
+    return cm_lookup(merged, probes, "event_type")
+
+
+# ----------------------------------------------------------------------
+# Zipf corpus-health fit (NEW round 9) — slope/R² of log(freq) on
+# log(rank) over the head of the word-frequency table (llm/text.py:
+# zipf_fit). Natural corpora fit ≈ −1; templated/generated text goes
+# flat. Both sides rank (freq desc, word asc) — a total order — and
+# run the closed-form regression via regr_slope/regr_r2, so the hash
+# pins the ranking AND the sufficient-statistic math.
+# ----------------------------------------------------------------------
+@query("zipf_corpus_fit", oracle=r"""
+WITH wf AS (
+  SELECT u.x AS word, count(*) AS freq
+  FROM documents,
+       unnest(list_filter(string_split_regex(text, '\s+'),
+                          x -> x <> '')) u(x)
+  GROUP BY u.x),
+r AS (SELECT word, freq,
+             row_number() OVER (ORDER BY freq DESC, word ASC) AS rank
+      FROM wf)
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(freq) AS BIGINT) AS n_tokens,
+       round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+       round(regr_r2(ln(freq), ln(rank)), 6) AS zipf_r2
+FROM r WHERE rank <= 200
+""")
+def zipf_corpus_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm.text import zipf_fit
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, max_rank=200)
+
+
+# ----------------------------------------------------------------------
 # Sorted-neighborhood blocking (NEW round 9) — Hernández & Stolfo's
 # merge/purge candidate generator (llm/dedup.py:
 # sorted_neighborhood_pairs): documents ordered by (n_chars, doc_id),

@@ -2452,3 +2452,42 @@ def test_sorted_neighborhood_catches_cross_bucket_typos(spark):
     assert ("alpah", "alpha") in got
     with pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, "rid", "key", window=1)
+
+
+def test_zipf_fit_on_planted_power_law(spark):
+    """A corpus constructed with freq(rank) = round(C/rank) must fit
+    slope ≈ -1 with high R²; numpy replays the regression exactly."""
+    import math
+    from detanalysis_spark.llm.text import zipf_fit
+    C = 600
+    words = []
+    for r in range(1, 41):
+        words += [f"w{r:02d}"] * max(1, round(C / r))
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], ["text"])
+    row = zipf_fit(df, max_rank=30).first()
+    # python replay: same ranking (freq desc, word asc), same head
+    from collections import Counter
+    wf = sorted(Counter(words).items(), key=lambda kv: (-kv[1], kv[0]))
+    head = wf[:30]
+    xs = [math.log(i + 1) for i in range(len(head))]
+    ys = [math.log(c) for _, c in head]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    slope = sxy / sxx
+    assert row.n_types == 30
+    assert abs(row.zipf_slope - slope) < 1e-6
+    assert -1.1 < row.zipf_slope < -0.9
+    assert row.zipf_r2 > 0.99
+
+
+def test_zipf_fit_min_count_prunes_tail(spark):
+    from detanalysis_spark.llm.text import zipf_fit
+    text = "a a a a b b c"     # c is a singleton
+    df = spark.createDataFrame([(text,)], ["text"])
+    full = zipf_fit(df).first()
+    pruned = zipf_fit(df, min_count=2).first()
+    assert full.n_types == 3 and pruned.n_types == 2
+    assert pruned.n_tokens == 6

@@ -176,3 +176,51 @@ def test_heavy_hitters_rejects_bad_phi(spark):
         heavy_hitters(df, "tok", 0.0)
     with pytest.raises(ValueError):
         heavy_hitters(df, "tok", 1.5)
+
+
+def test_cm_sketch_exact_below_width_and_never_underestimates(spark):
+    from detanalysis_spark.operators.sketches import cm_lookup, cm_sketch
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 7 + [(None,)] * 5
+    df = spark.createDataFrame(rows, ["k"]).repartition(8)
+    sk = cm_sketch(df, "k", width=256, depth=4)
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)],
+                                   ["k"])
+    got = {r.k: r.est_count for r in
+           cm_lookup(sk, probes, "k", width=256, depth=4).collect()}
+    assert got == {"a": 50, "b": 30, "c": 7, "zzz": 0}
+    # forced collisions (width=2): still never underestimates
+    sk2 = cm_sketch(df, "k", width=2, depth=2)
+    got2 = {r.k: r.est_count for r in
+            cm_lookup(sk2, probes, "k", width=2, depth=2).collect()}
+    assert got2["a"] >= 50 and got2["b"] >= 30 and got2["c"] >= 7
+
+
+def test_cm_merge_is_exactly_additive(spark):
+    from detanalysis_spark.operators.sketches import (cm_lookup,
+                                                      cm_merge,
+                                                      cm_sketch)
+    rows = [(i, f"v{i % 20}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["i", "k"])
+    half1 = df.filter("i < 100")
+    half2 = df.filter("i >= 100")
+    merged = cm_merge(cm_sketch(half1, "k", 64, 3),
+                      cm_sketch(half2, "k", 64, 3))
+    whole = cm_sketch(df, "k", 64, 3)
+    m = {(r.depth, r.bucket): r["count"] for r in merged.collect()}
+    w = {(r.depth, r.bucket): r["count"] for r in whole.collect()}
+    assert m == w
+    probes = df.select("k").distinct()
+    gm = {r.k: r.est_count for r in
+          cm_lookup(merged, probes, "k", 64, 3).collect()}
+    gw = {r.k: r.est_count for r in
+          cm_lookup(whole, probes, "k", 64, 3).collect()}
+    assert gm == gw
+
+
+def test_cm_sketch_bounded_rows_and_validation(spark):
+    from detanalysis_spark.operators.sketches import cm_sketch
+    df = spark.createDataFrame([(str(i),) for i in range(5000)], ["k"])
+    sk = cm_sketch(df, "k", width=32, depth=3)
+    assert sk.count() <= 32 * 3
+    with pytest.raises(ValueError):
+        cm_sketch(df, "k", width=0)
