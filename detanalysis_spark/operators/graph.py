@@ -1,0 +1,110 @@
+"""Distributed link-graph operators: PageRank and degree profiles.
+
+Web-scale curation weights documents by link authority (PageRank /
+harmonic-centrality style signals — the public OpenWebText/quality-
+weighting recipe family), and the hyperlink graph at 100 TB is itself
+a big-data object. Power iteration maps exactly onto Spark aggregates:
+each round is one join (ranks → out-edges) + one map-side-combined
+sum per destination — the same shuffle-by-key shape as a groupBy, no
+driver-side state beyond the loop counter.
+
+The connected-components sibling lives in ``llm/dedup.py``
+(``near_dup_clusters`` — pointer-jumping label propagation); this
+module covers the weighted-propagation family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank", "degree_profile"]
+
+
+def degree_profile(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Per-node degree stats — (node, out_degree, in_degree), nodes
+    with only one direction included (the other degree 0). Two
+    map-side-combined aggregates and one full-outer join keyed by
+    node."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree"))
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree"))
+    return (out_d.join(in_d, "node", "full_outer")
+            .select("node",
+                    F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+                    F.coalesce("in_degree", F.lit(0)).alias("in_degree")))
+
+
+def pagerank(edges: DataFrame, iterations: int = 10,
+             damping: float = 0.85, src: str = "src",
+             dst: str = "dst",
+             checkpoint_every: int = 5) -> DataFrame:
+    """PageRank by power iteration → (node, rank), ranks summing to 1
+    over the node set (dangling-node mass redistributed uniformly, the
+    standard correction).
+
+    Spark shape per round: ranks join the out-edge list on src (one
+    shuffle keyed by node), contributions aggregate per dst (map-side
+    combined), dangling mass is ONE scalar aggregate folded into the
+    teleport term. The rank frame is localCheckpoint'ed every
+    ``checkpoint_every`` rounds — without the barrier the lineage
+    doubles per round and Catalyst analysis goes quadratic (the
+    classic iterative-algorithm trap).
+
+    At 100 TB: cost per round = one edge-list join, exactly as
+    skew-prone as the in-degree distribution (a mega-hub dst is a hot
+    reduce key — pre-aggregate survives map-side, so even that is
+    bounded); the node-rank frame is |V| rows. Deterministic given the
+    graph (float reassociation across partitions only).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    d = float(damping)
+    if not (0.0 <= d < 1.0):
+        raise ValueError(f"damping must be in [0, 1), got {damping}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg__"))
+    # out-edges with degree attached, reused every round
+    ee = e.join(out_deg, "src").localCheckpoint(eager=True)
+    # the dangling-node SET is static — resolve it once; when empty
+    # (every node links out) the per-round mass aggregate is skipped
+    # entirely, saving one job per iteration
+    dangling_nodes = (nodes.join(out_deg,
+                                 nodes["node"] == out_deg["src"],
+                                 "left_anti")
+                      .localCheckpoint(eager=True))
+    has_dangling = dangling_nodes.limit(1).count() > 0
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for i in range(int(iterations)):
+        contrib = (ee.join(ranks.withColumnRenamed("node", "src"), "src")
+                   .select("dst",
+                           (F.col("rank") / F.col("__deg__"))
+                           .alias("__c__"))
+                   .groupBy("dst")
+                   .agg(F.sum("__c__").alias("__in__")))
+        # dangling mass: one scalar aggregate over the (static, small)
+        # dangling set's current ranks, redistributed with teleport
+        dangling = 0.0
+        if has_dangling:
+            dangling = (ranks.join(dangling_nodes.select("node"),
+                                   "node", "left_semi")
+                        .agg(F.sum("rank")).collect()[0][0]) or 0.0
+        base = (1.0 - d) / n_nodes + d * dangling / n_nodes
+        ranks = (nodes.join(contrib,
+                            nodes["node"] == contrib["dst"], "left")
+                 .select("node",
+                         (F.lit(base)
+                          + F.lit(d) * F.coalesce(F.col("__in__"),
+                                                  F.lit(0.0)))
+                         .alias("rank")))
+        if (i + 1) % int(checkpoint_every) == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

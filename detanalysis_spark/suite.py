@@ -5408,6 +5408,47 @@ def theta_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# PageRank power iteration (NEW round 9) — link-authority weighting
+# over a constructed 2-regular doc graph (edges i→i+1, i→i+7 mod N):
+# on a k-regular graph PageRank is EXACTLY uniform at every iteration
+# (closed form; the pytest covers irregular graphs against a numpy
+# power-iteration replay). The query returns rank AND both degrees
+# per node, so a propagation bug, a dangling-mass slip, or a degree
+# miscount all flip the hash. operators/graph.py:pagerank — one
+# edge join + one map-side-combined sum per round, lineage
+# checkpointed every 5 rounds.
+# ----------------------------------------------------------------------
+@query("pagerank_doc_graph", oracle="""
+WITH n AS (SELECT count(*) AS n FROM documents)
+SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node,
+       round(1.0 / (SELECT n FROM n), 6) AS rank,
+       CAST(2 AS BIGINT) AS out_degree,
+       CAST(2 AS BIGINT) AS in_degree
+FROM documents
+""")
+def pagerank_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analyzer import ensure_event_index
+    from .operators.graph import degree_profile, pagerank
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    # dense 0..N-1 node ids via the two-pass range-exchange rank (doc
+    # ids need not be contiguous — at sf1x they're shifted per copy)
+    ids = (ensure_event_index(docs.select("doc_id"),
+                              order_by=["doc_id"])
+           .select(F.col("__event_index__").alias("src")))
+    edges = (ids.select("src", F.pmod(F.col("src") + 1, F.lit(n))
+                        .alias("dst"))
+             .unionByName(
+                 ids.select("src", F.pmod(F.col("src") + 7, F.lit(n))
+                            .alias("dst"))))
+    pr = pagerank(edges, iterations=4)
+    deg = degree_profile(edges)
+    return (pr.join(deg, "node")
+            .select("node", F.round("rank", 6).alias("rank"),
+                    "out_degree", "in_degree"))
+
+
+# ----------------------------------------------------------------------
 # Count-min frequency sketch (NEW round 9) — the frequency complement
 # of the theta/HLL distinct sketches (operators/sketches.py:
 # cm_sketch/cm_merge/cm_lookup): two half-corpus sketches MERGE (an

@@ -745,3 +745,76 @@ def test_fuzzy_join_same_column_name_and_duplicates(spark):
     assert len(rows) == 1
     assert rows[0].w == "cat" and rows[0].w_right == "cut"
     assert rows[0].edit_distance == 1
+
+
+# ----------------------------------------------------------------------
+# link-graph operators (operators/graph.py)
+# ----------------------------------------------------------------------
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+    from detanalysis_spark.operators.graph import pagerank
+    rng = np.random.default_rng(3)
+    n, edges = 12, set()
+    while len(edges) < 30:
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edges.add((int(a), int(b)))
+    E = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    T, d = 12, 0.85
+    got = {r.node: r["rank"] for r in
+           pagerank(E, iterations=T, damping=d).collect()}
+
+    # numpy replay with the same dangling redistribution
+    out = {}
+    for a, b in edges:
+        out.setdefault(a, []).append(b)
+    nodes = sorted({x for e in edges for x in e})
+    r = {v: 1.0 / len(nodes) for v in nodes}
+    for _ in range(T):
+        contrib = {v: 0.0 for v in nodes}
+        dangling = 0.0
+        for v in nodes:
+            if v in out:
+                share = r[v] / len(out[v])
+                for w in out[v]:
+                    contrib[w] += share
+            else:
+                dangling += r[v]
+        base = (1 - d) / len(nodes) + d * dangling / len(nodes)
+        r = {v: base + d * contrib[v] for v in nodes}
+    assert set(got) == set(r)
+    for v in r:
+        assert abs(got[v] - r[v]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    """On a k-regular graph PageRank is exactly uniform at every
+    iteration — the closed form the oracle leans on."""
+    from detanalysis_spark.operators.graph import pagerank
+    n = 10
+    edges = [(i, (i + 1) % n) for i in range(n)] + \
+            [(i, (i + 3) % n) for i in range(n)]
+    E = spark.createDataFrame(edges, ["src", "dst"])
+    got = [r["rank"] for r in pagerank(E, iterations=7).collect()]
+    assert len(got) == n
+    for v in got:
+        assert abs(v - 1.0 / n) < 1e-12
+
+
+def test_degree_profile_includes_one_sided_nodes(spark):
+    from detanalysis_spark.operators.graph import degree_profile
+    E = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], ["src", "dst"])
+    got = {r.node: (r.out_degree, r.in_degree) for r in
+           degree_profile(E).collect()}
+    assert got == {1: (2, 0), 2: (1, 1), 3: (0, 2)}
+
+
+def test_pagerank_validation(spark):
+    import pytest as _pt
+    from detanalysis_spark.operators.graph import pagerank
+    E = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with _pt.raises(ValueError):
+        pagerank(E, iterations=0)
+    with _pt.raises(ValueError):
+        pagerank(E, damping=1.0)
