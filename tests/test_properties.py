@@ -1067,3 +1067,78 @@ def test_wet_round_trip_property(spark, tmp_path_factory, payloads):
         pay, n = got[f"https://h.test/{i}"]
         assert pay == p, (i, repr(p), repr(pay))
         assert n == len(p)
+
+
+def _py_shingles(t: str, n: int = 3) -> set:
+    tk = [x for x in t.split() if x]
+    return {" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+
+
+@given(texts=st.lists(
+    st.text(alphabet="abc ", min_size=0, max_size=50), min_size=2,
+    max_size=10),
+    t=st.sampled_from([0.3, 0.5, 0.8]))
+@settings(**SETTINGS)
+def test_jaccard_index_pairs_property(spark, texts, t):
+    """For ANY corpus and threshold: the inverted-index join returns
+    exactly the brute-force qualifying pairs, and the prefix-filter
+    tier agrees with it (lossless)."""
+    rows = [(i, x) for i, x in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = set()
+    for i, a in rows:
+        for j, b in rows[i + 1:]:
+            sa, sb = _py_shingles(a), _py_shingles(b)
+            u = len(sa | sb)
+            if u and len(sa & sb) / u >= t:
+                want.add((i, j))
+    got = {(r.id_a, r.id_b) for r in
+           D.jaccard_index_pairs(df, threshold=t).collect()}
+    assert got == want
+    pre = {(r.id_a, r.id_b) for r in
+           D.jaccard_index_pairs(df, threshold=t,
+                                 prefix_filter=True).collect()}
+    assert pre == want
+
+
+@given(texts=st.lists(
+    st.text(alphabet="xy ", min_size=0, max_size=40), min_size=2,
+    max_size=8))
+@settings(**SETTINGS)
+def test_containment_pairs_property(spark, texts):
+    """Containment == brute force |A∩B|/min over non-degenerate pairs
+    (min_shingles=2 mirrored in the replay)."""
+    rows = [(i, x) for i, x in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = set()
+    for i, a in rows:
+        for j, b in rows[i + 1:]:
+            sa, sb = _py_shingles(a), _py_shingles(b)
+            m = min(len(sa), len(sb))
+            if m >= 2 and len(sa & sb) / m >= 0.9:
+                want.add((i, j))
+    got = {(r.id_a, r.id_b) for r in
+           D.containment_pairs(df, threshold=0.9,
+                               min_shingles=2).collect()}
+    assert got == want
+
+
+@given(vals=st.lists(st.integers(0, 6), min_size=1, max_size=300),
+       phi=st.sampled_from([0.05, 0.2, 0.4]),
+       cap=st.integers(2, 8),
+       parts=st.sampled_from([1, 3, 16]))
+@settings(**SETTINGS)
+def test_heavy_hitters_property(spark, vals, phi, cap, parts):
+    """For ANY value stream, capacity, and partitioning: exact
+    equality with the plain count>phi*N filter — the MG union can
+    produce extra CANDIDATES but never wrong RESULTS."""
+    from collections import Counter
+    from detanalysis_spark.operators.sketches import heavy_hitters
+    df = spark.createDataFrame([(f"v{v}",) for v in vals], ["k"]) \
+              .repartition(parts)
+    got = {r.k: r["count"] for r in
+           heavy_hitters(df, "k", phi, capacity=cap).collect()}
+    n = len(vals)
+    want = {f"v{v}": c for v, c in Counter(vals).items()
+            if c > phi * n}
+    assert got == want
