@@ -5408,6 +5408,37 @@ def theta_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Streaming count-min sketch (NEW round 9) — the sketch build is ONE
+# streaming groupBy aggregate (cm_sketch applied to a readStream
+# frame, complete-mode AvailableNow drain): the depth×width state IS
+# the streaming state, bounded regardless of stream length — the
+# canonical "sketches are the streaming answer" exhibit. Point
+# lookups then run batch-side against the drained state; same
+# exactness-window argument as the batch CM query, so the plain
+# GROUP BY oracle hash-matches.
+# ----------------------------------------------------------------------
+@query("streaming_cm_sketch_counts", oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS est_count
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type
+""")
+def streaming_cm_sketch_counts(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from .operators.sketches import cm_lookup, cm_sketch
+    from .streaming import run_available_now
+    schema = load_table(spark, sf_dir, "events").schema
+    sdf = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    name = f"cms_{_uuid.uuid4().hex[:8]}"
+    sk = run_available_now(cm_sketch(sdf, "event_type"), name,
+                           output_mode="complete",
+                           shuffle_partitions=8)
+    probes = (load_table(spark, sf_dir, "events")
+              .select("event_type").distinct())
+    return cm_lookup(sk, probes, "event_type")
+
+
+# ----------------------------------------------------------------------
 # PageRank power iteration (NEW round 9) — link-authority weighting
 # over a constructed 2-regular doc graph (edges i→i+1, i→i+7 mod N):
 # on a k-regular graph PageRank is EXACTLY uniform at every iteration

@@ -672,3 +672,24 @@ def test_stream_warc_matches_batch(spark, tmp_path):
                      r.content_length)
                     for r in got.collect())
     assert stream == batch and len(batch) == 9
+
+
+def test_streaming_cm_sketch_equals_batch_sketch(spark, tmp_path):
+    """The CM sketch built as a streaming aggregate drains to exactly
+    the batch sketch on the same rows — the mergeable state is the
+    streaming state."""
+    from detanalysis_spark.operators.sketches import cm_sketch
+    from detanalysis_spark.streaming.continuous import run_available_now
+
+    df = spark.createDataFrame(
+        [(i, f"t{i % 5}") for i in range(300)], "i long, k string")
+    p = str(tmp_path / "cms_rows")
+    df.coalesce(3).write.parquet(p)
+    sdf = spark.readStream.schema("i long, k string").parquet(p)
+    drained = run_available_now(cm_sketch(sdf, "k", 128, 3),
+                                "cms_t", output_mode="complete",
+                                shuffle_partitions=4)
+    batch = cm_sketch(spark.read.parquet(p), "k", 128, 3)
+    a = {(r.depth, r.bucket): r["count"] for r in drained.collect()}
+    b = {(r.depth, r.bucket): r["count"] for r in batch.collect()}
+    assert a == b and len(a) <= 128 * 3

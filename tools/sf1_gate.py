@@ -167,7 +167,7 @@ GATE_QUERIES = [
     "upsert_merge_stats", "script_detection_stats",
     "pii_card_luhn_stats", "sorted_neighborhood_stats",
     "zipf_corpus_fit", "cm_sketch_event_counts",
-    "pagerank_doc_graph",
+    "pagerank_doc_graph", "streaming_cm_sketch_counts",
 ]
 # Still excluded, and why (the full residue — everything else gates):
 # - quadratic DuckDB oracles (the engine is banded/bucketed; the
