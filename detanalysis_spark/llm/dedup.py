@@ -852,10 +852,16 @@ def _shingle_cooccurrence(docs: DataFrame, id_col: str, text_col: str,
     Scale: cost is Σ_gram df(gram)² — ``max_df`` drops grams shared by
     more than that many docs from candidate generation (frequency
     pruning, the standard similarity-join guard: a shingle in >max_df
-    docs is boilerplate, and pairs sharing ONLY such grams are the
-    recall traded away). The df aggregate also drops df == 1 grams,
-    which cannot form a pair. ``pair_filter``, when given, prunes pair
-    rows BEFORE the pair shuffle (e.g. the Jaccard size-ratio bound).
+    docs is boilerplate). With ``max_df`` set, ``co`` counts only the
+    SURVIVING shared grams while sizes stay full, so downstream scores
+    are LOWER BOUNDS (the same contract as ``token_cosine_pairs``):
+    pairs sharing only pruned grams vanish entirely, and a pair whose
+    score dips below threshold once pruned grams stop counting is also
+    traded away — use ``prefix_filter`` on :func:`jaccard_index_pairs`
+    when the join must stay lossless at scale. The df aggregate also
+    drops df == 1 grams, which cannot form a pair. ``pair_filter``,
+    when given, prunes pair rows BEFORE the pair shuffle (e.g. the
+    Jaccard size-ratio bound).
     """
     sh = docs.select(
         F.col(id_col).alias("__id__"),
@@ -907,7 +913,9 @@ def jaccard_index_pairs(docs: DataFrame, id_col: str = "doc_id",
     Scale: Jaccard >= t forces t·max(|A|,|B|) <= min(|A|,|B|); that
     size-ratio bound is applied to posting pairs BEFORE the pair
     shuffle (PPJoin-style length filter), and ``max_df`` prunes
-    boilerplate grams (see :func:`_shingle_cooccurrence`).
+    boilerplate grams — making reported scores lower bounds, see
+    :func:`_shingle_cooccurrence`; only the default (no ``max_df``)
+    and ``prefix_filter`` tiers are exact.
     ``prefix_filter=True`` switches to the FULL PPJoin prefix-filter
     plan (:func:`_jaccard_prefix_filtered`): only each doc's rarest
     |X|−⌈t·|X|⌉+1 grams enter the candidate join — lossless by the
@@ -921,8 +929,13 @@ def jaccard_index_pairs(docs: DataFrame, id_col: str = "doc_id",
             raise ValueError("prefix_filter needs threshold > 0")
         return _jaccard_prefix_filtered(docs, id_col, text_col, t,
                                         shingle_n, shingle_fn)
+    # PRUNING bounds are epsilon-slack so float rounding can only
+    # keep extra candidates, never drop a pair the final exact filter
+    # would keep (fl(t)*greatest can land ulps ABOVE the true rational
+    # bound — e.g. t=0.55, sizes 11/20: 0.55*20 = 11.000000000000002)
     size_bound = (F.least("sz_a", "sz_b")
-                  >= t * F.greatest("sz_a", "sz_b")) if t > 0 else None
+                  >= t * F.greatest("sz_a", "sz_b") - 1e-9) \
+        if t > 0 else None
     co = _shingle_cooccurrence(docs, id_col, text_col, shingle_n,
                                shingle_fn, max_df, size_bound)
     jac = F.col("co") / (F.col("sz_a") + F.col("sz_b") - F.col("co"))
@@ -975,7 +988,12 @@ def _jaccard_prefix_filtered(docs: DataFrame, id_col: str,
     ranked = posts.join(dfreq.filter(F.col("__df__") > 1), "__gram__")
     w = Window.partitionBy("__id__").orderBy(F.col("__df__").asc(),
                                              F.col("__gram__").asc())
-    prefix_len = (F.col("__sz__") - F.ceil(F.lit(t) * F.col("__sz__"))
+    # epsilon-slack ceiling: fl(t)*sz can round ulps above the true
+    # rational t*sz, which would shrink the prefix below the lemma's
+    # bound and silently drop qualifying pairs; the slack only ever
+    # LENGTHENS the prefix (more candidates, still lossless)
+    prefix_len = (F.col("__sz__")
+                  - F.ceil(F.lit(t) * F.col("__sz__") - 1e-9)
                   + F.lit(1))
     pre = (ranked.withColumn("__rn__", F.row_number().over(w))
            .filter(F.col("__rn__") <= prefix_len)
@@ -987,7 +1005,7 @@ def _jaccard_prefix_filtered(docs: DataFrame, id_col: str,
     cand = (a.join(b, "__gram__")
             .filter((F.col("id_a") < F.col("id_b"))
                     & (F.least("sz_a", "sz_b")
-                       >= t * F.greatest("sz_a", "sz_b")))
+                       >= t * F.greatest("sz_a", "sz_b") - 1e-9))
             .select("id_a", "id_b").distinct())
     return verify_candidates(docs, cand, id_col, text_col, shingle_n,
                              t, shingle_fn)

@@ -1402,6 +1402,10 @@ def knn_graph(df: DataFrame, k: int, id_col: str = "vec_id",
       as ``cosine_near_dup_pairs``) and the corpus streams through it
       with ``mapInPandas`` — distributed over the stream side, exact
       GLOBAL top-k per row, for corpora small enough to broadcast.
+      The broadcast lives until the SparkContext ends (it must: the
+      returned frame is lazy) — sessions looping over many corpora on
+      this tier accumulate ~8 bytes/element per call; use the blocked
+      tier there.
 
     Null vectors are dropped from both roles (they can't score);
     within a block, neighbors are searched among SAME-DIMENSION

@@ -64,6 +64,9 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     d = float(damping)
     if not (0.0 <= d < 1.0):
         raise ValueError(f"damping must be in [0, 1), got {damping}")
+    if int(checkpoint_every) < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))

@@ -305,7 +305,7 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
         delete_neighborhood(F.col("__rv__"), d)).alias("__k__"))
     cand = (lk.join(rk, "__k__")
             .select("__lv__", "__rv__").distinct())
-    out_l = left_col if left_col != right_col else left_col
+    out_l = left_col
     out_r = right_col if right_col != left_col else right_col + "_right"
     return (cand
             .withColumn("edit_distance",

@@ -107,7 +107,8 @@ def split_overlap_audit(df: DataFrame, split_col: str,
 
 def heavy_hitters(df: DataFrame, col: str, phi: float,
                   capacity: int | None = None,
-                  broadcast_candidates: bool = True) -> DataFrame:
+                  broadcast_candidates: bool = True,
+                  n_total: int | None = None) -> DataFrame:
     """EXACT φ-heavy-hitters in two passes — every value of ``col``
     whose frequency strictly exceeds ``phi``·N, with its exact count
     and frequency, and NO shuffle of the long tail.
@@ -131,18 +132,27 @@ def heavy_hitters(df: DataFrame, col: str, phi: float,
     never shuffles — then an exact map-side-combined count of
     candidates only, filtered to > φ·N.
 
-    Two scans of the input trade for tail-free shuffles — the right
-    trade whenever distinct(col) ≫ 1/φ (always, for tokens). N is
-    one eager count() on the driver (a bounded scalar, same pattern
-    as the suite's threshold builders).
+    Data passes: the candidate pass and the exact recount, plus one
+    count() job for N (pass ``n_total`` when the caller already knows
+    it — e.g. from an upstream aggregate — to skip that scan; for a
+    derived frame like an exploded token stream each pass re-runs the
+    projection). The trade pays whenever distinct(col) ≫ 1/φ
+    (always, for tokens).
+
+    ``capacity`` below ⌈1/φ⌉ would void the no-false-negative
+    guarantee (the N/(k+1) undercount bound exceeds φ·N), so it is
+    rejected rather than silently weakening an "exact" result.
     """
     if not (0.0 < float(phi) < 1.0):
         raise ValueError(f"phi must be in (0, 1), got {phi}")
     import math as _math
-    k = int(capacity) if capacity is not None \
-        else int(_math.ceil(1.0 / float(phi)))
-    if k < 1:
-        raise ValueError(f"capacity must be >= 1, got {k}")
+    k_min = int(_math.ceil(1.0 / float(phi)))
+    k = int(capacity) if capacity is not None else k_min
+    if k < k_min:
+        raise ValueError(
+            f"capacity={k} < ceil(1/phi)={k_min}: the Misra-Gries "
+            f"undercount bound N/(capacity+1) would exceed phi*N, "
+            f"allowing silent false negatives — raise capacity or phi")
     sel = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
     schema = sel.schema
 
@@ -161,7 +171,9 @@ def heavy_hitters(df: DataFrame, col: str, phi: float,
     cand = sel.mapInPandas(mg_partition, schema).distinct()
     if broadcast_candidates:
         cand = F.broadcast(cand)
-    n_total = sel.count()
+    if n_total is None:
+        n_total = sel.count()
+    n_total = int(n_total)
     exact = (sel.join(cand, "v", "left_semi")
              .groupBy("v").agg(F.count(F.lit(1)).alias("count"))
              .filter(F.col("count") > float(phi) * n_total))

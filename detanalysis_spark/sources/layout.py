@@ -460,6 +460,16 @@ def upsert_parquet(spark: SparkSession, path: str, updates: DataFrame,
     """
     meta = spark.read.parquet(path.rstrip("/") + "/_cow_meta").first()
     num_buckets, keys = int(meta.num_buckets), meta.key_cols.split(",")
+    # xxhash64 is physical-type-sensitive (int and bigint hash
+    # differently), so update keys are cast to the TABLE's key types
+    # before bucketing — a type-mismatched batch would otherwise land
+    # in the wrong buckets and leave duplicate keys behind
+    table_types = {f.name: f.dataType
+                   for f in spark.read.parquet(path).schema.fields}
+    updates = updates.select(*[
+        F.col(c).cast(table_types[c]).alias(c)
+        if c in keys and c in table_types else F.col(c)
+        for c in updates.columns])
     up = updates.withColumn("__bucket__",
                             _bucket_expr(keys, num_buckets))
     touched = sorted(r[0] for r in

@@ -457,8 +457,18 @@ def write_warc(df: DataFrame, path: str, uri_col: str, body_col: str,
     the whole HTTP message in OCTETS, as ISO 28500 requires."""
     status = (F.col(status_col).cast("string") if status_col
               else F.lit("200"))
+    # RFC 9112 reason phrases for the codes crawls actually carry;
+    # unknown codes get a neutral phrase rather than a wrong "OK"
+    reasons = {"200": "OK", "301": "Moved Permanently",
+               "302": "Found", "304": "Not Modified",
+               "403": "Forbidden", "404": "Not Found",
+               "500": "Internal Server Error",
+               "503": "Service Unavailable"}
+    phrase = F.lit("Status")
+    for code, txt in reasons.items():
+        phrase = F.when(status == code, F.lit(txt)).otherwise(phrase)
     http = F.concat(
-        F.lit("HTTP/1.1 "), status, F.lit(" OK\n"),
+        F.lit("HTTP/1.1 "), status, F.lit(" "), phrase, F.lit("\n"),
         F.lit(f"Content-Type: {content_type}\n"),
         F.lit("Content-Length: "),
         F.octet_length(F.col(body_col)).cast("string"),

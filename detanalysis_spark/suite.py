@@ -3290,7 +3290,10 @@ WITH m AS (
   FROM documents),
 h AS (
   SELECT source, doc_id, body, status,
-         'HTTP/1.1 ' || status || ' OK' || chr(10) ||
+         'HTTP/1.1 ' || status || ' ' ||
+         CASE status WHEN 200 THEN 'OK'
+              WHEN 404 THEN 'Not Found'
+              ELSE 'Moved Permanently' END || chr(10) ||
          'Content-Type: text/html' || chr(10) ||
          'Content-Length: ' || strlen(body) || chr(10) || chr(10) ||
          body AS msg

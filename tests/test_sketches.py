@@ -224,3 +224,18 @@ def test_cm_sketch_bounded_rows_and_validation(spark):
     assert sk.count() <= 32 * 3
     with pytest.raises(ValueError):
         cm_sketch(df, "k", width=0)
+
+
+def test_heavy_hitters_rejects_guarantee_voiding_capacity(spark):
+    """capacity < ceil(1/phi) would allow silent false negatives —
+    rejected up front instead."""
+    from detanalysis_spark.operators.sketches import heavy_hitters
+    df = spark.createDataFrame([("a",)], ["tok"])
+    with pytest.raises(ValueError, match="false negatives"):
+        heavy_hitters(df, "tok", 0.01, capacity=4)
+    # n_total passthrough skips the count scan and stays exact
+    rows = ["hot"] * 6 + ["a", "b", "c", "d"]
+    df2 = spark.createDataFrame([(v,) for v in rows], ["tok"])
+    got = {r.tok: r["count"] for r in
+           heavy_hitters(df2, "tok", 0.5, n_total=10).collect()}
+    assert got == {"hot": 6}

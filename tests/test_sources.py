@@ -934,3 +934,36 @@ def test_warc_mixed_records_and_non_http_passthrough(spark, tmp_path):
     # no HTTP envelope: body is the raw payload, status/type null
     assert meta.body == "plain meta"
     assert meta.http_status is None and meta.http_content_type is None
+
+
+def test_cow_upsert_casts_mismatched_key_types(spark, tmp_path):
+    """xxhash64 is physical-type-sensitive: an IntegerType key batch
+    against a bigint-keyed table must still bucket identically (keys
+    cast to the table's types before hashing)."""
+    from detanalysis_spark.sources.layout import (cow_write, read_cow,
+                                                  upsert_parquet)
+    path = str(tmp_path / "cow_types")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k long, s string")
+    cow_write(base, path, "k", num_buckets=8)
+    ups = spark.createDataFrame([(3, "UPDATED")], "k int, s string")
+    upsert_parquet(spark, path, ups)
+    got = {r.k: r.s for r in read_cow(spark, path).collect()}
+    assert len(got) == 40              # no duplicate key row
+    assert got[3] == "UPDATED"
+
+
+def test_write_warc_reason_phrases(spark, tmp_path):
+    from detanalysis_spark.sources.textio import write_warc
+    df = spark.createDataFrame(
+        [("https://a/", "x", 200), ("https://b/", "y", 404),
+         ("https://c/", "z", 418)],
+        "uri string, body string, code int")
+    p = str(tmp_path / "warc_rp")
+    write_warc(df.coalesce(1), p, "uri", "body", status_col="code")
+    import glob
+    text = "".join(open(f).read() for f in glob.glob(f"{p}/part-*"))
+    assert "HTTP/1.1 200 OK" in text
+    assert "HTTP/1.1 404 Not Found" in text
+    assert "HTTP/1.1 418 Status" in text      # unknown: neutral phrase
+    assert "404 OK" not in text
