@@ -1125,15 +1125,18 @@ def test_containment_pairs_property(spark, texts):
 
 @given(vals=st.lists(st.integers(0, 6), min_size=1, max_size=300),
        phi=st.sampled_from([0.05, 0.2, 0.4]),
-       cap=st.integers(2, 8),
+       cap_extra=st.integers(0, 6),
        parts=st.sampled_from([1, 3, 16]))
 @settings(**SETTINGS)
-def test_heavy_hitters_property(spark, vals, phi, cap, parts):
-    """For ANY value stream, capacity, and partitioning: exact
+def test_heavy_hitters_property(spark, vals, phi, cap_extra, parts):
+    """For ANY value stream, legal capacity, and partitioning: exact
     equality with the plain count>phi*N filter — the MG union can
-    produce extra CANDIDATES but never wrong RESULTS."""
+    produce extra CANDIDATES but never wrong RESULTS. (Capacities
+    below ceil(1/phi) are rejected up front — covered separately.)"""
+    import math
     from collections import Counter
     from detanalysis_spark.operators.sketches import heavy_hitters
+    cap = math.ceil(1.0 / phi) + cap_extra
     df = spark.createDataFrame([(f"v{v}",) for v in vals], ["k"]) \
               .repartition(parts)
     got = {r.k: r["count"] for r in
