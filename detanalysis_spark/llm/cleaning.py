@@ -843,9 +843,9 @@ def with_registered_domain(df: DataFrame, url_col: str,
     Default path is the exact Public Suffix List matcher
     (:func:`detanalysis_spark.llm.psl.registered_domain_psl` — chained
     broadcast joins, corpus never shuffles; resolves the rule list
-    via ``psl.psl_source()`` — $DETANALYSIS_PSL_PATH, an installed
-    complete list from ``tools/fetch_psl.py``, else the vendored
-    snapshot — unless ``psl_path`` overrides). ``use_psl=False`` falls back
+    via ``psl.psl_source()`` — $DETANALYSIS_PSL_PATH, else the
+    vendored complete publicsuffix.org list — unless ``psl_path``
+    overrides). ``use_psl=False`` falls back
     to the heuristic :func:`registered_domain` projection.
 
     When a pipeline applies several provenance gates, call this ONCE

@@ -47,8 +47,9 @@ __all__ = [
 
 _SNAPSHOT = os.path.join(os.path.dirname(__file__), "data",
                          "public_suffix_snapshot.dat")
-# a COMPLETE downloaded list installed by ``tools/fetch_psl.py``
-# (kept out of version control; ~240 KB, refreshed per deployment)
+# the COMPLETE list, vendored in-tree (installed from the Debian
+# ``publicsuffix`` package's copy of the publicsuffix.org list, MPL
+# 2.0, ~9.4k exact rules; refresh with ``tools/fetch_psl.py``)
 _FULL = os.path.join(os.path.dirname(__file__), "data",
                      "public_suffix_list.dat")
 # environment override — points default_psl() at any PSL-format file
@@ -127,15 +128,13 @@ def default_psl(include_private: bool = True) -> PslRules:
     """The default rule set (parsed once per (path, flag) per process)
     — see :func:`psl_source` for the resolution order.
 
-    The vendored snapshot fallback covers the wildcard/exception TLDs,
-    the US locality scheme, and the second-level families of ~140
-    ccTLD registries (~1,800 rules), but it is NOT the complete
-    ~10k-rule list: registry-specific families outside it fall back to
-    the implicit ``*`` rule (plain one-label gTLDs are unaffected —
-    a depth-1 exact rule and the ``*`` default behave identically).
-    Deployments curating real web data should run ``python
-    tools/fetch_psl.py`` once (or set ``$DETANALYSIS_PSL_PATH``) so
-    this resolves to the complete publicsuffix.org list."""
+    The complete publicsuffix.org list is vendored in-tree
+    (``data/public_suffix_list.dat``, ~9.4k exact rules + wildcards +
+    exceptions), so this resolves to the full list by default; the
+    ~1,800-rule snapshot remains only as a last-resort fallback for a
+    stripped checkout.  Refresh the vendored copy with ``python
+    tools/fetch_psl.py`` (or point ``$DETANALYSIS_PSL_PATH`` at any
+    newer PSL-format file)."""
     return _load_cached(psl_source(), include_private)
 
 
@@ -205,12 +204,10 @@ def registered_domain_psl(df: DataFrame, host_col: str,
     yield NULL, matching :func:`registered_domain_py` exactly.
 
     Exactness holds RELATIVE TO THE RESOLVED RULE LIST (see
-    :func:`psl_source`): with a complete downloaded list installed
-    (``tools/fetch_psl.py`` / ``$DETANALYSIS_PSL_PATH``) the result is
-    exact against publicsuffix.org; the vendored-snapshot fallback
-    (~1,800 rules covering ~140 registries' multi-label families) lets
-    families outside it fall back to the implicit ``*`` rule.
-    ``psl_path=`` overrides per call.
+    :func:`psl_source`): the complete publicsuffix.org list is
+    vendored in-tree, so the default is exact against the real PSL;
+    ``$DETANALYSIS_PSL_PATH`` or ``psl_path=`` substitute a newer
+    copy per deployment / per call.
     """
     if psl_path is not None:
         rules = load_psl(psl_path, include_private=include_private)
