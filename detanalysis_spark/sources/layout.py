@@ -450,8 +450,18 @@ def upsert_parquet(spark: SparkSession, path: str, updates: DataFrame,
     anti-join keyed by the key columns drops superseded rows; the
     merged result writes to a sibling temp dir and the touched bucket
     directories swap in via filesystem rename (old dir restored on
-    failure), so readers never see a half-written bucket and the
-    unchanged buckets' files are untouched.
+    failure), so the unchanged buckets' files are untouched.
+
+    Atomicity is PER BUCKET, not per merge: each bucket swap is a
+    rename pair, so a reader never sees a half-written bucket — but a
+    crash mid-loop leaves earlier buckets new and later buckets old
+    (plus ``__cow_tmp__``/``__cow_bak__`` residue), and a concurrent
+    reader can catch one bucket's directory absent between its
+    rename-aside and rename-in. Stale residue from a crashed run is
+    repaired up front on the next upsert (an aside bucket whose live
+    directory is missing is restored, leftovers deleted); for true
+    multi-bucket snapshot atomicity put a manifest/version pointer in
+    front (``write_manifest`` in this module is the building block).
 
     ``updates`` must carry unique keys (one winner per key is a
     caller-side policy decision — pre-aggregate with e.g. a max-ts
@@ -460,6 +470,28 @@ def upsert_parquet(spark: SparkSession, path: str, updates: DataFrame,
     """
     meta = spark.read.parquet(path.rstrip("/") + "/_cow_meta").first()
     num_buckets, keys = int(meta.num_buckets), meta.key_cols.split(",")
+    tmp = path.rstrip("/") + ".__cow_tmp__"
+    # repair residue from a crashed earlier run BEFORE reading: a
+    # stale .__bucket__=N.__cow_bak__ whose live dir is missing means
+    # the crash hit between rename-aside and rename-in — restore it;
+    # any other bak and any stale tmp dir are leftovers to delete
+    # (ADVICE r9: later reads would otherwise miss the asided bucket
+    # or the renames below would collide with the residue)
+    fs0, _ = hadoop_fs(spark, path)
+    jvm_path0 = spark._jvm.org.apache.hadoop.fs.Path
+    base0 = path.rstrip("/")
+    if fs0.exists(jvm_path0(tmp)):
+        fs0.delete(jvm_path0(tmp), True)
+    for st in fs0.listStatus(jvm_path0(base0)):
+        name = st.getPath().getName()
+        if name.startswith(".__bucket__=") and \
+                name.endswith(".__cow_bak__"):
+            live = name[1:-len(".__cow_bak__")]
+            live_p = jvm_path0(f"{base0}/{live}")
+            if not fs0.exists(live_p):
+                fs0.rename(st.getPath(), live_p)
+            else:
+                fs0.delete(st.getPath(), True)
     # xxhash64 is physical-type-sensitive (int and bigint hash
     # differently), so update keys are cast to the TABLE's key types
     # before bucketing — a type-mismatched batch would otherwise land
@@ -480,7 +512,6 @@ def upsert_parquet(spark: SparkSession, path: str, updates: DataFrame,
            .filter(F.col("__bucket__").isin([int(b) for b in touched])))
     keep = old.join(up.select(*keys), keys, "left_anti")
     merged = keep.unionByName(up.select(*keep.columns))
-    tmp = path.rstrip("/") + ".__cow_tmp__"
     (merged.repartition(len(touched), F.col("__bucket__"))
            .write.mode("overwrite").partitionBy("__bucket__")
            .parquet(tmp))

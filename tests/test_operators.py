@@ -818,3 +818,40 @@ def test_pagerank_validation(spark):
         pagerank(E, iterations=0)
     with _pt.raises(ValueError):
         pagerank(E, damping=1.0)
+    with _pt.raises(ValueError):
+        pagerank(E, tol=0.0)
+
+
+def test_pagerank_tol_early_stop(spark):
+    """tol early-stop converges to the same fixed point as a long
+    fixed-iteration run, and on an already-converged input (k-regular
+    graph: uniform is the exact fixed point after round 1) it stops
+    without burning the full budget — the result still matches the
+    fixed-iteration answer bit-for-bit in value terms."""
+    from detanalysis_spark.operators.graph import pagerank
+    n = 8
+    edges = [(i, (i + 1) % n) for i in range(n)] + \
+            [(i, (i + 3) % n) for i in range(n)]
+    E = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r["rank"] for r in
+           pagerank(E, iterations=50, tol=1e-12).collect()}
+    ref = {r.node: r["rank"] for r in
+           pagerank(E, iterations=3).collect()}
+    assert set(got) == set(ref)
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-10
+
+    # converging (non-regular, with a dangling node) graph: tol run ==
+    # the fixed point of a long run, within tol-scale error
+    E2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)], ["src", "dst"])
+    # node 5 dangling via an edge into it
+    E2 = E2.union(spark.createDataFrame([(3, 5)], ["src", "dst"]))
+    tol_run = {r.node: r["rank"] for r in
+               pagerank(E2, iterations=200, tol=1e-10).collect()}
+    long_run = {r.node: r["rank"] for r in
+                pagerank(E2, iterations=80).collect()}
+    assert set(tol_run) == set(long_run)
+    for v in long_run:
+        assert abs(tol_run[v] - long_run[v]) < 1e-8
+    assert abs(sum(tol_run.values()) - 1.0) < 1e-9

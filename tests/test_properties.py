@@ -1140,7 +1140,8 @@ def test_heavy_hitters_property(spark, vals, phi, cap_extra, parts):
     df = spark.createDataFrame([(f"v{v}",) for v in vals], ["k"]) \
               .repartition(parts)
     got = {r.k: r["count"] for r in
-           heavy_hitters(df, "k", phi, capacity=cap).collect()}
+           heavy_hitters(df, "k", phi, capacity=cap,
+                         strategy="mg").collect()}
     n = len(vals)
     want = {f"v{v}": c for v, c in Counter(vals).items()
             if c > phi * n}

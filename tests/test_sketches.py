@@ -155,8 +155,37 @@ def test_heavy_hitters_no_false_negatives_tiny_capacity(spark):
     df = spark.createDataFrame([(v,) for v in rows], ["tok"]) \
               .repartition(32)
     got = {r.tok: r["count"] for r in
-           heavy_hitters(df, "tok", 0.25, capacity=4).collect()}
+           heavy_hitters(df, "tok", 0.25, capacity=4,
+                         strategy="mg").collect()}
     assert got == {"needle": 300}
+
+
+def test_heavy_hitters_strategies_agree(spark):
+    """naive / mg / auto are three physical plans for the same exact
+    result; auto picks naive below the distinct threshold and mg
+    above it."""
+    from detanalysis_spark.operators.sketches import heavy_hitters
+    rows = (["hot"] * 300 + ["warm"] * 90 +
+            [f"tail{i % 400}" for i in range(610)])
+    df = spark.createDataFrame([(v,) for v in rows], ["tok"]) \
+              .repartition(8)
+    outs = []
+    for strat in ("naive", "mg", "auto"):
+        outs.append(sorted(
+            (r.tok, r["count"], round(r.freq, 12)) for r in
+            heavy_hitters(df, "tok", 0.05, strategy=strat).collect()))
+    assert outs[0] == outs[1] == outs[2]
+    assert {t for t, _, _ in outs[0]} == {"hot", "warm"}
+    # auto with a threshold of 0 distinct must route to mg and still
+    # produce the identical result
+    forced_mg = sorted(
+        (r.tok, r["count"], round(r.freq, 12)) for r in
+        heavy_hitters(df, "tok", 0.05, strategy="auto",
+                      naive_distinct_threshold=0).collect())
+    assert forced_mg == outs[0]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="strategy"):
+        heavy_hitters(df, "tok", 0.05, strategy="bogus")
 
 
 def test_heavy_hitters_nulls_and_numeric_column(spark):
@@ -224,6 +253,44 @@ def test_cm_sketch_bounded_rows_and_validation(spark):
     assert sk.count() <= 32 * 3
     with pytest.raises(ValueError):
         cm_sketch(df, "k", width=0)
+
+
+def test_cm_sketch_geometry_embedded_and_validated(spark):
+    """ADVICE r9: the sketch carries (width, depths); cm_lookup derives
+    them when omitted and REJECTS a mismatched explicit geometry
+    instead of silently rehashing probes into wrong buckets."""
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+    from detanalysis_spark.operators.sketches import (cm_lookup,
+                                                      cm_merge,
+                                                      cm_sketch)
+    rows = [("a",)] * 50 + [("b",)] * 30
+    df = spark.createDataFrame(rows, ["k"])
+    sk = cm_sketch(df, "k", width=128, depth=3)
+    assert {"width", "depths"} <= set(sk.columns)
+    assert sk.select("width", "depths").distinct().collect()[0][:] \
+        == (128, 3)
+    probes = spark.createDataFrame([("a",), ("b",)], ["k"])
+    # geometry derived from the sketch — no explicit params needed
+    got = {r.k: r.est_count for r in
+           cm_lookup(sk, probes, "k").collect()}
+    assert got == {"a": 50, "b": 30}
+    # mismatched explicit geometry raises at execution
+    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception),
+                       match="embedded geometry"):
+        cm_lookup(sk, probes, "k", width=64, depth=3).collect()
+    # merging mixed geometries raises at execution
+    bad = cm_merge(sk, cm_sketch(df, "k", width=64, depth=3))
+    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception),
+                       match="disagree"):
+        bad.collect()
+    # legacy sketch (no metadata columns): explicit params required
+    legacy = sk.select("depth", "bucket", "count")
+    got2 = {r.k: r.est_count for r in
+            cm_lookup(legacy, probes, "k", width=128, depth=3).collect()}
+    assert got2 == {"a": 50, "b": 30}
+    with pytest.raises(ValueError, match="no \\(width, depths\\)"):
+        cm_lookup(legacy, probes, "k")
 
 
 def test_heavy_hitters_rejects_guarantee_voiding_capacity(spark):

@@ -863,6 +863,42 @@ def test_cow_read_prunes_by_bucket_filter(spark, tmp_path):
     assert "__bucket__" in plan
 
 
+def test_cow_upsert_repairs_crash_residue(spark, tmp_path):
+    """ADVICE r9: stale __cow_tmp__/__cow_bak__ from a crashed run are
+    repaired up front — an asided bucket whose live dir is missing is
+    restored (the crash hit between rename-aside and rename-in), other
+    residue is deleted, and the next upsert proceeds cleanly."""
+    import glob
+    import os
+    import shutil
+    from detanalysis_spark.sources.layout import (cow_write, read_cow,
+                                                  upsert_parquet)
+    path = str(tmp_path / "cow5")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(80)], "k long, v long")
+    cow_write(base, path, "k", num_buckets=8)
+    buckets = sorted(glob.glob(f"{path}/__bucket__=*"))
+    assert len(buckets) >= 2
+    # simulate a crash between rename-aside and rename-in on bucket A
+    ba = buckets[0]
+    aname = os.path.basename(ba)
+    os.rename(ba, f"{path}/.{aname}.__cow_bak__")
+    # ...and a leftover bak for bucket B whose live dir still exists
+    bb = buckets[1]
+    bname = os.path.basename(bb)
+    shutil.copytree(bb, f"{path}/.{bname}.__cow_bak__")
+    # ...and a stale tmp dir from the dead writer
+    os.makedirs(f"{path}.__cow_tmp__/{aname}", exist_ok=True)
+    ups = spark.createDataFrame([(0, -1), (79, -2)], "k long, v long")
+    upsert_parquet(spark, path, ups)
+    # all residue gone, the asided bucket's rows are back, merge applied
+    assert not glob.glob(f"{path}.__cow_tmp__")
+    assert not glob.glob(f"{path}/.__bucket__*__cow_bak__")
+    got = {r.k: r.v for r in read_cow(spark, path).collect()}
+    assert len(got) == 80
+    assert got[0] == -1 and got[79] == -2 and got[40] == 400
+
+
 def test_cow_upsert_empty_updates_is_noop(spark, tmp_path):
     from detanalysis_spark.sources.layout import (cow_write, read_cow,
                                                   upsert_parquet)
