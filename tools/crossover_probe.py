@@ -1,0 +1,196 @@
+#!/usr/bin/env python3
+"""Crossover measurements for the two r9 perf-weak adjudications.
+
+VERDICT r9 graded exactly two queries perf-weak — correct results,
+right 100 TB plan shape, but >2x a DuckDB oracle doing identical
+linear work at every MEASURED scale, with the claimed crossover
+asserted rather than demonstrated. This tool demonstrates (or
+honestly refutes) both:
+
+1. ``trimmed_price_stats`` at sf10-equivalent (60M lineitem rows,
+   100x-replicated sf0.1 — same distributions, 100x cardinality):
+   times the engine plan (now ``exact="auto"``: the sketch band above
+   20M rows) AND the old always-exact plan against DuckDB running the
+   query's own oracle (exact quantile band + trimmed aggregate) on
+   the same parquet. Settles whether the fixed-cost amortization
+   claim holds where execution, not scheduling, dominates.
+
+2. ``heavy_hitters`` naive-vs-MG at controlled vocabulary sizes:
+   plants token corpora with N=30M occurrences and distinct counts
+   sweeping 1M -> 25M (10 heavy tokens at 1% each, uniform unique-ish
+   tail — the wide-vocabulary regime the MG design targets), then
+   times ``strategy="naive"`` vs ``strategy="mg"`` on the same
+   parquet, plus the DuckDB GROUP-BY oracle for context. The measured
+   crossover justifies (or corrects) the ``naive_distinct_threshold``
+   default the auto tier ships with.
+
+Output: one JSON line on stdout (committed as CROSSOVER.json) and a
+Markdown table on stderr (embedded in SCALING.md / STATUS.md).
+Corpora are materialized once under /tmp and reused.
+
+Usage: python tools/crossover_probe.py [--runs N] [--skip-trim]
+       [--skip-hh]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF10_DIR = "/tmp/detanalysis_sf10x"
+HH_DIR = "/tmp/detanalysis_hh_probe"
+TRIM_COPIES = 100
+SHIFT = 1_000_000_000
+
+HH_N = 30_000_000
+HH_DISTINCT = [1_000_000, 8_000_000, 25_000_000]
+HH_PHI = 0.003
+
+
+def materialize_sf10_lineitem() -> str:
+    p = os.path.join(SF10_DIR, "lineitem.parquet")
+    if os.path.exists(p):
+        return p
+    os.makedirs(SF10_DIR, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{SRC}/lineitem.parquet')")
+    con.execute(
+        f"COPY (SELECT l_orderkey + c*{SHIFT} AS l_orderkey, "
+        f"* EXCLUDE (l_orderkey) FROM t, range({TRIM_COPIES}) r(c)) "
+        f"TO '{p}' (FORMAT PARQUET)")
+    con.close()
+    return p
+
+
+def materialize_hh_corpus(spark, d: int) -> str:
+    p = os.path.join(HH_DIR, f"tokens_d{d}.parquet")
+    if os.path.exists(p):
+        return p
+    from pyspark.sql import functions as F
+    os.makedirs(HH_DIR, exist_ok=True)
+    # 10% of rows are 10 planted heavies (1% each, ≫ phi·N);
+    # the other 90% spread uniformly over `d` tail tokens
+    tok = F.when(
+        F.pmod(F.col("id"), F.lit(100)) < 10,
+        F.concat(F.lit("H"), F.pmod(F.col("id"), F.lit(10))),
+    ).otherwise(F.concat(F.lit("t"), F.pmod(F.col("id"), F.lit(d))))
+    (spark.range(HH_N).select(tok.alias("tok"))
+     .write.mode("overwrite").parquet(p))
+    return p
+
+
+def _min_wall(fn, runs: int) -> float:
+    walls = []
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        walls.append(time.time() - t0)
+    return min(walls)
+
+
+def main() -> int:
+    runs = 2
+    if "--runs" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    do_trim = "--skip-trim" not in sys.argv
+    do_hh = "--skip-hh" not in sys.argv
+
+    from detanalysis_spark.session import get_spark
+    from detanalysis_spark import suite
+
+    spark = get_spark("crossover-probe")
+    spark.range(10).count()  # session warm-up
+    out: dict = {"runs": runs}
+
+    if do_trim:
+        p = materialize_sf10_lineitem()
+        n_rows = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{p}')").fetchone()[0]
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                    f"read_parquet('{p}')")
+        oracle = suite.ORACLES["trimmed_price_stats"]
+        d_wall = _min_wall(lambda: con.execute(oracle).fetchall(), runs)
+
+        from pyspark.sql import functions as F
+        from detanalysis_spark.operators.stats import trim_outliers
+        from detanalysis_spark.sources import load_table
+        from detanalysis_spark.suite import cents
+
+        def run_spark(exact):
+            li = load_table(spark, SF10_DIR, "lineitem")
+            t = trim_outliers(li, "l_extendedprice", 1.0, 99.0,
+                              exact=exact)
+            (t.groupBy("l_returnflag")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(cents(F.col("l_extendedprice")))
+                  .alias("sum_price_cents"))).collect()
+
+        auto_wall = _min_wall(lambda: run_spark("auto"), runs)
+        exact_wall = _min_wall(lambda: run_spark(True), runs)
+        con.close()
+        out["trimmed_price_sf10"] = {
+            "rows": int(n_rows),
+            "spark_auto_s": round(auto_wall, 3),
+            "spark_exact_s": round(exact_wall, 3),
+            "duckdb_oracle_s": round(d_wall, 3),
+            "ratio_auto": round(auto_wall / max(d_wall, 1e-9), 2),
+            "ratio_exact": round(exact_wall / max(d_wall, 1e-9), 2),
+        }
+
+    if do_hh:
+        from detanalysis_spark.operators.sketches import heavy_hitters
+        hh_rows = []
+        for d in HH_DISTINCT:
+            p = materialize_hh_corpus(spark, d)
+
+            def run(strategy):
+                df = spark.read.parquet(p)
+                heavy_hitters(df, "tok", HH_PHI,
+                              strategy=strategy).collect()
+
+            naive = _min_wall(lambda: run("naive"), runs)
+            mg = _min_wall(lambda: run("mg"), runs)
+            con = duckdb.connect()
+            dd = _min_wall(lambda: con.execute(
+                f"SELECT tok, count(*) AS c FROM read_parquet('{p}') "
+                f"GROUP BY tok HAVING count(*) > {HH_PHI} * "
+                f"(SELECT count(*) FROM read_parquet('{p}'))"
+            ).fetchall(), runs)
+            con.close()
+            hh_rows.append({
+                "n_tokens": HH_N, "n_distinct": d,
+                "naive_s": round(naive, 3), "mg_s": round(mg, 3),
+                "duckdb_s": round(dd, 3),
+                "mg_over_naive": round(mg / max(naive, 1e-9), 2),
+            })
+        out["heavy_hitters"] = hh_rows
+
+    print(json.dumps(out))
+    if do_trim:
+        t = out["trimmed_price_sf10"]
+        print(f"\ntrimmed_price_stats @ {t['rows']:,} rows: "
+              f"spark auto {t['spark_auto_s']}s "
+              f"(ratio {t['ratio_auto']}), exact {t['spark_exact_s']}s "
+              f"(ratio {t['ratio_exact']}), duckdb "
+              f"{t['duckdb_oracle_s']}s", file=sys.stderr)
+    if do_hh:
+        print("\n| N | distinct | naive s | mg s | duckdb s "
+              "| mg/naive |", file=sys.stderr)
+        print("|---|---|---|---|---|---|", file=sys.stderr)
+        for r in out["heavy_hitters"]:
+            print(f"| {r['n_tokens']:,} | {r['n_distinct']:,} "
+                  f"| {r['naive_s']} | {r['mg_s']} | {r['duckdb_s']} "
+                  f"| {r['mg_over_naive']} |", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
