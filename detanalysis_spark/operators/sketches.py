@@ -262,46 +262,84 @@ def cm_sketch(df: DataFrame, col: str, width: int = 2048,
         v.alias("__v__"))
     bucket = F.pmod(F.xxhash64(F.col("depth"), F.col("__v__")),
                     F.lit(int(width)))
-    # (width, depths) ride the sketch itself — constant columns, so a
-    # persisted sketch read back later self-describes its geometry and
-    # cm_lookup/cm_merge can VALIDATE instead of trusting call-site
+    # (width, depths) ride the sketch itself — constant columns carry
+    # the values for ANY reader, and Spark column METADATA on them
+    # carries the same values at the schema level (parquet round-trips
+    # it via the footer schema), so cm_lookup/cm_merge validate at
+    # PLAN time with zero runtime cost instead of trusting call-site
     # defaults (ADVICE r9: a silently mismatched width rehashes probes
     # into wrong buckets and can underestimate)
     return (rows.select("depth", bucket.alias("bucket"))
             .groupBy("depth", "bucket")
             .agg(F.count(F.lit(1)).alias("count"))
-            .withColumn("width", F.lit(int(width)))
-            .withColumn("depths", F.lit(int(depth))))
+            .select("depth", "bucket", "count",
+                    *_cm_geo_cols(int(width), int(depth))))
+
+
+def _cm_geo_cols(width: int, depth: int):
+    return [F.lit(width).alias("width",
+                               metadata={"cm_width": width,
+                                         "cm_depths": depth}),
+            F.lit(depth).alias("depths",
+                               metadata={"cm_width": width,
+                                         "cm_depths": depth})]
+
+
+def _cm_geometry(df: DataFrame) -> tuple[int, int] | None:
+    """(width, depths) from schema metadata, or None for a sketch
+    frame produced by something other than cm_sketch/cm_merge."""
+    try:
+        m = df.schema["width"].metadata
+        return int(m["cm_width"]), int(m["cm_depths"])
+    except (KeyError, TypeError, ValueError):
+        return None
 
 
 def cm_merge(*sketches: DataFrame) -> DataFrame:
     """Merge count-min sketches built with the SAME (width, depths):
     union + re-aggregate. Exactly additive — merging never adds error.
 
-    Geometry is validated from the sketches' embedded (width, depths)
-    columns at EXECUTION time, with no extra job and no recompute of
-    the (possibly expensive) sketch lineages: the merged frame is ≤
-    depth×width rows, so a global window over it checks that exactly
-    one geometry is present and raises otherwise. Legacy sketch frames
-    without the metadata columns merge as before (nothing to check)."""
+    Geometry validation is FREE: every sketch from
+    :func:`cm_sketch`/:func:`cm_merge` (including one read back from
+    parquet) carries (width, depths) in its schema metadata, so a
+    mismatch raises at PLAN time — no extra job, no recompute, no
+    runtime guard in the merged plan. Sketch frames that carry the
+    (width, depths) COLUMNS but not the metadata (built by an external
+    writer) fall back to an execution-time guard: the merged frame is
+    ≤ depth×width rows, so a global window checks that exactly one
+    geometry is present. Frames without the columns at all merge
+    ungarded (legacy)."""
     if not sketches:
         raise ValueError("cm_merge needs at least one sketch")
-    has_meta = all("width" in s.columns and "depths" in s.columns
+    geos = [_cm_geometry(s) for s in sketches]
+    has_cols = all("width" in s.columns and "depths" in s.columns
                    for s in sketches)
     out = sketches[0]
     for s in sketches[1:]:
-        out = out.unionByName(s, allowMissingColumns=not has_meta)
-    keys = ["depth", "bucket"] + (["width", "depths"] if has_meta else [])
-    merged = out.groupBy(*keys).agg(F.sum("count").alias("count"))
-    if not has_meta:
-        return merged
+        out = out.unionByName(s, allowMissingColumns=not has_cols)
+    if all(g is not None for g in geos):
+        if len(set(geos)) > 1:
+            raise ValueError(
+                f"cm_merge: sketches disagree on (width, depths): "
+                f"{sorted(set(geos))} — merging mixed geometries "
+                f"corrupts counts")
+        w, d = geos[0]
+        return (out.groupBy("depth", "bucket")
+                .agg(F.sum("count").alias("count"))
+                .select("depth", "bucket", "count",
+                        *_cm_geo_cols(w, d)))
+    if not has_cols:
+        return (out.groupBy("depth", "bucket")
+                .agg(F.sum("count").alias("count")))
+    merged = (out.groupBy("depth", "bucket", "width", "depths")
+              .agg(F.sum("count").alias("count")))
     from pyspark.sql import Window
     n_geo = F.size(F.collect_set(F.struct("width", "depths"))
                    .over(Window.partitionBy()))
     guarded = F.when(
-        n_geo == 1, F.col("count")).otherwise(F.raise_error(F.concat(
-            F.lit("cm_merge: sketches disagree on (width, depths) — "
-                  "merging mixed geometries corrupts counts"))))
+        n_geo == 1, F.col("count")).otherwise(F.raise_error(F.lit(
+            "cm_merge: sketches disagree on (width, depths) — "
+            "merging mixed geometries corrupts counts")))
     return merged.select("depth", "bucket",
                          guarded.alias("count"), "width", "depths")
 
@@ -317,23 +355,36 @@ def cm_lookup(sketch: DataFrame, probes: DataFrame, col: str,
     the ≤ depth×width-row sketch — broadcast-sized by construction.
 
     Geometry resolution (ADVICE r9 — the sketch carries its own
-    (width, depths) columns since round 10):
+    (width, depths) since round 10, as columns AND as schema
+    metadata):
 
-    - ``width``/``depth`` omitted: read lazily FROM the sketch via a
-      broadcast 1-row geometry frame (uniqueness asserted at
-      execution). This evaluates the sketch lineage one extra time —
-      free for a persisted/drained sketch, so it is the right default
-      for stored state; pass explicit values to avoid it on a lazy
-      sketch.
-    - explicit ``width``/``depth``: validated at execution against the
-      geometry columns of every joined sketch row — a mismatch raises
-      instead of silently underestimating. (Probes that match no
-      bucket have nothing to validate against, but they are exactly
-      the est=0 rows a mismatched width cannot inflate.)
-    - legacy sketch without the metadata columns: explicit
-      ``width``/``depth`` required.
+    - sketch built by ``cm_sketch``/``cm_merge`` (or read back from
+      their parquet output): geometry comes from schema metadata at
+      PLAN time, free — omitted params are filled in, explicit params
+      are validated immediately (a mismatch raises ``ValueError``
+      before any job runs).
+    - metadata absent but (width, depths) COLUMNS present (external
+      writer): omitted params are read lazily from a broadcast 1-row
+      geometry frame (uniqueness asserted at execution — this
+      evaluates the sketch lineage one extra time, free for persisted
+      state); explicit params are validated at execution against the
+      geometry columns of every joined sketch row. (Probes that match
+      no bucket have nothing to validate against, but they are
+      exactly the est=0 rows a mismatched width cannot inflate.)
+    - neither: explicit ``width``/``depth`` required, trusted.
     """
     has_meta = "width" in sketch.columns and "depths" in sketch.columns
+    geo_meta = _cm_geometry(sketch)
+    if geo_meta is not None:
+        if width is None or depth is None:
+            width, depth = geo_meta
+        elif (int(width), int(depth)) != geo_meta:
+            raise ValueError(
+                f"cm_lookup: passed width/depth ({int(width)}, "
+                f"{int(depth)}) do not match the sketch's geometry "
+                f"{geo_meta}")
+        sketch = sketch.select("depth", "bucket", "count")
+        has_meta = False                 # validated; run the fast path
     if width is None or depth is None:
         if not has_meta:
             raise ValueError(

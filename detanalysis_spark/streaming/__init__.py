@@ -7,7 +7,8 @@ from .continuous import (read_continuous_stream, rechunk_stream,
                          streaming_near_dup_hits, streaming_session_counts,
                          stream_to_parquet, streaming_ann_topk,
                          streaming_ann_topk_microbatch,
-                         streaming_rollup_deltas, read_rollup_from_deltas)
+                         streaming_rollup_deltas, read_rollup_from_deltas,
+                         streaming_upsert)
 
 __all__ = ["read_continuous_stream", "rechunk_stream",
            "streaming_psd_moments", "run_available_now",
@@ -15,4 +16,5 @@ __all__ = ["read_continuous_stream", "rechunk_stream",
            "streaming_near_dup_hits", "streaming_session_counts",
            "stream_to_parquet", "streaming_ann_topk",
            "streaming_ann_topk_microbatch",
-           "streaming_rollup_deltas", "read_rollup_from_deltas"]
+           "streaming_rollup_deltas", "read_rollup_from_deltas",
+           "streaming_upsert"]

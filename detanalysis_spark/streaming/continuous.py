@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, DoubleType, LongType,
                                StringType, StructField, StructType)
@@ -519,3 +519,75 @@ def read_rollup_from_deltas(spark: SparkSession, path: str,
 
     return merge_rollups(spark.read.parquet(path).drop("__batch_id__"),
                          keys=keys)
+
+
+def streaming_upsert(sdf: DataFrame, table_path: str,
+                     checkpoint_dir: str,
+                     dedupe_order: str | None = None,
+                     query_name: str = "upsert",
+                     timeout_sec: int = 300):
+    """Streaming MERGE maintenance of a :func:`~detanalysis_spark.
+    sources.layout.cow_write` keyed table — the table-maintenance twin
+    of :func:`streaming_rollup_deltas` (VERDICT r9 #5).
+
+    Each micro-batch is reduced to ONE winner row per key (``
+    dedupe_order`` names a column whose maximum wins, e.g. an event
+    time — ties and the no-column default fall back to the greatest
+    full-row struct, a deterministic policy) and applied with
+    ``upsert_parquet`` — so only the bucket directories the batch's
+    keys hash into are rewritten, exactly the batch MERGE's
+    copy-on-write granularity.
+
+    Exactly-once story (mirrors ``stream_to_parquet``'s foreachBatch
+    path, adapted to a MERGE target):
+
+    - The checkpoint carries source offsets: a re-drain over an
+      unchanged input applies nothing new.
+    - Replace-by-key is IDEMPOTENT: a crash-replayed micro-batch
+      re-applies the same winners onto a table where they may already
+      be present — same final state (AvailableNow replays a batch
+      only before the next one commits, so a replay never clobbers a
+      LATER batch's winners).
+    - Belt-and-suspenders, a ``_cow_stream_meta`` sidecar records the
+      last applied batch id; batches at or below it are skipped, so
+      even an out-of-order replay is a no-op.
+
+    Returns the terminated StreamingQuery. Keys/bucketing come from
+    the table's own ``_cow_meta`` sidecar, so a batch hashed with the
+    wrong geometry is impossible by construction.
+    """
+    from ..sources.layout import upsert_parquet
+
+    meta_path = table_path.rstrip("/") + "/_cow_stream_meta"
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        meta = spark.read.parquet(
+            table_path.rstrip("/") + "/_cow_meta").first()
+        keys = meta.key_cols.split(",")
+        try:
+            last = spark.read.parquet(meta_path).first()["last_batch"]
+        except Exception:   # noqa: BLE001 — first batch: no sidecar yet
+            last = -1
+        if int(batch_id) <= int(last):
+            return                          # replayed batch: no-op
+        order_col = (F.col(dedupe_order) if dedupe_order
+                     else F.struct(*[c for c in batch_df.columns]))
+        w = Window.partitionBy(*keys).orderBy(order_col.desc())
+        winners = (batch_df
+                   .withColumn("__rn__", F.row_number().over(w))
+                   .filter(F.col("__rn__") == 1).drop("__rn__"))
+        upsert_parquet(spark, table_path, winners)
+        (spark.createDataFrame([(int(batch_id),)], "last_batch long")
+         .coalesce(1).write.mode("overwrite").parquet(meta_path))
+
+    q = (sdf.writeStream.foreachBatch(_apply)
+         .option("checkpointLocation", checkpoint_dir)
+         .queryName(query_name)
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming upsert {query_name!r} did not finish in "
+            f"{timeout_sec}s")
+    return q

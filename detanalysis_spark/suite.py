@@ -980,6 +980,60 @@ def jaccard_pairs_prefix_filtered(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# Prefix tier on its FAVORABLE corpus shape (NEW round 10, VERDICT r9
+# #7): a planted long-tailed gram distribution — every doc is ~95%
+# unique shingles (57 pair-shared + 3 doc-private tokens; consecutive
+# doc pairs share their u-block, nothing else repeats corpus-wide) —
+# the web-scale regime the PPJoin prefix filter exists for. Here only
+# each doc's rarest |X|−⌈t|X|⌉+1 grams enter the candidate join, so
+# the index build shuffles ~24 postings/doc instead of all 58; the
+# full-index tier posts everything. tools/crossover_probe.py measures
+# the two tiers head-to-head on this corpus; the oracle is the exact
+# all-pairs Jaccard over the same construction, so the tier's
+# losslessness (prefix lemma) is what the hash gate pins.
+# ----------------------------------------------------------------------
+@query("jaccard_prefix_longtail_pairs", oracle=r"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform(range(57),
+                        i -> 'u' || ((doc_id // 2) * 1000 + i))
+         || list_transform(range(3), i -> 'v' || doc_id || '_' || i)
+         AS toks
+  FROM documents),
+t AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks)-1)]) AS sh
+  FROM d)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+             6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+""")
+def jaccard_prefix_longtail_pairs(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pair = F.floor(F.col("doc_id") / F.lit(2)).cast("long")
+    utoks = F.transform(
+        F.sequence(F.lit(0), F.lit(56)),
+        lambda i: F.concat(F.lit("u"),
+                           (pair * 1000 + i).cast("string")))
+    vtoks = F.transform(
+        F.sequence(F.lit(0), F.lit(2)),
+        lambda i: F.concat(F.lit("v"), F.col("doc_id").cast("string"),
+                           F.lit("_"), i.cast("string")))
+    corpus = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.concat(utoks, vtoks)).alias("text"))
+    pairs = _DD.jaccard_index_pairs(corpus, "doc_id", "text",
+                                    threshold=0.6, prefix_filter=True)
+    return pairs.select("id_a", "id_b",
+                        F.round("jaccard", 6).alias("jaccard"))
+
+
+# ----------------------------------------------------------------------
 # Containment (near-superset) pairs (NEW round 9) — Broder's
 # asymmetric resemblance: |A ∩ B| / min(|A|,|B|). Jaccard is blind to
 # quote-inclusion (a doc embedded in a 10x larger one scores ~0.1), so
@@ -3755,6 +3809,74 @@ def upsert_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit("N").alias("o_orderstatus"),
                    F.col("o_totalprice")))
     upsert_parquet(spark, path, upd.unionByName(ins))
+    return (read_cow(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(cents(F.col("o_totalprice")))
+                 .alias("price_cents"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key")))
+
+
+# ----------------------------------------------------------------------
+# Streaming COW MERGE twin (NEW round 10, VERDICT r9 #5) — the same
+# keyed MERGE as upsert_merge_stats, but the updates arrive as a
+# stream: readStream → streaming_upsert (foreachBatch → one winner
+# per key → upsert_parquet, _cow_stream_meta batch-id idempotence).
+# The oracle replays the merge logically, so a double-applied batch,
+# a lost bucket swap, or a wrong dedupe winner flips the hash; the
+# idempotent-re-drain property is pytest'd (test_streaming.py).
+# ----------------------------------------------------------------------
+@query("streaming_upsert_stats", oracle="""
+WITH upd AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 100 = 7),
+merged AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+  UNION ALL SELECT * FROM upd)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM merged GROUP BY o_orderstatus
+""")
+def streaming_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from .sources.layout import cow_write, read_cow
+    from .streaming import streaming_upsert
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    base_dir = os.path.join(
+        f"/tmp/detanalysis_spark_textio_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)) + "_orders_scow")
+    path, ckpt = base_dir + "_table", base_dir + "_ckpt"
+    for d in (path, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    cow_write(orders, path, "o_orderkey", num_buckets=8)
+    sorders = (spark.readStream
+               .schema(load_table(spark, sf_dir, "orders").schema)
+               .option("pathGlobFilter", "orders.parquet")
+               .parquet(sf_dir)
+               .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    upd = (sorders.filter(F.col("o_orderkey") % 10 == 3)
+           .select("o_orderkey", F.lit("U").alias("o_orderstatus"),
+                   (F.col("o_totalprice") + 1000.0)
+                   .alias("o_totalprice")))
+    ins = (sorders.filter(F.col("o_orderkey") % 100 == 7)
+           .select((F.col("o_orderkey") + 10_000_000)
+                   .alias("o_orderkey"),
+                   F.lit("N").alias("o_orderstatus"),
+                   F.col("o_totalprice")))
+    streaming_upsert(upd.unionByName(ins), path, ckpt,
+                     query_name=f"sup_{_uuid.uuid4().hex[:8]}")
     return (read_cow(spark, path)
             .groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n"),

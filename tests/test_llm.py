@@ -2491,3 +2491,51 @@ def test_zipf_fit_min_count_prunes_tail(spark):
     pruned = zipf_fit(df, min_count=2).first()
     assert full.n_types == 3 and pruned.n_types == 2
     assert pruned.n_tokens == 6
+
+
+def test_ann_recall_floor(spark):
+    """Recall/cost contract for the approximate ANN tiers at their
+    documented operating points (VERDICT r9 #6): on a Zipf-clustered
+    corpus, IVF (64 cells, n_probe=4) and multi-probe LSH (bits=10,
+    tables=8, n_flip=2) both hold recall@10 >= 0.9 against brute-force
+    exact cosine ground truth. tools/ann_recall.py publishes the full
+    recall-vs-cost curve on the 20k corpus."""
+    import numpy as np
+    from detanalysis_spark.llm.similarity import (IVFIndex,
+                                                  RandomHyperplaneLSH,
+                                                  cosine_topk)
+    rng = np.random.default_rng(7)
+    n_clusters, dim, n = 25, 32, 2500
+    centers = rng.standard_normal((n_clusters, dim))
+    w = 1.0 / np.arange(1, n_clusters + 1) ** 1.2
+    sizes = np.maximum((w / w.sum() * n).astype(int), 5)
+    rows, vid = [], 0
+    for c, s in enumerate(sizes):
+        for v in centers[c] + 0.35 * rng.standard_normal((s, dim)):
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").cache()
+    probe_ids = [int(i) for i in rng.choice(vid, 60, replace=False)]
+    probes = corpus.filter(F.col("vec_id").isin(probe_ids)).cache()
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = sets(cosine_topk(corpus, probes, k=10))
+
+    ivf = IVFIndex(n_centroids=64, n_probe=4)
+    ivf.fit(corpus, sample_size=n)
+    got_ivf = sets(ivf.topk(corpus, probes, k=10))
+    rec_ivf = float(np.mean([len(got_ivf.get(p, set()) & e) / len(e)
+                             for p, e in exact.items()]))
+
+    lsh = RandomHyperplaneLSH(dim=dim, bits=10, tables=8, seed=11)
+    got_lsh = sets(lsh.topk(corpus, probes, k=10, n_flip=2))
+    rec_lsh = float(np.mean([len(got_lsh.get(p, set()) & e) / len(e)
+                             for p, e in exact.items()]))
+    assert rec_ivf >= 0.9, f"IVF recall@10 {rec_ivf} < 0.9"
+    assert rec_lsh >= 0.9, f"LSH recall@10 {rec_lsh} < 0.9"

@@ -255,36 +255,59 @@ def test_cm_sketch_bounded_rows_and_validation(spark):
         cm_sketch(df, "k", width=0)
 
 
-def test_cm_sketch_geometry_embedded_and_validated(spark):
-    """ADVICE r9: the sketch carries (width, depths); cm_lookup derives
-    them when omitted and REJECTS a mismatched explicit geometry
-    instead of silently rehashing probes into wrong buckets."""
-    from pyspark.errors import PySparkRuntimeError
-    from py4j.protocol import Py4JJavaError
-    from detanalysis_spark.operators.sketches import (cm_lookup,
+def test_cm_sketch_geometry_embedded_and_validated(spark, tmp_path):
+    """ADVICE r9: the sketch carries (width, depths) — as schema
+    metadata (plan-time validation, zero runtime cost, parquet
+    round-trip) and as columns (external readers / runtime fallback).
+    cm_lookup derives the geometry when omitted and REJECTS a
+    mismatched explicit geometry instead of silently rehashing probes
+    into wrong buckets."""
+    from detanalysis_spark.operators.sketches import (_cm_geometry,
+                                                      cm_lookup,
                                                       cm_merge,
                                                       cm_sketch)
     rows = [("a",)] * 50 + [("b",)] * 30
     df = spark.createDataFrame(rows, ["k"])
     sk = cm_sketch(df, "k", width=128, depth=3)
     assert {"width", "depths"} <= set(sk.columns)
-    assert sk.select("width", "depths").distinct().collect()[0][:] \
-        == (128, 3)
+    assert _cm_geometry(sk) == (128, 3)
     probes = spark.createDataFrame([("a",), ("b",)], ["k"])
     # geometry derived from the sketch — no explicit params needed
     got = {r.k: r.est_count for r in
            cm_lookup(sk, probes, "k").collect()}
     assert got == {"a": 50, "b": 30}
-    # mismatched explicit geometry raises at execution
-    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception),
-                       match="embedded geometry"):
-        cm_lookup(sk, probes, "k", width=64, depth=3).collect()
-    # merging mixed geometries raises at execution
-    bad = cm_merge(sk, cm_sketch(df, "k", width=64, depth=3))
-    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception),
-                       match="disagree"):
-        bad.collect()
-    # legacy sketch (no metadata columns): explicit params required
+    # mismatched explicit geometry raises at PLAN time
+    with pytest.raises(ValueError, match="do not match"):
+        cm_lookup(sk, probes, "k", width=64, depth=3)
+    # merging mixed geometries raises at PLAN time
+    with pytest.raises(ValueError, match="disagree"):
+        cm_merge(sk, cm_sketch(df, "k", width=64, depth=3))
+    # metadata survives a parquet round trip AND a merge
+    p = str(tmp_path / "sk.parquet")
+    sk.write.parquet(p)
+    rt = spark.read.parquet(p)
+    assert _cm_geometry(rt) == (128, 3)
+    assert _cm_geometry(cm_merge(sk, rt)) == (128, 3)
+    got_rt = {r.k: r.est_count for r in
+              cm_lookup(rt, probes, "k").collect()}
+    assert got_rt == {"a": 50, "b": 30}
+
+    # external-writer shape: columns present, metadata stripped →
+    # runtime validation paths
+    ext = sk.select("depth", "bucket", "count",
+                    (F.col("width") + 0).alias("width"),
+                    (F.col("depths") + 0).alias("depths"))
+    assert _cm_geometry(ext) is None
+    got3 = {r.k: r.est_count for r in
+            cm_lookup(ext, probes, "k").collect()}     # derive lazily
+    assert got3 == {"a": 50, "b": 30}
+    with pytest.raises(Exception, match="embedded geometry"):
+        cm_lookup(ext, probes, "k", width=64, depth=3).collect()
+    with pytest.raises(Exception, match="disagree"):
+        cm_merge(ext, ext.withColumn("width",
+                                     F.lit(64))).collect()
+
+    # legacy sketch (no geometry columns): explicit params required
     legacy = sk.select("depth", "bucket", "count")
     got2 = {r.k: r.est_count for r in
             cm_lookup(legacy, probes, "k", width=128, depth=3).collect()}

@@ -693,3 +693,57 @@ def test_streaming_cm_sketch_equals_batch_sketch(spark, tmp_path):
     a = {(r.depth, r.bucket): r["count"] for r in drained.collect()}
     b = {(r.depth, r.bucket): r["count"] for r in batch.collect()}
     assert a == b and len(a) <= 128 * 3
+
+
+def test_streaming_upsert_matches_batch_and_is_idempotent(spark,
+                                                          tmp_path):
+    """streaming_upsert == batch MERGE of the same updates, picks one
+    deterministic winner per key within a batch, and a re-drain (same
+    input, fresh checkpoint — the crash-replay shape) leaves the table
+    unchanged."""
+    from detanalysis_spark.sources.layout import (cow_write, read_cow,
+                                                  upsert_parquet)
+    from detanalysis_spark.streaming import streaming_upsert
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(60)],
+        "k long, s string, x double")
+    t_stream = str(tmp_path / "scow")
+    t_batch = str(tmp_path / "bcow")
+    cow_write(base, t_stream, "k", num_buckets=8)
+    cow_write(base, t_batch, "k", num_buckets=8)
+
+    # duplicate keys inside the batch: ver=2 row must win (dedupe_order)
+    ups = spark.createDataFrame(
+        [(3, "old", -1.0, 1), (3, "new", -3.0, 2),
+         (7, "upd", -7.0, 1), (100, "ins", 100.0, 1)],
+        "k long, s string, x double, ver int")
+    updir = str(tmp_path / "updates")
+    ups.coalesce(1).write.parquet(updir)
+
+    sdf = spark.readStream.schema(ups.schema).parquet(updir)
+    streaming_upsert(sdf.select("k", "s", "x", "ver"), t_stream,
+                     str(tmp_path / "ckpt1"), dedupe_order="ver",
+                     query_name="sup_test")
+    # batch reference: same winners applied via upsert_parquet
+    winners = spark.createDataFrame(
+        [(3, "new", -3.0, 2), (7, "upd", -7.0, 1),
+         (100, "ins", 100.0, 1)], ups.schema)
+    upsert_parquet(spark, t_batch, winners)
+
+    def snap(p):
+        return sorted((r.k, r.s, r.x) for r in
+                      read_cow(spark, p).select("k", "s", "x").collect())
+
+    first = snap(t_stream)
+    assert first == snap(t_batch)
+    assert (3, "new", -3.0) in first and len(first) == 61
+
+    # re-drain with a FRESH checkpoint (worst-case replay: the batch
+    # re-applies from scratch) — replace-by-key + the batch-id sidecar
+    # make it a no-op
+    sdf2 = spark.readStream.schema(ups.schema).parquet(updir)
+    streaming_upsert(sdf2.select("k", "s", "x", "ver"), t_stream,
+                     str(tmp_path / "ckpt2"), dedupe_order="ver",
+                     query_name="sup_test2")
+    assert snap(t_stream) == first

@@ -28,8 +28,16 @@ Output: one JSON line on stdout (committed as CROSSOVER.json) and a
 Markdown table on stderr (embedded in SCALING.md / STATUS.md).
 Corpora are materialized once under /tmp and reused.
 
+3. ``jaccard`` prefix-filter vs full-index tiers head-to-head on the
+   planted long-tailed corpus of ``jaccard_prefix_longtail_pairs``
+   (each doc ~95% unique shingles) at sf0.1 document count — the
+   corpus shape where the prefix tier's ~24-vs-58 postings/doc
+   advantage should show up as wall clock (VERDICT r9 #7: the suite's
+   prefix exhibit previously ran only on a df-saturated corpus that
+   disfavors it).
+
 Usage: python tools/crossover_probe.py [--runs N] [--skip-trim]
-       [--skip-hh]
+       [--skip-hh] [--skip-jaccard]
 """
 from __future__ import annotations
 
@@ -173,7 +181,49 @@ def main() -> int:
             })
         out["heavy_hitters"] = hh_rows
 
+    if "--skip-jaccard" not in sys.argv:
+        from detanalysis_spark import suite as _s
+        from detanalysis_spark.llm.dedup import jaccard_index_pairs
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
+                                "/root/testdata/sf0.1")
+        from detanalysis_spark.sources import load_table
+        from pyspark.sql import functions as F
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        pair = F.floor(F.col("doc_id") / F.lit(2)).cast("long")
+        utoks = F.transform(
+            F.sequence(F.lit(0), F.lit(56)),
+            lambda i: F.concat(F.lit("u"),
+                               (pair * 1000 + i).cast("string")))
+        vtoks = F.transform(
+            F.sequence(F.lit(0), F.lit(2)),
+            lambda i: F.concat(F.lit("v"),
+                               F.col("doc_id").cast("string"),
+                               F.lit("_"), i.cast("string")))
+        corpus = docs.select(
+            "doc_id",
+            F.concat_ws(" ", F.concat(utoks, vtoks)).alias("text"))
+        corpus = corpus.localCheckpoint(eager=True)  # time the JOIN,
+        n_docs = corpus.count()                      # not the planting
+
+        def run_tier(prefix):
+            jaccard_index_pairs(corpus, "doc_id", "text",
+                                threshold=0.6,
+                                prefix_filter=prefix).collect()
+
+        pre = _min_wall(lambda: run_tier(True), runs)
+        full = _min_wall(lambda: run_tier(False), runs)
+        out["jaccard_longtail"] = {
+            "n_docs": int(n_docs),
+            "prefix_s": round(pre, 3), "full_index_s": round(full, 3),
+            "prefix_over_full": round(pre / max(full, 1e-9), 2),
+        }
+
     print(json.dumps(out))
+    if "jaccard_longtail" in out:
+        j = out["jaccard_longtail"]
+        print(f"\njaccard long-tail @ {j['n_docs']} docs: prefix "
+              f"{j['prefix_s']}s vs full {j['full_index_s']}s "
+              f"(ratio {j['prefix_over_full']})", file=sys.stderr)
     if do_trim:
         t = out["trimmed_price_sf10"]
         print(f"\ntrimmed_price_stats @ {t['rows']:,} rows: "

@@ -55,6 +55,7 @@ FAMILIES = [
     ("near_dup_pairs_minhash", True, "lsh_parity"),
     # context rows (not in the verdict's core six)
     ("heavy_hitter_tokens", False, "oracle"),
+    ("upsert_merge_stats", False, "merge_parity"),
     ("language_id_counts", False, "oracle"),
     ("text_quality_by_source", False, "oracle"),
     ("tfidf_top_terms", False, "oracle"),
@@ -172,6 +173,42 @@ FROM g
 """
 
 
+# VERDICT r9 #9: upsert_merge_stats is priced against a DuckDB doing
+# COMPARABLE I/O — the engine query builds the COW table (full write)
+# and MERGE-rewrites the touched buckets (second write); the parity
+# side materializes the base table to parquet and then writes the
+# merged table to parquet (';;'-separated statements, run in order),
+# instead of replaying the merge as a logical CTE with no write cost.
+MERGE_PARITY_SQL = """
+COPY (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+TO '{tmp}/duck_merge_base.parquet' (FORMAT PARQUET)
+;;
+COPY (
+WITH upd AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice
+  FROM read_parquet('{tmp}/duck_merge_base.parquet')
+  WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'N', o_totalprice
+  FROM read_parquet('{tmp}/duck_merge_base.parquet')
+  WHERE o_orderkey % 100 = 7)
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM read_parquet('{tmp}/duck_merge_base.parquet')
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+UNION ALL SELECT * FROM upd
+) TO '{tmp}/duck_merge_out.parquet' (FORMAT PARQUET)
+;;
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM read_parquet('{tmp}/duck_merge_out.parquet')
+GROUP BY o_orderstatus
+"""
+
+
 def main() -> int:
     runs = 2
     if "--runs" in sys.argv:
@@ -193,9 +230,12 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS "
                         f"SELECT * FROM read_parquet('{p}')")
     max_depth = install_psl_tables(con)
+    import tempfile
+    merge_tmp = tempfile.mkdtemp(prefix="duck_merge_")
     duck_sql = {
         "psl_parity": psl_parity_sql(max_depth),
         "lsh_parity": LSH_PARITY_SQL,
+        "merge_parity": MERGE_PARITY_SQL.format(tmp=merge_tmp),
     }
 
     # warm both engines
@@ -211,7 +251,8 @@ def main() -> int:
             suite.QUERIES[name](spark, SF1_DIR).collect()
             st.append(time.time() - t0)
             t0 = time.time()
-            con.execute(sql).fetchall()
+            for stmt in sql.split(";;"):
+                con.execute(stmt).fetchall()
             dt.append(time.time() - t0)
         s, d = min(st), min(dt)
         rows.append({"query": name, "core": core, "duckdb_impl": impl,
