@@ -40,8 +40,14 @@ Corpora are materialized once under /tmp and reused.
    prefix exhibit previously ran only on a df-saturated corpus that
    disfavors it).
 
+4. ``domain_curation_stats`` at sf10-equivalent (5M documents —
+   100x-replicated sf0.1): the sf1 head-to-head's largest remaining
+   outlier (34.7x) is adjudicated as flat per-row work vs fixed stage
+   launches; this measures the claimed collapse directly — the same
+   engine PSL path and the same psl_parity DuckDB SQL, 10x the rows.
+
 Usage: python tools/crossover_probe.py [--runs N] [--skip-trim]
-       [--skip-hh] [--skip-jaccard]
+       [--skip-hh] [--skip-jaccard] [--skip-domain]
 """
 from __future__ import annotations
 
@@ -208,7 +214,49 @@ def main() -> int:
             "prefix_over_full": round(pre / max(full, 1e-9), 2),
         }
 
+    if "--skip-domain" not in sys.argv:
+        # 100x-replicated documents (shifted doc ids, same value
+        # distributions — the sf1_gate replication rule)
+        dp = os.path.join(SF10_DIR, "documents.parquet")
+        if not os.path.exists(dp):
+            os.makedirs(SF10_DIR, exist_ok=True)
+            con = duckdb.connect()
+            con.execute(
+                f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{SRC}/documents.parquet')")
+            con.execute(
+                f"COPY (SELECT doc_id + c*{SHIFT} AS doc_id, "
+                f"* EXCLUDE (doc_id) FROM t, range({TRIM_COPIES}) r(c))"
+                f" TO '{dp}' (FORMAT PARQUET)")
+            con.close()
+        n_docs = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{dp}')").fetchone()[0]
+        from detanalysis_spark import suite as _sx
+        sw = _min_wall(lambda: _sx.QUERIES["domain_curation_stats"](
+            spark, SF10_DIR).collect(), runs)
+        import sys as _sys
+        _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from sf1_compare import install_psl_tables, psl_parity_sql
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{dp}')")
+        md = install_psl_tables(con)
+        sql = psl_parity_sql(md)
+        dw = _min_wall(lambda: con.execute(sql).fetchall(), runs)
+        con.close()
+        out["domain_curation_sf10"] = {
+            "n_docs": int(n_docs),
+            "spark_s": round(sw, 3), "duckdb_parity_s": round(dw, 3),
+            "ratio": round(sw / max(dw, 1e-9), 2),
+        }
+
     print(json.dumps(out))
+    if "domain_curation_sf10" in out:
+        d = out["domain_curation_sf10"]
+        print(f"\ndomain_curation @ {d['n_docs']:,} docs: spark "
+              f"{d['spark_s']}s vs duckdb psl_parity "
+              f"{d['duckdb_parity_s']}s (ratio {d['ratio']})",
+              file=sys.stderr)
     if "jaccard_longtail" in out:
         j = out["jaccard_longtail"]
         print(f"\njaccard long-tail @ {j['n_docs']} docs: prefix "
