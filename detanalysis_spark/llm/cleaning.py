@@ -869,11 +869,17 @@ def domain_blocklist_filter(df: DataFrame, url_col: str,
                             domain_col: str | None = None) -> DataFrame:
     """Drop rows whose REGISTERED domain is blocklisted.
 
-    ``blocked`` is a 1-column frame of registered domains (broadcast
-    anti-join — the corpus side never shuffles) or a small in-memory
-    list (pure filter, no extra join). Rows whose URL fails to parse
-    are KEPT (provenance gates drop known-bad, not unknown — chain a
-    quarantine filter if unparseable means reject).
+    ``blocked`` is a 1-column frame of registered domains or a small
+    in-memory list; both run as a broadcast ANTI-JOIN on the domain
+    column — the corpus side never shuffles, and NULL domains never
+    match, so rows whose URL fails to parse are KEPT (provenance
+    gates drop known-bad, not unknown — chain a quarantine filter if
+    unparseable means reject). The list path deliberately avoids a
+    plain ``isin`` filter: predicate pushdown substitutes the
+    computed-domain alias into the pushed filter, re-inlining the
+    whole PSL precedence expression per reference — measured 2.4×
+    the entire matcher's cost at 500k rows; the join evaluates the
+    domain ONCE (see the round-10 probe in STATUS.md).
 
     Registered domains come from the exact PSL path by default
     (``psl.psl_source()`` resolution; ``psl_path=`` overrides);
@@ -891,9 +897,13 @@ def domain_blocklist_filter(df: DataFrame, url_col: str,
                                       psl_path=psl_path)
         dom = F.col("__dom__")
     if isinstance(blocked, list):
-        return work.filter(
-            dom.isNull() | ~dom.isin([b.lower() for b in blocked])) \
-            .select(*cols)
+        if not blocked:
+            return work.select(*cols)
+        bl = work.sparkSession.createDataFrame(
+            [(b.lower(),) for b in blocked], "__blocked_dom__ string")
+        return (work.join(F.broadcast(bl),
+                          dom == F.col("__blocked_dom__"), "left_anti")
+                .select(*cols))
     bl = blocked.select(
         F.lower(F.col(blocked.columns[0])).alias("__blocked_dom__"))
     return (work.join(F.broadcast(bl),

@@ -287,14 +287,25 @@ def registered_domain_psl(df: DataFrame, host_col: str,
     for d, c in sorted(exc_flags):
         ps_depth = F.when(F.col(c), F.lit(d - 1)).otherwise(ps_depth)
 
+    # materialize the precedence depth as its OWN column, then build
+    # the outputs from the attribute: the depth expression (a
+    # greatest-of-CASEs over every rule flag) is referenced ~4 times
+    # below, and inlining it at each reference blew the generated
+    # code past JIT limits — measured 3x the whole matcher's cost
+    # once a downstream filter referenced the domain column.
+    # CollapseProject keeps the split (non-cheap, multiply-referenced
+    # alias), so the chain stays one codegen stage with the depth
+    # evaluated once per row.
+    work = work.withColumn("__psl_depth__", ps_depth)
+    dep = F.col("__psl_depth__")
     nn = F.col("__psl_n__")
-    ps = F.when(F.col("__psl_ok__") & (ps_depth > 0) & (nn >= ps_depth),
+    ps = F.when(F.col("__psl_ok__") & (dep > 0) & (nn >= dep),
                 F.array_join(F.slice(F.col("__psl_parts__"),
-                                     nn - ps_depth + 1, ps_depth), "."))
-    reg = F.when(F.col("__psl_ok__") & (nn > ps_depth) & (ps_depth > 0),
+                                     nn - dep + 1, dep), "."))
+    reg = F.when(F.col("__psl_ok__") & (nn > dep) & (dep > 0),
                  F.array_join(
-                     F.slice(F.col("__psl_parts__"), nn - ps_depth,
-                             ps_depth + F.lit(1)), "."))
+                     F.slice(F.col("__psl_parts__"), nn - dep,
+                             dep + F.lit(1)), "."))
 
     out = work.withColumn(out_col, reg)
     if suffix_col is not None:
