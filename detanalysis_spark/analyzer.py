@@ -94,8 +94,9 @@ def ensure_event_index(df: DataFrame, order_by: Sequence[str] | None = None,
     for r in stats:
         rows.append((r["__pid__"], acc, r["m0"]))
         acc += r["n"]
-    off = df.sparkSession.createDataFrame(
-        rows, schema="__pid__ int, __off__ long, __m0__ long")
+    from .util import local_frame
+    off = local_frame(df.sparkSession,
+                      rows, "__pid__ int, __off__ long, __m0__ long")
     return (tagged.join(F.broadcast(off), "__pid__")
             .withColumn(out_col,
                         (F.col("__off__") + F.col("__mid__") - F.col("__m0__")).cast("long"))
@@ -762,8 +763,9 @@ class Analyzer:
         the leading event axis squeezed."""
         traces = (self._spark.read.parquet(raw_path)
                   if isinstance(raw_path, str) else raw_path)
-        keys = self._spark.createDataFrame(
-            [(int(series_number), int(event_number))],
+        from .util import local_frame
+        keys = local_frame(
+            self._spark, [(int(series_number), int(event_number))],
             "series_number long, event_number long")
         from .traces import get_traces_array
         arr, info = get_traces_array(traces, keys, channels=channels,

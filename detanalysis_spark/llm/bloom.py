@@ -175,8 +175,9 @@ class Bloom:
         """Persist as a one-row parquet (m_bits, k, bitmap) — the
         artifact an incremental pipeline carries between batches."""
         payload = bytes(self.words.astype("<i8").tobytes())
-        spark.createDataFrame(
-            [(int(self.m_bits), int(self.k), bytearray(payload))],
+        from ..util import local_frame
+        local_frame(
+            spark, [(int(self.m_bits), int(self.k), bytearray(payload))],
             "m_bits long, k int, bitmap binary").write.mode(
                 "overwrite").parquet(path)
 

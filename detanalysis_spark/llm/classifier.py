@@ -221,7 +221,8 @@ def save_probe(weights: np.ndarray, path: str, dim: int | None = None,
             f"weights has length {len(weights)}, expected {dim} "
             f"(no bias) or {dim + 1} (trained intercept last)")
     rows = [(i, float(w)) for i, w in enumerate(weights)]
-    spark.createDataFrame(rows, "idx int, w double") \
+    from ..util import local_frame
+    local_frame(spark, rows, "idx int, w double") \
         .coalesce(1).write.mode("overwrite").parquet(path)
 
 

@@ -899,8 +899,9 @@ def domain_blocklist_filter(df: DataFrame, url_col: str,
     if isinstance(blocked, list):
         if not blocked:
             return work.select(*cols)
-        bl = work.sparkSession.createDataFrame(
-            [(b.lower(),) for b in blocked], "__blocked_dom__ string")
+        from .psl import _local_frame as _lf
+        bl = _lf(work.sparkSession,
+                 [(b.lower(),) for b in blocked], "__blocked_dom__ string")
         return (work.join(F.broadcast(bl),
                           dom == F.col("__blocked_dom__"), "left_anti")
                 .select(*cols))

@@ -517,7 +517,8 @@ def _unionfind_clusters(pairs: DataFrame, edge_rows) -> DataFrame:
     id_t = pairs.schema["id_a"].dataType
     schema = StructType([StructField("id", id_t),
                          StructField("cluster_id", id_t)])
-    return pairs.sparkSession.createDataFrame(out, schema)
+    from ..util import local_frame
+    return local_frame(pairs.sparkSession, out, schema)
 
 
 def near_dup_clusters(pairs: DataFrame, max_iter: int = 20,

@@ -40,6 +40,8 @@ from functools import lru_cache
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import local_frame as _local_frame
+
 __all__ = [
     "PslRules", "load_psl", "default_psl", "registered_domain_py",
     "public_suffix_py", "registered_domain_psl",
@@ -253,7 +255,7 @@ def registered_domain_psl(df: DataFrame, host_col: str,
     exc_flags: list[tuple[int, str]] = []      # (rule depth, col)
 
     for d in sorted(merged):
-        tbl = spark.createDataFrame(
+        tbl = _local_frame(spark,
             [(s, *fl) for s, fl in sorted(merged[d].items())],
             f"__psl_s{d}__ string, __psl_e{d}__ boolean, "
             f"__psl_w{d}__ boolean, __psl_x{d}__ boolean")

@@ -650,8 +650,9 @@ class IVFIndex:
             rows += [(int(c), 1_000_000 + int(p), float(v))
                      for c, row in enumerate(self.cell_means)
                      for p, v in enumerate(row)]
-        spark.createDataFrame(rows + meta,
-                              "cell int, pos int, value double") \
+        from ..util import local_frame
+        local_frame(spark, rows + meta,
+                    "cell int, pos int, value double") \
             .coalesce(1).write.mode("overwrite").parquet(path)
 
     @classmethod
@@ -1363,10 +1364,11 @@ class PQCodebook:
     def save(self, spark, path: str) -> None:
         cb = self._require_fit()
         m, k, sub = cb.shape
-        spark.createDataFrame(
-            [(int(m), int(k), int(sub), int(self.seed),
-              bool(self.normalize),
-              bytearray(cb.astype("<f8").tobytes()))],
+        from ..util import local_frame
+        local_frame(
+            spark, [(int(m), int(k), int(sub), int(self.seed),
+                     bool(self.normalize),
+                     bytearray(cb.astype("<f8").tobytes()))],
             "m int, k int, sub int, seed int, normalize boolean, "
             "data binary").write.mode("overwrite").parquet(path)
 

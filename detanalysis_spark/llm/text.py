@@ -683,8 +683,9 @@ def save_bigram_lm(lm: BigramLM, path: str) -> None:
     spark = lm.bigrams.sparkSession
     lm.bigrams.write.mode("overwrite").parquet(f"{path}/bigrams")
     lm.unigrams.write.mode("overwrite").parquet(f"{path}/unigrams")
-    spark.createDataFrame([(int(lm.total), float(lm.alpha))],
-                          "total long, alpha double") \
+    from ..util import local_frame
+    local_frame(spark, [(int(lm.total), float(lm.alpha))],
+                "total long, alpha double") \
         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 

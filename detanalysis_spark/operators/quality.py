@@ -128,6 +128,7 @@ def check_table(df: DataFrame, checks: Sequence) -> DataFrame:
         results.append((c.name, n_rows, int(orphans)))
 
     results.sort(key=lambda r: r[0])
-    return spark.createDataFrame(
-        [(n, nr, nv, nv == 0) for n, nr, nv in results],
+    from ..util import local_frame
+    return local_frame(
+        spark, [(n, nr, nv, nv == 0) for n, nr, nv in results],
         "check string, n_rows long, n_violations long, passed boolean")

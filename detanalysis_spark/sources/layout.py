@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..util import local_frame
+
 __all__ = ["zorder_key", "zorder_write", "file_manifest", "prune_files",
            "pruned_parquet", "schema_manifest", "schema_drift",
            "hadoop_fs", "hadoop_exists", "compact_parquet_dir",
@@ -176,7 +178,7 @@ def _list_parquet_files(path: str,
 
 
 def _files_df(spark: SparkSession, files: Sequence[str]):
-    return spark.createDataFrame([(f,) for f in files], "file string") \
+    return local_frame(spark, [(f,) for f in files], "file string") \
                 .repartition(min(len(files), 64))
 
 
@@ -418,8 +420,8 @@ def cow_write(df: DataFrame, path: str, key_cols: Sequence[str] | str,
     (df.withColumn("__bucket__", _bucket_expr(keys, num_buckets))
        .repartition(int(num_buckets), F.col("__bucket__"))
        .write.mode("overwrite").partitionBy("__bucket__").parquet(path))
-    (spark.createDataFrame([(int(num_buckets), ",".join(keys))],
-                           "num_buckets int, key_cols string")
+    (local_frame(spark, [(int(num_buckets), ",".join(keys))],
+                 "num_buckets int, key_cols string")
           .coalesce(1).write.mode("overwrite")
           .parquet(path.rstrip("/") + "/_cow_meta"))
 

@@ -28,6 +28,7 @@ corrupt-record column.
 
 from __future__ import annotations
 
+from ..util import local_frame
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -363,7 +364,7 @@ def write_wet(df: DataFrame, path: str, uri_col: str, payload_col: str,
     # one warcinfo record for the whole dataset via a tiny union —
     # records are self-delimiting, placement within/among shards is
     # free for parsers (see docstring for the per-shard-header caveat)
-    out = body.sparkSession.createDataFrame([(head,)], "value string") \
+    out = local_frame(body.sparkSession, [(head,)], "value string") \
         .unionByName(body)
     w = out.write.mode(mode)
     if compression:
@@ -489,7 +490,7 @@ def write_warc(df: DataFrame, path: str, uri_col: str, body_col: str,
             f"WARC-Date: {date}\nContent-Length: {len(info)}\n\n"
             f"{info}\n")
     body = df.select(rec.alias("value"))
-    out = body.sparkSession.createDataFrame([(head,)], "value string") \
+    out = local_frame(body.sparkSession, [(head,)], "value string") \
         .unionByName(body)
     w = out.write.mode(mode)
     if compression:

@@ -578,7 +578,8 @@ def streaming_upsert(sdf: DataFrame, table_path: str,
                    .withColumn("__rn__", F.row_number().over(w))
                    .filter(F.col("__rn__") == 1).drop("__rn__"))
         upsert_parquet(spark, table_path, winners)
-        (spark.createDataFrame([(int(batch_id),)], "last_batch long")
+        from ..util import local_frame
+        (local_frame(spark, [(int(batch_id),)], "last_batch long")
          .coalesce(1).write.mode("overwrite").parquet(meta_path))
 
     q = (sdf.writeStream.foreachBatch(_apply)

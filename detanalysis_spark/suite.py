@@ -25,6 +25,7 @@ from .operators import hist1d_df, bucket_expr, assign_bin
 from .operators.stats import SIGMA_LO_PCT, SIGMA_HI_PCT
 from .semiautocut import Semiautocut, MasterSemiautocuts, _SIG_LO, _SIG_HI
 from .sources import load_table
+from .util import local_frame as _LF
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -2055,7 +2056,7 @@ def master_randoms_passfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
     mat, _, nrand = m.get_randoms_passfrac_table(return_nrand=True)
     rows = [(i, j, int(round(mat[i, j] * nrand)))
             for i in range(3) for j in range(i + 1)]
-    return spark.createDataFrame(rows, "i int, j int, passed bigint")
+    return _LF(spark, rows, "i int, j int, passed bigint")
 
 
 # ----------------------------------------------------------------------
@@ -2094,7 +2095,7 @@ def passfrac_trigger_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits = sac.get_passage_fraction_splits()
     rows = [(sel, n, passed)
             for sel, (n, passed, _frac) in splits.items()]
-    return spark.createDataFrame(rows, "sel string, n bigint, passed bigint")
+    return _LF(spark, rows, "sel string, n bigint, passed bigint")
 
 
 # ----------------------------------------------------------------------
@@ -2365,7 +2366,7 @@ def describe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append(("user_id", int(desc["user_id"]["count"]),
                  round(float(desc["user_id"]["min"]), 6),
                  round(float(desc["user_id"]["max"]), 6), int(sums["u"])))
-    return spark.createDataFrame(
+    return _LF(spark, 
         rows, "feature string, n bigint, min_v double, max_v double, sum_cents bigint")
 
 
@@ -2562,7 +2563,7 @@ GROUP BY iv.iid
 def range_join_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.joins import range_join_binned
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
-    iv = spark.createDataFrame(_RANGE_INTERVALS, "iid int, lo double, hi double")
+    iv = _LF(spark, _RANGE_INTERVALS, "iid int, lo double, hi double")
     j = range_join_binned(ev, iv, "value", "lo", "hi", bin_width=1.0)
     return j.groupBy("iid").agg(F.count(F.lit(1)).alias("n_events"))
 
@@ -2844,7 +2845,7 @@ def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = embedding_covariance(emb)
     rows = [(i, j, round(float(cov[i, j]), 6))
             for i in range(4) for j in range(4)]
-    return spark.createDataFrame(rows, "i long, j long, cov double")
+    return _LF(spark, rows, "i long, j long, cov double")
 
 
 # ----------------------------------------------------------------------
@@ -2893,7 +2894,7 @@ def approx_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok = int(not (int(ranks[f"le{i}"]) < lo_band
                       or int(ranks[f"lt{i}"]) + 1 > hi_band))
         out.append((q, n, ok))
-    return spark.createDataFrame(
+    return _LF(spark, 
         out, "q double, n_rows long, within_contract int")
 
 
@@ -3147,7 +3148,7 @@ def jsonl_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"/tmp/detanalysis_spark_textio_{os.getpid()}",
         os.path.basename(os.path.normpath(sf_dir)) + "_docs_jsonl")
     write_jsonl(docs, path, compression="gzip")
-    spark.createDataFrame(
+    _LF(spark, 
         [("{\"doc_id\": 1, \"text\": truncated",),
          ("plain text noise — not json",),
          ("[1, 2",)], "value string") \
@@ -3197,7 +3198,7 @@ def csv_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs.select("doc_id", "text", "lang", "source", "n_chars")
          .write.mode("overwrite").option("header", "false")
          .option("quoteAll", "true").csv(path))
-    spark.createDataFrame(
+    _LF(spark, 
         [('notanumber,"free text",en,src0,12',),
          ('"unclosed quote here,en,src1,5',)], "value string") \
         .write.mode("append").text(path)
@@ -3320,7 +3321,7 @@ def ivf_absorb_centroid_stats(spark: SparkSession,
              round(float(v), 6))
             for c in range(4) if ivf.cell_counts[c] > 0
             for p, v in enumerate(ivf.centroids[c])]
-    return spark.createDataFrame(
+    return _LF(spark, 
         rows, "cell long, pos int, n_absorbed long, "
               "centroid_value double")
 
@@ -3873,7 +3874,10 @@ def streaming_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, ckpt = base_dir + "_table", base_dir + "_ckpt"
     for d in (path, ckpt):
         shutil.rmtree(d, ignore_errors=True)
-    cow_write(orders, path, "o_orderkey", num_buckets=8)
+    # 4 buckets: the update batch touches every bucket at this scale
+    # anyway (keys are uniform), so extra buckets only multiply the
+    # fixed per-bucket rename/commit jobs the query wall is made of
+    cow_write(orders, path, "o_orderkey", num_buckets=4)
     sorders = (spark.readStream
                .schema(load_table(spark, sf_dir, "orders").schema)
                .option("pathGlobFilter", "orders.parquet")
@@ -4039,7 +4043,7 @@ def bm25_retrieval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.text import bm25_scores
     docs = load_table(spark, sf_dir, "documents") \
         .filter(F.col("doc_id") < 300)
-    queries = spark.createDataFrame(
+    queries = _LF(spark, 
         [(0, "spark join order"), (1, "hash merge sort"),
          (2, "window agg stream")], "query_id long, query_text string")
     out = bm25_scores(docs, queries)
@@ -4368,7 +4372,7 @@ FROM f JOIN cnt ca ON term_a = ca.term
 def term_pmi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.text import doc_term_pmi
     docs = load_table(spark, sf_dir, "documents")
-    vocab = spark.createDataFrame(
+    vocab = _LF(spark, 
         [(w,) for w in ("table", "value", "fast", "scan",
                         "window", "agg", "spark", "hash")],
         "term string")
