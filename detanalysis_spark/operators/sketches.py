@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["sketch_distinct", "split_overlap_audit", "heavy_hitters",
@@ -398,12 +398,33 @@ def cm_lookup(sketch: DataFrame, probes: DataFrame, col: str,
             F.min("width").alias("__w__"),
             F.min("depths").alias("__d__"),
             F.count_distinct(F.struct("width", "depths")).alias("__n__")))
+
+        def _derived(expr: Column, passed: int | None,
+                     name: str) -> Column:
+            # empty sketch (count_distinct == 0) gets its own message —
+            # "mixes geometries" would be misleading (ADVICE r10); a
+            # partially-supplied geometry is validated against the
+            # derived value instead of being silently ignored.
+            out = (F.when(F.col("__n__") == 0, F.raise_error(F.lit(
+                       "cm_lookup: empty sketch (0 rows) — geometry "
+                       "cannot be derived; pass width= and depth= "
+                       "explicitly")))
+                    .when(F.col("__n__") > 1, F.raise_error(F.lit(
+                       "cm_lookup: sketch mixes (width, depths) "
+                       "geometries")))
+                    .otherwise(expr))
+            if passed is not None:
+                out = (F.when(out == F.lit(int(passed)), out)
+                        .otherwise(F.raise_error(F.concat(
+                            F.lit(f"cm_lookup: passed {name}="
+                                  f"{int(passed)} does not match the "
+                                  f"sketch's derived {name}="),
+                            expr.cast("string")))))
+            return out
+
         geo = geo.select(
-            F.when(F.col("__n__") == 1, F.col("__w__"))
-             .otherwise(F.raise_error(F.lit(
-                 "cm_lookup: sketch mixes (width, depths) geometries")))
-             .alias("__w__"),
-            F.col("__d__"))
+            _derived(F.col("__w__"), width, "width").alias("__w__"),
+            _derived(F.col("__d__"), depth, "depth").alias("__d__"))
         v = F.col(col).cast("string")
         pr = (probes.filter(v.isNotNull())
               .select(v.alias("__v__")).distinct()

@@ -137,6 +137,10 @@ def trim_outliers(df: DataFrame, expression: str | Column,
     on — worth the extra driver round trip when the trim is the FIRST
     gate over a huge scan and selectivity is high."""
     col = _col(expression)
+    if not (exact is True or exact is False or exact == "auto"):
+        raise ValueError(
+            f"trim_outliers: exact must be True, False, or 'auto' — "
+            f"got {exact!r}")
     if exact == "auto":
         exact = int(
             df.agg(F.approx_count_distinct(col, 0.05)).collect()[0][0]

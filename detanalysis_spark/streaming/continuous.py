@@ -35,6 +35,8 @@ the per-channel auto-spectra (PSD) moments.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -549,8 +551,13 @@ def streaming_upsert(sdf: DataFrame, table_path: str,
       only before the next one commits, so a replay never clobbers a
       LATER batch's winners).
     - Belt-and-suspenders, a ``_cow_stream_meta`` sidecar records the
-      last applied batch id; batches at or below it are skipped, so
-      even an out-of-order replay is a no-op.
+      last applied batch id TOGETHER WITH the checkpoint lineage that
+      produced it; batches at or below it are skipped only when they
+      come from the SAME checkpoint. Batch ids are checkpoint-scoped,
+      not table-scoped — a new query (fresh checkpoint) over a grown
+      input restarts ids at 0, and an unscoped guard would silently
+      drop its early batches (ADVICE r10). A lineage change resets the
+      guard instead.
 
     Returns the terminated StreamingQuery. Keys/bucketing come from
     the table's own ``_cow_meta`` sidecar, so a batch hashed with the
@@ -559,6 +566,7 @@ def streaming_upsert(sdf: DataFrame, table_path: str,
     from ..sources.layout import upsert_parquet
 
     meta_path = table_path.rstrip("/") + "/_cow_stream_meta"
+    lineage = os.path.abspath(checkpoint_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -566,20 +574,30 @@ def streaming_upsert(sdf: DataFrame, table_path: str,
             table_path.rstrip("/") + "/_cow_meta").first()
         keys = meta.key_cols.split(",")
         try:
-            last = spark.read.parquet(meta_path).first()["last_batch"]
+            row = spark.read.parquet(meta_path).first()
+            # Batch ids are checkpoint-scoped: only a sidecar written
+            # by THIS checkpoint lineage can veto a batch id. A
+            # different (or legacy schema-less) lineage resets to -1.
+            last = (int(row["last_batch"])
+                    if row["checkpoint"] == lineage else -1)
         except Exception:   # noqa: BLE001 — first batch: no sidecar yet
             last = -1
         if int(batch_id) <= int(last):
             return                          # replayed batch: no-op
-        order_col = (F.col(dedupe_order) if dedupe_order
-                     else F.struct(*[c for c in batch_df.columns]))
-        w = Window.partitionBy(*keys).orderBy(order_col.desc())
+        # dedupe_order picks the winner; ties (and the no-column
+        # default) fall back to the greatest full-row struct so the
+        # result never depends on partition order.
+        tiebreak = F.struct(*[c for c in batch_df.columns])
+        order_cols = ([F.col(dedupe_order).desc(), tiebreak.desc()]
+                      if dedupe_order else [tiebreak.desc()])
+        w = Window.partitionBy(*keys).orderBy(*order_cols)
         winners = (batch_df
                    .withColumn("__rn__", F.row_number().over(w))
                    .filter(F.col("__rn__") == 1).drop("__rn__"))
         upsert_parquet(spark, table_path, winners)
         from ..util import local_frame
-        (local_frame(spark, [(int(batch_id),)], "last_batch long")
+        (local_frame(spark, [(int(batch_id), lineage)],
+                     "last_batch long, checkpoint string")
          .coalesce(1).write.mode("overwrite").parquet(meta_path))
 
     q = (sdf.writeStream.foreachBatch(_apply)

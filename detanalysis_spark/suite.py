@@ -985,7 +985,7 @@ def jaccard_pairs_prefix_filtered(spark: SparkSession,
 # #7): a planted web-text-shaped gram distribution — ~80% of each
 # doc's shingles are rare (48 pair-shared u-tokens; consecutive doc
 # pairs share their u-block, nothing else), the rest come from a
-# 500-token boilerplate pool (12 c-tokens per doc, sliding window),
+# 100-token boilerplate pool (12 c-tokens per doc, sliding window),
 # so the common trigrams carry df ≈ N/50 while the bulk of the
 # vocabulary is df ≤ 2. That is exactly the regime the PPJoin prefix
 # filter exists for: the full inverted index pays Σ df² over the
@@ -5872,7 +5872,7 @@ def fuzzy_join_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
 # measured-crossover threshold — this corpus) or the two-pass
 # Misra–Gries plan whose token tail never shuffles (web-scale vocab).
 # Both plans are exact, so the plain groupBy-HAVING oracle gates
-# either; tools/hh_crossover.py measures where they cross.
+# either; tools/crossover_probe.py measures where they cross.
 # ----------------------------------------------------------------------
 @query("heavy_hitter_tokens", oracle=r"""
 WITH t AS (

@@ -329,3 +329,47 @@ def test_heavy_hitters_rejects_guarantee_voiding_capacity(spark):
     got = {r.tok: r["count"] for r in
            heavy_hitters(df2, "tok", 0.5, n_total=10).collect()}
     assert got == {"hot": 6}
+
+
+def test_cm_lookup_partial_geometry_and_empty_sketch(spark):
+    """ADVICE r10: with geometry COLUMNS but no metadata, a
+    partially-supplied geometry is validated against the derived one
+    (not silently ignored), and an EMPTY sketch gets a clear error
+    instead of the misleading 'mixes geometries'."""
+    from detanalysis_spark.operators.sketches import cm_lookup, cm_sketch
+
+    df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3, ["k"])
+    ext = cm_sketch(df, "k", width=128, depth=3).select(
+        "depth", "bucket", "count",
+        (F.col("width") + 0).alias("width"),
+        (F.col("depths") + 0).alias("depths"))
+    probes = spark.createDataFrame([("a",), ("b",)], ["k"])
+
+    # partial spec that MATCHES the derived value works
+    got = {r.k: r.est_count for r in
+           cm_lookup(ext, probes, "k", width=128).collect()}
+    assert got == {"a": 5, "b": 3}
+    got = {r.k: r.est_count for r in
+           cm_lookup(ext, probes, "k", depth=3).collect()}
+    assert got == {"a": 5, "b": 3}
+    # partial spec that CONTRADICTS the sketch raises, not ignored
+    with pytest.raises(Exception, match="does not match"):
+        cm_lookup(ext, probes, "k", width=64).collect()
+    with pytest.raises(Exception, match="does not match"):
+        cm_lookup(ext, probes, "k", depth=5).collect()
+    # empty sketch: clear message, not 'mixes geometries'
+    empty = ext.filter(F.lit(False))
+    with pytest.raises(Exception, match="empty sketch"):
+        cm_lookup(empty, probes, "k").collect()
+
+
+def test_trim_outliers_rejects_unknown_exact_string(spark):
+    """ADVICE r10: exact='Auto'/'sketch' must raise, not silently run
+    the exact path."""
+    from detanalysis_spark.operators.stats import trim_outliers
+    df = spark.createDataFrame([(float(i),) for i in range(10)], ["x"])
+    with pytest.raises(ValueError, match="must be True, False"):
+        trim_outliers(df, "x", exact="Auto")
+    with pytest.raises(ValueError, match="must be True, False"):
+        trim_outliers(df, "x", exact="sketch")
+    assert trim_outliers(df, "x", 10.0, 90.0, exact="auto").count() > 0

@@ -747,3 +747,72 @@ def test_streaming_upsert_matches_batch_and_is_idempotent(spark,
                      str(tmp_path / "ckpt2"), dedupe_order="ver",
                      query_name="sup_test2")
     assert snap(t_stream) == first
+
+
+def test_streaming_upsert_new_checkpoint_applies_new_data(spark,
+                                                          tmp_path):
+    """Batch ids are checkpoint-scoped (ADVICE r10): a NEW query
+    (fresh checkpoint) over a GROWN input restarts batch ids at 0.
+    The sidecar guard must not veto those batches — the new rows have
+    to land, not be silently dropped."""
+    from detanalysis_spark.sources.layout import cow_write, read_cow
+    from detanalysis_spark.streaming import streaming_upsert
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(20)], "k long, s string, ver int")
+    table = str(tmp_path / "cow")
+    cow_write(base, table, "k", num_buckets=4)
+
+    updir = tmp_path / "updates"
+    updir.mkdir()
+    u1 = spark.createDataFrame([(5, "first", 2)], base.schema)
+    u1.coalesce(1).write.parquet(str(updir / "b0"))
+
+    schema = base.schema
+
+    def drain(ckpt, name):
+        sdf = spark.readStream.schema(schema).option(
+            "pathGlobFilter", "*.parquet").parquet(str(updir) + "/*")
+        streaming_upsert(sdf, table, str(tmp_path / ckpt),
+                         dedupe_order="ver", query_name=name)
+
+    drain("ck_a", "lineage_a")
+    got = {r.k: r.s for r in read_cow(spark, table).collect()}
+    assert got[5] == "first"
+
+    # input grows, and a NEW checkpoint lineage drains it: its batch 0
+    # carries the new row — the stale last_batch=0 from lineage A must
+    # not suppress it
+    u2 = spark.createDataFrame([(9, "second", 2)], base.schema)
+    u2.coalesce(1).write.parquet(str(updir / "b1"))
+    drain("ck_b", "lineage_b")
+    got = {r.k: r.s for r in read_cow(spark, table).collect()}
+    assert got[9] == "second" and got[5] == "first"
+    assert len(got) == 20
+
+
+def test_streaming_upsert_equal_ties_deterministic(spark, tmp_path):
+    """Equal dedupe_order values: the docstring promises the greatest
+    full-row struct wins. Verify the winner is the same across
+    different partition layouts of the same batch."""
+    from detanalysis_spark.sources.layout import cow_write, read_cow
+    from detanalysis_spark.streaming import streaming_upsert
+
+    base = spark.createDataFrame(
+        [(1, "orig", 0)], "k long, s string, ver int")
+    rows = [(1, s, 7) for s in
+            ["mm", "zz", "aa", "qq", "bb", "yy", "cc"]]  # all ver=7 ties
+    winners = []
+    for n_parts in (1, 3, 7):
+        table = str(tmp_path / f"cow{n_parts}")
+        cow_write(base, table, "k", num_buckets=2)
+        updir = str(tmp_path / f"up{n_parts}")
+        ups = spark.createDataFrame(rows, base.schema).repartition(n_parts)
+        ups.write.parquet(updir)
+        sdf = spark.readStream.schema(base.schema).parquet(updir)
+        streaming_upsert(sdf, table, str(tmp_path / f"ck{n_parts}"),
+                         dedupe_order="ver", query_name=f"tie{n_parts}")
+        winners.append({r.k: r.s for r in
+                        read_cow(spark, table).collect()}[1])
+    # deterministic AND equal to the greatest struct (k,s,ver) → "zz"
+    assert winners == ["zz", "zz", "zz"]
