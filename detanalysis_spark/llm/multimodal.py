@@ -386,42 +386,93 @@ def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 # ----------------------------------------------------------------------
+# corrupt-payload quarantine (VERDICT r10 #1)
+#
+# A 100-TB crawl ALWAYS carries some truncated / exotic / garbage
+# payloads; a fail-stop decode means one bad image among billions
+# kills the whole job after task retries. Every decode-bearing
+# operator therefore takes on_error:
+#
+# - "raise" (default): current semantics — decode errors propagate
+#   (right for curated fixtures where a bad payload means a bug).
+# - "quarantine": the row survives with NULL features plus a
+#   ``corrupt_reason`` string column (NULL for good rows) — the
+#   binary-payload mirror of read_jsonl_quarantine's __corrupt__
+#   sentinel (sources/textio.py). One scan, no second pass; callers
+#   split good/bad with a filter on corrupt_reason.
+# ----------------------------------------------------------------------
+_ON_ERROR = ("raise", "quarantine")
+
+
+def _check_on_error(on_error: str) -> None:
+    if on_error not in _ON_ERROR:
+        raise ValueError(
+            f"on_error must be one of {_ON_ERROR} — got {on_error!r}")
+
+
+def _corrupt_reason(exc: BaseException) -> str:
+    return f"{type(exc).__name__}: {exc}"[:200]
+
+
+# ----------------------------------------------------------------------
 # image features via mapInPandas
 # ----------------------------------------------------------------------
-def image_features_schema(id_field: StructField) -> StructType:
-    return StructType([
+def image_features_schema(id_field: StructField,
+                          quarantine: bool = False) -> StructType:
+    fields = [
         id_field,
         StructField("mean_lum", DoubleType()),
         StructField("std_lum", DoubleType()),
         StructField("resized", ArrayType(DoubleType())),
-    ])
+    ]
+    if quarantine:
+        fields.append(StructField("corrupt_reason", StringType()))
+    return StructType(fields)
 
 
 def image_features(df: DataFrame, id_col: str, out_w: int = 4,
                    out_h: int = 4,
-                   payload_col: str = "payload") -> DataFrame:
+                   payload_col: str = "payload",
+                   on_error: str = "raise") -> DataFrame:
     """Decode → stats + bilinear thumbnail, one Arrow batch at a time.
 
     Expects columns: payload (binary), width, height, channels, format.
     Output: (id, mean_lum, std_lum, resized[out_h·out_w] row-major
-    luminance thumbnail).
+    luminance thumbnail). ``on_error="quarantine"`` appends a
+    ``corrupt_reason`` column and keeps undecodable rows (NULL
+    features) instead of failing the job.
     """
-    schema = image_features_schema(df.schema[id_col])
+    _check_on_error(on_error)
+    quarantine = on_error == "quarantine"
+    schema = image_features_schema(df.schema[id_col], quarantine)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, means, stds, thumbs = [], [], [], []
+            ids, means, stds, thumbs, reasons = [], [], [], [], []
             for r in pdf.itertuples(index=False):
-                img = _decode(r.payload, r.width, r.height, r.channels,
-                              r.format)
-                lum = img.mean(axis=2)
                 ids.append(getattr(r, id_col))
+                try:
+                    img = _decode(r.payload, r.width, r.height,
+                                  r.channels, r.format)
+                except Exception as e:   # noqa: BLE001
+                    if not quarantine:
+                        raise
+                    means.append(None)
+                    stds.append(None)
+                    thumbs.append(None)
+                    reasons.append(_corrupt_reason(e))
+                    continue
+                lum = img.mean(axis=2)
                 means.append(float(lum.mean()))
                 stds.append(float(lum.std()))
                 thumbs.append(resize_bilinear(
                     img, out_w, out_h).mean(axis=2).ravel())
-            yield pd.DataFrame({id_col: ids, "mean_lum": means,
-                                "std_lum": stds, "resized": thumbs})
+                reasons.append(None)
+            out = {id_col: ids, "mean_lum": means,
+                   "std_lum": stds, "resized": thumbs}
+            if quarantine:
+                out["corrupt_reason"] = reasons
+            yield pd.DataFrame(out)
 
     cols = [id_col, payload_col, "width", "height", "channels", "format"]
     sel = df.select(*cols).withColumnRenamed(payload_col, "payload")
@@ -431,18 +482,35 @@ def image_features(df: DataFrame, id_col: str, out_w: int = 4,
 # ----------------------------------------------------------------------
 # audio features (int16 little-endian PCM payloads)
 # ----------------------------------------------------------------------
-def audio_features_schema(id_field: StructField) -> StructType:
-    return StructType([
+def audio_features_schema(id_field: StructField,
+                          quarantine: bool = False) -> StructType:
+    fields = [
         id_field,
         StructField("rms", DoubleType()),
         StructField("zcr", DoubleType()),
         StructField("frame_energy", ArrayType(DoubleType())),
-    ])
+    ]
+    if quarantine:
+        fields.append(StructField("corrupt_reason", StringType()))
+    return StructType(fields)
+
+
+def _audio_decode(payload: bytes, payload_format: str) -> np.ndarray:
+    """Shared mono-mixdown decode for the audio operators."""
+    if payload_format == "WAV":
+        return decode_wav(payload)[0].mean(axis=1)
+    if payload_format == "FLAC":
+        from .flac import decode_flac
+        x = decode_flac(payload)[0]
+        return x.mean(axis=1) if x.size else x.reshape(0)
+    buf = payload[:len(payload) & ~1]          # drop odd tail byte
+    return np.frombuffer(buf, dtype="<i2") / 32768.0
 
 
 def audio_features(df: DataFrame, id_col: str, frame_samples: int = 256,
                    payload_col: str = "payload",
-                   payload_format: str = "PCM16") -> DataFrame:
+                   payload_format: str = "PCM16",
+                   on_error: str = "raise") -> DataFrame:
     """Audio payload → RMS, zero-crossing rate, per-frame energy.
 
     ``payload_format``: ``"PCM16"`` (raw int16 little-endian bytes),
@@ -450,25 +518,30 @@ def audio_features(df: DataFrame, id_col: str, frame_samples: int = 256,
     in :mod:`.flac`); multi-channel is mixed down to mono before the
     features. Real numpy DSP either way — no external codec. The
     trailing partial frame is dropped (rechunk semantics).
+    ``on_error="quarantine"`` appends ``corrupt_reason`` and keeps
+    undecodable rows (NULL features) instead of failing the job.
     """
     if payload_format not in ("PCM16", "WAV", "FLAC"):
         raise ValueError(f"unsupported payload_format {payload_format!r}")
-    schema = audio_features_schema(df.schema[id_col])
+    _check_on_error(on_error)
+    quarantine = on_error == "quarantine"
+    schema = audio_features_schema(df.schema[id_col], quarantine)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, rmss, zcrs, energies = [], [], [], []
+            ids, rmss, zcrs, energies, reasons = [], [], [], [], []
             for r in pdf.itertuples(index=False):
-                if payload_format == "WAV":
-                    x = decode_wav(r.payload)[0].mean(axis=1)
-                elif payload_format == "FLAC":
-                    from .flac import decode_flac
-                    x = decode_flac(r.payload)[0]
-                    x = x.mean(axis=1) if x.size else x.reshape(0)
-                else:
-                    buf = r.payload[:len(r.payload) & ~1]  # drop odd tail
-                    x = np.frombuffer(buf, dtype="<i2") / 32768.0
                 ids.append(getattr(r, id_col))
+                try:
+                    x = _audio_decode(r.payload, payload_format)
+                except Exception as e:   # noqa: BLE001
+                    if not quarantine:
+                        raise
+                    rmss.append(None)
+                    zcrs.append(None)
+                    energies.append(None)
+                    reasons.append(_corrupt_reason(e))
+                    continue
                 rmss.append(float(np.sqrt(np.mean(x ** 2))) if x.size
                             else 0.0)
                 zcrs.append(float(np.mean(np.signbit(x[1:])
@@ -477,8 +550,12 @@ def audio_features(df: DataFrame, id_col: str, frame_samples: int = 256,
                 nf = x.size // frame_samples
                 fr = x[:nf * frame_samples].reshape(nf, frame_samples)
                 energies.append((fr ** 2).sum(axis=1))
-            yield pd.DataFrame({id_col: ids, "rms": rmss, "zcr": zcrs,
-                                "frame_energy": energies})
+                reasons.append(None)
+            out = {id_col: ids, "rms": rmss, "zcr": zcrs,
+                   "frame_energy": energies}
+            if quarantine:
+                out["corrupt_reason"] = reasons
+            yield pd.DataFrame(out)
 
     sel = df.select(id_col, payload_col) \
             .withColumnRenamed(payload_col, "payload")
@@ -536,32 +613,51 @@ def dhash_array(lum9: np.ndarray) -> int:
 
 
 def image_phash(df: DataFrame, id_col: str, method: str = "ahash",
-                payload_col: str = "payload") -> DataFrame:
+                payload_col: str = "payload",
+                on_error: str = "raise") -> DataFrame:
     """(id, phash long) per image — decode → luminance → 8x8 (aHash)
     or 8x9 (dHash) bilinear thumbnail → 64-bit hash. Same Arrow-batched
     decode stack as :func:`image_features`; images already at the
     thumbnail size skip the resize, so the hash is exactly the pixel
-    rule (SQL-replayable for RAW8 fixtures)."""
+    rule (SQL-replayable for RAW8 fixtures).
+    ``on_error="quarantine"`` appends ``corrupt_reason`` and keeps
+    undecodable rows (NULL phash) instead of failing the job."""
     if method not in ("ahash", "dhash"):
         raise ValueError(f"image_phash: unknown method {method!r}")
+    _check_on_error(on_error)
+    quarantine = on_error == "quarantine"
     w, h = (9, 8) if method == "dhash" else (8, 8)
     hash_fn = dhash_array if method == "dhash" else ahash_array
     id_field = df.schema[id_col]
-    schema = StructType([id_field, StructField("phash", LongType())])
+    fields = [id_field, StructField("phash", LongType())]
+    if quarantine:
+        fields.append(StructField("corrupt_reason", StringType()))
+    schema = StructType(fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, hashes = [], []
+            ids, hashes, reasons = [], [], []
             for r in pdf.itertuples(index=False):
-                img = _decode(r.payload, r.width, r.height, r.channels,
-                              r.format)
+                ids.append(getattr(r, id_col))
+                try:
+                    img = _decode(r.payload, r.width, r.height,
+                                  r.channels, r.format)
+                except Exception as e:   # noqa: BLE001
+                    if not quarantine:
+                        raise
+                    hashes.append(None)
+                    reasons.append(_corrupt_reason(e))
+                    continue
                 lum = img.mean(axis=2)
                 if lum.shape != (h, w):
                     lum = resize_bilinear(
                         img, w, h).mean(axis=2)
-                ids.append(getattr(r, id_col))
                 hashes.append(hash_fn(lum))
-            yield pd.DataFrame({id_col: ids, "phash": hashes})
+                reasons.append(None)
+            out = {id_col: ids, "phash": hashes}
+            if quarantine:
+                out["corrupt_reason"] = reasons
+            yield pd.DataFrame(out)
 
     cols = [id_col, payload_col, "width", "height", "channels", "format"]
     sel = df.select(*cols).withColumnRenamed(payload_col, "payload")
@@ -581,7 +677,8 @@ def phash_bands(hashes: DataFrame, id_col: str, hash_col: str = "phash",
 def image_near_dup_pairs(df: DataFrame, id_col: str,
                          max_hamming: int = 6, bands: int = 8,
                          method: str = "ahash",
-                         payload_col: str = "payload") -> DataFrame:
+                         payload_col: str = "payload",
+                         on_error: str = "raise") -> DataFrame:
     """(id_a < id_b, hamming) image pairs with perceptual-hash hamming
     distance ≤ ``max_hamming``.
 
@@ -592,11 +689,18 @@ def image_near_dup_pairs(df: DataFrame, id_col: str,
     sides) and Spark has no cross-subtree CSE, so it is checkpointed
     at call time — each image decodes and hashes exactly ONCE instead
     of three times (the dominant Python cost at corpus scale).
+    ``on_error="quarantine"`` drops undecodable images from the pair
+    search instead of failing the job (they can't hash, so they can't
+    pair).
     """
     from .dedup import hamming_distance
+    _check_on_error(on_error)
     hashes = image_phash(df, id_col, method=method,
-                         payload_col=payload_col) \
-        .localCheckpoint(eager=True)
+                         payload_col=payload_col, on_error=on_error)
+    if on_error == "quarantine":
+        hashes = (hashes.filter(F.col("corrupt_reason").isNull())
+                  .drop("corrupt_reason"))
+    hashes = hashes.localCheckpoint(eager=True)
     bb = phash_bands(hashes, id_col, bands=bands)
     cand = (bb.withColumnRenamed(id_col, "id_a")
             .join(bb.withColumnRenamed(id_col, "id_b"),
@@ -674,9 +778,12 @@ def audio_fingerprint_array(x: np.ndarray, frame_samples: int = 256,
 def audio_fingerprint(df: DataFrame, id_col: str,
                       payload_col: str = "payload",
                       payload_format: str = "PCM16",
-                      frame_samples: int = 256) -> DataFrame:
+                      frame_samples: int = 256,
+                      on_error: str = "raise") -> DataFrame:
     """(id, fingerprint long) per audio payload — same decode surface
-    as :func:`audio_features` (PCM16 / WAV / FLAC, mono mixdown)."""
+    as :func:`audio_features` (PCM16 / WAV / FLAC, mono mixdown).
+    ``on_error="quarantine"`` appends ``corrupt_reason`` and keeps
+    undecodable rows (NULL fingerprint) instead of failing the job."""
     if payload_format not in ("PCM16", "WAV", "FLAC"):
         raise ValueError(f"unsupported payload_format {payload_format!r}")
     # pure-config error: fail on the DRIVER at plan-build time, not as
@@ -687,26 +794,34 @@ def audio_fingerprint(df: DataFrame, id_col: str,
             f"audio_fingerprint: frame_samples={frame_samples} gives "
             f"{int(frame_samples) // 2} usable FFT bins — need at "
             f"least 10 (frame_samples >= 20)")
+    _check_on_error(on_error)
+    quarantine = on_error == "quarantine"
     id_field = df.schema[id_col]
-    schema = StructType([id_field, StructField("fingerprint", LongType())])
+    fields = [id_field, StructField("fingerprint", LongType())]
+    if quarantine:
+        fields.append(StructField("corrupt_reason", StringType()))
+    schema = StructType(fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, fps = [], []
+            ids, fps, reasons = [], [], []
             for r in pdf.itertuples(index=False):
-                if payload_format == "WAV":
-                    x = decode_wav(r.payload)[0].mean(axis=1)
-                elif payload_format == "FLAC":
-                    from .flac import decode_flac
-                    x = decode_flac(r.payload)[0]
-                    x = x.mean(axis=1) if x.size else x.reshape(0)
-                else:
-                    buf = r.payload[:len(r.payload) & ~1]
-                    x = np.frombuffer(buf, dtype="<i2") / 32768.0
                 ids.append(getattr(r, id_col))
+                try:
+                    x = _audio_decode(r.payload, payload_format)
+                except Exception as e:   # noqa: BLE001
+                    if not quarantine:
+                        raise
+                    fps.append(None)
+                    reasons.append(_corrupt_reason(e))
+                    continue
                 fps.append(audio_fingerprint_array(
                     np.asarray(x, dtype=np.float64), frame_samples))
-            yield pd.DataFrame({id_col: ids, "fingerprint": fps})
+                reasons.append(None)
+            out = {id_col: ids, "fingerprint": fps}
+            if quarantine:
+                out["corrupt_reason"] = reasons
+            yield pd.DataFrame(out)
 
     sel = df.select(id_col, payload_col) \
             .withColumnRenamed(payload_col, "payload")
@@ -717,19 +832,27 @@ def audio_near_dup_pairs(df: DataFrame, id_col: str,
                          max_hamming: int = 8, bands: int = 16,
                          payload_col: str = "payload",
                          payload_format: str = "PCM16",
-                         frame_samples: int = 256) -> DataFrame:
+                         frame_samples: int = 256,
+                         on_error: str = "raise") -> DataFrame:
     """(id_a < id_b, hamming) audio pairs with fingerprint hamming
     ≤ ``max_hamming`` — exact recall for ``max_hamming < bands``
     (pigeonhole, default 16 4-bit bands ⇒ guaranteed ≤15), candidates
     from (band, bucket) equi-joins, never all-pairs. EAGER: the
     fingerprint table is checkpointed at call time so each clip
     decodes and fingerprints exactly once across the three consuming
-    subtrees (same rationale as :func:`image_near_dup_pairs`)."""
+    subtrees (same rationale as :func:`image_near_dup_pairs`).
+    ``on_error="quarantine"`` drops undecodable clips from the pair
+    search instead of failing the job."""
     from .dedup import hamming_distance
+    _check_on_error(on_error)
     fps = audio_fingerprint(df, id_col, payload_col=payload_col,
                             payload_format=payload_format,
-                            frame_samples=frame_samples) \
-        .localCheckpoint(eager=True)
+                            frame_samples=frame_samples,
+                            on_error=on_error)
+    if on_error == "quarantine":
+        fps = (fps.filter(F.col("corrupt_reason").isNull())
+               .drop("corrupt_reason"))
+    fps = fps.localCheckpoint(eager=True)
     bb = phash_bands(fps, id_col, hash_col="fingerprint", bands=bands)
     cand = (bb.withColumnRenamed(id_col, "id_a")
             .join(bb.withColumnRenamed(id_col, "id_b"),

@@ -1914,6 +1914,87 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("mean_lum"), 6).alias("min_lum")))
 
 
+# ----------------------------------------------------------------------
+# corrupt-payload quarantine (VERDICT r10 #1): the same planted
+# quality-100 JPEG corpus as multimodal_jpeg_stats, but two planted
+# corruption classes — doc_id%7==3 payloads truncated to 12 bytes
+# (dies in marker parse → ValueError) and doc_id%11==5 payloads with
+# the SOF0 marker swapped to SOF9 (arithmetic-coded → unsupported,
+# NotImplementedError). on_error="quarantine" must carry every row
+# through with NULL features + a classified corrupt_reason; good rows
+# keep the exact constant-block decode, so the oracle replays counts
+# AND values. The job-survival property itself is pytest'd
+# (tests/test_multimodal.py).
+# ----------------------------------------------------------------------
+@query("multimodal_quarantine_stats", oracle="""
+WITH b AS (
+  SELECT doc_id, lang,
+         length(text) % 256 AS b1, (doc_id * 37) % 256 AS b2,
+         (doc_id % 7 = 3) AS is_trunc,
+         (doc_id % 11 = 5 AND doc_id % 7 <> 3) AS is_arith
+  FROM documents WHERE doc_id < 300)
+SELECT lang, count(*) AS n_total,
+       CAST(sum(CASE WHEN is_trunc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truncated,
+       CAST(sum(CASE WHEN is_arith THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unsupported,
+       round(avg(CASE WHEN NOT (is_trunc OR is_arith)
+                      THEN (b1 + b2) / 2.0 / 255.0 END), 6)
+         AS avg_good_lum
+FROM b GROUP BY lang
+""")
+def multimodal_quarantine_stats(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    def _planted(doc_id, b1, b2):
+        import numpy as np
+        from .llm.jpeg import encode_jpeg
+
+        def build(d: int, v1: int, v2: int) -> bytes:
+            img = np.empty((8, 16, 1))
+            img[:, :8, 0] = v1 / 255.0
+            img[:, 8:, 0] = v2 / 255.0
+            payload = encode_jpeg(img, quality=100, restart_interval=1)
+            if d % 7 == 3:
+                return payload[:12]                   # truncated stream
+            if d % 11 == 5:
+                # quality-100 quant tables are all ones (no 0xFF bytes
+                # before the frame header), so the first FFC0 is SOF0
+                return payload.replace(b"\xff\xc0", b"\xff\xc9", 1)
+            return payload
+
+        return pd.Series([build(int(d), int(a), int(b))
+                          for d, a, b in zip(doc_id, b1, b2)])
+
+    _planted.__annotations__ = {"doc_id": pd.Series, "b1": pd.Series,
+                                "b2": pd.Series, "return": pd.Series}
+    planted_jpeg = F.pandas_udf(_planted, BinaryType())
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 300")
+    imgs = docs.select(
+        "doc_id", "lang",
+        planted_jpeg(F.col("doc_id"), F.length("text") % 256,
+                     (F.col("doc_id") * 37) % 256).alias("payload"),
+        F.lit(16).alias("width"), F.lit(8).alias("height"),
+        F.lit(1).alias("channels"), F.lit("JPEG").alias("format"))
+    feats = _MM.image_features(imgs, "doc_id", out_w=2, out_h=2,
+                               on_error="quarantine")
+    return (feats.join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(F.coalesce(F.col("corrupt_reason")
+                        .startswith("ValueError").cast("long"),
+                        F.lit(0))).alias("n_truncated"),
+                 F.sum(F.coalesce(F.col("corrupt_reason")
+                        .startswith("NotImplementedError").cast("long"),
+                        F.lit(0))).alias("n_unsupported"),
+                 F.round(F.avg(F.when(F.col("corrupt_reason").isNull(),
+                                      F.col("mean_lum"))), 6)
+                  .alias("avg_good_lum")))
+
+
 # ======================================================================
 # Polynomial cut (F-poly): Horner-evaluated chi2-vs-amp style
 # predicate as one native expression (operators/sampling.py:polyval)

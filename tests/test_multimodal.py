@@ -797,3 +797,86 @@ def test_audio_fingerprint_driver_side_config_guard(spark):
         audio_fingerprint(df, "clip_id", frame_samples=16)
     with pytest.raises(ValueError, match="frame_samples"):
         audio_near_dup_pairs(df, "clip_id", frame_samples=16)
+
+
+# ----------------------------------------------------------------------
+# corrupt-payload quarantine (VERDICT r10 #1): one bad payload among
+# good ones must not fail the job in quarantine mode, and the default
+# raise mode must keep its fail-stop semantics.
+# ----------------------------------------------------------------------
+def _mixed_jpeg_df(spark):
+    """4 good baseline JPEGs + 1 truncated + 1 arithmetic-coded (SOF9)."""
+    from detanalysis_spark.llm.jpeg import encode_jpeg
+    rng = np.random.default_rng(7)
+    good = [encode_jpeg(rng.random((8, 8, 1)), quality=90)
+            for _ in range(4)]
+    truncated = good[0][:12]                 # dies in marker/entropy parse
+    sof9 = good[1].replace(b"\xff\xc0", b"\xff\xc9", 1)  # arithmetic SOF
+    rows = [(i, bytearray(p), 8, 8, 1, "JPEG")
+            for i, p in enumerate(good + [truncated, sof9])]
+    return spark.createDataFrame(
+        rows, "img_id long, payload binary, width int, height int, "
+              "channels int, format string")
+
+
+def test_image_quarantine_survives_corrupt_payloads(spark):
+    from detanalysis_spark.llm.multimodal import (image_features,
+                                                  image_near_dup_pairs,
+                                                  image_phash)
+    df = _mixed_jpeg_df(spark)
+
+    # default mode is fail-stop (curated-fixture semantics preserved)
+    with pytest.raises(Exception):
+        image_features(df, "img_id").collect()
+    with pytest.raises(ValueError, match="on_error"):
+        image_features(df, "img_id", on_error="skip")
+
+    feats = image_features(df, "img_id", on_error="quarantine").collect()
+    assert len(feats) == 6
+    by_id = {r.img_id: r for r in feats}
+    for i in range(4):
+        assert by_id[i].corrupt_reason is None
+        assert by_id[i].mean_lum is not None and by_id[i].resized
+    assert by_id[4].mean_lum is None and by_id[4].resized is None
+    assert "JPEG" in by_id[4].corrupt_reason        # truncated stream
+    assert "SOF9" in by_id[5].corrupt_reason        # arithmetic-coded
+    assert by_id[5].mean_lum is None
+
+    hashes = image_phash(df, "img_id", on_error="quarantine").collect()
+    assert sorted(r.img_id for r in hashes
+                  if r.corrupt_reason is not None) == [4, 5]
+    assert all(r.phash is not None for r in hashes
+               if r.corrupt_reason is None)
+
+    # pair search completes, corrupt rows just can't pair
+    pairs = image_near_dup_pairs(df, "img_id", on_error="quarantine") \
+        .collect()
+    assert all(r.id_a < 4 and r.id_b < 4 for r in pairs)
+
+
+def test_audio_quarantine_survives_corrupt_payloads(spark):
+    from detanalysis_spark.llm.multimodal import (audio_features,
+                                                  audio_fingerprint,
+                                                  encode_wav)
+    rng = np.random.default_rng(9)
+    good = [encode_wav(rng.uniform(-0.5, 0.5, 2048), 8000)
+            for _ in range(3)]
+    bad = good[0][:20]                       # truncated WAV header/body
+    rows = [(i, bytearray(p)) for i, p in enumerate(good + [bad])]
+    df = spark.createDataFrame(rows, "clip_id long, payload binary")
+
+    with pytest.raises(Exception):
+        audio_features(df, "clip_id", payload_format="WAV").collect()
+
+    feats = audio_features(df, "clip_id", payload_format="WAV",
+                           on_error="quarantine").collect()
+    assert len(feats) == 4
+    by_id = {r.clip_id: r for r in feats}
+    assert by_id[3].rms is None and by_id[3].corrupt_reason
+    assert all(by_id[i].corrupt_reason is None and by_id[i].rms is not None
+               for i in range(3))
+
+    fps = audio_fingerprint(df, "clip_id", payload_format="WAV",
+                            on_error="quarantine").collect()
+    assert sorted(r.clip_id for r in fps
+                  if r.corrupt_reason is not None) == [3]
