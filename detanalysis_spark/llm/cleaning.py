@@ -732,8 +732,11 @@ def url_host(url: Column | str) -> Column:
     return ``com.`` and let a dotted hostname walk through the domain
     blocklist); an all-dot / empty host normalizes to NULL."""
     u = F.col(url) if isinstance(url, str) else url
-    h = F.regexp_replace(
-        F.lower(F.try_parse_url(u, F.lit("HOST"))), r"\.+$", "")
+    raw = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    # conditional strip: the regex only runs on the rare FQDN-root
+    # rows instead of every host (round-11 hot-path measurement)
+    h = F.when(raw.endswith("."),
+               F.regexp_replace(raw, r"\.+$", "")).otherwise(raw)
     return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
 
 
@@ -935,10 +938,18 @@ def domain_profile(df: DataFrame, url_col: str,
                                       extra_suffixes=extra_suffixes,
                                       use_psl=use_psl,
                                       psl_path=psl_path)
-    out = (work.select("__host__", "domain")
-           .groupBy("domain")
-           .agg(F.count(F.lit(1)).alias("n_docs"),
-                F.count_distinct("__host__").alias("n_hosts")))
+    # two-level aggregate instead of count+count_distinct in one: the
+    # single-agg plan routes every corpus row through an Expand (2
+    # projections per row) to de-duplicate hosts; grouping by (domain,
+    # host) first map-side-combines the corpus down to the distinct
+    # pairs (bounded by real-world hosts-per-domain), then the second
+    # agg is trivial — measured −0.9s at 10M docs (round 11)
+    pairs = (work.select("__host__", "domain")
+             .groupBy("domain", "__host__")
+             .agg(F.count(F.lit(1)).alias("__n__")))
+    out = (pairs.groupBy("domain")
+           .agg(F.sum("__n__").alias("n_docs"),
+                F.count("__host__").alias("n_hosts")))
     # share via a one-row total cross join (broadcast) — NOT a global
     # window, which would single-partition the domain table
     total = out.agg(F.sum("n_docs").alias("__total__"))

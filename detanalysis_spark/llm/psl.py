@@ -37,7 +37,7 @@ import os
 from dataclasses import dataclass, field
 from functools import lru_cache
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..util import local_frame as _local_frame
@@ -190,6 +190,51 @@ def registered_domain_py(host: str | None,
 # ---------------------------------------------------------------------------
 # Spark plan — chained broadcast joins, corpus never shuffles
 # ---------------------------------------------------------------------------
+# ONE rule table per candidate depth, all three rule types merged as
+# flag columns (exact / wildcard-base / exception) — so the join-chain
+# length is max rule depth (~5 for the real PSL), not rule-types ×
+# depths. A wildcard BASE of depth bd matches the depth-bd candidate
+# but implies a public suffix one label deeper. Memoized per
+# (session, rule set): iterating 9,498 rules and Arrow-converting the
+# depth tables cost ~0.6s per matcher CALL before round 11 — the
+# tables are immutable plans, safe to reuse across queries.
+_RULE_TABLE_CACHE: dict = {}
+
+
+def _rule_tables(spark: SparkSession, rules: PslRules
+                 ) -> list[tuple[int, DataFrame, bool, bool, bool]]:
+    key = (id(spark), id(rules))
+    hit = _RULE_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    merged: dict[int, dict[str, list[bool]]] = {}
+
+    def put(s: str, d: int, kind: int) -> None:
+        ent = merged.setdefault(d, {}).setdefault(s, [False] * 3)
+        ent[kind] = True
+
+    for s in rules.exact:
+        d = s.count(".") + 1
+        if d > 1:      # depth-1 exact rules behave like the '*' default
+            put(s, d, 0)
+    for s in rules.wildcard:
+        put(s, s.count(".") + 1, 1)
+    for s in rules.exception:
+        put(s, s.count(".") + 1, 2)
+    out = []
+    for d in sorted(merged):
+        tbl = _local_frame(spark,
+            [(s, *fl) for s, fl in sorted(merged[d].items())],
+            f"__psl_s{d}__ string, __psl_e{d}__ boolean, "
+            f"__psl_w{d}__ boolean, __psl_x{d}__ boolean")
+        out.append((d, tbl,
+                    any(fl[0] for fl in merged[d].values()),
+                    any(fl[1] for fl in merged[d].values()),
+                    any(fl[2] for fl in merged[d].values())))
+    _RULE_TABLE_CACHE[key] = out
+    return out
+
+
 def registered_domain_psl(df: DataFrame, host_col: str,
                           out_col: str = "registered_domain",
                           suffix_col: str | None = None,
@@ -216,60 +261,42 @@ def registered_domain_psl(df: DataFrame, host_col: str,
     rules = rules or default_psl(include_private=include_private)
     spark = df.sparkSession
 
-    h = F.lower(F.regexp_replace(F.col(host_col), r"\.+$", ""))
+    # Hot path is pure byte-wise string ops — no regex, no arrays
+    # (round 11: the regex split + per-depth slice/array_join build
+    # was ~40% of the matcher's per-row cost at 10M docs). Trailing
+    # dots strip through a conditional so the regex only ever runs on
+    # the rare FQDN-root rows; the label count is a replace-length
+    # diff; every candidate suffix is one substring_index.
+    raw = F.lower(F.col(host_col))
+    h = F.when(raw.endswith("."),
+               F.regexp_replace(raw, r"\.+$", "")).otherwise(raw)
     valid = h.isNotNull() & (h != "") & ~h.contains("..") \
         & ~h.startswith(".")
-    parts = F.split(h, r"\.")
-    n = F.size(parts)
+    n = (F.length(h) - F.length(F.replace(h, F.lit("."), F.lit("")))
+         + F.lit(1))
 
-    work = df.withColumn("__psl_parts__", parts) \
+    work = df.withColumn("__psl_h__", h) \
              .withColumn("__psl_n__", n) \
              .withColumn("__psl_ok__", valid)
 
     def cand(d: int) -> Column:
-        return F.array_join(
-            F.slice(F.col("__psl_parts__"),
-                    F.col("__psl_n__") - F.lit(d) + 1, d), ".")
-
-    # ONE rule table per candidate depth, all three rule types merged
-    # as flag columns (exact / wildcard-base / exception) — so the
-    # chain length is max rule depth (~5 for the real PSL), not
-    # rule-types × depths. A wildcard BASE of depth bd matches the
-    # depth-bd candidate but implies a public suffix one label deeper.
-    merged: dict[int, dict[str, list[bool]]] = {}
-
-    def put(s: str, d: int, kind: int) -> None:
-        ent = merged.setdefault(d, {}).setdefault(s, [False] * 3)
-        ent[kind] = True
-
-    for s in rules.exact:
-        d = s.count(".") + 1
-        if d > 1:      # depth-1 exact rules behave like the '*' default
-            put(s, d, 0)
-    for s in rules.wildcard:
-        put(s, s.count(".") + 1, 1)
-    for s in rules.exception:
-        put(s, s.count(".") + 1, 2)
+        return F.substring_index(F.col("__psl_h__"), ".", -d)
 
     flags: list[tuple[int, str]] = []          # (match depth, col)
     exc_flags: list[tuple[int, str]] = []      # (rule depth, col)
 
-    for d in sorted(merged):
-        tbl = _local_frame(spark,
-            [(s, *fl) for s, fl in sorted(merged[d].items())],
-            f"__psl_s{d}__ string, __psl_e{d}__ boolean, "
-            f"__psl_w{d}__ boolean, __psl_x{d}__ boolean")
+    for d, tbl, has_e, has_w, has_x in _rule_tables(spark, rules):
         work = (work.withColumn(
                     f"__psl_c{d}__",
                     F.when(F.col("__psl_n__") >= d, cand(d)))
                 .join(F.broadcast(tbl),
                       F.col(f"__psl_c{d}__") == F.col(f"__psl_s{d}__"),
                       "left"))
-        if any(fl[0] for fl in merged[d].values()):
+        if has_e:
             flags.append((d, f"__psl_e{d}__"))
-        if any(fl[1] for fl in merged[d].values()):
+        if has_w:
             flags.append((d + 1, f"__psl_w{d}__"))  # base match ⇒ d+1
-        if any(fl[2] for fl in merged[d].values()):
+        if has_x:
             exc_flags.append((d, f"__psl_x{d}__"))
 
     # precedence: exception ⇒ depth rule_d - 1; else max matched depth
@@ -301,13 +328,15 @@ def registered_domain_psl(df: DataFrame, host_col: str,
     work = work.withColumn("__psl_depth__", ps_depth)
     dep = F.col("__psl_depth__")
     nn = F.col("__psl_n__")
+    hh = F.col("__psl_h__")
+    # the python wrapper pins count to int — call the SQL function
+    # directly for the column-valued depth
     ps = F.when(F.col("__psl_ok__") & (dep > 0) & (nn >= dep),
-                F.array_join(F.slice(F.col("__psl_parts__"),
-                                     nn - dep + 1, dep), "."))
+                F.call_function("substring_index", hh, F.lit("."),
+                                -dep))
     reg = F.when(F.col("__psl_ok__") & (nn > dep) & (dep > 0),
-                 F.array_join(
-                     F.slice(F.col("__psl_parts__"), nn - dep,
-                             dep + F.lit(1)), "."))
+                 F.call_function("substring_index", hh, F.lit("."),
+                                 -(dep + F.lit(1))))
 
     out = work.withColumn(out_col, reg)
     if suffix_col is not None:

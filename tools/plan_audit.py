@@ -86,11 +86,21 @@ def audit(name: str, plan: str) -> list[str]:
         for i, line in enumerate(tree_lines):
             if f"Exchange ({node_id})" in line:
                 # Sort-based final agg (string min/max) is the same
-                # benign partial-merge shape as the hash variant
+                # benign partial-merge shape as the hash variant —
+                # but ONLY when the aggregate is GLOBAL (no grouping
+                # keys, one row per task). A grouped aggregate under a
+                # SinglePartition exchange (e.g. feeding a keyless
+                # window) can be corpus-sized (VERDICT r10 #3).
                 if i + 1 < len(tree_lines) \
                         and ("HashAggregate" in tree_lines[i + 1]
                              or "SortAggregate" in tree_lines[i + 1]):
-                    benign = True
+                    cm = re.search(r"Aggregate \((\d+)\)",
+                                   tree_lines[i + 1])
+                    if cm:
+                        detail = re.search(
+                            r"\(%s\) \w*Aggregate[^\n]*\n(?:[^\n]+\n)*?"
+                            r"Keys: \[\]" % cm.group(1), plan)
+                        benign = detail is not None
                 break
         if not benign:
             n_single += 1
