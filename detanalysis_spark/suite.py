@@ -6725,6 +6725,20 @@ _REWRITTEN_R10 = (
     "grouped_spectrum_fits", "approx_percentile_profile",
 )
 
+# Round-11 rewrites: the PSL hot-path rework (substring_index
+# candidates, memoized rule tables, two-level distinct-host agg), the
+# streaming-upsert tie-break + checkpoint-scoped replay guard, the
+# cm_lookup derive-path validation, and the multimodal decode loops'
+# quarantine restructuring (same default semantics, new row path).
+_REWRITTEN_R11 = (
+    "domain_curation_stats", "domain_cap_counts",
+    "streaming_upsert_stats", "upsert_merge_stats",
+    "cm_sketch_event_counts", "streaming_cm_sketch_counts",
+    "multimodal_image_stats", "multimodal_jpeg_stats",
+    "multimodal_audio_stats", "multimodal_flac_stats",
+    "image_phash_band_stats",
+)
+
 
 def _reorder_registry() -> None:
     # tier1: ANY query with no official driver grade — oracled (full
@@ -6743,6 +6757,8 @@ def _reorder_registry() -> None:
                   if _LATEST_GRADE.get(n, 0) < 9]
     rewritten += [n for n in _REWRITTEN_R10
                   if _LATEST_GRADE.get(n, 0) < 10]
+    rewritten += [n for n in _REWRITTEN_R11
+                  if _LATEST_GRADE.get(n, 0) < 11]
     tier1b = [n for n in rewritten if n in QUERIES and n not in tier1]
     # tier2..: already-green filler; staleness = the LATEST round a
     # query was graded in (straight from the CORRECTNESS artifacts);
