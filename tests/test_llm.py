@@ -2539,3 +2539,89 @@ def test_ann_recall_floor(spark):
                              for p, e in exact.items()]))
     assert rec_ivf >= 0.9, f"IVF recall@10 {rec_ivf} < 0.9"
     assert rec_lsh >= 0.9, f"LSH recall@10 {rec_lsh} < 0.9"
+
+
+def test_ann_on_disk_and_pq_compose_floor(spark, tmp_path):
+    """VERDICT r10 #6 (pytest leg): the ON-DISK IVF path
+    (write_corpus -> topk_from_corpus) holds the same recall floor as
+    the in-memory tier at the documented operating point AND its scan
+    carries a PartitionFilters entry on ivf_cell (pruning evidence);
+    the IVF->PQ-ADC compose (cell-pruned coded read, asymmetric
+    distance) holds a lossy-tier floor. The one-decade-up recall/wall
+    curve lives in ANN_RECALL.json (tools/ann_recall.py --n-big)."""
+    import re
+
+    import numpy as np
+    from detanalysis_spark.llm.similarity import (IVFIndex, PQCodebook,
+                                                  cosine_topk)
+    rng = np.random.default_rng(7)
+    n_clusters, dim, n = 25, 32, 2500
+    centers = rng.standard_normal((n_clusters, dim))
+    w = 1.0 / np.arange(1, n_clusters + 1) ** 1.2
+    sizes = np.maximum((w / w.sum() * n).astype(int), 5)
+    pts = np.concatenate([
+        centers[c] + 0.35 * rng.standard_normal((s, dim))
+        for c, s in enumerate(sizes)])
+    import pandas as pd
+    corpus = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": np.arange(len(pts), dtype=np.int64),
+         "embedding": list(pts)})).cache()
+    probe_ids = [int(i) for i in rng.choice(len(pts), 60, replace=False)]
+    probes = corpus.filter(F.col("vec_id").isin(probe_ids)).cache()
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = sets(cosine_topk(corpus, probes, k=10))
+
+    ivf = IVFIndex(n_centroids=64, n_probe=4)
+    ivf.fit(corpus, sample_size=n)
+    disk = str(tmp_path / "ivf_disk")
+    ivf.write_corpus(corpus, disk, mode="overwrite")
+    res = ivf.topk_from_corpus(spark, disk, probes, k=10)
+    got = sets(res)
+    rec = float(np.mean([len(got.get(p, set()) & e) / len(e)
+                         for p, e in exact.items()]))
+    assert rec >= 0.9, f"on-disk IVF recall@10 {rec} < 0.9"
+    plan = res._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert re.search(r"PartitionFilters: \[[^\]]*ivf_cell", plan), \
+        "on-disk IVF scan lost its ivf_cell partition filter"
+
+    # IVF->PQ-ADC compose: coded corpus persists cell-partitioned,
+    # candidates read through the same pruned scan, ADC builds a
+    # SHORTLIST over m-byte codes, exact re-rank only touches the
+    # shortlist's true vectors (the standard IVFADC+rerank shape —
+    # pure ADC ranking tops out ~0.55 recall@10 at m=8 on this corpus)
+    pq = PQCodebook(m=8, k=256, seed=13).fit(corpus, sample_size=n)
+    coded_disk = str(tmp_path / "ivf_pq_disk")
+    (pq.encode(ivf.with_cell(corpus))
+     .select("vec_id", "ivf_cell", "pq_code")
+     .write.partitionBy("ivf_cell").parquet(coded_disk))
+    pc = ivf._celled_probes(probes, "vec_id", "embedding")
+    cells = sorted({int(r["c"]) for r in
+                    pc.select(F.explode("cells").alias("c"))
+                      .distinct().collect()})
+    cand = (spark.read.parquet(coded_disk)
+            .filter(F.col("ivf_cell").isin(cells)))
+    adc = pq.adc_topk(
+        cand, probes.withColumnRenamed("vec_id", "probe_id"),
+        k=50, id_col="vec_id", probe_id_col="probe_id")
+    short: dict = {}
+    for r in adc.collect():
+        if r["vec_id"] != r["probe_id"]:
+            short.setdefault(r["probe_id"], []).append(r["vec_id"])
+    unit = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    got_pq = {}
+    for p, ids in short.items():
+        sims = unit[np.asarray(ids)] @ unit[p]
+        order = np.argsort(-sims, kind="stable")[:10]
+        got_pq[p] = {ids[i] for i in order}
+    rec_pq = float(np.mean([len(got_pq.get(p, set()) & e) / len(e)
+                            for p, e in exact.items()]))
+    assert rec_pq >= 0.9, \
+        f"IVF->PQ-ADC+rerank recall@10 {rec_pq} < 0.9"

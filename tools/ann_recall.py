@@ -18,7 +18,18 @@ Documented operating points (pytest floor recall@10 >= 0.9 in
 tests/test_llm.py::test_ann_recall_floor): IVF 64 cells n_probe=4;
 LSH bits=10 tables=8 n_flip=2.
 
-Usage: python tools/ann_recall.py [--n 20000] [--runs 2]
+Round 11 (VERDICT r10 #6) adds the one-decade-up ON-DISK section
+(``--n-big``, default 200000): the same Zipf-clustered recipe at 200k
+vectors, driven through ``write_corpus``/``topk_from_corpus`` — the
+cell-partitioned parquet layout whose probe-time partition PRUNING is
+the actual 100 TB story — plus the IVF→PQ-ADC compose (cell-pruned
+candidate read, ADC rescoring over m-byte codes). Each row records
+recall@10, wall, cells read / total cells, and whether the scan plan
+carried a ``PartitionFilters`` entry on ``ivf_cell`` (the pruning
+evidence). ``--skip-big`` skips it.
+
+Usage: python tools/ann_recall.py [--n 20000] [--n-big 200000]
+       [--runs 2] [--skip-big]
 Writes ANN_RECALL.json at the repo root; Markdown table on stderr.
 """
 from __future__ import annotations
@@ -50,15 +61,18 @@ def build_corpus(spark, n: int) -> tuple[str, str]:
     # Zipf(1.2) cluster sizes, normalized to n
     w = 1.0 / np.arange(1, N_CLUSTERS + 1) ** 1.2
     sizes = np.maximum((w / w.sum() * n).astype(int), 5)
-    rows = []
-    vid = 0
-    for c, s in enumerate(sizes):
-        pts = centers[c] + 0.35 * rng.standard_normal((s, DIM))
-        for v in pts:
-            rows.append((vid, [float(x) for x in v]))
-            vid += 1
-    corpus = spark.createDataFrame(
-        rows, "vec_id long, embedding array<double>")
+    pts = np.concatenate([
+        centers[c] + 0.35 * rng.standard_normal((s, DIM))
+        for c, s in enumerate(sizes)])
+    # permute rows: cluster-ordered ids would make every
+    # first-k-by-id training sample (IVF fit, PQ fit) cover only the
+    # head clusters once n outgrows the sample size
+    pts = pts[rng.permutation(len(pts))]
+    vid = len(pts)
+    import pandas as pd
+    pdf = pd.DataFrame({"vec_id": np.arange(vid, dtype=np.int64),
+                        "embedding": list(pts)})
+    corpus = spark.createDataFrame(pdf)   # Arrow path, not row lists
     corpus.coalesce(4).write.mode("overwrite").parquet(cp)
     probe_ids = rng.choice(vid, size=N_PROBES, replace=False)
     probes = corpus.filter(
@@ -78,6 +92,135 @@ def recall(approx: dict, exact: dict) -> float:
     vals = [len(approx.get(p, set()) & ex) / max(len(ex), 1)
             for p, ex in exact.items()]
     return float(np.mean(vals)) if vals else 0.0
+
+
+def _partition_filter_evidence(df) -> bool:
+    """True when the plan's parquet scan carries a PartitionFilters
+    entry on ivf_cell — proof the cell filter prunes directories at
+    planning time instead of scanning the whole corpus."""
+    spark = df.sparkSession
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    import re
+    return bool(re.search(r"PartitionFilters: \[[^\]]*ivf_cell", plan))
+
+
+def run_big(spark, n_big: int, runs: int) -> list[dict]:
+    """The one-decade-up ON-DISK section (VERDICT r10 #6): 200k
+    Zipf-clustered vectors through write_corpus/topk_from_corpus
+    (partition-pruned reads) and the IVF→PQ-ADC compose."""
+    from detanalysis_spark.llm.similarity import IVFIndex, PQCodebook, \
+        cosine_topk
+    from pyspark.sql import functions as F
+
+    cp, pp = build_corpus(spark, n_big)
+    corpus = spark.read.parquet(cp)
+    probes = spark.read.parquet(pp)
+    exact = topk_sets(cosine_topk(corpus, probes, k=K))
+
+    ivf = IVFIndex(n_centroids=64, n_probe=1)
+    ivf.fit(corpus, sample_size=20_000)
+    disk = os.path.join(CORPUS_DIR, f"ivf_disk_{n_big}")
+    if not os.path.exists(os.path.join(disk, "_SUCCESS")):
+        ivf.write_corpus(corpus, disk, mode="overwrite")
+    n_cells_total = 64
+    rows = []
+    for np_ in (1, 2, 4, 8):
+        ivf.n_probe = np_
+        # cells the probes will open (the partition-pruning surface)
+        pc = ivf._celled_probes(probes, "vec_id", "embedding")
+        cells = {int(r["c"]) for r in
+                 pc.select(F.explode("cells").alias("c"))
+                   .distinct().collect()}
+        walls, rec, pruned = [], None, None
+        for _ in range(runs):
+            t0 = time.time()
+            res = ivf.topk_from_corpus(spark, disk, probes, k=K)
+            got = topk_sets(res)
+            walls.append(time.time() - t0)
+            rec = recall(got, exact)
+            pruned = _partition_filter_evidence(res)
+        rows.append({"tier": "ivf-disk", "setting": f"n_probe={np_}",
+                     "recall_at_10": round(rec, 4),
+                     "wall_s": round(min(walls), 3),
+                     "cells_read": len(cells),
+                     "cells_total": n_cells_total,
+                     "partition_filter": bool(pruned)})
+
+    # IVF→PQ-ADC compose: the coded corpus persists cell-partitioned;
+    # a query reads ONLY the probes' cells (same pruning), ADC builds
+    # a SHORTLIST over m-byte codes, and an exact re-rank touches only
+    # the shortlist's true vectors — the standard IVFADC+rerank shape
+    # and the memory-scale path (raw 200k×32 float64 = 51 MB; codes =
+    # 1.6 MB). Pure ADC ranking tops out ~0.55 recall@10 at m=8.
+    pq = PQCodebook(m=8, k=256, seed=13)
+    pq.fit(corpus, sample_size=20_000)
+    coded_disk = os.path.join(CORPUS_DIR, f"ivf_pq_disk_{n_big}")
+    if not os.path.exists(os.path.join(coded_disk, "_SUCCESS")):
+        (pq.encode(ivf.with_cell(corpus))
+         .select("vec_id", "ivf_cell", "pq_code")
+         .write.mode("overwrite").partitionBy("ivf_cell")
+         .parquet(coded_disk))
+    K_SHORT = 500   # ~50x k — ADC is the shortlist builder, not the ranker
+    for np_ in (2, 4, 8):
+        ivf.n_probe = np_
+        walls, rec, pruned = [], None, None
+        for _ in range(runs):
+            t0 = time.time()
+            pc = ivf._celled_probes(probes, "vec_id", "embedding") \
+                .localCheckpoint(eager=True)
+            cells = sorted({int(r["c"]) for r in
+                            pc.select(F.explode("cells").alias("c"))
+                              .distinct().collect()})
+            cand = (spark.read.parquet(coded_disk)
+                    .filter(F.col("ivf_cell").isin(cells)))
+            res = pq.adc_topk(
+                cand, probes.withColumnRenamed("vec_id", "probe_id"),
+                k=K_SHORT, id_col="vec_id", probe_id_col="probe_id")
+            short: dict = {}
+            for r in res.collect():
+                if r["vec_id"] != r["probe_id"]:
+                    short.setdefault(r["probe_id"], []) \
+                        .append(r["vec_id"])
+            # exact re-rank of the bounded shortlist only (probes ×
+            # K_SHORT true vectors — an id-keyed point read)
+            need = sorted({v for ids in short.values() for v in ids}
+                          | set(short))
+            vec_rows = (corpus.filter(
+                F.col("vec_id").isin([int(i) for i in need]))
+                .select("vec_id", "embedding").collect())
+            V = {r.vec_id: np.asarray(r.embedding) for r in vec_rows}
+            got = {}
+            for p, ids in short.items():
+                qv = V[p] / np.linalg.norm(V[p])
+                sims = [(float(V[i] @ qv / np.linalg.norm(V[i])), i)
+                        for i in ids]
+                sims.sort(key=lambda t: (-t[0], t[1]))
+                got[p] = {i for _, i in sims[:K]}
+            walls.append(time.time() - t0)
+            rec = recall(got, exact)
+            pruned = _partition_filter_evidence(cand)
+        rows.append({"tier": "ivf-pq-adc-rerank",
+                     "setting": f"n_probe={np_}",
+                     "recall_at_10": round(rec, 4),
+                     "wall_s": round(min(walls), 3),
+                     "cells_read": len(cells),
+                     "cells_total": n_cells_total,
+                     "partition_filter": bool(pruned)})
+
+    # exact anchor at this scale
+    walls = []
+    for _ in range(runs):
+        t0 = time.time()
+        topk_sets(cosine_topk(corpus, probes, k=K))
+        walls.append(time.time() - t0)
+    rows.append({"tier": "exact", "setting": "brute-force",
+                 "recall_at_10": 1.0, "wall_s": round(min(walls), 3),
+                 "cells_read": n_cells_total,
+                 "cells_total": n_cells_total,
+                 "partition_filter": False})
+    return rows
 
 
 def main() -> int:
@@ -136,8 +279,16 @@ def main() -> int:
     rows.append({"tier": "exact", "setting": "brute-force",
                  "recall_at_10": 1.0, "wall_s": round(min(walls), 3)})
 
+    big_rows = []
+    n_big = 200_000
+    if "--n-big" in sys.argv:
+        n_big = int(sys.argv[sys.argv.index("--n-big") + 1])
+    if "--skip-big" not in sys.argv:
+        big_rows = run_big(spark, n_big, runs)
+
     out = {"n_corpus": n, "dim": DIM, "n_clusters": N_CLUSTERS,
-           "n_probes": N_PROBES, "k": K, "runs": runs, "rows": rows}
+           "n_probes": N_PROBES, "k": K, "runs": runs, "rows": rows,
+           "big": {"n_corpus": n_big, "rows": big_rows}}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "ANN_RECALL.json"), "w") as f:
         json.dump(out, f, indent=1)
@@ -147,6 +298,15 @@ def main() -> int:
     for r in rows:
         print(f"| {r['tier']} | {r['setting']} | {r['recall_at_10']} "
               f"| {r['wall_s']} |", file=sys.stderr)
+    if big_rows:
+        print(f"\n| tier ({n_big:,} vecs, on-disk) | setting | "
+              f"recall@10 | wall s | cells | pruned |", file=sys.stderr)
+        print("|---|---|---|---|---|---|", file=sys.stderr)
+        for r in big_rows:
+            print(f"| {r['tier']} | {r['setting']} | "
+                  f"{r['recall_at_10']} | {r['wall_s']} | "
+                  f"{r['cells_read']}/{r['cells_total']} | "
+                  f"{r['partition_filter']} |", file=sys.stderr)
     return 0
 
 
