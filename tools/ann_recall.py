@@ -110,8 +110,9 @@ def run_big(spark, n_big: int, runs: int) -> list[dict]:
     """The one-decade-up ON-DISK section (VERDICT r10 #6): 200k
     Zipf-clustered vectors through write_corpus/topk_from_corpus
     (partition-pruned reads) and the IVF→PQ-ADC compose."""
-    from detanalysis_spark.llm.similarity import IVFIndex, PQCodebook, \
-        cosine_topk
+    from detanalysis_spark.llm.similarity import (
+        IVFIndex, PQCodebook, cosine_topk, ivf_pq_topk_from_corpus,
+        write_pq_corpus)
     from pyspark.sql import functions as F
 
     cp, pp = build_corpus(spark, n_big)
@@ -158,49 +159,24 @@ def run_big(spark, n_big: int, runs: int) -> list[dict]:
     pq.fit(corpus, sample_size=20_000)
     coded_disk = os.path.join(CORPUS_DIR, f"ivf_pq_disk_{n_big}")
     if not os.path.exists(os.path.join(coded_disk, "_SUCCESS")):
-        (pq.encode(ivf.with_cell(corpus))
-         .select("vec_id", "ivf_cell", "pq_code")
-         .write.mode("overwrite").partitionBy("ivf_cell")
-         .parquet(coded_disk))
+        write_pq_corpus(corpus, ivf, pq, coded_disk)
     K_SHORT = 500   # ~50x k — ADC is the shortlist builder, not the ranker
     for np_ in (2, 4, 8):
         ivf.n_probe = np_
         walls, rec, pruned = [], None, None
         for _ in range(runs):
             t0 = time.time()
-            pc = ivf._celled_probes(probes, "vec_id", "embedding") \
-                .localCheckpoint(eager=True)
-            cells = sorted({int(r["c"]) for r in
-                            pc.select(F.explode("cells").alias("c"))
-                              .distinct().collect()})
-            cand = (spark.read.parquet(coded_disk)
-                    .filter(F.col("ivf_cell").isin(cells)))
-            res = pq.adc_topk(
-                cand, probes.withColumnRenamed("vec_id", "probe_id"),
-                k=K_SHORT, id_col="vec_id", probe_id_col="probe_id")
-            short: dict = {}
-            for r in res.collect():
-                if r["vec_id"] != r["probe_id"]:
-                    short.setdefault(r["probe_id"], []) \
-                        .append(r["vec_id"])
-            # exact re-rank of the bounded shortlist only (probes ×
-            # K_SHORT true vectors — an id-keyed point read)
-            need = sorted({v for ids in short.values() for v in ids}
-                          | set(short))
-            vec_rows = (corpus.filter(
-                F.col("vec_id").isin([int(i) for i in need]))
-                .select("vec_id", "embedding").collect())
-            V = {r.vec_id: np.asarray(r.embedding) for r in vec_rows}
-            got = {}
-            for p, ids in short.items():
-                qv = V[p] / np.linalg.norm(V[p])
-                sims = [(float(V[i] @ qv / np.linalg.norm(V[i])), i)
-                        for i in ids]
-                sims.sort(key=lambda t: (-t[0], t[1]))
-                got[p] = {i for _, i in sims[:K]}
+            res = ivf_pq_topk_from_corpus(
+                spark, ivf, pq, coded_disk, disk, probes,
+                k=K, shortlist=K_SHORT)
+            got = topk_sets(res)
             walls.append(time.time() - t0)
             rec = recall(got, exact)
-            pruned = _partition_filter_evidence(cand)
+            pruned = _partition_filter_evidence(res)
+        pc = ivf._celled_probes(probes, "vec_id", "embedding")
+        cells = sorted({int(r["c"]) for r in
+                        pc.select(F.explode("cells").alias("c"))
+                          .distinct().collect()})
         rows.append({"tier": "ivf-pq-adc-rerank",
                      "setting": f"n_probe={np_}",
                      "recall_at_10": round(rec, 4),
