@@ -2233,6 +2233,84 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# IVFADC + exact re-rank compose (llm/similarity.py
+# ivf_pq_topk_from_corpus, round 11) with a FULL value oracle: corpus
+# scalars quantize onto a 1/8 grid (floor-based, identical in both
+# engines) and the PQ codebooks are hand-set to exactly that grid
+# (m=64, sub=1), so encoding is LOSSLESS and the ADC shortlist ranking
+# equals true asymmetric L2² — the oracle replays the exact algorithm
+# (L2² shortlist of 50 including self, cosine re-rank excluding self,
+# top-5) with no metric-agreement assumption. All 4 cells are probed
+# (n_probe = n_centroids) so the oracle needs no cell logic; the
+# partition-pruning evidence lives in pytest + ANN_RECALL.json.
+# ----------------------------------------------------------------------
+@query("ann_ivf_pq_topk", oracle="""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * 8 + 0.5) / 8) AS e
+  FROM embeddings),
+p AS (SELECT * FROM qv WHERE vec_id < 4),
+d AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         list_distance(c.e, p.e) AS adist
+  FROM qv c, p),
+short AS (
+  SELECT probe_id, neighbor_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY adist ASC, neighbor_id ASC) AS sr
+  FROM d),
+rr AS (
+  SELECT s.probe_id, s.neighbor_id,
+         list_cosine_similarity(c.e, p.e) AS sim
+  FROM short s
+  JOIN qv c ON c.vec_id = s.neighbor_id
+  JOIN p ON p.vec_id = s.probe_id
+  WHERE s.sr <= 50 AND s.neighbor_id <> s.probe_id),
+r AS (SELECT probe_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY sim DESC, neighbor_id ASC)
+               AS rank
+      FROM rr)
+SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id,
+       round(sim, 6) AS sim
+FROM r WHERE rank <= 5
+""")
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    import numpy as np
+
+    from .llm.similarity import (IVFIndex, PQCodebook,
+                                 ivf_pq_topk_from_corpus,
+                                 write_pq_corpus)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # toy-scale exhibit: one partition keeps the two corpus writes +
+    # compose at a handful of tasks (the wall here is stage launches,
+    # not data; the scale path is the same operator over a corpus
+    # written once, measured in ANN_RECALL.json)
+    q = emb.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.floor(x * 8 + F.lit(0.5)) / 8)
+         .alias("embedding")).coalesce(1)
+    ivf = IVFIndex(n_centroids=4, n_probe=4, seed=7).fit(
+        q, sample_size=2000)
+    pq = PQCodebook(m=64, k=17, normalize=False)
+    pq.codebooks = np.tile(
+        (np.arange(-8, 9) / 8.0).reshape(1, 17, 1), (64, 1, 1))
+    base = tempfile.mkdtemp(prefix="det_ivfpq_")
+    raw, coded = base + "/raw", base + "/coded"
+    ivf.write_corpus(q, raw, mode="overwrite")
+    write_pq_corpus(q, ivf, pq, coded)
+    res = ivf_pq_topk_from_corpus(
+        spark, ivf, pq, coded, raw, q.filter("vec_id < 4"),
+        k=5, shortlist=50)
+    return res.withColumn("sim", F.round("sim", 6))
+
+
+# ----------------------------------------------------------------------
 # End-to-end training-data pipeline: language-ID gate → quality filter
 # → exact dedup (first-wins by doc_id) → per-source corpus stats.
 # Composes llm.text + llm.dedup as one lazy plan: the filters reach the
