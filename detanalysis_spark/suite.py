@@ -6236,6 +6236,113 @@ def streaming_psd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# CROSS-spectral streaming twin (round 11: streaming_cross_deltas →
+# parquet delta log → read_cross_moments_from_deltas), full oracle:
+# two channels derive from the SAME event rows (digit 1 / digit 2 of
+# value), so their sample counts and chunk ids align by construction —
+# the twin's strict gather contract. Chunks are 4 samples, so the
+# whole rFFT is a hand-written 4-point DFT in SQL; pair products carry
+# the one-sided scale (1/(fs·n) at DC/Nyquist, 2/(fs·n) interior) and
+# the oracle replays S_re/S_im/R for all four channel pairs exactly.
+# ----------------------------------------------------------------------
+@query("streaming_cross_stats", oracle="""
+WITH ev AS (
+  SELECT value, row_number() OVER (ORDER BY event_id) - 1 AS rn
+  FROM events),
+chunked AS (
+  SELECT rn // 4 AS chunk_id, rn % 4 AS pos,
+         CAST(CAST(floor(value) AS BIGINT) % 10 AS DOUBLE) AS xa,
+         CAST(CAST(floor(value / 10) AS BIGINT) % 10 AS DOUBLE) AS xb
+  FROM ev),
+nfull AS (SELECT count(*) // 4 AS n_chunks FROM chunked),
+fullc AS (SELECT c.* FROM chunked c, nfull WHERE chunk_id < n_chunks),
+dft AS (
+  SELECT chunk_id,
+         sum(xa) AS a0,
+         sum(CASE pos WHEN 0 THEN xa WHEN 2 THEN -xa ELSE 0.0 END) AS a1r,
+         sum(CASE pos WHEN 1 THEN -xa WHEN 3 THEN xa ELSE 0.0 END) AS a1i,
+         sum(CASE WHEN pos % 2 = 0 THEN xa ELSE -xa END) AS a2,
+         sum(xb) AS b0,
+         sum(CASE pos WHEN 0 THEN xb WHEN 2 THEN -xb ELSE 0.0 END) AS b1r,
+         sum(CASE pos WHEN 1 THEN -xb WHEN 3 THEN xb ELSE 0.0 END) AS b1i,
+         sum(CASE WHEN pos % 2 = 0 THEN xb ELSE -xb END) AS b2
+  FROM fullc GROUP BY chunk_id),
+bins AS (
+  SELECT chunk_id, b.bin,
+         CASE b.bin WHEN 0 THEN a0 WHEN 1 THEN a1r ELSE a2 END AS are,
+         CASE b.bin WHEN 1 THEN a1i ELSE 0.0 END AS aim,
+         CASE b.bin WHEN 0 THEN b0 WHEN 1 THEN b1r ELSE b2 END AS bre,
+         CASE b.bin WHEN 1 THEN b1i ELSE 0.0 END AS bim,
+         CASE b.bin WHEN 1 THEN 1.0/8 ELSE 1.0/16 END AS sc
+  FROM dft CROSS JOIN (SELECT unnest([0, 1, 2]) AS bin) b),
+prod AS (
+  SELECT bin,
+         (are*are + aim*aim) * sc AS sraa,
+         (are*bre + aim*bim) * sc AS srab,
+         (aim*bre - are*bim) * sc AS siab,
+         (bre*are + bim*aim) * sc AS srba,
+         (bim*are - bre*aim) * sc AS siba,
+         (bre*bre + bim*bim) * sc AS srbb,
+         (are*are + aim*aim) * (are*are + aim*aim) * sc * sc AS raa,
+         (are*are + aim*aim) * (bre*bre + bim*bim) * sc * sc AS rab,
+         (bre*bre + bim*bim) * (bre*bre + bim*bim) * sc * sc AS rbb
+  FROM bins)
+SELECT CAST(bin AS DOUBLE) AS frequency_hz,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(sraa), 6) AS "S_re__a__a",
+       round(avg(srab), 6) AS "S_re__a__b",
+       round(avg(siab), 6) AS "S_im__a__b",
+       round(avg(srba), 6) AS "S_re__b__a",
+       round(avg(siba), 6) AS "S_im__b__a",
+       round(avg(srbb), 6) AS "S_re__b__b",
+       round(avg(raa), 6) AS "R__a__a",
+       round(avg(rab), 6) AS "R__a__b",
+       round(avg(rbb), 6) AS "R__b__b"
+FROM prod GROUP BY bin
+""")
+def streaming_cross_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql.types import StructType, TimestampNTZType
+
+    from .streaming import (read_cross_moments_from_deltas,
+                            rechunk_stream, streaming_cross_deltas)
+
+    schema = StructType([
+        f if f.name != "ts" else type(f)("ts", TimestampNTZType())
+        for f in load_table(spark, sf_dir, "events").schema.fields])
+    sdf = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    xa = F.array((F.floor(F.col("value")) % 10).cast("double"))
+    xb = F.array((F.floor(F.col("value") / 10) % 10).cast("double"))
+    s = (sdf.select(
+            "event_id",
+            F.explode(F.array(
+                F.struct(F.lit("a").alias("channel"), xa.alias("trace")),
+                F.struct(F.lit("b").alias("channel"), xb.alias("trace"))))
+             .alias("p"))
+         .select("event_id", "p.channel", "p.trace"))
+    base = tempfile.mkdtemp(prefix="det_cross_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        streaming_cross_deltas(
+            rechunk_stream(s, 4, key_col="channel",
+                           order_col="event_id"),
+            ["a", "b"], 4.0, base + "/deltas", base + "/ckpt",
+            query_name=f"cross_{_uuid.uuid4().hex[:8]}")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    m = read_cross_moments_from_deltas(
+        spark, base + "/deltas", ["a", "b"], 4.0, 4)
+    cols = ["S_re__a__a", "S_re__a__b", "S_im__a__b", "S_re__b__a",
+            "S_im__b__a", "S_re__b__b", "R__a__a", "R__a__b",
+            "R__b__b"]
+    return m.select("frequency_hz", "n",
+                    *[F.round(c, 6).alias(c) for c in cols])
+
+
+# ----------------------------------------------------------------------
 # gap-filled daily series (time_bucket_gapfill analog) — rare events
 # (value > 250) leave empty days; the dense spine is a JVM-native
 # sequence explode per key, missing days get n=0, and the day-sum is
