@@ -4,6 +4,8 @@ from .tables import (load_table, load_all, register_views, TABLES,
                      table_diff)
 from .files import extract_file_names, load_filterfile
 from .textio import (read_wet, write_wet, stream_wet,
+                     read_wet_quarantine, read_warc_quarantine,
+                     stream_wet_quarantine,
                      read_jsonl, read_jsonl_quarantine, write_jsonl,
                      read_csv_corpus, stream_jsonl_quarantine)
 from .hdf5 import (read_vaex_hdf5, hdf5_row_count, hdf5_to_parquet,
@@ -19,6 +21,8 @@ __all__ = ["load_table", "load_all", "register_views", "TABLES",
            "extract_file_names", "load_filterfile",
            "read_jsonl", "read_jsonl_quarantine", "write_jsonl",
            "read_wet", "write_wet", "stream_wet",
+           "read_wet_quarantine", "read_warc_quarantine",
+           "stream_wet_quarantine",
            "read_csv_corpus", "stream_jsonl_quarantine",
            "read_vaex_hdf5", "hdf5_row_count", "hdf5_to_parquet",
            "load_hdf5",

@@ -256,46 +256,152 @@ def _stream_shard_text(spark: SparkSession, path: str, glob: str,
         r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
 
     cap = int(max_shard_bytes)
-
-    # no type hints: PEP-563 stringifies them under this module's
-    # `from __future__ import annotations`, which pandas_udf rejects
-    @F.pandas_udf(StringType())
-    def _decode(paths, content):
-        import gzip
-        import io
-        out = []
-        for p, b in zip(paths, content):
-            bb = bytes(b)
-            if bb[:2] == b"\x1f\x8b":
-                # stream-decompress in bounded chunks so an over-cap
-                # shard aborts after ~cap bytes, not after buffering
-                # the whole bomb
-                chunks, total = [], 0
-                with gzip.GzipFile(fileobj=io.BytesIO(bb)) as gz:
-                    while True:
-                        chunk = gz.read(16 << 20)
-                        if not chunk:
-                            break
-                        total += len(chunk)
-                        if total > cap:
-                            raise ValueError(
-                                f"{who}: shard {p} decompresses "
-                                f"past max_shard_bytes={cap} bytes; "
-                                "re-shard the input or raise the cap")
-                        chunks.append(chunk)
-                bb = b"".join(chunks)
-            elif len(bb) > cap:
-                raise ValueError(
-                    f"{who}: shard {p} is {len(bb)} bytes, past "
-                    f"max_shard_bytes={cap}; re-shard the input or "
-                    "raise the cap")
-            out.append(bb.decode("utf-8", errors="replace"))
-        return pd.Series(out)
-
     return (r.load(path)
             .select(F.col("path").alias("source_file"),
-                    _decode(F.col("path"), F.col("content"))
+                    _shard_decode_udf(cap, who)(
+                        F.col("path"), F.col("content"))
                     .alias("value")))
+
+
+def _shard_decode_udf(cap: int, who: str, quarantine: bool = False):
+    """Arrow-batched gunzip+decode of whole shards. ``quarantine=True``
+    returns a (value, corrupt_reason) struct instead of raising:
+    truncated/corrupt gzip members and over-cap shards (gzip bombs)
+    become one NULL-value row with the reason — a billion-shard crawl
+    ALWAYS carries a few, and one must not kill an hours-long drain
+    (the shard twin of the multimodal decode quarantine)."""
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    def _one(p, b):
+        import gzip
+        import io
+        bb = bytes(b)
+        if bb[:2] == b"\x1f\x8b":
+            # stream-decompress in bounded chunks so an over-cap
+            # shard aborts after ~cap bytes, not after buffering
+            # the whole bomb
+            chunks, total = [], 0
+            with gzip.GzipFile(fileobj=io.BytesIO(bb)) as gz:
+                while True:
+                    chunk = gz.read(16 << 20)
+                    if not chunk:
+                        break
+                    total += len(chunk)
+                    if total > cap:
+                        raise ValueError(
+                            f"{who}: shard {p} decompresses "
+                            f"past max_shard_bytes={cap} bytes; "
+                            "re-shard the input or raise the cap")
+                    chunks.append(chunk)
+            bb = b"".join(chunks)
+        elif len(bb) > cap:
+            raise ValueError(
+                f"{who}: shard {p} is {len(bb)} bytes, past "
+                f"max_shard_bytes={cap}; re-shard the input or "
+                "raise the cap")
+        return bb.decode("utf-8", errors="replace")
+
+    if not quarantine:
+        # no type hints: PEP-563 stringifies them under this module's
+        # `from __future__ import annotations`, which pandas_udf rejects
+        @F.pandas_udf(StringType())
+        def _decode(paths, content):
+            return pd.Series([_one(p, b)
+                              for p, b in zip(paths, content)])
+        return _decode
+
+    @F.pandas_udf("value string, corrupt_reason string")
+    def _decode_q(paths, content):
+        vals, reasons = [], []
+        for p, b in zip(paths, content):
+            try:
+                vals.append(_one(p, b))
+                reasons.append(None)
+            except Exception as e:   # noqa: BLE001
+                vals.append(None)
+                reasons.append(f"{type(e).__name__}: {e}"[:300])
+        return pd.DataFrame({"value": vals, "corrupt_reason": reasons})
+    return _decode_q
+
+
+def _shard_text_quarantine(raw_bin: DataFrame, cap: int, who: str
+                           ) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine) from a binaryFile frame of shards: good =
+    (source_file, value) decoded shards; quarantine = (source_file,
+    corrupt_reason) for shards that failed to decompress (truncated /
+    corrupt gzip, over-cap bombs). Both are projections of the same
+    scan plan."""
+    dec = (raw_bin.select(
+        F.col("path").alias("source_file"),
+        _shard_decode_udf(cap, who, quarantine=True)(
+            F.col("path"), F.col("content")).alias("d")))
+    good = (dec.filter(F.col("d.corrupt_reason").isNull())
+            .select("source_file", F.col("d.value").alias("value")))
+    bad = (dec.filter(F.col("d.corrupt_reason").isNotNull())
+           .select("source_file",
+                   F.col("d.corrupt_reason").alias("corrupt_reason")))
+    return good, bad
+
+
+def read_wet_quarantine(spark: SparkSession, path: str,
+                        record_types: tuple[str, ...] = ("conversion",),
+                        glob: str = "*",
+                        max_shard_bytes: int = 4 << 30
+                        ) -> tuple[DataFrame, DataFrame]:
+    """(records, quarantine) batch WET reader that survives corrupt
+    shards: records = the :func:`read_wet` schema over every shard
+    that decompresses; quarantine = (source_file, corrupt_reason) for
+    the ones that don't (truncated/corrupt gzip, over-cap bombs). The
+    plain :func:`read_wet` stays fail-stop (its JVM gzip codec raises)
+    — use this twin for raw crawl intake, where a few bad shards per
+    billion are a fact, not a bug (mirrors
+    :func:`read_jsonl_quarantine`)."""
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", glob).load(path)
+           .select("path", "content"))
+    good, bad = _shard_text_quarantine(raw, int(max_shard_bytes),
+                                       "read_wet_quarantine")
+    return _parse_wet_files(good, record_types), bad
+
+
+def read_warc_quarantine(spark: SparkSession, path: str,
+                         record_types: tuple[str, ...] = ("response",),
+                         glob: str = "*",
+                         max_shard_bytes: int = 4 << 30
+                         ) -> tuple[DataFrame, DataFrame]:
+    """(records, quarantine) batch WARC reader that survives corrupt
+    shards — the :func:`read_warc` twin of
+    :func:`read_wet_quarantine`."""
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", glob).load(path)
+           .select("path", "content"))
+    good, bad = _shard_text_quarantine(raw, int(max_shard_bytes),
+                                       "read_warc_quarantine")
+    return _parse_warc_files(good, record_types), bad
+
+
+def stream_wet_quarantine(spark: SparkSession, path: str,
+                          record_types: tuple[str, ...] = ("conversion",),
+                          max_files_per_trigger: int | None = None,
+                          glob: str = "*",
+                          max_shard_bytes: int = 4 << 30
+                          ) -> tuple[DataFrame, DataFrame]:
+    """(records, quarantine) streaming WET source that survives
+    corrupt shards — one truncated gzip member must not kill an
+    hours-long drain. Both frames are streaming projections of the
+    same binaryFile source; start each on its OWN checkpoint (two
+    queries, two passes — the price of auditing the bad shards)."""
+    r = spark.readStream.format("binaryFile") \
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary") \
+        .option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    good, bad = _shard_text_quarantine(
+        r.load(path).select("path", "content"),
+        int(max_shard_bytes), "stream_wet_quarantine")
+    return _parse_wet_files(good, record_types), bad
 
 
 def stream_wet(spark: SparkSession, path: str,

@@ -3531,6 +3531,57 @@ def wet_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Shard-level corrupt-payload quarantine (round 11, the WET twin of
+# multimodal_quarantine_stats): the documents corpus lands as gzip WET
+# shards, then a TRUNCATED gzip member and an over-cap gzip bomb are
+# planted alongside. read_wet_quarantine must carry every record of
+# the intact shards through (payload chars/octets under the hash) and
+# report exactly the two bad shards, the bomb classified by its
+# max_shard_bytes reason. The job-survival property itself (and the
+# streaming twin) is pytest'd in tests/test_sources.py.
+# ----------------------------------------------------------------------
+@query("wet_quarantine_stats", oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(length(text)) AS BIGINT) AS payload_chars,
+       CAST(sum(strlen(text)) AS BIGINT) AS payload_octets,
+       CAST(2 AS BIGINT) AS n_quarantined,
+       CAST(1 AS BIGINT) AS n_over_cap
+FROM documents WHERE doc_id < 200
+""")
+def wet_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import gzip
+    import os
+    import shutil
+
+    from .sources.textio import read_wet_quarantine, write_wet
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 200")
+    path = os.path.join(
+        f"/tmp/detanalysis_spark_textio_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)) + "_docs_wetq")
+    shutil.rmtree(path, ignore_errors=True)
+    tagged = docs.withColumn(
+        "uri", F.concat(F.lit("https://"), F.col("source"),
+                        F.lit(".example/d/"), F.col("doc_id")))
+    write_wet(tagged.coalesce(2), path, "uri", "text",
+              compression="gzip")
+    with open(os.path.join(path, "zz_truncated.txt.gz"), "wb") as f:
+        f.write(gzip.compress(b"x" * 4096)[:12])
+    with open(os.path.join(path, "zz_bomb.txt.gz"), "wb") as f:
+        f.write(gzip.compress(b"A" * (8 << 20)))
+    recs, bad = read_wet_quarantine(spark, path,
+                                    max_shard_bytes=4 << 20)
+    stats = recs.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.length("payload")).alias("payload_chars"),
+        F.sum(F.octet_length("payload")).alias("payload_octets"))
+    badstats = bad.agg(
+        F.count(F.lit(1)).alias("n_quarantined"),
+        F.sum(F.col("corrupt_reason").contains("max_shard_bytes")
+               .cast("long")).alias("n_over_cap"))
+    return stats.crossJoin(F.broadcast(badstats))
+
+
+# ----------------------------------------------------------------------
 # Full-WARC response ingest round trip (NEW round 9) — documents wrap
 # as HTTP responses inside WARC response records (write_warc:
 # status line, Content-Type, byte-exact HTTP Content-Length), then

@@ -1003,3 +1003,58 @@ def test_write_warc_reason_phrases(spark, tmp_path):
     assert "HTTP/1.1 404 Not Found" in text
     assert "HTTP/1.1 418 Status" in text      # unknown: neutral phrase
     assert "404 OK" not in text
+
+
+def test_wet_quarantine_survives_corrupt_shards(spark, tmp_path):
+    """One truncated gzip shard (or a gzip bomb past the cap) must not
+    kill a crawl intake job: the quarantine twins carry the good
+    shards' records through and report the bad shards with reasons —
+    the shard-level mirror of read_jsonl_quarantine (round 11)."""
+    import gzip as _gz
+
+    from pyspark.sql import functions as F
+    from detanalysis_spark.sources.textio import (read_wet,
+                                                  read_wet_quarantine,
+                                                  stream_wet_quarantine,
+                                                  write_wet)
+
+    df = spark.createDataFrame(
+        [(1, "https://a.com/1", "hello world"),
+         (2, "https://a.com/2", "second doc")],
+        "doc_id long, uri string, text string")
+    p = tmp_path / "wet"
+    write_wet(df.coalesce(1), str(p), "uri", "text",
+              compression="gzip")
+    # plant a TRUNCATED gzip member and an over-cap bomb next to the
+    # good shards
+    good_gz = next(f for f in p.iterdir()
+                   if f.name.endswith(".gz") and f.stat().st_size > 0)
+    (p / "truncated.txt.gz").write_bytes(
+        good_gz.read_bytes()[:20])
+    (p / "bomb.txt.gz").write_bytes(
+        _gz.compress(b"A" * (1 << 20)))
+
+    # fail-stop default still fails loudly
+    with pytest.raises(Exception):
+        read_wet(spark, str(p)).collect()
+
+    recs, bad = read_wet_quarantine(spark, str(p),
+                                    max_shard_bytes=1 << 16)
+    uris = {r.target_uri for r in recs.collect()}
+    assert uris == {"https://a.com/1", "https://a.com/2"}
+    q = {r.source_file.split("/")[-1]: r.corrupt_reason
+         for r in bad.collect()}
+    assert set(q) == {"truncated.txt.gz", "bomb.txt.gz"}
+    assert "max_shard_bytes" in q["bomb.txt.gz"]
+    assert q["truncated.txt.gz"]          # EOFError/BadGzipFile text
+
+    # streaming twin: drain both frames, same split
+    from detanalysis_spark.streaming.continuous import run_available_now
+    srecs, sbad = stream_wet_quarantine(
+        spark, str(p), max_shard_bytes=1 << 16)
+    got = run_available_now(srecs.select("target_uri"),
+                            "wetq_recs", output_mode="append")
+    assert {r.target_uri for r in got.collect()} == uris
+    gotb = run_available_now(sbad, "wetq_bad", output_mode="append")
+    assert {r.source_file.split("/")[-1]
+            for r in gotb.collect()} == set(q)

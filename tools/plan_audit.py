@@ -59,7 +59,12 @@ INTENTIONAL_NESTED_LOOP = {"key_skew_profile_orders",
                            # cross-joins ONE broadcast percentile row
                            # (stats.py trim_outliers) — nx1 BNLJ
                            # whose broadcast side is always 1 row
-                           "trimmed_price_stats"}
+                           "trimmed_price_stats",
+                           # wet_quarantine_stats joins its TWO global
+                           # single-row aggregates (record stats x
+                           # quarantine stats) — a 1x1 BNLJ, free at
+                           # any scale
+                           "wet_quarantine_stats"}
 # queries whose un-partitioned window is a documented correctness
 # exhibit, not the scale path (scale path: approx edges + assign_bin)
 DOCUMENTED_EXHIBITS = {"ntile_time_bins"}
