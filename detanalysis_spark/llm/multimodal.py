@@ -43,6 +43,7 @@ __all__ = [
     "encode_wav", "resize_bilinear", "image_features_schema",
     "image_features", "audio_features_schema", "audio_features",
     "sample_frames", "frame_sample_udf",
+    "sniff_image_header", "image_header_info",
 ]
 
 IMAGE_META_FIELDS = [
@@ -412,6 +413,108 @@ def _check_on_error(on_error: str) -> None:
 
 def _corrupt_reason(exc: BaseException) -> str:
     return f"{type(exc).__name__}: {exc}"[:200]
+
+
+# ----------------------------------------------------------------------
+# header-only metadata sniff (round 11): at 100 TB you FILTER by
+# format/dimensions before you ever pay a decode — the header carries
+# both in the first few hundred bytes, so this path costs markers-scan
+# CPU instead of entropy-decode CPU (and never allocates pixels).
+# ----------------------------------------------------------------------
+def sniff_image_header(data: bytes) -> tuple[str, int, int]:
+    """(format, width, height) from a payload's header bytes only —
+    PNG (IHDR), JPEG (first SOF frame header), GIF (logical screen),
+    BMP (BITMAPINFOHEADER). Raises ValueError on unknown magic or a
+    truncated/corrupt header; never decodes pixel data."""
+    import struct
+    if data[:8] == _PNG_SIG:
+        if len(data) < 24 or data[12:16] != b"IHDR":
+            raise ValueError("PNG: truncated/odd header (no IHDR)")
+        w, h = struct.unpack(">II", data[16:24])
+        return "PNG", int(w), int(h)
+    if data[:2] == b"\xff\xd8":                      # JPEG SOI
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("JPEG: marker desync in header scan")
+            marker = data[pos + 1]
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                pos += 2                             # bare marker
+                continue
+            if pos + 4 > len(data):
+                break
+            (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8,
+                                                         0xCC):
+                body = data[pos + 4:pos + 2 + seglen]
+                if len(body) < 5:
+                    raise ValueError("JPEG: truncated SOF header")
+                h, w = struct.unpack(">HH", body[1:5])
+                return "JPEG", int(w), int(h)
+            pos += 2 + seglen
+        raise ValueError("JPEG: no SOF frame header found")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        if len(data) < 10:
+            raise ValueError("GIF: truncated logical screen")
+        w, h = struct.unpack("<HH", data[6:10])
+        return "GIF", int(w), int(h)
+    if data[:2] == b"BM":
+        if len(data) < 26:
+            raise ValueError("BMP: truncated info header")
+        w, h = struct.unpack("<ii", data[18:26])
+        return "BMP", int(w), int(abs(h))            # h<0 = top-down
+    raise ValueError(
+        f"unknown image magic {bytes(data[:4])!r}")
+
+
+def image_header_info(df: DataFrame, id_col: str,
+                      payload_col: str = "payload",
+                      on_error: str = "quarantine") -> DataFrame:
+    """(id, format, width, height, corrupt_reason) per payload from
+    HEADER BYTES ONLY — the pre-decode survey/filter pass (drop
+    sub-64px thumbnails, route formats, find corrupt payloads) that
+    costs a marker scan instead of a pixel decode. Arrow-batched;
+    default ``on_error="quarantine"`` because a header survey IS the
+    intake audit (pass ``"raise"`` for curated fixtures)."""
+    _check_on_error(on_error)
+    quarantine = on_error == "quarantine"
+    id_field = df.schema[id_col]
+    fields = [id_field,
+              StructField("format", StringType()),
+              StructField("width", IntegerType()),
+              StructField("height", IntegerType())]
+    if quarantine:
+        fields.append(StructField("corrupt_reason", StringType()))
+    schema = StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, ws, hs, reasons = [], [], [], [], []
+            for r in pdf.itertuples(index=False):
+                ids.append(getattr(r, id_col))
+                try:
+                    fmt, w, h = sniff_image_header(bytes(r.payload))
+                except Exception as e:   # noqa: BLE001
+                    if not quarantine:
+                        raise
+                    fmts.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    reasons.append(_corrupt_reason(e))
+                    continue
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+                reasons.append(None)
+            out = {id_col: ids, "format": fmts, "width": ws,
+                   "height": hs}
+            if quarantine:
+                out["corrupt_reason"] = reasons
+            yield pd.DataFrame(out)
+
+    sel = df.select(id_col, payload_col) \
+            .withColumnRenamed(payload_col, "payload")
+    return sel.mapInPandas(run, schema)
 
 
 # ----------------------------------------------------------------------

@@ -1995,6 +1995,81 @@ def multimodal_quarantine_stats(spark: SparkSession,
                   .alias("avg_good_lum")))
 
 
+# ----------------------------------------------------------------------
+# Header-only image metadata survey (round 11): at 100 TB you filter
+# by format/dimensions BEFORE paying any decode — sniff_image_header
+# reads magic + frame headers only (PNG IHDR, JPEG SOF, GIF logical
+# screen, BMP info header), never pixels. Payloads plant all four
+# formats (real encode_png/encode_jpeg output for the two real codecs,
+# spec-built headers for GIF/BMP) plus a corrupt class; the oracle
+# replays per-format counts and dimension sums from the planting
+# formulas. Quarantine semantics are the default here — a header
+# survey IS the intake audit.
+# ----------------------------------------------------------------------
+@query("image_header_survey", oracle="""
+WITH b AS (
+  SELECT doc_id, doc_id % 5 AS cls FROM documents WHERE doc_id < 500)
+SELECT CASE cls WHEN 0 THEN 'PNG' WHEN 1 THEN 'JPEG'
+                WHEN 2 THEN 'GIF' WHEN 3 THEN 'BMP'
+                ELSE 'CORRUPT' END AS format,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE cls WHEN 0 THEN 3 + doc_id % 4 WHEN 1 THEN 16
+                         WHEN 2 THEN doc_id % 100 + 1
+                         WHEN 3 THEN doc_id % 80 + 1 END) AS BIGINT)
+         AS sum_w,
+       CAST(sum(CASE cls WHEN 0 THEN 2 + doc_id % 3 WHEN 1 THEN 8
+                         WHEN 2 THEN doc_id % 50 + 1
+                         WHEN 3 THEN doc_id % 60 + 1 END) AS BIGINT)
+         AS sum_h
+FROM b GROUP BY 1
+""")
+def image_header_survey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    def _payload(doc_id):
+        import struct
+
+        import numpy as np
+
+        from .llm.jpeg import encode_jpeg
+        from .llm.multimodal import encode_png
+
+        jp = encode_jpeg(np.full((8, 16, 1), 0.3), quality=100)
+
+        def build(d: int) -> bytes:
+            cls = d % 5
+            if cls == 0:
+                w, h = 3 + d % 4, 2 + d % 3
+                return encode_png(np.full((h, w, 1), (d % 7) / 10.0))
+            if cls == 1:
+                return jp
+            if cls == 2:
+                return (b"GIF89a"
+                        + struct.pack("<HH", d % 100 + 1, d % 50 + 1)
+                        + b"\x00" * 6)
+            if cls == 3:
+                return (b"BM" + b"\x00" * 16
+                        + struct.pack("<ii", d % 80 + 1,
+                                      -(d % 60 + 1))   # top-down BMP
+                        + b"\x00" * 8)
+            return b"\x00\x01corrupt" + bytes([d % 251])
+
+        return pd.Series([build(int(d)) for d in doc_id])
+
+    _payload.__annotations__ = {"doc_id": pd.Series, "return": pd.Series}
+    planted = F.pandas_udf(_payload, BinaryType())
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 500")
+    imgs = docs.select("doc_id", planted(F.col("doc_id")).alias("payload"))
+    info = _MM.image_header_info(imgs, "doc_id")   # quarantine default
+    return (info.groupBy(F.coalesce("format", F.lit("CORRUPT"))
+                         .alias("format"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("width").alias("sum_w"),
+                 F.sum("height").alias("sum_h")))
+
+
 # ======================================================================
 # Polynomial cut (F-poly): Horner-evaluated chi2-vs-amp style
 # predicate as one native expression (operators/sampling.py:polyval)

@@ -880,3 +880,41 @@ def test_audio_quarantine_survives_corrupt_payloads(spark):
                             on_error="quarantine").collect()
     assert sorted(r.clip_id for r in fps
                   if r.corrupt_reason is not None) == [3]
+
+
+def test_sniff_image_header_all_formats(spark):
+    """Header-only metadata sniff (round 11): real PNG/JPEG encoder
+    output plus spec-built GIF/BMP headers all report (format, w, h)
+    without any pixel decode; corrupt/unknown payloads quarantine."""
+    import struct
+
+    from detanalysis_spark.llm.jpeg import encode_jpeg
+    from detanalysis_spark.llm.multimodal import (encode_png,
+                                                  image_header_info,
+                                                  sniff_image_header)
+
+    png = encode_png(np.ones((7, 5, 3)) * 0.5)
+    jp = encode_jpeg(np.ones((8, 16, 1)) * 0.3, quality=90)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) \
+        + b"\x00" * 8
+    assert sniff_image_header(png) == ("PNG", 5, 7)
+    assert sniff_image_header(jp) == ("JPEG", 16, 8)
+    assert sniff_image_header(gif) == ("GIF", 320, 200)
+    assert sniff_image_header(bmp) == ("BMP", 640, 480)
+    with pytest.raises(ValueError):
+        sniff_image_header(jp[:10])            # no SOF reached
+    with pytest.raises(ValueError, match="unknown image magic"):
+        sniff_image_header(b"\x00\x01\x02\x03")
+
+    rows = [(0, bytearray(png)), (1, bytearray(jp)),
+            (2, bytearray(gif)), (3, bytearray(bmp)),
+            (4, bytearray(b"garbage!"))]
+    df = spark.createDataFrame(rows, "img_id long, payload binary")
+    got = {r.img_id: r for r in
+           image_header_info(df, "img_id").collect()}
+    assert (got[0].format, got[0].width, got[0].height) == ("PNG", 5, 7)
+    assert (got[1].format, got[1].width, got[1].height) == ("JPEG", 16, 8)
+    assert got[4].format is None and got[4].corrupt_reason
+    with pytest.raises(Exception):
+        image_header_info(df, "img_id", on_error="raise").collect()
