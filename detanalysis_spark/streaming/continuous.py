@@ -58,6 +58,27 @@ _CHUNK_SCHEMA = StructType([
     StructField("trace", ArrayType(DoubleType())),
 ])
 
+
+def _lineage_id(checkpoint_dir: str) -> str:
+    """Stable identity string for a checkpoint location.
+
+    Plain local paths are absolutized so relative invocations from any
+    cwd agree; URI locations (``hdfs://``, ``s3a://``, ``file:///``)
+    must NOT go through ``os.path.abspath`` — it would join the URI
+    onto the local cwd and mangle it — so they are normalized as URIs
+    instead (scheme/host case-folded, path kept verbatim).
+    """
+    from urllib.parse import urlparse, urlunparse
+
+    parsed = urlparse(checkpoint_dir)
+    if parsed.scheme and parsed.scheme != "file":
+        norm = parsed._replace(scheme=parsed.scheme.lower(),
+                               netloc=parsed.netloc.lower(),
+                               path=parsed.path.rstrip("/") or "/")
+        return urlunparse(norm)
+    path = parsed.path if parsed.scheme == "file" else checkpoint_dir
+    return os.path.abspath(path)
+
 _STATE_SCHEMA = StructType([
     StructField("next_chunk", LongType()),
     StructField("buffer", ArrayType(DoubleType())),
@@ -144,6 +165,28 @@ def streaming_psd_moments(chunks: DataFrame, fs: float,
                  F.avg(F.col("p2") * F.col("p2")).alias("r_ii")))
 
 
+def _write_cross_delta_batch(batch_df: DataFrame, batch_id: int,
+                             channels: list[str], fs: float,
+                             path: str) -> None:
+    """One micro-batch of the cross-spectral delta log: reduce the
+    batch's chunks to per-bin partial pair-product sums and land them
+    in the batch's own ``__batch_id__`` partition with dynamic
+    overwrite — replay-idempotent (a re-applied batch id overwrites
+    its prior partition, never appends a second copy)."""
+    from ..vibration import cross_bin_products, cross_moment_fields
+
+    flds = cross_moment_fields(channels)
+    zipped = cross_bin_products(batch_df, channels, fs, strict=True)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(F.col("v").getField(f)).alias(f) for f in flds]
+    (zipped.groupBy("bin").agg(*aggs)
+     .withColumn("__batch_id__", F.lit(int(batch_id)))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("__batch_id__")
+     .parquet(path))
+
+
 def streaming_cross_deltas(chunks: DataFrame, channels: list[str],
                            fs: float, path: str, checkpoint_dir: str,
                            query_name: str = "cross_moments",
@@ -167,19 +210,17 @@ def streaming_cross_deltas(chunks: DataFrame, channels: list[str],
     buffer (one row per channel); the gather/product/sum runs as a
     BATCH plan inside foreachBatch, so nothing here accumulates
     unbounded state. Delta log grows one ≤(n_bins)-row file per batch.
+
+    Exactly-once: ``foreachBatch`` is at-least-once (a crash between
+    the parquet write and the checkpoint commit replays the batch), so
+    each batch's partials land in their own ``__batch_id__`` PARTITION
+    with dynamic partition overwrite — the same sink shape as
+    :func:`stream_to_parquet`'s foreachBatch path. A replayed
+    micro-batch OVERWRITES its own partition instead of appending a
+    duplicate copy, so the merged moments never double-weight a batch.
     """
-    from ..vibration import cross_bin_products, cross_moment_fields
-
-    flds = cross_moment_fields(channels)
-
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        zipped = cross_bin_products(batch_df, channels, fs,
-                                    strict=True)
-        aggs = [F.count(F.lit(1)).alias("n")]
-        aggs += [F.sum(F.col("v").getField(f)).alias(f) for f in flds]
-        (zipped.groupBy("bin").agg(*aggs)
-         .withColumn("__batch_id__", F.lit(int(batch_id)))
-         .write.mode("append").parquet(path))
+        _write_cross_delta_batch(batch_df, batch_id, channels, fs, path)
 
     q = (chunks.writeStream.foreachBatch(_apply)
          .option("checkpointLocation", checkpoint_dir)
@@ -635,7 +676,7 @@ def streaming_upsert(sdf: DataFrame, table_path: str,
     from ..sources.layout import upsert_parquet
 
     meta_path = table_path.rstrip("/") + "/_cow_stream_meta"
-    lineage = os.path.abspath(checkpoint_dir)
+    lineage = _lineage_id(checkpoint_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -887,3 +887,86 @@ def test_streaming_cross_moments_match_batch(spark, tmp_path):
                                str(tmp_path / "deltas_bad"),
                                str(tmp_path / "ck_bad"),
                                query_name="cross_bad")
+
+
+def test_streaming_cross_deltas_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: applying the SAME batch id twice
+    (the crash-replay shape — parquet write committed, checkpoint not)
+    must leave the merged moments unchanged, not double-weight the
+    batch (VERDICT r11 #1). The per-batch write lands in the batch's
+    own __batch_id__ partition with dynamic overwrite."""
+    import numpy as np
+    from detanalysis_spark import vibration as V
+    from detanalysis_spark.streaming import read_cross_moments_from_deltas
+    from detanalysis_spark.streaming.continuous import (
+        _write_cross_delta_batch)
+
+    FS2, CHUNK2 = 1000.0, 32
+    rng = np.random.default_rng(11)
+    channels = ["g", "s1"]
+
+    def chunk_frame(seed_offset, n_chunks):
+        rows = []
+        for i in range(n_chunks):
+            for ch in channels:
+                tr = rng.standard_normal(CHUNK2)
+                rows.append((ch, seed_offset + i,
+                             [float(x) for x in tr]))
+        return spark.createDataFrame(
+            rows, "channel string, chunk_id long, trace array<double>")
+
+    b0, b1 = chunk_frame(0, 4), chunk_frame(4, 4)
+    sink = str(tmp_path / "deltas")
+    _write_cross_delta_batch(b0, 0, channels, FS2, sink)
+    _write_cross_delta_batch(b1, 1, channels, FS2, sink)
+    merged = read_cross_moments_from_deltas(spark, sink, channels,
+                                            FS2, CHUNK2)
+    key = lambda r: int(r["frequency_hz"] / (FS2 / CHUNK2) + 0.5)
+    before = {key(r): r.asDict() for r in merged.collect()}
+
+    # replay batch 1 (same id, same data) — merged moments unchanged
+    _write_cross_delta_batch(b1, 1, channels, FS2, sink)
+    after = {key(r): r.asDict()
+             for r in read_cross_moments_from_deltas(
+                 spark, sink, channels, FS2, CHUNK2).collect()}
+    assert set(after) == set(before)
+    flds = V.cross_moment_fields(channels)
+    for b in before:
+        assert after[b]["n"] == before[b]["n"]
+        for f in flds:
+            np.testing.assert_allclose(after[b][f], before[b][f],
+                                       rtol=1e-12)
+
+    # and an append-mode write WOULD have doubled n — sanity-check the
+    # partition count stayed at two batches
+    import os
+    parts = [d for d in os.listdir(sink) if d.startswith("__batch_id__=")]
+    assert sorted(parts) == ["__batch_id__=0", "__batch_id__=1"]
+
+
+def test_lineage_id_uri_and_relative_paths(tmp_path, monkeypatch):
+    """streaming_upsert's checkpoint lineage key (ADVICE r11 low):
+    URI locations must not be joined onto the local cwd, and relative
+    local paths must resolve to the same lineage regardless of cwd."""
+    from detanalysis_spark.streaming.continuous import _lineage_id
+
+    # URIs: stable, never abspath'd, trailing slash & case normalized
+    assert _lineage_id("hdfs://nn:8020/ck/q1") == "hdfs://nn:8020/ck/q1"
+    assert _lineage_id("hdfs://nn:8020/ck/q1/") == "hdfs://nn:8020/ck/q1"
+    assert _lineage_id("HDFS://NN:8020/ck/q1") == "hdfs://nn:8020/ck/q1"
+    assert _lineage_id("s3a://bucket/ck") == "s3a://bucket/ck"
+    assert not _lineage_id("s3a://bucket/ck").startswith("/")
+
+    # file: URIs and plain paths agree
+    assert _lineage_id("file:///tmp/ck") == "/tmp/ck"
+    assert _lineage_id("/tmp/ck") == "/tmp/ck"
+
+    # relative local paths: cwd-independent only in the sense that the
+    # SAME absolute location yields the same key from any cwd
+    d = tmp_path / "sub"
+    d.mkdir()
+    monkeypatch.chdir(tmp_path)
+    from_parent = _lineage_id("sub/ck")
+    monkeypatch.chdir(d)
+    from_child = _lineage_id("ck")
+    assert from_parent == from_child == str(d / "ck")
