@@ -423,9 +423,13 @@ def _corrupt_reason(exc: BaseException) -> str:
 # ----------------------------------------------------------------------
 def sniff_image_header(data: bytes) -> tuple[str, int, int]:
     """(format, width, height) from a payload's header bytes only —
-    PNG (IHDR), JPEG (first SOF frame header), GIF (logical screen),
-    BMP (BITMAPINFOHEADER). Raises ValueError on unknown magic or a
-    truncated/corrupt header; never decodes pixel data."""
+    PNG (IHDR), JPEG (first SOF frame header; spec-legal 0xFF fill
+    bytes between segments are skipped, and the scan stops at SOS/EOI
+    instead of desyncing into entropy data), GIF (logical screen), BMP
+    (both BITMAPINFOHEADER-family and the legacy 12-byte
+    BITMAPCOREHEADER with uint16 dims — branch on the DIB size field).
+    Raises ValueError on unknown magic or a truncated/corrupt header;
+    never decodes pixel data."""
     import struct
     if data[:8] == _PNG_SIG:
         if len(data) < 24 or data[12:16] != b"IHDR":
@@ -434,16 +438,26 @@ def sniff_image_header(data: bytes) -> tuple[str, int, int]:
         return "PNG", int(w), int(h)
     if data[:2] == b"\xff\xd8":                      # JPEG SOI
         pos = 2
-        while pos + 4 <= len(data):
+        while pos + 2 <= len(data):
             if data[pos] != 0xFF:
                 raise ValueError("JPEG: marker desync in header scan")
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a
+            # marker — skip them so a padded encoder doesn't desync
+            while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 2 > len(data):
+                break
             marker = data[pos + 1]
-            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
-                pos += 2                             # bare marker
+            if marker == 0xD9:                       # EOI before SOF
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                pos += 2                             # TEM/RSTn/stray SOI
                 continue
             if pos + 4 > len(data):
                 break
             (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+            if seglen < 2:
+                raise ValueError("JPEG: invalid segment length")
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8,
                                                          0xCC):
                 body = data[pos + 4:pos + 2 + seglen]
@@ -451,6 +465,8 @@ def sniff_image_header(data: bytes) -> tuple[str, int, int]:
                     raise ValueError("JPEG: truncated SOF header")
                 h, w = struct.unpack(">HH", body[1:5])
                 return "JPEG", int(w), int(h)
+            if marker == 0xDA:        # SOS: entropy data follows; SOF
+                break                 # must precede it in a legal file
             pos += 2 + seglen
         raise ValueError("JPEG: no SOF frame header found")
     if data[:6] in (b"GIF87a", b"GIF89a"):
@@ -459,9 +475,21 @@ def sniff_image_header(data: bytes) -> tuple[str, int, int]:
         w, h = struct.unpack("<HH", data[6:10])
         return "GIF", int(w), int(h)
     if data[:2] == b"BM":
-        if len(data) < 26:
-            raise ValueError("BMP: truncated info header")
-        w, h = struct.unpack("<ii", data[18:26])
+        if len(data) < 18:
+            raise ValueError("BMP: truncated header")
+        (dib,) = struct.unpack("<I", data[14:18])
+        if dib == 12:             # legacy BITMAPCOREHEADER: uint16 dims
+            if len(data) < 22:
+                raise ValueError("BMP: truncated core header")
+            w, h = struct.unpack("<HH", data[18:22])
+        elif dib in (40, 52, 56, 64, 108, 124):      # INFOHEADER family
+            if len(data) < 26:
+                raise ValueError("BMP: truncated info header")
+            w, h = struct.unpack("<ii", data[18:26])
+        else:
+            raise ValueError(f"BMP: unsupported DIB header size {dib}")
+        if w <= 0 or h == 0:
+            raise ValueError(f"BMP: non-positive dimensions {w}x{h}")
         return "BMP", int(w), int(abs(h))            # h<0 = top-down
     raise ValueError(
         f"unknown image magic {bytes(data[:4])!r}")

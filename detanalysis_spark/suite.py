@@ -1996,30 +1996,37 @@ def multimodal_quarantine_stats(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
-# Header-only image metadata survey (round 11): at 100 TB you filter
-# by format/dimensions BEFORE paying any decode — sniff_image_header
-# reads magic + frame headers only (PNG IHDR, JPEG SOF, GIF logical
-# screen, BMP info header), never pixels. Payloads plant all four
-# formats (real encode_png/encode_jpeg output for the two real codecs,
-# spec-built headers for GIF/BMP) plus a corrupt class; the oracle
-# replays per-format counts and dimension sums from the planting
-# formulas. Quarantine semantics are the default here — a header
-# survey IS the intake audit.
+# Header-only image metadata survey (round 11; hardened round 12): at
+# 100 TB you filter by format/dimensions BEFORE paying any decode —
+# sniff_image_header reads magic + frame headers only (PNG IHDR, JPEG
+# SOF, GIF logical screen, BMP DIB header), never pixels. Payloads
+# plant all four formats (real encode_png/encode_jpeg output for the
+# two real codecs, spec-built headers for GIF/BMP) plus the
+# valid-but-rare classes a crawl contains (VERDICT r11 #2): JPEGs with
+# spec-legal 0xFF fill bytes between segments, and legacy 12-byte
+# BITMAPCOREHEADER BMPs with uint16 dims — alongside a corrupt class;
+# the oracle replays per-format counts and dimension sums from the
+# planting formulas. Quarantine semantics are the default here — a
+# header survey IS the intake audit.
 # ----------------------------------------------------------------------
 @query("image_header_survey", oracle="""
 WITH b AS (
-  SELECT doc_id, doc_id % 5 AS cls FROM documents WHERE doc_id < 500)
-SELECT CASE cls WHEN 0 THEN 'PNG' WHEN 1 THEN 'JPEG'
-                WHEN 2 THEN 'GIF' WHEN 3 THEN 'BMP'
+  SELECT doc_id, doc_id % 7 AS cls FROM documents WHERE doc_id < 500)
+SELECT CASE cls WHEN 0 THEN 'PNG' WHEN 1 THEN 'JPEG' WHEN 2 THEN 'JPEG'
+                WHEN 3 THEN 'GIF' WHEN 4 THEN 'BMP' WHEN 5 THEN 'BMP'
                 ELSE 'CORRUPT' END AS format,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CASE cls WHEN 0 THEN 3 + doc_id % 4 WHEN 1 THEN 16
-                         WHEN 2 THEN doc_id % 100 + 1
-                         WHEN 3 THEN doc_id % 80 + 1 END) AS BIGINT)
+       CAST(sum(CASE cls WHEN 0 THEN 3 + doc_id % 4
+                         WHEN 1 THEN 16 WHEN 2 THEN 16
+                         WHEN 3 THEN doc_id % 100 + 1
+                         WHEN 4 THEN doc_id % 80 + 1
+                         WHEN 5 THEN doc_id % 70 + 1 END) AS BIGINT)
          AS sum_w,
-       CAST(sum(CASE cls WHEN 0 THEN 2 + doc_id % 3 WHEN 1 THEN 8
-                         WHEN 2 THEN doc_id % 50 + 1
-                         WHEN 3 THEN doc_id % 60 + 1 END) AS BIGINT)
+       CAST(sum(CASE cls WHEN 0 THEN 2 + doc_id % 3
+                         WHEN 1 THEN 8 WHEN 2 THEN 8
+                         WHEN 3 THEN doc_id % 50 + 1
+                         WHEN 4 THEN doc_id % 60 + 1
+                         WHEN 5 THEN doc_id % 40 + 1 END) AS BIGINT)
          AS sum_h
 FROM b GROUP BY 1
 """)
@@ -2036,22 +2043,31 @@ def image_header_survey(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .llm.multimodal import encode_png
 
         jp = encode_jpeg(np.full((8, 16, 1), 0.3), quality=100)
+        # spec-legal padding: extra 0xFF fill bytes before the first
+        # post-SOI marker (T.81 B.1.1.2) — same image, same dims
+        jp_fill = jp[:2] + b"\xff\xff\xff" + jp[2:]
 
         def build(d: int) -> bytes:
-            cls = d % 5
+            cls = d % 7
             if cls == 0:
                 w, h = 3 + d % 4, 2 + d % 3
                 return encode_png(np.full((h, w, 1), (d % 7) / 10.0))
             if cls == 1:
                 return jp
             if cls == 2:
+                return jp_fill
+            if cls == 3:
                 return (b"GIF89a"
                         + struct.pack("<HH", d % 100 + 1, d % 50 + 1)
                         + b"\x00" * 6)
-            if cls == 3:
-                return (b"BM" + b"\x00" * 16
+            if cls == 4:                 # BITMAPINFOHEADER, top-down
+                return (b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
                         + struct.pack("<ii", d % 80 + 1,
-                                      -(d % 60 + 1))   # top-down BMP
+                                      -(d % 60 + 1))
+                        + b"\x00" * 8)
+            if cls == 5:                 # legacy BITMAPCOREHEADER
+                return (b"BM" + b"\x00" * 12 + struct.pack("<I", 12)
+                        + struct.pack("<HH", d % 70 + 1, d % 40 + 1)
                         + b"\x00" * 8)
             return b"\x00\x01corrupt" + bytes([d % 251])
 

@@ -896,8 +896,8 @@ def test_sniff_image_header_all_formats(spark):
     png = encode_png(np.ones((7, 5, 3)) * 0.5)
     jp = encode_jpeg(np.ones((8, 16, 1)) * 0.3, quality=90)
     gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
-    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) \
-        + b"\x00" * 8
+    bmp = b"BM" + b"\x00" * 12 + struct.pack("<I", 40) \
+        + struct.pack("<ii", 640, -480) + b"\x00" * 8
     assert sniff_image_header(png) == ("PNG", 5, 7)
     assert sniff_image_header(jp) == ("JPEG", 16, 8)
     assert sniff_image_header(gif) == ("GIF", 320, 200)
@@ -918,3 +918,58 @@ def test_sniff_image_header_all_formats(spark):
     assert got[4].format is None and got[4].corrupt_reason
     with pytest.raises(Exception):
         image_header_info(df, "img_id", on_error="raise").collect()
+
+
+def test_sniff_image_header_rare_valid_classes():
+    """VERDICT r11 #2: valid-but-rare classes a 100 TB crawl contains —
+    legacy BITMAPCOREHEADER BMPs (12-byte DIB, uint16 dims) must parse
+    correctly (not return int32 garbage silently), and spec-legal JPEG
+    0xFF fill bytes between segments must not desync the marker scan;
+    the scan stops at SOS/EOI instead of wandering into entropy data."""
+    import struct
+
+    from detanalysis_spark.llm.jpeg import encode_jpeg
+    from detanalysis_spark.llm.multimodal import sniff_image_header
+
+    # legacy BITMAPCOREHEADER: uint16 dims at offsets 18/20
+    core = b"BM" + b"\x00" * 12 + struct.pack("<I", 12) \
+        + struct.pack("<HH", 123, 45) + b"\x00" * 8
+    assert sniff_image_header(core) == ("BMP", 123, 45)
+
+    # under the old int32-at-18 read this payload decoded to garbage;
+    # make sure the core branch is actually taken: dims where the
+    # int32 interpretation would differ
+    core2 = b"BM" + b"\x00" * 12 + struct.pack("<I", 12) \
+        + struct.pack("<HH", 1, 1) + b"\x00" * 8
+    assert sniff_image_header(core2) == ("BMP", 1, 1)
+
+    # BITMAPV4/V5 header sizes parse through the INFOHEADER branch
+    v5 = b"BM" + b"\x00" * 12 + struct.pack("<I", 124) \
+        + struct.pack("<ii", 77, 88) + b"\x00" * 8
+    assert sniff_image_header(v5) == ("BMP", 77, 88)
+
+    # unknown DIB size / non-positive width raise instead of garbage
+    with pytest.raises(ValueError, match="DIB header size"):
+        sniff_image_header(b"BM" + b"\x00" * 12 + struct.pack("<I", 7)
+                           + b"\x00" * 16)
+    with pytest.raises(ValueError, match="non-positive"):
+        sniff_image_header(b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+                           + struct.pack("<ii", -5, 10) + b"\x00" * 8)
+
+    # JPEG fill bytes: extra 0xFF padding before markers is spec-legal
+    jp = encode_jpeg(np.ones((8, 16, 1)) * 0.3, quality=90)
+    padded = jp[:2] + b"\xff\xff\xff" + jp[2:]
+    assert sniff_image_header(padded) == ("JPEG", 16, 8)
+
+    # scan must stop at EOI (no SOF seen -> clean error, no desync):
+    # SOI + padding + EOI only
+    with pytest.raises(ValueError, match="no SOF"):
+        sniff_image_header(b"\xff\xd8\xff\xff\xff\xd9")
+    # and at SOS: SOI + DQT-like segment + SOS then entropy bytes that
+    # would desync a naive scanner
+    sos_first = (b"\xff\xd8"
+                 + b"\xff\xdb" + struct.pack(">H", 4) + b"\x00\x00"
+                 + b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00"
+                 + b"\x12\x34\x56\x78")      # entropy data, no 0xFF
+    with pytest.raises(ValueError, match="no SOF"):
+        sniff_image_header(sos_first)
