@@ -198,13 +198,28 @@ def registered_domain_py(host: str | None,
 # (session, rule set): iterating 9,498 rules and Arrow-converting the
 # depth tables cost ~0.6s per matcher CALL before round 11 — the
 # tables are immutable plans, safe to reuse across queries.
-_RULE_TABLE_CACHE: dict = {}
+#
+# Keying (ADVICE r11 medium): the SESSION key is a WeakKeyDictionary —
+# a garbage-collected SparkSession drops its whole entry, so a new
+# session allocated at a dead one's address can never see stale JVM
+# plans and dead sessions never leak. The RULE key is the PslRules
+# VALUE itself (frozen dataclass of frozensets → hashable, compared by
+# content): the dict key pins the rules object alive, so id() recycling
+# aliasing is impossible by construction, and two equal rule sets share
+# one table build.
+import weakref
+
+_RULE_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = \
+    weakref.WeakKeyDictionary()
 
 
 def _rule_tables(spark: SparkSession, rules: PslRules
                  ) -> list[tuple[int, DataFrame, bool, bool, bool]]:
-    key = (id(spark), id(rules))
-    hit = _RULE_TABLE_CACHE.get(key)
+    try:
+        per_session = _RULE_TABLE_CACHE.setdefault(spark, {})
+    except TypeError:       # session not weakref-able: build uncached
+        per_session = {}
+    hit = per_session.get(rules)
     if hit is not None:
         return hit
     merged: dict[int, dict[str, list[bool]]] = {}
@@ -231,7 +246,7 @@ def _rule_tables(spark: SparkSession, rules: PslRules
                     any(fl[0] for fl in merged[d].values()),
                     any(fl[1] for fl in merged[d].values()),
                     any(fl[2] for fl in merged[d].values())))
-    _RULE_TABLE_CACHE[key] = out
+    per_session[rules] = out
     return out
 
 

@@ -293,3 +293,42 @@ def test_psl_source_resolution(tmp_path, monkeypatch):
     # the env list is really what's loaded
     assert psl.registered_domain_py("b.example.co.uk", rules) \
         == "co.uk"
+
+
+def test_rule_table_cache_no_stale_aliasing(spark):
+    """ADVICE r11 medium: the rule-table memo must key on the rule
+    set's VALUE, not id() — two different rule sets used back-to-back
+    in one session must each get their own tables (no stale reuse even
+    if one object's address is recycled), and equal-by-value rule sets
+    must share one build."""
+    from detanalysis_spark.llm.psl import (_RULE_TABLE_CACHE, PslRules,
+                                           registered_domain_psl)
+
+    df = spark.createDataFrame([("a.b.co.zz",), ("x.y.co.qq",)],
+                               "host string")
+
+    r1 = PslRules(exact=frozenset({"zz", "co.zz"}))
+    got1 = {r.host: r.registered_domain for r in
+            registered_domain_psl(df, "host", rules=r1).collect()}
+    assert got1["a.b.co.zz"] == "b.co.zz"
+    assert got1["x.y.co.qq"] == "co.qq"     # only the implicit * rule
+
+    # a DIFFERENT rule set — old id()-keyed cache could alias this to
+    # r1's tables after gc; value keying cannot
+    del r1
+    import gc
+    gc.collect()
+    r2 = PslRules(exact=frozenset({"qq", "co.qq"}))
+    got2 = {r.host: r.registered_domain for r in
+            registered_domain_psl(df, "host", rules=r2).collect()}
+    assert got2["x.y.co.qq"] == "y.co.qq"
+    assert got2["a.b.co.zz"] == "co.zz"
+
+    # equal-by-value rules share one cache entry (and the key pins it)
+    r2_twin = PslRules(exact=frozenset({"qq", "co.qq"}))
+    per_session = _RULE_TABLE_CACHE.get(spark)
+    assert per_session is not None
+    n_before = len(per_session)
+    registered_domain_psl(df, "host", rules=r2_twin).collect()
+    assert len(per_session) == n_before
+    assert r2_twin in per_session
