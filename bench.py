@@ -181,6 +181,24 @@ def main() -> int:
             sort_keys=True,
         )
 
+    # Per-round full-map history (VERDICT r11 #7): BENCH_DETAIL.json is
+    # overwritten every run, and the driver's BENCH_r{N}.json keeps only
+    # a top-10 slice — so cross-round regression checks on the other
+    # ~160 queries had no committed record. Append the complete timing
+    # map per run; one JSON line each, grep-able by timestamp.
+    history_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
+    with open(history_path, "a") as f:
+        f.write(json.dumps({
+            "ts": round(time.time(), 1),
+            "total_sec": round(total, 2),
+            "sf": sf,
+            "n_queries": len(timings),
+            "load_guard_quiet": load_guard["quiet"],
+            "load_avg_end": [round(x, 2) for x in load_end],
+            "queries": timings,
+        }, sort_keys=True, separators=(",", ":")) + "\n")
+
     top10 = dict(
         sorted(
             ((k, v) for k, v in timings.items() if v == v),

@@ -7067,6 +7067,17 @@ _REWRITTEN_R11 = (
 )
 
 
+# Round-12 rewrites: the cross-spectral delta sink is now
+# replay-idempotent (partitionBy __batch_id__ + dynamic overwrite),
+# the image header sniffer gained the core-header-BMP / fill-byte-JPEG
+# branches with new planted classes in the survey, and the PSL
+# rule-table memo re-keyed (value + session weakref).
+_REWRITTEN_R12 = (
+    "streaming_cross_stats", "image_header_survey",
+    "domain_curation_stats",
+)
+
+
 def _reorder_registry() -> None:
     # tier1: ANY query with no official driver grade — oracled (full
     # hash gate) or rows-only (the no-SQL-oracle tier) — plus new
@@ -7086,6 +7097,8 @@ def _reorder_registry() -> None:
                   if _LATEST_GRADE.get(n, 0) < 10]
     rewritten += [n for n in _REWRITTEN_R11
                   if _LATEST_GRADE.get(n, 0) < 11]
+    rewritten += [n for n in _REWRITTEN_R12
+                  if _LATEST_GRADE.get(n, 0) < 12]
     tier1b = [n for n in rewritten if n in QUERIES and n not in tier1]
     # tier2..: already-green filler; staleness = the LATEST round a
     # query was graded in (straight from the CORRECTNESS artifacts);

@@ -46,8 +46,18 @@ Corpora are materialized once under /tmp and reused.
    launches; this measures the claimed collapse directly — the same
    engine PSL path and the same psl_parity DuckDB SQL, 10x the rows.
 
+5. The round-11 3-query perf tail (VERDICT r11 #4):
+   ``tfidf_top_terms``, ``bpe_first_merge_pairs``, and
+   ``dedup_exact_documents`` head-to-head against their OWN DuckDB
+   oracles on replicated documents at 500k/5M/10M docs — the same
+   evidence standard that closed trimmed-price, domain-curation and
+   COW MERGE. All three are vocabulary-bound (their shuffled state is
+   the term/word/hash table, not the corpus), so Spark's marginal
+   per-doc cost should flatten exactly as PSL's did.
+
 Usage: python tools/crossover_probe.py [--runs N] [--skip-trim]
-       [--skip-hh] [--skip-jaccard] [--skip-domain]
+       [--skip-hh] [--skip-jaccard] [--skip-domain] [--skip-merge]
+       [--skip-tail]
 """
 from __future__ import annotations
 
@@ -102,6 +112,27 @@ def materialize_hh_corpus(spark, d: int) -> str:
     (spark.range(HH_N).select(tok.alias("tok"))
      .write.mode("overwrite").parquet(p))
     return p
+
+
+def materialize_documents(copies: int) -> tuple[str, str]:
+    """Replicated documents table (shifted doc ids, same value
+    distributions — the sf1_gate replication rule). Returns
+    (sf_dir-style directory, parquet path); shared with the domain
+    probe so corpora materialize once."""
+    ddir = SF10_DIR if copies == 100 else \
+        f"/tmp/detanalysis_domain_{copies}x"
+    dp = os.path.join(ddir, "documents.parquet")
+    if not os.path.exists(dp):
+        os.makedirs(ddir, exist_ok=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                    f"read_parquet('{SRC}/documents.parquet')")
+        con.execute(
+            f"COPY (SELECT doc_id + c*{SHIFT} AS doc_id, "
+            f"* EXCLUDE (doc_id) FROM t, range({copies}) r(c))"
+            f" TO '{dp}' (FORMAT PARQUET)")
+        con.close()
+    return ddir, dp
 
 
 def _min_wall(fn, runs: int) -> float:
@@ -226,20 +257,7 @@ def main() -> int:
         from detanalysis_spark import suite as _sx
         scaling = []
         for copies in (100, 1000, 2000):
-            ddir = SF10_DIR if copies == 100 else \
-                f"/tmp/detanalysis_domain_{copies}x"
-            dp = os.path.join(ddir, "documents.parquet")
-            if not os.path.exists(dp):
-                os.makedirs(ddir, exist_ok=True)
-                con = duckdb.connect()
-                con.execute(
-                    f"CREATE VIEW t AS SELECT * FROM "
-                    f"read_parquet('{SRC}/documents.parquet')")
-                con.execute(
-                    f"COPY (SELECT doc_id + c*{SHIFT} AS doc_id, "
-                    f"* EXCLUDE (doc_id) FROM t, range({copies}) r(c))"
-                    f" TO '{dp}' (FORMAT PARQUET)")
-                con.close()
+            ddir, dp = materialize_documents(copies)
             n_docs = duckdb.sql(
                 f"SELECT count(*) FROM read_parquet('{dp}')"
             ).fetchone()[0]
@@ -364,6 +382,46 @@ SELECT * FROM read_parquet('{upd_pq}/*.parquet')
                   file=sys.stderr)
         out["merge_selective_scaling"] = merge_scaling
         out["merge_selective"] = merge_scaling[-1]
+
+    if "--skip-tail" not in sys.argv:
+        # Round-11 3-query perf tail (VERDICT r11 #4): each query's own
+        # suite oracle IS the parity SQL — run both engines on the
+        # SAME replicated documents parquet at growing decades and
+        # record where the ratio crosses <=2x (or the trend). All
+        # three shuffle only vocabulary-bound state (term table, word
+        # table, hash groups), so the Spark fixed cost should amortize.
+        from detanalysis_spark import suite as _sx
+        tail: dict = {}
+        for name in ("tfidf_top_terms", "bpe_first_merge_pairs",
+                     "dedup_exact_documents"):
+            rows = []
+            for copies in (100, 1000, 2000):
+                ddir, dp = materialize_documents(copies)
+                n_docs = duckdb.sql(
+                    f"SELECT count(*) FROM read_parquet('{dp}')"
+                ).fetchone()[0]
+                sw = _min_wall(lambda: _sx.QUERIES[name](
+                    spark, ddir).collect(), runs)
+                con = duckdb.connect()
+                con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                            f"read_parquet('{dp}')")
+                dw = _min_wall(lambda: con.execute(
+                    _sx.ORACLES[name]).fetchall(), runs)
+                con.close()
+                row = {
+                    "n_docs": int(n_docs),
+                    "spark_s": round(sw, 3),
+                    "duckdb_oracle_s": round(dw, 3),
+                    "ratio": round(sw / max(dw, 1e-9), 2),
+                }
+                rows.append(row)
+                print(f"{name} @ {n_docs:,} docs: spark {sw:.2f}s vs "
+                      f"duckdb {dw:.2f}s (ratio {row['ratio']})",
+                      file=sys.stderr)
+                if row["ratio"] <= 1.0:
+                    break              # crossover found and passed
+            tail[name] = rows
+        out["tail_scaling"] = tail
 
     print(json.dumps(out))
     if "domain_curation_sf10" in out:

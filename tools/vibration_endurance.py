@@ -26,9 +26,20 @@ cross-batch remainder state is actually exercised (seg 8192 split into
 4097 is the stressier choice; default keeps both: chunk=4096 for the
 equality check plus a 4097 remainder-stress drain of the first files).
 
+Round 12 adds the CROSS-spectral endurance section (VERDICT r11 #5):
+``rechunk_stream`` → ``streaming_cross_deltas`` (STRICT channel
+alignment) → ``read_cross_moments_from_deltas`` over ≥1 GB in
+multi-file micro-batches, asserting (a) bounded rechunker state,
+(b) the replay-idempotent delta partitions, and (c) merged moments ==
+``continuous_moments`` on the same data. The cross source is written
+in the natural DAQ layout (each file carries ALL channels for a
+contiguous event range — ``repartitionByRange(event_id)``), which is
+exactly what the strict contract requires of a deployment.
+
 Usage: python tools/vibration_endurance.py [--channels 4]
        [--segments 16384] [--seg-samples 8192] [--files 64]
-       [--chunk 4096] [--quick]
+       [--chunk 4096] [--cross-segments 4096] [--cross-files 32]
+       [--skip-psd] [--skip-cross] [--quick]
 Prints one JSON line (merged into SCALING.md by hand).
 """
 from __future__ import annotations
@@ -88,8 +99,11 @@ def main() -> int:
     seg_samples = arg("--seg-samples", 8192)
     n_files = arg("--files", 64)
     chunk = arg("--chunk", 4096)
+    cross_segments = arg("--cross-segments", 4096)
+    cross_files = arg("--cross-files", 32)
     if "--quick" in sys.argv:
         n_segments, n_files = 512, 8
+        cross_segments, cross_files = 256, 8
 
     from detanalysis_spark.session import get_spark
     from detanalysis_spark.streaming.continuous import (
@@ -98,10 +112,29 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     spark = get_spark("vib-endurance")
+    out: dict = {}
+    schema = "channel string, event_id long, trace array<double>"
+
+    if "--skip-psd" not in sys.argv:
+        out.update(run_psd(spark, n_channels, n_segments, seg_samples,
+                           n_files, chunk, schema))
+    if "--skip-cross" not in sys.argv:
+        out["cross"] = run_cross(spark, n_channels, cross_segments,
+                                 seg_samples, cross_files, chunk,
+                                 schema)
+    print(json.dumps(out))
+    return 0
+
+
+def run_psd(spark, n_channels, n_segments, seg_samples, n_files,
+            chunk, schema) -> dict:
+    from detanalysis_spark.streaming.continuous import rechunk_stream
+    from detanalysis_spark.traces import rfft_udf
+    from pyspark.sql import functions as F
+
     src = materialize(spark, n_channels, n_segments, seg_samples,
                       n_files)
     raw_bytes = n_channels * n_segments * seg_samples * 8
-    schema = "channel string, event_id long, trace array<double>"
 
     sink = os.path.join(BASE, "psd_deltas")
     ckpt = os.path.join(BASE, "ckpt")
@@ -196,7 +229,7 @@ def main() -> int:
         f"state grew past one remainder per channel: "
         f"{max_state_rows} rows for {n_channels} channels")
 
-    out = {
+    return {
         "raw_gb": round(raw_bytes / 2 ** 30, 3),
         "n_channels": n_channels,
         "n_segments": n_segments,
@@ -209,8 +242,106 @@ def main() -> int:
         "moment_rows": len(stream_rows),
         "worst_rel_err_vs_batch": float(f"{worst:.3g}"),
     }
-    print(json.dumps(out))
-    return 0
+
+
+def run_cross(spark, n_channels, n_segments, seg_samples, n_files,
+              chunk, schema) -> dict:
+    """CROSS-spectral endurance: strict-alignment streaming drain over
+    an aligned multi-file source, delta merge vs continuous_moments."""
+    import glob as _g
+
+    from pyspark.sql import functions as F
+
+    from detanalysis_spark.streaming.continuous import (
+        read_cross_moments_from_deltas, rechunk_stream,
+        streaming_cross_deltas)
+    from detanalysis_spark.vibration import (continuous_moments,
+                                             cross_moment_fields)
+
+    channels = [f"ch{i}" for i in range(n_channels)]
+    # DAQ-layout source: every file carries ALL channels for one
+    # contiguous event range — the layout the strict contract requires
+    src = os.path.join(
+        BASE, f"cross_c{n_channels}_s{n_segments}_l{seg_samples}")
+    if not os.path.exists(src):
+        base = materialize(spark, n_channels, n_segments, seg_samples,
+                           max(8, n_files))
+        (spark.read.parquet(base)
+         .repartitionByRange(n_files, "event_id")
+         .write.mode("overwrite").parquet(src))
+    raw_bytes = n_channels * n_segments * seg_samples * 8
+
+    sink = os.path.join(BASE, "cross_deltas")
+    ckpt = os.path.join(BASE, "cross_ckpt")
+    for p in (sink, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sdf = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", max(2, n_files // 8))
+               .parquet(src))
+        t0 = time.time()
+        q = streaming_cross_deltas(rechunk_stream(sdf, chunk),
+                                   channels, FS, sink, ckpt,
+                                   query_name="vib_cross_endurance",
+                                   timeout_sec=3600)
+        wall = time.time() - t0
+        max_state_rows = 0
+        n_batches = 0
+        for pr in q.recentProgress:
+            if pr.get("stateOperators"):
+                max_state_rows = max(
+                    max_state_rows,
+                    max(so.get("numRowsTotal", 0)
+                        for so in pr["stateOperators"]))
+                n_batches += 1
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+    assert max_state_rows <= n_channels, (
+        f"cross rechunker state grew past one remainder per channel: "
+        f"{max_state_rows} rows for {n_channels} channels")
+    delta_parts = sorted(_g.glob(os.path.join(sink, "__batch_id__=*")))
+    assert len(delta_parts) >= 2, (
+        f"expected a multi-batch drain, got {len(delta_parts)} delta "
+        f"partitions")
+
+    merged = {int(r["frequency_hz"] / (FS / chunk) + 0.5): r.asDict()
+              for r in read_cross_moments_from_deltas(
+                  spark, sink, channels, FS, chunk).collect()}
+    want = {int(r["frequency_hz"] / (FS / chunk) + 0.5): r.asDict()
+            for r in continuous_moments(
+                spark.read.parquet(src), channels, FS,
+                chunk_samples=chunk).collect()}
+    assert set(merged) == set(want), (
+        f"bin mismatch: {len(merged)} stream vs {len(want)} batch")
+    flds = cross_moment_fields(channels)
+    worst = 0.0
+    for b, w in want.items():
+        g = merged[b]
+        assert g["n"] == w["n"], (b, g["n"], w["n"])
+        for f in flds:
+            worst = max(worst, abs(g[f] - w[f]) /
+                        max(abs(w[f]), 1e-300))
+    assert worst < 1e-9, f"cross moment divergence {worst}"
+
+    return {
+        "raw_gb": round(raw_bytes / 2 ** 30, 3),
+        "n_channels": n_channels,
+        "n_segments": n_segments,
+        "seg_samples": seg_samples,
+        "chunk_samples": chunk,
+        "n_files": n_files,
+        "n_batches": int(n_batches),
+        "delta_partitions": len(delta_parts),
+        "drain_wall_s": round(wall, 1),
+        "mb_per_s": round(raw_bytes / 2 ** 20 / wall, 1),
+        "max_state_rows": int(max_state_rows),
+        "moment_bins": len(merged),
+        "worst_rel_err_vs_batch": float(f"{worst:.3g}"),
+    }
 
 
 if __name__ == "__main__":
