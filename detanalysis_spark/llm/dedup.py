@@ -41,6 +41,8 @@ __all__ = [
     "temperature_mixture_sample",
     "jaccard_index_pairs", "containment_pairs",
     "sorted_neighborhood_pairs",
+    "write_lsh_index", "append_lsh_index", "read_lsh_meta",
+    "lsh_index_probe",
 ]
 
 
@@ -1200,3 +1202,117 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str,
                     & (F.col("rb") - F.col("ra") <= w - 1))
             .select("id_a", "id_b", "key_a", "key_b",
                     (F.col("rb") - F.col("ra")).alias("rank_gap")))
+
+
+# ----------------------------------------------------------------------
+# persisted on-disk LSH index (round 12) — the incremental near-dup
+# screen's durable state. The MinHash mirror of the IVF on-disk corpus
+# (llm/similarity.py write_corpus/topk_from_corpus): the expensive part
+# of screening a 100 TB corpus is shingling + signing the TEXT, and it
+# should be paid ONCE at index-build time, not once per ingest batch.
+# The index persists only (id, band, bucket) longs — ~bands rows × 24
+# bytes per document, orders of magnitude smaller than the text — and
+# a _lsh_meta sidecar pins the hash family (num_hashes, bands,
+# rows_per_band, shingle_n) so a probe signed with different
+# parameters is impossible by construction (the _cow_meta pattern).
+# The layout partitions by band: probing a band SUBSET (the cheap
+# low-recall tier, recall = 1-(1-j^r)^b' by the S-curve) reads only
+# those directories — PartitionFilters-pruned, the n_probe knob of the
+# text-dedup world.
+# ----------------------------------------------------------------------
+def write_lsh_index(docs: DataFrame, path: str, id_col: str = "doc_id",
+                    text_col: str = "text", num_hashes: int = 64,
+                    bands: int = 16, rows_per_band: int | None = None,
+                    shingle_n: int = 3) -> None:
+    """Build and persist the LSH band-bucket index of a corpus.
+
+    One pass over the text (zero-shuffle signatures → band explode),
+    written partitioned by ``band``. ``rows_per_band`` defaults to
+    ``num_hashes // bands``; pick (bands, rows) with :func:`lsh_plan`.
+    """
+    rpb = int(rows_per_band if rows_per_band is not None
+              else num_hashes // bands)
+    if bands * rpb > num_hashes:
+        raise ValueError(
+            f"bands({bands}) x rows_per_band({rpb}) exceeds "
+            f"num_hashes({num_hashes})")
+    spark = docs.sparkSession
+    sigs = minhash_signatures(docs, text_col, num_hashes, shingle_n,
+                              id_col=id_col)
+    bb = lsh_band_buckets(sigs, id_col, "minhash", bands, rpb)
+    (bb.repartition(int(bands), F.col("band"))
+       .write.mode("overwrite").partitionBy("band").parquet(path))
+    from ..util import local_frame
+    (local_frame(spark,
+                 [(int(num_hashes), int(bands), int(rpb),
+                   int(shingle_n), id_col)],
+                 "num_hashes int, bands int, rows_per_band int, "
+                 "shingle_n int, id_col string")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(path.rstrip("/") + "/_lsh_meta"))
+
+
+def read_lsh_meta(spark, path: str):
+    """The pinned hash-family row of a persisted LSH index."""
+    return spark.read.parquet(path.rstrip("/") + "/_lsh_meta").first()
+
+
+def append_lsh_index(spark, path: str, new_docs: DataFrame,
+                     text_col: str = "text") -> None:
+    """Incremental index maintenance: sign a new batch with the
+    index's OWN pinned parameters and append its band buckets — no
+    rebuild, no re-signing of the existing corpus."""
+    meta = read_lsh_meta(spark, path)
+    sigs = minhash_signatures(new_docs, text_col,
+                              int(meta.num_hashes),
+                              int(meta.shingle_n),
+                              id_col=meta.id_col)
+    bb = lsh_band_buckets(sigs, meta.id_col, "minhash",
+                          int(meta.bands), int(meta.rows_per_band))
+    (bb.repartition(int(meta.bands), F.col("band"))
+       .write.mode("append").partitionBy("band").parquet(path))
+
+
+def lsh_index_probe(spark, path: str, probe_docs: DataFrame,
+                    text_col: str = "text",
+                    n_bands_probe: int | None = None,
+                    max_bucket_size: int | None = None) -> DataFrame:
+    """Candidate (probe_id, corpus_id) pairs of a new batch against a
+    persisted index — the ingest-time near-dup screen, without
+    re-signing one byte of the existing corpus.
+
+    Probes are signed with the index's pinned family (mismatched
+    parameters are impossible), bucketed, and equi-joined against the
+    on-disk band buckets. ``n_bands_probe`` probes only the first k
+    bands: the index scan reads ONLY those band directories
+    (PartitionFilters) and the probe computes only those bands —
+    recall follows the S-curve with b'=k, the cost/recall knob.
+    ``max_bucket_size`` drops degenerate hot buckets on the index side
+    (template farms), same semantics as :func:`lsh_candidate_pairs`.
+    Feed the output to :func:`verify_candidates` over the union of
+    both corpora's texts for exact-Jaccard confirmation.
+    """
+    meta = read_lsh_meta(spark, path)
+    bands = int(meta.bands)
+    k = bands if n_bands_probe is None else int(n_bands_probe)
+    if not 1 <= k <= bands:
+        raise ValueError(f"n_bands_probe must be in [1, {bands}], "
+                         f"got {k}")
+    sigs = minhash_signatures(probe_docs, text_col,
+                              int(meta.num_hashes),
+                              int(meta.shingle_n),
+                              id_col=meta.id_col)
+    pb = lsh_band_buckets(sigs, meta.id_col, "minhash", k,
+                          int(meta.rows_per_band)) \
+        .withColumnRenamed(meta.id_col, "probe_id")
+    idx = spark.read.parquet(path)
+    if k < bands:
+        idx = idx.filter(F.col("band") < k)      # partition-pruned
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        idx = (idx.withColumn("__bsz__", F.count(F.lit(1)).over(w))
+               .filter(F.col("__bsz__") <= max_bucket_size)
+               .drop("__bsz__"))
+    idx = idx.withColumnRenamed(meta.id_col, "corpus_id")
+    return (pb.join(idx, ["band", "bucket"])
+            .select("probe_id", "corpus_id").distinct())

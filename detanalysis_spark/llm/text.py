@@ -25,7 +25,8 @@ __all__ = [
     "language_id", "LANG_STOPWORDS", "doc_fingerprint",
     "winnow_fingerprints", "normalize_text", "chunk_text",
     "chunk_documents", "pack_documents",
-    "term_frequencies", "document_frequencies", "tfidf_topk",
+    "term_frequencies", "document_frequencies",
+    "document_frequencies_from_docs", "tfidf_topk",
     "unigram_logprob_scores", "build_vocab",
     "bigram_frequencies", "BigramLM", "train_bigram_lm",
     "bigram_logprob_scores", "save_bigram_lm", "load_bigram_lm",
@@ -346,6 +347,19 @@ def document_frequencies(tf_df, id_col: str = "doc_id"):
     return tf_df.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
 
+def document_frequencies_from_docs(df, text_col: str = "text"):
+    """(term, df) straight from the corpus — the SCALE path for IDF
+    tables. Distinct terms per doc are a per-row projection
+    (``array_distinct``), so the only shuffle is the term-keyed count
+    with map-side combine: VOCABULARY-bound rows per partition, never
+    the corpus-sized (doc, term) pair table that
+    ``document_frequencies(term_frequencies(df))`` shuffles. Same
+    tokenization, identical values."""
+    terms = df.select(F.explode(F.array_distinct(
+        _clean_tokens(F.col(text_col)))).alias("term"))
+    return terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
 def tfidf_topk(df, id_col: str = "doc_id", text_col: str = "text",
                k: int = 3, n_docs: int | None = None):
     """Top-k characteristic terms per document by TF-IDF:
@@ -360,10 +374,18 @@ def tfidf_topk(df, id_col: str = "doc_id", text_col: str = "text",
     broadcasts the vocabulary side when small) → per-doc top-k window
     partitioned by id (no global sort). ``n_docs`` skips the corpus
     count when the caller already knows it.
+
+    The df branch is computed straight from the corpus
+    (:func:`document_frequencies_from_docs` — vocabulary-bound
+    shuffle), NOT from the tf table: the two branches are separate
+    subtrees in the plan, so deriving df from tf would shuffle the
+    corpus-sized (doc, term) table a second time — and it keeps a
+    caller's document filter free to push into the tf branch alone
+    (rank the docs you care about, IDF over the whole corpus).
     """
     N = int(n_docs if n_docs is not None else df.count())
     tf = term_frequencies(df, id_col, text_col)
-    dfreq = document_frequencies(tf, id_col)
+    dfreq = document_frequencies_from_docs(df, text_col)
     idf = F.log((1.0 + N) / (1.0 + F.col("df"))) + 1.0
     w = Window.partitionBy(id_col).orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())

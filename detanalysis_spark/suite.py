@@ -882,6 +882,52 @@ def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# persisted on-disk LSH index screen (round 12): build the index over
+# the corpus half (initial write + an incremental APPEND — both paths
+# under the hash), probe the batch half against it WITHOUT re-signing
+# the corpus, verify candidates with exact Jaccard. The oracle is the
+# all-cross-pairs Jaccard join — exact because the full-band screen
+# has complete recall at this threshold/family on this data (the same
+# argument that oracles near_dup_pairs_minhash).
+# ----------------------------------------------------------------------
+@query("lsh_index_screen_stats", oracle=r"""
+WITH t AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks)-1)]) AS sh
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents))
+SELECT a.doc_id AS probe_id, b.doc_id AS corpus_id,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < 100 AND b.doc_id >= 100
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+""")
+def lsh_index_screen_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from .llm.dedup import (append_lsh_index, lsh_index_probe,
+                            verify_candidates, write_lsh_index)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id >= 100")
+    probe = docs.filter("doc_id < 100")
+    path = os.path.join(
+        f"/tmp/detanalysis_spark_textio_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)) + "_lsh_index")
+    shutil.rmtree(path, ignore_errors=True)
+    write_lsh_index(corpus.filter("doc_id < 300"), path)
+    append_lsh_index(spark, path, corpus.filter("doc_id >= 300"))
+    cand = (lsh_index_probe(spark, path, probe)
+            .withColumnRenamed("probe_id", "id_a")
+            .withColumnRenamed("corpus_id", "id_b"))
+    ver = verify_candidates(docs, cand, "doc_id", threshold=0.5)
+    return ver.select(F.col("id_a").alias("probe_id"),
+                      F.col("id_b").alias("corpus_id"),
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
+# ----------------------------------------------------------------------
 # connected components over the near-dup graph (iterative min-label
 # propagation) vs a recursive-CTE transitive-closure oracle
 # ----------------------------------------------------------------------

@@ -2616,3 +2616,59 @@ def test_ann_on_disk_and_pq_compose_floor(spark, tmp_path):
     assert [r["rank"] for r in one] == list(range(1, len(one) + 1))
     sims = [r["sim"] for r in one]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_index_persist_append_probe(spark, tmp_path):
+    """Persisted on-disk LSH index (round 12): write + incremental
+    append, probe equals the in-memory cross-corpus screen on the same
+    pinned family, exact duplicates are always caught, and a
+    band-subset probe is partition-pruned and a candidate subset."""
+    from detanalysis_spark.llm.dedup import (
+        append_lsh_index, lsh_candidate_pairs_between, lsh_index_probe,
+        minhash_signatures, read_lsh_meta, write_lsh_index)
+
+    base = ("the quick brown fox jumps over the lazy dog token%d "
+            "filler words keep shingles overlapping")
+    corpus = spark.createDataFrame(
+        [(i, base % i) for i in range(100, 140)],
+        "doc_id long, text string")
+    # probe i is an EXACT copy of corpus doc i+100's text
+    probes = spark.createDataFrame(
+        [(i, base % (i + 100)) for i in range(10)],
+        "doc_id long, text string")
+
+    path = str(tmp_path / "lshidx")
+    write_lsh_index(corpus.filter("doc_id < 120"), path,
+                    num_hashes=32, bands=8)
+    append_lsh_index(spark, path, corpus.filter("doc_id >= 120"))
+    meta = read_lsh_meta(spark, path)
+    assert (meta.num_hashes, meta.bands,
+            meta.rows_per_band, meta.shingle_n) == (32, 8, 4, 3)
+
+    got = lsh_index_probe(spark, path, probes)
+    pairs = {(r.probe_id, r.corpus_id) for r in got.collect()}
+    # equality vs the in-memory cross screen on identical signatures
+    a = minhash_signatures(probes, "text", 32, 3)
+    b = minhash_signatures(corpus, "text", 32, 3)
+    want = {(r.id_a, r.id_b) for r in lsh_candidate_pairs_between(
+        a, b, "doc_id", bands=8, rows_per_band=4).collect()}
+    assert pairs == want
+    for i in range(10):              # exact dups collide in every band
+        assert (i, i + 100) in pairs
+
+    # band-subset probe: partition-pruned scan, candidate subset, and
+    # exact dups still caught (they collide in EVERY band)
+    sub = lsh_index_probe(spark, path, probes, n_bands_probe=2)
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "band" in plan.split(
+        "PartitionFilters", 1)[1][:300]
+    sub_pairs = {(r.probe_id, r.corpus_id) for r in sub.collect()}
+    assert sub_pairs <= pairs
+    for i in range(10):
+        assert (i, i + 100) in sub_pairs
+
+    with pytest.raises(ValueError, match="n_bands_probe"):
+        lsh_index_probe(spark, path, probes, n_bands_probe=0)
+    with pytest.raises(ValueError, match="exceeds"):
+        write_lsh_index(corpus, str(tmp_path / "bad"),
+                        num_hashes=8, bands=8, rows_per_band=4)
