@@ -825,7 +825,10 @@ def bm25_scores(docs, queries, id_col: str = "doc_id",
         dt = docs.schema[id_col].dataType.simpleString()
         return queries.sparkSession.createDataFrame(
             [], f"{query_id_col} {qt}, {id_col} {dt}, score double")
-    dfreq = document_frequencies(tf, id_col)
+    # df branch straight from the corpus (vocabulary-bound shuffle) —
+    # deriving it from tf would shuffle the (doc, term) table a second
+    # time, since the tf subtree is not reused across join branches
+    dfreq = document_frequencies_from_docs(docs, text_col)
     if max_df is not None:
         dfreq = dfreq.filter(F.col("df") <= int(max_df))
     qterms = (queries.select(

@@ -353,7 +353,8 @@ def streaming_near_dup_hits(sdf: DataFrame, corpus_buckets: DataFrame,
                             text_col: str = "text",
                             num_hashes: int = 64, bands: int = 16,
                             shingle_n: int = 3,
-                            emit: str = "ids") -> DataFrame:
+                            emit: str = "ids",
+                            rows_per_band: int | None = None) -> DataFrame:
     """Streaming near-dup SCREEN against a static corpus: each
     micro-batch's documents are MinHash-signed and joined against the
     corpus's precomputed LSH band buckets; a doc id is emitted when it
@@ -391,7 +392,8 @@ def streaming_near_dup_hits(sdf: DataFrame, corpus_buckets: DataFrame,
 
     if emit not in ("ids", "pairs"):
         raise ValueError(f"emit must be 'ids' or 'pairs', got {emit!r}")
-    rows_per_band = num_hashes // bands
+    if rows_per_band is None:
+        rows_per_band = num_hashes // bands
     sigs = minhash_signatures(sdf.select(id_col, text_col), text_col,
                               num_hashes, shingle_n, id_col=id_col)
     bb = lsh_band_buckets(sigs, id_col, "minhash", bands, rows_per_band)
@@ -405,6 +407,30 @@ def streaming_near_dup_hits(sdf: DataFrame, corpus_buckets: DataFrame,
     return (bb.join(corpus_buckets.select("band", "bucket").distinct(),
                     ["band", "bucket"])
             .select(id_col).dropDuplicates([id_col]))
+
+
+def streaming_lsh_index_hits(sdf: DataFrame, index_path: str,
+                             text_col: str = "text",
+                             emit: str = "ids") -> DataFrame:
+    """Streaming near-dup screen against a PERSISTED on-disk LSH index
+    (``llm.dedup.write_lsh_index``): the unbounded-ingest composition
+    of :func:`streaming_near_dup_hits` where the corpus buckets and —
+    critically — the hash family come from the index's own
+    ``_lsh_meta`` sidecar, so the stream can never be signed with
+    mismatched parameters. The corpus text is never touched; each
+    micro-batch pays only its own signatures plus a stream-static join
+    against the compact (id, band, bucket) table.
+    """
+    from ..llm.dedup import read_lsh_meta
+
+    spark = sdf.sparkSession
+    meta = read_lsh_meta(spark, index_path)
+    buckets = spark.read.parquet(index_path)
+    return streaming_near_dup_hits(
+        sdf, buckets, id_col=meta.id_col, text_col=text_col,
+        num_hashes=int(meta.num_hashes), bands=int(meta.bands),
+        shingle_n=int(meta.shingle_n), emit=emit,
+        rows_per_band=int(meta.rows_per_band))
 
 
 def streaming_session_counts(sdf: DataFrame, time_col: str,

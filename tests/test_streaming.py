@@ -263,6 +263,20 @@ def test_streaming_near_dup_hits_matches_batch(spark, tmp_path):
         == expect_pairs
     assert expect_pairs == [(0, 100), (2, 101)]
 
+    # persisted-index composition (round 12): the same stream probed
+    # against an on-disk write_lsh_index of the corpus — family params
+    # come from the _lsh_meta sidecar, results identical to the
+    # in-memory screen above (non-default family proves the pinning)
+    from detanalysis_spark.llm.dedup import write_lsh_index
+    from detanalysis_spark.streaming import streaming_lsh_index_hits
+    idx = str(tmp_path / "lshidx")
+    write_lsh_index(corpus, idx, num_hashes=64, bands=16)
+    got_idx = run_available_now(
+        streaming_lsh_index_hits(sdf, idx, emit="pairs"),
+        "ndscreen_t3", output_mode="append").collect()
+    assert sorted((r.doc_id, r.corpus_id) for r in got_idx) \
+        == expect_pairs
+
 
 def test_streaming_session_counts(spark, tmp_path):
     """Native session_window sessionization agrees with the planted

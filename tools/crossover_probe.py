@@ -392,10 +392,14 @@ SELECT * FROM read_parquet('{upd_pq}/*.parquet')
         # table, hash groups), so the Spark fixed cost should amortize.
         from detanalysis_spark import suite as _sx
         tail: dict = {}
-        for name in ("tfidf_top_terms", "bpe_first_merge_pairs",
-                     "dedup_exact_documents"):
+        tail_names = ("tfidf_top_terms", "bpe_first_merge_pairs",
+                      "dedup_exact_documents")
+        if "--tail-queries" in sys.argv:
+            tail_names = tuple(
+                sys.argv[sys.argv.index("--tail-queries") + 1].split(","))
+        for name in tail_names:
             rows = []
-            for copies in (100, 1000, 2000):
+            for copies in (100, 1000, 2000, 20000):
                 ddir, dp = materialize_documents(copies)
                 n_docs = duckdb.sql(
                     f"SELECT count(*) FROM read_parquet('{dp}')"
