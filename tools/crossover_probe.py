@@ -57,7 +57,7 @@ Corpora are materialized once under /tmp and reused.
 
 Usage: python tools/crossover_probe.py [--runs N] [--skip-trim]
        [--skip-hh] [--skip-jaccard] [--skip-domain] [--skip-merge]
-       [--skip-tail]
+       [--skip-tail] [--skip-lshidx]
 """
 from __future__ import annotations
 
@@ -427,6 +427,58 @@ SELECT * FROM read_parquet('{upd_pq}/*.parquet')
                             # next decade only re-proves the trend
             tail[name] = rows
         out["tail_scaling"] = tail
+
+    if "--skip-lshidx" not in sys.argv:
+        # Round-12 persisted LSH index amortization: screening a new
+        # batch against a corpus WITH the on-disk index (probe pays
+        # only its own signatures + a join against (id, band, bucket)
+        # longs) vs WITHOUT it (re-sign the whole corpus per batch —
+        # lsh_candidate_pairs_between on freshly computed signatures).
+        # The index build itself is timed once for context; its cost
+        # amortizes over every subsequent batch.
+        from detanalysis_spark.llm.dedup import (
+            lsh_candidate_pairs_between, lsh_index_probe,
+            minhash_signatures, write_lsh_index)
+        from pyspark.sql import functions as _F
+        rows = []
+        for copies in (100, 1000):
+            ddir, dp = materialize_documents(copies)
+            docs = spark.read.parquet(dp)
+            n_docs = docs.count()
+            batch = docs.filter(_F.col("doc_id") < 500) \
+                        .localCheckpoint(eager=True)
+            n_batch = batch.count()
+            idx = f"/tmp/detanalysis_lshidx_{copies}x"
+            import shutil as _sh
+            _sh.rmtree(idx, ignore_errors=True)
+            t0 = time.time()
+            write_lsh_index(docs, idx)
+            build_s = time.time() - t0
+
+            def with_index():
+                lsh_index_probe(spark, idx, batch).count()
+
+            def without_index():
+                a = minhash_signatures(batch, "text", 64, 3)
+                b = minhash_signatures(docs, "text", 64, 3)
+                lsh_candidate_pairs_between(a, b, "doc_id").count()
+
+            wi = _min_wall(with_index, runs)
+            wo = _min_wall(without_index, runs)
+            row = {
+                "n_corpus_docs": int(n_docs),
+                "n_batch_docs": int(n_batch),
+                "index_build_s": round(build_s, 3),
+                "probe_with_index_s": round(wi, 3),
+                "screen_resigning_corpus_s": round(wo, 3),
+                "speedup": round(wo / max(wi, 1e-9), 2),
+            }
+            rows.append(row)
+            print(f"lsh_index @ {n_docs:,} corpus docs: probe "
+                  f"{wi:.2f}s vs re-sign screen {wo:.2f}s "
+                  f"(speedup {row['speedup']}x; one-time build "
+                  f"{build_s:.1f}s)", file=sys.stderr)
+        out["lsh_index_amortization"] = rows
 
     print(json.dumps(out))
     if "domain_curation_sf10" in out:
