@@ -30,6 +30,7 @@ __all__ = [
     "unigram_logprob_scores", "build_vocab",
     "bigram_frequencies", "BigramLM", "train_bigram_lm",
     "bigram_logprob_scores", "save_bigram_lm", "load_bigram_lm",
+    "save_bpe", "load_bpe",
     "word_frequencies", "bpe_pair_counts", "train_bpe", "bpe_segment_udf",
     "compression_ratio_udf", "sentence_split_udtf",
     "SCRIPT_CLASSES", "script_counts", "dominant_script",
@@ -695,6 +696,39 @@ def bpe_segment_udf(merges: Sequence[tuple[str, str]]):
             lambda t: [tok for w in t.split() for tok in encode_word(w)])
 
     return seg
+
+
+def save_bpe(spark, merges: Sequence[tuple[str, str]], path: str,
+             vocab=None) -> None:
+    """Persist a trained BPE model (:func:`train_bpe` output) as a
+    parquet artifact — ordered merges under ``merges/`` (rank column
+    pins the greedy application order) and optionally the final
+    symbol-frequency table under ``vocab/``. Everything goes through
+    Spark writers, so the artifact lands on whatever filesystem the
+    session targets (HDFS/S3/local alike) — train once on the corpus,
+    tokenize everywhere."""
+    from ..util import local_frame
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    (local_frame(spark, rows, "rank int, a string, b string")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/merges"))
+    if vocab is not None:
+        vocab.write.mode("overwrite").parquet(f"{path}/vocab")
+
+
+def load_bpe(spark, path: str):
+    """Load a :func:`save_bpe` artifact → ``(merges, vocab_df)`` with
+    ``vocab_df`` None when the artifact has no vocab table. The merges
+    list feeds :func:`bpe_segment_udf` directly; round-trips
+    token-identically (pytest-pinned)."""
+    rows = (spark.read.parquet(f"{path}/merges")
+            .orderBy("rank").collect())
+    merges = [(r.a, r.b) for r in rows]
+    try:
+        vocab = spark.read.parquet(f"{path}/vocab")
+        vocab.schema          # force analysis: missing dir raises here
+    except Exception:   # noqa: BLE001 — optional table absent
+        vocab = None
+    return merges, vocab
 
 
 def save_bigram_lm(lm: BigramLM, path: str) -> None:

@@ -2672,3 +2672,38 @@ def test_lsh_index_persist_append_probe(spark, tmp_path):
     with pytest.raises(ValueError, match="exceeds"):
         write_lsh_index(corpus, str(tmp_path / "bad"),
                         num_hashes=8, bands=8, rows_per_band=4)
+
+
+def test_bpe_save_load_roundtrip(spark, tmp_path):
+    """BPE model persistence (round 12): merges round-trip in order,
+    the reloaded model tokenizes identically, and the optional vocab
+    table survives (or is None when not saved)."""
+    from detanalysis_spark.llm.text import (bpe_segment_udf, load_bpe,
+                                            save_bpe, train_bpe)
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest newer newest wider widest low low")
+         for i in range(6)], ["doc_id", "text"])
+    merges, vocab = train_bpe(docs, num_merges=12, min_freq=2)
+    assert merges
+
+    path = str(tmp_path / "bpe_model")
+    save_bpe(spark, merges, path, vocab=vocab)
+    got_merges, got_vocab = load_bpe(spark, path)
+    assert got_merges == merges
+    assert got_vocab is not None
+    assert (sorted((r.symbol, r.freq) for r in got_vocab.collect())
+            == sorted((r.symbol, r.freq) for r in vocab.collect()))
+
+    seg_a = bpe_segment_udf(merges)
+    seg_b = bpe_segment_udf(got_merges)
+    out = docs.select(seg_a(F.col("text")).alias("a"),
+                      seg_b(F.col("text")).alias("b")).collect()
+    for r in out:
+        assert r.a == r.b
+
+    # vocab-less artifact loads with vocab=None
+    path2 = str(tmp_path / "bpe_model2")
+    save_bpe(spark, merges, path2)
+    m2, v2 = load_bpe(spark, path2)
+    assert m2 == merges and v2 is None
