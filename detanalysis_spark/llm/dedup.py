@@ -42,7 +42,7 @@ __all__ = [
     "jaccard_index_pairs", "containment_pairs",
     "sorted_neighborhood_pairs",
     "write_lsh_index", "append_lsh_index", "read_lsh_meta",
-    "lsh_index_probe",
+    "lsh_index_probe", "update_near_dup_clusters",
 ]
 
 
@@ -1316,3 +1316,71 @@ def lsh_index_probe(spark, path: str, probe_docs: DataFrame,
     idx = idx.withColumnRenamed(meta.id_col, "corpus_id")
     return (pb.join(idx, ["band", "bucket"])
             .select("probe_id", "corpus_id").distinct())
+
+
+def update_near_dup_clusters(assignments: DataFrame,
+                             new_pairs: DataFrame,
+                             new_ids: DataFrame | None = None,
+                             **cc_kwargs) -> DataFrame:
+    """Incremental connected-component maintenance (round 12): fold a
+    new batch's near-dup pairs into an EXISTING clustering without
+    re-running CC over the corpus — the clustering counterpart of
+    :func:`dedup_incremental` / :func:`lsh_index_probe` in a growing
+    100 TB corpus.
+
+    ``assignments``: (id, cluster_id) — a valid clustering with
+    cluster_id = component-min member id (the :func:`near_dup_clusters`
+    contract). ``new_pairs``: (id_a, id_b) edges involving at least one
+    id NOT in ``assignments`` (the incremental screen's output:
+    new-vs-corpus + within-batch pairs). ``new_ids``: optional 1-column
+    ``id`` frame of ALL new ids — those without any pair are emitted as
+    singletons (id, id).
+
+    Plan: each pair endpoint maps to its SUPER-NODE — its existing
+    cluster id, or itself when unassigned — via two id-keyed left
+    joins; CC runs on the reduced super-node graph, which is bounded by
+    the BATCH (plus touched clusters), never the corpus, so the
+    iterative/union-find machinery touches a few thousand rows
+    regardless of corpus size. Cluster ids are themselves member ids,
+    so the reduced component min IS the global component min. Existing
+    rows are then relabeled through one (old cluster id → new label)
+    join — only clusters the batch touches change; everything else
+    passes through with its label intact. Output: (id, cluster_id)
+    covering the old assignments plus every new/previously-unassigned
+    id that now carries an edge (plus ``new_ids`` singletons).
+
+    Equality contract (pytest + full oracle): the result partition AND
+    labels equal ``near_dup_clusters(old_pairs ∪ new_pairs)`` run from
+    scratch, provided ``new_pairs`` holds every edge incident to a new
+    id (old-old edges were already folded into ``assignments``).
+    """
+    a_sup = assignments.select(F.col("id").alias("id_a"),
+                               F.col("cluster_id").alias("sup_a"))
+    b_sup = assignments.select(F.col("id").alias("id_b"),
+                               F.col("cluster_id").alias("sup_b"))
+    reduced = (new_pairs.select("id_a", "id_b")
+               .join(a_sup, "id_a", "left")
+               .join(b_sup, "id_b", "left")
+               .select(F.coalesce("sup_a", F.col("id_a")).alias("id_a"),
+                       F.coalesce("sup_b", F.col("id_b")).alias("id_b"))
+               .filter(F.col("id_a") != F.col("id_b")))
+    sup_labels = near_dup_clusters(reduced, **cc_kwargs)
+
+    # relabel existing rows: only touched clusters appear in the remap
+    remap = sup_labels.select(F.col("id").alias("cluster_id"),
+                              F.col("cluster_id").alias("__new_label__"))
+    old = (assignments.join(remap, "cluster_id", "left")
+           .select("id", F.coalesce("__new_label__", F.col("cluster_id"))
+                   .alias("cluster_id")))
+    # reduced nodes that are NOT existing cluster labels are new (or
+    # previously-unassigned) ids — they get their own rows
+    fresh = sup_labels.join(
+        assignments.select(F.col("cluster_id").alias("id")).distinct(),
+        "id", "left_anti")
+    out = old.unionByName(fresh)
+    if new_ids is not None:
+        singles = (new_ids.select(F.col("id"))
+                   .join(out.select("id"), "id", "left_anti")
+                   .withColumn("cluster_id", F.col("id")))
+        out = out.unionByName(singles)
+    return out

@@ -962,6 +962,50 @@ def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# incremental cluster maintenance (round 12): cluster the OLD half's
+# pairs, then fold the new batch's pairs in via the super-node
+# reduction (update_near_dup_clusters) — the oracle is the SAME
+# recursive-CTE transitive closure over the FULL graph, so the
+# incremental path must land exactly where a from-scratch CC lands.
+# ----------------------------------------------------------------------
+@query("incremental_cluster_update_sizes", oracle=r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks)-1)]) AS sh
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents)),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b, id_a FROM p),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+lbl AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id, count(*) AS n_members
+FROM lbl GROUP BY cluster_id
+""")
+def incremental_cluster_update_sizes(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _DD.near_dup_pairs(docs, "doc_id", "text",
+                               threshold=0.5).localCheckpoint(eager=True)
+    old_pairs = pairs.filter((F.col("id_a") < 250)
+                             & (F.col("id_b") < 250))
+    new_pairs = pairs.filter(~((F.col("id_a") < 250)
+                               & (F.col("id_b") < 250)))
+    base = _DD.near_dup_clusters(old_pairs)
+    upd = _DD.update_near_dup_clusters(base, new_pairs)
+    return upd.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"))
+
+
+# ----------------------------------------------------------------------
 # EXACT n-gram-Jaccard similarity join (inverted shingle index, NEW
 # round 9) vs the same all-pairs SQL oracle family as the MinHash
 # path — but here the Spark side guarantees every qualifying pair

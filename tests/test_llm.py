@@ -2707,3 +2707,45 @@ def test_bpe_save_load_roundtrip(spark, tmp_path):
     save_bpe(spark, merges, path2)
     m2, v2 = load_bpe(spark, path2)
     assert m2 == merges and v2 is None
+
+
+def test_update_near_dup_clusters_equals_full_cc(spark):
+    """Incremental CC maintenance (round 12): folding a batch's pairs
+    into an existing clustering via the super-node reduction must land
+    exactly where a from-scratch CC over the union lands — including
+    cluster MERGES bridged by a new doc, label changes from a
+    smaller-id newcomer, previously-unassigned old docs, and
+    singletons."""
+    from detanalysis_spark.llm.dedup import (near_dup_clusters,
+                                             update_near_dup_clusters)
+
+    # old graph: {1,2,3} (min 1), {10,11} (min 10); 20 is an old
+    # singleton with no edges (absent from assignments)
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    base = near_dup_clusters(old_pairs)
+
+    # new batch: 30 bridges the two old clusters; 31-32 form their own
+    # cluster; 0 (smaller than every old id) joins {10,11} and must
+    # relabel it; 33 attaches to the unassigned old doc 20
+    new_pairs = spark.createDataFrame(
+        [(30, 3), (30, 10), (31, 32), (0, 11), (33, 20)],
+        "id_a long, id_b long")
+    new_ids = spark.createDataFrame(
+        [(0,), (30,), (31,), (32,), (33,), (40,)], "id long")
+
+    got = {(r.id, r.cluster_id) for r in
+           update_near_dup_clusters(base, new_pairs,
+                                    new_ids=new_ids).collect()}
+    want = {(r.id, r.cluster_id) for r in
+            near_dup_clusters(old_pairs.unionByName(new_pairs))
+            .collect()}
+    want.add((40, 40))                      # pairless singleton
+    assert got == want
+    # spot-check semantics: everything connected collapses to min 0
+    by_id = dict(got)
+    for i in (0, 1, 2, 3, 10, 11, 30):
+        assert by_id[i] == 0
+    assert by_id[31] == 31 and by_id[32] == 31
+    assert by_id[33] == 20 and by_id[20] == 20
+    assert by_id[40] == 40
