@@ -3763,6 +3763,41 @@ def wet_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# WebDataset-style tar-shard export round trip (round 12): documents
+# exported as {doc_id}.txt / {doc_id}.src members across deterministic
+# hash shards, read back through the binaryFile + tar parse path, and
+# audited per member extension. The oracle replays counts and utf-8
+# octet sums straight from the table — the whole write/read machinery
+# (member framing, shard assignment, manifest) is under the hash.
+# ----------------------------------------------------------------------
+@query("wds_roundtrip_stats", oracle="""
+SELECT 'src' AS ext, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(strlen(source)) AS BIGINT) AS sum_octets
+FROM documents
+UNION ALL
+SELECT 'txt', CAST(count(*) AS BIGINT),
+       CAST(sum(strlen(text)) AS BIGINT)
+FROM documents
+""")
+def wds_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from .sources.wds import read_tar_shards, write_tar_shards
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        f"/tmp/detanalysis_spark_textio_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)) + "_docs_wds")
+    shutil.rmtree(path, ignore_errors=True)
+    write_tar_shards(docs, path, "doc_id",
+                     {"text": "txt", "source": "src"}, n_shards=4)
+    back = read_tar_shards(spark, path)
+    return (back.groupBy("ext")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.sum(F.octet_length("payload")).alias("sum_octets")))
+
+
+# ----------------------------------------------------------------------
 # Full-WARC response ingest round trip (NEW round 9) — documents wrap
 # as HTTP responses inside WARC response records (write_warc:
 # status line, Content-Type, byte-exact HTTP Content-Length), then
