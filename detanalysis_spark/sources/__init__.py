@@ -10,7 +10,7 @@ from .textio import (read_wet, write_wet, stream_wet,
                      read_csv_corpus, stream_jsonl_quarantine)
 from .hdf5 import (read_vaex_hdf5, hdf5_row_count, hdf5_to_parquet,
                    load_hdf5)
-from .wds import write_tar_shards, read_tar_shards
+from .wds import write_tar_shards, read_tar_shards, stream_tar_shards
 from .layout import (zorder_key, zorder_write, file_manifest,
                      prune_files, pruned_parquet, schema_manifest,
                      schema_drift, compact_parquet_dir)
@@ -24,7 +24,7 @@ __all__ = ["load_table", "load_all", "register_views", "TABLES",
            "read_wet", "write_wet", "stream_wet",
            "read_wet_quarantine", "read_warc_quarantine",
            "stream_wet_quarantine",
-           "write_tar_shards", "read_tar_shards",
+           "write_tar_shards", "read_tar_shards", "stream_tar_shards",
            "read_csv_corpus", "stream_jsonl_quarantine",
            "read_vaex_hdf5", "hdf5_row_count", "hdf5_to_parquet",
            "load_hdf5",

@@ -36,7 +36,32 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_tar_shards", "read_tar_shards"]
+__all__ = ["write_tar_shards", "read_tar_shards", "stream_tar_shards"]
+
+_MEMBER_SCHEMA = "key string, ext string, payload binary, shard string"
+
+
+def _parse_tar_batches(batches):
+    """Shared Arrow-batched tar parse of (path, content) rows — the
+    SAME function backs the batch and streaming readers, so
+    batch == stream holds by construction."""
+    import io
+    import tarfile
+    for pdf in batches:
+        keys, exts, payloads, shards = [], [], [], []
+        for p, content in zip(pdf["path"], pdf["content"]):
+            shard = os.path.basename(str(p))
+            with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                for m in tf:
+                    if not m.isfile():
+                        continue
+                    key, _, ext = m.name.rpartition(".")
+                    keys.append(key if key else m.name)
+                    exts.append(ext if key else "")
+                    payloads.append(tf.extractfile(m).read())
+                    shards.append(shard)
+        yield pd.DataFrame({"key": keys, "ext": exts,
+                            "payload": payloads, "shard": shards})
 
 
 def write_tar_shards(df: DataFrame, path: str, key_col: str,
@@ -148,32 +173,38 @@ def read_tar_shards(spark: SparkSession, path: str,
     bin_df = (spark.read.format("binaryFile")
               .load(os.path.join(path, pattern))
               .select("path", "content"))
-
-    def parse(batches):
-        import io
-        import tarfile
-        for pdf in batches:
-            keys, exts, payloads, shards = [], [], [], []
-            for p, content in zip(pdf["path"], pdf["content"]):
-                shard = os.path.basename(str(p))
-                with tarfile.open(
-                        fileobj=io.BytesIO(bytes(content))) as tf:
-                    for m in tf:
-                        if not m.isfile():
-                            continue
-                        key, _, ext = m.name.rpartition(".")
-                        keys.append(key if key else m.name)
-                        exts.append(ext if key else "")
-                        payloads.append(tf.extractfile(m).read())
-                        shards.append(shard)
-            yield pd.DataFrame({"key": keys, "ext": exts,
-                                "payload": payloads, "shard": shards})
-
-    long = bin_df.mapInPandas(
-        parse, "key string, ext string, payload binary, shard string")
+    long = bin_df.mapInPandas(_parse_tar_batches, _MEMBER_SCHEMA)
     if not wide:
         return long
     return (long.groupBy("key")
             .agg(F.map_from_entries(
                 F.sort_array(F.collect_list(F.struct("ext", "payload"))))
                 .alias("members")))
+
+
+def stream_tar_shards(spark: SparkSession, path: str,
+                      pattern: str = "*.tar",
+                      max_files_per_trigger: int | None = None
+                      ) -> DataFrame:
+    """Streaming tar-shard ingest: an unbounded readStream over a
+    shard directory (a training-export landing zone) parsed through
+    the SAME ``_parse_tar_batches`` as the batch reader — batch ==
+    stream by construction. Each micro-batch carries whole shards
+    (one ``binaryFile`` row per tar); returns the long member frame
+    ``(key, ext, payload, shard)``, append-mode friendly (stateless
+    projection — compose with ``streaming_dedup_exact`` /
+    ``stream_to_parquet`` downstream)."""
+    from pyspark.sql.types import (BinaryType, LongType, StringType,
+                                   StructField, StructType,
+                                   TimestampType)
+    schema = StructType([StructField("path", StringType()),
+                         StructField("modificationTime", TimestampType()),
+                         StructField("length", LongType()),
+                         StructField("content", BinaryType())])
+    reader = spark.readStream.format("binaryFile").schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    sdf = reader.load(os.path.join(path, pattern)) \
+        .select("path", "content")
+    return sdf.mapInPandas(_parse_tar_batches, _MEMBER_SCHEMA)

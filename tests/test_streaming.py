@@ -984,3 +984,29 @@ def test_lineage_id_uri_and_relative_paths(tmp_path, monkeypatch):
     monkeypatch.chdir(d)
     from_child = _lineage_id("ck")
     assert from_parent == from_child == str(d / "ck")
+
+
+def test_stream_tar_shards_matches_batch(spark, tmp_path):
+    """Streaming tar-shard ingest drains to exactly the batch reader's
+    member rows (same parse function by construction), across
+    multi-shard micro-batches."""
+    from detanalysis_spark.sources.wds import (read_tar_shards,
+                                               stream_tar_shards,
+                                               write_tar_shards)
+    from detanalysis_spark.streaming.continuous import run_available_now
+
+    df = spark.createDataFrame(
+        [(f"{i:04d}", f"doc {i}", bytes([i % 13, 7]))
+         for i in range(23)], "k string, text string, payload binary")
+    p = str(tmp_path / "wds_stream")
+    write_tar_shards(df, p, "k", {"text": "txt", "payload": "bin"},
+                     n_shards=4)
+
+    want = sorted((r.key, r.ext, bytes(r.payload), r.shard)
+                  for r in read_tar_shards(spark, p).collect())
+    got = run_available_now(
+        stream_tar_shards(spark, p, max_files_per_trigger=1),
+        "wds_stream_t", output_mode="append").collect()
+    assert sorted((r.key, r.ext, bytes(r.payload), r.shard)
+                  for r in got) == want
+    assert len(want) == 46
