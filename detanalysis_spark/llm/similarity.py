@@ -287,6 +287,71 @@ class RandomHyperplaneLSH:
                 .select("probe_id", "rank", "neighbor_id", "sim"))
 
 
+def _blocked_probe_scores(cc: DataFrame, d: DataFrame, threshold: float,
+                          out_schema: str,
+                          require_id_lt: bool) -> DataFrame:
+    """Shared blocked-BLAS probe-vs-corpus scoring kernel: ``cc`` is
+    the (small, guard-checked) probe frame (id_a, va unit vectors),
+    ``d`` the streaming corpus frame (id_b, vb). The probe matrices
+    (grouped by dimension) are collected once and broadcast; the
+    corpus streams through mapInPandas with one matmul per
+    (corpus-block × probe-chunk); only pairs ≥ threshold materialize.
+    ``require_id_lt`` applies the within-frame ``id_a < id_b``
+    canonical-pair mask (self-join near-dup); cross-frame callers
+    (decontamination — probe and corpus id spaces are unrelated)
+    disable it.
+    """
+    pm = cc.toPandas()
+    lens = pm["va"].map(len).to_numpy()
+    groups = []
+    for dim in np.unique(lens):
+        sub = pm[lens == dim]
+        groups.append((int(dim),
+                       np.stack(sub["va"].to_numpy()).astype(
+                           np.float64, copy=False),
+                       sub["id_a"].to_numpy()))
+    # ship the probe matrices as an explicit broadcast: one
+    # torrent-distributed copy per executor instead of a closure
+    # capture serialized with (and held by) every task
+    bc = d.sparkSession.sparkContext.broadcast(groups)
+    thr = float(threshold)
+    lt = bool(require_id_lt)
+    BLK = 2048  # bounds each score block to ≤ 32 MB
+
+    def gen(batches):
+        grps = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # null corpus vectors score null under the fold →
+            # below threshold; -1 never matches a probe dimension
+            blens = pdf["vb"].map(
+                lambda v: -1 if v is None else len(v)).to_numpy()
+            for dim, P, ids_a in grps:
+                sel = pdf[blens == dim]
+                if len(sel) == 0:
+                    continue
+                X = np.stack(sel["vb"].to_numpy()).astype(
+                    np.float64, copy=False)
+                ids_b = sel["id_b"].to_numpy()
+                for i in range(0, len(ids_b), BLK):
+                    Xi, bi_ids = X[i:i + BLK], ids_b[i:i + BLK]
+                    for j in range(0, len(ids_a), BLK):
+                        S = Xi @ P[j:j + BLK].T
+                        ai_ids = ids_a[j:j + BLK]
+                        mask = S >= thr
+                        if lt:
+                            mask &= ai_ids[None, :] < bi_ids[:, None]
+                        bi, ai = np.nonzero(mask)
+                        if len(bi):
+                            yield pd.DataFrame(
+                                {"id_a": ai_ids[ai],
+                                 "id_b": bi_ids[bi],
+                                 "cosine": S[bi, ai]})
+
+    return d.mapInPandas(gen, out_schema)
+
+
 def cosine_near_dup_pairs(df: DataFrame, threshold: float,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
@@ -357,53 +422,8 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
                 f"this scale")
         if int(g["n"]) == 0:
             return df.sparkSession.createDataFrame([], out_schema)
-        pm = cc.toPandas()
-        lens = pm["va"].map(len).to_numpy()
-        groups = []
-        for dim in np.unique(lens):
-            sub = pm[lens == dim]
-            groups.append((int(dim),
-                           np.stack(sub["va"].to_numpy()).astype(
-                               np.float64, copy=False),
-                           sub["id_a"].to_numpy()))
-        # ship the probe matrices as an explicit broadcast: one
-        # torrent-distributed copy per executor instead of a closure
-        # capture serialized with (and held by) every task
-        bc = df.sparkSession.sparkContext.broadcast(groups)
-        thr = float(threshold)
-        BLK = 2048  # bounds each score block to ≤ 32 MB
-
-        def gen(batches):
-            grps = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                # null corpus vectors score null under the fold →
-                # below threshold; -1 never matches a probe dimension
-                blens = pdf["vb"].map(
-                    lambda v: -1 if v is None else len(v)).to_numpy()
-                for dim, P, ids_a in grps:
-                    sel = pdf[blens == dim]
-                    if len(sel) == 0:
-                        continue
-                    X = np.stack(sel["vb"].to_numpy()).astype(
-                        np.float64, copy=False)
-                    ids_b = sel["id_b"].to_numpy()
-                    for i in range(0, len(ids_b), BLK):
-                        Xi, bi_ids = X[i:i + BLK], ids_b[i:i + BLK]
-                        for j in range(0, len(ids_a), BLK):
-                            S = Xi @ P[j:j + BLK].T
-                            ai_ids = ids_a[j:j + BLK]
-                            mask = (S >= thr) \
-                                & (ai_ids[None, :] < bi_ids[:, None])
-                            bi, ai = np.nonzero(mask)
-                            if len(bi):
-                                yield pd.DataFrame(
-                                    {"id_a": ai_ids[ai],
-                                     "id_b": bi_ids[bi],
-                                     "cosine": S[bi, ai]})
-
-        return d.mapInPandas(gen, out_schema)
+        return _blocked_probe_scores(cc, d, threshold, out_schema,
+                                     require_id_lt=True)
 
     bb = lsh.explode_buckets(lsh.with_buckets(df, vec_col),
                              id_col=id_col)
@@ -416,6 +436,68 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float,
     sim = dot_rows(F.col("va"), F.col("vb"))
     return (pairs.select("id_a", "id_b", sim.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def semantic_contamination_hits(corpus: DataFrame, benchmark: DataFrame,
+                                threshold: float,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                bench_id_col: str | None = None,
+                                bench_vec_col: str | None = None
+                                ) -> DataFrame:
+    """(corpus_id, bench_id, cosine) rows where a corpus embedding
+    scores ≥ ``threshold`` against ANY benchmark embedding — the
+    SEMANTIC counterpart of the n-gram ``contamination_overlap`` gate
+    (paraphrased eval leakage that shares no 8-gram still lands near
+    the benchmark in embedding space).
+
+    The benchmark side is small by contract (eval sets are thousands
+    of rows, the corpus is the 100 TB side): its unit-normalized
+    matrix is guard-checked (≤10M elements), collected once and
+    broadcast; the corpus STREAMS through one blocked BLAS matmul per
+    Arrow batch (the shared :func:`_blocked_probe_scores` kernel, no
+    ordering mask — the two id spaces are unrelated) and never
+    shuffles. NULL embeddings on either side never match.
+    """
+    bid = bench_id_col or id_col
+    bvc = bench_vec_col or vec_col
+    c = (benchmark.select(F.col(bid).alias("id_a"),
+                          _unit(F.col(bvc)).alias("va"))
+         .filter(F.col("va").isNotNull()))
+    d = corpus.select(F.col(id_col).alias("id_b"),
+                      _unit(F.col(vec_col)).alias("vb"))
+    bt = benchmark.schema[bid].dataType.simpleString()
+    ct = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {bt}, id_b {ct}, cosine double"
+    g = c.agg(F.count(F.lit(1)).alias("n"),
+              F.coalesce(F.sum(F.size("va")), F.lit(0)).alias("elems")
+              ).collect()[0]
+    if int(g["elems"]) > 10_000_000:
+        raise ValueError(
+            f"semantic_contamination_hits: benchmark matrix too large "
+            f"to broadcast ({int(g['n'])} rows, {int(g['elems'])} "
+            f"elements > 10M) — pre-cluster the benchmark or screen "
+            f"through an IVFIndex instead")
+    if int(g["n"]) == 0:
+        hits = corpus.sparkSession.createDataFrame([], out_schema)
+    else:
+        hits = _blocked_probe_scores(c, d, threshold, out_schema,
+                                     require_id_lt=False)
+    return hits.select(F.col("id_b").alias("corpus_id"),
+                       F.col("id_a").alias("bench_id"), "cosine")
+
+
+def semantic_decontaminate(corpus_docs: DataFrame, hits: DataFrame,
+                           id_col: str = "doc_id",
+                           corpus_id_col: str = "corpus_id"
+                           ) -> DataFrame:
+    """Drop every corpus row flagged by
+    :func:`semantic_contamination_hits` — one anti-join keyed by id
+    (the flagged set is bounded by the hit count, tiny next to the
+    corpus)."""
+    flagged = (hits.select(F.col(corpus_id_col).alias(id_col))
+               .distinct())
+    return corpus_docs.join(flagged, id_col, "left_anti")
 
 
 def semantic_dedup(df: DataFrame, threshold: float,

@@ -2229,6 +2229,54 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# semantic decontamination (round 12): corpus embeddings scored against
+# a broadcast benchmark set — the embedding-space counterpart of the
+# n-gram decontamination gate (paraphrased eval leakage shares no
+# 8-gram but still lands near the benchmark). Full oracle: DuckDB
+# replays the cross cosine join and the anti-join arithmetic.
+# ----------------------------------------------------------------------
+@query("semantic_decontamination_stats", oracle="""
+WITH c AS (SELECT * FROM embeddings WHERE vec_id >= 100),
+b AS (SELECT * FROM embeddings WHERE vec_id < 20),
+h AS (SELECT c.vec_id AS corpus_id, b.vec_id AS bench_id,
+             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cos
+      FROM c, b
+      WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.3)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_corpus,
+       CAST(count(DISTINCT corpus_id) AS BIGINT) AS n_flagged,
+       (SELECT count(*) FROM c) - count(DISTINCT corpus_id)
+         AS n_survivors,
+       CAST(count(*) AS BIGINT) AS n_hit_pairs,
+       round(max(cos), 6) AS max_cosine
+FROM h
+""")
+def semantic_decontamination_stats(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from .llm.similarity import (semantic_contamination_hits,
+                                 semantic_decontaminate)
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    bench = emb.filter(F.col("vec_id") < 20)
+    hits = semantic_contamination_hits(corpus, bench, 0.3) \
+        .localCheckpoint(eager=True)
+    survivors = semantic_decontaminate(corpus, hits,
+                                       id_col="vec_id")
+    n_surv = survivors.agg(
+        F.count(F.lit(1)).alias("n_survivors"))
+    n_corp = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
+    hstats = hits.agg(
+        F.countDistinct("corpus_id").alias("n_flagged"),
+        F.count(F.lit(1)).alias("n_hit_pairs"),
+        F.round(F.max("cosine"), 6).alias("max_cosine"))
+    return (n_corp.crossJoin(F.broadcast(hstats))
+            .crossJoin(F.broadcast(n_surv))
+            .select("n_corpus", "n_flagged", "n_survivors",
+                    "n_hit_pairs", "max_cosine"))
+
+
+# ----------------------------------------------------------------------
 # SemDeDup semantic dedup (Abbas et al., arXiv:2303.09540): cluster the
 # embedding space, keep-lowest-index inside each cluster among points
 # with cosine >= threshold. Clusters here are the label column (any

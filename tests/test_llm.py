@@ -2749,3 +2749,55 @@ def test_update_near_dup_clusters_equals_full_cc(spark):
     assert by_id[31] == 31 and by_id[32] == 31
     assert by_id[33] == 20 and by_id[20] == 20
     assert by_id[40] == 40
+
+
+def test_semantic_contamination_hits_and_decontaminate(spark):
+    """Cross-frame semantic contamination screen (round 12): hits are
+    exactly the numpy cross-cosine pairs >= t with NO id-ordering mask
+    (unrelated id spaces), NULL embeddings never match, an empty
+    benchmark flags nothing, and decontaminate drops exactly the
+    flagged rows."""
+    from detanalysis_spark.llm.similarity import (
+        semantic_contamination_hits, semantic_decontaminate)
+
+    rng = np.random.default_rng(3)
+    bvecs = rng.standard_normal((4, 8))
+    cvecs = np.vstack([bvecs[0] * 2.0,           # cos 1.0 with bench 0
+                       -bvecs[1],                # cos -1 with bench 1
+                       rng.standard_normal((3, 8))])
+    # corpus ids DELIBERATELY smaller than bench ids: an id_a < id_b
+    # mask would wrongly drop every hit
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(cvecs)]
+        + [(99, None)],
+        "vec_id long, embedding array<double>")
+    bench = spark.createDataFrame(
+        [(100 + i, [float(x) for x in v]) for i, v in enumerate(bvecs)],
+        "vec_id long, embedding array<double>")
+
+    hits = semantic_contamination_hits(corpus, bench, 0.9)
+    got = {(r.corpus_id, r.bench_id): r.cosine for r in hits.collect()}
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+    want = {}
+    for ci, cv in enumerate(cvecs):
+        for bi, bv in enumerate(bvecs):
+            cos = float(unit(cv) @ unit(bv))
+            if cos >= 0.9:
+                want[(ci, 100 + bi)] = cos
+    assert set(got) == set(want) and (0, 100) in got
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+    surv = semantic_decontaminate(corpus, hits, id_col="vec_id")
+    kept = sorted(r.vec_id for r in surv.collect())
+    flagged = {c for c, _ in got}
+    assert kept == [i for i in list(range(5)) + [99] if i not in flagged]
+
+    # empty benchmark: no hits, corpus unchanged
+    none = semantic_contamination_hits(
+        corpus, bench.filter("vec_id < 0"), 0.1)
+    assert none.count() == 0
+    assert semantic_decontaminate(corpus, none,
+                                  id_col="vec_id").count() == 6
