@@ -64,7 +64,12 @@ INTENTIONAL_NESTED_LOOP = {"key_skew_profile_orders",
                            # single-row aggregates (record stats x
                            # quarantine stats) — a 1x1 BNLJ, free at
                            # any scale
-                           "wet_quarantine_stats"}
+                           "wet_quarantine_stats",
+                           # semantic_decontamination_stats chains its
+                           # THREE global single-row aggregates
+                           # (corpus count x hit stats x survivor
+                           # count) — 1x1x1 BNLJ, free at any scale
+                           "semantic_decontamination_stats"}
 # queries whose un-partitioned window is a documented correctness
 # exhibit, not the scale path (scale path: approx edges + assign_bin)
 DOCUMENTED_EXHIBITS = {"ntile_time_bins"}
