@@ -6,7 +6,8 @@ from .binning import (equal_width_edges, equal_frequency_edges, ofamp_edges,
                       assign_bin, ntile_bin)
 from .joins import (salted_join, asof_join, range_join_binned,
                     merge_intervals)
-from .privacy import k_anonymity_profile, suppress_small_groups
+from .privacy import (k_anonymity_profile, suppress_small_groups,
+                      encrypt_columns, decrypt_columns, pseudonymize)
 from .quality import (not_null, in_range, matches, unique, foreign_key,
                       check_table)
 from .rollup import (time_bucket, build_rollup, merge_rollups,
@@ -36,6 +37,7 @@ __all__ = [
     "update_rollup", "read_rollup", "gapfill_buckets",
     "sketch_distinct", "split_overlap_audit",
     "k_anonymity_profile", "suppress_small_groups",
+    "encrypt_columns", "decrypt_columns", "pseudonymize",
     "not_null", "in_range", "matches", "unique", "foreign_key",
     "check_table",
 ]

@@ -70,3 +70,77 @@ def suppress_small_groups(df: DataFrame, quasi_cols: Sequence[str],
         eq = df[c].eqNullSafe(big[c])
         cond = eq if cond is None else cond & eq
     return df.join(big, cond, "left_semi")
+
+
+# ----------------------------------------------------------------------
+# column-level protection (round 12): native AES encryption +
+# keyed one-way pseudonymization — all JVM-side expressions
+# (aes_encrypt/aes_decrypt/sha2), zero Python in the row path.
+# ----------------------------------------------------------------------
+def encrypt_columns(df: DataFrame, cols, key: str,
+                    deterministic: bool = False,
+                    suffix: str = "") -> DataFrame:
+    """Encrypt string-castable columns at rest with Spark's native
+    ``aes_encrypt`` (key of 16/24/32 bytes).
+
+    Default mode is GCM — randomized, semantically secure, the right
+    choice for storage. ``deterministic=True`` switches to ECB: equal
+    plaintexts yield equal ciphertexts, so the protected column stays
+    JOINABLE/dedupable (keyed pseudonymization) at the cost of
+    equality leakage — the standard trade; pick per column. Encrypted
+    columns become ``binary`` (replaced in place, or appended under
+    ``{col}{suffix}`` when ``suffix`` is non-empty). NULLs stay NULL.
+    """
+    if isinstance(cols, str):
+        cols = [cols]
+    if len(key.encode()) not in (16, 24, 32):
+        raise ValueError("AES key must be 16, 24, or 32 bytes")
+    mode = "ECB" if deterministic else "GCM"
+    out = df
+    for c in cols:
+        enc = F.aes_encrypt(F.col(c).cast("string").cast("binary"),
+                            F.lit(key), F.lit(mode))
+        out = out.withColumn(c + suffix if suffix else c, enc)
+    return out
+
+
+def decrypt_columns(df: DataFrame, cols, key: str,
+                    deterministic: bool = False) -> DataFrame:
+    """Inverse of :func:`encrypt_columns` — decrypts each binary
+    column back to its string form (cast further in the caller if the
+    original type was numeric). Wrong-key/corrupt inputs raise (use
+    ``try_aes_decrypt`` semantics upstream if quarantine is needed)."""
+    if isinstance(cols, str):
+        cols = [cols]
+    mode = "ECB" if deterministic else "GCM"
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c, F.aes_decrypt(F.col(c), F.lit(key),
+                             F.lit(mode)).cast("string"))
+    return out
+
+
+def pseudonymize(df: DataFrame, cols, secret: str,
+                 length: int = 16) -> DataFrame:
+    """One-way keyed pseudonymization: each column value becomes the
+    first ``length`` hex chars of ``sha2(secret || 0x1f || value,
+    256)`` — irreversible (no decrypt exists), deterministic (equal
+    values map to equal tokens, so joins/dedup/groupBys still work),
+    and keyed (tokens are not linkable across datasets protected with
+    different secrets). The standard GDPR-style pseudonymization
+    primitive when re-identification must be impossible rather than
+    merely key-protected. NULLs stay NULL."""
+    if isinstance(cols, str):
+        cols = [cols]
+    if not 8 <= int(length) <= 64:
+        raise ValueError("length must be in [8, 64] hex chars")
+    out = df
+    for c in cols:
+        tok = F.substring(
+            F.sha2(F.concat_ws("\x1f", F.lit(secret),
+                               F.col(c).cast("string")), 256),
+            1, int(length))
+        out = out.withColumn(
+            c, F.when(F.col(c).isNull(), F.lit(None)).otherwise(tok))
+    return out

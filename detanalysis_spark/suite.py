@@ -3811,6 +3811,52 @@ def wet_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# column-level PII protection (round 12): native-AES encryption
+# (deterministic ECB for joinable pseudonymization, randomized GCM for
+# at-rest), decryption round trip, and keyed one-way sha2
+# pseudonymization — all JVM expressions. The oracle replays the
+# deterministic properties (cipher cardinality == plaintext
+# cardinality, round-trip equality, exact sha256 tokens) from the
+# plain table; GCM's randomness cancels because only DECRYPTED values
+# are aggregated.
+# ----------------------------------------------------------------------
+@query("pii_protection_stats", oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT c_name) AS BIGINT) AS n_name_ciphers,
+       CAST(count(*) AS BIGINT) AS n_name_roundtrip,
+       CAST(sum(length(c_name)) AS BIGINT) AS name_chars,
+       CAST(sum(length(c_mktsegment)) AS BIGINT) AS seg_chars,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_key_tokens,
+       min(substr(sha256('s7' || chr(31) ||
+                         CAST(c_custkey AS VARCHAR)), 1, 16))
+         AS min_key_token
+FROM customer
+""")
+def pii_protection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.privacy import (decrypt_columns, encrypt_columns,
+                                    pseudonymize)
+    key = "0123456789abcdef"
+    cust = load_table(spark, sf_dir, "customer")
+    e = encrypt_columns(cust, ["c_name"], key, deterministic=True,
+                        suffix="_cipher")
+    e = encrypt_columns(e, ["c_mktsegment"], key, suffix="_cipher")
+    e = pseudonymize(e, ["c_custkey"], "s7")
+    e = (e.withColumn("c_name_rt", F.col("c_name_cipher"))
+         .withColumn("c_seg_rt", F.col("c_mktsegment_cipher")))
+    d = decrypt_columns(e, ["c_name_rt"], key, deterministic=True)
+    d = decrypt_columns(d, ["c_seg_rt"], key)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("c_name_cipher").alias("n_name_ciphers"),
+        F.sum((F.col("c_name_rt") == F.col("c_name")).cast("long"))
+         .alias("n_name_roundtrip"),
+        F.sum(F.length("c_name_rt")).alias("name_chars"),
+        F.sum(F.length("c_seg_rt")).alias("seg_chars"),
+        F.countDistinct("c_custkey").alias("n_key_tokens"),
+        F.min("c_custkey").alias("min_key_token"))
+
+
+# ----------------------------------------------------------------------
 # WebDataset-style tar-shard export round trip (round 12): documents
 # exported as {doc_id}.txt / {doc_id}.src members across deterministic
 # hash shards, read back through the binaryFile + tar parse path, and

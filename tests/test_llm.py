@@ -2750,6 +2750,17 @@ def test_update_near_dup_clusters_equals_full_cc(spark):
     assert by_id[33] == 20 and by_id[20] == 20
     assert by_id[40] == 40
 
+    # no-op batches: pairs entirely inside one existing cluster (the
+    # reduced graph is empty) and a fully empty batch both leave the
+    # clustering unchanged
+    base2 = {(r.id, r.cluster_id) for r in base.collect()}
+    within = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    assert {(r.id, r.cluster_id) for r in
+            update_near_dup_clusters(base, within).collect()} == base2
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert {(r.id, r.cluster_id) for r in
+            update_near_dup_clusters(base, empty).collect()} == base2
+
 
 def test_semantic_contamination_hits_and_decontaminate(spark):
     """Cross-frame semantic contamination screen (round 12): hits are

@@ -855,3 +855,52 @@ def test_pagerank_tol_early_stop(spark):
     for v in long_run:
         assert abs(tol_run[v] - long_run[v]) < 1e-8
     assert abs(sum(tol_run.values()) - 1.0) < 1e-9
+
+
+def test_column_encryption_and_pseudonymization(spark):
+    """Column-level protection (round 12): GCM round-trips and is
+    RANDOMIZED (same plaintext, different ciphertexts), ECB
+    round-trips and is DETERMINISTIC (joinable pseudonymization),
+    pseudonymize is one-way keyed sha2 (exact python replay, distinct
+    secrets give unlinkable tokens), NULLs survive everywhere, and
+    bad keys/lengths raise."""
+    import hashlib
+
+    from detanalysis_spark.operators.privacy import (decrypt_columns,
+                                                     encrypt_columns,
+                                                     pseudonymize)
+    key = "0123456789abcdef"
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "alice"), (3, None)], "id long, name string")
+
+    # GCM: round trip + randomized ciphertexts
+    g = encrypt_columns(df, ["name"], key)
+    cs = {r.id: r.name for r in g.collect()}
+    assert cs[3] is None
+    assert bytes(cs[1]) != bytes(cs[2])          # semantic security
+    back = {r.id: r.name for r in
+            decrypt_columns(g, ["name"], key).collect()}
+    assert back == {1: "alice", 2: "alice", 3: None}
+
+    # ECB: round trip + deterministic (equal plaintexts join)
+    e = encrypt_columns(df, ["name"], key, deterministic=True)
+    es = {r.id: r.name for r in e.collect()}
+    assert bytes(es[1]) == bytes(es[2]) and es[3] is None
+    back = {r.id: r.name for r in
+            decrypt_columns(e, ["name"], key,
+                            deterministic=True).collect()}
+    assert back == {1: "alice", 2: "alice", 3: None}
+
+    # pseudonymize: exact sha2 replay, keyed, one-way, NULL-safe
+    p = {r.id: r.name for r in
+         pseudonymize(df, ["name"], "sec").collect()}
+    want = hashlib.sha256("sec\x1falice".encode()).hexdigest()[:16]
+    assert p == {1: want, 2: want, 3: None}
+    p2 = {r.id: r.name for r in
+          pseudonymize(df, ["name"], "other").collect()}
+    assert p2[1] != p[1]                         # unlinkable secrets
+
+    with pytest.raises(ValueError, match="16, 24, or 32"):
+        encrypt_columns(df, ["name"], "short")
+    with pytest.raises(ValueError, match="length"):
+        pseudonymize(df, ["name"], "sec", length=4)
