@@ -105,19 +105,37 @@ def encrypt_columns(df: DataFrame, cols, key: str,
 
 
 def decrypt_columns(df: DataFrame, cols, key: str,
-                    deterministic: bool = False) -> DataFrame:
+                    deterministic: bool = False,
+                    on_error: str = "raise") -> DataFrame:
     """Inverse of :func:`encrypt_columns` — decrypts each binary
     column back to its string form (cast further in the caller if the
-    original type was numeric). Wrong-key/corrupt inputs raise (use
-    ``try_aes_decrypt`` semantics upstream if quarantine is needed)."""
+    original type was numeric).
+
+    ``on_error="raise"`` (default) fails the job on a wrong key or a
+    corrupt/tampered ciphertext (GCM authenticates, so tampering IS
+    detected). ``on_error="quarantine"`` switches to
+    ``try_aes_decrypt``: undecryptable values come back NULL and a
+    ``{col}__corrupt`` boolean marks them — one bad row among billions
+    audits instead of killing the job, the same contract as the
+    multimodal/JSONL/WET quarantines."""
     if isinstance(cols, str):
         cols = [cols]
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
     mode = "ECB" if deterministic else "GCM"
     out = df
     for c in cols:
-        out = out.withColumn(
-            c, F.aes_decrypt(F.col(c), F.lit(key),
-                             F.lit(mode)).cast("string"))
+        if on_error == "quarantine":
+            dec = F.try_aes_decrypt(F.col(c), F.lit(key), F.lit(mode))
+            out = (out.withColumn(
+                       c + "__corrupt",
+                       F.col(c).isNotNull() & dec.isNull())
+                   .withColumn(c, dec.cast("string")))
+        else:
+            out = out.withColumn(
+                c, F.aes_decrypt(F.col(c), F.lit(key),
+                                 F.lit(mode)).cast("string"))
     return out
 
 

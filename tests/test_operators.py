@@ -904,3 +904,34 @@ def test_column_encryption_and_pseudonymization(spark):
         encrypt_columns(df, ["name"], "short")
     with pytest.raises(ValueError, match="length"):
         pseudonymize(df, ["name"], "sec", length=4)
+
+
+def test_decrypt_quarantine_flags_bad_ciphertexts(spark):
+    """on_error='quarantine' (try_aes_decrypt): tampered/garbage
+    ciphertexts come back NULL with a __corrupt flag instead of
+    failing the job; valid rows decrypt; NULL inputs are not flagged."""
+    from detanalysis_spark.operators.privacy import (decrypt_columns,
+                                                     encrypt_columns)
+    key = "0123456789abcdef"
+    df = spark.createDataFrame(
+        [(1, "good"), (2, "also good"), (3, None)],
+        "id long, name string")
+    enc = encrypt_columns(df, ["name"], key)
+    rows = [(r.id, bytes(r.name) if r.name is not None else None)
+            for r in enc.collect()]
+    rows[1] = (2, b"\x00garbage-not-a-ciphertext")     # tamper row 2
+    bad = spark.createDataFrame(rows, "id long, name binary")
+
+    got = {r.id: (r.name, r.name__corrupt) for r in
+           decrypt_columns(bad, ["name"], key,
+                           on_error="quarantine").collect()}
+    assert got[1] == ("good", False)
+    assert got[2] == (None, True)
+    assert got[3] == (None, False)               # NULL in, not corrupt
+
+    # default mode raises on the same tampered frame
+    with pytest.raises(Exception):
+        decrypt_columns(bad, ["name"], key).collect()
+
+    with pytest.raises(ValueError, match="on_error"):
+        decrypt_columns(bad, ["name"], key, on_error="nope")
