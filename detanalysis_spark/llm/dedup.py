@@ -390,16 +390,25 @@ def lsh_candidate_pairs_between(a_sigs: DataFrame, b_sigs: DataFrame,
 # exact n-gram Jaccard (verification)
 # ----------------------------------------------------------------------
 def ngram_jaccard(sh_a: Column, sh_b: Column) -> Column:
-    """|A ∩ B| / |A ∪ B| over two distinct-shingle arrays (native)."""
+    """|A ∩ B| / |A ∪ B| over two distinct-shingle arrays (native).
+
+    The union is never materialized: for distinct sets |A ∪ B| =
+    |A| + |B| - |A ∩ B| (inclusion-exclusion), so one hash-set
+    intersection plus O(1) ``size`` calls replaces the two O(|A|+|B|)
+    set constructions the naive intersect+union form pays — half the
+    per-pair verify cost, exactly equal values (the arrays are
+    distinct by the documented contract; ``word_shingles``/
+    ``char_shingles`` guarantee it)."""
     inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
-    union = F.size(F.array_union(sh_a, sh_b))
+    union = F.size(sh_a) + F.size(sh_b) - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
 def verify_candidates(docs: DataFrame, pairs: DataFrame, id_col: str,
                       text_col: str = "text", shingle_n: int = 3,
                       threshold: float = 0.5,
-                      shingle_fn=word_shingles) -> DataFrame:
+                      shingle_fn=word_shingles,
+                      materialize: bool = True) -> DataFrame:
     """Exact Jaccard on candidate pairs only → (id_a, id_b, jaccard).
 
     Docs are first pruned with a semi-join against the candidate id
@@ -407,13 +416,32 @@ def verify_candidates(docs: DataFrame, pairs: DataFrame, id_col: str,
     the equi-joins would shuffle every doc's shingle array even though
     only candidates match. The expensive set ops then run once per
     *candidate pair*, not per pair of documents.
+
+    EAGER under the default ``materialize=True``: the candidate pair
+    table is evaluated and pinned (``localCheckpoint``) at CALL time.
+    The plan below references ``pairs`` three times (both sides of the
+    id-set union plus the scoring join) and the shingled candidate
+    frame twice — without a barrier Catalyst EXPANDS the upstream
+    candidate-generation subtree at every reference (measured on the
+    PPJoin tier: 44 scans of the corpus / 82 Exchanges in one plan,
+    the window + self-join + distinct executed ~5×). Candidate pairs
+    are two ids per row and bounded by the screen's output — exactly
+    the "decide with small rows" proxy the optimization guide's §8
+    tells you to materialize once — and the shingled frame is bounded
+    by the candidate doc set. ``materialize=False`` restores the fully
+    lazy plan for callers that must stay lazy and have already
+    checkpointed their candidates.
     """
+    if materialize:
+        pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     cand_ids = (pairs.select(F.col("id_a").alias(id_col))
                 .union(pairs.select(F.col("id_b").alias(id_col)))
                 .distinct())
     sh = (docs.join(cand_ids, id_col, "left_semi")
           .select(F.col(id_col),
                   shingle_fn(F.col(text_col), shingle_n).alias("__sh__")))
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     scored = (pairs
               .join(sh.withColumnRenamed(id_col, "id_a")
                       .withColumnRenamed("__sh__", "sh_a"), "id_a")
@@ -986,30 +1014,69 @@ def _jaccard_prefix_filtered(docs: DataFrame, id_col: str,
                       F.explode("__sh__").alias("__gram__"))
     dfreq = posts.groupBy("__gram__").agg(
         F.count(F.lit(1)).alias("__df__"))
-    # df == 1 grams can't form a pair; dropping them BEFORE the window
-    # also shrinks the rank shuffle
+    # df == 1 grams can't form a pair; dropping them BEFORE the rank
+    # aggregate also shrinks its shuffle
     ranked = posts.join(dfreq.filter(F.col("__df__") > 1), "__gram__")
-    w = Window.partitionBy("__id__").orderBy(F.col("__df__").asc(),
-                                             F.col("__gram__").asc())
     # epsilon-slack ceiling: fl(t)*sz can round ulps above the true
     # rational t*sz, which would shrink the prefix below the lemma's
     # bound and silently drop qualifying pairs; the slack only ever
     # LENGTHENS the prefix (more candidates, still lossless)
     prefix_len = (F.col("__sz__")
                   - F.ceil(F.lit(t) * F.col("__sz__") - 1e-9)
-                  + F.lit(1))
-    pre = (ranked.withColumn("__rn__", F.row_number().over(w))
-           .filter(F.col("__rn__") <= prefix_len)
-           .select("__gram__", "__id__", "__sz__"))
+                  + F.lit(1)).cast("int")
+    # rank-by-rarity as ONE id-keyed aggregate + per-row array sort
+    # instead of Exchange+Sort+Window: same (df asc, gram asc) total
+    # order (struct sort is field-lexicographic), same ranks, but the
+    # 260k-row global sort becomes 5k tiny per-doc sorts and the
+    # Window operator disappears from the plan. __rn__ is the rank
+    # within the doc's df>1 grams — understating the full-list rank
+    # only LOOSENS the positional ubound below (still a valid upper
+    # bound: every shared gram has df ≥ 2).
+    per_doc = (ranked.groupBy("__id__")
+               .agg(F.first("__sz__").alias("__sz__"),
+                    F.collect_list(F.struct("__df__", "__gram__"))
+                    .alias("__gs__")))
+    pre = (per_doc.select(
+            "__id__", "__sz__",
+            F.posexplode(F.slice(F.array_sort("__gs__"), F.lit(1),
+                                 prefix_len)).alias("__pos__", "__g__"))
+           .select(F.col("__g__.__gram__").alias("__gram__"),
+                   "__id__", "__sz__",
+                   (F.col("__pos__") + 1).alias("__rn__")))
     a = pre.select("__gram__", F.col("__id__").alias("id_a"),
-                   F.col("__sz__").alias("sz_a"))
+                   F.col("__sz__").alias("sz_a"),
+                   F.col("__rn__").alias("rn_a"))
     b = pre.select("__gram__", F.col("__id__").alias("id_b"),
-                   F.col("__sz__").alias("sz_b"))
+                   F.col("__sz__").alias("sz_b"),
+                   F.col("__rn__").alias("rn_b"))
+    # POSITIONAL upper-bound prune (the ppjoin part of PPJoin, Xiao et
+    # al. TODS'11): J ≥ t forces overlap α ≥ ⌈t/(1+t)·(|A|+|B|)⌉.
+    # Shared grams appear in the same relative order in both docs'
+    # rarity-ranked gram lists (one global (df, gram) order), so the
+    # FIRST shared gram g0 attains min(rn_a) and min(rn_b) over shared
+    # grams simultaneously, and every shared gram sits at-or-after g0
+    # in both lists: overlap ≤ 1 + min(sz_a − rn_a(g0), sz_b − rn_b(g0)).
+    # Pairs whose bound can't reach α are dropped BEFORE the exact
+    # verify — lossless (a necessary condition), and on df-saturated
+    # corpora (where prefixes collide broadly) it prunes the candidate
+    # set by an order of magnitude. The ceil gets the same epsilon
+    # slack as the prefix length: fl-rounding may only LOOSEN the
+    # filter, never drop a qualifying pair.
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("sz_a") + F.col("sz_b"))
+                   - 1e-9)
     cand = (a.join(b, "__gram__")
             .filter((F.col("id_a") < F.col("id_b"))
                     & (F.least("sz_a", "sz_b")
                        >= t * F.greatest("sz_a", "sz_b") - 1e-9))
-            .select("id_a", "id_b").distinct())
+            .groupBy("id_a", "id_b")
+            .agg(F.min("rn_a").alias("__mra__"),
+                 F.min("rn_b").alias("__mrb__"),
+                 F.first("sz_a").alias("sz_a"),
+                 F.first("sz_b").alias("sz_b"))
+            .filter(F.lit(1)
+                    + F.least(F.col("sz_a") - F.col("__mra__"),
+                              F.col("sz_b") - F.col("__mrb__")) >= alpha)
+            .select("id_a", "id_b"))
     return verify_candidates(docs, cand, id_col, text_col, shingle_n,
                              t, shingle_fn)
 
