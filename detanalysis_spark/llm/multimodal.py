@@ -824,7 +824,7 @@ def image_near_dup_pairs(df: DataFrame, id_col: str,
     search instead of failing the job (they can't hash, so they can't
     pair).
     """
-    from .dedup import hamming_distance
+    from .dedup import _posting_list_pairs, hamming_distance
     _check_on_error(on_error)
     hashes = image_phash(df, id_col, method=method,
                          payload_col=payload_col, on_error=on_error)
@@ -833,11 +833,12 @@ def image_near_dup_pairs(df: DataFrame, id_col: str,
                   .drop("corrupt_reason"))
     hashes = hashes.localCheckpoint(eager=True)
     bb = phash_bands(hashes, id_col, bands=bands)
-    cand = (bb.withColumnRenamed(id_col, "id_a")
-            .join(bb.withColumnRenamed(id_col, "id_b"),
-                  ["band", "bucket"])
+    cand = (_posting_list_pairs(bb.filter(F.col(id_col).isNotNull()),
+                                ["band", "bucket"], [id_col])
+            .select(F.col(f"__x__.{id_col}").alias("id_a"),
+                    F.col(f"__y__.{id_col}").alias("id_b"))
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+            .distinct())
     ha = hashes.select(F.col(id_col).alias("id_a"),
                        F.col("phash").alias("__ha__"))
     hb = hashes.select(F.col(id_col).alias("id_b"),
@@ -974,7 +975,7 @@ def audio_near_dup_pairs(df: DataFrame, id_col: str,
     subtrees (same rationale as :func:`image_near_dup_pairs`).
     ``on_error="quarantine"`` drops undecodable clips from the pair
     search instead of failing the job."""
-    from .dedup import hamming_distance
+    from .dedup import _posting_list_pairs, hamming_distance
     _check_on_error(on_error)
     fps = audio_fingerprint(df, id_col, payload_col=payload_col,
                             payload_format=payload_format,
@@ -985,11 +986,12 @@ def audio_near_dup_pairs(df: DataFrame, id_col: str,
                .drop("corrupt_reason"))
     fps = fps.localCheckpoint(eager=True)
     bb = phash_bands(fps, id_col, hash_col="fingerprint", bands=bands)
-    cand = (bb.withColumnRenamed(id_col, "id_a")
-            .join(bb.withColumnRenamed(id_col, "id_b"),
-                  ["band", "bucket"])
+    cand = (_posting_list_pairs(bb.filter(F.col(id_col).isNotNull()),
+                                ["band", "bucket"], [id_col])
+            .select(F.col(f"__x__.{id_col}").alias("id_a"),
+                    F.col(f"__y__.{id_col}").alias("id_b"))
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+            .distinct())
     fa = fps.select(F.col(id_col).alias("id_a"),
                     F.col("fingerprint").alias("__fa__"))
     fb = fps.select(F.col(id_col).alias("id_b"),
