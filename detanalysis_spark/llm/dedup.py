@@ -1360,14 +1360,14 @@ def write_lsh_index(docs: DataFrame, path: str, id_col: str = "doc_id",
     bb = lsh_band_buckets(sigs, id_col, "minhash", bands, rpb)
     (bb.repartition(int(bands), F.col("band"))
        .write.mode("overwrite").partitionBy("band").parquet(path))
-    from ..util import local_frame
-    (local_frame(spark,
-                 [(int(num_hashes), int(bands), int(rpb),
-                   int(shingle_n), id_col)],
-                 "num_hashes int, bands int, rows_per_band int, "
-                 "shingle_n int, id_col string")
-     .coalesce(1).write.mode("overwrite")
-     .parquet(path.rstrip("/") + "/_lsh_meta"))
+    from ..util import write_sidecar_parquet
+    write_sidecar_parquet(
+        spark,
+        [(int(num_hashes), int(bands), int(rpb),
+          int(shingle_n), id_col)],
+        "num_hashes int, bands int, rows_per_band int, "
+        "shingle_n int, id_col string",
+        path.rstrip("/") + "/_lsh_meta")
 
 
 def read_lsh_meta(spark, path: str):

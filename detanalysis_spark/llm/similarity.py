@@ -732,10 +732,9 @@ class IVFIndex:
             rows += [(int(c), 1_000_000 + int(p), float(v))
                      for c, row in enumerate(self.cell_means)
                      for p, v in enumerate(row)]
-        from ..util import local_frame
-        local_frame(spark, rows + meta,
-                    "cell int, pos int, value double") \
-            .coalesce(1).write.mode("overwrite").parquet(path)
+        from ..util import write_sidecar_parquet
+        write_sidecar_parquet(spark, rows + meta,
+                              "cell int, pos int, value double", path)
 
     @classmethod
     def load(cls, spark, path: str, n_probe: int | None = None

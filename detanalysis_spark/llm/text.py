@@ -707,10 +707,10 @@ def save_bpe(spark, merges: Sequence[tuple[str, str]], path: str,
     Spark writers, so the artifact lands on whatever filesystem the
     session targets (HDFS/S3/local alike) — train once on the corpus,
     tokenize everywhere."""
-    from ..util import local_frame
+    from ..util import write_sidecar_parquet
     rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
-    (local_frame(spark, rows, "rank int, a string, b string")
-     .coalesce(1).write.mode("overwrite").parquet(f"{path}/merges"))
+    write_sidecar_parquet(spark, rows, "rank int, a string, b string",
+                          f"{path}/merges")
     if vocab is not None:
         vocab.write.mode("overwrite").parquet(f"{path}/vocab")
 
@@ -739,10 +739,9 @@ def save_bigram_lm(lm: BigramLM, path: str) -> None:
     spark = lm.bigrams.sparkSession
     lm.bigrams.write.mode("overwrite").parquet(f"{path}/bigrams")
     lm.unigrams.write.mode("overwrite").parquet(f"{path}/unigrams")
-    from ..util import local_frame
-    local_frame(spark, [(int(lm.total), float(lm.alpha))],
-                "total long, alpha double") \
-        .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    from ..util import write_sidecar_parquet
+    write_sidecar_parquet(spark, [(int(lm.total), float(lm.alpha))],
+                          "total long, alpha double", f"{path}/meta")
 
 
 def load_bigram_lm(spark, path: str) -> BigramLM:

@@ -80,22 +80,29 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     if tol is not None and not tol > 0.0:
         raise ValueError(f"tol must be > 0 when set, got {tol}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = (e.select(F.col("src").alias("node"))
-             .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint(eager=True))
-    n_nodes = nodes.count()
+    # ONE node-keyed aggregate yields the node set, each node's
+    # out-degree, AND the dangling set (out-degree 0) — merging what
+    # used to be a distinct job plus a separate degree aggregate plus
+    # an anti-join job into a single materialized pass over the edge
+    # endpoints (same values: out-degree = #edges with src = node)
+    nd = (e.select(F.col("src").alias("node"), F.lit(1).alias("__o__"))
+          .unionByName(e.select(F.col("dst").alias("node"),
+                                F.lit(0).alias("__o__")))
+          .groupBy("node").agg(F.sum("__o__").alias("__nd__"))
+          .localCheckpoint(eager=True))
+    n_nodes = nd.count()
+    nodes = nd.select("node")
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg__"))
+    out_deg = (nd.filter(F.col("__nd__") > 0)
+               .select(F.col("node").alias("src"),
+                       F.col("__nd__").alias("__deg__")))
     # out-edges with degree attached, reused every round
     ee = e.join(out_deg, "src").localCheckpoint(eager=True)
-    # the dangling-node SET is static — resolve it once; when empty
-    # (every node links out) the per-round mass aggregate is skipped
-    # entirely, saving one job per iteration
-    dangling_nodes = (nodes.join(out_deg,
-                                 nodes["node"] == out_deg["src"],
-                                 "left_anti")
-                      .localCheckpoint(eager=True))
+    # the dangling-node SET is static (out-degree 0 in the merged
+    # aggregate); when empty (every node links out) the per-round
+    # mass aggregate is skipped entirely, saving one job per iteration
+    dangling_nodes = nd.filter(F.col("__nd__") == 0).select("node")
     has_dangling = dangling_nodes.limit(1).count() > 0
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     # per-round scalar aggregates (dangling mass / tol delta) execute

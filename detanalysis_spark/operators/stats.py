@@ -142,9 +142,22 @@ def trim_outliers(df: DataFrame, expression: str | Column,
             f"trim_outliers: exact must be True, False, or 'auto' — "
             f"got {exact!r}")
     if exact == "auto":
-        exact = int(
-            df.agg(F.approx_count_distinct(col, 0.05)).collect()[0][0]
-        ) <= int(auto_threshold)
+        # the tier probe is already an eager aggregate over the
+        # column — ride the EXACT percentile band on the same job
+        # (its state is the same per-partition value histogram the
+        # HLL is guarding), so the common under-threshold case pays
+        # ONE pass here and zero extra plan nodes below: the band
+        # comes back as literals, which parquet row-group statistics
+        # can skip on. Only the over-threshold outcome discards the
+        # riding band and falls through to the sketch plan.
+        probe = df.agg(
+            F.approx_count_distinct(col, 0.05).alias("__n__"),
+            F.percentile(col, F.lit([lo_pct / 100.0, hi_pct / 100.0]))
+            .alias("__band__")).collect()[0]
+        exact = int(probe["__n__"]) <= int(auto_threshold)
+        if exact and probe["__band__"] is not None:
+            lo, hi = probe["__band__"]
+            return df.filter(col.between(lo, hi))
     if not lazy:
         lo, hi = percentiles(df, expression, [lo_pct, hi_pct],
                              exact=exact)

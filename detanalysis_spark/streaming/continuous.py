@@ -731,10 +731,10 @@ def streaming_upsert(sdf: DataFrame, table_path: str,
                    .withColumn("__rn__", F.row_number().over(w))
                    .filter(F.col("__rn__") == 1).drop("__rn__"))
         upsert_parquet(spark, table_path, winners)
-        from ..util import local_frame
-        (local_frame(spark, [(int(batch_id), lineage)],
-                     "last_batch long, checkpoint string")
-         .coalesce(1).write.mode("overwrite").parquet(meta_path))
+        from ..util import write_sidecar_parquet
+        write_sidecar_parquet(spark, [(int(batch_id), lineage)],
+                              "last_batch long, checkpoint string",
+                              meta_path)
 
     q = (sdf.writeStream.foreachBatch(_apply)
          .option("checkpointLocation", checkpoint_dir)

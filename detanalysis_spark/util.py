@@ -66,3 +66,57 @@ def _split_ddl(schema: str) -> list[str]:
     if cur:
         out.append("".join(cur).strip())
     return out
+
+
+def write_sidecar_parquet(spark: SparkSession, rows, schema: str,
+                          path: str) -> None:
+    """Write a small (one-to-few-row) parquet sidecar table — meta
+    rows pinning index/table parameters (``_lsh_meta``, ``_cow_meta``,
+    BPE/LM meta, saved model weights).
+
+    For a plain LOCAL path the file is written driver-side via
+    pyarrow: a Spark ``coalesce(1).write`` of one row costs a whole
+    job (~0.4 s of stage launch + commit protocol per call, measured
+    round 12) for ~100 bytes of payload, and these sidecars are
+    written inside hot builder paths (every COW table create, every
+    LSH index build, every streaming-upsert micro-batch). The
+    directory layout matches a Spark write (a single part file inside
+    the directory) so ``spark.read.parquet`` sees the same table
+    either way. Paths with a scheme (hdfs://, s3a://, file://) and any
+    conversion surprise fall back to the Spark writer — the documented
+    "lands on whatever filesystem the session targets" property of the
+    persisted-artifact APIs is preserved exactly where it matters.
+    """
+    rows = list(rows)
+    local = "://" not in path and rows
+    if local:
+        try:
+            import shutil
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            types = {
+                "int": pa.int32(), "integer": pa.int32(),
+                "smallint": pa.int16(), "tinyint": pa.int8(),
+                "long": pa.int64(), "bigint": pa.int64(),
+                "float": pa.float32(), "double": pa.float64(),
+                "string": pa.string(), "boolean": pa.bool_(),
+                "binary": pa.binary(),
+            }
+            fields = []
+            for f in _split_ddl(schema):
+                parts = f.split()
+                name, typ = parts[0].strip("`"), parts[-1].lower()
+                fields.append(pa.field(name, types[typ]))  # KeyError → fallback
+            arrays = [pa.array([r[i] for r in rows], type=fld.type)
+                      for i, fld in enumerate(fields)]
+            table = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+            shutil.rmtree(path, ignore_errors=True)
+            import os
+            os.makedirs(path, exist_ok=True)
+            pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+            return
+        except Exception:   # noqa: BLE001 — correctness first
+            pass
+    (local_frame(spark, rows, schema)
+     .coalesce(1).write.mode("overwrite").parquet(path))
