@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from ..util import fan_out_small
+
 __all__ = [
     "content_hash", "dedup_exact", "exact_dup_groups",
     "word_shingles", "char_shingles", "minhash_signatures",
@@ -146,9 +148,10 @@ def duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
     At 100 TB the gram key space is huge but uniformly distributed (no
     skew beyond genuinely viral spans, which is the signal itself).
     """
-    pos = docs.select(F.col(id_col).alias("__id__"),
-                      F.explode(positional_ngrams(F.col(text_col),
-                                                  span_tokens)).alias("gram"))
+    pos = fan_out_small(docs.select(F.col(id_col), F.col(text_col))) \
+        .select(F.col(id_col).alias("__id__"),
+                F.explode(positional_ngrams(F.col(text_col),
+                                            span_tokens)).alias("gram"))
     per_doc = pos.groupBy("gram", "__id__").agg(F.count(F.lit(1)).alias("n"))
     return (per_doc.groupBy("gram")
             .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -172,9 +175,10 @@ def span_dup_stats(docs: DataFrame, id_col: str = "doc_id",
     dup fraction = n_dup_spans / n_spans is left to the caller so
     aggregates can stay exact-integer.
     """
-    pos = docs.select(F.col(id_col),
-                      F.explode(positional_ngrams(F.col(text_col),
-                                                  span_tokens)).alias("gram"))
+    pos = fan_out_small(docs.select(F.col(id_col), F.col(text_col))) \
+        .select(F.col(id_col),
+                F.explode(positional_ngrams(F.col(text_col),
+                                            span_tokens)).alias("gram"))
     pdg = (pos.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("n"))
            .localCheckpoint(eager=True))
     dup = (pdg.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -214,7 +218,14 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     Docs whose shingle set is empty (shorter than the shingle width)
     get an all-MAX_LONG sentinel signature: they bucket only with each
     other and can never pass a Jaccard-threshold verify.
+
+    The input is first spread via :func:`fan_out_small` (guide §2.5):
+    a corpus arriving as one unsplittable file would otherwise compute
+    EVERY signature in a single task. At scale the input is already
+    wide and the spread is a no-op; the signature projection itself
+    still adds zero exchanges.
     """
+    df = fan_out_small(df.select(F.col(id_col), F.col(text_col)))
     sentinel = F.lit((1 << 63) - 1).cast("long")
     shash = F.transform(shingle_fn(F.col(text_col), shingle_n),
                         lambda s: F.xxhash64(s))
@@ -435,7 +446,8 @@ def verify_candidates(docs: DataFrame, pairs: DataFrame, id_col: str,
     cand_ids = (pairs.select(F.col("id_a").alias(id_col))
                 .union(pairs.select(F.col("id_b").alias(id_col)))
                 .distinct())
-    sh = (docs.join(cand_ids, id_col, "left_semi")
+    sh = (fan_out_small(docs.select(F.col(id_col), F.col(text_col))
+                        .join(cand_ids, id_col, "left_semi"))
           .select(F.col(id_col),
                   shingle_fn(F.col(text_col), shingle_n).alias("__sh__")))
     if materialize:
@@ -932,9 +944,9 @@ def _shingle_cooccurrence(docs: DataFrame, id_col: str, text_col: str,
     when given, prunes pair rows BEFORE the pair shuffle (e.g. the
     Jaccard size-ratio bound).
     """
-    sh = docs.select(
-        F.col(id_col).alias("__id__"),
-        shingle_fn(F.col(text_col), shingle_n).alias("__sh__"))
+    sh = fan_out_small(docs.select(F.col(id_col), F.col(text_col))) \
+        .select(F.col(id_col).alias("__id__"),
+                shingle_fn(F.col(text_col), shingle_n).alias("__sh__"))
     posts = sh.select("__id__", F.size("__sh__").alias("__sz__"),
                       F.explode("__sh__").alias("__gram__"))
     # posting-LIST grouping replaces the former gram-keyed SELF-JOIN
@@ -1050,9 +1062,9 @@ def _jaccard_prefix_filtered(docs: DataFrame, id_col: str,
     (The self-join sides share their exchange via ReuseExchange — a
     checkpoint barrier here was measured 2× SLOWER, not faster.)
     """
-    sh = docs.select(
-        F.col(id_col).alias("__id__"),
-        shingle_fn(F.col(text_col), shingle_n).alias("__sh__"))
+    sh = fan_out_small(docs.select(F.col(id_col), F.col(text_col))) \
+        .select(F.col(id_col).alias("__id__"),
+                shingle_fn(F.col(text_col), shingle_n).alias("__sh__"))
     posts = sh.select("__id__", F.size("__sh__").alias("__sz__"),
                       F.explode("__sh__").alias("__gram__"))
     dfreq = posts.groupBy("__gram__").agg(
@@ -1203,7 +1215,8 @@ def simhash_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
     both verify sides) and is checkpointed at call time so each text
     is tokenized and voted exactly once.
     """
-    sh = (docs.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+    sh = (fan_out_small(docs.select(F.col(id_col), F.col(text_col)))
+          .select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
           .localCheckpoint(eager=True))
     bb = hash_band_explode(sh, id_col, hash_col="sh", bands=bands)
     cand = (_posting_list_pairs(bb.filter(F.col(id_col).isNotNull()),

@@ -30,9 +30,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
 from pyspark.sql.types import (ArrayType, BinaryType, DoubleType,
                                IntegerType, LongType, StringType,
                                StructField, StructType)
+
+from ..util import fan_out_small
 
 __all__ = [
     "ahash_array", "dhash_array", "image_phash", "phash_bands",
@@ -542,7 +545,7 @@ def image_header_info(df: DataFrame, id_col: str,
 
     sel = df.select(id_col, payload_col) \
             .withColumnRenamed(payload_col, "payload")
-    return sel.mapInPandas(run, schema)
+    return fan_out_small(sel).mapInPandas(run, schema)
 
 
 # ----------------------------------------------------------------------
@@ -607,7 +610,7 @@ def image_features(df: DataFrame, id_col: str, out_w: int = 4,
 
     cols = [id_col, payload_col, "width", "height", "channels", "format"]
     sel = df.select(*cols).withColumnRenamed(payload_col, "payload")
-    return sel.mapInPandas(run, schema)
+    return fan_out_small(sel).mapInPandas(run, schema)
 
 
 # ----------------------------------------------------------------------
@@ -690,7 +693,7 @@ def audio_features(df: DataFrame, id_col: str, frame_samples: int = 256,
 
     sel = df.select(id_col, payload_col) \
             .withColumnRenamed(payload_col, "payload")
-    return sel.mapInPandas(run, schema)
+    return fan_out_small(sel).mapInPandas(run, schema)
 
 
 # ----------------------------------------------------------------------
@@ -792,7 +795,7 @@ def image_phash(df: DataFrame, id_col: str, method: str = "ahash",
 
     cols = [id_col, payload_col, "width", "height", "channels", "format"]
     sel = df.select(*cols).withColumnRenamed(payload_col, "payload")
-    return sel.mapInPandas(run, schema)
+    return fan_out_small(sel).mapInPandas(run, schema)
 
 
 def phash_bands(hashes: DataFrame, id_col: str, hash_col: str = "phash",
@@ -957,7 +960,7 @@ def audio_fingerprint(df: DataFrame, id_col: str,
 
     sel = df.select(id_col, payload_col) \
             .withColumnRenamed(payload_col, "payload")
-    return sel.mapInPandas(run, schema)
+    return fan_out_small(sel).mapInPandas(run, schema)
 
 
 def audio_near_dup_pairs(df: DataFrame, id_col: str,

@@ -49,6 +49,41 @@ def local_frame(spark: SparkSession, rows, schema: str) -> DataFrame:
         return spark.createDataFrame(rows, schema)
 
 
+def fan_out_small(df: DataFrame, min_partitions: int | None = None
+                  ) -> DataFrame:
+    """Spread a DataFrame whose physical input arrives in fewer
+    partitions than the session has cores (optimization guide §2.5:
+    "one huge unsplittable file ... repartition immediately after the
+    read").
+
+    The synthetic corpus ships each table as ONE parquet row group, so
+    without this every per-row-expensive first stage (shingling,
+    MinHash, regex gates, Python codecs) runs on a single core while
+    the rest of the machine idles. At production scale inputs arrive
+    in thousands of splits, the partition count meets the bar, and
+    this is a no-op — the guard is input-shape-adaptive, not tuned to
+    any core count.
+
+    Used ONLY inside operators whose downstream is content-keyed
+    (hashing, aggregation, equi-joins): a round-robin exchange must
+    never be inserted upstream of partition-order-sensitive
+    expressions (``rand``, ``monotonically_increasing_id``,
+    ``spark_partition_id``). Streaming frames and frames whose
+    partition count cannot be inspected pass through untouched.
+    """
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = int(min_partitions or sc.defaultParallelism)
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:   # noqa: BLE001 — a probe failure must not fail the op
+        return df
+    if cur >= target:
+        return df
+    return df.repartition(target)
+
+
 def _split_ddl(schema: str) -> list[str]:
     """Split a DDL column list on top-level commas (array<...> and
     struct<...> commas don't count)."""
