@@ -35,7 +35,6 @@ from pyspark.sql.types import (ArrayType, BinaryType, DoubleType,
                                IntegerType, LongType, StringType,
                                StructField, StructType)
 
-from ..util import fan_out_small
 
 __all__ = [
     "ahash_array", "dhash_array", "image_phash", "phash_bands",
@@ -545,7 +544,7 @@ def image_header_info(df: DataFrame, id_col: str,
 
     sel = df.select(id_col, payload_col) \
             .withColumnRenamed(payload_col, "payload")
-    return fan_out_small(sel).mapInPandas(run, schema)
+    return sel.mapInPandas(run, schema)
 
 
 # ----------------------------------------------------------------------
@@ -610,7 +609,7 @@ def image_features(df: DataFrame, id_col: str, out_w: int = 4,
 
     cols = [id_col, payload_col, "width", "height", "channels", "format"]
     sel = df.select(*cols).withColumnRenamed(payload_col, "payload")
-    return fan_out_small(sel).mapInPandas(run, schema)
+    return sel.mapInPandas(run, schema)
 
 
 # ----------------------------------------------------------------------
@@ -693,7 +692,7 @@ def audio_features(df: DataFrame, id_col: str, frame_samples: int = 256,
 
     sel = df.select(id_col, payload_col) \
             .withColumnRenamed(payload_col, "payload")
-    return fan_out_small(sel).mapInPandas(run, schema)
+    return sel.mapInPandas(run, schema)
 
 
 # ----------------------------------------------------------------------
@@ -795,7 +794,7 @@ def image_phash(df: DataFrame, id_col: str, method: str = "ahash",
 
     cols = [id_col, payload_col, "width", "height", "channels", "format"]
     sel = df.select(*cols).withColumnRenamed(payload_col, "payload")
-    return fan_out_small(sel).mapInPandas(run, schema)
+    return sel.mapInPandas(run, schema)
 
 
 def phash_bands(hashes: DataFrame, id_col: str, hash_col: str = "phash",
@@ -960,7 +959,7 @@ def audio_fingerprint(df: DataFrame, id_col: str,
 
     sel = df.select(id_col, payload_col) \
             .withColumnRenamed(payload_col, "payload")
-    return fan_out_small(sel).mapInPandas(run, schema)
+    return sel.mapInPandas(run, schema)
 
 
 def audio_near_dup_pairs(df: DataFrame, id_col: str,

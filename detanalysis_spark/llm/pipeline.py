@@ -93,11 +93,10 @@ def curate_corpus(docs: DataFrame, config: CurationConfig | None = None,
     cfg = config or CurationConfig()
     counts: dict[str, int] = {}
 
-    # guide 2.5: a corpus arriving as one unsplittable file would run
-    # the whole regex/quality projection stack on a single core; at
-    # scale (input already wider than the cluster) this is a no-op
-    from ..util import fan_out_small
-    docs = fan_out_small(docs)
+    # no fan-out spread here: the regex/quality projections are cheap
+    # native work and the probe + round-robin exchange were
+    # A/B-measured a net loss (OPTIMIZATION_r12.md); at scale inputs
+    # arrive wide anyway and downstream near-dup ops spread themselves
 
     def tick(stage: str, df: DataFrame) -> DataFrame:
         if with_counts:

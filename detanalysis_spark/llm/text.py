@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
-from ..util import fan_out_small
 
 __all__ = [
     "bm25_scores", "doc_term_pmi",
@@ -334,10 +333,11 @@ def take_token_budget(df, token_col: Column | str, budget: int,
 def term_frequencies(df, id_col: str = "doc_id", text_col: str = "text"):
     """(id, term, tf) — lowercased whitespace terms, one shuffle keyed
     by (id, term) with map-side combine. The per-document vocabulary is
-    the unit of all downstream TF-IDF work. The input is spread via
-    :func:`fan_out_small` first (guide 2.5) so a single-file corpus
-    does not tokenize on one core."""
-    terms = fan_out_small(df.select(F.col(id_col), F.col(text_col))) \
+    the unit of all downstream TF-IDF work. (No fan-out spread here:
+    tokenization is cheap native work and the probe + round-robin
+    exchange were A/B-measured a net LOSS on every consumer —
+    OPTIMIZATION_r12.md; at scale inputs arrive wide anyway.)"""
+    terms = df.select(F.col(id_col), F.col(text_col)) \
         .select(
             F.col(id_col),
             F.explode(F.transform(_tokens(F.col(text_col)),
@@ -361,7 +361,7 @@ def document_frequencies_from_docs(df, text_col: str = "text"):
     the corpus-sized (doc, term) pair table that
     ``document_frequencies(term_frequencies(df))`` shuffles. Same
     tokenization, identical values."""
-    terms = fan_out_small(df.select(F.col(text_col))) \
+    terms = df.select(F.col(text_col)) \
         .select(F.explode(F.array_distinct(
             _clean_tokens(F.col(text_col)))).alias("term"))
     return terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -445,7 +445,7 @@ def bigram_frequencies(df, id_col: str = "doc_id",
     Python touches the text; docs with <2 tokens simply contribute no
     rows."""
     tk = _clean_tokens(F.col(text_col))
-    rows = fan_out_small(df.select(F.col(id_col), F.col(text_col))) \
+    rows = df.select(F.col(id_col), F.col(text_col)) \
         .select(F.col(id_col), tk.alias("__tk__")) \
         .filter(F.size("__tk__") >= 2)
     pair = F.transform(
@@ -565,7 +565,7 @@ BPE_EOW = "</w>"
 def word_frequencies(df, text_col: str = "text"):
     """(word, freq) over the corpus — BPE training's only corpus-scale
     pass. One explode + one map-side-combined aggregate."""
-    return (fan_out_small(df.select(F.col(text_col)))
+    return (df.select(F.col(text_col))
             .select(F.explode(_tokens(F.col(text_col))).alias("word"))
             .filter(F.length("word") > 0)
             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))

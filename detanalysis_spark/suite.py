@@ -1256,7 +1256,7 @@ SELECT true_lang,
 FROM s GROUP BY true_lang, pred_lang
 """)
 def language_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _FAN(load_table(spark, sf_dir, "documents"))
+    docs = (load_table(spark, sf_dir, "documents"))
     return (docs
             .select(F.col("lang").alias("true_lang"),
                     _TX.language_id(F.col("text")).alias("pred_lang"))
@@ -1990,7 +1990,7 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "return": pd.Series}
     planted_jpeg = F.pandas_udf(_planted, BinaryType())
 
-    docs = _FAN(load_table(spark, sf_dir, "documents")
+    docs = (load_table(spark, sf_dir, "documents")
                 .filter("doc_id < 200"))
     imgs = docs.select(
         "doc_id", "lang",
@@ -2064,7 +2064,7 @@ def multimodal_quarantine_stats(spark: SparkSession,
                                 "b2": pd.Series, "return": pd.Series}
     planted_jpeg = F.pandas_udf(_planted, BinaryType())
 
-    docs = _FAN(load_table(spark, sf_dir, "documents")
+    docs = (load_table(spark, sf_dir, "documents")
                 .filter("doc_id < 300"))
     imgs = docs.select(
         "doc_id", "lang",
@@ -2169,7 +2169,7 @@ def image_header_survey(spark: SparkSession, sf_dir: str) -> DataFrame:
     _payload.__annotations__ = {"doc_id": pd.Series, "return": pd.Series}
     planted = F.pandas_udf(_payload, BinaryType())
 
-    docs = _FAN(load_table(spark, sf_dir, "documents")
+    docs = (load_table(spark, sf_dir, "documents")
                 .filter("doc_id < 500"))
     imgs = docs.select("doc_id", planted(F.col("doc_id")).alias("payload"))
     info = _MM.image_header_info(imgs, "doc_id")   # quarantine default
@@ -2797,7 +2797,7 @@ FROM norm
 """)
 def normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.text import normalize_text
-    docs = _FAN(load_table(spark, sf_dir, "documents"))
+    docs = (load_table(spark, sf_dir, "documents"))
     norm = docs.select(
         "doc_id",
         normalize_text(F.col("text"), strip_punct=False).alias("t"))
@@ -3059,7 +3059,7 @@ SELECT source, count(*) AS n_docs,
 FROM r GROUP BY source
 """)
 def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _FAN(load_table(spark, sf_dir, "documents"))
+    docs = (load_table(spark, sf_dir, "documents"))
     seeded = docs.select(
         "source",
         F.concat(F.col("text"), F.lit(" contact user"),
@@ -3105,7 +3105,7 @@ SELECT lang, count(*) AS n_docs,
 FROM s GROUP BY lang
 """)
 def repetition_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _FAN(load_table(spark, sf_dir, "documents")
+    docs = (load_table(spark, sf_dir, "documents")
                 .filter(F.length(F.trim(F.col("text"))) > 0))
     s = _CL.repetition_struct(F.col("text"), n=2)
     return (docs
@@ -3147,7 +3147,7 @@ SELECT source, count(*) AS n_docs,
 FROM d LEFT JOIN h USING (doc_id) GROUP BY source
 """)
 def decontamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _FAN(load_table(spark, sf_dir, "documents"))
+    docs = (load_table(spark, sf_dir, "documents"))
     bench = docs.filter(F.col("doc_id") % 25 == 0)
     corpus = docs.filter(F.col("doc_id") % 25 != 0)
     grams = _CL.benchmark_ngrams(bench, n=3)
@@ -3213,7 +3213,7 @@ FROM r WHERE rn <= 15 GROUP BY lang
 """)
 def domain_cap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import cap_per_key
-    docs = _FAN(load_table(spark, sf_dir, "documents"))
+    docs = (load_table(spark, sf_dir, "documents"))
     capped = cap_per_key(docs, ["source"], 15, "doc_id")
     return (capped.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -3645,7 +3645,7 @@ FROM g
 def domain_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.cleaning import (domain_blocklist_filter, domain_profile,
                                with_registered_domain)
-    docs = _FAN(load_table(spark, sf_dir, "documents"))
+    docs = (load_table(spark, sf_dir, "documents"))
     url = F.concat(
         F.lit("https://"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
@@ -4019,7 +4019,7 @@ FROM c GROUP BY source
 """)
 def pii_card_luhn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.cleaning import credit_card_count
-    docs = _FAN(load_table(spark, sf_dir, "documents"))
+    docs = (load_table(spark, sf_dir, "documents"))
     v = (F.col("doc_id") % 4).cast("int")
     mark = (F.when(v == 1, F.lit(" card 4111111111111111 ok"))
             .when(v == 2, F.lit(" card 4111-1111-1111-1111 ok"))
@@ -4090,7 +4090,7 @@ FROM d GROUP BY script
 """)
 def script_detection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.text import dominant_script, script_counts
-    docs = _FAN(load_table(spark, sf_dir, "documents"))
+    docs = (load_table(spark, sf_dir, "documents"))
     v = (F.col("doc_id") % 5).cast("int")
     t = (F.when(v == 1, F.lit(
             "Привет мир это тестовый текст для скрипта"))
@@ -4142,7 +4142,7 @@ FROM c GROUP BY source
 """)
 def unicode_cleaning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.cleaning import nfc_normalize, strip_invisible
-    docs = _FAN(load_table(spark, sf_dir, "documents"))
+    docs = (load_table(spark, sf_dir, "documents"))
     v = (F.col("doc_id") % 4).cast("int")
     marker = (F.when(v == 1, F.lit(" cafe\u0301"))
               .when(v == 2, F.lit("\u200bzw"))
@@ -4196,7 +4196,7 @@ FROM m GROUP BY source
 """)
 def mojibake_repair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.cleaning import fix_mojibake
-    docs = _FAN(load_table(spark, sf_dir, "documents"))
+    docs = (load_table(spark, sf_dir, "documents"))
     v = (F.col("doc_id") % 3).cast("int")
     mark = (F.when(v == 1, F.lit(" caf\u00c3\u00a9"))
             .when(v == 2, F.lit(
@@ -4240,7 +4240,7 @@ FROM c GROUP BY source
 """)
 def url_normalization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.cleaning import normalize_url
-    docs = _FAN(load_table(spark, sf_dir, "documents"))
+    docs = (load_table(spark, sf_dir, "documents"))
     page = (F.col("doc_id") / 4).cast("long").cast("string")
     v = F.col("doc_id") % 4
     url = (F.when(v == 0, F.concat(
@@ -4465,7 +4465,7 @@ FROM s GROUP BY lang
 """)
 def html_extraction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.cleaning import strip_html
-    docs = _FAN(load_table(spark, sf_dir, "documents"))
+    docs = (load_table(spark, sf_dir, "documents"))
     html = F.concat(
         F.lit('<HTML><head><script type="x">var hidden = "<p>x</p>";'
               '</script><STYLE>p { color: red; }</STYLE></head>'
@@ -4516,7 +4516,7 @@ def image_phash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _mk.__annotations__ = {"ids": pd.Series, "return": pd.Series}
     mk_payload = F.pandas_udf(_mk, "binary")
 
-    docs = _FAN(load_table(spark, sf_dir, "documents").select("doc_id"))
+    docs = (load_table(spark, sf_dir, "documents").select("doc_id"))
     imgs = docs.select(
         "doc_id", mk_payload("doc_id").alias("payload"),
         F.lit(8).alias("width"), F.lit(8).alias("height"),
@@ -4681,7 +4681,7 @@ def audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _mk.__annotations__ = {"ids": pd.Series, "return": pd.Series}
     mk_payload = F.pandas_udf(_mk, "binary")
 
-    docs = _FAN(load_table(spark, sf_dir, "documents")
+    docs = (load_table(spark, sf_dir, "documents")
                 .filter(F.col("doc_id") < 300).select("doc_id"))
     clips = docs.select("doc_id", mk_payload("doc_id").alias("payload"))
     pairs = audio_near_dup_pairs(clips, "doc_id", max_hamming=2)
@@ -5047,7 +5047,7 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM rr GROUP BY source
 """)
 def boilerplate_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _FAN(load_table(spark, sf_dir, "documents"))
+    docs = (load_table(spark, sf_dir, "documents"))
     # coalesce on BOTH sides: Spark concat_ws silently drops NULL
     # elements while DuckDB concat keeps the separators around one —
     # normalizing nulls to '' makes the construction engine-agnostic
@@ -5721,7 +5721,7 @@ FROM k JOIN documents d USING (doc_id) GROUP BY d.lang
 def line_dedup_first_occurrence(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     from .llm.cleaning import remove_duplicate_lines
-    docs = _FAN(load_table(spark, sf_dir, "documents"))
+    docs = (load_table(spark, sf_dir, "documents"))
     norm = docs.withColumn(
         "text", F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     out = remove_duplicate_lines(norm, delim=" ")
@@ -5857,7 +5857,7 @@ GROUP BY d.lang
 """)
 def adaptive_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.cleaning import adaptive_quality_filter
-    docs = _FAN(load_table(spark, sf_dir, "documents"))
+    docs = (load_table(spark, sf_dir, "documents"))
     kept = adaptive_quality_filter(docs, "n_chars", "lang", quantile=0.5)
     return (kept.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_kept"),
@@ -6307,7 +6307,7 @@ FROM r WHERE rank <= 200
 """)
 def zipf_corpus_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.text import zipf_fit
-    docs = _FAN(load_table(spark, sf_dir, "documents"))
+    docs = (load_table(spark, sf_dir, "documents"))
     return zipf_fit(docs, max_rank=200)
 
 
@@ -6413,7 +6413,7 @@ HAVING count(*) > 0.003 * (SELECT n FROM n)
 """)
 def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sketches import heavy_hitters
-    docs = _FAN(load_table(spark, sf_dir, "documents"))
+    docs = (load_table(spark, sf_dir, "documents"))
     toks = (docs.select(F.explode(
                 F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
                 .alias("tok"))
@@ -6858,7 +6858,7 @@ def repetition_char_frac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus scale it beats the interpreter-bound per-row array folds
     # by ~an order of magnitude; pytest pins both forms equal
     from .llm.cleaning import repetition_char_fractions_grouped
-    docs = _FAN(load_table(spark, sf_dir, "documents"))
+    docs = (load_table(spark, sf_dir, "documents"))
     per_doc = repetition_char_fractions_grouped(docs, n=2)
     scored = per_doc.join(docs.select("doc_id", "lang"), "doc_id")
     return (scored.groupBy("lang")

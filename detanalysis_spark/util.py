@@ -70,18 +70,42 @@ def fan_out_small(df: DataFrame, min_partitions: int | None = None
     expressions (``rand``, ``monotonically_increasing_id``,
     ``spark_partition_id``). Streaming frames and frames whose
     partition count cannot be inspected pass through untouched.
+
+    Per-call cost: the partition-count probe (``df.rdd``) physically
+    plans the subtree — ~100 ms per call on warm sessions (measured
+    round 12). The probe result is memoized on
+    ``(applicationId, semanticHash)`` (~15 ms on hits): the corpus
+    dirs this engine scans are read-only within a session, so the
+    same semantic plan always splits the same way. The exchange
+    itself costs a shuffle of the input: worth it only when stage-1
+    per-row work dominates — callers were chosen by A/B measurement
+    (OPTIMIZATION_r12.md), cheap first stages do NOT call this.
     """
     if df.isStreaming:
         return df
     sc = df.sparkSession.sparkContext
     target = int(min_partitions or sc.defaultParallelism)
     try:
-        cur = df.rdd.getNumPartitions()
+        key = (sc.applicationId, df.semanticHash(), target)
     except Exception:   # noqa: BLE001 — a probe failure must not fail the op
-        return df
+        key = None
+    if key is not None and key in _FAN_OUT_CACHE:
+        cur = _FAN_OUT_CACHE[key]
+    else:
+        try:
+            cur = df.rdd.getNumPartitions()
+        except Exception:   # noqa: BLE001
+            return df
+        if key is not None:
+            if len(_FAN_OUT_CACHE) > 512:
+                _FAN_OUT_CACHE.clear()
+            _FAN_OUT_CACHE[key] = cur
     if cur >= target:
         return df
     return df.repartition(target)
+
+
+_FAN_OUT_CACHE: dict = {}
 
 
 def _split_ddl(schema: str) -> list[str]:
