@@ -26,6 +26,7 @@ from .operators.stats import SIGMA_LO_PCT, SIGMA_HI_PCT
 from .semiautocut import Semiautocut, MasterSemiautocuts, _SIG_LO, _SIG_HI
 from .sources import load_table
 from .util import fan_out_small as _FAN
+from .util import write_local_fixture_parquet as _write_fixture
 from .util import local_frame as _LF
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1377,10 +1378,10 @@ def streaming_ann_microbatch_topk(spark: SparkSession,
     ivf = IVFIndex(n_centroids=4, n_probe=4, seed=2).fit(emb)
     base = tempfile.mkdtemp(prefix="det_ann_mb_")   # fresh checkpoint
     probes = emb.filter(F.col("vec_id") < 8)
-    probes.filter(F.col("vec_id") < 4).coalesce(1) \
-          .write.mode("overwrite").parquet(f"{base}/in/a")
-    probes.filter(F.col("vec_id") >= 4).coalesce(1) \
-          .write.mode("overwrite").parquet(f"{base}/in/b")
+    # fixture staging is driver-side (bounded rows): a Spark write job
+    # per few-KB fixture file is pure stage-launch overhead
+    _write_fixture(probes.filter(F.col("vec_id") < 4), f"{base}/in/a")
+    _write_fixture(probes.filter(F.col("vec_id") >= 4), f"{base}/in/b")
     sdf = (spark.readStream.schema(probes.schema)
            .option("maxFilesPerTrigger", 1)
            .option("recursiveFileLookup", "true")
@@ -1433,7 +1434,7 @@ def streaming_ann_state_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = IVFIndex(n_centroids=4, n_probe=4, seed=2).fit(emb)
     base = tempfile.mkdtemp(prefix="det_ann_state_")
     probes = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
-    probes.coalesce(1).write.mode("overwrite").parquet(f"{base}/in")
+    _write_fixture(probes, f"{base}/in")
     sdf = (spark.readStream.schema(probes.schema)
            .option("maxFilesPerTrigger", 1).parquet(f"{base}/in"))
     got = run_available_now(
@@ -1497,7 +1498,9 @@ def streaming_near_dup_screen_stats(spark: SparkSession,
     # micro-batch of the drain (stream-static join)
 
     base = tempfile.mkdtemp(prefix="det_nd_screen_")
-    stream_docs.coalesce(2).write.mode("overwrite").parquet(f"{base}/in")
+    # 2 part files = 2 micro-batches; the drained pair set is
+    # batch-composition independent (append-mode distinct pairs)
+    _write_fixture(stream_docs, f"{base}/in", n_files=2)
     sdf = (spark.readStream.schema(stream_docs.schema)
            .option("maxFilesPerTrigger", 1).parquet(f"{base}/in"))
     # the drain emits CANDIDATE PAIRS (stream id, corpus id) — the
@@ -6496,10 +6499,8 @@ def streaming_rollup_day_stats(spark: SparkSession,
 
     ev = load_table(spark, sf_dir, "events")
     base = tempfile.mkdtemp(prefix="det_roll_mb_")  # fresh checkpoint
-    ev.filter(F.col("event_id") % 2 == 0).coalesce(1) \
-      .write.mode("overwrite").parquet(f"{base}/in/a")
-    ev.filter(F.col("event_id") % 2 == 1).coalesce(1) \
-      .write.mode("overwrite").parquet(f"{base}/in/b")
+    _write_fixture(ev.filter(F.col("event_id") % 2 == 0), f"{base}/in/a")
+    _write_fixture(ev.filter(F.col("event_id") % 2 == 1), f"{base}/in/b")
     sdf = (spark.readStream.schema(ev.schema)
            .option("maxFilesPerTrigger", 1)
            .option("recursiveFileLookup", "true")

@@ -179,3 +179,49 @@ def write_sidecar_parquet(spark: SparkSession, rows, schema: str,
             pass
     (local_frame(spark, rows, schema)
      .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def write_local_fixture_parquet(df: DataFrame, path: str,
+                                n_files: int = 1,
+                                max_rows: int = 2_000_000) -> None:
+    """Materialize a BOUNDED DataFrame as a local parquet directory
+    driver-side (Arrow collect + pyarrow write) — the fixture-staging
+    sibling of :func:`write_sidecar_parquet`.
+
+    Streaming suite queries stage their input files per run (a file
+    stream source needs a directory); a Spark ``coalesce(n).write`` of
+    a few-KB fixture costs a full job (~0.3-0.4 s stage launch +
+    commit protocol, measured round 12) per write, inside the timed
+    query. ``df.toArrow()`` preserves Spark's physical parquet types
+    (timestamps keep their LTZ/NTZ adjustment, arrays stay lists), so
+    ``spark.read``/``readStream`` with the original schema sees the
+    identical table. ``n_files`` contiguous slices land as separate
+    part files — the micro-batch boundaries of a
+    ``maxFilesPerTrigger=1`` drain; callers use this ONLY where the
+    drained result is batch-composition independent.
+
+    Scheme'd paths (hdfs://, s3a://), results larger than ``max_rows``
+    (the collect is bounded by ``limit`` BEFORE it reaches the
+    driver), and any conversion surprise fall back to the plain Spark
+    writer.
+    """
+    if "://" not in path:
+        try:
+            import os
+            import shutil
+
+            import pyarrow.parquet as pq
+            tbl = df.limit(max_rows + 1).toArrow()
+            if tbl.num_rows <= max_rows:
+                shutil.rmtree(path, ignore_errors=True)
+                os.makedirs(path, exist_ok=True)
+                n = max(1, int(n_files))
+                step = max(1, -(-tbl.num_rows // n))
+                for i in range(n):
+                    pq.write_table(
+                        tbl.slice(i * step, step),
+                        os.path.join(path, f"part-{i:05d}.parquet"))
+                return
+        except Exception:   # noqa: BLE001 — correctness first
+            pass
+    df.coalesce(max(1, int(n_files))).write.mode("overwrite").parquet(path)

@@ -1131,3 +1131,46 @@ def test_tar_shards_roundtrip_and_determinism(spark, tmp_path):
         write_tar_shards(df, str(tmp_path / "bad"), "k", {"nope": "x"})
     with pytest.raises(FileExistsError):
         write_tar_shards(df, p1, "k", {"text": "txt"}, mode="error")
+
+
+def test_write_local_fixture_parquet_roundtrip(spark, tmp_path):
+    """Driver-side fixture staging must read back identically to a
+    Spark write: same rows, same schema (timestamps keep their LTZ
+    adjustment, arrays stay arrays), and exactly n_files part files
+    (the micro-batch boundaries of a maxFilesPerTrigger=1 drain)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from detanalysis_spark.util import write_local_fixture_parquet
+
+    df = spark.range(0, 97).select(
+        F.col("id"),
+        (F.col("id") * 1.5).alias("v"),
+        F.array(F.col("id").cast("double"),
+                (F.col("id") % 7).cast("double")).alias("vec"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("s"),
+        F.timestamp_micros((F.col("id") * 1_000_000).cast("long"))
+        .alias("ts"))
+
+    p = str(tmp_path / "fx")
+    write_local_fixture_parquet(df, p, n_files=2)
+    assert len(glob.glob(p + "/part-*.parquet")) == 2
+    back = spark.read.parquet(p)
+    # nullability flips on ANY parquet roundtrip (Spark write too);
+    # names + types are the contract the readStream schemas rely on
+    assert [(f.name, f.dataType) for f in back.schema] \
+        == [(f.name, f.dataType) for f in df.schema]
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, df.collect()))
+
+    # over-bound results fall back to the Spark writer (still correct)
+    p2 = str(tmp_path / "fx2")
+    write_local_fixture_parquet(df, p2, n_files=1, max_rows=10)
+    back2 = spark.read.parquet(p2)
+    assert back2.count() == 97
+
+    # empty frame: schema-preserving empty part files
+    p3 = str(tmp_path / "fx3")
+    write_local_fixture_parquet(df.filter("id < 0"), p3, n_files=2)
+    assert spark.read.parquet(p3).count() == 0
