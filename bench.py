@@ -66,6 +66,18 @@ def main() -> int:
         l1, l5, _ = os.getloadavg()
         return l1 > max_load or l5 > max_load * 1.5
 
+    def cpu_ticks() -> tuple[int, int]:
+        """(steal, total) jiffies from /proc/stat — loadavg only sees
+        guest-runnable threads; a noisy-neighbor host shows up as
+        steal time and inflates wall clocks by 2-4x in bursts
+        (measured round 12: 0.1% -> 10% swings within minutes)."""
+        try:
+            with open("/proc/stat") as f:
+                vals = [int(x) for x in f.readline().split()[1:]]
+            return vals[7] if len(vals) > 7 else 0, sum(vals)
+        except Exception:  # noqa: BLE001 — diagnostics must not fail the bench
+            return 0, 0
+
     waited = 0.0
     while loaded() and waited < max_wait:
         l1, l5, l15 = os.getloadavg()
@@ -81,6 +93,7 @@ def main() -> int:
         "waited_sec": round(waited, 1),
         "quiet": not loaded(),
     }
+    steal0 = cpu_ticks()
     # warm up the JVM + parquet footers once so per-query numbers measure
     # the plans, not session startup
     suite.QUERIES["flagship_event_cut_stats"](spark, sf_dir).collect()
@@ -142,11 +155,15 @@ def main() -> int:
     timings = {n: round(reported(s), 4) for n, s in samples.items()}
     total = sum(v for v in timings.values() if v == v)
     load_end = os.getloadavg()
+    steal1 = cpu_ticks()
+    steal_pct = (100.0 * (steal1[0] - steal0[0])
+                 / max(steal1[1] - steal0[1], 1))
     machine = {
         "cpus": os.cpu_count(),
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in load_end],
         "load_guard": load_guard,
+        "cpu_steal_pct": round(steal_pct, 2),
     }
 
     detail_path = os.path.join(
@@ -196,6 +213,7 @@ def main() -> int:
             "n_queries": len(timings),
             "load_guard_quiet": load_guard["quiet"],
             "load_avg_end": [round(x, 2) for x in load_end],
+            "cpu_steal_pct": round(steal_pct, 2),
             "queries": timings,
         }, sort_keys=True, separators=(",", ":")) + "\n")
 
@@ -217,6 +235,7 @@ def main() -> int:
                 "n_queries": len(timings),
                 "timing": f"median{1 + EXTRA_RUNS}xtop{TOP_K}",
                 "load_avg": [round(x, 2) for x in load_end],
+                "cpu_steal_pct": round(steal_pct, 2),
                 "load_guard_quiet": load_guard["quiet"],
                 "detail": "BENCH_DETAIL.json",
             },
