@@ -501,9 +501,15 @@ def apply_near_dedup(docs: DataFrame, id_col: str = "doc_id",
     with the ``keep``-most (``max``/``min``) score, ties broken by
     minimum id — one extra small aggregate over cluster members only
     (the clustered subset, not the corpus)."""
+    # no eager checkpoint here: under the common auto fast path the
+    # pair table's ONLY consumer is near_dup_clusters' bounded probe
+    # collect (one evaluation — verify_candidates already truncated
+    # the expensive subtrees), so a checkpoint job bought nothing
+    # (measured round 12, ~0.3-0.5 s/job); the distributed fallback
+    # checkpoints inside near_dup_clusters instead
     pairs = near_dup_pairs(docs, id_col, text_col, threshold,
-                           **near_dup_kw).localCheckpoint(eager=True)
-    cl = near_dup_clusters(pairs)
+                           **near_dup_kw)
+    cl = near_dup_clusters(pairs, checkpoint_fallback=True)
     if keep_by is None:
         drop = cl.filter(F.col("id") != F.col("cluster_id")) \
                  .select(F.col(id_col) if id_col == "id"
@@ -564,7 +570,8 @@ def _unionfind_clusters(pairs: DataFrame, edge_rows) -> DataFrame:
 def near_dup_clusters(pairs: DataFrame, max_iter: int = 20,
                       accelerate: bool = True,
                       method: str = "auto",
-                      driver_max_edges: int = 200_000) -> DataFrame:
+                      driver_max_edges: int = 200_000,
+                      checkpoint_fallback: bool = False) -> DataFrame:
     """Connected components over (id_a, id_b) edges → (id, cluster_id).
     EAGER under the default ``method="auto"``: it runs one bounded
     ``limit(driver_max_edges + 1).collect()`` probe job at CALL time
@@ -608,6 +615,12 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20,
     stay flat. Raises if max_iter is exhausted before convergence.
     ``accelerate=False`` restores plain propagation (one shuffle per
     round — marginally cheaper when clusters are known-shallow).
+
+    ``checkpoint_fallback=True`` localCheckpoints the pair table just
+    before entering a distributed path — for callers that skipped
+    their own eager barrier because the auto fast path consumes the
+    pairs exactly once (``apply_near_dedup``); the barrier is then
+    paid only when the graph actually exceeds ``driver_max_edges``.
     """
     if method not in ("auto", "star", "jump"):
         raise ValueError(f"bad method {method!r} (auto, star, or jump)")
@@ -619,6 +632,13 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20,
                 .limit(driver_max_edges + 1).collect())
         if len(head) <= driver_max_edges:
             return _unionfind_clusters(pairs, head)
+    if checkpoint_fallback:
+        # the iterative paths below consume the pair plan once per
+        # round; a caller that skipped its own eager checkpoint (the
+        # auto fast path needs only ONE evaluation — see
+        # apply_near_dedup) asks for the barrier here, paid only when
+        # the graph actually exceeds the driver bound
+        pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     if method == "star" or (method == "auto" and accelerate):
         return near_dup_clusters_star(pairs, max_iter=max_iter)
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

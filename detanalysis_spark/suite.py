@@ -957,9 +957,11 @@ FROM lbl GROUP BY cluster_id
 """)
 def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _DD.near_dup_pairs(docs, "doc_id", "text",
-                               threshold=0.5).localCheckpoint(eager=True)
-    cl = _DD.near_dup_clusters(pairs)
+    # lazy pairs: the auto fast path consumes them exactly once (the
+    # bounded probe collect); the distributed fallback checkpoints
+    # inside near_dup_clusters — one job saved in the common case
+    pairs = _DD.near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+    cl = _DD.near_dup_clusters(pairs, checkpoint_fallback=True)
     return cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
 
 
